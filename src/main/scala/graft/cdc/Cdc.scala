@@ -1,0 +1,271 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** CDC operator suite — the reference's core surface re-expressed
+  * Spark-first.
+  *
+  * Reference behavior being reproduced (see SURVEY.md §1):
+  *   - Debezium envelope extraction (`payload.before/after/op`) —
+  *     /root/reference/spark/scripts/consumer.py:51-57. There it is three
+  *     `get_json_object` calls (three JSON scans per record); here it is
+  *     ONE `from_json` with a declared schema — single parse, codegen'd.
+  *   - DebeziumTransform flattening (typed `after.*` + `_cdc` metadata) —
+  *     /root/reference/kafka/config/connect-iceberg-sink.json.
+  *   - Keyed upsert by `id-columns` (latest-wins) — the iceberg sink
+  *     config; consumer.py:76 carries a `TODO: Switch to MERGE INTO` that
+  *     this module implements as a single-shuffle window materialization.
+  *
+  * The testdata `events` table doubles as the changelog: a deterministic
+  * `event_type → op` mapping (signup→c, purchase→u, error→d, else r),
+  * key = user_id, total order = event_id (monotone with ts).
+  */
+object Cdc {
+
+  /** Debezium envelope schema (payload wrapper as emitted by the Postgres
+    * connector with JSON converter).
+    */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("payload", StructType(Seq(
+      StructField("before", StructType(Seq(
+        StructField("key", LongType), StructField("value", DoubleType))), nullable = true),
+      StructField("after", StructType(Seq(
+        StructField("key", LongType), StructField("value", DoubleType))), nullable = true),
+      StructField("op", StringType),
+      StructField("ts_ms", LongType),
+      StructField("source", StructType(Seq(
+        StructField("db", StringType), StructField("schema", StringType),
+        StructField("table", StringType)))))))))
+
+  /** events → changelog view: (key, op, value, offset, ts). */
+  def changelog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir).select(
+      $"user_id".as("key"),
+      opOf($"event_type").as("op"),
+      $"value",
+      $"event_id".as("offset"),
+      $"ts",
+      $"event_type")
+  }
+
+  private def opOf(eventType: Column): Column =
+    when(eventType === "signup", "c")
+      .when(eventType === "purchase", "u")
+      .when(eventType === "error", "d")
+      .otherwise("r")
+
+  private val sqlOp =
+    "CASE event_type WHEN 'signup' THEN 'c' WHEN 'purchase' THEN 'u' WHEN 'error' THEN 'd' ELSE 'r' END"
+
+  /** Envelope round-trip: serialize each change to a Debezium-style JSON
+    * envelope, then parse it back with one `from_json` and project the
+    * payload — proving schema-on-read parity with the reference consumer.
+    * The oracle is the identity projection (round-trip must be lossless).
+    */
+  def cdcParse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val env = changelog(spark, dir).select(
+      to_json(struct(struct(
+        when($"op" === "d", struct($"key", $"value")).otherwise(lit(null)).as("before"),
+        when($"op" =!= "d", struct($"key", $"value")).otherwise(lit(null)).as("after"),
+        $"op",
+        (unix_timestamp($"ts") * 1000).as("ts_ms"),
+        struct(lit("postgres").as("db"), lit("commerce").as("schema"),
+          lit("events").as("table")).as("source")).as("payload"))).as("raw"),
+      $"offset")
+    env.select(from_json($"raw", envelopeSchema).as("e"), $"offset")
+      .select(
+        coalesce($"e.payload.after.key", $"e.payload.before.key").as("key"),
+        coalesce($"e.payload.after.value", $"e.payload.before.value").as("value"),
+        $"e.payload.op".as("op"),
+        $"e.payload.ts_ms".as("ts_ms"),
+        $"e.payload.source.table".as("src_table"),
+        $"offset")
+      .orderBy($"offset")
+  }
+
+  val cdcParseSql: String =
+    s"""SELECT user_id AS key, value, $sqlOp AS op,
+      |  CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS ts_ms,
+      |  'events' AS src_table, event_id AS offset
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** DebeziumTransform equivalent: flattened typed columns + `_cdc`
+    * metadata (op/ts/offset/source/target/key), surfaced flat for the
+    * oracle compare.
+    */
+  def cdcFlatten(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    changelog(spark, dir).select(
+      $"key".as("user_id"),
+      $"value",
+      upper($"op").as("cdc_op"),
+      (unix_timestamp($"ts") * 1000).as("cdc_ts_ms"),
+      $"offset".as("cdc_offset"),
+      lit("commerce.events").as("cdc_source"),
+      concat(lit("cdc.commerce_"), $"event_type").as("cdc_target"),
+      $"key".cast("string").as("cdc_key"))
+      .orderBy($"cdc_offset")
+  }
+
+  val cdcFlattenSql: String =
+    s"""SELECT user_id, value, upper($sqlOp) AS cdc_op,
+      |  CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS cdc_ts_ms,
+      |  event_id AS cdc_offset, 'commerce.events' AS cdc_source,
+      |  'cdc.commerce_' || event_type AS cdc_target,
+      |  CAST(user_id AS VARCHAR) AS cdc_key
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Dynamic routing: the reference's split-by-topic (consumer.py:68-78)
+    * without the driver-side `collect()` — routing is a derived column;
+    * per-target writes use `partitionBy` (exercised in CdcSpec). This
+    * query surfaces the per-target routing summary.
+    */
+  def cdcRoute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    changelog(spark, dir)
+      .withColumn("target", concat(lit("cdc.commerce_"), $"event_type"))
+      .groupBy($"target")
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct($"key").as("n_keys"),
+        min($"offset").as("first_offset"),
+        max($"offset").as("last_offset"))
+      .orderBy($"target")
+  }
+
+  val cdcRouteSql: String =
+    """SELECT 'cdc.commerce_' || event_type AS target, count(*) AS n_records,
+      |  count(DISTINCT user_id) AS n_keys, min(event_id) AS first_offset,
+      |  max(event_id) AS last_offset
+      |FROM events GROUP BY event_type ORDER BY target""".stripMargin
+
+  /** MERGE-INTO semantics the reference left as a TODO: latest-wins keyed
+    * upsert. One shuffle (hash by key), one sort, row_number — the
+    * current-state snapshot. Deletes (op='d') as the final op remove the
+    * key.
+    */
+  def cdcMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"key").orderBy($"offset".desc)
+    changelog(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(Window.partitionBy($"key")))
+      .filter($"rn" === 1 && $"op" =!= "d")
+      .select($"key".as("user_id"), $"value".as("current_value"),
+        $"op".as("last_op"), $"offset".as("last_offset"), $"n_changes")
+      .orderBy($"user_id")
+  }
+
+  val cdcMaterializeSql: String =
+    s"""WITH c AS (
+      |  SELECT user_id AS key, $sqlOp AS op, value, event_id AS ofs,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_changes
+      |  FROM events)
+      |SELECT key AS user_id, value AS current_value, op AS last_op,
+      |  ofs AS last_offset, n_changes
+      |FROM c WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin
+
+  /** SCD2 change history: each non-delete change is a version with
+    * [valid_from_offset, valid_to_offset) and an is_current flag. The
+    * version window reuses the materialize shuffle/sort (same key, same
+    * order) — on a cluster this is one exchange total.
+    */
+  def cdcHistory(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"key").orderBy($"offset")
+    changelog(spark, dir)
+      .withColumn("valid_to", lead($"offset", 1).over(w))
+      .withColumn("is_current", ($"valid_to".isNull && $"op" =!= "d").cast("int"))
+      .filter($"op" =!= "d")
+      .select($"key".as("user_id"), $"value", $"op",
+        $"offset".as("valid_from"),
+        coalesce($"valid_to", lit(-1L)).as("valid_to"),
+        $"is_current")
+      .orderBy($"user_id", $"valid_from")
+  }
+
+  val cdcHistorySql: String =
+    s"""WITH c AS (
+      |  SELECT user_id AS key, $sqlOp AS op, value, event_id AS ofs,
+      |    lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to
+      |  FROM events)
+      |SELECT key AS user_id, value, op, ofs AS valid_from,
+      |  coalesce(valid_to, -1) AS valid_to,
+      |  CAST(CASE WHEN valid_to IS NULL AND op <> 'd' THEN 1 ELSE 0 END AS INT) AS is_current
+      |FROM c WHERE op <> 'd' ORDER BY user_id, valid_from""".stripMargin
+
+  /** Tombstone extraction: keys whose terminal op is a delete. */
+  def cdcTombstones(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"key").orderBy($"offset".desc)
+    changelog(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"op" === "d")
+      .select($"key".as("user_id"), $"offset".as("deleted_at_offset"))
+      .orderBy($"user_id")
+  }
+
+  val cdcTombstonesSql: String =
+    s"""WITH c AS (
+      |  SELECT user_id AS key, $sqlOp AS op, event_id AS ofs,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events)
+      |SELECT key AS user_id, ofs AS deleted_at_offset
+      |FROM c WHERE rn = 1 AND op = 'd' ORDER BY user_id""".stripMargin
+
+  /** Schema evolution: union an old-schema batch with a new-schema batch
+    * by name, missing columns null-filled — the declarative equivalent of
+    * the reference's `mergeSchema`/`accept-any-schema` writes
+    * (consumer.py:76-78). Spec-tested; also surfaced as a query (adds a
+    * new column to half the changelog and merges).
+    */
+  def evolve(old: DataFrame, nuevo: DataFrame): DataFrame =
+    old.unionByName(nuevo, allowMissingColumns = true)
+
+  def cdcSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val log = changelog(spark, dir)
+    val v1 = log.filter($"offset" % 2 === 0)
+      .select($"key", $"op", $"value", $"offset")
+    val v2 = log.filter($"offset" % 2 === 1)
+      .select($"key", $"op", $"value", $"offset",
+        concat(lit("src_"), $"event_type").as("origin"))
+    evolve(v1, v2)
+      .groupBy($"op", coalesce($"origin", lit("legacy")).as("origin"))
+      .agg(count(lit(1)).as("n"), max($"offset").as("max_offset"))
+      .orderBy($"op", $"origin")
+  }
+
+  val cdcSchemaEvolutionSql: String =
+    s"""WITH v1 AS (SELECT user_id AS key, $sqlOp AS op, value, event_id AS ofs,
+      |              NULL AS origin
+      |            FROM events WHERE event_id % 2 = 0),
+      |v2 AS (SELECT user_id AS key, $sqlOp AS op, value, event_id AS ofs,
+      |         'src_' || event_type AS origin
+      |       FROM events WHERE event_id % 2 = 1),
+      |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+      |SELECT op, coalesce(origin, 'legacy') AS origin, count(*) AS n, max(ofs) AS max_offset
+      |FROM u GROUP BY op, coalesce(origin, 'legacy') ORDER BY op, origin""".stripMargin
+
+  /** JSON property extraction from the events.props payload column —
+    * schema-on-read like the reference's get_json_object usage, but via
+    * typed from_json.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(spark, dir)
+      .select($"event_id", from_json($"props", schema).getField("k").as("prop_k"))
+      .orderBy($"event_id")
+  }
+
+  val jsonExtractSql: String =
+    """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS prop_k
+      |FROM events ORDER BY event_id""".stripMargin
+}

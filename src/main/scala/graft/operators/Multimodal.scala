@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: opaque binary payloads with typed
+  * metadata, batch feature extraction over partitions.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked deterministic fake — but every Spark-side piece a real
+  * pipeline needs is genuine and tested: the binary column, the metadata
+  * struct schema, partition-parallel batch decode via `mapPartitions`
+  * (the JVM analogue of `mapInPandas` batch shape: one iterator in, one
+  * iterator out, amortized per-batch setup), and the typed feature
+  * schema out.
+  */
+object Multimodal {
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media_format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", IntegerType),
+    StructField("feature_mean", DoubleType),
+    StructField("feature_max", IntegerType)))
+
+  /** Synthesize an opaque binary payload + metadata per document —
+    * stands in for real image/audio bytes ingested from object storage.
+    */
+  def withMedia(docs: DataFrame): DataFrame = {
+    val fmt = element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    docs
+      .withColumn("media_format", fmt)
+      .withColumn("media_meta", struct(
+        (col("doc_id") % 64 + 16).cast("int").as("width"),
+        (col("doc_id") % 48 + 16).cast("int").as("height")))
+      .withColumn("media_bytes",
+        encode(concat(lit("MEDIA:"), col("media_format"), lit(":"), col("text")), "UTF-8"))
+  }
+
+  /** STUB decoder: a real deployment would decode image/audio bytes here
+    * (the libs are absent in this container). Deterministic fake:
+    * byte-level statistics of the payload. The mapPartitions batch shape
+    * (iterator→iterator, per-partition setup amortized) is the real,
+    * scale-relevant part.
+    */
+  def decodeStub(spark: SparkSession, media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    media.select("doc_id", "media_format", "media_meta.width", "media_meta.height", "media_bytes")
+      .mapPartitions { rows =>
+        // per-partition setup happens once (in a real decoder: codec init)
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("media_bytes")
+          var sum = 0L; var max = 0
+          var i = 0
+          while (i < bytes.length) {
+            val v = bytes(i) & 0xFF
+            sum += v; if (v > max) max = v
+            i += 1
+          }
+          Row(r.getAs[Long]("doc_id"), r.getAs[String]("media_format"),
+            r.getAs[Int]("width"), r.getAs[Int]("height"), bytes.length,
+            if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length, max)
+        }
+      }(enc)
+  }
+
+  /** End-to-end multimodal pass: synthesize payloads, batch-"decode",
+    * aggregate per format. rows-only (the decode stub is not SQL).
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = withMedia(Tables.documents(spark, dir))
+    decodeStub(spark, media)
+      .groupBy($"media_format")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"feature_mean"), 4).as("avg_byte_mean"),
+        max($"feature_max").as("max_byte"),
+        sum($"n_bytes").as("total_bytes"))
+      .orderBy($"media_format")
+  }
+}

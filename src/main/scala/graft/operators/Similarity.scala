@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the embeddings table.
+  *
+  * Scale design: the query set is small and broadcast; the corpus side
+  * is only ever scanned, never shuffled — at 100 TB the brute-force
+  * variant is a single pass (map + per-partition top-k via the
+  * aggregate), and the LSH variant buckets the corpus once into an
+  * index table that is reusable across query batches (bucket-key
+  * equi-join instead of a cross product).
+  */
+object Similarity {
+
+  import Dedup.cosine
+
+  /** Exact cosine top-k: broadcast the query vectors against the corpus,
+    * rank per query. The oracle recomputes in DuckDB with
+    * list_cosine_similarity; similarity is rounded to 6dp (the two
+    * engines' fold arithmetic differs in the last ulp) and rank ties are
+    * broken by vec_id before rounding.
+    */
+  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        Dedup.norm($"embedding").as("q_norm"))
+    val corpus = e.filter($"vec_id" >= 8)
+      .select($"vec_id".as("n_id"), $"embedding".as("n_vec"),
+        Dedup.norm($"embedding").as("n_norm"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+    corpus.crossJoin(broadcast(q))
+      .withColumn("cos", Dedup.cosinePre($"q_vec", $"n_vec", $"q_norm", $"n_norm"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"q_id", $"rk", $"n_id", round($"cos", 6).as("cos_sim"))
+      .orderBy($"q_id", $"rk")
+  }
+
+  val annBruteforceSql: String =
+    """SELECT q_id, rk, n_id, round(cos, 6) AS cos_sim FROM (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rk
+      |  FROM (SELECT * FROM embeddings WHERE vec_id < 8) q,
+      |       (SELECT * FROM embeddings WHERE vec_id >= 8) c) t
+      |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  /** Multi-table random-hyperplane LSH: L independent tables of K sign
+    * bits. A candidate matches if it shares a bucket in ANY table —
+    * the standard recall/cost dial (higher L → higher recall, K bounds
+    * bucket size). Corpus is exploded L× (bounded, linear) and joined on
+    * (table, bucket) — never a cross product.
+    */
+  val NumTables = 8
+  val PlanesPerTable = 4
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a hash mapped into [-1, 1]. Reproducible across runs/executors with
+    * no RNG state.
+    */
+  private def planeComponent(plane: Int, dim: org.apache.spark.sql.Column) = {
+    val h = xxhash64(concat_ws(":", lit("plane"), lit(plane), dim))
+    (h % 10000L).cast("double") / 10000.0
+  }
+
+  /** Bucket key for one LSH table: K sign bits packed into a long. */
+  def lshBucket(vec: org.apache.spark.sql.Column, table: Int): org.apache.spark.sql.Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    val bits = (0 until PlanesPerTable).map { p =>
+      val plane = table * PlanesPerTable + p
+      val dot = aggregate(
+        zip_with(vec, dims, (v, d) => v.cast("double") * planeComponent(plane, d)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** (table, bucket) index entries for a vector — the write-once index
+    * shape: at scale this is persisted and reused across query batches.
+    */
+  def lshIndexEntries(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until NumTables).map { t =>
+      struct(lit(t).as("tbl"), lshBucket(vec, t).as("bucket"))
+    }: _*)
+
+  /** ANN via multi-table LSH bucketing: candidates from any shared
+    * bucket, exact-ranked. Recall vs brute force is spec-verified.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        explode(lshIndexEntries($"embedding")).as("qk"))
+      .select($"q_id", $"q_vec", $"qk.tbl".as("tbl"), $"qk.bucket".as("bucket"))
+    val corpus = e.filter($"vec_id" >= 8)
+      .select($"vec_id".as("n_id"), $"embedding".as("n_vec"),
+        explode(lshIndexEntries($"embedding")).as("nk"))
+      .select($"n_id", $"n_vec", $"nk.tbl".as("tbl"), $"nk.bucket".as("bucket"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+    corpus.join(broadcast(q), Seq("tbl", "bucket"))
+      .select($"q_id", $"n_id", $"q_vec", $"n_vec").distinct()
+      .withColumn("cos", Dedup.cosine($"q_vec", $"n_vec"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"q_id", $"rk", $"n_id", round($"cos", 6).as("cos_sim"))
+      .orderBy($"q_id", $"rk")
+  }
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language ID, content fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` expressions (no
+  * UDFs): at 100 TB these run inside whole-stage codegen directly over
+  * the parquet scan with zero shuffles (all are per-row maps followed by
+  * an optional aggregate).
+  */
+object TextAnalysis {
+
+  /** Non-empty whitespace-separated tokens. */
+  private def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  /** Token counting: words, characters, and a BPE-ish subword estimate
+    * (English averages ~4 chars/token; the estimate is ceil(chars/4),
+    * the standard quick sizing heuristic for LLM corpora).
+    */
+  def textTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(tokens($"text")).as("n_tokens"),
+        length($"text").as("n_chars"),
+        ceil(length($"text") / lit(4.0)).cast("long").as("n_subwords_est"),
+        size(array_distinct(tokens($"text"))).as("n_unique_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INT) AS n_tokens,
+      |  CAST(length(text) AS INT) AS n_chars,
+      |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est,
+      |  CAST(len(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS INT) AS n_unique_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Quality scoring: length, punctuation density, stopword ratio,
+    * lexical diversity — combined into a 0-1 score. All ratios are exact
+    * integer-over-integer double divisions, so the score is
+    * deterministic across engines.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stopArr = array(stopwords.map(lit): _*)
+    // tokenize once into a materialized column — the ratio expressions
+    // below reference it as a bound attribute, not a re-parsed subtree
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", $"text", tokens($"text").as("toks"))
+      .select($"doc_id",
+        size($"toks").cast("double").as("n_tok"),
+        size(filter($"toks", t => array_contains(stopArr, t))).cast("double").as("n_stop"),
+        size(array_distinct($"toks")).cast("double").as("n_uniq"),
+        length(regexp_replace($"text", "[^.,!?;:]", "")).cast("double").as("n_punct"),
+        length($"text").cast("double").as("n_chars"))
+    val stopRatio = $"n_stop" / greatest($"n_tok", lit(1.0))
+    val punctRatio = $"n_punct" / greatest($"n_chars", lit(1.0))
+    val diversity = $"n_uniq" / greatest($"n_tok", lit(1.0))
+    val lengthScore = least($"n_tok" / lit(50.0), lit(1.0))
+    base.select($"doc_id",
+        $"n_tok".cast("int").as("n_tokens"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(punctRatio, 6).as("punct_ratio"),
+        round(diversity, 6).as("diversity"),
+        round(lit(0.35) * lengthScore + lit(0.25) * stopRatio
+          + lit(0.25) * diversity + lit(0.15) * (lit(1.0) - punctRatio), 6).as("quality_score"))
+      .orderBy($"doc_id")
+  }
+
+  val textQualitySql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    val stopList = stopwords.map(s => s"'$s'").mkString("[", ",", "]")
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len($toks) AS DOUBLE) AS n_tok,
+      |    CAST(len(list_filter($toks, x -> list_contains($stopList, x))) AS DOUBLE) AS n_stop,
+      |    CAST(len(list_distinct($toks)) AS DOUBLE) AS n_uniq,
+      |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
+      |    CAST(length(text) AS DOUBLE) AS n_chars
+      |  FROM documents)
+      |SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
+      |  round(n_stop / greatest(n_tok, 1.0), 6) AS stop_ratio,
+      |  round(n_punct / greatest(n_chars, 1.0), 6) AS punct_ratio,
+      |  round(n_uniq / greatest(n_tok, 1.0), 6) AS diversity,
+      |  round(0.35 * least(n_tok / 50.0, 1.0) + 0.25 * (n_stop / greatest(n_tok, 1.0))
+      |    + 0.25 * (n_uniq / greatest(n_tok, 1.0))
+      |    + 0.15 * (1.0 - n_punct / greatest(n_chars, 1.0)), 6) AS quality_score
+      |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language ID: character-class + stopword-profile heuristic (CJK
+    * regex, then distinctive function words per language, else English).
+    * The `lang` column from the source is carried through so accuracy
+    * can be inspected; the prediction itself is the operator.
+    */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = concat(lit(" "), $"text", lit(" "))
+    val pred =
+      when($"text".rlike("[\\u4e00-\\u9fff]"), "zh")
+        .when(t.rlike(" (der|die|das|und|nicht) "), "de")
+        .when(t.rlike(" (le|la|les|et|est) "), "fr")
+        .when(t.rlike(" (el|los|las|es|y) "), "es")
+        .otherwise("en")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang".as("labeled_lang"), pred.as("pred_lang"))
+      .orderBy($"doc_id")
+  }
+
+  val textLangidSql: String =
+    """SELECT doc_id, lang AS labeled_lang,
+      |  CASE
+      |    WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+      |    WHEN regexp_matches(' ' || text || ' ', ' (der|die|das|und|nicht) ') THEN 'de'
+      |    WHEN regexp_matches(' ' || text || ' ', ' (le|la|les|et|est) ') THEN 'fr'
+      |    WHEN regexp_matches(' ' || text || ' ', ' (el|los|las|es|y) ') THEN 'es'
+      |    ELSE 'en' END AS pred_lang
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Content fingerprinting: md5 plus a 64-bit polynomial rolling hash
+    * (base-31 mod 1e9+7 over the character codepoints — the classic
+    * Rabin-Karp fingerprint), both deterministic across engines.
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rolling = aggregate(
+      transform(split($"text", ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, code) => (acc * 31 + code) % 1000000007L)
+    Tables.documents(spark, dir)
+      .select($"doc_id", md5($"text").as("md5_fp"), rolling.as("rolling_fp"))
+      .orderBy($"doc_id")
+  }
+
+  val textFingerprintSql: String =
+    """SELECT doc_id, md5(text) AS md5_fp,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(split(text, ''), x -> CAST(unicode(x) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

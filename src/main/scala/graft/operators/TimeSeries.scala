@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import Relational.{dec, sqlDec}
+
+/** Time-series operators: as-of join, range join, time-bucketed aggs.
+  *
+  * The as-of join uses the union-and-carry-forward pattern instead of a
+  * per-key O(events × orders) range join: both sides are tagged, unioned,
+  * and a single `last(_, ignoreNulls)` window carries the most recent
+  * order forward onto each event. One shuffle on the key, one sort —
+  * this is the plan that survives 100 TB, where a naive
+  * join-then-max-per-event would shuffle the cross product.
+  */
+object TimeSeries {
+
+  /** As-of join: each event picks the most recent order (same key,
+    * o_orderdate <= ts). Orders deduped to one row per (key, date) with
+    * max orderkey so the result is deterministic.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .groupBy($"o_custkey".as("k"), $"o_orderdate".as("t"))
+      .agg(max($"o_orderkey").as("o_key"))
+      .select($"k", $"t", $"o_key", lit(null).cast("long").as("event_id"), lit(0).as("src"))
+    val events = Tables.events(spark, dir)
+      .select($"user_id".as("k"), $"ts".as("t"), lit(null).cast("long").as("o_key"),
+        $"event_id", lit(1).as("src"))
+    // orders sort before events at equal t (src asc) → "<=" semantics
+    val w = Window.partitionBy($"k").orderBy($"t", $"src", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.unionByName(events)
+      .withColumn("asof_order", last($"o_key", ignoreNulls = true).over(w))
+      .filter($"src" === 1 && $"asof_order".isNotNull)
+      .select($"event_id", $"k".as("user_id"), $"asof_order")
+      .orderBy($"event_id")
+  }
+
+  val asofJoinSql: String =
+    """SELECT e.event_id, e.user_id, o.o_key AS asof_order
+      |FROM events e ASOF JOIN
+      |  (SELECT o_custkey AS k, o_orderdate AS t, max(o_orderkey) AS o_key
+      |   FROM orders GROUP BY o_custkey, o_orderdate) o
+      |  ON e.user_id = o.k AND e.ts >= o.t
+      |ORDER BY e.event_id""".stripMargin
+
+  /** Range join: for each purchase, the click/view activity of the same
+    * user in the preceding hour. Key equality makes this a plain shuffled
+    * hash join with a residual range predicate — no interval-join blowup.
+    * Times compared at whole-second granularity (exact in both engines
+    * regardless of the source's nanosecond precision).
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("p_event"),
+        expr("ts_ns div 1000000000").as("p_s"))
+    val a = e.filter($"event_type" === "click" || $"event_type" === "view")
+      .select($"user_id".as("a_user"), expr("ts_ns div 1000000000").as("a_s"),
+        $"value".as("a_value"))
+    p.join(a, $"p_user" === $"a_user" && $"a_s" >= $"p_s" - 3600 && $"a_s" <= $"p_s")
+      .groupBy($"p_event")
+      .agg(count(lit(1)).as("n_activity"),
+        sum(dec($"a_value")).cast("double").as("activity_value"))
+      .orderBy($"p_event")
+  }
+
+  val rangeJoinSql: String =
+    s"""SELECT p.event_id AS p_event, count(*) AS n_activity,
+      |  CAST(sum(${sqlDec("a.value")}) AS DOUBLE) AS activity_value
+      |FROM (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+      |      FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS s
+      |      FROM events WHERE event_type IN ('click','view')) a
+      |  ON p.user_id = a.user_id AND a.s >= p.s - 3600 AND a.s <= p.s
+      |GROUP BY p.event_id ORDER BY p_event""".stripMargin
+
+  /** Tumbling-window aggregation on batch data (hourly buckets). */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"), sum(dec($"value")).cast("double").as("total_value"))
+      .orderBy($"hour", $"event_type")
+  }
+
+  val eventsHourlySql: String =
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+      |  count(*) AS n, CAST(sum(${sqlDec("value")}) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+}

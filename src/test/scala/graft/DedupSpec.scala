@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+  private val nearDup = base.replace("lazy", "sleepy")   // one token differs per repeat
+  private val unrelated = "completely different content about spark query engines " * 5
+
+  private def docsDf = Seq(
+    (0L, base), (1L, base),          // exact dup pair
+    (2L, nearDup),                   // near dup of 0/1
+    (3L, unrelated)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup finds the planted duplicate") {
+    val d = docsDf.groupBy(md5($"text").as("fp"))
+      .agg(min($"doc_id").as("keep"), count(lit(1)).as("n"))
+      .filter($"n" > 1).collect()
+    assert(d.length == 1 && d(0).getLong(1) == 0L && d(0).getLong(2) == 2L)
+  }
+
+  test("minhash signatures: near-dups agree, unrelated don't") {
+    val sigs = docsDf
+      .select($"doc_id", Dedup.tokenHashes32($"text").as("th"))
+      .select($"doc_id", $"th", array_distinct(Dedup.shingleHashesFrom($"th")).as("hs"))
+      .select($"doc_id", $"hs", Dedup.minhashSignature($"hs").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    def agree(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    assert(agree(sigs(0L), sigs(1L)) == 1.0)          // identical text
+    assert(agree(sigs(0L), sigs(2L)) > 0.3)           // near dup
+    assert(agree(sigs(0L), sigs(3L)) < 0.2)           // unrelated
+  }
+
+  test("simhash: hamming(near dups) << hamming(unrelated)") {
+    val sigs = docsDf
+      .select($"doc_id", Dedup.tokenHashes($"text").as("hs"))
+      .select($"doc_id", Dedup.simhashSignature($"hs").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(1L)) == 0)
+    assert(ham(sigs(0L), sigs(2L)) < ham(sigs(0L), sigs(3L)))
+  }
+
+  test("minhash LSH pipeline runs on real documents and only emits i<j pairs") {
+    val pairs = Dedup.dedupMinhash(spark, sf)
+    assert(pairs.filter($"i" >= $"j").count() == 0)
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val p = Dedup.dedupEmbedding(spark, sf)
+    assert(p.filter($"cos_sim" < 0.3).count() == 0)
+    assert(p.filter($"i" >= $"j").count() == 0)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{Relational, Similarity}
+
+/** Plan-shape assertions: the scale contract (§5 of SURVEY.md) —
+  * pushdown reaches the scan, dims broadcast, hot paths stay in
+  * whole-stage codegen, ANN never shuffles the corpus side.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Plan after AQE finalization (codegen stages only materialize then). */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2: filters and projection are pushed into the parquet scan") {
+    val plan = physicalPlan(Relational.q2FilterProject(spark, sf))
+    assert(plan.contains("PushedFilters") && plan.contains("p_size"),
+      s"no pushed filters in:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("p_brand"),
+      "projection not pruned: p_brand should not be read")
+  }
+
+  test("q5: all dimension joins are broadcast") {
+    val plan = physicalPlan(Relational.q5LocalSupplier(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
+  }
+
+  test("q1: aggregation runs inside whole-stage codegen") {
+    val plan = finalPlan(Relational.q1PricingSummary(spark, sf))
+    // codegen stages print as "*(n)" in the executed-plan string
+    assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined, s"no codegen in:\n$plan")
+    assert(plan.contains("HashAggregate"))
+  }
+
+  test("ann_bruteforce: corpus side is not shuffled (queries broadcast)") {
+    val plan = physicalPlan(Similarity.annBruteforce(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"queries should broadcast:\n$plan")
+  }
+
+  test("q1 single exchange: one shuffle for the groupBy") {
+    val plan = physicalPlan(Relational.q1PricingSummary(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    // one partial→final agg exchange + the orderBy range exchange
+    assert(exchanges <= 2, s"too many shuffles ($exchanges):\n$plan")
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force ANN returns k ranked neighbors per query") {
+    val res = Similarity.annBruteforce(spark, sf)
+    val perQuery = res.groupBy($"q_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) == 5))
+    // ranks are 1..5 with descending similarity
+    val bad = res.as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).values.exists { rows =>
+        val sorted = rows.sortBy(_._2)
+        sorted.map(_._4).sliding(2).exists(p => p.length == 2 && p(0) < p(1))
+      }
+    assert(!bad, "similarity not non-increasing with rank")
+  }
+
+  test("LSH ANN recall vs brute force") {
+    val bf = Similarity.annBruteforce(spark, sf)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.annLsh(spark, sf)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    // bucketing trades recall for a bucket-local search; it must still
+    // find a meaningful share of the true top-k
+    val recall = if (bf.isEmpty) 1.0 else bf.intersect(lsh).size.toDouble / bf.size
+    info(s"LSH recall = $recall (${lsh.size} candidates)")
+    assert(recall >= 0.2, s"recall $recall too low")
+  }
+}

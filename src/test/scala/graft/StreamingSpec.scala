@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.{CdcStream, SessEvent, Sessionize}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** File streams require a directory source; stage the single-parquet
+    * table into one.
+    */
+  private lazy val eventsDir: String = {
+    val d = tmp("graft_events_in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    d
+  }
+
+  test("streaming CDC ingest: routed log + materialized view match batch") {
+    val logDir = tmp("graft_stream_log")
+    val q = CdcStream.ingest(spark, eventsDir, logDir, tmp("graft_ckpt"))
+    q.processAllAvailable(); q.stop()
+    val view = CdcStream.materializedView(spark, logDir)
+      .select($"user_id", $"current_value".as("stream_value"))
+    val batch = graft.cdc.Cdc.cdcMaterialize(spark, sf)
+    assert(view.count() == batch.count())
+    val mismatched = view.join(batch, "user_id")
+      .filter($"stream_value" =!= $"current_value").count()
+    assert(mismatched == 0)
+  }
+
+  test("streaming window agg equals batch window agg") {
+    val outName = "stream_hourly"
+    val events = spark.readStream
+      .schema(spark.read.parquet(eventsDir).schema)
+      .parquet(eventsDir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros($"ts_us"))
+    val q = CdcStream.windowAgg(events)
+      .writeStream.outputMode("complete").format("memory").queryName(outName).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table(outName)
+      .agg(sum($"n")).first().getLong(0)
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(streamed == total)
+  }
+
+  test("streaming dedup drops re-delivered events") {
+    val ev = sources.Tables.events(spark, sf).limit(100)
+    val dup = ev.unionAll(ev) // simulate at-least-once redelivery
+    val outName = "stream_dedup_out"
+    val dir = tmp("graft_dedup_in")
+    dup.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(dup.schema).parquet(dir)
+    val q = CdcStream.streamDedup(stream)
+      .writeStream.outputMode("append").format("memory").queryName(outName).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table(outName).count() == 100)
+  }
+
+  test("stateful sessionization matches batch gap-sessionizer session counts") {
+    val ev = sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", expr("ts_ns div 1000000000").as("ts_s"), $"value")
+      .as[SessEvent]
+    val sessions = Sessionize.sessionize(spark, ev)
+    val streamedCounts = sessions.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+    val batch = operators.Windows.sessionize(spark, sf)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions_b"), sum($"n_events").as("n_events_b"))
+    val diff = streamedCounts.join(batch, "user_id")
+      .filter($"n_sessions" =!= $"n_sessions_b" || $"n_events" =!= $"n_events_b")
+    assert(diff.count() == 0)
+    assert(streamedCounts.count() == batch.count())
+  }
+}
