@@ -146,9 +146,11 @@ object Dedup {
     // downstream lambda iteration.
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", tokenHashes32($"text").as("th"))
-      .select($"doc_id", $"th", array_distinct(shingleHashesFrom($"th")).as("hs"))
-      .select($"doc_id", $"hs", minhashSignature($"hs").as("sig"))
-      .select($"doc_id", $"sig")
+      .select($"doc_id", $"th", shingleHashesFrom($"th").as("hs"))
+      // native codegen'd signature (bit-identical to minhashSignature —
+      // spec-verified); the fused loop replaces ~64×|shingles| interpreted
+      // lambda frames per row
+      .select($"doc_id", graft.functions.HashFunctions.minhash_sig($"hs").as("sig"))
     val bands = docs.select($"doc_id", $"sig",
         explode(array((0 until NumBands).map { b =>
           struct(lit(b).as("band"),
@@ -201,7 +203,7 @@ object Dedup {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", tokenHashes($"text").as("hs"))
-      .select($"doc_id", simhashSignature($"hs").as("sig"))
+      .select($"doc_id", graft.functions.HashFunctions.simhash64($"hs").as("sig"))
     val segs = docs.select($"doc_id", $"sig",
         explode(array((0 until 4).map { s =>
           struct(lit(s).as("seg"),
@@ -228,7 +230,16 @@ object Dedup {
     * sequential left-to-right fold (same order as a scalar loop, so the
     * result is reproducible and matches the DuckDB oracle bit-for-bit).
     */
+  /** Codegen'd primitive-loop dot product (graft.functions.DotProduct).
+    * Bit-identical to the fold form `aggregate(zip_with(...))` — same
+    * left-to-right double accumulation — but runs inside whole-stage
+    * codegen instead of an interpreted lambda frame per element.
+    */
   def dot(x: Column, y: Column): Column =
+    graft.functions.VectorFunctions.vec_dot(x, y)
+
+  /** The composable fold form, kept for the bit-equality spec. */
+  def dotFold(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

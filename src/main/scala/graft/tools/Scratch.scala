@@ -6,7 +6,7 @@ import graft.operators.Dedup
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.get(8)
-    val dir = "/root/testdata/sf0.001"
+    val dir = sys.env.getOrElse("SCRATCH_SF", "/root/testdata/sf0.001")
     val df = Dedup.dedupMinhash(spark, dir)
     df.explain("formatted")
     val t0 = System.nanoTime()

@@ -23,12 +23,35 @@ class DedupSpec extends SparkSpec {
     assert(d.length == 1 && d(0).getLong(1) == 0L && d(0).getLong(2) == 2L)
   }
 
+  test("native minhash_sig is bit-identical to the composable form") {
+    val both = docsDf
+      .select($"doc_id", Dedup.tokenHashes32($"text").as("th"))
+      .select($"doc_id", $"th", Dedup.shingleHashesFrom($"th").as("hs"))
+      .select($"doc_id",
+        graft.functions.HashFunctions.minhash_sig($"hs").as("native"),
+        Dedup.minhashSignature($"hs").as("composable"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc ${r.getLong(0)} differs")
+    }
+  }
+
+  test("native simhash64 is bit-identical to the composable form") {
+    val both = docsDf
+      .select($"doc_id", Dedup.tokenHashes($"text").as("hs"))
+      .select($"doc_id",
+        graft.functions.HashFunctions.simhash64($"hs").as("native"),
+        Dedup.simhashSignature($"hs").as("composable"))
+      .collect()
+    both.foreach { r => assert(r.getLong(1) == r.getLong(2)) }
+  }
+
   test("minhash signatures: near-dups agree, unrelated don't") {
     val sigs = docsDf
       .select($"doc_id", Dedup.tokenHashes32($"text").as("th"))
-      .select($"doc_id", $"th", array_distinct(Dedup.shingleHashesFrom($"th")).as("hs"))
-      .select($"doc_id", $"hs", Dedup.minhashSignature($"hs").as("sig"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+      .select($"doc_id", $"th", Dedup.shingleHashesFrom($"th").as("hs"))
+      .select($"doc_id", graft.functions.HashFunctions.minhash_sig($"hs").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     def agree(a: Seq[Long], b: Seq[Long]) =
       a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
     assert(agree(sigs(0L), sigs(1L)) == 1.0)          // identical text

@@ -5,6 +5,17 @@ import graft.operators.Similarity
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("native vec_dot is bit-identical to the fold form") {
+    import graft.operators.Dedup
+    val e = sources.Tables.embeddings(spark, sf).limit(50)
+    val a = e.select($"vec_id".as("i"), $"embedding".as("ea"))
+    val b = e.select($"vec_id".as("j"), $"embedding".as("eb"))
+    val diffs = a.crossJoin(b)
+      .select(Dedup.dot($"ea", $"eb").as("native"), Dedup.dotFold($"ea", $"eb").as("fold"))
+      .filter($"native" =!= $"fold")
+    assert(diffs.count() == 0)
+  }
+
   test("brute-force ANN returns k ranked neighbors per query") {
     val res = Similarity.annBruteforce(spark, sf)
     val perQuery = res.groupBy($"q_id").count().collect()
