@@ -31,6 +31,11 @@ object SparkEntry {
     "q19_disjunctive" -> Relational.q19Disjunctive _,
     "q21_suppliers_kept_waiting" -> Relational.q21Waiting _,
     "q22_global_sales" -> Relational.q22GlobalSales _,
+    "q9_product_profit" -> Relational2.q9ProductProfit _,
+    "q15_top_supplier" -> Relational2.q15TopSupplier _,
+    "q20_excess_suppliers" -> Relational2.q20ExcessSuppliers _,
+    "skew_agg_salted" -> Skew.skewAggSalted _,
+    "skew_join_salted" -> Skew.skewJoinSalted _,
     "sort_limit" -> Relational.sortLimit _,
     "union_ops" -> Relational.unionOps _,
     "distinct_count" -> Relational.distinctCount _,
@@ -96,6 +101,11 @@ object SparkEntry {
     "q19_disjunctive" -> Relational.q19Sql,
     "q21_suppliers_kept_waiting" -> Relational.q21Sql,
     "q22_global_sales" -> Relational.q22Sql,
+    "q9_product_profit" -> Relational2.q9Sql,
+    "q15_top_supplier" -> Relational2.q15Sql,
+    "q20_excess_suppliers" -> Relational2.q20Sql,
+    "skew_agg_salted" -> Skew.skewAggSaltedSql,
+    "skew_join_salted" -> Skew.skewJoinSaltedSql,
     "sort_limit" -> Relational.sortLimitSql,
     "union_ops" -> Relational.unionOpsSql,
     "distinct_count" -> Relational.distinctCountSql,

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import Relational.{dec, sqlDec, revTerm, sqlRev, D}
+
+/** Second tranche of TPC-H-flavoured queries (q9/q15/q20 adaptations —
+  * the testdata schema has no partsupp, so supply cost is proxied by
+  * 0.8 × p_retailprice).
+  */
+object Relational2 {
+
+  /** q9: profit by nation and year. amount = revenue − cost·quantity.
+    * All dims broadcast; one fact shuffle (lineitem⋈orders).
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, dir).filter($"p_name".contains("e"))
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val cost = (lit(0.8) * $"p_retailprice").cast("decimal(18,6)")
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .join(broadcast(s), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"), year($"o_orderdate").cast("int").as("o_year"))
+      .agg(round(sum(revTerm($"l_extendedprice", $"l_discount") - (cost * dec($"l_quantity")))
+        .cast("double"), 4).as("profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  val q9Sql: String =
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |  round(CAST(sum($sqlRev - (CAST(0.8 * p_retailprice AS DECIMAL(18,6)) * ${sqlDec("l_quantity")})) AS DOUBLE), 4) AS profit
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%e%'
+      |GROUP BY n_name, year(o_orderdate)
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** q15: top supplier(s) by revenue in a quarter — two-level agg with a
+    * scalar-max reuse (the CTE is computed once, the max is broadcast
+    * back as a 1-row cross join).
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01") && $"l_shipdate" < lit("1996-04-01"))
+    val rev = l.groupBy($"l_suppkey")
+      .agg(sum(revTerm($"l_extendedprice", $"l_discount")).cast("double").as("total_revenue"))
+    val maxRev = rev.agg(max($"total_revenue").as("max_revenue"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter($"total_revenue" === $"max_revenue")
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+      .orderBy($"s_suppkey")
+  }
+
+  val q15Sql: String =
+    s"""WITH rev AS (
+      |  SELECT l_suppkey, CAST(sum($sqlRev) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** q20: suppliers who shipped a large quantity of the filtered parts —
+    * nested aggregation feeding a semi-join chain.
+    */
+  def q20ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, dir).filter($"p_name".startsWith("b"))
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val shipped = l.join(broadcast(p.select($"p_partkey")), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_suppkey", $"l_partkey")
+      .agg(sum(dec($"l_quantity")).cast("double").as("qty"))
+      .filter($"qty" > 50)
+      .select($"l_suppkey").distinct()
+    s.join(shipped, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"n_name")
+      .orderBy($"s_suppkey")
+  }
+
+  val q20Sql: String =
+    s"""SELECT s_suppkey, s_name, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE 'b%'
+      |  GROUP BY l_suppkey, l_partkey
+      |  HAVING CAST(sum(${sqlDec("l_quantity")}) AS DOUBLE) > 50)
+      |ORDER BY s_suppkey""".stripMargin
+}
