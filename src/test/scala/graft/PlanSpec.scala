@@ -49,4 +49,28 @@ class PlanSpec extends SparkSpec {
     // one partial→final agg exchange + the orderBy range exchange
     assert(exchanges <= 2, s"too many shuffles ($exchanges):\n$plan")
   }
+
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int =
+    "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+
+  test("cdc_materialize: one hash shuffle (window) + output sort only") {
+    val n = shuffleCount(graft.cdc.Cdc.cdcMaterialize(spark, sf))
+    info(s"cdc_materialize shuffles = $n")
+    assert(n <= 2)
+  }
+
+  test("sessionize: both windows share one shuffle/sort") {
+    val n = shuffleCount(operators.Windows.sessionize(spark, sf))
+    info(s"sessionize shuffles = $n")
+    // user_id hash partition (reused by lag + cumsum), groupBy agg
+    // (co-partitioned → may collapse), final orderBy
+    assert(n <= 3, s"sessionize shuffles too much: $n")
+  }
+
+  test("asof_join: union + carry-forward costs one hash shuffle") {
+    val n = shuffleCount(operators.TimeSeries.asofJoin(spark, sf))
+    info(s"asof_join shuffles = $n")
+    assert(n <= 4)
+  }
 }
