@@ -70,6 +70,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.textQuality _,
     "text_langid" -> TextAnalysis.textLangid _,
     "text_fingerprint" -> TextAnalysis.textFingerprint _,
+    "text_tfidf" -> TextAnalysis.textTfidf _,
     "dedup_exact" -> Dedup.dedupExact _,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
     "dedup_minhash" -> Dedup.dedupMinhash _,
@@ -78,6 +79,8 @@ object SparkEntry {
     "ann_bruteforce" -> Similarity.annBruteforce _,
     "ann_lsh" -> Similarity.annLsh _,
     "multimodal_meta" -> Multimodal.multimodalMeta _,
+    "table_profile" -> Profile.tableProfile _,
+    "approx_distinct" -> Profile.approxDistinct _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -135,12 +138,15 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_langid" -> TextAnalysis.textLangidSql,
     "text_fingerprint" -> TextAnalysis.textFingerprintSql,
+    "text_tfidf" -> TextAnalysis.textTfidfSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "ann_bruteforce" -> Similarity.annBruteforceSql,
-    // dedup_minhash / dedup_simhash / ann_lsh / multimodal_meta are
-    // rows-only: probabilistic blocking & a mapPartitions stub are not
-    // SQL-expressible; semantics are covered by ScalaTest specs.
+    "table_profile" -> Profile.tableProfileSql,
+    // dedup_minhash / dedup_simhash / ann_lsh / multimodal_meta /
+    // approx_distinct are rows-only: probabilistic blocking, a
+    // mapPartitions stub, and HLL sketches are not SQL-reproducible;
+    // semantics are covered by ScalaTest specs.
   )
 }

@@ -253,6 +253,26 @@ object Cdc {
       |SELECT op, coalesce(origin, 'legacy') AS origin, count(*) AS n, max(ofs) AS max_offset
       |FROM u GROUP BY op, coalesce(origin, 'legacy') ORDER BY op, origin""".stripMargin
 
+  /** Changelog compaction — the table-maintenance half of a CDC sink
+    * (what Iceberg's rewrite-data-files does for the reference's
+    * append-only tables): fold the accumulated append-only log into a
+    * compacted base (latest state per key), coalesced to `targetFiles`.
+    * Readers of `baseDir` then see the current snapshot without
+    * replaying the log.
+    */
+  def compactChangelog(spark: SparkSession, logDir: String, baseDir: String,
+                       targetFiles: Int = 4): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id".desc)
+    spark.read.parquet(logDir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"op" =!= "d")
+      .drop("rn")
+      .coalesce(targetFiles)
+      .write.mode("overwrite").parquet(baseDir)
+  }
+
   /** JSON property extraction from the events.props payload column —
     * schema-on-read like the reference's get_json_object usage, but via
     * typed from_json.

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-quality / profiling operators — the scan-once statistics a
+  * pipeline runs before trusting a new 100 TB drop.
+  */
+object Profile {
+
+  /** Single-pass column profile of orders: one aggregate computes every
+    * column's stats (no per-column scans), unpivoted to a narrow stat
+    * table.
+    */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val agg = o.agg(
+      count(lit(1)).as("n_rows"),
+      count($"o_custkey").as("custkey_n"),
+      countDistinct($"o_custkey").as("custkey_distinct"),
+      min($"o_custkey").cast("string").as("custkey_min"),
+      max($"o_custkey").cast("string").as("custkey_max"),
+      count($"o_totalprice").as("totalprice_n"),
+      countDistinct($"o_totalprice").as("totalprice_distinct"),
+      min($"o_totalprice").cast("string").as("totalprice_min"),
+      max($"o_totalprice").cast("string").as("totalprice_max"),
+      count($"o_orderstatus").as("status_n"),
+      countDistinct($"o_orderstatus").as("status_distinct"),
+      min($"o_orderstatus").as("status_min"),
+      max($"o_orderstatus").as("status_max"))
+    agg.select(explode(array(
+      struct(lit("o_custkey").as("column"), $"custkey_n".as("n_nonnull"),
+        $"custkey_distinct".as("n_distinct"), $"custkey_min".as("min_value"),
+        $"custkey_max".as("max_value"), $"n_rows"),
+      struct(lit("o_totalprice").as("column"), $"totalprice_n".as("n_nonnull"),
+        $"totalprice_distinct".as("n_distinct"), $"totalprice_min".as("min_value"),
+        $"totalprice_max".as("max_value"), $"n_rows"),
+      struct(lit("o_orderstatus").as("column"), $"status_n".as("n_nonnull"),
+        $"status_distinct".as("n_distinct"), $"status_min".as("min_value"),
+        $"status_max".as("max_value"), $"n_rows"))).as("s"))
+      .select($"s.column", $"s.n_nonnull", $"s.n_distinct",
+        $"s.min_value", $"s.max_value", $"s.n_rows")
+      .orderBy($"column")
+  }
+
+  val tableProfileSql: String =
+    """WITH a AS (
+      |  SELECT count(*) AS n_rows,
+      |    count(o_custkey) AS ck_n, count(DISTINCT o_custkey) AS ck_d,
+      |    CAST(min(o_custkey) AS VARCHAR) AS ck_min, CAST(max(o_custkey) AS VARCHAR) AS ck_max,
+      |    count(o_totalprice) AS tp_n, count(DISTINCT o_totalprice) AS tp_d,
+      |    CAST(min(o_totalprice) AS VARCHAR) AS tp_min, CAST(max(o_totalprice) AS VARCHAR) AS tp_max,
+      |    count(o_orderstatus) AS st_n, count(DISTINCT o_orderstatus) AS st_d,
+      |    min(o_orderstatus) AS st_min, max(o_orderstatus) AS st_max
+      |  FROM orders)
+      |SELECT 'o_custkey' AS "column", ck_n AS n_nonnull, ck_d AS n_distinct,
+      |  ck_min AS min_value, ck_max AS max_value, n_rows FROM a
+      |UNION ALL
+      |SELECT 'o_orderstatus', st_n, st_d, st_min, st_max, n_rows FROM a
+      |UNION ALL
+      |SELECT 'o_totalprice', tp_n, tp_d, tp_min, tp_max, n_rows FROM a
+      |ORDER BY "column"""".stripMargin
+
+  /** Approximate distinct (HLL++) vs exact — the sketch path for
+    * cardinality at scale. rows-only (approx values are
+    * implementation-specific); the spec bounds relative error.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx_orders"),
+        countDistinct($"l_orderkey").as("exact_orders"))
+      .orderBy($"l_returnflag")
+  }
+}

@@ -125,6 +125,44 @@ object TextAnalysis {
       |    ELSE 'en' END AS pred_lang
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF top-3 terms per document — the explode→two-level-aggregate
+    * shape: tf on (doc, term), df on term, score = tf·ln(N/df), ranked
+    * per doc. One shuffle per aggregate, df side broadcast back.
+    */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val words = docs.select($"doc_id", explode(tokens($"text")).as("w"))
+    val tf = words.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    val df = words.select($"doc_id", $"w").distinct()
+      .groupBy($"w").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val rk = Window.partitionBy($"doc_id").orderBy($"score".desc, $"w")
+    tf.join(broadcast(df), "w")
+      .crossJoin(broadcast(n))
+      .withColumn("score", $"tf" * log($"n_docs".cast("double") / $"df"))
+      .withColumn("rk", row_number().over(rk))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk", $"w".as("term"), round($"score", 6).as("tfidf"))
+      .orderBy($"doc_id", $"rk")
+  }
+
+  val textTfidfSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
+      |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY w),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, rk, term, tfidf FROM (
+      |  SELECT tf.doc_id, tf.w AS term,
+      |    round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df) DESC, tf.w) AS rk
+      |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n) t
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   /** Content fingerprinting: md5 plus a 64-bit polynomial rolling hash
     * (base-31 mod 1e9+7 over the character codepoints — the classic
     * Rabin-Karp fingerprint), both deterministic across engines.
