@@ -61,24 +61,29 @@ object Similarity {
   val NumTables = 8
   val PlanesPerTable = 4
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a hash mapped into [-1, 1]. Reproducible across runs/executors with
-    * no RNG state.
+  /** Deterministic pseudo-random hyperplane components, precomputed on
+    * the driver (hash of (plane, dim) mapped into [-1, 1]) and shipped
+    * as array literals — no RNG state, reproducible across executors,
+    * and the per-row work becomes a native DotProduct against a
+    * constant vector instead of an interpreted per-element hash.
     */
-  private def planeComponent(plane: Int, dim: org.apache.spark.sql.Column) = {
-    val h = xxhash64(concat_ws(":", lit("plane"), lit(plane), dim))
-    (h % 10000L).cast("double") / 10000.0
-  }
+  val EmbeddingDim = 64
+  private def planeVector(plane: Int): Array[Float] =
+    Array.tabulate(EmbeddingDim) { d =>
+      // splitmix-style avalanche of (plane, dim) → [-1, 1]
+      var h = plane.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xC2B2AE3D27D4EB4FL
+      h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+      ((h % 10000L).toDouble / 10000.0).toFloat
+    }
 
-  /** Bucket key for one LSH table: K sign bits packed into a long. */
+  /** Bucket key for one LSH table: K sign bits packed into a long, each
+    * from a codegen'd dot product with a literal plane vector.
+    */
   def lshBucket(vec: org.apache.spark.sql.Column, table: Int): org.apache.spark.sql.Column = {
-    val dims = sequence(lit(0), size(vec) - 1)
     val bits = (0 until PlanesPerTable).map { p =>
-      val plane = table * PlanesPerTable + p
-      val dot = aggregate(
-        zip_with(vec, dims, (v, d) => v.cast("double") * planeComponent(plane, d)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, shiftleft(lit(1L), p)).otherwise(0L)
+      val plane = typedLit(planeVector(table * PlanesPerTable + p))
+      when(graft.functions.VectorFunctions.vec_dot(vec, plane) > 0,
+        shiftleft(lit(1L), p)).otherwise(0L)
     }
     bits.reduce(_.bitwiseOR(_))
   }
