@@ -85,6 +85,78 @@ case class MinHashSig(child: Expression) extends UnaryExpression with Serializab
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
+/** array<long> (32-bit token hashes) → array<long> of 3-gram shingle
+  * hashes, matching `Dedup.shingleHashesFrom` bit-for-bit: per window
+  * fold of (th[i+k]·31(k+1) & M) with ·33 mixing; for <3 tokens, a
+  * single rolling fold seeded with 7.
+  */
+case class ShingleHash3(child: Expression) extends UnaryExpression with Serializable {
+  private val M = 0xFFFFFFFFL
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash3"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"shingle_hash3 expects array<long>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val th = input.asInstanceOf[ArrayData]
+    val n = th.numElements()
+    if (n < 3) {
+      var acc = 7L
+      var i = 0
+      while (i < n) { acc = (acc * 33L + th.getLong(i)) & M; i += 1 }
+      new GenericArrayData(Array(acc))
+    } else {
+      val out = new Array[Long](n - 2)
+      var i = 0
+      while (i < n - 2) {
+        val a = (th.getLong(i) * 31L) & M
+        val b = (th.getLong(i + 1) * 62L) & M
+        val c = (th.getLong(i + 2) * 93L) & M
+        out(i) = (((a * 33L + b) & M) * 33L + c) & M
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
+      val cc = ctx.freshName("c")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $out;
+         |if ($n < 3) {
+         |  long $acc = 7L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc = ($acc * 33L + $c.getLong($i)) & 4294967295L;
+         |  }
+         |  $out = new long[]{$acc};
+         |} else {
+         |  $out = new long[$n - 2];
+         |  for (int $i = 0; $i < $n - 2; $i++) {
+         |    long $a = ($c.getLong($i) * 31L) & 4294967295L;
+         |    long $b = ($c.getLong($i + 1) * 62L) & 4294967295L;
+         |    long $cc = ($c.getLong($i + 2) * 93L) & 4294967295L;
+         |    $out[$i] = ((($a * 33L + $b) & 4294967295L) * 33L + $cc) & 4294967295L;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): ShingleHash3 = copy(child = c)
+}
+
 /** array<long> (token hashes) → 64-bit simhash (per-bit majority vote). */
 case class SimHash64(child: Expression) extends UnaryExpression with Serializable {
 
@@ -148,4 +220,7 @@ object HashFunctions {
 
   /** Native 64-bit simhash from a token-hash array column. */
   def simhash64(hs: Column): Column = toColumn(SimHash64(toExpression(hs)))
+
+  /** Native 3-gram shingle hashes from a token-hash array column. */
+  def shingle_hash3(th: Column): Column = toColumn(ShingleHash3(toExpression(th)))
 }

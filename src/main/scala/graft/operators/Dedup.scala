@@ -144,13 +144,14 @@ object Dedup {
     // (passthrough + use) so CollapseProject cannot inline it back into
     // the next stage — each array is computed once per row, not once per
     // downstream lambda iteration.
+    // native codegen'd shingle + signature loops (bit-identical to the
+    // composable forms — spec-verified); tokenization is the only
+    // remaining higher-order expression
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", tokenHashes32($"text").as("th"))
-      .select($"doc_id", $"th", shingleHashesFrom($"th").as("hs"))
-      // native codegen'd signature (bit-identical to minhashSignature —
-      // spec-verified); the fused loop replaces ~64×|shingles| interpreted
-      // lambda frames per row
-      .select($"doc_id", graft.functions.HashFunctions.minhash_sig($"hs").as("sig"))
+      .select($"doc_id",
+        graft.functions.HashFunctions.minhash_sig(
+          graft.functions.HashFunctions.shingle_hash3($"th")).as("sig"))
     val bands = docs.select($"doc_id", $"sig",
         explode(array((0 until NumBands).map { b =>
           struct(lit(b).as("band"),

@@ -69,6 +69,32 @@ object Multimodal {
       }(enc)
   }
 
+  /** Resize planning: fit each media item into a target box preserving
+    * aspect ratio. The geometry is real (what a mapInPandas PIL/ffmpeg
+    * stage would apply); the pixel work stays behind the decode stub.
+    */
+  def resizePlan(media: DataFrame, maxW: Int = 64, maxH: Int = 64): DataFrame = {
+    val w = col("media_meta.width").cast("double")
+    val h = col("media_meta.height").cast("double")
+    val scale = least(lit(maxW) / w, lit(maxH) / h, lit(1.0))
+    media.withColumn("resize_w", floor(w * scale).cast("int"))
+      .withColumn("resize_h", floor(h * scale).cast("int"))
+  }
+
+  /** Frame sampling for video-like payloads: every `stride`-th frame
+    * index with its timestamp — posexplode plumbing, one output row per
+    * sampled frame, ready for a per-frame decode stage.
+    */
+  def frameSample(media: DataFrame, fps: Double = 25.0, stride: Int = 5): DataFrame = {
+    val nFrames = (col("doc_id") % 30 + 1).cast("int")
+    media
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), nFrames - 1, lit(stride))))
+      .withColumn("frame_ts_ms",
+        (col("frame_idx").cast("double") / fps * 1000).cast("long"))
+      .select(col("doc_id"), col("media_format"), col("frame_idx"), col("frame_ts_ms"))
+  }
+
   /** End-to-end multimodal pass: synthesize payloads, batch-"decode",
     * aggregate per format. rows-only (the decode stub is not SQL).
     */

@@ -72,4 +72,20 @@ object CdcStream {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
+
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks in the preceding hour. Both sides watermarked so the
+    * join state is bounded — the streaming twin of the batch
+    * `range_join` operator.
+    */
+  def streamStreamJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    purchases.alias("p").withWatermark("ts", "1 hour")
+      .join(
+        clicks.alias("c").withWatermark("ts", "2 hours"),
+        expr("""p.user_id = c.user_id AND
+                c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts"""))
+      .select(col("p.event_id").as("purchase_id"),
+        col("c.event_id").as("click_id"), col("p.user_id"))
+  }
 }

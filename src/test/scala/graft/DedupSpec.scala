@@ -36,6 +36,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native shingle_hash3 is bit-identical to the composable form") {
+    val both = docsDf
+      .select($"doc_id", Dedup.tokenHashes32($"text").as("th"))
+      .select($"doc_id",
+        graft.functions.HashFunctions.shingle_hash3($"th").as("native"),
+        Dedup.shingleHashesFrom($"th").as("composable"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc ${r.getLong(0)} differs")
+    }
+    // short-text path (<3 tokens)
+    val shortDoc = Seq((9L, "one two")).toDF("doc_id", "text")
+      .select($"doc_id", Dedup.tokenHashes32($"text").as("th"))
+      .select(graft.functions.HashFunctions.shingle_hash3($"th").as("native"),
+        Dedup.shingleHashesFrom($"th").as("composable"))
+      .first()
+    assert(shortDoc.getSeq[Long](0) == shortDoc.getSeq[Long](1))
+  }
+
   test("native simhash64 is bit-identical to the composable form") {
     val both = docsDf
       .select($"doc_id", Dedup.tokenHashes($"text").as("hs"))

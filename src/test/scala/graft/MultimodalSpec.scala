@@ -24,6 +24,29 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.sameElements(again))
   }
 
+  test("resize plan fits the target box and preserves aspect ratio") {
+    val media = Multimodal.withMedia(sources.Tables.documents(spark, sf))
+    val planned = Multimodal.resizePlan(media, 32, 32)
+    val bad = planned.filter($"resize_w" > 32 || $"resize_h" > 32 ||
+      $"resize_w" < 1 || $"resize_h" < 1)
+    assert(bad.count() == 0)
+    // aspect preserved within floor rounding
+    val r = planned.select($"media_meta.width", $"media_meta.height",
+      $"resize_w", $"resize_h").first()
+    val srcRatio = r.getInt(0).toDouble / r.getInt(1)
+    val dstRatio = r.getInt(2).toDouble / r.getInt(3)
+    assert(math.abs(srcRatio - dstRatio) / srcRatio < 0.2)
+  }
+
+  test("frame sampling emits one row per sampled frame with timestamps") {
+    val media = Multimodal.withMedia(sources.Tables.documents(spark, sf).limit(50))
+    val frames = Multimodal.frameSample(media, fps = 25.0, stride = 5)
+    assert(frames.count() >= 50)  // at least one frame per doc
+    assert(frames.filter($"frame_idx" % 5 =!= 0).count() == 0)
+    val row = frames.filter($"frame_idx" === 5).first()
+    assert(row.getLong(3) == 200L)  // frame 5 at 25fps = 200ms
+  }
+
   test("decoded features reflect payload bytes") {
     val media = Multimodal.withMedia(sources.Tables.documents(spark, sf))
     val feats = Multimodal.decodeStub(spark, media)

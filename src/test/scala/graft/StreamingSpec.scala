@@ -62,6 +62,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(outName).count() == 100)
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    def streamEvents() = spark.readStream
+      .schema(spark.read.parquet(eventsDir).schema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val purchases = streamEvents().filter($"event_type" === "purchase")
+    val clicks = streamEvents().filter($"event_type" === "click")
+    val q = streaming.CdcStream.streamStreamJoin(purchases, clicks)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ss_join").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ss_join").count()
+    // batch equivalent on the same inputs
+    val ev = sources.Tables.events(spark, sf)
+      .withColumn("s", expr("ts_ns div 1000000000"))
+    val batch = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"s".as("ps"))
+      .join(ev.filter($"event_type" === "click").select($"user_id".as("cu"), $"s".as("cs")),
+        $"pu" === $"cu" && $"cs" >= $"ps" - 3600 && $"cs" <= $"ps")
+      .count()
+    // second-floor vs microsecond boundaries can differ on exact-edge
+    // pairs; allow a tiny slack
+    assert(math.abs(streamed - batch) <= 2,
+      s"stream=$streamed batch=$batch")
+  }
+
   test("stateful sessionization matches batch gap-sessionizer session counts") {
     val ev = sources.Tables.events(spark, sf)
       .select($"user_id", $"event_id", expr("ts_ns div 1000000000").as("ts_s"), $"value")
