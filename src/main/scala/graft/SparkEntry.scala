@@ -78,6 +78,7 @@ object SparkEntry {
     "dedup_embedding" -> Dedup.dedupEmbedding _,
     "ann_bruteforce" -> Similarity.annBruteforce _,
     "ann_lsh" -> Similarity.annLsh _,
+    "ann_ivf" -> ((s: SparkSession, d: String) => IvfIndex.annIvf(s, d)),
     "multimodal_meta" -> Multimodal.multimodalMeta _,
     "table_profile" -> Profile.tableProfile _,
     "approx_distinct" -> Profile.approxDistinct _,

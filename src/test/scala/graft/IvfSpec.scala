@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.{IvfIndex, Similarity}
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IVF ANN returns topK ranked neighbors and decent recall vs brute force") {
+    val ivf = IvfIndex.annIvf(spark, sf, k = 8, nprobe = 3)
+    val perQuery = ivf.groupBy($"q_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) == 5))
+    val bf = Similarity.annBruteforce(spark, sf)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val got = ivf.select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(got).size.toDouble / bf.size
+    info(s"IVF recall = $recall")
+    // nprobe/k = 3/8 of the corpus scanned; random vectors give weak
+    // cluster structure, so demand better-than-chance recall
+    assert(recall >= 0.4, s"recall $recall too low")
+  }
+
+  test("centroid training is deterministic") {
+    val corpus = sources.Tables.embeddings(spark, sf)
+      .select($"vec_id".as("n_id"), $"embedding".as("n_vec"))
+    val c1 = IvfIndex.trainCentroids(corpus, "n_id", "n_vec", k = 4, iters = 2)
+    val c2 = IvfIndex.trainCentroids(corpus, "n_id", "n_vec", k = 4, iters = 2)
+    assert(c1.length == 4)
+    c1.zip(c2).foreach { case (a, b) => assert(a.sameElements(b)) }
+  }
+
+  test("every corpus vector lands in exactly one cluster") {
+    val corpus = sources.Tables.embeddings(spark, sf)
+      .select($"vec_id".as("n_id"), $"embedding".as("n_vec"))
+    val cents = IvfIndex.trainCentroids(corpus, "n_id", "n_vec", k = 4, iters = 1)
+    val assigned = IvfIndex.assignClusters(corpus, "n_vec", cents)
+    assert(assigned.count() == corpus.count())
+    assert(assigned.filter($"__cluster" < 0 || $"__cluster" >= 4).count() == 0)
+  }
+}
