@@ -32,6 +32,8 @@ object SparkEntry {
     "q21_suppliers_kept_waiting" -> Relational.q21Waiting _,
     "q22_global_sales" -> Relational.q22GlobalSales _,
     "q9_product_profit" -> Relational2.q9ProductProfit _,
+    "q11_important_balance" -> Relational2.q11ImportantBalance _,
+    "window_ranks" -> Relational2.windowRanks _,
     "q15_top_supplier" -> Relational2.q15TopSupplier _,
     "q20_excess_suppliers" -> Relational2.q20ExcessSuppliers _,
     "skew_agg_salted" -> Skew.skewAggSalted _,
@@ -106,6 +108,8 @@ object SparkEntry {
     "q21_suppliers_kept_waiting" -> Relational.q21Sql,
     "q22_global_sales" -> Relational.q22Sql,
     "q9_product_profit" -> Relational2.q9Sql,
+    "q11_important_balance" -> Relational2.q11Sql,
+    "window_ranks" -> Relational2.windowRanksSql,
     "q15_top_supplier" -> Relational2.q15Sql,
     "q20_excess_suppliers" -> Relational2.q20Sql,
     "skew_agg_salted" -> Skew.skewAggSaltedSql,

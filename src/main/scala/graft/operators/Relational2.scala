@@ -72,6 +72,57 @@ object Relational2 {
       |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** q11-style: nations holding an outsized share of total supplier
+    * balance — aggregate, compare to a scalar of the same aggregate
+    * (computed once, broadcast back).
+    */
+  def q11ImportantBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val perNation = s.join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum(dec($"s_acctbal")).cast("double").as("nation_bal"))
+    val total = perNation.agg(sum($"nation_bal".cast(D)).cast("double").as("total_bal"))
+    perNation.crossJoin(broadcast(total))
+      .filter($"nation_bal" > lit(0.05) * $"total_bal")
+      .select($"n_name", $"nation_bal")
+      .orderBy($"nation_bal".desc, $"n_name")
+  }
+
+  val q11Sql: String =
+    s"""WITH pn AS (
+      |  SELECT n_name, CAST(sum(${sqlDec("s_acctbal")}) AS DOUBLE) AS nation_bal
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY n_name)
+      |SELECT n_name, nation_bal FROM pn
+      |WHERE nation_bal > 0.05 * (SELECT CAST(sum(${sqlDec("nation_bal")}) AS DOUBLE) FROM pn)
+      |ORDER BY nation_bal DESC, n_name""".stripMargin
+
+  /** ntile / percent_rank / cume_dist battery — the ranking-window family
+    * not covered by window_topn.
+    */
+  def windowRanks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderstatus").orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .select($"o_orderstatus", $"o_orderkey",
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy($"o_orderstatus", $"o_orderkey")
+  }
+
+  val windowRanksSql: String =
+    """SELECT o_orderstatus, o_orderkey,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
   /** q20: suppliers who shipped a large quantity of the filtered parts —
     * nested aggregation feeding a semi-join chain.
     */
