@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, MinHashSig, SimHash64}
+import graft.functions.{BandBuckets, DotProduct, MinHashSig, ShingleHash3, SigAgree, SimHash64, TokenHashes}
 
 /** SparkSessionExtensions entry point: exposes graft's native
   * expressions to SQL users.
@@ -32,6 +32,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(hashes) - 64-bit simhash"),
       (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((FunctionIdentifier("shingle_hash3"),
+      info("shingle_hash3", "shingle_hash3(hashes) - 3-gram shingle hashes"),
+      (args: Seq[Expression]) => ShingleHash3(args.head)))
+    ext.injectFunction((FunctionIdentifier("token_hash32"),
+      info("token_hash32", "token_hash32(text) - 32-bit per-token hashes"),
+      (args: Seq[Expression]) => TokenHashes(args.head, wide = false)))
+    ext.injectFunction((FunctionIdentifier("token_hash63"),
+      info("token_hash63", "token_hash63(text) - 63-bit per-token hashes"),
+      (args: Seq[Expression]) => TokenHashes(args.head, wide = true)))
+    ext.injectFunction((FunctionIdentifier("band_buckets"),
+      info("band_buckets", "band_buckets(sig) - 16 LSH band bucket keys"),
+      (args: Seq[Expression]) => BandBuckets(args.head)))
+    ext.injectFunction((FunctionIdentifier("sig_agree"),
+      info("sig_agree", "sig_agree(a, b) - count of agreeing signature rows"),
+      (args: Seq[Expression]) => SigAgree(args(0), args(1))))
   }
 }
 
@@ -45,5 +60,15 @@ object GraftExtensions {
       (args: Seq[Expression]) => MinHashSig(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
       (args: Seq[Expression]) => SimHash64(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hash3",
+      (args: Seq[Expression]) => ShingleHash3(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("token_hash32",
+      (args: Seq[Expression]) => TokenHashes(args.head, wide = false), "scala_udf")
+    reg.createOrReplaceTempFunction("token_hash63",
+      (args: Seq[Expression]) => TokenHashes(args.head, wide = true), "scala_udf")
+    reg.createOrReplaceTempFunction("band_buckets",
+      (args: Seq[Expression]) => BandBuckets(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sig_agree",
+      (args: Seq[Expression]) => SigAgree(args(0), args(1)), "scala_udf")
   }
 }

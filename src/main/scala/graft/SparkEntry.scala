@@ -146,12 +146,14 @@ object SparkEntry {
     "text_tfidf" -> TextAnalysis.textTfidfSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
+    "dedup_minhash" -> Dedup.dedupMinhashSql,
+    "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "ann_bruteforce" -> Similarity.annBruteforceSql,
     "table_profile" -> Profile.tableProfileSql,
-    // dedup_minhash / dedup_simhash / ann_lsh / multimodal_meta /
-    // approx_distinct are rows-only: probabilistic blocking, a
-    // mapPartitions stub, and HLL sketches are not SQL-reproducible;
-    // semantics are covered by ScalaTest specs.
+    // ann_lsh / ann_ivf / multimodal_meta / approx_distinct are
+    // rows-only: hyperplane-LSH/IVF recall is spec-checked against
+    // ann_bruteforce, multimodal decode is a mapPartitions stub, and
+    // HLL sketches are not SQL-reproducible.
   )
 }

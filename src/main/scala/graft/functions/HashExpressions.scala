@@ -3,10 +3,11 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftExpressionBridge.{toColumn, toExpression}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the dedup signature hot paths.
   *
@@ -214,6 +215,212 @@ case class SimHash64(child: Expression) extends UnaryExpression with Serializabl
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
+/** Shared tokenize-and-hash loops, called from both the interpreted and
+  * the generated code path so the two cannot drift. The hash is a plain
+  * codepoint polynomial fold (NOT xxhash64) deliberately: it is exactly
+  * reproducible in the DuckDB oracle with `unicode()` + `list_reduce`,
+  * which is what lets dedup_minhash/dedup_simhash be hash-checked
+  * instead of rows-only. Whitespace = Java regex \s ([ \t\n\x0B\f\r]),
+  * matching the composable `split(text, "\\s+")` form.
+  */
+object TokenHashUtil {
+  private val M = 0xFFFFFFFFL
+
+  @inline private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+
+  /** 32-bit token hashes: per token, h = fold(7, (h*31 + cp) & M). */
+  def tokens32(s: UTF8String): GenericArrayData = {
+    val str = s.toString
+    val out = new java.util.ArrayList[java.lang.Long]()
+    var h = 7L; var in = false; var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i); i += Character.charCount(cp)
+      if (isWs(cp)) { if (in) { out.add(h); in = false; h = 7L } }
+      else { in = true; h = (h * 31L + cp) & M }
+    }
+    if (in) out.add(h)
+    val arr = new Array[Long](out.size)
+    var k = 0; while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** One xor-shift/multiply avalanche round over a 32-bit value. The
+    * multiplier constants are < 2^30 so every product stays < 2^62 —
+    * the same arithmetic runs in DuckDB's checked BIGINT without
+    * overflow (a plain murmur fmix32 constant would overflow there).
+    */
+  @inline def mix32(h0: Long, c1: Long, c2: Long): Long = {
+    var h = h0
+    h ^= h >>> 16; h = (h * c1) & M
+    h ^= h >>> 13; h = (h * c2) & M
+    h ^= h >>> 16
+    h
+  }
+
+  /** Combined token-hash finalizers for the two simhash halves: two
+    * avalanche rounds each, constants swapped between halves. A raw
+    * polynomial fold has weak high-bit avalanche, which on a
+    * small-vocabulary corpus collapses simhash discrimination (~10×
+    * more hamming≤3 pairs than a 64-bit hash); two mixed rounds restore
+    * it to parity with xxhash-class hashes (measured on the test corpus).
+    */
+  @inline def fin1(h: Long): Long = mix32(mix32(h, 747796405L, 277803737L), 668265263L, 374761393L)
+  @inline def fin2(h: Long): Long = mix32(mix32(h, 747796405L, 277803737L), 374761393L, 668265263L)
+
+  /** 63-bit token hashes (for simhash, which needs bit spread past bit
+    * 31): h = fin1(fold(7, *31)) + (fin2(fold(13, *37)) & 0x7FFFFFFF)
+    * * 2^32. Always non-negative and < 2^63.
+    */
+  def tokens63(s: UTF8String): GenericArrayData = {
+    val str = s.toString
+    val out = new java.util.ArrayList[java.lang.Long]()
+    var h1 = 7L; var h2 = 13L; var in = false; var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i); i += Character.charCount(cp)
+      if (isWs(cp)) {
+        if (in) { out.add(fin1(h1) + (fin2(h2) & 0x7FFFFFFFL) * 4294967296L); in = false; h1 = 7L; h2 = 13L }
+      } else { in = true; h1 = (h1 * 31L + cp) & M; h2 = (h2 * 37L + cp) & M }
+    }
+    if (in) out.add(fin1(h1) + (fin2(h2) & 0x7FFFFFFFL) * 4294967296L)
+    val arr = new Array[Long](out.size)
+    var k = 0; while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** string → array<long> of per-token hashes (one fused tokenize+hash
+  * pass; wide=false → 32-bit minhash tokens, wide=true → 63-bit simhash
+  * tokens). Codegen emits a single static call — no per-token lambda
+  * frames, no intermediate token array.
+  */
+case class TokenHashes(child: Expression, wide: Boolean)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = if (wide) "token_hash63" else "token_hash32"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    if (wide) TokenHashUtil.tokens63(s) else TokenHashUtil.tokens32(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (wide) "tokens63" else "tokens32"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenHashUtil$$.MODULE$$.$m($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenHashes = copy(child = c)
+}
+
+/** array<long> (64-entry minhash signature) → array<long> of 16 LSH band
+  * bucket keys. Bucket b folds signature rows 4b..4b+3 with seed b+11:
+  * acc = (acc*33 + v) & 0xFFFFFFFF. Plain masked arithmetic so the
+  * DuckDB oracle reproduces it with list_reduce over a list slice.
+  */
+case class BandBuckets(child: Expression) extends UnaryExpression with Serializable {
+  import MinHashPerms.NumHashes
+  private val NumBands = 16
+  private val RowsPerBand = NumHashes / NumBands
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"band_buckets expects array<long>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](NumBands)
+    var b = 0
+    while (b < NumBands) {
+      var acc = b + 11L
+      var k = 0
+      while (k < RowsPerBand) {
+        acc = (acc * 33L + sig.getLong(b * RowsPerBand + k)) & 0xFFFFFFFFL
+        k += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
+      val k = ctx.freshName("k")
+      val acc = ctx.freshName("acc")
+      s"""
+         |long[] $out = new long[$NumBands];
+         |for (int $b = 0; $b < $NumBands; $b++) {
+         |  long $acc = $b + 11L;
+         |  for (int $k = 0; $k < $RowsPerBand; $k++) {
+         |    $acc = ($acc * 33L + $c.getLong($b * $RowsPerBand + $k)) & 4294967295L;
+         |  }
+         |  $out[$b] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): BandBuckets = copy(child = c)
+}
+
+/** (array<long>, array<long>) → int: count of positions where the two
+  * signatures agree (the minhash Jaccard estimator numerator). One
+  * primitive loop; replaces `size(filter(zip_with(...)))` which would
+  * evaluate interpreted and shuffle nothing but still burn a lambda
+  * frame per signature row.
+  */
+case class SigAgree(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_agree"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(s"sig_agree expects (array<long>, array<long>), got ($l, $r)")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0; var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    java.lang.Integer.valueOf(c)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $cnt = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $cnt++;
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgree =
+    copy(left = l, right = r)
+}
+
 object HashFunctions {
   /** Native minhash signature from a shingle-hash array column. */
   def minhash_sig(hs: Column): Column = toColumn(MinHashSig(toExpression(hs)))
@@ -223,4 +430,16 @@ object HashFunctions {
 
   /** Native 3-gram shingle hashes from a token-hash array column. */
   def shingle_hash3(th: Column): Column = toColumn(ShingleHash3(toExpression(th)))
+
+  /** Native fused tokenize+hash: 32-bit per-token hashes. */
+  def token_hash32(text: Column): Column = toColumn(TokenHashes(toExpression(text), wide = false))
+
+  /** Native fused tokenize+hash: 63-bit per-token hashes (simhash). */
+  def token_hash63(text: Column): Column = toColumn(TokenHashes(toExpression(text), wide = true))
+
+  /** Native LSH band bucket keys from a minhash signature. */
+  def band_buckets(sig: Column): Column = toColumn(BandBuckets(toExpression(sig)))
+
+  /** Native signature agreement count (minhash Jaccard numerator). */
+  def sig_agree(a: Column, b: Column): Column = toColumn(SigAgree(toExpression(a), toExpression(b)))
 }

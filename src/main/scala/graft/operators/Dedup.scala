@@ -88,15 +88,26 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
 
-  /** 64-hash MinHash signature from a shingle array. One xxhash64 per
-    * shingle, then 64 cheap affine permutations (h*A+B with wrapping
-    * arithmetic) — the standard single-hash minhash family. Pure
-    * codegen'd expressions, no UDF.
+  /** 64-hash MinHash signature from a shingle array: token-hash → 3-gram
+    * shingle hash → 64 cheap affine permutations (h*A+B with masked
+    * arithmetic) — the standard single-hash minhash family.
+    *
+    * The token hash is a codepoint polynomial fold rather than xxhash64
+    * ON PURPOSE: every step is plain masked int64 arithmetic that DuckDB
+    * reproduces exactly (`unicode()` + `list_reduce`), which is what
+    * lets the full minhash/simhash pipelines be hash-checked against the
+    * oracle instead of rows-only. The composable forms below are the
+    * specs' reference implementations; the hot path uses the native
+    * expressions in [[graft.functions.HashFunctions]] (bit-identical,
+    * spec-verified).
     */
-  /** 32-bit masked token hashes (one xxhash64 per token). */
+  /** Composable 32-bit token hashes: per token, fold(7, (h*31+cp) & M).
+    * Reference form for the native `token_hash32` bit-equality spec.
+    */
   def tokenHashes32(text: Column): Column =
     transform(filter(split(text, "\\s+"), t => t =!= ""),
-      t => xxhash64(t).bitwiseAND(lit(0xFFFFFFFFL)))
+      t => aggregate(split(t, ""), lit(7L),
+        (acc, ch) => (acc * 31 + ascii(ch)).bitwiseAND(lit(0xFFFFFFFFL))))
 
   /** Shingle hashes from a MATERIALIZED token-hash column: combine n
     * consecutive token hashes with masked affine mixing (no string
@@ -132,63 +143,167 @@ object Dedup {
       array_min(transform(shingleHashCol, h => (h * a + b).bitwiseAND(lit(0xFFFFFFFFL))))
     })
 
+  /** Write-once minhash signature index: (doc_id, sig). At 100 TB this
+    * is the table you materialize to storage once and reuse across dedup
+    * runs; `dedupMinhash` persists it so the band self-join and the two
+    * signature rejoins all read one computed copy instead of re-running
+    * the tokenize→shingle→minhash pipeline per branch.
+    */
+  def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        graft.functions.HashFunctions.minhash_sig(
+          graft.functions.HashFunctions.shingle_hash3(
+            graft.functions.HashFunctions.token_hash32($"text"))).as("sig"))
+  }
+
   /** MinHash-LSH near-dup candidate pairs, exact-verified by signature
-    * agreement ratio. Linear: explode 16 band keys per doc, groupBy
-    * band bucket, pair within bucket, dedup. Buckets larger than 64 docs
-    * are dropped (degenerate content — at web scale these would be
-    * boilerplate clusters handled by exact dedup first).
+    * agreement ratio. Linear: 16 band keys per doc, bucket equi-join,
+    * dedup on ids. Buckets larger than 64 docs are dropped (degenerate
+    * content — at web scale these would be boilerplate clusters handled
+    * by exact dedup first).
+    *
+    * Scale shape (this is the allocation-heaviest operator in the
+    * library, so the plan is deliberate):
+    *  - the signature pipeline runs ONCE (persisted index), not once per
+    *    self-join branch;
+    *  - the exploded band table and everything through the pair
+    *    `distinct` carry only (doc_id, band, bucket) / (i, j) longs —
+    *    no signature arrays ride a shuffle;
+    *  - signatures are rejoined by id afterwards, and the agreement
+    *    count is a native codegen'd loop.
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Each projection keeps the expensive alias referenced twice
-    // (passthrough + use) so CollapseProject cannot inline it back into
-    // the next stage — each array is computed once per row, not once per
-    // downstream lambda iteration.
-    // native codegen'd shingle + signature loops (bit-identical to the
-    // composable forms — spec-verified); tokenization is the only
-    // remaining higher-order expression
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id", tokenHashes32($"text").as("th"))
-      .select($"doc_id",
-        graft.functions.HashFunctions.minhash_sig(
-          graft.functions.HashFunctions.shingle_hash3($"th")).as("sig"))
-    val bands = docs.select($"doc_id", $"sig",
-        explode(array((0 until NumBands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64(concat_ws("_", lit(b), slice($"sig", b * RowsPerBand + 1, RowsPerBand)))
-              .as("bucket"))
-        }: _*)).as("bk"))
-      .select($"doc_id", $"sig", $"bk.band".as("band"), $"bk.bucket".as("bucket"))
+    val sigs = minhashSigs(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sigs.select($"doc_id",
+        posexplode(graft.functions.HashFunctions.band_buckets($"sig")).as(Seq("band", "bucket")))
     val capped = bands
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bucket")))
       .filter($"bucket_n" <= 64)
+      .select($"doc_id", $"band", $"bucket")
+    // ids only through the join + distinct (16 bytes/row, not ~1 KB)
     val pairs = capped.as("a")
       .join(capped.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"), $"a.sig".as("sig_i"), $"b.sig".as("sig_j"))
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
       .distinct()
     pairs
+      .join(sigs.select($"doc_id".as("i"), $"sig".as("sig_i")), "i")
+      .join(sigs.select($"doc_id".as("j"), $"sig".as("sig_j")), "j")
       .withColumn("est_jaccard",
-        size(filter(zip_with($"sig_i", $"sig_j", (x, y) => x === y), b => b))
-          .cast("double") / NumHashes)
+        graft.functions.HashFunctions.sig_agree($"sig_i", $"sig_j").cast("double") / NumHashes)
       .filter($"est_jaccard" >= 0.5)
       .select($"i", $"j", round($"est_jaccard", 6).as("est_jaccard"))
       .orderBy($"i", $"j")
   }
+
+  /** DuckDB replica of the full minhash pipeline — tokenize, 3-gram
+    * shingles, 64 affine permutations, band buckets, capped bucket join,
+    * agreement ratio — all in checked int64 arithmetic (every
+    * intermediate is masked to < 2^38).
+    */
+  /** RE2 whitespace class matching Java's \s (raw string: escapes reach
+    * the regex engine, not the Scala compiler). */
+  private val wsClass: String = """[ \t\n\x0B\f\r]+"""
+
+  private val duckTokens32: String =
+    """list_transform(
+      |      list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), t -> t <> ''),
+      |      t -> list_reduce(
+      |             list_concat([CAST(7 AS BIGINT)],
+      |               list_transform(range(1, length(t) + 1), i -> CAST(unicode(t[i]) AS BIGINT))),
+      |             (a, c) -> (a * 31 + c) & 4294967295))""".stripMargin
+
+  val dedupMinhashSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, $duckTokens32 AS th
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(th) < 3 THEN
+      |      [list_reduce(list_concat([CAST(7 AS BIGINT)], th), (a, h) -> (a * 33 + h) & 4294967295)]
+      |    ELSE
+      |      list_transform(range(1, len(th) - 1), i ->
+      |        (((((th[i] * 31) & 4294967295) * 33 + ((th[i+1] * 62) & 4294967295)) & 4294967295) * 33
+      |          + ((th[i+2] * 93) & 4294967295)) & 4294967295)
+      |    END AS hs
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 64), s ->
+      |      list_min(list_transform(hs, h ->
+      |        (h * (((s * 2654435761 + 1) & 1073741823) | 1)
+      |         + ((s * 2654435769) & 4294967295)) & 4294967295))) AS sig
+      |  FROM sh),
+      |bands AS (SELECT doc_id, unnest(range(0, 16)) AS band, sig FROM sig),
+      |bk AS (
+      |  SELECT doc_id, band,
+      |    list_reduce(list_concat([CAST(band + 11 AS BIGINT)], sig[(4*band+1):(4*band+4)]),
+      |                (a, x) -> (a * 33 + x) & 4294967295) AS bucket
+      |  FROM bands),
+      |capped AS (
+      |  SELECT doc_id, band, bucket FROM (
+      |    SELECT doc_id, band, bucket, count(*) OVER (PARTITION BY band, bucket) AS n
+      |    FROM bk) t WHERE n <= 64),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      |  FROM capped a JOIN capped b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |est AS (
+      |  SELECT p.i, p.j,
+      |    CAST(len(list_filter(range(1, 65), k -> si.sig[k] = sj.sig[k])) AS DOUBLE) / 64 AS est_jaccard
+      |  FROM pairs p JOIN sig si ON p.i = si.doc_id JOIN sig sj ON p.j = sj.doc_id)
+      |SELECT i, j, round(est_jaccard, 6) AS est_jaccard
+      |FROM est WHERE est_jaccard >= 0.5 ORDER BY i, j""".stripMargin
 
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash from token hashes: per bit, majority vote of token
     * hash bits; candidates via 4×16-bit segment pigeonhole (hamming ≤ 3
     * guarantees one equal segment), verified with bit_count(xor).
+    *
+    * Token hashes are 63-bit (h1 + (h2 & 0x7FFFFFFF)·2^32, two
+    * independent codepoint folds) so bits 32..62 carry signal; bit 63
+    * is always 0 in both engines. Non-negative and < 2^63, so DuckDB's
+    * checked BIGINT arithmetic reproduces them exactly.
     */
-  /** Token-hash array for simhash — materialize as its own column before
-    * passing to simhashSignature (same CSE caveat as minhash).
+  /** One avalanche round (xor-shift/multiply, constants < 2^30 so the
+    * oracle's checked BIGINT arithmetic cannot overflow).
     */
+  private def mix32c(x: Column, c1: Long, c2: Long): Column = {
+    val a = x.bitwiseXOR(shiftright(x, 16))
+    val b = (a * lit(c1)).bitwiseAND(lit(0xFFFFFFFFL))
+    val c = b.bitwiseXOR(shiftright(b, 13))
+    val d = (c * lit(c2)).bitwiseAND(lit(0xFFFFFFFFL))
+    d.bitwiseXOR(shiftright(d, 16))
+  }
+
+  /** Composable 63-bit token hashes — reference form for the native
+    * `token_hash63` bit-equality spec. Two polynomial folds, each
+    * finalized with two avalanche rounds (see TokenHashUtil.fin1/fin2
+    * for why). Distinctness is applied by the caller (on the hash
+    * values, identically in both engines).
+    */
+  def tokenHashes63(text: Column): Column = {
+    val folds1 = transform(filter(split(text, "\\s+"), t => t =!= ""),
+      t => aggregate(split(t, ""), lit(7L),
+        (acc, ch) => (acc * 31 + ascii(ch)).bitwiseAND(lit(0xFFFFFFFFL))))
+    val folds2 = transform(filter(split(text, "\\s+"), t => t =!= ""),
+      t => aggregate(split(t, ""), lit(13L),
+        (acc, ch) => (acc * 37 + ascii(ch)).bitwiseAND(lit(0xFFFFFFFFL))))
+    zip_with(folds1, folds2, (h1, h2) =>
+      mix32c(mix32c(h1, 747796405L, 277803737L), 668265263L, 374761393L)
+        + mix32c(mix32c(h2, 747796405L, 277803737L), 374761393L, 668265263L)
+            .bitwiseAND(lit(0x7FFFFFFFL)) * lit(4294967296L))
+  }
+
+  /** Token-hash array for simhash (distinct 63-bit hashes). */
   def tokenHashes(text: Column): Column =
-    transform(array_distinct(filter(split(text, "\\s+"), t => t =!= "")),
-      t => xxhash64(t))
+    array_distinct(graft.functions.HashFunctions.token_hash63(text))
 
   def simhashSignature(hs: Column): Column = {
     // 64 unrolled per-bit majority votes (shift amounts must be literals)
@@ -200,17 +315,25 @@ object Dedup {
     bitCols.reduce(_.bitwiseOR(_))
   }
 
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Write-once simhash signature index: (doc_id, sig). */
+  def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select($"doc_id", tokenHashes($"text").as("hs"))
       .select($"doc_id", graft.functions.HashFunctions.simhash64($"hs").as("sig"))
-    val segs = docs.select($"doc_id", $"sig",
+  }
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // persist the exploded segment table: the self-join's two branches
+    // read one computed copy instead of re-running the signature pipeline
+    val segs = simhashSigs(spark, dir).select($"doc_id", $"sig",
         explode(array((0 until 4).map { s =>
           struct(lit(s).as("seg"),
             shiftright($"sig", s * 16).bitwiseAND(0xFFFFL).as("seg_val"))
         }: _*)).as("sk"))
       .select($"doc_id", $"sig", $"sk.seg".as("seg"), $"sk.seg_val".as("seg_val"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capped = segs
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy($"seg", $"seg_val")))
@@ -224,6 +347,62 @@ object Dedup {
       .filter($"hamming" <= 3)
       .orderBy($"i", $"j")
   }
+
+  /** The simhash oracle computes token hashes on exploded per-token rows
+    * with lateral column aliases (each avalanche step is one column), so
+    * every step is evaluated once — nesting the mix round expressions
+    * inline would duplicate the fold subtree 2^10 times.
+    */
+  val dedupSimhashSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(text, '$wsClass'), t -> t <> '')) AS t
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_concat([CAST(7 AS BIGINT)],
+      |      list_transform(range(1, length(t) + 1), i -> CAST(unicode(t[i]) AS BIGINT))),
+      |      (a, c) -> (a * 31 + c) & 4294967295) AS t1,
+      |    list_reduce(list_concat([CAST(13 AS BIGINT)],
+      |      list_transform(range(1, length(t) + 1), i -> CAST(unicode(t[i]) AS BIGINT))),
+      |      (a, c) -> (a * 37 + c) & 4294967295) AS t2,
+      |    xor(t1, t1 >> 16) AS a1, (a1 * 747796405) & 4294967295 AS b1,
+      |    xor(b1, b1 >> 13) AS c1, (c1 * 277803737) & 4294967295 AS d1,
+      |    xor(d1, d1 >> 16) AS e1,
+      |    xor(e1, e1 >> 16) AS a2, (a2 * 668265263) & 4294967295 AS b2,
+      |    xor(b2, b2 >> 13) AS c2, (c2 * 374761393) & 4294967295 AS d2,
+      |    xor(d2, d2 >> 16) AS h1,
+      |    xor(t2, t2 >> 16) AS a3, (a3 * 747796405) & 4294967295 AS b3,
+      |    xor(b3, b3 >> 13) AS c3, (c3 * 277803737) & 4294967295 AS d3,
+      |    xor(d3, d3 >> 16) AS e3,
+      |    xor(e3, e3 >> 16) AS a4, (a4 * 374761393) & 4294967295 AS b4,
+      |    xor(b4, b4 >> 13) AS c4, (c4 * 668265263) & 4294967295 AS d4,
+      |    xor(d4, d4 >> 16) AS h2,
+      |    h1 + (h2 & 2147483647) * 4294967296 AS h
+      |  FROM tok),
+      |hs0 AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM f GROUP BY doc_id),
+      |toks AS (
+      |  SELECT d.doc_id, coalesce(hs0.hs, CAST([] AS BIGINT[])) AS hs
+      |  FROM documents d LEFT JOIN hs0 ON d.doc_id = hs0.doc_id),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(coalesce(list_sum(list_transform(range(0, 63), b ->
+      |      CASE WHEN coalesce(list_sum(list_transform(hs, h ->
+      |             CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
+      |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS sig
+      |  FROM toks),
+      |segs AS (SELECT doc_id, sig, unnest(range(0, 4)) AS seg FROM sig),
+      |sv AS (SELECT doc_id, sig, seg, (sig >> CAST(seg * 16 AS INTEGER)) & 65535 AS seg_val FROM segs),
+      |capped AS (
+      |  SELECT doc_id, sig, seg, seg_val FROM (
+      |    SELECT doc_id, sig, seg, seg_val, count(*) OVER (PARTITION BY seg, seg_val) AS n
+      |    FROM sv) t WHERE n <= 256),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+      |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+      |  FROM capped a JOIN capped b
+      |    ON a.seg = b.seg AND a.seg_val = b.seg_val AND a.doc_id < b.doc_id)
+      |SELECT i, j, hamming FROM pairs WHERE hamming <= 3 ORDER BY i, j""".stripMargin
 
   // ---- Embedding near-dup ----------------------------------------------
 

@@ -103,9 +103,9 @@ object Windows {
       |  FROM events),
       |s AS (
       |  SELECT user_id, event_id, value,
-      |    sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+    |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
       |      OVER (PARTITION BY user_id ORDER BY event_id
-      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM g)
       |SELECT user_id, session_id, count(*) AS n_events,
       |  CAST(sum(${sqlDec("value")}) AS DOUBLE) AS session_value,

@@ -65,6 +65,57 @@ class DedupSpec extends SparkSpec {
     both.foreach { r => assert(r.getLong(1) == r.getLong(2)) }
   }
 
+  test("native token_hash32/63 are bit-identical to the composable folds") {
+    val edge = Seq((7L, "  leading and   multiple  spaces\ttab\nnewline "),
+      (8L, "single"), (9L, "")).toDF("doc_id", "text")
+    val both = docsDf.union(edge)
+      .select($"doc_id",
+        graft.functions.HashFunctions.token_hash32($"text").as("n32"),
+        Dedup.tokenHashes32($"text").as("c32"),
+        graft.functions.HashFunctions.token_hash63($"text").as("n63"),
+        Dedup.tokenHashes63($"text").as("c63"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"token_hash32 differs for doc ${r.getLong(0)}")
+      assert(r.getSeq[Long](3) == r.getSeq[Long](4), s"token_hash63 differs for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("native band_buckets matches a driver-side fold of the signature") {
+    val rows = docsDf
+      .select($"doc_id", graft.functions.HashFunctions.minhash_sig(
+        graft.functions.HashFunctions.shingle_hash3(
+          graft.functions.HashFunctions.token_hash32($"text"))).as("sig"))
+      .select($"doc_id", $"sig", graft.functions.HashFunctions.band_buckets($"sig").as("bk"))
+      .collect()
+    rows.foreach { r =>
+      val sig = r.getSeq[Long](1)
+      val bk = r.getSeq[Long](2)
+      assert(bk.length == 16)
+      (0 until 16).foreach { b =>
+        val expect = (0 until 4).foldLeft(b + 11L) { (acc, k) =>
+          (acc * 33L + sig(b * 4 + k)) & 0xFFFFFFFFL
+        }
+        assert(bk(b) == expect, s"band $b of doc ${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("native sig_agree matches the zip count") {
+    val rows = docsDf
+      .select($"doc_id", graft.functions.HashFunctions.minhash_sig(
+        graft.functions.HashFunctions.shingle_hash3(
+          graft.functions.HashFunctions.token_hash32($"text"))).as("sig"))
+    val pairs = rows.as("a").crossJoin(rows.as("b"))
+      .select($"a.sig".as("sa"), $"b.sig".as("sb"),
+        graft.functions.HashFunctions.sig_agree($"a.sig", $"b.sig").as("agree"))
+      .collect()
+    pairs.foreach { r =>
+      val sa = r.getSeq[Long](0); val sb = r.getSeq[Long](1)
+      assert(r.getInt(2) == sa.zip(sb).count { case (x, y) => x == y })
+    }
+  }
+
   test("minhash signatures: near-dups agree, unrelated don't") {
     val sigs = docsDf
       .select($"doc_id", Dedup.tokenHashes32($"text").as("th"))

@@ -43,6 +43,27 @@ for name, sql in sorted(oracle.items()):
 
     s = spark_df[s_cols].copy()
     d = duck_df[d_cols].copy()
+
+    # Driver parity: the driver hash-compares TYPED values, so an int64
+    # Spark column vs a float64 oracle column (e.g. DuckDB sum(INTEGER)
+    # -> HUGEINT -> float64) must FAIL here too, even if values match.
+    def kind(dt):
+        st = str(dt)
+        if st.startswith("datetime"): return "datetime"
+        if st == "bool": return "bool"
+        if st == "object": return "object"
+        if "int" in st: return "int"
+        if "float" in st: return "float"
+        return st
+    dtype_ok = True
+    for c in s_cols:
+        ks, kd = kind(s[c].dtype), kind(d[c].dtype)
+        if ks != kd:
+            print(f"FAIL {name}: dtype col {c} spark={s[c].dtype}({ks}) duck={d[c].dtype}({kd})")
+            fails += 1; dtype_ok = False; break
+    if not dtype_ok:
+        continue
+
     for c in s_cols:  # normalize: decimals->float, ts->str, bytes->hex
         for df in (s, d):
             if df[c].dtype == object:
