@@ -1,11 +1,16 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark entry: headline queries on SPARK_GRAFT_SF_DIR, one JSON
-  * line to stdout. Times are end-to-end per query (plan + execute via
-  * count()), after a warmup that touches every input file once so the
-  * numbers measure compute, not page-cache priming.
+  * line to stdout. Each query is timed end-to-end against the `noop`
+  * sink, which materializes EVERY output column — a bare `count()`
+  * would let column pruning erase the measured work for
+  * projection-only queries (and EliminateSorts drop their orderBy).
+  * Failures are reported explicitly (-1 time, an `errors` field, and
+  * a stderr line) instead of being timed as if they succeeded, and
+  * each query's row count is emitted so a wrong result can't hide
+  * behind a fast time.
   */
 object Bench {
   // representative of each operator family; the full surface is in
@@ -18,6 +23,12 @@ object Bench {
     "dedup_exact", "dedup_minhash", "text_quality", "text_fingerprint",
     "ann_bruteforce")
 
+  /** Force full evaluation of every column (noop v2 sink, no driver
+    * collect, no output IO).
+    */
+  private def evalAll(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -28,33 +39,57 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // headroom for a contended sandbox: the r1 driver bench hit
+      // 10s-heartbeat RPC timeouts under external load
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: page-cache every input and run each headline query once at
-    // the smallest SF so codegen/JIT compilation is excluded from the
-    // timed pass (we measure compute, not JVM warmup)
+    // warmup: materialize every column of every input (page-caches the
+    // actual data pages — a count() would be served from row-group
+    // metadata), then run each headline query once at the smallest SF so
+    // codegen/JIT compilation is excluded from the timed pass
     graft.sources.Tables.names.foreach { t =>
-      graft.sources.Tables.load(spark, sfDir, t).count()
+      evalAll(graft.sources.Tables.load(spark, sfDir, t))
     }
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
-        try fn(spark, "/root/testdata/sf0.001").count()
+        try evalAll(fn(spark, "/root/testdata/sf0.001"))
         catch { case _: Throwable => () }
       }
     }
 
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val rowCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val elapsed =
+          try {
+            val df = fn(spark, sfDir)
+            evalAll(df)
+            val t = (System.nanoTime() - t0) / 1e9
+            rowCounts(name) = df.count() // untimed: result-size evidence
+            t
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+              errors(name) = e.getClass.getSimpleName
+              -1.0
+          }
+        name -> elapsed
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val rows = rowCounts.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"rows":$rows,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(2)
   }
 }
