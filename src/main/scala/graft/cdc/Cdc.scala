@@ -26,20 +26,76 @@ import graft.sources.Tables
   */
 object Cdc {
 
-  /** Debezium envelope schema (payload wrapper as emitted by the Postgres
-    * connector with JSON converter).
+  private val sourceSchema: StructType = StructType(Seq(
+    StructField("db", StringType), StructField("schema", StringType),
+    StructField("table", StringType)))
+
+  /** Debezium envelope schema for a given per-table row schema — the
+    * reference's envelopes carry table-specific `before`/`after` structs
+    * (one Debezium topic per table), so the parser is parameterized by
+    * the table's row type rather than fixing one payload shape.
     */
-  val envelopeSchema: StructType = StructType(Seq(
+  def envelopeSchemaFor(row: StructType): StructType = StructType(Seq(
     StructField("payload", StructType(Seq(
-      StructField("before", StructType(Seq(
-        StructField("key", LongType), StructField("value", DoubleType))), nullable = true),
-      StructField("after", StructType(Seq(
-        StructField("key", LongType), StructField("value", DoubleType))), nullable = true),
+      StructField("before", row, nullable = true),
+      StructField("after", row, nullable = true),
       StructField("op", StringType),
       StructField("ts_ms", LongType),
-      StructField("source", StructType(Seq(
-        StructField("db", StringType), StructField("schema", StringType),
-        StructField("table", StringType)))))))))
+      StructField("source", sourceSchema))))))
+
+  /** The events-table envelope (the single-table demo shape). */
+  val envelopeSchema: StructType = envelopeSchemaFor(StructType(Seq(
+    StructField("key", LongType), StructField("value", DoubleType))))
+
+  /** Route a raw multi-table envelope feed (one JSON line per change) to
+    * typed per-table frames: a slim parse reads only `source.table`,
+    * then each table's rows are parsed once with THAT table's schema.
+    * Column `raw` holds the JSON. Flattened output: after.* (or
+    * before.* for deletes) + op + ts_ms + offset passthrough columns.
+    */
+  def parseTables(raw: DataFrame, schemas: Map[String, StructType],
+                  passthrough: Seq[String] = Nil): Map[String, DataFrame] = {
+    val slim = StructType(Seq(
+      StructField("payload", StructType(Seq(StructField("source", sourceSchema))))))
+    val tagged = raw.withColumn("__tbl",
+      from_json(col("raw"), slim).getField("payload").getField("source").getField("table"))
+    schemas.map { case (t, rowSchema) =>
+      val env = envelopeSchemaFor(rowSchema)
+      val parsed = tagged.filter(col("__tbl") === t)
+        .withColumn("__e", from_json(col("raw"), env))
+      val rowCols = rowSchema.fields.map { f =>
+        coalesce(col(s"__e.payload.after.${f.name}"),
+          col(s"__e.payload.before.${f.name}")).as(f.name)
+      }
+      val metaCols = Seq(col("__e.payload.op").as("op"),
+        col("__e.payload.ts_ms").as("ts_ms")) ++ passthrough.map(col)
+      t -> parsed.select(rowCols.toSeq ++ metaCols: _*)
+    }
+  }
+
+  /** Per-table materialize config — the Spark-native analog of the
+    * reference sink's per-table `id-columns` (multi-column keys
+    * supported) plus the total-order column that decides latest-wins.
+    */
+  case class TableRoute(keyCols: Seq[String], orderCol: String)
+
+  /** Generic latest-wins keyed upsert for one table: one shuffle (hash
+    * by key), one sort, row_number; terminal deletes drop the key. Both
+    * windows share the exchange. Adds `n_changes` (audit column).
+    */
+  def materialize(log: DataFrame, route: TableRoute): DataFrame = {
+    val keys = route.keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(route.orderCol).desc)
+    log.withColumn("rn", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(Window.partitionBy(keys: _*)))
+      .filter(col("rn") === 1 && col("op") =!= "d")
+      .drop("rn")
+  }
+
+  /** Materialize N tables, each with its own key config. */
+  def materializeAll(logs: Map[String, DataFrame],
+                     routes: Map[String, TableRoute]): Map[String, DataFrame] =
+    logs.map { case (t, log) => t -> materialize(log, routes(t)) }
 
   /** events → changelog view: (key, op, value, offset, ts). */
   def changelog(spark: SparkSession, dir: String): DataFrame = {
@@ -151,11 +207,7 @@ object Cdc {
     */
   def cdcMaterialize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"key").orderBy($"offset".desc)
-    changelog(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_changes", count(lit(1)).over(Window.partitionBy($"key")))
-      .filter($"rn" === 1 && $"op" =!= "d")
+    materialize(changelog(spark, dir), TableRoute(Seq("key"), "offset"))
       .select($"key".as("user_id"), $"value".as("current_value"),
         $"op".as("last_op"), $"offset".as("last_offset"), $"n_changes")
       .orderBy($"user_id")
@@ -170,6 +222,63 @@ object Cdc {
       |SELECT key AS user_id, value AS current_value, op AS last_op,
       |  ofs AS last_offset, n_changes
       |FROM c WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin
+
+  /** Config-driven multi-table materialize — the reference sink handles
+    * N tables, each with its own `id-columns`
+    * (connect-iceberg-sink.json:36-37; two tables in
+    * postgres/scripts/seed/000_init.sql). Here: the events changelog
+    * keyed by [user_id], and the orders table read as a changelog keyed
+    * by the COMPOSITE [o_custkey, o_orderpriority] (latest order per
+    * customer×priority; status O→insert, P→update, F→terminal delete).
+    * Each table materializes with its own route; output is a uniform
+    * snapshot summary for the oracle.
+    */
+  def cdcMultiTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val logs = Map(
+      "events" -> changelog(spark, dir)
+        .select($"key".as("user_id"), $"op", $"value", $"offset"),
+      "orders" -> Tables.orders(spark, dir).select(
+        $"o_custkey", $"o_orderpriority",
+        when($"o_orderstatus" === "O", "c")
+          .when($"o_orderstatus" === "P", "u")
+          .otherwise("d").as("op"),
+        $"o_totalprice".as("value"),
+        $"o_orderkey".as("offset")))
+    val routes = Map(
+      "events" -> TableRoute(Seq("user_id"), "offset"),
+      "orders" -> TableRoute(Seq("o_custkey", "o_orderpriority"), "offset"))
+    val snapshots = materializeAll(logs, routes).map { case (t, snap) =>
+      val keyStr = concat_ws("|", routes(t).keyCols.map(c => col(c).cast("string")): _*)
+      snap.select(lit(t).as("tbl"), keyStr.as("key"),
+        $"value".as("current_value"), $"op".as("last_op"),
+        $"offset".as("last_offset"), $"n_changes")
+    }
+    snapshots.reduce(_.unionByName(_)).orderBy($"tbl", $"key")
+  }
+
+  val cdcMultiTableSql: String =
+    s"""WITH ev AS (
+      |  SELECT user_id, $sqlOp AS op, value, event_id AS ofs,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_changes
+      |  FROM events),
+      |orl AS (
+      |  SELECT o_custkey, o_orderpriority,
+      |    CASE o_orderstatus WHEN 'O' THEN 'c' WHEN 'P' THEN 'u' ELSE 'd' END AS op,
+      |    o_totalprice AS value, o_orderkey AS ofs,
+      |    row_number() OVER (PARTITION BY o_custkey, o_orderpriority ORDER BY o_orderkey DESC) AS rn,
+      |    count(*) OVER (PARTITION BY o_custkey, o_orderpriority) AS n_changes
+      |  FROM orders)
+      |SELECT * FROM (
+      |  SELECT 'events' AS tbl, CAST(user_id AS VARCHAR) AS key, value AS current_value,
+      |    op AS last_op, ofs AS last_offset, n_changes
+      |  FROM ev WHERE rn = 1 AND op <> 'd'
+      |  UNION ALL
+      |  SELECT 'orders' AS tbl, CAST(o_custkey AS VARCHAR) || '|' || o_orderpriority AS key,
+      |    value, op, ofs, n_changes
+      |  FROM orl WHERE rn = 1 AND op <> 'd') u
+      |ORDER BY tbl, key""".stripMargin
 
   /** SCD2 change history: each non-delete change is a version with
     * [valid_from_offset, valid_to_offset) and an is_current flag. The

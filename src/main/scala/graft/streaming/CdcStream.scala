@@ -59,12 +59,17 @@ object CdcStream {
         col("op").as("last_op"), col("event_id").as("last_offset"))
   }
 
-  /** Streaming tumbling-window aggregation with watermark. */
+  /** Streaming tumbling-window aggregation with watermark. The value sum
+    * runs in decimal and casts to double at the end (library convention:
+    * exact regardless of partial-aggregation order, and bit-identical to
+    * the batch/oracle computation).
+    */
   def windowAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
   /** Streaming exact dedup on a key with a watermark-bound state. */

@@ -1,0 +1,162 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.Cdc
+
+/** Driver-visible wrappers for the streaming operators: each runs the
+  * real Structured Streaming pipeline to completion over the sf dir
+  * (file source, `processAllAvailable`) and returns the sink contents as
+  * a batch DataFrame, so the correctness gate exercises the streaming
+  * code path itself — not a batch re-implementation.
+  *
+  * All four are deterministic on a static input directory, so they carry
+  * DuckDB oracles (the sessionizer's emission rule — a session is final
+  * once the watermark passes lastTs+gap — is mirrored in SQL against the
+  * global max event time, which is what the final watermark converges to
+  * with a 0-second delay).
+  */
+object StreamQueries {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Stage the single-file events table into a directory (file-stream
+    * sources list directories).
+    */
+  private def stageEvents(dir: String): String = {
+    val d = tmp("graft_sq_in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    d
+  }
+
+  private def uniqueName(base: String): String =
+    base + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
+  /** File-source CDC ingest → routed changelog sink → materialized view
+    * (the full streaming ingest path, then the same latest-wins upsert
+    * as the batch materializer).
+    */
+  def streamCdcIngest(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = stageEvents(dir)
+    val logDir = tmp("graft_sq_log")
+    val q = CdcStream.ingest(spark, inDir, logDir, tmp("graft_sq_ckpt"))
+    q.processAllAvailable(); q.stop()
+    CdcStream.materializedView(spark, logDir)
+      .orderBy(col("user_id"))
+  }
+
+  val streamCdcIngestSql: String =
+    """WITH c AS (
+      |  SELECT user_id,
+      |    CASE event_type WHEN 'signup' THEN 'c' WHEN 'purchase' THEN 'u'
+      |      WHEN 'error' THEN 'd' ELSE 'r' END AS op,
+      |    value, event_id AS ofs,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, value AS current_value, op AS last_op, ofs AS last_offset
+      |FROM c WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin
+
+  /** Watermarked tumbling-window aggregation (complete mode → memory
+    * sink; on a finite input the final state equals the batch hourly
+    * rollup).
+    */
+  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = stageEvents(dir)
+    val name = uniqueName("sq_window_agg")
+    val events = spark.readStream
+      .schema(spark.read.parquet(inDir).schema)
+      .parquet(inDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = CdcStream.windowAgg(events)
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val streamWindowAggSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** Streaming exact dedup over an at-least-once feed: the input is the
+    * events table delivered TWICE (planted redelivery), the stream drops
+    * re-deliveries by event_id within the watermark.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val inDir = tmp("graft_sq_dup_in")
+    ev.unionAll(ev).write.mode("overwrite").parquet(inDir)
+    val name = uniqueName("sq_dedup")
+    val stream = spark.readStream.schema(spark.read.parquet(inDir).schema).parquet(inDir)
+    val q = CdcStream.streamDedup(stream)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  val streamDedupSql: String =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Stateful gap-sessionization with event-time timeouts: sessions are
+    * emitted once — closed by a gap, or finalized when the watermark
+    * passes their deadline. With a 0-second delay the final watermark is
+    * the global max event second, so on a static input the emitted set
+    * is exactly: every non-trailing session, plus trailing sessions
+    * whose close deadline the corpus outlived.
+    */
+  def streamSessionState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inDir = stageEvents(dir)
+    val name = uniqueName("sq_sessions")
+    val events = spark.readStream
+      .schema(spark.read.parquet(inDir).schema)
+      .parquet(inDir)
+      .withColumn("ts_s", expr("ts div 1000000000"))
+      .withColumn("et", col("ts_s").cast("timestamp"))
+      .withWatermark("et", "0 seconds")
+      // keep `et` in the projection: dropping the watermark column would
+      // sever the watermark from the plan feeding flatMapGroupsWithState
+      .select(col("user_id"), col("event_id"), col("ts_s"), col("value"), col("et"))
+      .as[SessEvent]
+    val q = Sessionize.sessionize(spark, events)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name).orderBy(col("user_id"), col("session_id"))
+  }
+
+  val streamSessionStateSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, value,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+      |    CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+      |      OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id, value, ts_s,
+      |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM g),
+      |agg AS (
+      |  SELECT user_id, session_id, count(*) AS n_events,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value,
+      |    max(ts_s) AS last_ts
+      |  FROM s GROUP BY user_id, session_id),
+      |mx AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS m FROM events),
+      |lastsess AS (SELECT user_id, max(session_id) AS last_sid FROM agg GROUP BY user_id)
+      |SELECT a.user_id, a.session_id, a.n_events, a.session_value
+      |FROM agg a JOIN lastsess l ON a.user_id = l.user_id, mx
+      |WHERE a.session_id < l.last_sid OR a.last_ts + 1800 < mx.m
+      |ORDER BY a.user_id, a.session_id""".stripMargin
+}

@@ -92,7 +92,7 @@ class StreamingSpec extends SparkSpec {
     val ev = sources.Tables.events(spark, sf)
       .select($"user_id", $"event_id", expr("ts_ns div 1000000000").as("ts_s"), $"value")
       .as[SessEvent]
-    val sessions = Sessionize.sessionize(spark, ev)
+    val sessions = Sessionize.sessionize(spark, ev, closeAtEnd = true)
     val streamedCounts = sessions.groupBy($"user_id")
       .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
     val batch = operators.Windows.sessionize(spark, sf)
