@@ -35,8 +35,9 @@ case class MinHashSig(child: Expression) extends UnaryExpression with Serializab
   override def prettyName: String = "minhash_sig"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig expects array<long>, got $t")
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<long> with non-null elements, got $t")
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -98,8 +99,9 @@ case class ShingleHash3(child: Expression) extends UnaryExpression with Serializ
   override def prettyName: String = "shingle_hash3"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"shingle_hash3 expects array<long>, got $t")
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hash3 expects array<long> with non-null elements, got $t")
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -165,8 +167,9 @@ case class SimHash64(child: Expression) extends UnaryExpression with Serializabl
   override def prettyName: String = "simhash64"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 expects array<long>, got $t")
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<long> with non-null elements, got $t")
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -333,8 +336,9 @@ case class BandBuckets(child: Expression) extends UnaryExpression with Serializa
   override def prettyName: String = "band_buckets"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"band_buckets expects array<long>, got $t")
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"band_buckets expects array<long> with non-null elements, got $t")
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -389,8 +393,9 @@ case class SigAgree(left: Expression, right: Expression)
   override def prettyName: String = "sig_agree"
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
-    case (l, r) => TypeCheckResult.TypeCheckFailure(s"sig_agree expects (array<long>, array<long>), got ($l, $r)")
+    case (ArrayType(LongType, false), ArrayType(LongType, false)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"sig_agree expects (array<long>, array<long>) with non-null elements, got ($l, $r)")
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -16,11 +16,17 @@ import graft.sources.Tables
 object Dedup {
 
   /** Exact dedup: hash-groupBy on the raw text. Emits one row per
-    * duplicated content cluster with the winning (min) doc_id.
+    * duplicated content cluster with the winning (min) doc_id. The
+    * query re-delivers the first 20 docs under shifted ids (an
+    * at-least-once ingest simulation) so the oracle compares non-empty
+    * output even on a corpus with no naturally duplicated texts.
     */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val redelivered = docs.filter($"doc_id" < 20)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    docs.unionByName(redelivered)
       .groupBy(md5($"text").as("content_fp"))
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .filter($"n_copies" > 1)
@@ -29,7 +35,10 @@ object Dedup {
 
   val dedupExactSql: String =
     """SELECT md5(text) AS content_fp, min(doc_id) AS keep_id, count(*) AS n_copies
-      |FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY keep_id""".stripMargin
+      |FROM (SELECT doc_id, text FROM documents
+      |      UNION ALL
+      |      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20) u
+      |GROUP BY md5(text) HAVING count(*) > 1 ORDER BY keep_id""".stripMargin
 
   /** Exact word-set Jaccard near-dup pairs (the verification primitive the
     * probabilistic methods approximate). Token explode → self-join on
@@ -106,8 +115,10 @@ object Dedup {
     */
   def tokenHashes32(text: Column): Column =
     transform(filter(split(text, "\\s+"), t => t =!= ""),
-      t => aggregate(split(t, ""), lit(7L),
-        (acc, ch) => (acc * 31 + ascii(ch)).bitwiseAND(lit(0xFFFFFFFFL))))
+      // coalesce marks the element non-nullable (the fold never actually
+      // returns null) — the natives require containsNull=false inputs
+      t => coalesce(aggregate(split(t, ""), lit(7L),
+        (acc, ch) => (acc * 31 + ascii(ch)).bitwiseAND(lit(0xFFFFFFFFL))), lit(0L)))
 
   /** Shingle hashes from a MATERIALIZED token-hash column: combine n
     * consecutive token hashes with masked affine mixing (no string
@@ -119,12 +130,12 @@ object Dedup {
     */
   def shingleHashesFrom(th: Column, n: Int = 3): Column = {
     val count = size(th)
-    val combine = (i: Column) => (0 until n).map { k =>
+    val combine = (i: Column) => coalesce((0 until n).map { k =>
       (element_at(th, i + lit(k + 1)) * lit(31L * (k + 1)))
         .bitwiseAND(lit(0xFFFFFFFFL))
-    }.reduce((a, b) => (a * lit(33L) + b).bitwiseAND(lit(0xFFFFFFFFL)))
-    when(count < n, array(aggregate(th, lit(7L),
-        (acc, h) => (acc * lit(33L) + h).bitwiseAND(lit(0xFFFFFFFFL)))))
+    }.reduce((a, b) => (a * lit(33L) + b).bitwiseAND(lit(0xFFFFFFFFL))), lit(0L))
+    when(count < n, array(coalesce(aggregate(th, lit(7L),
+        (acc, h) => (acc * lit(33L) + h).bitwiseAND(lit(0xFFFFFFFFL))), lit(0L))))
       .otherwise(transform(sequence(lit(0), count - n), combine))
   }
 
@@ -296,9 +307,11 @@ object Dedup {
       t => aggregate(split(t, ""), lit(13L),
         (acc, ch) => (acc * 37 + ascii(ch)).bitwiseAND(lit(0xFFFFFFFFL))))
     zip_with(folds1, folds2, (h1, h2) =>
-      mix32c(mix32c(h1, 747796405L, 277803737L), 668265263L, 374761393L)
-        + mix32c(mix32c(h2, 747796405L, 277803737L), 374761393L, 668265263L)
-            .bitwiseAND(lit(0x7FFFFFFFL)) * lit(4294967296L))
+      coalesce(
+        mix32c(mix32c(h1, 747796405L, 277803737L), 668265263L, 374761393L)
+          + mix32c(mix32c(h2, 747796405L, 277803737L), 374761393L, 668265263L)
+              .bitwiseAND(lit(0x7FFFFFFFL)) * lit(4294967296L),
+        lit(0L)))
   }
 
   /** Token-hash array for simhash (distinct 63-bit hashes). */

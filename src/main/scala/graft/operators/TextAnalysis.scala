@@ -127,7 +127,12 @@ object TextAnalysis {
 
   /** TF-IDF top-3 terms per document — the explode→two-level-aggregate
     * shape: tf on (doc, term), df on term, score = tf·ln(N/df), ranked
-    * per doc. One shuffle per aggregate, df side broadcast back.
+    * per doc. One shuffle per aggregate. The tf⋈df join is NOT force-
+    * broadcast: the document-frequency table is the corpus's distinct
+    * vocabulary, which at web scale does not fit in a broadcast — AQE
+    * picks broadcast when the measured size allows and falls back to a
+    * shuffle hash join when it doesn't. (The scalar n_docs broadcast is
+    * a single row and always safe.)
     */
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -139,7 +144,7 @@ object TextAnalysis {
       .groupBy($"w").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val rk = Window.partitionBy($"doc_id").orderBy($"score".desc, $"w")
-    tf.join(broadcast(df), "w")
+    tf.join(df, "w")
       .crossJoin(broadcast(n))
       .withColumn("score", $"tf" * log($"n_docs".cast("double") / $"df"))
       .withColumn("rk", row_number().over(rk))

@@ -19,15 +19,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(sh == 5L) // single token: its bits win every vote
   }
 
-  test("extensions class injects functions into a fresh session") {
-    val s2 = GraftSession.builder(2)
-      .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .getOrCreate()
-    // getOrCreate may return the shared session; register covers both
-    GraftExtensions.register(s2)
-    assert(s2.sql("SELECT vec_dot(CAST(array(1.0) AS ARRAY<FLOAT>), CAST(array(2.0) AS ARRAY<FLOAT>)) AS d")
-      .first().getDouble(0) == 2.0)
+  test("spark.sql.extensions injection path registers the functions") {
+    import org.apache.spark.sql.SparkSession
+    // force a genuinely new session (same SparkContext) so the
+    // GraftExtensions.apply/injectFunction path actually runs — with the
+    // shared session still default, getOrCreate would just return it
+    val prior = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // `spark.sql.extensions` is a STATIC conf — it only takes effect on
+      // a fresh SparkContext, which a test JVM can't make. withExtensions
+      // drives the same GraftExtensions.apply/injectFunction path.
+      val s2 = GraftSession.builder(2)
+        .appName("graft-ext-test")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      assert(s2 ne prior, "expected a fresh session for the injection test")
+      // no manual register(): these resolve only if injection ran
+      assert(s2.sql("SELECT vec_dot(CAST(array(1.0) AS ARRAY<FLOAT>), CAST(array(2.0) AS ARRAY<FLOAT>)) AS d")
+        .first().getDouble(0) == 2.0)
+      assert(s2.sql("SELECT sig_agree(array(CAST(1 AS BIGINT)), array(CAST(1 AS BIGINT))) AS a")
+        .first().getInt(0) == 1)
+      assert(s2.sql("SELECT token_hash32('a a') AS t").first().getSeq[Long](0).distinct.length == 1)
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
   }
 
   test("changelog compaction folds the log into a current-state base") {
