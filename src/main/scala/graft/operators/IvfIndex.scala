@@ -18,21 +18,34 @@ import graft.operators.Dedup.{cosinePre, norm}
   */
 object IvfIndex {
 
-  /** Deterministic k-means-lite over float-vector rows. Returns the
-    * centroids (k × dim). Seeding: the k vectors with the smallest
-    * xxhash64(id) — stable across runs and partitionings.
+  /** Deterministic SPHERICAL k-means-lite over float-vector rows.
+    * Returns unit-norm centroids (k × dim). Seeding: the k vectors with
+    * the smallest xxhash64(id) — stable across runs and partitionings.
+    * Spherical (centroids renormalized each Lloyd iteration, assignment
+    * by dot product) because the index serves COSINE queries — L2
+    * centroids on unnormalized data misalign with the query metric.
+    *
+    * Recall ceiling note: on isotropic (unstructured) vectors recall is
+    * bounded by ≈ the scanned corpus fraction regardless of training
+    * quality — measured on the synthetic testdata, an exact driver-side
+    * k-means gains nothing over this implementation. Real embedding
+    * corpora have cluster structure; this is where IVF earns its keep.
     */
   def trainCentroids(vectors: DataFrame, idCol: String, vecCol: String,
-                     k: Int, iters: Int = 3): Array[Array[Float]] = {
+                     k: Int, iters: Int = 5): Array[Array[Float]] = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (n == 0) v else v.map(x => (x / n).toFloat)
+    }
     var centroids: Array[Array[Float]] = vectors
       .withColumn("__h", xxhash64(col(idCol)))
       .orderBy($"__h")
       .limit(k)
       .select(col(vecCol))
       .collect()
-      .map(_.getSeq[Float](0).toArray)
+      .map(r => unit(r.getSeq[Float](0).toArray))
 
     for (_ <- 1 to iters) {
       val assigned = assignClusters(vectors, vecCol, centroids)
@@ -44,7 +57,7 @@ object IvfIndex {
         .agg(array_sort(collect_list(struct($"__pos", $"__mean"))).as("__pm"))
         .select($"__cluster", transform($"__pm", p => p.getField("__mean").cast("float")).as("__c"))
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+        .map(r => r.getInt(0) -> unit(r.getSeq[Float](1).toArray))
         .toMap
       centroids = centroids.indices
         .map(i => means.getOrElse(i, centroids(i))).toArray

@@ -14,9 +14,24 @@ class IvfSpec extends SparkSpec {
     val got = ivf.select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
     val recall = bf.intersect(got).size.toDouble / bf.size
     info(s"IVF recall = $recall")
-    // nprobe/k = 3/8 of the corpus scanned; random vectors give weak
-    // cluster structure, so demand better-than-chance recall
-    assert(recall >= 0.4, s"recall $recall too low")
+    // nprobe/k = 3/8 of the corpus scanned; the testdata vectors are
+    // ISOTROPIC (same-label and cross-label mean cosine are both ~0), so
+    // recall is information-theoretically bounded near the scan fraction
+    // (an exact driver-side k-means measures ~0.62 here) — demand
+    // clearly-better-than-chance
+    assert(recall >= 0.45, s"recall $recall too low")
+  }
+
+  test("finer quantization buys recall: >= 0.8 at k=16, nprobe=8") {
+    // recall-per-scan improves with finer cells: half the corpus scanned
+    // (8/16) reaches 0.8 where coarse k=8 needed ~0.75 of it
+    val ivf = IvfIndex.annIvf(spark, sf, k = 16, nprobe = 8)
+    val bf = Similarity.annBruteforce(spark, sf)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val got = ivf.select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(got).size.toDouble / bf.size
+    info(s"IVF recall (k=16, nprobe=8) = $recall")
+    assert(recall >= 0.8, s"recall $recall below 0.8")
   }
 
   test("centroid training is deterministic") {
