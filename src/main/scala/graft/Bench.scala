@@ -19,9 +19,10 @@ object Bench {
     "q1_pricing_summary", "q3_top_revenue", "q5_local_supplier",
     "q13_order_distribution", "q18_large_orders",
     "window_topn", "sessionize", "asof_join", "events_hourly",
-    "cdc_materialize", "cdc_history",
-    "dedup_exact", "dedup_minhash", "text_quality", "text_fingerprint",
-    "ann_bruteforce")
+    "cdc_materialize", "cdc_history", "cdc_multi_table",
+    "dedup_exact", "dedup_minhash", "dedup_simhash",
+    "text_quality", "text_fingerprint", "text_tfidf",
+    "ann_bruteforce", "ann_lsh")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

@@ -46,6 +46,32 @@ object CdcStream {
       .start()
   }
 
+  /** Topic-pattern ingestion over a directory bus — the no-Kafka analog
+    * of the reference consumer's `subscribePattern 'cdc.commerce.*'`
+    * (consumer.py:43-49; no kafka-sql jar ships in this environment, so
+    * a directory stands in for a topic): each subdirectory of `busDir`
+    * is a topic of JSON envelope lines, `topicGlob` selects which are
+    * ingested, and records route to TYPED per-table changelog sinks via
+    * `Cdc.parseTables` — schema per table, key config per table, ONE
+    * streaming query for all topics. Nothing about any specific table is
+    * hardcoded: add a table by adding a (schema, route) entry.
+    */
+  def ingestTopics(spark: SparkSession, busDir: String, topicGlob: String,
+                   schemas: Map[String, org.apache.spark.sql.types.StructType],
+                   sinkDir: String, checkpointDir: String): StreamingQuery = {
+    val raw = spark.readStream
+      .text(s"$busDir/$topicGlob")
+      .withColumnRenamed("value", "raw")
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Cdc.parseTables(batch, schemas).foreach { case (t, df) =>
+          df.write.mode("append").parquet(s"$sinkDir/$t")
+        }
+      }
+      .start()
+  }
+
   /** Current-state view over the accumulated changelog: same
     * latest-wins-by-offset upsert as the batch materializer.
     */

@@ -68,6 +68,32 @@ class MultiTableCdcSpec extends SparkSpec {
     assert(prod(0).getDouble(1) == 6.5)
   }
 
+  test("topic-pattern ingestion: glob-matched topics only, typed per-table sinks") {
+    val busDir = tmp("graft_bus")
+    val sinkDir = tmp("graft_bus_sink")
+    def topic(name: String, lines: Seq[String]): Unit = {
+      val d = java.nio.file.Paths.get(s"$busDir/$name")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve("part0.json"), lines.mkString("\n").getBytes)
+    }
+    topic("cdc.commerce.account", batch1.take(2) ++ batch2.take(2))
+    topic("cdc.commerce.product", batch1.drop(2) ++ batch2.drop(2))
+    // a topic OUTSIDE the subscribed pattern: must not be ingested
+    topic("audit.internal.log",
+      Seq(env("account", "c", """{"id":99,"owner":"mallory","balance":0.0}""", null, 9)))
+
+    val q = graft.streaming.CdcStream.ingestTopics(
+      spark, busDir, "cdc.commerce.*", schemas, sinkDir, tmp("graft_bus_ckpt"))
+    q.processAllAvailable(); q.stop()
+
+    val acct = Cdc.materialize(spark.read.parquet(s"$sinkDir/account"), routes("account"))
+    val prod = Cdc.materialize(spark.read.parquet(s"$sinkDir/product"), routes("product"))
+    assert(acct.count() == 3)                       // id 99 NOT ingested
+    assert(acct.filter($"id" === 99).count() == 0)
+    assert(acct.filter($"id" === 1).first().getAs[Double]("balance") == 99.9)
+    assert(prod.collect().map(_.getAs[String]("sku")).toSeq == Seq("A"))
+  }
+
   test("two-table streaming ingest: inserted rows appear in each sink table") {
     val inDir = tmp("graft_mt_in")
     val sinkDir = tmp("graft_mt_sink")

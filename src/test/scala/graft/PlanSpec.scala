@@ -73,4 +73,33 @@ class PlanSpec extends SparkSpec {
     info(s"asof_join shuffles = $n")
     assert(n <= 4)
   }
+
+  test("no operator shuffles on array keys (dedup/ANN pair paths)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    def arrayGroupings(p: LogicalPlan): Seq[String] = p.collect {
+      case a: Aggregate if a.groupingExpressions.exists(_.dataType.isInstanceOf[ArrayType]) =>
+        a.groupingExpressions.filter(_.dataType.isInstanceOf[ArrayType]).map(_.sql).mkString(",")
+    }
+    def arrayShuffles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      df.collect() // force AQE-final plan
+      df.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s.outputPartitioning
+      }.collect {
+        case h: HashPartitioning if h.expressions.exists(_.dataType.isInstanceOf[ArrayType]) =>
+          h.expressions.map(_.sql).mkString(",")
+      }
+    }
+    for ((name, df) <- Seq(
+        "dedup_minhash" -> operators.Dedup.dedupMinhash(spark, sf),
+        "dedup_simhash" -> operators.Dedup.dedupSimhash(spark, sf),
+        "ann_lsh" -> operators.Similarity.annLsh(spark, sf))) {
+      val ag = arrayGroupings(df.queryExecution.optimizedPlan)
+      assert(ag.isEmpty, s"$name groups by array column(s): $ag")
+      val as = arrayShuffles(df)
+      assert(as.isEmpty, s"$name shuffles on array key(s): $as")
+    }
+  }
 }
