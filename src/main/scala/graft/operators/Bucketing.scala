@@ -48,4 +48,25 @@ object Bucketing {
     spark.table("b_lineitem")
       .join(spark.table("b_orders"), $"l_orderkey" === $"o_orderkey")
   }
+
+  /** Driver-visible query over the bucketed join (the write-once /
+    * join-shuffle-free ingest pattern, then a rollup); values must match
+    * the same aggregation over the raw parquet tables.
+    */
+  def bucketedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import Relational.dec
+    bucketedFactJoin(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec($"l_quantity")).cast("double").as("total_qty"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val bucketedJoinAggSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_items,
+      |  CAST(sum(${Relational.sqlDec("l_quantity")}) AS DOUBLE) AS total_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 }

@@ -143,4 +143,50 @@ object Similarity {
       .select($"q_id", $"rk", $"n_id", round($"cos", 6).as("cos_sim"))
       .orderBy($"q_id", $"rk")
   }
+
+  /** DuckDB oracle for the full LSH path. The plane vectors are
+    * deterministic driver-side constants, so they are embedded as
+    * literal DOUBLE[] rows (float→double is exact and Double.toString
+    * round-trips); bucketing, candidate generation, and exact ranking
+    * are then plain SQL. Bucket bits OR to a sum because the powers of
+    * two are distinct.
+    */
+  val annLshSql: String = {
+    val planeRows = (for {
+      t <- 0 until NumTables
+      p <- 0 until PlanesPerTable
+    } yield {
+      val vec = planeVector(t * PlanesPerTable + p)
+        .map(v => v.toDouble.toString).mkString("[", ", ", "]")
+      s"($t, $p, CAST($vec AS DOUBLE[]))"
+    }).mkString(",\n      ")
+    s"""WITH planes(tbl, p, pv) AS (VALUES
+      |      $planeRows),
+      |corpus_b AS (
+      |  SELECT e.vec_id AS n_id, pl.tbl,
+      |    CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.pv) > 0
+      |      THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM embeddings e, planes pl WHERE e.vec_id >= 8
+      |  GROUP BY e.vec_id, pl.tbl),
+      |query_b AS (
+      |  SELECT e.vec_id AS q_id, pl.tbl,
+      |    CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.pv) > 0
+      |      THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM embeddings e, planes pl WHERE e.vec_id < 8
+      |  GROUP BY e.vec_id, pl.tbl),
+      |cand AS (
+      |  SELECT DISTINCT q.q_id, c.n_id
+      |  FROM corpus_b c JOIN query_b q ON c.tbl = q.tbl AND c.bucket = q.bucket),
+      |scored AS (
+      |  SELECT cand.q_id, cand.n_id,
+      |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ne.embedding AS DOUBLE[])) AS cos
+      |  FROM cand JOIN embeddings qe ON cand.q_id = qe.vec_id
+      |            JOIN embeddings ne ON cand.n_id = ne.vec_id),
+      |ranked AS (
+      |  SELECT q_id, n_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+      |  FROM scored)
+      |SELECT q_id, rk, n_id, round(cos, 6) AS cos_sim
+      |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  }
 }
