@@ -1,0 +1,180 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.Cdc
+
+/** Versioned snapshot table over parquet — a native re-expression of the
+  * table-format features the reference delegates to Iceberg
+  * (/root/reference/kafka/config/connect-iceberg-sink.json: per-table
+  * keyed upsert sink; no Iceberg jars ship in this environment).
+  *
+  * Design (merge-on-read, the scale-honest shape):
+  *   - every commit APPENDS immutable changelog parquet files under
+  *     `data/` and writes a new JSON manifest under `snapshots/` listing
+  *     ALL files live in that version (parent's plus its own) — commits
+  *     never rewrite data;
+  *   - reading version N = scan exactly the files its manifest lists,
+  *     then apply the table's keyed latest-wins materialization
+  *     (`Cdc.materialize`) — the same one code path as batch + streaming;
+  *   - time travel = pick an older manifest; nothing is ever deleted by
+  *     a commit;
+  *   - `compact` folds the changelog into a compacted base and commits
+  *     it as a NEW version whose manifest lists only the compacted files
+  *     (Iceberg's rewrite-data-files): older versions still time-travel.
+  *
+  * Manifests carry no wall-clock fields — versioning is ordinal and the
+  * watermark is the changelog's own max offset, so snapshot history is
+  * deterministic and reproducible.
+  */
+object SnapshotTable {
+
+  private def fs(path: String) = new java.io.File(path)
+
+  private def listSnapshots(root: String): Seq[Int] = {
+    val d = fs(s"$root/snapshots")
+    if (!d.exists()) Seq.empty
+    else d.listFiles().map(_.getName)
+      .collect { case s if s.matches("v\\d+\\.json") => s.stripPrefix("v").stripSuffix(".json").toInt }
+      .toSeq.sorted
+  }
+
+  def latestVersion(root: String): Option[Int] = listSnapshots(root).lastOption
+
+  private def readManifest(spark: SparkSession, root: String, version: Int): (Seq[String], String) = {
+    val df = spark.read.json(s"$root/snapshots/v$version.json")
+    val row = df.select(col("files"), col("op")).first()
+    (row.getSeq[String](0), row.getString(1))
+  }
+
+  private def writeManifest(root: String, version: Int, files: Seq[String],
+                            op: String, maxOffset: Long): Unit = {
+    fs(s"$root/snapshots").mkdirs()
+    val json = s"""{"version":$version,"op":"$op","max_offset":$maxOffset,""" +
+      s""""files":[${files.map(f => "\"" + f + "\"").mkString(",")}]}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/snapshots/v$version.json"), json.getBytes)
+  }
+
+  /** Append a changelog batch as a new snapshot version. Returns the
+    * committed version number.
+    */
+  def commit(batch: DataFrame, root: String, orderCol: String): Int = {
+    val spark = batch.sparkSession
+    val version = latestVersion(root).getOrElse(0) + 1
+    val dataDir = s"data/v$version"
+    batch.write.mode("error").parquet(s"$root/$dataDir")
+    val newFiles = fs(s"$root/$dataDir").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => s"$dataDir/${f.getName}").toSeq.sorted
+    val parentFiles = latestVersion(root).filter(_ < version) match {
+      case _ => if (version == 1) Seq.empty[String]
+                else readManifest(spark, root, version - 1)._1
+    }
+    val maxOffset = batch.agg(max(col(orderCol))).first() match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+    writeManifest(root, version, parentFiles ++ newFiles, "append", maxOffset)
+    version
+  }
+
+  /** Read a snapshot as the CURRENT STATE at that version: scan the
+    * manifest's files, apply keyed latest-wins (merge-on-read).
+    */
+  def readSnapshot(spark: SparkSession, root: String, route: Cdc.TableRoute,
+                   version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(latestVersion(root))
+      .getOrElse(throw new IllegalArgumentException(s"no snapshots under $root"))
+    val (files, _) = readManifest(spark, root, v)
+    val log = spark.read.parquet(files.map(f => s"$root/$f"): _*)
+    Cdc.materialize(log, route)
+  }
+
+  /** Raw changelog of a version (no materialization). */
+  def readChangelog(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(latestVersion(root))
+      .getOrElse(throw new IllegalArgumentException(s"no snapshots under $root"))
+    val (files, _) = readManifest(spark, root, v)
+    spark.read.parquet(files.map(f => s"$root/$f"): _*)
+  }
+
+  /** Iceberg-style rewrite-data-files: fold the live changelog into a
+    * compacted current-state base and commit it as a new version (whose
+    * manifest lists ONLY the compacted files). Readers of the new
+    * version skip the log replay; older versions still time-travel.
+    */
+  def compact(spark: SparkSession, root: String, route: Cdc.TableRoute,
+              targetFiles: Int = 4): Int = {
+    val version = latestVersion(root)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshots under $root")) + 1
+    val state = readSnapshot(spark, root, route)
+    val dataDir = s"data/v$version"
+    // compacted base rows are terminal states; re-tag as upserts (and
+    // drop the audit column so the base schema matches the changelog) so
+    // a later materialize over [base ++ newer changelog] stays correct
+    state.drop("n_changes").withColumn("op", lit("u"))
+      .coalesce(targetFiles)
+      .write.mode("error").parquet(s"$root/$dataDir")
+    val files = fs(s"$root/$dataDir").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => s"$dataDir/${f.getName}").toSeq.sorted
+    val maxOffset = state.agg(max(col(route.orderCol))).first() match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+    writeManifest(root, version, files, "compact", maxOffset)
+    version
+  }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Driver-visible time-travel query: build a two-version snapshot
+    * table from the events changelog (offsets < 5000, then the rest),
+    * read BOTH versions' materialized states, and return them tagged by
+    * version — v1 must reflect only the first commit even though v2
+    * exists (the time-travel guarantee), which the oracle reproduces
+    * with offset-bounded latest-wins CTEs.
+    */
+  def snapshotTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = tmp("graft_snap")
+    val log = Cdc.changelog(spark, dir).select($"key", $"op", $"value", $"offset")
+    val route = Cdc.TableRoute(Seq("key"), "offset")
+    commit(log.filter($"offset" < 5000), root, "offset")
+    commit(log.filter($"offset" >= 5000), root, "offset")
+    val versions = Seq(1, 2).map { v =>
+      readSnapshot(spark, root, route, Some(v)).withColumn("version", lit(v))
+    }
+    versions.reduce(_.unionByName(_))
+      .select($"version", $"key".as("user_id"), $"value".as("current_value"),
+        $"op".as("last_op"), $"offset".as("last_offset"), $"n_changes")
+      .orderBy($"version", $"user_id")
+  }
+
+  val snapshotTimeTravelSql: String =
+    """WITH c AS (
+      |  SELECT user_id,
+      |    CASE event_type WHEN 'signup' THEN 'c' WHEN 'purchase' THEN 'u'
+      |      WHEN 'error' THEN 'd' ELSE 'r' END AS op,
+      |    value, event_id AS ofs
+      |  FROM events),
+      |v1 AS (
+      |  SELECT user_id, value, op, ofs, n_changes FROM (
+      |    SELECT c.*, row_number() OVER (PARTITION BY user_id ORDER BY ofs DESC) AS rn,
+      |      count(*) OVER (PARTITION BY user_id) AS n_changes
+      |    FROM c WHERE ofs < 5000) t
+      |  WHERE rn = 1 AND op <> 'd'),
+      |v2 AS (
+      |  SELECT user_id, value, op, ofs, n_changes FROM (
+      |    SELECT c.*, row_number() OVER (PARTITION BY user_id ORDER BY ofs DESC) AS rn,
+      |      count(*) OVER (PARTITION BY user_id) AS n_changes
+      |    FROM c) t
+      |  WHERE rn = 1 AND op <> 'd')
+      |SELECT * FROM (
+      |  SELECT 1 AS version, user_id, value AS current_value, op AS last_op,
+      |    ofs AS last_offset, n_changes FROM v1
+      |  UNION ALL
+      |  SELECT 2 AS version, user_id, value AS current_value, op AS last_op,
+      |    ofs AS last_offset, n_changes FROM v2) u
+      |ORDER BY version, user_id""".stripMargin
+}
