@@ -82,6 +82,80 @@ object Dedup {
       |WHERE CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) >= 0.5
       |ORDER BY i, j""".stripMargin
 
+  /** FULL-CORPUS exact near-dup pairs by 3-gram shingle-set Jaccard with
+    * PREFIX FILTERING (PPJoin-style) — the scale path the restricted
+    * word-set verifier above can't take:
+    *
+    *   - each doc's distinct shingle hashes are ranked rarest-first by
+    *     global document frequency;
+    *   - for threshold τ, two sets with Jaccard ≥ τ MUST share a shingle
+    *     within each other's first (n − ⌈τ·n⌉ + 1) rarest shingles, so
+    *     candidates come from an equi-join on PREFIX shingles only —
+    *     linear in corpus size for discriminative shingle spaces, never
+    *     a cross join, and exact (no false negatives);
+    *   - candidates are verified by counting the true intersection.
+    *
+    * Word SETS are degenerate on a small vocabulary (every doc contains
+    * nearly every word); 3-gram shingles discriminate by ordering, which
+    * is also why this operator is the exact verifier for dedup_minhash's
+    * candidates.
+    */
+  def dedupJaccardFull(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id", array_distinct(
+        graft.functions.HashFunctions.shingle_hash3(
+          graft.functions.HashFunctions.token_hash32($"text"))).as("shs"))
+    val ex = sh.select($"doc_id", size($"shs").as("n"), explode($"shs").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfh = ex.groupBy($"h").agg(count(lit(1)).as("dfh"))
+    val prefix = ex.join(dfh, "h")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+          .orderBy($"dfh", $"h")))
+      .filter($"rn" <= $"n" - ceil(lit(tau) * $"n").cast("int") + 1)
+      .select($"doc_id", $"h")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .distinct()
+    val exI = ex.select($"doc_id".as("i"), $"n".as("na"), $"h")
+    val exJ = ex.select($"doc_id".as("j"), $"n".as("nb"), $"h")
+    cand.join(exI, "i").join(exJ, Seq("j", "h"))
+      .groupBy($"i", $"j", $"na", $"nb")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard", $"c".cast("double") / ($"na" + $"nb" - $"c").cast("double"))
+      .filter($"jaccard" >= tau)
+      .select($"i", $"j", round($"jaccard", 6).as("jaccard"))
+      .orderBy($"i", $"j")
+  }
+
+  /** Brute-force oracle (prefix filtering is exact, so all-pairs
+    * intersection over the same shingle arithmetic must agree).
+    */
+  lazy val dedupJaccardFullSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, $duckTokens32 AS th
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(th) < 3 THEN
+      |      [list_reduce(list_concat([CAST(7 AS BIGINT)], th), (a, h) -> (a * 33 + h) & 4294967295)]
+      |    ELSE
+      |      list_transform(range(1, len(th) - 1), i ->
+      |        (((((th[i] * 31) & 4294967295) * 33 + ((th[i+1] * 62) & 4294967295)) & 4294967295) * 33
+      |          + ((th[i+2] * 93) & 4294967295)) & 4294967295)
+      |    END) AS s
+      |  FROM toks),
+      |pairs AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j,
+      |    len(list_intersect(a.s, b.s)) AS c, len(a.s) AS na, len(b.s) AS nb
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT i, j,
+      |  round(CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE), 6) AS jaccard
+      |FROM pairs WHERE CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) >= 0.5
+      |ORDER BY i, j""".stripMargin
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   val NumHashes = 64
@@ -218,10 +292,12 @@ object Dedup {
     * intermediate is masked to < 2^38).
     */
   /** RE2 whitespace class matching Java's \s (raw string: escapes reach
-    * the regex engine, not the Scala compiler). */
-  private val wsClass: String = """[ \t\n\x0B\f\r]+"""
+    * the regex engine, not the Scala compiler). Defs, not vals: these
+    * are referenced by oracle strings declared BEFORE this point in the
+    * file, and object vals initialize in declaration order. */
+  private def wsClass: String = """[ \t\n\x0B\f\r]+"""
 
-  private val duckTokens32: String =
+  private def duckTokens32: String =
     """list_transform(
       |      list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), t -> t <> ''),
       |      t -> list_reduce(

@@ -144,6 +144,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter($"i" >= $"j").count() == 0)
   }
 
+  test("prefix-filtered jaccard join is exact vs brute-force all-pairs") {
+    val full = Dedup.dedupJaccardFull(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force over the same shingle arithmetic
+    val sh = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", array_distinct(
+        graft.functions.HashFunctions.shingle_hash3(
+          graft.functions.HashFunctions.token_hash32($"text"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+    val brute = (for {
+      (i, si) <- sh; (j, sj) <- sh if i < j
+      c = (si & sj).size
+      jac = c.toDouble / (si.size + sj.size - c)
+      if jac >= 0.5
+    } yield (i, j) -> jac).toMap
+    assert(full.keySet == brute.keySet,
+      s"missing=${brute.keySet -- full.keySet} extra=${full.keySet -- brute.keySet}")
+    brute.foreach { case (k, v) =>
+      assert(math.abs(full(k) - math.rint(v * 1e6) / 1e6) < 1e-9, s"pair $k")
+    }
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val p = Dedup.dedupEmbedding(spark, sf)
     assert(p.filter($"cos_sim" < 0.3).count() == 0)
