@@ -93,7 +93,11 @@ object Dedup {
     *     candidates come from an equi-join on PREFIX shingles only —
     *     linear in corpus size for discriminative shingle spaces, never
     *     a cross join, and exact (no false negatives);
-    *   - candidates are verified by counting the true intersection.
+    *   - a length filter prunes pairs whose sizes alone cap Jaccard
+    *     below τ (|A∩B| ≤ min(n) and |A∪B| ≥ max(n) ⇒ J ≤ min/max);
+    *   - survivors are verified per PAIR against the two shingle
+    *     arrays (size(array_intersect)) — NOT by re-exploding shingles
+    *     per candidate, which would materialize |cand|·|doc| rows.
     *
     * Word SETS are degenerate on a small vocabulary (every doc contains
     * nearly every word); 3-gram shingles discriminate by ordering, which
@@ -106,24 +110,32 @@ object Dedup {
       .select($"doc_id", array_distinct(
         graft.functions.HashFunctions.shingle_hash3(
           graft.functions.HashFunctions.token_hash32($"text"))).as("shs"))
-    val ex = sh.select($"doc_id", size($"shs").as("n"), explode($"shs").as("h"))
+      .select($"doc_id", $"shs", size($"shs").as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sh.select($"doc_id", $"n", explode($"shs").as("h"))
+    // df table is |distinct shingles| rows of two longs — partial-agg'd
+    // map-side and broadcast back by AQE; ex recomputes from persisted sh
     val dfh = ex.groupBy($"h").agg(count(lit(1)).as("dfh"))
     val prefix = ex.join(dfh, "h")
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
           .orderBy($"dfh", $"h")))
       .filter($"rn" <= $"n" - ceil(lit(tau) * $"n").cast("int") + 1)
-      .select($"doc_id", $"h")
+      .select($"doc_id", $"n", $"h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate ids only through the shuffle; length filter kills pairs
+    // whose size ratio alone caps Jaccard under τ
     val cand = prefix.as("a")
-      .join(prefix.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .join(prefix.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
+        least($"a.n", $"b.n").cast("double") >= lit(tau) * greatest($"a.n", $"b.n"))
       .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
       .distinct()
-    val exI = ex.select($"doc_id".as("i"), $"n".as("na"), $"h")
-    val exJ = ex.select($"doc_id".as("j"), $"n".as("nb"), $"h")
-    cand.join(exI, "i").join(exJ, Seq("j", "h"))
-      .groupBy($"i", $"j", $"na", $"nb")
-      .agg(count(lit(1)).as("c"))
+    // per-pair verification against the two shingle arrays: one row per
+    // candidate, never |cand|×|shingles per doc| exploded rows
+    val shI = sh.select($"doc_id".as("i"), $"shs".as("sa"), $"n".as("na"))
+    val shJ = sh.select($"doc_id".as("j"), $"shs".as("sb"), $"n".as("nb"))
+    cand.join(shI, "i").join(shJ, "j")
+      .withColumn("c", size(array_intersect($"sa", $"sb")))
       .withColumn("jaccard", $"c".cast("double") / ($"na" + $"nb" - $"c").cast("double"))
       .filter($"jaccard" >= tau)
       .select($"i", $"j", round($"jaccard", 6).as("jaccard"))
