@@ -20,7 +20,7 @@ object Bench {
     "q13_order_distribution", "q18_large_orders",
     "window_topn", "sessionize", "asof_join", "events_hourly",
     "cdc_materialize", "cdc_history", "cdc_multi_table",
-    "dedup_exact", "dedup_minhash", "dedup_simhash",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard_full",
     "text_quality", "text_fingerprint", "text_tfidf",
     "ann_bruteforce", "ann_lsh")
 

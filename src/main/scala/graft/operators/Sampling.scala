@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deterministic corpus sampling/splitting for training-data pipelines.
+  *
+  * Splits must be STABLE across runs, engines, and re-partitioning — a
+  * doc's split assignment can never depend on row order, partition
+  * count, or an RNG seed that another engine can't reproduce. The
+  * assignment key is a cryptographic hash of (doc_id, text), so it is
+  * reproducible bit-for-bit anywhere md5 exists, and uniform enough
+  * that hex-prefix thresholds give the requested proportions. This is a
+  * per-row codegen'd map over the scan: zero shuffles at any corpus
+  * size, and adding data never reassigns existing docs.
+  */
+object Sampling {
+
+  /** Train/val/test assignment by md5 hex prefix: 256 buckets,
+    * 'cc' = 204/256 ≈ 79.7% train, 'e6' = 230/256 → ≈10.2% val,
+    * remainder ≈10.2% test.
+    */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        substring(md5(concat($"doc_id".cast("string"), lit(":"), $"text")), 1, 2)
+          .as("bucket"))
+      .withColumn("split",
+        when($"bucket" < "cc", lit("train"))
+          .when($"bucket" < "e6", lit("val"))
+          .otherwise(lit("test")))
+      .orderBy($"doc_id")
+  }
+
+  val sampleSplitSql: String =
+    """SELECT doc_id,
+      |  substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 2) AS bucket,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 2) < 'cc' THEN 'train'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** One-row corpus profile: sizes, token mass, and the exact-dup rate
+    * (distinct md5 over total). One scan + one global aggregate; the
+    * count(DISTINCT) is the only shuffle and carries 16-byte digests,
+    * not documents.
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = filter(split($"text", "\\s+"), t => t =!= "")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text", size(toks).cast("long").as("n_tok"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("total_tokens"),
+        sum(length($"text").cast("long")).as("total_chars"),
+        round(sum($"n_tok").cast("double") / count(lit(1)).cast("double"), 6)
+          .as("avg_tokens"),
+        countDistinct(md5($"text")).as("n_unique_texts"))
+  }
+
+  val corpusStatsSql: String =
+    """SELECT count(*) AS n_docs,
+      |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+      |  round(CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS avg_tokens,
+      |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
+      |FROM documents""".stripMargin
+}

@@ -189,4 +189,102 @@ object TextAnalysis {
       |    list_transform(split(text, ''), x -> CAST(unicode(x) AS BIGINT))),
       |    (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Gopher-style repetition filters: top-bigram fraction and
+    * duplicated-trigram fraction per document (Rae et al. 2021 §A1.1,
+    * the "repetitious text" removal rules). Computed distributively:
+    * posexplode tokens, window-lead to form n-grams (one shuffle keyed
+    * by doc_id, both n-gram sizes share it), then count/aggregate —
+    * never a per-doc HOF loop, so a 100 TB corpus spreads across
+    * executors with map-side partial aggregation. Defined for docs with
+    * ≥3 tokens (every shorter doc is degenerate for both rules).
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val grams = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+      .withColumn("nxt1", lead($"tok", 1).over(w))
+      .withColumn("nxt2", lead($"tok", 2).over(w))
+    val bg = grams.filter($"nxt1".isNotNull)
+      .groupBy($"doc_id", concat_ws(" ", $"tok", $"nxt1").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").as("n_bg"), max($"c").as("top_bg"))
+    val tri = grams.filter($"nxt2".isNotNull)
+      .groupBy($"doc_id", concat_ws(" ", $"tok", $"nxt1", $"nxt2").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").as("n_tri"),
+        sum(when($"c" > 1, $"c").otherwise(0L)).as("dup_tri"))
+    bg.join(tri, "doc_id")
+      .select($"doc_id", $"n_bg",
+        round($"top_bg".cast("double") / $"n_bg".cast("double"), 6).as("top_bigram_frac"),
+        round($"dup_tri".cast("double") / $"n_tri".cast("double"), 6).as("dup_trigram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val textRepetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+      |  FROM toks WHERE len(t) >= 2),
+      |tri AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      |  FROM toks WHERE len(t) >= 3),
+      |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+      |tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+      |bgs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg, CAST(max(c) AS BIGINT) AS top_bg
+      |        FROM bgc GROUP BY doc_id),
+      |tris AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri,
+      |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_tri
+      |         FROM tric GROUP BY doc_id)
+      |SELECT bgs.doc_id, n_bg,
+      |  round(CAST(top_bg AS DOUBLE) / CAST(n_bg AS DOUBLE), 6) AS top_bigram_frac,
+      |  round(CAST(dup_tri AS DOUBLE) / CAST(n_tri AS DOUBLE), 6) AS dup_trigram_frac
+      |FROM bgs JOIN tris ON bgs.doc_id = tris.doc_id
+      |ORDER BY bgs.doc_id""".stripMargin
+
+  /** PII scrubbing: regex redaction of emails and phone-like tokens, a
+    * per-row codegen'd map over the scan (zero shuffles at any scale).
+    * The synthetic corpus carries no PII, so a deterministic fixture is
+    * PLANTED on every 7th doc before scrubbing — the operator under
+    * test is the scrub, and the oracle sees the same planted input.
+    * Patterns stay in the RE2 ∩ java.util.regex common subset so Spark
+    * and DuckDB compile them identically.
+    */
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emailPat = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+    val phonePat = "555-[0-9]{4}"
+    Tables.documents(spark, dir)
+      .withColumn("raw", when($"doc_id" % 7 === 0,
+        concat($"text", lit(" contact user"), $"doc_id",
+          lit("@example.com call 555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+        .otherwise($"text"))
+      .select($"doc_id",
+        regexp_replace(regexp_replace($"raw", emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>").as("scrubbed"),
+        regexp_count($"raw", lit(emailPat)).cast("long").as("n_emails"),
+        regexp_count($"raw", lit(phonePat)).cast("long").as("n_phones"))
+      .orderBy($"doc_id")
+  }
+
+  val textPiiScrubSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN
+      |    text || ' contact user' || doc_id || '@example.com call 555-' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |  ELSE text END AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_replace(regexp_replace(raw, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+      |    '555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed,
+      |  CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS BIGINT) AS n_phones
+      |FROM raw ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Sampling, TextAnalysis}
+
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("text_repetition flags a degenerate repeated doc far above a varied one") {
+    val dir = java.nio.file.Files.createTempDirectory("rep").toString
+    Seq(
+      (0L, ("spam ham " * 30).trim),                       // one bigram repeated
+      (1L, (1 to 60).map(i => s"w$i").mkString(" "))       // all tokens distinct
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.textRepetition(spark, dir)
+      .collect().map(x => x.getLong(0) -> (x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(0L)._1 > 0.4, "repeated doc's top bigram should dominate")
+    assert(r(0L)._2 > 0.9, "repeated doc's trigrams are nearly all dups")
+    assert(r(1L)._1 < 0.05 && r(1L)._2 == 0.0, "varied doc has no repetition")
+  }
+
+  test("text_pii_scrub removes every planted email/phone and counts them") {
+    val out = TextAnalysis.textPiiScrub(spark, sf)
+    assert(out.filter($"scrubbed".rlike("[a-z0-9]+@[a-z0-9]+\\.[a-z]+")).count() == 0)
+    assert(out.filter($"scrubbed".rlike("555-[0-9]{4}")).count() == 0)
+    val planted = out.filter($"doc_id" % 7 === 0)
+    assert(planted.filter($"n_emails" >= 1 && $"n_phones" >= 1).count() == planted.count())
+    assert(out.filter($"doc_id" % 7 =!= 0)
+      .filter($"n_emails" > 0 || $"n_phones" > 0).count() == 0)
+  }
+
+  test("sample_split is deterministic and within 3pp of 80/10/10") {
+    val a = Sampling.sampleSplit(spark, sf).collect()
+    val b = Sampling.sampleSplit(spark, sf).collect()
+    assert(a.sameElements(b), "split assignment must be run-stable")
+    val n = a.length.toDouble
+    val frac = a.groupBy(_.getString(2)).view.mapValues(_.length / n).toMap
+    assert(math.abs(frac("train") - 0.797) < 0.03, s"train=${frac("train")}")
+    assert(math.abs(frac("val") - 0.102) < 0.03, s"val=${frac("val")}")
+    assert(math.abs(frac("test") - 0.102) < 0.03, s"test=${frac("test")}")
+  }
+
+  test("corpus_stats totals agree with direct aggregation") {
+    val row = Sampling.corpusStats(spark, sf).collect()(0)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(row.getLong(0) == docs.count())
+    val chars = docs.select(sum(length($"text").cast("long"))).first().getLong(0)
+    assert(row.getLong(2) == chars)
+    assert(row.getLong(4) <= row.getLong(0))
+  }
+}
