@@ -113,4 +113,49 @@ object IvfIndex {
       .select($"q_id", $"rk", $"n_id", round($"cos", 6).as("cos_sim"))
       .orderBy($"q_id", $"rk")
   }
+
+  /** ADAPTIVE-nprobe IVF: instead of a fixed probe count, each query
+    * probes every cluster whose centroid score sits within `margin` of
+    * the spread between its best and worst centroid (capped at
+    * `maxProbe`, floor 1). Queries that land squarely inside one
+    * cluster scan little; queries on cluster boundaries — where fixed
+    * nprobe loses its recall — automatically widen. The per-query probe
+    * decision is a window over k centroid scores (k rows per query),
+    * so the adaptivity costs nothing at corpus scale; the corpus-side
+    * plan is identical to [[annIvf]].
+    */
+  def annIvfAdaptive(spark: SparkSession, dir: String, k: Int = 16,
+                     margin: Double = 0.5, maxProbe: Int = 8,
+                     topK: Int = 5): DataFrame = {
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val corpus = e.filter($"vec_id" >= 8)
+      .select($"vec_id".as("n_id"), $"embedding".as("n_vec"))
+    val centroids = trainCentroids(corpus, "n_id", "n_vec", k)
+    val index = assignClusters(corpus, "n_vec", centroids)
+      .select($"n_id", $"n_vec", $"__cluster".as("cluster"), norm($"n_vec").as("n_norm"))
+
+    val queries = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), norm($"embedding").as("q_norm"))
+    val wq = Window.partitionBy($"q_id")
+    val probes = queries.select($"q_id", $"q_vec", $"q_norm",
+        explode(array(centroids.zipWithIndex.map { case (c, i) =>
+          struct(vec_dot($"q_vec", typedLit(c)).as("score"), lit(i).as("cluster"))
+        }: _*)).as("cs"))
+      .withColumn("best", max($"cs.score").over(wq))
+      .withColumn("worst", min($"cs.score").over(wq))
+      .withColumn("rk", row_number().over(
+        wq.orderBy($"cs.score".desc, $"cs.cluster")))
+      .filter($"rk" === 1 || ($"rk" <= maxProbe &&
+        $"cs.score" >= $"best" - lit(margin) * ($"best" - $"worst")))
+      .select($"q_id", $"q_vec", $"q_norm", $"cs.cluster".as("cluster"))
+
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+    index.join(broadcast(probes), "cluster")
+      .withColumn("cos", cosinePre($"q_vec", $"n_vec", $"q_norm", $"n_norm"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= topK)
+      .select($"q_id", $"rk", $"n_id", round($"cos", 6).as("cos_sim"))
+      .orderBy($"q_id", $"rk")
+  }
 }

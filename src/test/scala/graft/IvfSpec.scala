@@ -34,6 +34,34 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall below 0.8")
   }
 
+  test("adaptive nprobe varies probe width per query and holds recall") {
+    val ivf = IvfIndex.annIvfAdaptive(spark, sf, k = 16, margin = 0.5, maxProbe = 8)
+    val perQuery = ivf.groupBy($"q_id").count().collect()
+    assert(perQuery.length == 8 && perQuery.forall(_.getLong(1) == 5))
+    val bf = Similarity.annBruteforce(spark, sf)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val got = ivf.select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(got).size.toDouble / bf.size
+    info(s"adaptive IVF recall = $recall")
+    assert(recall >= 0.5, s"recall $recall too low")
+    // the probe decision must actually adapt: with a mid-range margin,
+    // boundary queries widen beyond the narrowest query's probe count
+    val e = sources.Tables.embeddings(spark, sf)
+    val corpus = e.filter($"vec_id" >= 8)
+      .select($"vec_id".as("n_id"), $"embedding".as("n_vec"))
+    val cents = IvfIndex.trainCentroids(corpus, "n_id", "n_vec", 16)
+    val widths = e.filter($"vec_id" < 8).collect().map { r =>
+      val v = r.getSeq[Float](1).toArray
+      val scores = cents.map(c => c.zip(v).map { case (a, b) => a.toDouble * b }.sum)
+      val best = scores.max; val worst = scores.min
+      val sorted = scores.sortBy(-_)
+      sorted.take(8).count(s => s == best || s >= best - 0.5 * (best - worst)).max(1)
+    }
+    info(s"probe widths = ${widths.mkString(",")}")
+    assert(widths.min >= 1 && widths.max <= 8)
+    assert(widths.distinct.length > 1, "probe width should vary across queries")
+  }
+
   test("centroid training is deterministic") {
     val corpus = sources.Tables.embeddings(spark, sf)
       .select($"vec_id".as("n_id"), $"embedding".as("n_vec"))
