@@ -95,11 +95,32 @@ class PlanSpec extends SparkSpec {
     for ((name, df) <- Seq(
         "dedup_minhash" -> operators.Dedup.dedupMinhash(spark, sf),
         "dedup_simhash" -> operators.Dedup.dedupSimhash(spark, sf),
+        "dedup_jaccard_full" -> operators.Dedup.dedupJaccardFull(spark, sf),
         "ann_lsh" -> operators.Similarity.annLsh(spark, sf))) {
       val ag = arrayGroupings(df.queryExecution.optimizedPlan)
       assert(ag.isEmpty, s"$name groups by array column(s): $ag")
       val as = arrayShuffles(df)
       assert(as.isEmpty, s"$name shuffles on array key(s): $as")
     }
+  }
+
+  test("pii_scrub and sample_split are pure maps: zero exchanges") {
+    for ((name, df) <- Seq(
+        "text_pii_scrub" -> operators.TextAnalysis.textPiiScrub(spark, sf),
+        "sample_split" -> operators.Sampling.sampleSplit(spark, sf))) {
+      // the trailing presentation orderBy is the only permitted exchange
+      val n = shuffleCount(df)
+      info(s"$name shuffles = $n")
+      assert(n <= 1, s"$name should be map-only + output sort, got $n")
+    }
+  }
+
+  test("text_repetition: n-gram sizes share the doc_id shuffle") {
+    val df = operators.TextAnalysis.textRepetition(spark, sf)
+    val n = shuffleCount(df)
+    info(s"text_repetition shuffles = $n")
+    // window by doc_id (shared by both leads), per-gram groupBys (bg +
+    // tri), per-doc groupBys collapse into them, join + final orderBy
+    assert(n <= 6, s"text_repetition shuffles too much: $n")
   }
 }
