@@ -397,4 +397,64 @@ object Cdc {
   val jsonExtractSql: String =
     """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS prop_k
       |FROM events ORDER BY event_id""".stripMargin
+
+  /** Incremental view maintenance: a per-event_type aggregate (live-key
+    * count + value sum over the CURRENT state) kept up to date from a
+    * change batch by RETRACTION deltas instead of re-aggregating the
+    * world. The changelog splits at 80% of the max offset: the first
+    * 80% plays the bootstrapped view; the last 20% is the increment.
+    * The incremental path touches only the new batch plus the prior
+    * state rows of the keys it changes (a semi-join) — cost ∝ batch
+    * size, not corpus size, which is the difference between a per-
+    * micro-batch refresh that scans 100 TB and one that scans megabytes.
+    * Sums stay in decimal so view1 ⊕ deltas is EXACTLY the direct
+    * recompute (the oracle aggregates the fully-materialized state).
+    */
+  def cdcIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val log = changelog(spark, dir)
+    val cutRow = broadcast(log.agg(
+      (max($"offset") * 0.8).cast("long").as("cut")))
+    val l = log.crossJoin(cutRow)
+    val b1 = l.filter($"offset" <= $"cut").drop("cut")
+    val b2 = l.filter($"offset" > $"cut").drop("cut")
+    val route = TableRoute(Seq("key"), "offset")
+    def dec(c: Column) = c.cast("decimal(18,4)")
+
+    // bootstrap view over the old state (in production this is the
+    // stored view, not a recompute)
+    val view1 = materialize(b1, route).groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum(dec($"value")).as("sv"))
+    // retract the prior state of exactly the keys the batch touches
+    val touched = b2.select($"key").distinct()
+    val retract = materialize(b1, route).join(touched, "key")
+      .groupBy($"event_type")
+      .agg((-count(lit(1))).as("n"), (-sum(dec($"value"))).as("sv"))
+    // insert each touched key's new state (latest within the batch wins;
+    // keys whose final op is a delete contribute nothing)
+    val insert = materialize(b2, route).groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum(dec($"value")).as("sv"))
+
+    view1.unionByName(retract).unionByName(insert)
+      .groupBy($"event_type")
+      .agg(sum($"n").as("n_users"), sum($"sv").as("sv"))
+      .filter($"n_users" > 0)
+      .select($"event_type", $"n_users",
+        round($"sv", 4).cast("double").as("total_value"))
+      .orderBy($"event_type")
+  }
+
+  val cdcIncrementalAggSql: String =
+    s"""WITH log AS (
+      |  SELECT user_id AS key, $sqlOp AS op, value, event_id AS ofs, event_type
+      |  FROM events),
+      |state AS (
+      |  SELECT * FROM (
+      |    SELECT key, op, value, event_type,
+      |      row_number() OVER (PARTITION BY key ORDER BY ofs DESC) AS rn
+      |    FROM log) t
+      |  WHERE rn = 1 AND op <> 'd')
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+      |FROM state GROUP BY event_type ORDER BY event_type""".stripMargin
 }

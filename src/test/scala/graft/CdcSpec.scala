@@ -60,6 +60,24 @@ class CdcSpec extends SparkSpec {
     assert(merged.count() == 2)
   }
 
+  test("incremental agg equals a full recompute over the final state") {
+    val inc = Cdc.cdcIncrementalAgg(spark, sf).collect()
+    val direct = Cdc.cdcMaterialize(spark, sf)
+      .join(sources.Tables.events(spark, sf)
+        .select($"event_id".as("last_offset"), $"event_type"), "last_offset")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_users"),
+        round(sum($"current_value".cast("decimal(18,4)")), 4).cast("double")
+          .as("total_value"))
+      .orderBy($"event_type").collect()
+    assert(inc.length == direct.length)
+    inc.zip(direct).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(a.getLong(1) == b.getLong(1), s"count differs for ${a.getString(0)}")
+      assert(a.getDouble(2) == b.getDouble(2), s"sum differs for ${a.getString(0)}")
+    }
+  }
+
   test("routing: partitioned write creates one directory per target") {
     val out = java.nio.file.Files.createTempDirectory("graft_route").toString
     Cdc.changelog(spark, sf)
