@@ -248,6 +248,78 @@ object TextAnalysis {
       |FROM bgs JOIN tris ON bgs.doc_id = tris.doc_id
       |ORDER BY bgs.doc_id""".stripMargin
 
+  /** The composed cleaning decision a training-data pipeline actually
+    * ships: per-doc flags from the individual filters — token-count
+    * bounds, stopword-ratio floor (gibberish guard), top-bigram
+    * repetition ceiling, exact-dup canonicality (min doc_id per md5
+    * wins) — AND'd into one `keep`. One pass builds everything except
+    * the bigram aggregate (one extra doc_id-keyed shuffle) and the
+    * md5 canonicality window (one shuffle on a 16-byte digest); at
+    * 100 TB the filters stay per-row/per-doc — nothing global except
+    * the digest partition.
+    */
+  def pipelineClean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stopArr = array(stopwords.map(lit): _*)
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", $"text", tokens($"text").as("toks"))
+      .select($"doc_id", $"text", $"toks",
+        size($"toks").cast("long").as("n_tokens"),
+        round(size(filter($"toks", t => array_contains(stopArr, t))).cast("double")
+          / size($"toks").cast("double"), 6).as("stop_ratio"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val bg = base.select($"doc_id", posexplode($"toks").as(Seq("pos", "tok")))
+      .withColumn("nxt", lead($"tok", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .groupBy($"doc_id", concat_ws(" ", $"tok", $"nxt").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(round(max($"c").cast("double") / sum($"c").cast("double"), 6)
+        .as("top_bigram_frac"))
+    val canon = Tables.documents(spark, dir)
+      .select($"doc_id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5($"text")).orderBy($"doc_id")).as("rn"))
+    base.join(bg, Seq("doc_id"), "left")
+      .na.fill(0.0, Seq("top_bigram_frac"))
+      .join(canon, "doc_id")
+      .select($"doc_id", $"n_tokens", $"stop_ratio", $"top_bigram_frac",
+        ($"rn" === 1).as("is_canonical"),
+        ($"n_tokens".between(20, 1000) && $"stop_ratio" >= 0.05 &&
+          $"top_bigram_frac" < 0.2 && $"rn" === 1).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  lazy val pipelineCleanSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sized AS (
+      |  SELECT doc_id, text, t, len(t) AS n_tokens,
+      |    round(CAST(len(list_filter(t, x -> list_contains(
+      |      ['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE)
+      |      / CAST(len(t) AS DOUBLE), 6) AS stop_ratio
+      |  FROM base),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+      |  FROM base WHERE len(t) >= 2),
+      |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+      |bgf AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+      |        AS top_bigram_frac FROM bgc GROUP BY doc_id),
+      |canon AS (SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |          FROM documents)
+      |SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens, s.stop_ratio,
+      |  coalesce(f.top_bigram_frac, 0.0) AS top_bigram_frac,
+      |  (c.rn = 1) AS is_canonical,
+      |  (s.n_tokens BETWEEN 20 AND 1000 AND s.stop_ratio >= 0.05
+      |   AND coalesce(f.top_bigram_frac, 0.0) < 0.2 AND c.rn = 1) AS keep
+      |FROM sized s
+      |LEFT JOIN bgf f ON s.doc_id = f.doc_id
+      |JOIN canon c ON s.doc_id = c.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
   /** PII scrubbing: regex redaction of emails and phone-like tokens, a
     * per-row codegen'd map over the scan (zero shuffles at any scale).
     * The synthetic corpus carries no PII, so a deterministic fixture is

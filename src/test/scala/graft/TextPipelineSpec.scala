@@ -41,6 +41,22 @@ class TextPipelineSpec extends SparkSpec {
     assert(math.abs(frac("test") - 0.102) < 0.03, s"test=${frac("test")}")
   }
 
+  test("pipeline_clean drops exactly the docs that violate each filter") {
+    val dir = java.nio.file.Files.createTempDirectory("clean").toString
+    val good = (1 to 30).map(i => s"w$i the x$i").mkString(" ") // 90 toks, stopwordy, all bigrams distinct
+    Seq(
+      (0L, good),                                  // keeps
+      (1L, good),                                  // exact dup of 0 -> dropped (not canonical)
+      (2L, "too short"),                           // n_tokens < 20
+      (3L, (1 to 50).map(i => s"x$i").mkString(" ")), // no stopwords
+      (4L, ("spam ham " * 40).trim)                // repetitive
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.pipelineClean(spark, dir)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(5)).toMap
+    assert(r == Map(0L -> true, 1L -> false, 2L -> false, 3L -> false, 4L -> false))
+  }
+
   test("corpus_stats totals agree with direct aggregation") {
     val row = Sampling.corpusStats(spark, sf).collect()(0)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
