@@ -108,6 +108,38 @@ object StreamQueries {
     """SELECT event_id, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Stream-stream interval join (purchase ← same user's clicks in the
+    * preceding hour), both sides watermarked so join state is bounded.
+    * Inner joins emit eagerly on match, so on a finite input the sink
+    * holds every qualifying pair. Timestamps are truncated to micros on
+    * the Spark side; the oracle mirrors with integer microsecond
+    * arithmetic so boundary comparisons are bit-identical.
+    */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = stageEvents(dir)
+    val name = uniqueName("sq_join")
+    def src = spark.readStream
+      .schema(spark.read.parquet(inDir).schema)
+      .parquet(inDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = CdcStream.streamStreamJoin(
+        src.filter(col("event_type") === "purchase"),
+        src.filter(col("event_type") === "click"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name).orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  val streamJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+      |  FROM events)
+      |SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+      |FROM e p JOIN e c ON p.user_id = c.user_id
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND c.us >= p.us - 3600000000 AND c.us <= p.us
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   /** Stateful gap-sessionization with event-time timeouts: sessions are
     * emitted once — closed by a gap, or finalized when the watermark
     * passes their deadline. With a 0-second delay the final watermark is
