@@ -20,8 +20,9 @@ object Bench {
     "q13_order_distribution", "q18_large_orders",
     "window_topn", "sessionize", "asof_join", "events_hourly",
     "cdc_materialize", "cdc_history", "cdc_multi_table",
+    "cdc_incremental_agg",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard_full",
-    "text_quality", "text_fingerprint", "text_tfidf",
+    "text_quality", "text_fingerprint", "text_tfidf", "pipeline_clean",
     "ann_bruteforce", "ann_lsh")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
