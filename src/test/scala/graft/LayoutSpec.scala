@@ -27,4 +27,33 @@ class LayoutSpec extends SparkSpec {
       .select(input_file_name()).distinct().count()
     assert(files <= 2, s"point lookup touched $files files") // boundary key may span 2
   }
+
+  test("z-order clustering localizes BOTH dimensions' footer stats") {
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("vbucket", floor($"value").cast("long"))
+    Layout.writeZOrdered(events, $"user_id", $"vbucket", numFiles = 16, out)
+
+    // pruning model = what parquet does: a file survives a point
+    // predicate iff the probe falls inside its [min,max] for that column
+    def containing(keyName: String, probes: Seq[Long]): Double = {
+      val ranges = Layout.fileRanges(spark, out, keyName)
+        .select($"min_key", $"max_key").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      probes.map(p => ranges.count { case (lo, hi) => lo <= p && p <= hi }).sum
+        .toDouble / probes.length
+    }
+    val nFiles = Layout.fileRanges(spark, out, "user_id").count().toDouble
+    assert(nFiles == 16.0)
+    val uProbes = Seq(5L, 37L, 61L, 88L, 110L)
+    val vProbes = Seq(10L, 55L, 95L, 140L, 180L)
+    val uAvg = containing("user_id", uProbes)
+    val vAvg = containing("vbucket", vProbes)
+    info(f"avg files containing probe: user_id $uAvg%.1f, vbucket $vAvg%.1f of $nFiles")
+    // both dimensions must prune: a point predicate on either dim keeps
+    // well under half the files (1-dim clustering keeps ALL files for
+    // the second dim)
+    assert(uAvg <= nFiles / 2, s"user_id dim does not prune: $uAvg")
+    assert(vAvg <= nFiles / 2, s"vbucket dim does not prune: $vAvg")
+  }
 }
