@@ -104,6 +104,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force the shuffle-join shape
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    def query() = {
+      val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+        .filter($"o_orderpriority" === "1-URGENT")
+      lineitem.join(orders, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(sum($"l_quantity".cast("decimal(18,4)")).cast("double").as("qty"))
+    }
+    try {
+      val baseline = query().collect().toSeq
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = query()
+      val rows = df.collect().toSeq
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter_agg"),
+        s"no bloom filter built from the selective side:\n$plan")
+      assert(plan.toLowerCase.contains("might_contain"),
+        "bloom filter not applied on the fact scan side")
+      assert(rows == baseline, "runtime filtering changed the result")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("pii_scrub and sample_split are pure maps: zero exchanges") {
     for ((name, df) <- Seq(
         "text_pii_scrub" -> operators.TextAnalysis.textPiiScrub(spark, sf),
