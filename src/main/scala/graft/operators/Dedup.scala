@@ -561,4 +561,67 @@ object Dedup {
       |  ON a.vec_id < b.vec_id AND a.label = b.label
       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3
       |ORDER BY i, j""".stripMargin
+
+  // ---- Duplicate clustering (connected components) ---------------------
+
+  /** The step after pair generation: group near-dup PAIRS into
+    * transitive CLUSTERS and elect a canonical doc per cluster (min
+    * doc_id). Distributed iterative min-label propagation: each round
+    * every node takes the min label among itself and its neighbors —
+    * one join + one groupBy per round, converging in O(log diameter)
+    * rounds (near-dup components are shallow: mostly pairs/triangles,
+    * so 2-3 rounds in practice). Only (id, label) longs ride the
+    * shuffles; the driver sees one convergence count per round, never
+    * data. Pairs come from [[dedupJaccardFull]] — exact, so the
+    * clustering is reproducible in SQL (recursive closure oracle).
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = dedupJaccardFull(spark, dir).select($"i", $"j")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.union(pairs.select($"j", $"i")).toDF("a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select($"a".as("id")).distinct()
+      .withColumn("label", $"id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val next = edges.join(labels, $"b" === $"id")
+        .select($"a".as("id"), $"label")
+        .union(labels)
+        .groupBy($"id").agg(min($"label").as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.as("n")
+        .join(labels.as("o"), $"n.id" === $"o.id")
+        .filter($"n.label" =!= $"o.label").count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels
+      .select($"id".as("doc_id"), $"label".as("cluster_id"),
+        ($"id" === $"label").as("is_canonical"))
+      .orderBy($"doc_id")
+  }
+
+  /** Recursive transitive closure in SQL: cluster id = min doc reachable
+    * over the symmetric pair graph (incl. self).
+    */
+  lazy val dedupClustersSql: String =
+    s"""WITH pairs AS ($dedupJaccardFullSql),
+      |edges AS (
+      |  SELECT i AS a, j AS b FROM pairs
+      |  UNION SELECT j, i FROM pairs
+      |  UNION SELECT i, i FROM pairs
+      |  UNION SELECT j, j FROM pairs),
+      |closure AS (
+      |  WITH RECURSIVE reach(a, b) AS (
+      |    SELECT a, b FROM edges
+      |    UNION
+      |    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      |  SELECT * FROM reach)
+      |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id,
+      |  (a = min(b)) AS is_canonical
+      |FROM closure GROUP BY a ORDER BY doc_id""".stripMargin
 }

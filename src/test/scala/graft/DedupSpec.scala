@@ -166,6 +166,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("duplicate clustering is transitive with min-id canonical election") {
+    val dir = java.nio.file.Files.createTempDirectory("cc").toString
+    val a = ("alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi ") * 4
+    Seq(
+      (10L, a),                               // chain: 10~11 (identical)
+      (11L, a),
+      (12L, a.replace("theta", "sigma")),     // 12 near-dups 10/11 -> one cluster
+      (20L, "totally different content here about engines " * 8),
+      (21L, "totally different content here about engines " * 8), // pair cluster
+      (30L, (1 to 80).map(i => s"u$i").mkString(" "))             // unpaired: absent
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = Dedup.dedupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq(
+      (10L, 10L, true), (11L, 10L, false), (12L, 10L, false),
+      (20L, 20L, true), (21L, 20L, false)))
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val p = Dedup.dedupEmbedding(spark, sf)
     assert(p.filter($"cos_sim" < 0.3).count() == 0)
