@@ -398,6 +398,41 @@ object Cdc {
     """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS prop_k
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Dead-letter routing: envelopes that fail parsing are FLAGGED with
+    * a reason instead of silently dropped — at sustained bus volume a
+    * parse-and-drop ingest loses data invisibly; the reference's sink
+    * would stall the connector instead. The feed is the synthesized
+    * envelope stream with every 13th line deterministically truncated
+    * (planted corruption, same pattern as the PII fixtures), so the
+    * oracle exercises real `from_json` failures. Pure per-row map —
+    * zero shuffles at any scale.
+    */
+  def cdcDeadLetter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val env = changelog(spark, dir).select(
+      to_json(struct(struct(
+        when($"op" === "d", struct($"key", $"value")).otherwise(lit(null)).as("before"),
+        when($"op" =!= "d", struct($"key", $"value")).otherwise(lit(null)).as("after"),
+        $"op",
+        (unix_timestamp($"ts") * 1000).as("ts_ms"),
+        struct(lit("postgres").as("db"), lit("commerce").as("schema"),
+          lit("events").as("table")).as("source")).as("payload"))).as("raw"),
+      $"offset")
+    val corrupted = env.withColumn("raw",
+      when($"offset" % 13 === 0, substring($"raw", 1, 20)).otherwise($"raw"))
+    corrupted
+      .withColumn("e", from_json($"raw", envelopeSchema))
+      .select($"offset".as("ofs"),
+        $"e.payload.op".isNull.as("is_dead"),
+        $"e.payload.op".as("op"))
+      .orderBy($"ofs")
+  }
+
+  val cdcDeadLetterSql: String =
+    s"""SELECT event_id AS ofs, (event_id % 13 = 0) AS is_dead,
+      |  CASE WHEN event_id % 13 = 0 THEN NULL ELSE $sqlOp END AS op
+      |FROM events ORDER BY ofs""".stripMargin
+
   /** Incremental view maintenance: a per-event_type aggregate (live-key
     * count + value sum over the CURRENT state) kept up to date from a
     * change batch by RETRACTION deltas instead of re-aggregating the
