@@ -24,6 +24,7 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("n_bytes", IntegerType),
+    StructField("feature_sum", LongType),
     StructField("feature_mean", DoubleType),
     StructField("feature_max", IntegerType)))
 
@@ -63,7 +64,7 @@ object Multimodal {
             i += 1
           }
           Row(r.getAs[Long]("doc_id"), r.getAs[String]("media_format"),
-            r.getAs[Int]("width"), r.getAs[Int]("height"), bytes.length,
+            r.getAs[Int]("width"), r.getAs[Int]("height"), bytes.length, sum,
             if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length, max)
         }
       }(enc)
@@ -96,7 +97,12 @@ object Multimodal {
   }
 
   /** End-to-end multimodal pass: synthesize payloads, batch-"decode",
-    * aggregate per format. rows-only (the decode stub is not SQL).
+    * aggregate per format. Oracle-checked: the stub's byte statistics
+    * are deterministic integer arithmetic over ASCII payloads, so the
+    * whole path — synthesis, mapPartitions decode, aggregate — is
+    * reproducible in SQL. The format mean is computed from the exact
+    * integer (sum, count) pairs, never by averaging per-doc doubles
+    * (which would be partial-aggregation-order-dependent).
     */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -104,9 +110,28 @@ object Multimodal {
     decodeStub(spark, media)
       .groupBy($"media_format")
       .agg(count(lit(1)).as("n_docs"),
-        round(avg($"feature_mean"), 4).as("avg_byte_mean"),
-        max($"feature_max").as("max_byte"),
-        sum($"n_bytes").as("total_bytes"))
+        round(sum($"feature_sum").cast("double") / sum($"n_bytes").cast("double"), 6)
+          .as("avg_byte_mean"),
+        max($"feature_max").cast("long").as("max_byte"),
+        sum($"n_bytes").cast("long").as("total_bytes"))
       .orderBy($"media_format")
   }
+
+  val multimodalMetaSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    ['png','jpeg','wav'][CAST(doc_id % 3 + 1 AS INT)] AS media_format,
+      |    'MEDIA:' || ['png','jpeg','wav'][CAST(doc_id % 3 + 1 AS INT)] || ':' || text AS s
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, media_format, length(s) AS n_bytes,
+      |    list_reduce(list_transform(split(s, ''), c -> CAST(unicode(c) AS BIGINT)),
+      |      (a, b) -> a + b) AS fsum,
+      |    list_max(list_transform(split(s, ''), c -> unicode(c))) AS fmax
+      |  FROM p)
+      |SELECT media_format, count(*) AS n_docs,
+      |  round(CAST(sum(fsum) AS DOUBLE) / CAST(sum(n_bytes) AS DOUBLE), 6) AS avg_byte_mean,
+      |  CAST(max(fmax) AS BIGINT) AS max_byte,
+      |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+      |FROM f GROUP BY media_format ORDER BY media_format""".stripMargin
 }
