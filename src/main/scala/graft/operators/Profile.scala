@@ -76,4 +76,34 @@ object Profile {
         countDistinct($"l_orderkey").as("exact_orders"))
       .orderBy($"l_returnflag")
   }
+
+  /** Heavy hitters: every user holding at least `supportPct`% of all
+    * events, with exact counts and shares. One groupBy (map-side
+    * partial) + a broadcast scalar total; the support filter is what
+    * bounds the output at corpus scale — the full per-key histogram
+    * never leaves the shuffle. The frequency-analysis primitive behind
+    * bot/outlier detection in training-data pipelines.
+    */
+  def heavyHitters(spark: SparkSession, dir: String,
+                   supportPct: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val total = events.agg(count(lit(1)).as("total"))
+    events.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(total))
+      .filter($"n_events" * 100.0 >= lit(supportPct) * $"total")
+      .select($"user_id", $"n_events",
+        round($"n_events".cast("double") / $"total".cast("double"), 6).as("share"))
+      .orderBy($"n_events".desc, $"user_id")
+  }
+
+  val heavyHittersSql: String =
+    """WITH t AS (SELECT count(*) AS total FROM events),
+      |c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+      |SELECT user_id, n_events,
+      |  round(CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+      |FROM c CROSS JOIN t
+      |WHERE n_events * 100.0 >= 0.75 * total
+      |ORDER BY n_events DESC, user_id""".stripMargin
 }

@@ -94,4 +94,64 @@ object TimeSeries {
     s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
       |  count(*) AS n, CAST(sum(${sqlDec("value")}) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** Ordered 3-stage funnel: signup → first subsequent click → first
+    * subsequent purchase, per user, in STRICT event-time order (a
+    * purchase before the click doesn't count — the distinction naive
+    * per-type-count funnels miss). Three narrowing aggregates, each
+    * keyed on user_id so the per-user joins co-partition; exact
+    * nanosecond ordering via ts_ns. Output: one row of stage counts
+    * and conversion rates.
+    */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val signup = e.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts_ns").as("t_signup"))
+    val click = e.filter($"event_type" === "click")
+      .join(signup, "user_id")
+      .filter($"ts_ns" > $"t_signup")
+      .groupBy($"user_id").agg(min($"ts_ns").as("t_click"))
+    val purchase = e.filter($"event_type" === "purchase")
+      .join(click, "user_id")
+      .filter($"ts_ns" > $"t_click")
+      .groupBy($"user_id").agg(min($"ts_ns").as("t_purchase"))
+    // single-row stage counts composed lazily — no driver-side counts
+    e.agg(countDistinct($"user_id").as("n_users"))
+      .crossJoin(signup.agg(count(lit(1)).as("n_signup")))
+      .crossJoin(click.agg(count(lit(1)).as("n_click_after")))
+      .crossJoin(purchase.agg(count(lit(1)).as("n_purchase_after")))
+      .select($"n_users", $"n_signup", $"n_click_after", $"n_purchase_after",
+        round($"n_signup".cast("double") / $"n_users".cast("double"), 6)
+          .as("signup_rate"),
+        round($"n_click_after".cast("double")
+          / greatest($"n_signup", lit(1L)).cast("double"), 6).as("click_rate"),
+        round($"n_purchase_after".cast("double")
+          / greatest($"n_click_after", lit(1L)).cast("double"), 6).as("purchase_rate"))
+  }
+
+  val funnelConversionSql: String =
+    """WITH s AS (
+      |  SELECT user_id, min(epoch_ns(ts)) AS t_signup FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t_click
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s.t_signup
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t_click
+      |  GROUP BY e.user_id)
+      |SELECT
+      |  CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT) AS n_users,
+      |  CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
+      |  CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after,
+      |  CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after,
+      |  round(CAST((SELECT count(*) FROM s) AS DOUBLE)
+      |    / CAST((SELECT count(DISTINCT user_id) FROM events) AS DOUBLE), 6) AS signup_rate,
+      |  round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+      |    / CAST(greatest((SELECT count(*) FROM s), 1) AS DOUBLE), 6) AS click_rate,
+      |  round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+      |    / CAST(greatest((SELECT count(*) FROM c), 1) AS DOUBLE), 6) AS purchase_rate""".stripMargin
 }
