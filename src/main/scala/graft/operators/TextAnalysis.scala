@@ -168,6 +168,79 @@ object TextAnalysis {
       |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n) t
       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** BM25 retrieval scoring (Robertson/Lucene idf variant, k1=1.2,
+    * b=0.75) for a fixed query over the corpus — the ranked-retrieval
+    * complement to tf·idf, used in training-data curation to pull
+    * topical slices. Only query-term postings leave the token explode
+    * (the filter is pushed below the tf groupBy), df/avgdl are
+    * broadcast scalars, and the global top-k sort is WindowGroupLimit-
+    * pruned. Per-doc scores add the per-term components in FIXED query
+    * order (never a float `sum` over an unordered group), so ranking is
+    * bit-stable and the oracle reproduces it exactly.
+    */
+  def bm25Search(spark: SparkSession, dir: String,
+                 query: Seq[String] = Seq("spark", "query", "window"),
+                 k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val sized = Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", $"toks", size($"toks").cast("long").as("dl"))
+    val stats = sized.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    val tf = sized.select($"doc_id", $"dl", explode($"toks").as("w"))
+      .filter($"w".isin(query: _*))
+      .groupBy($"doc_id", $"dl", $"w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "w").crossJoin(broadcast(stats))
+      .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs".cast("double"))
+      .withColumn("idf",
+        log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
+      .withColumn("s", $"idf" * ($"tf" * lit(k1 + 1)) /
+        ($"tf" + lit(k1) * (lit(1 - b) + lit(b) * $"dl".cast("double") / $"avgdl")))
+    val perTerm = query.map(t => max(when($"w" === t, $"s")).as("s_" + t))
+    val grouped = scored.groupBy($"doc_id").agg(perTerm.head, perTerm.tail: _*)
+    val score = query.map(t => coalesce(col("s_" + t), lit(0.0))).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(score.desc, $"doc_id")
+    grouped
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= topK)
+      .select($"doc_id", $"rk", round(score, 6).as("score"))
+      .orderBy($"rk")
+  }
+
+  val bm25SearchSql: String =
+    """WITH sized AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS dl,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM sized),
+      |tf AS (
+      |  SELECT doc_id, dl, w, count(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(t) AS w FROM sized)
+      |  WHERE w IN ('spark', 'query', 'window') GROUP BY doc_id, dl, w),
+      |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |s AS (
+      |  SELECT tf.doc_id, tf.w,
+      |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+      |        / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS sc
+      |  FROM tf JOIN dfq ON tf.w = dfq.w CROSS JOIN stats),
+      |per AS (
+      |  SELECT doc_id,
+      |    max(sc) FILTER (w = 'spark') AS s_spark,
+      |    max(sc) FILTER (w = 'query') AS s_query,
+      |    max(sc) FILTER (w = 'window') AS s_window
+      |  FROM s GROUP BY doc_id)
+      |SELECT doc_id, rk, round(raw, 6) AS score FROM (
+      |  SELECT doc_id,
+      |    coalesce(s_spark, 0) + coalesce(s_query, 0) + coalesce(s_window, 0) AS raw,
+      |    row_number() OVER (ORDER BY
+      |      coalesce(s_spark, 0) + coalesce(s_query, 0) + coalesce(s_window, 0) DESC,
+      |      doc_id) AS rk
+      |  FROM per) ranked
+      |WHERE rk <= 20 ORDER BY rk""".stripMargin
+
   /** Content fingerprinting: md5 plus a 64-bit polynomial rolling hash
     * (base-31 mod 1e9+7 over the character codepoints — the classic
     * Rabin-Karp fingerprint), both deterministic across engines.
