@@ -95,6 +95,59 @@ object TimeSeries {
       |  count(*) AS n, CAST(sum(${sqlDec("value")}) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Gap-filled resampling: 15-minute buckets over the full event span,
+    * with empty buckets materialized (n=0, total 0) and a carry-forward
+    * of the last observed bucket total — the densification step every
+    * time-series consumer needs before charting/forecasting, done
+    * without a driver loop: the bucket spine is one `sequence` +
+    * explode from a broadcast (min,max) scalar pair, the carry is one
+    * ordered window. Bucket ids are exact integer ns-divisions, so the
+    * spine and the oracle's generate_series agree bucket-for-bucket.
+    */
+  def resampleFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucketNs = 900L * 1000000000L // 15 min
+    // integer division semantics: div truncates toward zero == floor for
+    // the positive epoch range
+    val agg = Tables.events(spark, dir)
+      .withColumn("bucket", expr(s"ts_ns div ${bucketNs}L"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,4)")).cast("double").as("total_value"))
+    val span = agg.agg(min($"bucket").as("lo"), max($"bucket").as("hi"))
+    val spine = span.select(explode(sequence($"lo", $"hi")).as("bucket"))
+    val filled = spine.join(agg, Seq("bucket"), "left")
+      .select($"bucket",
+        coalesce($"n", lit(0L)).as("n"),
+        coalesce($"total_value", lit(0.0)).as("total_value"),
+        when($"n".isNotNull, $"total_value").as("observed"))
+    val w = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled
+      .withColumn("carry_value", last($"observed", ignoreNulls = true).over(w))
+      .select($"bucket", $"n", $"total_value", $"carry_value")
+      .orderBy($"bucket")
+  }
+
+  val resampleFillSql: String =
+    """WITH b AS (
+      |  SELECT epoch_ns(ts) // 900000000000 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY 1),
+      |spine AS (
+      |  SELECT unnest(generate_series((SELECT min(bucket) FROM b),
+      |                                (SELECT max(bucket) FROM b))) AS bucket),
+      |filled AS (
+      |  SELECT s.bucket, coalesce(b.n, 0) AS n,
+      |    coalesce(b.total_value, 0.0) AS total_value,
+      |    b.total_value AS observed
+      |  FROM spine s LEFT JOIN b ON s.bucket = b.bucket)
+      |SELECT bucket, n, total_value,
+      |  last_value(observed IGNORE NULLS) OVER (ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_value
+      |FROM filled ORDER BY bucket""".stripMargin
+
   /** Ordered 3-stage funnel: signup → first subsequent click → first
     * subsequent purchase, per user, in STRICT event-time order (a
     * purchase before the click doesn't count — the distinction naive
