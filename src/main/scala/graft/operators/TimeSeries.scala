@@ -48,6 +48,98 @@ object TimeSeries {
       |  ON e.user_id = o.k AND e.ts >= o.t
       |ORDER BY e.event_id""".stripMargin
 
+  /** FORWARD as-of: each event joined to the FIRST order at-or-after it
+    * (the dual of [[asofJoin]]'s last-at-or-before). Same union +
+    * carry-forward shape, scanned on the reversed time axis — still one
+    * shuffle, no range-join blowup. Integer-second timestamps keep the
+    * comparison exact in both engines.
+    */
+  def asofJoinForward(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .groupBy($"o_custkey".as("k"),
+        unix_timestamp($"o_orderdate".cast("timestamp")).as("t_s"))
+      .agg(max($"o_orderkey").as("o_key"))
+      .select($"k", $"t_s", $"o_key", lit(null).cast("long").as("event_id"),
+        lit(0).as("src"))
+    val events = Tables.events(spark, dir)
+      .select($"user_id".as("k"), expr("ts_ns div 1000000000").as("t_s"),
+        lit(null).cast("long").as("o_key"), $"event_id", lit(1).as("src"))
+    // reversed axis; at equal t the order (src 0) precedes the event →
+    // at-or-after (inclusive) semantics
+    val w = Window.partitionBy($"k").orderBy($"t_s".desc, $"src", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.unionByName(events)
+      .withColumn("next_order", last($"o_key", ignoreNulls = true).over(w))
+      .filter($"src" === 1 && $"next_order".isNotNull)
+      .select($"event_id", $"k".as("user_id"), $"next_order")
+      .orderBy($"event_id")
+  }
+
+  val asofJoinForwardSql: String =
+    """SELECT e.event_id, e.user_id, o.o_key AS next_order
+      |FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t FROM events) e
+      |ASOF JOIN
+      |  (SELECT o_custkey AS k, epoch_ns(CAST(o_orderdate AS TIMESTAMP)) // 1000000000 AS t,
+      |     max(o_orderkey) AS o_key
+      |   FROM orders GROUP BY 1, 2) o
+      |  ON e.user_id = o.k AND e.t <= o.t
+      |ORDER BY e.event_id""".stripMargin
+
+  /** NEAREST as-of: each event joined to whichever order is closest in
+    * time, before or after (ties → the earlier/backward order). Both
+    * directional carries share ONE hash shuffle on the key — two window
+    * sorts over the same partitioning, no second exchange — then a
+    * per-row delta comparison picks the side.
+    */
+  def asofJoinNearest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .groupBy($"o_custkey".as("k"),
+        unix_timestamp($"o_orderdate".cast("timestamp")).as("t_s"))
+      .agg(max($"o_orderkey").as("o_key"))
+      .select($"k", $"t_s", $"o_key", lit(null).cast("long").as("event_id"),
+        lit(0).as("src"))
+    val events = Tables.events(spark, dir)
+      .select($"user_id".as("k"), expr("ts_ns div 1000000000").as("t_s"),
+        lit(null).cast("long").as("o_key"), $"event_id", lit(1).as("src"))
+    val ord = when($"src" === 0, struct($"t_s".as("t"), $"o_key".as("key")))
+    val wB = Window.partitionBy($"k").orderBy($"t_s", $"src", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy($"k").orderBy($"t_s".desc, $"src", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val useFwd = $"bwd".isNull ||
+      ($"fwd".isNotNull && ($"fwd.t" - $"t_s") < ($"t_s" - $"bwd.t"))
+    orders.unionByName(events)
+      .withColumn("bwd", last(ord, ignoreNulls = true).over(wB))
+      .withColumn("fwd", last(ord, ignoreNulls = true).over(wF))
+      .filter($"src" === 1 && ($"bwd".isNotNull || $"fwd".isNotNull))
+      .select($"event_id", $"k".as("user_id"),
+        when(useFwd, $"fwd.key").otherwise($"bwd.key").as("near_order"),
+        when(useFwd, $"fwd.t" - $"t_s").otherwise($"t_s" - $"bwd.t").as("delta_s"))
+      .orderBy($"event_id")
+  }
+
+  val asofJoinNearestSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t FROM events),
+      |o AS (SELECT o_custkey AS k, epoch_ns(CAST(o_orderdate AS TIMESTAMP)) // 1000000000 AS t,
+      |        max(o_orderkey) AS o_key
+      |      FROM orders GROUP BY 1, 2),
+      |b AS (SELECT e.event_id, o.o_key, o.t FROM e ASOF LEFT JOIN o
+      |        ON e.user_id = o.k AND e.t >= o.t),
+      |f AS (SELECT e.event_id, o.o_key, o.t FROM e ASOF LEFT JOIN o
+      |        ON e.user_id = o.k AND e.t <= o.t)
+      |SELECT e.event_id, e.user_id,
+      |  CASE WHEN b.o_key IS NULL OR (f.o_key IS NOT NULL AND (f.t - e.t) < (e.t - b.t))
+      |       THEN f.o_key ELSE b.o_key END AS near_order,
+      |  CASE WHEN b.o_key IS NULL OR (f.o_key IS NOT NULL AND (f.t - e.t) < (e.t - b.t))
+      |       THEN f.t - e.t ELSE e.t - b.t END AS delta_s
+      |FROM e
+      |JOIN b ON e.event_id = b.event_id
+      |JOIN f ON e.event_id = f.event_id
+      |WHERE b.o_key IS NOT NULL OR f.o_key IS NOT NULL
+      |ORDER BY e.event_id""".stripMargin
+
   /** Range join: for each purchase, the click/view activity of the same
     * user in the preceding hour. Key equality makes this a plain shuffled
     * hash join with a residual range predicate — no interval-join blowup.
