@@ -74,6 +74,14 @@ class PlanSpec extends SparkSpec {
     assert(n <= 4)
   }
 
+  test("asof_join_nearest: both directional carries share the key shuffle") {
+    val n = shuffleCount(operators.TimeSeries.asofJoinNearest(spark, sf))
+    info(s"asof_join_nearest shuffles = $n")
+    // orders-side groupBy, ONE hash partition on k reused by both window
+    // sorts, final orderBy — a second k-exchange would make this ≥5
+    assert(n <= 4, s"directional carries did not share the shuffle: $n")
+  }
+
   test("no operator shuffles on array keys (dedup/ANN pair paths)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
