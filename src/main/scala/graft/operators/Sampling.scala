@@ -42,6 +42,39 @@ object Sampling {
       |       ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Stratified deterministic sampling: a per-stratum keep-rate applied
+    * by content-hash threshold, so each event_type is down-sampled to
+    * its own rate (the class-rebalancing primitive for training mixes)
+    * while staying stable across runs, engines, and partitioning. The
+    * hex-prefix comparison is a pure per-row predicate — zero shuffles,
+    * and the sample never changes when data is appended.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // per-stratum keep thresholds on the first two md5 hex chars
+    // (256 buckets): purchase keeps ~100%, signup ~50%, click ~25%,
+    // view ~12.5%, error ~6.25%
+    val cut = typedLit(Map(
+      "purchase" -> "zz", "signup" -> "80", "click" -> "40",
+      "view" -> "20", "error" -> "10"))
+    graft.sources.Tables.events(spark, dir)
+      .withColumn("bucket",
+        substring(md5(concat($"event_id".cast("string"), lit(":"), $"event_type")), 1, 2))
+      .filter($"bucket" < element_at(cut, $"event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy($"event_type")
+  }
+
+  val sampleStratifiedSql: String =
+    """SELECT event_type, count(*) AS n_kept
+      |FROM events
+      |WHERE substr(md5(CAST(event_id AS VARCHAR) || ':' || event_type), 1, 2) <
+      |  CASE event_type WHEN 'purchase' THEN 'zz' WHEN 'signup' THEN '80'
+      |    WHEN 'click' THEN '40' WHEN 'view' THEN '20' WHEN 'error' THEN '10'
+      |    ELSE '00' END
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** One-row corpus profile: sizes, token mass, and the exact-dup rate
     * (distinct md5 over total). One scan + one global aggregate; the
     * count(DISTINCT) is the only shuffle and carries 16-byte digests,

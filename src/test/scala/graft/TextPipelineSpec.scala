@@ -41,6 +41,22 @@ class TextPipelineSpec extends SparkSpec {
     assert(math.abs(frac("test") - 0.102) < 0.03, s"test=${frac("test")}")
   }
 
+  test("sample_stratified keeps each event_type at its own target rate") {
+    val totals = graft.sources.Tables.events(spark, sf)
+      .groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Sampling.sampleStratified(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = Map("purchase" -> 1.0, "signup" -> 0.5, "click" -> 0.25,
+      "view" -> 0.125, "error" -> 0.0625)
+    for ((t, want) <- target) {
+      val got = kept.getOrElse(t, 0L).toDouble / totals(t)
+      // md5 bucketing is binomial around the target; 4pp covers sf0.01 noise
+      assert(math.abs(got - want) < 0.04, s"$t kept=$got want=$want")
+    }
+    assert(kept("purchase") == totals("purchase"), "purchase stratum is kept whole")
+  }
+
   test("pipeline_clean drops exactly the docs that violate each filter") {
     val dir = java.nio.file.Files.createTempDirectory("clean").toString
     val good = (1 to 30).map(i => s"w$i the x$i").mkString(" ") // 90 toks, stopwordy, all bigrams distinct
