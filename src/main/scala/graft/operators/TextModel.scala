@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Statistical text-model operators for corpus curation: n-gram
+  * language-model scoring (the perplexity-style quality signal CCNet /
+  * Gopher pipelines threshold on) and batched BM25 retrieval (many
+  * topical slices pulled in one corpus pass).
+  *
+  * Both follow the explode → aggregate → hash-join shape: model counts
+  * are corpus-level aggregates that join back to per-document terms on
+  * the term key, so every stage is linear with map-side partial
+  * aggregation and the plans survive a 100 TB corpus. Float policy:
+  * per-term scores are quantized (`round(_, 9)`) and summed as exact
+  * decimals in a FIXED combination order, so cross-engine results are
+  * bit-identical — never a float `sum` over an unordered group.
+  */
+object TextModel {
+
+  /** Non-empty whitespace-separated tokens (same convention as
+    * [[TextAnalysis]]). */
+  private def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  /** Bigram language model scored over its own training corpus:
+    * p(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V)  (add-one smoothing, V =
+    * corpus vocabulary). Each document reports its bigram count, mean
+    * log-probability, and bits-per-token — the fluency score used to
+    * filter gibberish from training data.
+    *
+    * Scale shape: bigrams form via one doc_id-keyed window (posexplode +
+    * lead — no per-doc lambda loops); the model tables c2/c1 are global
+    * aggregates where c1 derives from c2 (no second pass over the raw
+    * bigrams); scoring joins per-doc DISTINCT bigrams (with
+    * multiplicity) to the model on the bigram key. Per-bigram log-probs
+    * are quantized to 9dp and summed as decimals scaled by integer
+    * multiplicity, so the per-doc mean is exact in any summation order.
+    * Documents with <2 tokens have no bigrams and are excluded.
+    */
+  def ngramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val docs = Tables.documents(spark, dir)
+    val bg = docs
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead($"tok", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .select($"doc_id", $"tok".as("w1"), $"nxt".as("w2"))
+    // per-doc distinct bigrams with multiplicity — the score join then
+    // carries one row per distinct (doc, bigram), not per occurrence
+    val dbg = bg.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("m"))
+    val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+    val vocab = docs.select(explode(tokens($"text")).as("tok"))
+      .agg(countDistinct($"tok").as("v"))
+    val lp9 = round(log(($"c2" + 1).cast("double") / ($"c1" + $"v").cast("double")), 9)
+      .cast("decimal(18,9)")
+    val ln2 = 0.6931471805599453
+    dbg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy($"doc_id")
+      .agg(sum($"m").as("n_bigrams"),
+        sum($"m".cast("decimal(10,0)") * lp9).as("sum_lp"))
+      .select($"doc_id", $"n_bigrams",
+        round($"sum_lp".cast("double") / $"n_bigrams".cast("double"), 6).as("avg_logp"),
+        round(-($"sum_lp".cast("double") / $"n_bigrams".cast("double")) / lit(ln2), 6)
+          .as("bits_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  val ngramLmScoreSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)),
+      |bg AS (
+      |  SELECT doc_id, g[1] AS w1, g[2] AS w2
+      |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) AS g
+      |        FROM toks WHERE len(t) >= 2)),
+      |dbg AS (SELECT doc_id, w1, w2, count(*) AS m FROM bg GROUP BY doc_id, w1, w2),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+      |s AS (
+      |  SELECT d.doc_id, d.m,
+      |    CAST(round(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)), 9)
+      |      AS DECIMAL(18,9)) AS lp
+      |  FROM dbg d
+      |  JOIN c2 ON d.w1 = c2.w1 AND d.w2 = c2.w2
+      |  JOIN c1 ON d.w1 = c1.w1
+      |  CROSS JOIN v)
+      |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+      |  round(CAST(sum(CAST(m AS DECIMAL(10,0)) * lp) AS DOUBLE)
+      |    / CAST(sum(m) AS DOUBLE), 6) AS avg_logp,
+      |  round(-(CAST(sum(CAST(m AS DECIMAL(10,0)) * lp) AS DOUBLE)
+      |    / CAST(sum(m) AS DOUBLE)) / 0.6931471805599453, 6) AS bits_per_token
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The fixed query batch for [[bm25Multi]]: (query_id, ordered terms).
+    * Term order is part of the contract — scores add per-term components
+    * in slot order, keeping the sum bit-stable. */
+  val multiQueries: Seq[(String, Seq[String])] = Seq(
+    "q_spark"  -> Seq("spark", "query", "window"),
+    "q_stream" -> Seq("data", "stream", "join"),
+    "q_sort"   -> Seq("hash", "merge", "sort"))
+
+  /** Batched BM25: several queries ranked in ONE pass over the corpus
+    * (k1=1.2, b=0.75, Robertson/Lucene idf — identical scoring to
+    * [[TextAnalysis.bm25Search]]). The postings table is built once,
+    * filtered to the union of all query terms BELOW the tf aggregate,
+    * then fanned out to queries by a broadcast join on the term — the
+    * corpus is scanned once no matter how many queries ride the batch,
+    * which is what makes curation slicing affordable at 100 TB. Per-doc
+    * scores pivot each query's terms into fixed slots and add them in
+    * slot order; top-10 per query via a partitioned rank, so the global
+    * sort is WindowGroupLimit-pruned.
+    */
+  def bm25Multi(spark: SparkSession, dir: String,
+                k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    val allTerms = multiQueries.flatMap(_._2).distinct
+    val qterms = multiQueries
+      .flatMap { case (q, ts) => ts.zipWithIndex.map { case (t, i) => (q, i + 1, t) } }
+      .toDF("query_id", "slot", "w")
+    val sized = Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", $"toks", size($"toks").cast("long").as("dl"))
+    val stats = sized.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    val tf = sized.select($"doc_id", $"dl", explode($"toks").as("w"))
+      .filter($"w".isin(allTerms: _*))
+      .groupBy($"doc_id", $"dl", $"w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "w")
+      .join(broadcast(qterms), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs".cast("double"))
+      .withColumn("idf", log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
+      .withColumn("s", $"idf" * ($"tf" * lit(k1 + 1)) /
+        ($"tf" + lit(k1) * (lit(1 - b) + lit(b) * $"dl".cast("double") / $"avgdl")))
+    val slots = Seq(1, 2, 3).map(i => max(when($"slot" === i, $"s")).as(s"s$i"))
+    val grouped = scored.groupBy($"query_id", $"doc_id").agg(slots.head, slots.tail: _*)
+    val score = Seq(1, 2, 3).map(i => coalesce(col(s"s$i"), lit(0.0))).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy(score.desc, $"doc_id")
+    grouped
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= topK)
+      .select($"query_id", $"rk", $"doc_id", round(score, 6).as("score"))
+      .orderBy($"query_id", $"rk")
+  }
+
+  val bm25MultiSql: String = {
+    val allTerms = multiQueries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    val values = multiQueries
+      .flatMap { case (q, ts) => ts.zipWithIndex.map { case (t, i) => s"('$q', ${i + 1}, '$t')" } }
+      .mkString(", ")
+    s"""WITH sized AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS dl,
+      |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM sized),
+      |tf AS (
+      |  SELECT doc_id, dl, w, count(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(t) AS w FROM sized)
+      |  WHERE w IN ($allTerms) GROUP BY doc_id, dl, w),
+      |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |q AS (SELECT * FROM (VALUES $values) AS q(query_id, slot, w)),
+      |s AS (
+      |  SELECT q.query_id, q.slot, tf.doc_id,
+      |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+      |        / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS sc
+      |  FROM tf JOIN dfq ON tf.w = dfq.w JOIN q ON tf.w = q.w CROSS JOIN stats),
+      |per AS (
+      |  SELECT query_id, doc_id,
+      |    max(sc) FILTER (slot = 1) AS s1,
+      |    max(sc) FILTER (slot = 2) AS s2,
+      |    max(sc) FILTER (slot = 3) AS s3
+      |  FROM s GROUP BY query_id, doc_id)
+      |SELECT query_id, rk, doc_id, round(raw, 6) AS score FROM (
+      |  SELECT query_id, doc_id,
+      |    coalesce(s1, 0) + coalesce(s2, 0) + coalesce(s3, 0) AS raw,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY
+      |      coalesce(s1, 0) + coalesce(s2, 0) + coalesce(s3, 0) DESC, doc_id) AS rk
+      |  FROM per) ranked
+      |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+  }
+}

@@ -240,6 +240,37 @@ object TimeSeries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_value
       |FROM filled ORDER BY bucket""".stripMargin
 
+  /** Sliding-window aggregation on batch data: 1-hour windows advancing
+    * every 15 minutes, so each event lands in exactly 4 overlapping
+    * windows. Uses Spark's native `window()` generator — the same
+    * operator Structured Streaming plans for sliding event-time aggs —
+    * which expands rows map-side (no self-join against a window spine)
+    * and feeds one partial-aggregated shuffle on (window, event_type).
+    * Epoch-aligned starts make the bucketing reproducible from the raw
+    * nanosecond timestamps in any engine.
+    */
+  def slidingWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum(dec($"value")).cast("double").as("total_value"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        $"event_type", $"n", $"total_value")
+      .orderBy($"w_start", $"event_type")
+  }
+
+  val slidingWindowAggSql: String =
+    s"""WITH x AS (
+      |  SELECT event_type, value, epoch_ns(ts) // 900000000000 AS slot
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, value, (slot - k.k) * 900000000 AS w_us
+      |  FROM x CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k)
+      |SELECT strftime(make_timestamp(w_us), '%Y-%m-%d %H:%M:%S') AS w_start,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(${sqlDec("value")}) AS DOUBLE) AS total_value
+      |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
   /** Ordered 3-stage funnel: signup → first subsequent click → first
     * subsequent purchase, per user, in STRICT event-time order (a
     * purchase before the click doesn't count — the distinction naive
