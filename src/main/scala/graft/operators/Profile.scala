@@ -106,4 +106,49 @@ object Profile {
       |FROM c CROSS JOIN t
       |WHERE n_events * 100.0 >= 0.75 * total
       |ORDER BY n_events DESC, user_id""".stripMargin
+
+  /** Population z-score anomaly flagging per event_type: an event is
+    * anomalous when it sits >3σ from its type's mean. The per-type
+    * moments come from ONE decimal-exact aggregate — sums of value and
+    * of its 4dp-quantized square, so mean/variance are reproducible in
+    * any summation order (never a float sum over an unordered group) —
+    * then broadcast back over the scan as a per-row map. Two passes
+    * over events, zero row shuffles; the moments table is one row per
+    * type at any corpus size.
+    */
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val stats = e.groupBy($"event_type").agg(
+        count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,4)")).as("s"),
+        sum(round($"value" * $"value", 4).cast("decimal(28,4)")).as("ss"))
+      .select($"event_type",
+        ($"s".cast("double") / $"n".cast("double")).as("mean"),
+        ($"ss".cast("double") / $"n".cast("double")).as("msq"))
+      .select($"event_type", $"mean", sqrt($"msq" - $"mean" * $"mean").as("std"))
+    val z = ($"value" - $"mean") / $"std"
+    e.join(broadcast(stats), "event_type")
+      .select($"event_id", $"event_type", $"value",
+        round(z, 6).as("z"), (abs(z) > 3.0).as("is_anomaly"))
+      .orderBy($"event_id")
+  }
+
+  val anomalyZscoreSql: String =
+    """WITH st AS (
+      |  SELECT event_type, count(*) AS n,
+      |    sum(CAST(value AS DECIMAL(18,4))) AS s,
+      |    sum(CAST(round(value * value, 4) AS DECIMAL(28,4))) AS ss
+      |  FROM events GROUP BY event_type),
+      |m AS (
+      |  SELECT event_type,
+      |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) AS msq
+      |  FROM st),
+      |d AS (SELECT event_type, mean, sqrt(msq - mean * mean) AS std FROM m)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  round((e.value - d.mean) / d.std, 6) AS z,
+      |  (abs((e.value - d.mean) / d.std) > 3.0) AS is_anomaly
+      |FROM events e JOIN d ON e.event_type = d.event_type
+      |ORDER BY e.event_id""".stripMargin
 }

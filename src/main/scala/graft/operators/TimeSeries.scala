@@ -271,6 +271,40 @@ object TimeSeries {
       |  CAST(sum(${sqlDec("value")}) AS DOUBLE) AS total_value
       |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
 
+  /** Per-key exponential smoothing (EWMA, α=0.3): s₀ = x₀,
+    * sᵢ = α·xᵢ + (1-α)·sᵢ₋₁ over each user's events in strict
+    * (ts, event_id) order. The fold is inherently sequential PER KEY, so
+    * the distributed shape is: one shuffle groups each key's events,
+    * `collect_list` + `array_sort` orders them, and a single `aggregate`
+    * HOF folds left-to-right — keys fan out across executors, and the
+    * fixed fold order makes the float result bit-identical in any
+    * engine. (State is bounded by max events per key; a web-scale key
+    * would chunk by day and carry the tail forward.)
+    */
+  def ewmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val alpha = 0.3
+    val sorted = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(array_sort(collect_list(struct($"ts_ns", $"event_id", $"value"))).as("evs"))
+      // vals referenced 3× below (element_at/slice/size) — one projection
+      // so CollapseProject cannot inline the transform into each use
+      .select($"user_id", transform($"evs", e => e.getField("value")).as("vals"))
+    sorted.select($"user_id",
+        size($"vals").cast("long").as("n_events"),
+        round(aggregate(slice($"vals", lit(2), size($"vals") - 1),
+          element_at($"vals", 1),
+          (acc, x) => lit(alpha) * x + lit(1 - alpha) * acc), 6).as("ewma"))
+      .orderBy($"user_id")
+  }
+
+  val ewmaSmoothSql: String =
+    """SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+      |  round(list_reduce(vals, (a, b) -> 0.3 * b + 0.7 * a), 6) AS ewma
+      |FROM (SELECT user_id, list(value ORDER BY epoch_ns(ts), event_id) AS vals
+      |      FROM events GROUP BY user_id)
+      |ORDER BY user_id""".stripMargin
+
   /** Ordered 3-stage funnel: signup → first subsequent click → first
     * subsequent purchase, per user, in STRICT event-time order (a
     * purchase before the click doesn't count — the distinction naive

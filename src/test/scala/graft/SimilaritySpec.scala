@@ -40,4 +40,21 @@ class SimilaritySpec extends SparkSpec {
     info(s"LSH recall = $recall (${lsh.size} candidates)")
     assert(recall >= 0.2, s"recall $recall too low")
   }
+
+  test("embedding_centroids matches a direct per-dimension average") {
+    val e = sources.Tables.embeddings(spark, sf)
+    val direct = e.collect()
+      .map(r => r.getInt(2) -> r.getSeq[Float](1))
+      .groupBy(_._1)
+      .map { case (label, vs) =>
+        label -> (0 until 64).map(d => vs.map(_._2(d).toDouble).sum / vs.size)
+      }
+    val got = graft.operators.Embeddings.embeddingCentroids(spark, sf).collect()
+    assert(got.length == direct.size * 64)
+    for (row <- got) {
+      val want = direct(row.getInt(0))(row.getInt(1))
+      assert(math.abs(row.getDouble(3) - want) < 1e-5,
+        s"label ${row.getInt(0)} dim ${row.getInt(1)}: ${row.getDouble(3)} vs $want")
+    }
+  }
 }

@@ -14,6 +14,39 @@ class TimeSeriesSpec extends SparkSpec {
     assert(total == 4 * events, s"window fanout: $total != 4 * $events")
   }
 
+  test("ewma_smooth folds in strict time order: hand-computed fixture") {
+    val dir = java.nio.file.Files.createTempDirectory("ewma").toString
+    // written out of time order on purpose — the operator must re-sort
+    Seq(
+      (2L, 1700000002000000000L, 7L, 30.0, "click", "{}"),
+      (0L, 1700000000000000000L, 7L, 10.0, "click", "{}"),
+      (1L, 1700000001000000000L, 7L, 20.0, "click", "{}")
+    ).toDF("event_id", "ts", "user_id", "value", "event_type", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = TimeSeries.ewmaSmooth(spark, dir).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 3)
+    // s0=10; s1=0.3*20+0.7*10=13; s2=0.3*30+0.7*13=18.1
+    assert(math.abs(r(0).getDouble(2) - 18.1) < 1e-9, s"got ${r(0).getDouble(2)}")
+  }
+
+  test("anomaly_zscore moments match Spark's own stddev_pop") {
+    val expected = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(avg($"value").as("m"), stddev_pop($"value").as("sd"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val byType = graft.operators.Profile.anomalyZscore(spark, sf).collect()
+    for (row <- byType.take(200)) {
+      val (m, sd) = expected(row.getString(1))
+      val want = (row.getDouble(2) - m) / sd
+      assert(math.abs(row.getDouble(3) - want) < 1e-6,
+        s"event ${row.getLong(0)}: z=${row.getDouble(3)} want $want")
+    }
+    val flagged = byType.count(_.getBoolean(4))
+    assert(flagged > 0, "heavy-tailed testdata must produce some |z|>3 anomalies")
+    assert(byType.forall(r => r.getBoolean(4) == (math.abs(r.getDouble(3)) > 3.0) ||
+      math.abs(math.abs(r.getDouble(3)) - 3.0) < 1e-5))
+  }
+
   test("sliding_window_agg: on-the-hour windows reproduce the tumbling hourly agg") {
     val hourly = TimeSeries.eventsHourly(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
