@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{PqIndex, Similarity}
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = sources.Tables.embeddings(spark, sf)
+    .filter($"vec_id" >= 8)
+    .select($"vec_id".as("n_id"), $"embedding".as("n_vec"))
+
+  test("codes are M entries in [0, K) and deterministic across runs") {
+    val books = PqIndex.trainCodebooks(corpus, "n_id", "n_vec")
+    val books2 = PqIndex.trainCodebooks(corpus, "n_id", "n_vec")
+    assert(books.flatten.map(_.toSeq).toSeq == books2.flatten.map(_.toSeq).toSeq,
+      "training must be run-stable")
+    val coded = PqIndex.encode(corpus, "n_vec", books)
+      .select($"n_id", $"__codes").collect()
+    assert(coded.forall(_.getSeq[Int](1).size == PqIndex.M))
+    assert(coded.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < PqIndex.K)))
+  }
+
+  test("ADC distance tracks true squared L2 (bounded mean relative error)") {
+    val books = PqIndex.trainCodebooks(corpus, "n_id", "n_vec")
+    val coded = PqIndex.encode(corpus, "n_vec", books)
+      .select($"n_id", $"n_vec", $"__codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getSeq[Int](2).toArray))
+    val queries = sources.Tables.embeddings(spark, sf).filter($"vec_id" < 8)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val relErrs = for ((_, q) <- queries; (_, v, codes) <- coded.take(100)) yield {
+      val adc = (0 until PqIndex.M).map { s =>
+        val c = books(s)(codes(s))
+        val qs = q.slice(s * PqIndex.SubDim, (s + 1) * PqIndex.SubDim)
+        qs.zip(c).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+      }.sum
+      math.abs(adc - l2(q, v)) / l2(q, v)
+    }
+    val mre = relErrs.sum / relErrs.length
+    info(f"ADC mean relative error = $mre%.3f")
+    assert(mre < 0.35, f"quantization distortion too high: $mre%.3f")
+  }
+
+  test("ann_pq recall@5 vs exact L2 at ~50x compression") {
+    val pq = PqIndex.annPq(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    // exact L2 top-5 per query via the brute-force scan
+    val e = sources.Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 8).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val exact = corpus.crossJoin(broadcast(q))
+      .withColumn("d", aggregate(zip_with($"q_vec", $"n_vec",
+        (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"q_id").orderBy($"d".asc, $"n_id")))
+      .filter($"rk" <= 5).select($"q_id", $"n_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (qid, want) =>
+      pq.getOrElse(qid, Set.empty).intersect(want).size.toDouble / want.size
+    }
+    val recall = recalls.sum / recalls.size
+    val n = corpus.count().toDouble
+    info(f"PQ recall@5 = $recall%.2f over $n%.0f vectors")
+    assert(recall >= 0.6, f"recall $recall%.2f under the floor")
+    assert(recall > 25.0 / n, "must beat random top-5 by a wide margin")
+  }
+}
