@@ -116,6 +116,65 @@ object Profile {
     * over events, zero row shuffles; the moments table is one row per
     * type at any corpus size.
     */
+  /** Equi-width histogram of value per event_type (width 50): a pure
+    * integer bucketing map feeding one partial-aggregated shuffle — the
+    * shape histograms keep at any scale (output is bins × types, never
+    * rows). */
+  def valueHistogram(spark: SparkSession, dir: String,
+                     width: Double = 50.0): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("bin", floor($"value" / width).cast("int"))
+      .groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("n"))
+      .select($"event_type", $"bin", ($"bin" * width).as("bin_lo"), $"n")
+      .orderBy($"event_type", $"bin")
+  }
+
+  val valueHistogramSql: String =
+    """SELECT event_type, CAST(floor(value / 50.0) AS INT) AS bin,
+      |  CAST(floor(value / 50.0) AS INT) * 50.0 AS bin_lo,
+      |  count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
+
+  /** Winsorization: clip value to its type's [p05, p95] band and report
+    * clip counts plus the decimal-exact clipped mass. Thresholds are
+    * 4dp-rounded BEFORE comparison so both engines clip on identical
+    * constants; the percentile table is one row per type, broadcast
+    * back over the scan.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val pct = e.groupBy($"event_type").agg(
+      round(expr("percentile(value, 0.05)"), 4).as("p05"),
+      round(expr("percentile(value, 0.95)"), 4).as("p95"))
+    e.join(broadcast(pct), "event_type")
+      .withColumn("clipped", least(greatest($"value", $"p05"), $"p95"))
+      .groupBy($"event_type", $"p05", $"p95")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"value" < $"p05", 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when($"value" > $"p95", 1L).otherwise(0L)).as("n_clipped_hi"),
+        sum(round($"clipped", 4).cast("decimal(18,4)")).cast("double").as("sum_clipped"))
+      .select($"event_type", $"n", $"n_clipped_lo", $"n_clipped_hi",
+        $"p05", $"p95", $"sum_clipped")
+      .orderBy($"event_type")
+  }
+
+  val winsorizeSql: String =
+    """WITH pct AS (
+      |  SELECT event_type, round(quantile_cont(value, 0.05), 4) AS p05,
+      |    round(quantile_cont(value, 0.95), 4) AS p95
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN e.value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+      |  CAST(sum(CASE WHEN e.value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+      |  p05, p95,
+      |  CAST(sum(CAST(round(least(greatest(e.value, p05), p95), 4) AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS sum_clipped
+      |FROM events e JOIN pct ON e.event_type = pct.event_type
+      |GROUP BY e.event_type, p05, p95 ORDER BY e.event_type""".stripMargin
+
   def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.events(spark, dir)

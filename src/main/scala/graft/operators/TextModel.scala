@@ -98,6 +98,43 @@ object TextModel {
       |    / CAST(sum(m) AS DOUBLE)) / 0.6931471805599453, 6) AS bits_per_token
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Corpus-level top-50 bigrams by frequency — the vocabulary/collocation
+    * profile run before choosing tokenizer merges or stop-lists. Bigrams
+    * form on one doc_id-keyed window shuffle (posexplode + lead), counts
+    * partial-aggregate on the gram key, and the global rank is
+    * WindowGroupLimit-pruned (per-partition top-50 before the single-
+    * partition sort sees anything).
+    */
+  def topNgrams(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val counts = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead($"tok", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .groupBy(concat_ws(" ", $"tok", $"nxt").as("bigram"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"n".desc, $"bigram")))
+      .filter($"rk" <= topK)
+      .select($"rk", $"bigram", $"n")
+      .orderBy($"rk")
+  }
+
+  val topNgramsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+      |  FROM toks WHERE len(t) >= 2),
+      |c AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram)
+      |SELECT rk, bigram, n FROM (
+      |  SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram) AS rk FROM c)
+      |WHERE rk <= 50 ORDER BY rk""".stripMargin
+
   /** The fixed query batch for [[bm25Multi]]: (query_id, ordered terms).
     * Term order is part of the contract — scores add per-term components
     * in slot order, keeping the sum bit-stable. */

@@ -16,6 +16,19 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("winsorize clips ~5% each side and histogram mass equals row count") {
+    val w = Profile.winsorize(spark, sf).collect()
+    for (r <- w) {
+      val (n, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(math.abs(lo.toDouble / n - 0.05) < 0.02, s"${r.getString(0)} lo=$lo/$n")
+      assert(math.abs(hi.toDouble / n - 0.05) < 0.02, s"${r.getString(0)} hi=$hi/$n")
+      assert(r.getDouble(4) < r.getDouble(5), "p05 < p95")
+    }
+    val h = Profile.valueHistogram(spark, sf)
+    assert(h.agg(org.apache.spark.sql.functions.sum("n")).first().getLong(0) ==
+      sources.Tables.events(spark, sf).count())
+  }
+
   test("profile covers every declared column with consistent counts") {
     val p = Profile.tableProfile(spark, sf).collect()
     assert(p.map(_.getString(0)).toSet ==
