@@ -103,6 +103,24 @@ object PqIndex {
     vectors.withColumn("__codes", array(codes: _*))
   }
 
+  /** ADC lookup sum over bound `dtab`/`codes` attributes, added in fixed
+    * subspace order. */
+  private def adcScore: Column =
+    (0 until M)
+      .map(s => element_at(element_at(col("dtab"), s + 1), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+
+  /** Per-query ADC distance-table column over `books` for the (possibly
+    * residual) query vector `qv`: dtab(s)(c) = |qv_s − books(s)(c)|². */
+  private def distanceTable(qv: Column, books: Array[Array[Array[Float]]]): Column =
+    array((0 until M).map { s =>
+      val qs = subvec(qv, s)
+      array(books(s).map { c =>
+        val cNorm2 = c.map(x => x.toDouble * x).sum
+        vec_dot(qs, qs) - lit(2.0) * vec_dot(qs, typedLit(c)) + lit(cNorm2)
+      }: _*)
+    }: _*)
+
   /** End-to-end PQ ANN with re-ranking (the production ADC+R shape):
     * train codebooks, encode the corpus once into the narrow code
     * table, ADC-score a per-query SHORTLIST of `topK × shortlistFactor`
@@ -127,19 +145,10 @@ object PqIndex {
     // work; |q_s|² folds in so spec'd distances are true squared-L2
     val queries = e.filter($"vec_id" < 8)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
-    val dtab = array((0 until M).map { s =>
-      val qs = subvec($"q_vec", s)
-      array(books(s).map { c =>
-        val cNorm2 = c.map(x => x.toDouble * x).sum
-        vec_dot(qs, qs) - lit(2.0) * vec_dot(qs, typedLit(c)) + lit(cNorm2)
-      }: _*)
-    }: _*)
-    val qTab = queries.select($"q_id", dtab.as("dtab"))
+    val qTab = queries.select($"q_id", distanceTable($"q_vec", books).as("dtab"))
 
     // ADC score: M bound-attribute lookups added in fixed subspace order
-    val adc = (0 until M)
-      .map(s => element_at(element_at($"dtab", s + 1), element_at($"codes", s + 1) + 1))
-      .reduce(_ + _)
+    val adc = adcScore
     val shortlist = codeTable.crossJoin(broadcast(qTab))
       .withColumn("adc", adc)
       .withColumn("ark", row_number().over(
@@ -148,6 +157,73 @@ object PqIndex {
       .select($"q_id", $"n_id")
 
     // exact refine: only shortlist ids rejoin their vectors
+    val exactD = aggregate(zip_with($"q_vec", $"n_vec",
+      (a, b) => (a - b).cast("double") * (a - b)), lit(0.0d), (acc, x) => acc + x)
+    shortlist
+      .join(corpus, "n_id")
+      .join(broadcast(queries), "q_id")
+      .withColumn("d", exactD)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"d".asc, $"n_id")))
+      .filter($"rk" <= topK)
+      .select($"q_id", $"rk", $"n_id", round($"d", 6).as("l2_dist"))
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** IVF-PQ (FAISS "IVFADC"): the two scale dials composed — IVF's
+    * coarse clusters prune WHICH codes are scanned (nprobe/k of the
+    * corpus), PQ's residual codes shrink WHAT a scan reads (~50×).
+    * Vectors are encoded as (cluster, residual codes) where residual =
+    * v − centroid(cluster): residuals are far smaller in norm than raw
+    * vectors, so the same codebook budget quantizes them with much less
+    * distortion. Queries rank centroids, and for each probed cluster
+    * build a distance table from THEIR residual against that centroid —
+    * then ADC + exact re-rank exactly as [[annPq]].
+    */
+  def annIvfPq(spark: SparkSession, dir: String, kCoarse: Int = 8,
+               nprobe: Int = 3, topK: Int = 5, shortlistFactor: Int = 8,
+               iters: Int = 5): DataFrame = {
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val corpus = e.filter($"vec_id" >= 8)
+      .select($"vec_id".as("n_id"), $"embedding".as("n_vec"))
+    val coarse = IvfIndex.trainCentroids(corpus, "n_id", "n_vec", kCoarse)
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+
+    // residual = v − centroid(cluster); cluster from the shared IVF
+    // assignment (argmin L2 over literal centroids)
+    def residual(vec: Column, cluster: Column): Column =
+      zip_with(vec, element_at(coarseLit, cluster + 1),
+        (a, b) => (a - b).cast("float"))
+    val assigned = IvfIndex.assignClusters(corpus, "n_vec", coarse)
+      .select($"n_id", $"n_vec", $"__cluster".as("cluster"))
+    val residuals = assigned
+      .select($"n_id", $"cluster", residual($"n_vec", $"cluster").as("r_vec"))
+    val books = trainCodebooks(residuals, "n_id", "r_vec", iters)
+    val codeTable = encode(residuals, "r_vec", books)
+      .select($"n_id", $"cluster", $"__codes".as("codes"))
+
+    // per-query probe set with a residual distance table per probed
+    // cluster (nprobe rows/query — all float work on the tiny side)
+    val queries = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val probes = queries.select($"q_id", $"q_vec",
+        explode(array(coarse.zipWithIndex.map { case (c, i) =>
+          struct(vec_dot($"q_vec", typedLit(c)).as("score"), lit(i).as("cluster"))
+        }: _*)).as("cs"))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cs.score".desc, $"cs.cluster")))
+      .filter($"prk" <= nprobe)
+      .select($"q_id", $"cs.cluster".as("cluster"),
+        distanceTable(residual($"q_vec", $"cs.cluster"), books).as("dtab"))
+
+    val shortlist = codeTable.join(broadcast(probes), "cluster")
+      .withColumn("adc", adcScore)
+      .withColumn("ark", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"adc".asc, $"n_id")))
+      .filter($"ark" <= topK * shortlistFactor)
+      .select($"q_id", $"n_id")
+
     val exactD = aggregate(zip_with($"q_vec", $"n_vec",
       (a, b) => (a - b).cast("double") * (a - b)), lit(0.0d), (acc, x) => acc + x)
     shortlist

@@ -85,6 +85,34 @@ object StreamQueries {
       |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Watermarked SLIDING-window aggregation (1 hour sliding by 15 min,
+    * complete mode): each event feeds 4 overlapping windows — the
+    * streaming twin of the batch `sliding_window_agg`, sharing its
+    * oracle; Spark's map-side window generator means no state blowup
+    * beyond the open-window count.
+    */
+  def streamSlidingAgg(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = stageEvents(dir)
+    val name = uniqueName("sq_sliding")
+    val events = spark.readStream
+      .schema(spark.read.parquet(inDir).schema)
+      .parquet(inDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
+  val streamSlidingAggSql: String = graft.operators.TimeSeries.slidingWindowAggSql
+
   /** Streaming exact dedup over an at-least-once feed: the input is the
     * events table delivered TWICE (planted redelivery), the stream drops
     * re-deliveries by event_id within the watermark.

@@ -44,6 +44,29 @@ class PqSpec extends SparkSpec {
     assert(mre < 0.35, f"quantization distortion too high: $mre%.3f")
   }
 
+  test("ann_ivf_pq prunes to nprobe clusters and still finds neighbors") {
+    val ivfpq = graft.operators.PqIndex.annIvfPq(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val e = sources.Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 8).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val exact = corpus.crossJoin(broadcast(q))
+      .withColumn("d", aggregate(zip_with($"q_vec", $"n_vec",
+        (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"q_id").orderBy($"d".asc, $"n_id")))
+      .filter($"rk" <= 5).select($"q_id", $"n_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (qid, want) =>
+      ivfpq.getOrElse(qid, Set.empty).intersect(want).size.toDouble / want.size
+    }
+    val recall = recalls.sum / recalls.size
+    info(f"IVF-PQ recall@5 = $recall%.2f at nprobe 3/8 (isotropic data: "
+      + "probe fraction is the ceiling)")
+    assert(recall >= 0.25, f"recall $recall%.2f under the floor")
+    assert(ivfpq.values.forall(_.size == 5), "top-5 per query")
+  }
+
   test("ann_pq recall@5 vs exact L2 at ~50x compression") {
     val pq = PqIndex.annPq(spark, sf).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
