@@ -50,9 +50,11 @@ object TextModel {
       .filter($"nxt".isNotNull)
       .select($"doc_id", $"tok".as("w1"), $"nxt".as("w2"))
     // per-doc distinct bigrams with multiplicity — the score join then
-    // carries one row per distinct (doc, bigram), not per occurrence
+    // carries one row per distinct (doc, bigram), not per occurrence;
+    // the GLOBAL model tables both derive from this aggregate, so the
+    // expensive posexplode+window pass runs once, not three times
     val dbg = bg.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("m"))
-    val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c2 = dbg.groupBy($"w1", $"w2").agg(sum($"m").as("c2"))
     val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
     val vocab = docs.select(explode(tokens($"text")).as("tok"))
       .agg(countDistinct($"tok").as("v"))
@@ -101,9 +103,11 @@ object TextModel {
   /** Corpus-level top-50 bigrams by frequency — the vocabulary/collocation
     * profile run before choosing tokenizer merges or stop-lists. Bigrams
     * form on one doc_id-keyed window shuffle (posexplode + lead), counts
-    * partial-aggregate on the gram key, and the global rank is
-    * WindowGroupLimit-pruned (per-partition top-50 before the single-
-    * partition sort sees anything).
+    * partial-aggregate on the gram key, and the global top-50 runs as
+    * TakeOrderedAndProject — each partition keeps 50 rows, the driver
+    * merges 50×partitions — so the full distinct-gram table (billions of
+    * rows on a web corpus) never feeds a single-partition sort; the rank
+    * window then touches only the 50 survivors.
     */
   def topNgrams(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
     import spark.implicits._
@@ -116,9 +120,9 @@ object TextModel {
       .groupBy(concat_ws(" ", $"tok", $"nxt").as("bigram"))
       .agg(count(lit(1)).as("n"))
     counts
+      .orderBy($"n".desc, $"bigram").limit(topK)
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy($"n".desc, $"bigram")))
-      .filter($"rk" <= topK)
       .select($"rk", $"bigram", $"n")
       .orderBy($"rk")
   }

@@ -164,4 +164,34 @@ class PlanSpec extends SparkSpec {
     // tri), per-doc groupBys collapse into them, join + final orderBy
     assert(n <= 6, s"text_repetition shuffles too much: $n")
   }
+
+  test("top_ngrams: global top-k is TakeOrdered, never a one-partition sort") {
+    val df = operators.TextModel.topNgrams(spark, sf)
+    val plan = physicalPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k + driver merge:\n$plan")
+  }
+
+  test("shuffle budgets for the stats/model operator family") {
+    for ((name, df, budget) <- Seq(
+        ("sample_stratified", operators.Sampling.sampleStratified(spark, sf), 2),
+        ("sliding_window_agg", operators.TimeSeries.slidingWindowAgg(spark, sf), 2),
+        ("ewma_smooth", operators.TimeSeries.ewmaSmooth(spark, sf), 2),
+        ("anomaly_zscore", operators.Profile.anomalyZscore(spark, sf), 3),
+        ("value_histogram", operators.Profile.valueHistogram(spark, sf), 2),
+        ("embedding_centroids", operators.Embeddings.embeddingCentroids(spark, sf), 2),
+        ("ngram_lm_score", operators.TextModel.ngramLmScore(spark, sf), 12))) {
+      val n = shuffleCount(df)
+      info(s"$name shuffles = $n (budget $budget)")
+      assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
+    }
+  }
+
+  test("bm25_multi: per-query ranks are WindowGroupLimit-pruned and " +
+    "query fanout joins broadcast") {
+    val df = operators.TextModel.bm25Multi(spark, sf)
+    val plan = physicalPlan(df)
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pruning:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "query/df fanout should broadcast")
+  }
 }
