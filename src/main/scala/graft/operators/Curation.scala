@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * ingest and tokenization: benchmark decontamination, context-window
+  * chunking, and quality-percentile bucketing.
+  *
+  * Scale design notes per operator are on each method; the common theme
+  * is that the corpus side never shuffles wide rows — benchmark state is
+  * broadcast, chunking is a pure map, and bucketing aggregates fixed-size
+  * per-bucket rows.
+  */
+object Curation {
+
+  /** Non-empty whitespace-separated tokens. */
+  private def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  private val GramN = 3
+
+  /** Benchmark decontamination: flag corpus documents that share any
+    * n-token n-gram with an evaluation set, the standard leak check run
+    * before training (the eval set here is the deterministic pseudo-set
+    * `doc_id % 97 = 0`; in production it is MMLU/GSM8K et al.). Gram
+    * width 3 on this corpus's 31-word vocabulary gives the same hit
+    * selectivity real pipelines get from 13-grams on open vocabulary.
+    *
+    * Scale: eval sets are tiny (≤ millions of grams) — their distinct
+    * gram table BROADCASTS, so the corpus side is scan → explode →
+    * broadcast-hash semi-probe with no shuffle of document text; only
+    * the (doc_id, hit) pairs that survive the probe reach the final
+    * doc_id aggregate. Corpus grams are deduped per-doc before the probe
+    * so the aggregate's count is distinct-hit count without a distinct.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("t"))
+      .select($"doc_id", $"t", size($"t").as("n"))
+    val grams = when($"n" >= GramN,
+      array_distinct(transform(sequence(lit(1), $"n" - (GramN - 1)),
+        i => concat_ws(" ", slice($"t", i, lit(GramN))))))
+      .otherwise(array().cast("array<string>"))
+    val withGrams = docs.select($"doc_id", grams.as("grams"),
+      size(grams).as("n_grams"))
+    val bench = withGrams.filter($"doc_id" % 97 === 0)
+      .select(explode($"grams").as("gram")).distinct()
+    val corpus = withGrams.filter($"doc_id" % 97 =!= 0)
+    corpus.select($"doc_id", $"n_grams", explode($"grams").as("gram"))
+      .join(broadcast(bench), "gram")
+      .groupBy($"doc_id")
+      .agg(max($"n_grams").as("n_grams"), count(lit(1)).as("n_hits"))
+      .select($"doc_id", $"n_grams", $"n_hits",
+        round($"n_hits".cast("double") / $"n_grams".cast("double"), 6)
+          .as("hit_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val decontaminateSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH t AS (
+      |  SELECT doc_id, $toks AS t, len($toks) AS n FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n >= 3 THEN list_distinct(
+      |      [array_to_string(t[i:i+2], ' ') FOR i IN range(1, n - 1)])
+      |    ELSE [] END AS grams
+      |  FROM t),
+      |bench AS (
+      |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+      |hits AS (
+      |  SELECT c.doc_id, max(c.n_grams) AS n_grams, count(*) AS n_hits
+      |  FROM (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+      |        FROM g WHERE doc_id % 97 <> 0) c
+      |  JOIN bench ON c.gram = bench.gram
+      |  GROUP BY c.doc_id)
+      |SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+      |  CAST(n_hits AS BIGINT) AS n_hits,
+      |  round(CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS hit_ratio
+      |FROM hits ORDER BY doc_id""".stripMargin
+  }
+
+  private val ChunkW = 32
+  private val ChunkS = 24
+
+  /** Context-window chunking: split each document into token windows of
+    * width 32 with stride 24 (the overlap keeps boundary context for
+    * training examples). Chunk k covers tokens [k·S+1, k·S+W]; the count
+    * is 1 + ⌈max(0, n−W)/S⌉ in pure integer arithmetic, so the last
+    * chunk may be short but every token is covered.
+    *
+    * Scale: a pure per-row map (sequence → explode → slice) with zero
+    * shuffles — exactly what a 100 TB pre-tokenization pass must be. The
+    * final orderBy exists only for the deterministic oracle compare.
+    */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("t"))
+      .select($"doc_id", $"t", size($"t").as("n"))
+      .withColumn("nch",
+        lit(1) + ((greatest(lit(0), $"n" - ChunkW) + lit(ChunkS - 1)) / lit(ChunkS)).cast("int"))
+    docs.select($"doc_id", $"t", $"n",
+        explode(sequence(lit(0), $"nch" - 1)).as("k"))
+      .select($"doc_id", $"k".as("chunk_id"),
+        ($"k" * ChunkS + 1).as("start_tok"),
+        least(lit(ChunkW), $"n" - ($"k" * ChunkS + 1) + 1).as("chunk_tokens"),
+        concat_ws(" ", slice($"t", $"k" * ChunkS + 1, lit(ChunkW))).as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val docChunksSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH t AS (
+      |  SELECT doc_id, $toks AS t, len($toks) AS n FROM documents),
+      |c AS (SELECT doc_id, t, n,
+      |        1 + (greatest(0, n - 32) + 23) // 24 AS nch FROM t),
+      |e AS (SELECT doc_id, t, n, unnest(range(0, nch)) AS k FROM c)
+      |SELECT doc_id, CAST(k AS INT) AS chunk_id,
+      |  CAST(k * 24 + 1 AS INT) AS start_tok,
+      |  CAST(least(32, n - (k * 24 + 1) + 1) AS INT) AS chunk_tokens,
+      |  array_to_string(t[k * 24 + 1 : k * 24 + 32], ' ') AS chunk_text
+      |FROM e ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  /** Quality-percentile bucketing: decile buckets over the composite
+    * quality score (CCNet-style head/middle/tail selection generalized
+    * to 10 buckets), with per-bucket volume stats used to pick the
+    * keep-fraction per tier. Sum of scores runs in DECIMAL so the mean
+    * is bit-exact across engines.
+    *
+    * Scale: ntile over a global order is a single-partition sort — fine
+    * for the exactness gate, but at 100 TB the bucket boundaries come
+    * from an approx-quantile pass (see Profile.valueHistogram's
+    * equi-width variant) and bucket assignment becomes a broadcast
+    * range lookup, i.e. a pure map. The aggregate itself is 10 rows.
+    */
+  def qualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"quality_score", $"doc_id")
+    TextAnalysis.textQuality(spark, dir)
+      .withColumn("bucket", ntile(10).over(w))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"quality_score").as("min_score"),
+        max($"quality_score").as("max_score"),
+        round(sum($"quality_score".cast("decimal(12,6)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("avg_score"),
+        sum($"n_tokens").cast("long").as("total_tokens"))
+      .orderBy($"bucket")
+  }
+
+  val qualityBucketsSql: String =
+    s"""WITH q AS (${TextAnalysis.textQualitySql})
+      |SELECT bucket, count(*) AS n_docs,
+      |  min(quality_score) AS min_score, max(quality_score) AS max_score,
+      |  round(CAST(sum(CAST(quality_score AS DECIMAL(12,6))) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS avg_score,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      |FROM (SELECT q.*, ntile(10) OVER (ORDER BY quality_score, doc_id) AS bucket
+      |      FROM q) b
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+}

@@ -624,4 +624,65 @@ object Dedup {
       |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id,
       |  (a = min(b)) AS is_canonical
       |FROM closure GROUP BY a ORDER BY doc_id""".stripMargin
+
+  /** Near-dup pairs by bounded edit distance — the character-level
+    * verifier for texts whose token sets barely differ (typo-level
+    * mutations that Jaccard over-accepts and simhash under-blocks).
+    *
+    * Blocking is dual-key: candidates must agree on the first-3-token
+    * prefix OR the last-3-token suffix, so a single edit burst at either
+    * end cannot hide a pair (an edit inside the body leaves both keys
+    * intact). Each key join is a linear equi-join on a short string —
+    * never a cross join — and only (id, id, distance) triples pass
+    * through the union/dedup shuffle; document text rides the blocked
+    * join once. The distance itself uses Spark's banded DP (threshold
+    * arg ⇒ O(n·maxDist) not O(n²)), and a pair survives at relative
+    * distance ≤ 10% of the longer text.
+    */
+  def dedupEditDistance(spark: SparkSession, dir: String, maxDist: Int = 60): DataFrame =
+    dedupEditDistanceOn(spark, Tables.documents(spark, dir), maxDist)
+
+  /** Same operator over an arbitrary (doc_id, text) frame — the unit
+    * tests plant synthetic typo pairs through this entry point.
+    */
+  def dedupEditDistanceOn(spark: SparkSession, input: DataFrame, maxDist: Int = 60): DataFrame = {
+    import spark.implicits._
+    val toks = filter(split($"text", "\\s+"), t => t =!= "")
+    val docs = input
+      .select($"doc_id", $"text",
+        concat_ws(" ", slice(toks, 1, 3)).as("pre"),
+        concat_ws(" ", slice(toks, -3, 3)).as("suf"))
+    def pairsOn(key: String): DataFrame =
+      docs.as("a").join(docs.as("b"),
+          col(s"a.$key") === col(s"b.$key") && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("i"), $"b.doc_id".as("j"),
+          levenshtein($"a.text", $"b.text", maxDist).as("dist"),
+          greatest(length($"a.text"), length($"b.text")).as("maxlen"))
+    pairsOn("pre").unionByName(pairsOn("suf"))
+      .filter($"dist" >= 0 && $"dist".cast("double") <= lit(0.1) * $"maxlen".cast("double"))
+      .select($"i", $"j", $"dist")
+      .distinct()
+      .orderBy($"i", $"j")
+  }
+
+  val dedupEditDistanceSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH d AS (
+      |  SELECT doc_id, text,
+      |    array_to_string(($toks)[1:3], ' ') AS pre,
+      |    array_to_string(($toks)[-3:], ' ') AS suf
+      |  FROM documents),
+      |cand AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j,
+      |    levenshtein(a.text, b.text) AS dist,
+      |    greatest(length(a.text), length(b.text)) AS maxlen
+      |  FROM d a JOIN d b ON a.pre = b.pre AND a.doc_id < b.doc_id
+      |  UNION ALL
+      |  SELECT a.doc_id, b.doc_id, levenshtein(a.text, b.text),
+      |    greatest(length(a.text), length(b.text))
+      |  FROM d a JOIN d b ON a.suf = b.suf AND a.doc_id < b.doc_id)
+      |SELECT DISTINCT i, j, CAST(dist AS INT) AS dist FROM cand
+      |WHERE dist <= 60 AND CAST(dist AS DOUBLE) <= 0.1 * CAST(maxlen AS DOUBLE)
+      |ORDER BY i, j""".stripMargin
+  }
 }

@@ -187,6 +187,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate: bench grams broadcast; corpus text never shuffles") {
+    val plan = physicalPlan(operators.Curation.decontaminate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench gram probe must broadcast:\n$plan")
+    val n = shuffleCount(operators.Curation.decontaminate(spark, sf))
+    info(s"decontaminate shuffles = $n")
+    assert(n <= 4, s"decontaminate shuffles too much: $n")
+  }
+
+  test("doc_chunks is a pure map: only the output order shuffles") {
+    val n = shuffleCount(operators.Curation.docChunks(spark, sf))
+    info(s"doc_chunks shuffles = $n")
+    assert(n <= 1)
+  }
+
   test("bm25_multi: per-query ranks are WindowGroupLimit-pruned and " +
     "query fanout joins broadcast") {
     val df = operators.TextModel.bm25Multi(spark, sf)
