@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.sources.Tables
+
+/** Graph analytics over the part co-purchase graph (parts linked when
+  * they appear in the same order). Co-occurrence fan-out is bounded by
+  * items-per-order (~7), so edge generation is LINEAR in lineitem — the
+  * self-join happens inside one orderkey-partitioned shuffle, never
+  * across orders.
+  *
+  * Cross-engine exactness for the iterative rank: mass is carried as
+  * INTEGER nano-units (rank × 10⁹) and every step is integer floor
+  * arithmetic — contribution = pr DIV deg, damping = (17·Σc) DIV 20,
+  * teleport = (0.15·10⁹) DIV n — so the per-iteration fixpoint is
+  * order-independent and bit-identical in DuckDB's unrolled-CTE mirror.
+  * (9dp float quantization is NOT enough here: pr/deg lands on exact
+  * half-way decimals that Spark HALF_UP and DuckDB round differently.)
+  */
+object Graph {
+
+  private val Damping = 0.85
+  private val Iters = 5
+
+  /** Deduped (order, part) incidence — a part listed on several
+    * lineitems of one order contributes one edge endpoint.
+    */
+  private def incidence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+  }
+
+  /** PageRank over the undirected co-purchase graph, 5 damped
+    * iterations from a uniform start, top-100 parts by rank.
+    *
+    * Scale: the rank/degree tables are NODE-cardinality (|part| ≪
+    * |lineitem|) and broadcast to the edge table each iteration, so one
+    * iteration costs exactly one shuffle — the dst-keyed contribution
+    * aggregate; edges are computed once and persisted. Driver traffic
+    * is a single node count. The final top-k is TakeOrderedAndProject.
+    */
+  def partPagerank(spark: SparkSession, dir: String, topK: Int = 100): DataFrame = {
+    import spark.implicits._
+    val li = incidence(spark, dir)
+    val pairs = li.as("a").join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .select($"a.pk".as("src"), $"b.pk".as("dst")).distinct()
+    val edges = pairs.unionByName(pairs.select($"dst".as("src"), $"src".as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = deg.count()
+    val teleport = 150000000L / n // (1-d)·10⁹ / n, floored once on the driver
+    var ranks = deg.select($"node", $"deg", lit(1000000000L / n).as("pr"))
+    for (_ <- 1 to Iters) {
+      val contrib = edges
+        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
+        .select($"dst", expr("pr DIV deg").as("c"))
+      ranks = contrib.groupBy($"dst")
+        .agg(sum($"c").as("s"))
+        .select($"dst".as("node"),
+          (lit(teleport) + expr("(17 * s) DIV 20")).as("pr"))
+        .join(broadcast(deg), "node")
+        .select($"node", $"deg", $"pr")
+    }
+    val out = ranks.select($"node".as("part_id"), $"deg",
+        $"pr".as("pr_nano"),
+        ($"pr".cast("double") / lit(1e9)).as("pagerank"))
+      .orderBy($"pr_nano".desc, $"part_id").limit(topK)
+    edges.unpersist(); deg.unpersist()
+    out
+  }
+
+  val partPagerankSql: String = {
+    val base =
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+        |nn AS (SELECT count(*) AS n FROM deg),
+        |r0 AS (SELECT node, deg,
+        |  1000000000 // (SELECT n FROM nn) AS pr FROM deg)""".stripMargin
+    val its = (1 to Iters).map { i =>
+      s""",
+         |r$i AS (SELECT d.node, d.deg,
+         |  150000000 // (SELECT n FROM nn) + (17 * sum(r.pr // r.deg)) // 20 AS pr
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN deg d ON e.dst = d.node
+         |  GROUP BY d.node, d.deg)""".stripMargin
+    }.mkString
+    base + its +
+      s"""
+         |SELECT node AS part_id, CAST(deg AS BIGINT) AS deg,
+         |  CAST(pr AS BIGINT) AS pr_nano,
+         |  CAST(pr AS DOUBLE) / CAST(1e9 AS DOUBLE) AS pagerank
+         |FROM r$Iters ORDER BY pr_nano DESC, part_id LIMIT 100""".stripMargin
+  }
+
+  /** Frequently-bought-together: top-50 part pairs by the number of
+    * orders containing both. One orderkey-co-partitioned self-join,
+    * partial-agg on the pair key, TakeOrdered global top-k.
+    */
+  def copurchaseTop(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    import spark.implicits._
+    val li = incidence(spark, dir)
+    li.as("a").join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("part_a"), $"b.pk".as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"n_orders".desc, $"part_a", $"part_b").limit(topK)
+  }
+
+  val copurchaseTopSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+      |SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_orders
+      |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |GROUP BY a.pk, b.pk
+      |ORDER BY n_orders DESC, part_a, part_b LIMIT 50""".stripMargin
+}
