@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** User-behavior analytics over the event stream: retention cohorts and
+  * journey transition matrices — the product-analytics queries a CDC
+  * events table feeds after materialization.
+  */
+object Behavior {
+
+  /** Weekly retention cohorts: users grouped by the week of their first
+    * event; each cell counts the cohort's users active k weeks later,
+    * with retention as a fraction of the week-0 cohort size.
+    *
+    * Scale: the first-event table is user-cardinality and co-partitioned
+    * with the activity join on user_id (one shuffle each side — at
+    * 100 TB neither side broadcasts, but the join key matches the
+    * upstream groupBy so AQE reuses the exchange); the cohort matrix
+    * itself is (weeks × weeks) rows. countDistinct is exact per cell;
+    * the week-0 denominator comes from a window over the tiny matrix,
+    * not a second scan.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"user_id", $"ts")
+    val firstEv = ev.groupBy($"user_id").agg(min($"ts").as("first_ts"))
+    val cells = ev.join(firstEv, "user_id")
+      .select($"user_id",
+        date_trunc("week", $"first_ts").as("cohort"),
+        (datediff(date_trunc("week", $"ts"), date_trunc("week", $"first_ts")) / 7)
+          .cast("int").as("week_n"))
+      .groupBy($"cohort", $"week_n")
+      .agg(countDistinct($"user_id").as("n_users"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cohort").orderBy($"week_n")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    cells
+      .withColumn("cohort_size", first($"n_users").over(w))
+      .select(date_format($"cohort", "yyyy-MM-dd").as("cohort_week"),
+        $"week_n", $"n_users",
+        round($"n_users".cast("double") / $"cohort_size".cast("double"), 6)
+          .as("retention"))
+      .orderBy($"cohort_week", $"week_n")
+  }
+
+  val retentionCohortsSql: String =
+    """WITH first AS (
+      |  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+      |cells AS (
+      |  SELECT date_trunc('week', f.first_ts) AS cohort,
+      |    CAST(date_diff('day', date_trunc('week', f.first_ts),
+      |                   date_trunc('week', e.ts)) / 7 AS INT) AS week_n,
+      |    count(DISTINCT e.user_id) AS n_users
+      |  FROM events e JOIN first f ON e.user_id = f.user_id
+      |  GROUP BY 1, 2),
+      |sized AS (
+      |  SELECT cells.*, first_value(n_users) OVER (
+      |    PARTITION BY cohort ORDER BY week_n
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cohort_size
+      |  FROM cells)
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_n, n_users,
+      |  round(CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6) AS retention
+      |FROM sized ORDER BY cohort_week, week_n""".stripMargin
+
+  /** First-order Markov transition matrix over each user's event-type
+    * journey: P(next=to | current=from), with counts. The sequence
+    * order is (ts, event_id) so ties are deterministic.
+    *
+    * Scale: one user_id-keyed window shuffle builds the transitions
+    * (the same partitioning sessionization uses), then the matrix
+    * aggregate is |types|² rows with map-side partials. Probabilities
+    * are exact int/int divisions.
+    */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotals = org.apache.spark.sql.expressions.Window.partitionBy($"from_type")
+    trans
+      .withColumn("p", round($"n".cast("double") / sum($"n").over(rowTotals)
+        .cast("double"), 6))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val markovTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS next_type
+      |  FROM events),
+      |trans AS (
+      |  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+      |FROM trans ORDER BY from_type, to_type""".stripMargin
+}
