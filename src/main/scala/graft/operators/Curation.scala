@@ -40,12 +40,18 @@ object Curation {
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", tokens($"text").as("t"))
       .select($"doc_id", $"t", size($"t").as("n"))
-    val grams = when($"n" >= GramN,
-      array_distinct(transform(sequence(lit(1), $"n" - (GramN - 1)),
-        i => concat_ws(" ", slice($"t", i, lit(GramN))))))
-      .otherwise(array().cast("array<string>"))
-    val withGrams = docs.select($"doc_id", grams.as("grams"),
-      size(grams).as("n_grams"))
+    // one projection computes the gram array, the NEXT reads it — in a
+    // single select the two references would each re-run the transform
+    // (CollapseProject inlines aliases per use)
+    val withGrams = docs.select($"doc_id",
+        when($"n" >= GramN,
+          array_distinct(transform(sequence(lit(1), $"n" - (GramN - 1)),
+            i => concat_ws(" ", slice($"t", i, lit(GramN))))))
+          .otherwise(array().cast("array<string>")).as("grams"))
+      .select($"doc_id", $"grams", size($"grams").as("n_grams"))
+      // both the bench and corpus branches read this — persist, or each
+      // branch re-tokenizes and re-shingles the full corpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = withGrams.filter($"doc_id" % 97 === 0)
       .select(explode($"grams").as("gram")).distinct()
     val corpus = withGrams.filter($"doc_id" % 97 =!= 0)

