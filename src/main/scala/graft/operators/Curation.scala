@@ -35,22 +35,30 @@ object Curation {
     * doc_id aggregate. Corpus grams are deduped per-doc before the probe
     * so the aggregate's count is distinct-hit count without a distinct.
     */
+  /** Per-doc distinct gram table (doc_id, grams, n_grams) from any
+    * (doc_id, text) frame — narrow expressions only, so it applies to a
+    * streaming frame unchanged (see StreamQueries.streamDecontam).
+    * Split across two projections: in a single select the two gram
+    * references would each re-run the transform (CollapseProject
+    * inlines aliases per use).
+    */
+  private[graft] def gramTable(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+    base.select(col("doc_id"),
+        when(col("n") >= GramN,
+          array_distinct(transform(sequence(lit(1), col("n") - (GramN - 1)),
+            i => concat_ws(" ", slice(col("t"), i, lit(GramN))))))
+          .otherwise(array().cast("array<string>")).as("grams"))
+      .select(col("doc_id"), col("grams"), size(col("grams")).as("n_grams"))
+  }
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id", tokens($"text").as("t"))
-      .select($"doc_id", $"t", size($"t").as("n"))
-    // one projection computes the gram array, the NEXT reads it — in a
-    // single select the two references would each re-run the transform
-    // (CollapseProject inlines aliases per use)
-    val withGrams = docs.select($"doc_id",
-        when($"n" >= GramN,
-          array_distinct(transform(sequence(lit(1), $"n" - (GramN - 1)),
-            i => concat_ws(" ", slice($"t", i, lit(GramN))))))
-          .otherwise(array().cast("array<string>")).as("grams"))
-      .select($"doc_id", $"grams", size($"grams").as("n_grams"))
-      // both the bench and corpus branches read this — persist, or each
-      // branch re-tokenizes and re-shingles the full corpus
+    // both the bench and corpus branches read this — persist, or each
+    // branch re-tokenizes and re-shingles the full corpus
+    val withGrams = gramTable(Tables.documents(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = withGrams.filter($"doc_id" % 97 === 0)
       .select(explode($"grams").as("gram")).distinct()

@@ -219,4 +219,41 @@ object StreamQueries {
       |FROM agg a JOIN lastsess l ON a.user_id = l.user_id, mx
       |WHERE a.session_id < l.last_sid OR a.last_ts + 1800 < mx.m
       |ORDER BY a.user_id, a.session_id""".stripMargin
+
+  /** STREAM-STATIC join: documents arrive as a file stream and probe a
+    * static broadcast table of benchmark grams (the production shape of
+    * continuous decontamination — eval-set grams are fixed, the corpus
+    * streams past them). The static side is computed once in batch; the
+    * stream side is narrow until the broadcast probe, and the per-doc
+    * aggregate runs in complete mode. Final state on a finite input
+    * equals the batch decontaminate, whose oracle it shares.
+    */
+  def streamDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inDir = tmp("graft_sq_docs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$inDir/documents.parquet"))
+    val name = uniqueName("sq_decontam")
+    val static = spark.read.parquet(inDir)
+    val bench = graft.operators.Curation.gramTable(static)
+      .filter($"doc_id" % 97 === 0)
+      .select(explode($"grams").as("gram")).distinct()
+    val stream = spark.readStream.schema(static.schema).parquet(inDir)
+    val q = graft.operators.Curation.gramTable(stream)
+      .filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id", $"n_grams", explode($"grams").as("gram"))
+      .join(broadcast(bench), "gram")
+      .groupBy($"doc_id")
+      .agg(max($"n_grams").as("n_grams"), count(lit(1)).as("n_hits"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+      .select($"doc_id", $"n_grams", $"n_hits",
+        round($"n_hits".cast("double") / $"n_grams".cast("double"), 6)
+          .as("hit_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val streamDecontamSql: String = graft.operators.Curation.decontaminateSql
 }
