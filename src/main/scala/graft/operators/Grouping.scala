@@ -112,4 +112,31 @@ object Grouping {
       |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
       |  min(o_totalprice) AS p_min, max(o_totalprice) AS p_max
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Top-5 events per type via the native bounded-state aggregate
+    * (functions/AggExpressions.TopKBy): unlike the window-rank
+    * formulation — which shuffles EVERY event to its group partition
+    * and sorts — the aggregate keeps k pairs per group per map task,
+    * partial-merges map-side (ObjectHashAggregate), and ships only
+    * those k through the shuffle. Ordering (value DESC, event_id ASC)
+    * is deterministic, so the result hash-matches the window oracle.
+    */
+  def groupTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(graft.functions.AggFunctions.top_k_by($"value", $"event_id", 5).as("top"))
+      .select($"event_type", posexplode($"top"))
+      .select($"event_type", ($"pos" + 1).cast("int").as("rk"),
+        $"col.score".as("value"), $"col.payload".as("event_id"))
+      .orderBy($"event_type", $"rk")
+  }
+
+  val groupTopkSql: String =
+    """SELECT event_type, CAST(rk AS INT) AS rk, value, event_id FROM (
+      |  SELECT event_type, value, event_id,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY value DESC, event_id) AS rk
+      |  FROM events) t
+      |WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin
 }
