@@ -130,9 +130,155 @@ case class TopKBy(
     copy(score = newChildren(0), payload = newChildren(1))
 }
 
+/** Misra–Gries frequent-items buffer over long keys: at most m counters;
+  * any item with true frequency > n/m is guaranteed to be retained, and
+  * every retained estimate satisfies est ≥ true − n/m.
+  */
+final class MGBuffer(val m: Int) extends Serializable {
+  val counts = new java.util.HashMap[Long, Long](m * 2)
+
+  def add(item: Long, by: Long = 1L): Unit = {
+    val cur = counts.get(item)
+    if (cur != 0L || counts.containsKey(item)) counts.put(item, cur + by)
+    else if (counts.size < m) counts.put(item, by)
+    else decrementAll(by)
+  }
+
+  /** The decrement step: reduce every counter by `by` (clamped at the
+    * smallest), dropping zeros — O(m), amortized O(1) per stream item
+    * because a decrement pays for m prior increments.
+    */
+  private def decrementAll(by: Long): Unit = {
+    val it = counts.entrySet().iterator()
+    var drop = List.empty[Long]
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue <= by) drop = e.getKey :: drop
+      else e.setValue(e.getValue - by)
+    }
+    drop.foreach(counts.remove(_))
+  }
+
+  /** Mergeable-summaries merge (Agarwal et al. 2012): sum counters,
+    * then subtract the (m+1)-th largest count and keep positives.
+    */
+  def merge(other: MGBuffer): Unit = {
+    val it = other.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      counts.put(e.getKey, counts.getOrDefault(e.getKey, 0L) + e.getValue)
+    }
+    if (counts.size > m) {
+      val vals = new Array[Long](counts.size)
+      val vi = counts.values().iterator()
+      var i = 0
+      while (vi.hasNext) { vals(i) = vi.next(); i += 1 }
+      java.util.Arrays.sort(vals)
+      val cut = vals(vals.length - m - 1) // (m+1)-th largest
+      val it2 = counts.entrySet().iterator()
+      var drop = List.empty[Long]
+      while (it2.hasNext) {
+        val e = it2.next()
+        if (e.getValue <= cut) drop = e.getKey :: drop
+        else e.setValue(e.getValue - cut)
+      }
+      drop.foreach(counts.remove(_))
+    }
+  }
+}
+
+/** space_saving(item, m): Misra–Gries frequent-items sketch over a long
+  * key — O(m) state per partial buffer regardless of key cardinality.
+  * Returns array<struct<item, est>> sorted (est DESC, item ASC).
+  *
+  * The estimates are partitioning-dependent (±n/m), so the sketch is
+  * a CANDIDATE generator, not a result: pair it with an exact recount
+  * of the ≤ m candidates (see Profile.heavyHittersSketch) to get exact
+  * heavy hitters without ever grouping the full key space.
+  */
+case class SpaceSavingAgg(
+    item: Expression,
+    m: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MGBuffer] with Serializable {
+
+  require(m > 0 && m <= 65536, s"space_saving: m must be in [1, 65536], got $m")
+
+  override def children: Seq[Expression] = Seq(item)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", LongType, nullable = false),
+    StructField("est", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "space_saving"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    item.dataType match {
+      case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"space_saving expects a bigint item, got $other")
+    }
+
+  override def createAggregationBuffer(): MGBuffer = new MGBuffer(m)
+
+  override def update(buffer: MGBuffer, input: InternalRow): MGBuffer = {
+    val v = item.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: MGBuffer, other: MGBuffer): MGBuffer = {
+    buffer.merge(other); buffer
+  }
+
+  override def eval(buffer: MGBuffer): Any = {
+    val entries = new Array[(Long, Long)](buffer.counts.size)
+    val it = buffer.counts.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1
+    }
+    val sorted = entries.sortBy { case (k, c) => (-c, k) }
+    new GenericArrayData(sorted.map { case (k, c) =>
+      new GenericInternalRow(Array[Any](k, c))
+    })
+  }
+
+  override def serialize(buffer: MGBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(8 + buffer.counts.size * 16)
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.m); out.writeInt(buffer.counts.size)
+    val it = buffer.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); out.writeLong(e.getKey); out.writeLong(e.getValue)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): MGBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new MGBuffer(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { buf.counts.put(in.readLong(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): SpaceSavingAgg =
+    copy(item = newChildren(0))
+}
+
 object AggFunctions {
   /** Column API for the bounded top-k aggregate. */
   def top_k_by(score: Column, payload: Column, k: Int): Column =
     toColumn(TopKBy(toExpression(score), toExpression(payload), k)
       .toAggregateExpression())
+
+  /** Column API for the Misra–Gries frequent-items sketch. */
+  def space_saving(item: Column, m: Int): Column =
+    toColumn(SpaceSavingAgg(toExpression(item), m).toAggregateExpression())
 }

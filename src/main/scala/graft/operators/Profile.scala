@@ -107,6 +107,37 @@ object Profile {
       |WHERE n_events * 100.0 >= 0.75 * total
       |ORDER BY n_events DESC, user_id""".stripMargin
 
+  /** EXACT heavy hitters in bounded memory — the 100 TB shape of
+    * `heavyHitters`: the plain version's groupBy materializes EVERY
+    * distinct key (billions of counters on a web-scale key space); here
+    * pass 1 runs the Misra–Gries sketch aggregate (O(m) state per
+    * partial buffer, mergeable), whose retention guarantee (any item
+    * with frequency > n/m survives; m=256 ≫ 1/0.75%) makes the ≤ 256
+    * candidates a certain superset of the true heavy hitters. Pass 2
+    * recounts ONLY the candidates via a broadcast semi-join — so the
+    * output is exact and identical to the full groupBy, which is why it
+    * shares that oracle shape despite the sketch in the middle.
+    */
+  def heavyHittersSketch(spark: SparkSession, dir: String,
+                         supportPct: Double = 0.75, m: Int = 256): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val cand = events
+      .agg(graft.functions.AggFunctions.space_saving($"user_id", m).as("sk"))
+      .select(explode($"sk").as("c")).select($"c.item".as("user_id"))
+    val total = events.agg(count(lit(1)).as("total"))
+    events.join(broadcast(cand), "user_id")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(total))
+      .filter($"n_events" * 100.0 >= lit(supportPct) * $"total")
+      .select($"user_id", $"n_events",
+        round($"n_events".cast("double") / $"total".cast("double"), 6).as("share"))
+      .orderBy($"n_events".desc, $"user_id")
+  }
+
+  val heavyHittersSketchSql: String = heavyHittersSql
+
   /** Population z-score anomaly flagging per event_type: an event is
     * anomalous when it sits >3σ from its type's mean. The per-type
     * moments come from ONE decimal-exact aggregate — sums of value and
