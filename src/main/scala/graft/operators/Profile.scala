@@ -138,6 +138,74 @@ object Profile {
 
   val heavyHittersSketchSql: String = heavyHittersSql
 
+  /** Per-type OLS trend of value over time (drift detection for a
+    * metric stream): slope/intercept/r² from the closed-form moment
+    * sums. Every moment is an EXACT decimal sum — x is integer seconds
+    * from the corpus epoch (2024-01-01), y is 4dp-quantized — so the
+    * aggregates are order-independent and the final double arithmetic
+    * is a deterministic function of exact inputs in both engines. One
+    * partial-agg shuffle of 5-number moment tuples per group at any
+    * scale.
+    */
+  def trendFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val epoch0 = 1704067200L // 2024-01-01T00:00:00Z
+    val m = Tables.events(spark, dir)
+      .select($"event_type",
+        (unix_timestamp($"ts") - epoch0).cast("decimal(20,0)").as("x"),
+        round($"value", 4).cast("decimal(14,4)").as("y"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast("decimal(20,0)").as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"),
+        sum($"y" * $"y").as("syy"))
+    // every moment is exact in decimal; convert ONCE to double (IEEE
+    // nearest, identical in both engines) and combine only in double —
+    // decimal×decimal arithmetic is avoided because precision-capping
+    // rules differ between engines
+    val d = m.select($"event_type",
+      $"n".cast("long").as("nl"), $"n".cast("double").as("nd"),
+      $"sx".cast("double").as("sxd"), $"sy".cast("double").as("syd"),
+      $"sxx".cast("double").as("sxxd"), $"sxy".cast("double").as("sxyd"),
+      $"syy".cast("double").as("syyd"))
+    val cov = $"nd" * $"sxyd" - $"sxd" * $"syd"
+    val varx = $"nd" * $"sxxd" - $"sxd" * $"sxd"
+    val vary = $"nd" * $"syyd" - $"syd" * $"syd"
+    d.select($"event_type", $"nl".as("n"),
+        round(cov / varx * lit(86400.0), 9).as("slope_per_day"),
+        round(($"syd" - cov / varx * $"sxd") / $"nd", 6).as("intercept"),
+        round(cov * cov / (varx * vary), 6).as("r2"))
+      .orderBy($"event_type")
+  }
+
+  val trendFitSql: String =
+    """WITH m AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS DECIMAL(20,0)) AS n,
+      |    sum(CAST(CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS DECIMAL(20,0))) AS sx,
+      |    sum(CAST(round(value, 4) AS DECIMAL(14,4))) AS sy,
+      |    sum(CAST(CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS DECIMAL(20,0))
+      |      * CAST(CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS DECIMAL(20,0))) AS sxx,
+      |    sum(CAST(CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS DECIMAL(20,0))
+      |      * CAST(round(value, 4) AS DECIMAL(14,4))) AS sxy,
+      |    sum(CAST(round(value, 4) AS DECIMAL(14,4))
+      |      * CAST(round(value, 4) AS DECIMAL(14,4))) AS syy
+      |  FROM events GROUP BY event_type),
+      |d AS (
+      |  SELECT event_type, CAST(n AS BIGINT) AS nl, CAST(n AS DOUBLE) AS nd,
+      |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+      |    CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd,
+      |    CAST(syy AS DOUBLE) AS syyd
+      |  FROM m)
+      |SELECT event_type, nl AS n,
+      |  round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * 86400.0, 9)
+      |    AS slope_per_day,
+      |  round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd)
+      |    / nd, 6) AS intercept,
+      |  round((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+      |    / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6) AS r2
+      |FROM d ORDER BY event_type""".stripMargin
+
   /** Population z-score anomaly flagging per event_type: an event is
     * anomalous when it sits >3σ from its type's mean. The per-type
     * moments come from ONE decimal-exact aggregate — sums of value and

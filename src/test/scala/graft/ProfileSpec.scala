@@ -39,4 +39,38 @@ class ProfileSpec extends SparkSpec {
       assert(r.getLong(1) <= nRows && r.getLong(2) <= r.getLong(1))
     }
   }
+
+  test("trend_fit matches a driver-side least-squares recomputation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fits = Profile.trendFit(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sample = sources.Tables.events(spark, sf)
+      .select($"event_type", (unix_timestamp($"ts") - 1704067200L).as("x"),
+        round($"value", 4).as("y"))
+      .collect().groupBy(_.getString(0))
+    sample.foreach { case (tpe, rows) =>
+      val xs = rows.map(_.getLong(1).toDouble)
+      val ys = rows.map(_.getDouble(2))
+      val n = xs.length.toDouble
+      val slope = (n * xs.zip(ys).map { case (a, b) => a * b }.sum
+        - xs.sum * ys.sum) / (n * xs.map(a => a * a).sum - xs.sum * xs.sum)
+      val got = fits(tpe).getAs[Double]("slope_per_day") / 86400.0
+      assert(math.abs(got - slope) < 1e-9 * math.max(1.0, math.abs(slope)),
+        s"$tpe: got $got expected $slope")
+    }
+    assert(fits.values.forall(r => r.getAs[Double]("r2") >= 0.0 &&
+      r.getAs[Double]("r2") <= 1.0))
+  }
+
+  test("dq_report flags exactly the planted corruption and nothing else") {
+    val report = operators.DataQuality.dqReport(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report.size === 11)
+    val expectedFails = Set("fk_orders_custkey", "orders_orderkey_unique",
+      "orders_totalprice_positive")
+    expectedFails.foreach(c => assert(report(c) === 1L, s"$c should flag the planted row"))
+    (report.keySet -- expectedFails).foreach(c =>
+      assert(report(c) === 0L, s"$c should be clean"))
+  }
 }
