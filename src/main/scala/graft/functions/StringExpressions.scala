@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftExpressionBridge.{toColumn, toExpression}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro–Winkler string similarity, standard parameters (match window
+  * max(|a|,|b|)/2 − 1, prefix scale 0.1 over ≤ 4 chars, boost threshold
+  * 0.7). The operation order — (m/l1 + m/l2 + (m−t)/m)/3, then
+  * j + ℓ·0.1·(1−j) — mirrors DuckDB's jaro_winkler_similarity exactly,
+  * verified bit-identical on probe pairs, so results are oracle-safe
+  * without rounding slack.
+  */
+object JaroWinklerImpl {
+
+  def jaro(a: String, b: String): Double = {
+    if (a == b) return 1.0
+    val l1 = a.length; val l2 = b.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val win = math.max(l1, l2) / 2 - 1
+    val f1 = new Array[Boolean](l1); val f2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - win); val hi = math.min(i + win + 1, l2)
+      var j = lo
+      var matched = false
+      while (j < hi && !matched) {
+        if (!f2(j) && a.charAt(i) == b.charAt(j)) {
+          f1(i) = true; f2(j) = true; m += 1; matched = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0; var k = 0
+    i = 0
+    while (i < l1) {
+      if (f1(i)) {
+        while (!f2(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val md = m.toDouble
+    (md / l1 + md / l2 + (md - t) / md) / 3.0
+  }
+
+  def jaroWinkler(a: String, b: String): Double = {
+    val j = jaro(a, b)
+    if (j <= 0.7) return j
+    var l = 0
+    val n = math.min(4, math.min(a.length, b.length))
+    while (l < n && a.charAt(l) == b.charAt(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+
+  /** Entry point for both interpreted eval and generated code. */
+  def jw(a: UTF8String, b: UTF8String): Double =
+    jaroWinkler(a.toString, b.toString)
+}
+
+/** jaro_winkler(a, b) — native expression; the generated code is a
+  * single static call, so the similarity stays inside whole-stage
+  * codegen with no lambda/row allocation per pair.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"jaro_winkler expects (string, string), got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    JaroWinklerImpl.jw(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaroWinklerImpl.jw($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
+object StringFunctions {
+  def jaro_winkler(a: Column, b: Column): Column =
+    toColumn(JaroWinkler(toExpression(a), toExpression(b)))
+}

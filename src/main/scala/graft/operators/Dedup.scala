@@ -665,6 +665,52 @@ object Dedup {
       .orderBy($"i", $"j")
   }
 
+  /** Fuzzy near-dup pairs by Jaro–Winkler similarity ≥ 0.93 — the
+    * record-linkage companion to the edit-distance verifier (JW favors
+    * shared prefixes and tolerates transpositions, the classic
+    * name/title matcher). Same dual prefix/suffix blocking; the
+    * similarity runs in the native `JaroWinkler` expression inside
+    * whole-stage codegen, and its operation order is bit-identical to
+    * DuckDB's jaro_winkler_similarity, so the score column is oracled
+    * without tolerance.
+    */
+  def dedupJaro(spark: SparkSession, dir: String, minSim: Double = 0.93): DataFrame = {
+    import spark.implicits._
+    val toks = filter(split($"text", "\\s+"), t => t =!= "")
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"text",
+        concat_ws(" ", slice(toks, 1, 3)).as("pre"),
+        concat_ws(" ", slice(toks, -3, 3)).as("suf"))
+    def pairsOn(key: String): DataFrame =
+      docs.as("a").join(docs.as("b"),
+          col(s"a.$key") === col(s"b.$key") && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("i"), $"b.doc_id".as("j"),
+          round(graft.functions.StringFunctions.jaro_winkler($"a.text", $"b.text"), 6)
+            .as("sim"))
+    pairsOn("pre").unionByName(pairsOn("suf"))
+      .filter($"sim" >= minSim)
+      .distinct()
+      .orderBy($"i", $"j")
+  }
+
+  val dedupJaroSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH d AS (
+      |  SELECT doc_id, text,
+      |    array_to_string(($toks)[1:3], ' ') AS pre,
+      |    array_to_string(($toks)[-3:], ' ') AS suf
+      |  FROM documents),
+      |cand AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j,
+      |    round(jaro_winkler_similarity(a.text, b.text), 6) AS sim
+      |  FROM d a JOIN d b ON a.pre = b.pre AND a.doc_id < b.doc_id
+      |  UNION ALL
+      |  SELECT a.doc_id, b.doc_id, round(jaro_winkler_similarity(a.text, b.text), 6)
+      |  FROM d a JOIN d b ON a.suf = b.suf AND a.doc_id < b.doc_id)
+      |SELECT DISTINCT i, j, sim FROM cand
+      |WHERE sim >= 0.93 ORDER BY i, j""".stripMargin
+  }
+
   val dedupEditDistanceSql: String = {
     val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
     s"""WITH d AS (
