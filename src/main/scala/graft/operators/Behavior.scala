@@ -90,6 +90,69 @@ object Behavior {
       .orderBy($"from_type", $"to_type")
   }
 
+  /** Welch two-sample t-test between event groups (A/B readout:
+    * does `purchase` carry a different mean value than `view`?). All
+    * moments are exact decimal sums (4dp-quantized values), converted
+    * once to double, so t and the Welch–Satterthwaite df are identical
+    * deterministic arithmetic in both engines. One map-side-partial
+    * aggregate; output is a single row at any scale.
+    */
+  def abTtest(spark: SparkSession, dir: String,
+              groupA: String = "purchase", groupB: String = "view"): DataFrame = {
+    import spark.implicits._
+    val m = Tables.events(spark, dir)
+      .filter($"event_type".isin(groupA, groupB))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value", 4).cast("decimal(14,4)")).as("sy"),
+        sum(round($"value", 4).cast("decimal(14,4)")
+          * round($"value", 4).cast("decimal(14,4)")).as("syy"))
+      .select($"event_type", $"n",
+        $"sy".cast("double").as("syd"), $"syy".cast("double").as("syyd"))
+    val a = m.filter($"event_type" === groupA)
+      .select($"n".as("n1"), $"syd".as("s1"), $"syyd".as("ss1"))
+    val b = m.filter($"event_type" === groupB)
+      .select($"n".as("n2"), $"syd".as("s2"), $"syyd".as("ss2"))
+    a.crossJoin(b)
+      .select(
+        lit(groupA).as("group_a"), lit(groupB).as("group_b"), $"n1", $"n2",
+        round($"s1" / $"n1", 6).as("mean_a"),
+        round($"s2" / $"n2", 6).as("mean_b"),
+        (($"ss1" - $"s1" * $"s1" / $"n1") / ($"n1" - 1)).as("v1"),
+        (($"ss2" - $"s2" * $"s2" / $"n2") / ($"n2" - 1)).as("v2"))
+      .select($"group_a", $"group_b", $"n1", $"n2", $"mean_a", $"mean_b",
+        round(($"mean_a" - $"mean_b")
+          / sqrt($"v1" / $"n1" + $"v2" / $"n2"), 6).as("t_stat"),
+        round(pow($"v1" / $"n1" + $"v2" / $"n2", 2)
+          / (pow($"v1" / $"n1", 2) / ($"n1" - 1)
+            + pow($"v2" / $"n2", 2) / ($"n2" - 1)), 6).as("welch_df"),
+        (abs(($"mean_a" - $"mean_b")
+          / sqrt($"v1" / $"n1" + $"v2" / $"n2")) > 1.96).as("significant_95"))
+  }
+
+  val abTtestSql: String =
+    """WITH m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(round(value, 4) AS DECIMAL(14,4))) AS DOUBLE) AS syd,
+      |    CAST(sum(CAST(round(value, 4) AS DECIMAL(14,4))
+      |      * CAST(round(value, 4) AS DECIMAL(14,4))) AS DOUBLE) AS syyd
+      |  FROM events WHERE event_type IN ('purchase', 'view')
+      |  GROUP BY event_type),
+      |a AS (SELECT n AS n1, syd AS s1, syyd AS ss1 FROM m WHERE event_type = 'purchase'),
+      |b AS (SELECT n AS n2, syd AS s2, syyd AS ss2 FROM m WHERE event_type = 'view'),
+      |j AS (
+      |  SELECT 'purchase' AS group_a, 'view' AS group_b, n1, n2,
+      |    round(s1 / n1, 6) AS mean_a, round(s2 / n2, 6) AS mean_b,
+      |    (ss1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+      |    (ss2 - s2 * s2 / n2) / (n2 - 1) AS v2
+      |  FROM a CROSS JOIN b)
+      |SELECT group_a, group_b, n1, n2, mean_a, mean_b,
+      |  round((mean_a - mean_b) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+      |  round(pow(v1 / n1 + v2 / n2, 2)
+      |    / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 6) AS welch_df,
+      |  abs((mean_a - mean_b) / sqrt(v1 / n1 + v2 / n2)) > 1.96 AS significant_95
+      |FROM j""".stripMargin
+
   val markovTransitionsSql: String =
     """WITH seq AS (
       |  SELECT event_type,

@@ -256,4 +256,37 @@ object StreamQueries {
   }
 
   val streamDecontamSql: String = graft.operators.Curation.decontaminateSql
+
+  /** Misra–Gries sketch as STREAMING state: the space_saving aggregate
+    * runs in complete mode over the event stream (O(m) state regardless
+    * of stream length or key cardinality — the frequent-items shape for
+    * unbounded streams), then the ≤ m candidates are exactly recounted
+    * batch-side. Output equals the batch heavy_hitters, whose oracle it
+    * shares — the sketch's retention guarantee survives micro-batch
+    * incremental merging.
+    */
+  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inDir = stageEvents(dir)
+    val name = uniqueName("sq_hh")
+    val schema = spark.read.parquet(inDir).schema
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .agg(graft.functions.AggFunctions.space_saving($"user_id", 256).as("sk"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    val cand = spark.table(name)
+      .select(explode($"sk").as("c")).select($"c.item".as("user_id"))
+    val events = graft.sources.Tables.events(spark, dir)
+    val total = events.agg(count(lit(1)).as("total"))
+    events.join(broadcast(cand), "user_id")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(total))
+      .filter($"n_events" * 100.0 >= lit(0.75) * $"total")
+      .select($"user_id", $"n_events",
+        round($"n_events".cast("double") / $"total".cast("double"), 6).as("share"))
+      .orderBy($"n_events".desc, $"user_id")
+  }
+
+  val streamHeavyHittersSql: String = graft.operators.Profile.heavyHittersSql
 }

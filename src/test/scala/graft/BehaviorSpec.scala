@@ -16,6 +16,26 @@ class BehaviorSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("ab_ttest matches a driver-side Welch recomputation") {
+    val r = Behavior.abTtest(spark, sf).head()
+    val vals = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type".isin("purchase", "view"))
+      .select($"event_type", round($"value", 4))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1))).toMap
+    def stats(xs: Array[Double]) = {
+      val n = xs.length.toDouble
+      val mean = xs.sum / n
+      (n, mean, xs.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+    }
+    val (n1, m1, v1) = stats(vals("purchase"))
+    val (n2, m2, v2) = stats(vals("view"))
+    val t = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+    assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-4,
+      s"t=${r.getAs[Double]("t_stat")} expected ~$t")
+    assert(r.getAs[Long]("n1") === n1.toLong && r.getAs[Long]("n2") === n2.toLong)
+    assert(r.getAs[Boolean]("significant_95") === (math.abs(t) > 1.96))
+  }
+
   test("markov_transitions: rows are proper distributions and counts total events−users") {
     val m = Behavior.markovTransitions(spark, sf).cache()
     // each from-row's probabilities sum to 1 within rounding slack
