@@ -24,8 +24,8 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard_full",
     "text_quality", "text_fingerprint", "text_tfidf", "pipeline_clean",
     "bm25_multi", "ngram_lm_score",
-    "decontaminate", "doc_chunks",
-    "part_pagerank",
+    "decontaminate", "doc_chunks", "dedup_jaro",
+    "part_pagerank", "heavy_hitters_sketch", "trend_fit", "dq_report",
     "ann_bruteforce", "ann_lsh")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
