@@ -575,9 +575,17 @@ object Dedup {
     * data. Pairs come from [[dedupJaccardFull]] — exact, so the
     * clustering is reproducible in SQL (recursive closure oracle).
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterPairs(spark, dedupJaccardFull(spark, dir).select(col("i"), col("j")))
+
+  /** Distributed min-label propagation over an (i, j) pair frame —
+    * shared by [[dedupClusters]] and [[erClusters]]. Per round: one
+    * join + one groupBy of (id, label) longs, O(log diameter) rounds;
+    * the driver sees a convergence count only.
+    */
+  private[graft] def clusterPairs(spark: SparkSession, pairsIn: DataFrame): DataFrame = {
     import spark.implicits._
-    val pairs = dedupJaccardFull(spark, dir).select($"i", $"j")
+    val pairs = pairsIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.union(pairs.select($"j", $"i")).toDF("a", "b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -624,6 +632,77 @@ object Dedup {
       |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id,
       |  (a = min(b)) AS is_canonical
       |FROM closure GROUP BY a ORDER BY doc_id""".stripMargin
+
+  /** Entity-resolution clusters from COMBINED evidence: one blocked
+    * self-join computes BOTH the banded edit distance and Jaro–Winkler
+    * per candidate pair (one pass over candidates, two match rules), a
+    * pair links when either rule fires, and min-label propagation
+    * resolves the transitive entities. The multi-metric OR is what
+    * record-linkage systems run: JW catches prefix-preserving typos
+    * that a relative-distance cap rejects on short strings, and edit
+    * distance catches mid-string rewrites that depress JW.
+    */
+  def erClusters(spark: SparkSession, dir: String,
+                 maxDist: Int = 60, minSim: Double = 0.93): DataFrame = {
+    import spark.implicits._
+    val toks = filter(split($"text", "\\s+"), t => t =!= "")
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"text",
+        concat_ws(" ", slice(toks, 1, 3)).as("pre"),
+        concat_ws(" ", slice(toks, -3, 3)).as("suf"))
+    def pairsOn(key: String): DataFrame =
+      docs.as("a").join(docs.as("b"),
+          col(s"a.$key") === col(s"b.$key") && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("i"), $"b.doc_id".as("j"),
+          levenshtein($"a.text", $"b.text", maxDist).as("dist"),
+          round(graft.functions.StringFunctions.jaro_winkler($"a.text", $"b.text"), 6)
+            .as("sim"),
+          greatest(length($"a.text"), length($"b.text")).as("maxlen"))
+    val linked = pairsOn("pre").unionByName(pairsOn("suf"))
+      .filter(($"dist" >= 0 &&
+          $"dist".cast("double") <= lit(0.1) * $"maxlen".cast("double")) ||
+        $"sim" >= minSim)
+      .select($"i", $"j").distinct()
+    clusterPairs(spark, linked)
+  }
+
+  lazy val erClustersSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH d AS (
+      |  SELECT doc_id, text,
+      |    array_to_string(($toks)[1:3], ' ') AS pre,
+      |    array_to_string(($toks)[-3:], ' ') AS suf
+      |  FROM documents),
+      |cand AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j,
+      |    levenshtein(a.text, b.text) AS dist,
+      |    round(jaro_winkler_similarity(a.text, b.text), 6) AS sim,
+      |    greatest(length(a.text), length(b.text)) AS maxlen
+      |  FROM d a JOIN d b ON a.pre = b.pre AND a.doc_id < b.doc_id
+      |  UNION ALL
+      |  SELECT a.doc_id, b.doc_id, levenshtein(a.text, b.text),
+      |    round(jaro_winkler_similarity(a.text, b.text), 6),
+      |    greatest(length(a.text), length(b.text))
+      |  FROM d a JOIN d b ON a.suf = b.suf AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT DISTINCT i, j FROM cand
+      |  WHERE (dist <= 60 AND CAST(dist AS DOUBLE) <= 0.1 * CAST(maxlen AS DOUBLE))
+      |     OR sim >= 0.93),
+      |edges AS (
+      |  SELECT i AS a, j AS b FROM pairs
+      |  UNION SELECT j, i FROM pairs
+      |  UNION SELECT i, i FROM pairs
+      |  UNION SELECT j, j FROM pairs),
+      |closure AS (
+      |  WITH RECURSIVE reach(a, b) AS (
+      |    SELECT a, b FROM edges
+      |    UNION
+      |    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      |  SELECT * FROM reach)
+      |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id,
+      |  (a = min(b)) AS is_canonical
+      |FROM closure GROUP BY a ORDER BY doc_id""".stripMargin
+  }
 
   /** Near-dup pairs by bounded edit distance — the character-level
     * verifier for texts whose token sets barely differ (typo-level

@@ -191,4 +191,22 @@ class DedupSpec extends SparkSpec {
     assert(p.filter($"cos_sim" < 0.3).count() == 0)
     assert(p.filter($"i" >= $"j").count() == 0)
   }
+
+  test("er_clusters: every evidence pair's endpoints share a cluster (transitive OR)") {
+    val clusters = Dedup.erClusters(spark, sf)
+      .select($"doc_id", $"cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val evidence = Dedup.dedupJaro(spark, sf).select($"i", $"j")
+      .unionByName(Dedup.dedupEditDistance(spark, sf).select($"i", $"j"))
+      .distinct().collect()
+    assert(evidence.nonEmpty)
+    evidence.foreach { r =>
+      val (i, j) = (r.getLong(0), r.getLong(1))
+      assert(clusters(i) === clusters(j), s"pair ($i,$j) split across clusters")
+    }
+    // every cluster id is its own member's min
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid === members.keys.min)
+    }
+  }
 }
