@@ -305,6 +305,65 @@ object TimeSeries {
       |      FROM events GROUP BY user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Holt double-exponential smoothing per user (level + trend,
+    * α=0.3, β=0.2; init ℓ=x₁, b=x₂−x₁, fold from x₂): the coupled
+    * recurrence runs as a HOF fold with a STRUCT accumulator — still
+    * one codegen'd pass per row, no UDF, same shuffle profile as ewma.
+    * The one-step-ahead forecast ℓ+b is the per-entity trend signal.
+    * The oracle replays the identical float-operation order through a
+    * recursive CTE (newL recomputed rather than bound, exactly as the
+    * fold's expression tree does), so results are bit-identical.
+    */
+  def holtForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // literals mirrored verbatim in the oracle: 1−0.3 in driver-side
+    // double arithmetic need not equal the literal 0.7
+    val (a, ca, b, cb) = (0.3, 0.7, 0.2, 0.8)
+    val sorted = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(array_sort(collect_list(struct($"ts_ns", $"event_id", $"value"))).as("evs"))
+      .select($"user_id", transform($"evs", e => e.getField("value")).as("vals"))
+      .filter(size($"vals") >= 2)
+    def newL(acc: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lit(a) * x + lit(ca) * (acc.getField("l") + acc.getField("b"))
+    val folded = sorted.select($"user_id",
+      size($"vals").cast("long").as("n_events"),
+      aggregate(
+        slice($"vals", lit(2), size($"vals") - 1),
+        struct(element_at($"vals", 1).as("l"),
+          (element_at($"vals", 2) - element_at($"vals", 1)).as("b")),
+        (acc, x) => struct(newL(acc, x).as("l"),
+          (lit(b) * (newL(acc, x) - acc.getField("l"))
+            + lit(cb) * acc.getField("b")).as("b"))).as("st"))
+    folded.select($"user_id", $"n_events",
+        round($"st.l", 6).as("level"),
+        round($"st.b", 6).as("trend"),
+        round($"st.l" + $"st.b", 6).as("forecast_next"))
+      .orderBy($"user_id")
+  }
+
+  val holtForecastSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, list(value ORDER BY epoch_ns(ts), event_id) AS vals
+      |  FROM events GROUP BY user_id),
+      |s2 AS (SELECT user_id, vals, len(vals) AS n FROM seq WHERE len(vals) >= 2),
+      |rec AS (
+      |  WITH RECURSIVE h(user_id, i, l, b) AS (
+      |    SELECT user_id, 1, vals[1], vals[2] - vals[1] FROM s2
+      |    UNION ALL
+      |    SELECT h.user_id, h.i + 1,
+      |      0.3 * s.vals[h.i + 1] + 0.7 * (h.l + h.b),
+      |      0.2 * ((0.3 * s.vals[h.i + 1] + 0.7 * (h.l + h.b)) - h.l) + 0.8 * h.b
+      |    FROM h JOIN s2 s ON h.user_id = s.user_id
+      |    WHERE h.i < s.n)
+      |  SELECT h.user_id, h.l, h.b FROM h JOIN s2 s ON h.user_id = s.user_id
+      |  WHERE h.i = s.n)
+      |SELECT s2.user_id, CAST(s2.n AS BIGINT) AS n_events,
+      |  round(rec.l, 6) AS level, round(rec.b, 6) AS trend,
+      |  round(rec.l + rec.b, 6) AS forecast_next
+      |FROM s2 JOIN rec ON s2.user_id = rec.user_id
+      |ORDER BY s2.user_id""".stripMargin
+
   /** Ordered 3-stage funnel: signup → first subsequent click → first
     * subsequent purchase, per user, in STRICT event-time order (a
     * purchase before the click doesn't count — the distinction naive

@@ -29,6 +29,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(r(0).getDouble(2) - 18.1) < 1e-9, s"got ${r(0).getDouble(2)}")
   }
 
+  test("holt_forecast matches a hand-computed double-exponential fixture") {
+    val dir = java.nio.file.Files.createTempDirectory("holt").toString
+    Seq(
+      (2L, 1700000002000000000L, 7L, 30.0, "click", "{}"),
+      (0L, 1700000000000000000L, 7L, 10.0, "click", "{}"),
+      (1L, 1700000001000000000L, 7L, 20.0, "click", "{}")
+    ).toDF("event_id", "ts", "user_id", "value", "event_type", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = TimeSeries.holtForecast(spark, dir).head()
+    // init l=10, b=20-10=10; fold x=20: l'=0.3*20+0.7*(10+10)=20,
+    // b'=0.2*(20-10)+0.8*10=10; fold x=30: l''=0.3*30+0.7*(20+10)=30,
+    // b''=0.2*(30-20)+0.8*10=10 → forecast 40
+    assert(r.getAs[Double]("level") === 30.0)
+    assert(r.getAs[Double]("trend") === 10.0)
+    assert(r.getAs[Double]("forecast_next") === 40.0)
+  }
+
   test("anomaly_zscore moments match Spark's own stddev_pop") {
     val expected = Tables.events(spark, sf)
       .groupBy($"event_type")
