@@ -102,4 +102,52 @@ object Sampling {
       |    / CAST(count(*) AS DOUBLE), 6) AS avg_tokens,
       |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
       |FROM documents""".stripMargin
+
+  /** Training-mix plan: per-source keep rates that hit a token budget
+    * (half the corpus) at equal source shares — the data-mixing sheet a
+    * pipeline produces before sampling. A source smaller than its equal
+    * share is kept whole (rate capped at 1.0); the realized token count
+    * is reported per source. One groupBy to source cardinality, one
+    * broadcast scalar total — the plan is |sources| rows at any scale,
+    * and the actual sampling applies the rate as a map-side md5
+    * predicate (see [[sampleStratified]]).
+    */
+  def mixturePlan(spark: SparkSession, dir: String,
+                  budgetFrac: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val toks = filter(split($"text", "\\s+"), t => t =!= "")
+    val perSource = Tables.documents(spark, dir)
+      .select($"source", size(toks).cast("long").as("n_tok"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("src_tokens"))
+    val totals = perSource.agg(
+      sum($"src_tokens").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .select($"source", $"n_docs", $"src_tokens",
+        round(least(lit(1.0),
+          (lit(budgetFrac) * $"total_tokens".cast("double") / $"n_sources".cast("double"))
+            / $"src_tokens".cast("double")), 6).as("keep_rate"))
+      .withColumn("planned_tokens",
+        floor($"keep_rate" * $"src_tokens".cast("double")).cast("long"))
+      .orderBy($"source")
+  }
+
+  val mixturePlanSql: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT)
+      |      AS src_tokens
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+      |             count(*) AS n_sources FROM per)
+      |SELECT source, n_docs, src_tokens,
+      |  round(least(CAST(1.0 AS DOUBLE),
+      |    (0.5 * CAST(total_tokens AS DOUBLE) / CAST(n_sources AS DOUBLE))
+      |      / CAST(src_tokens AS DOUBLE)), 6) AS keep_rate,
+      |  CAST(floor(round(least(CAST(1.0 AS DOUBLE),
+      |    (0.5 * CAST(total_tokens AS DOUBLE) / CAST(n_sources AS DOUBLE))
+      |      / CAST(src_tokens AS DOUBLE)), 6) * CAST(src_tokens AS DOUBLE)) AS BIGINT)
+      |    AS planned_tokens
+      |FROM per CROSS JOIN t ORDER BY source""".stripMargin
 }

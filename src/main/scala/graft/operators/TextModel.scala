@@ -230,4 +230,35 @@ object TextModel {
       |  FROM per) ranked
       |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
   }
+
+  /** Adjacent character-pair counts, top 50 — the first merge-candidate
+    * table of BPE tokenizer training. Pure map (sequence → substring
+    * pairs) into a pair-key partial aggregate; the global top-k is
+    * TakeOrderedAndProject, so the full pair table (bounded by |byte
+    * alphabet|² anyway) never feeds a single-partition sort. The only
+    * shuffle is the pair-key aggregate — the exact shape a 100 TB BPE
+    * trainer iterates.
+    */
+  def bpePairCounts(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    import spark.implicits._
+    val dfp = Tables.documents(spark, dir)
+      .filter(length($"text") >= 2) // sequence(1, 0) would DESCEND
+      .select($"text", explode(sequence(lit(1), length($"text") - 1)).as("i"))
+      .select(expr("substring(text, i, 2)").as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+    dfp.orderBy($"n".desc, $"pair").limit(topK)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"n".desc, $"pair")))
+      .select($"rk", $"pair", $"n")
+      .orderBy($"rk")
+  }
+
+  val bpePairCountsSql: String =
+    """WITH pairs AS (
+      |  SELECT text[i:i+1] AS pair
+      |  FROM documents, unnest(range(1, length(text))) AS t(i)),
+      |counts AS (SELECT pair, count(*) AS n FROM pairs GROUP BY pair),
+      |top AS (SELECT pair, n FROM counts ORDER BY n DESC, pair LIMIT 50)
+      |SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rk, pair, n
+      |FROM top ORDER BY rk""".stripMargin
 }

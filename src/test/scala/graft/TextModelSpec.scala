@@ -4,6 +4,42 @@ import org.apache.spark.sql.functions._
 import graft.operators.{TextAnalysis, TextModel}
 
 class TextModelSpec extends SparkSpec {
+
+  test("bpe_pair_counts: total pair mass equals sum of (len-1) and top pair is real") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val full = docs.filter(length($"text") >= 2)
+      .select($"text", explode(sequence(lit(1), length($"text") - 1)).as("i"))
+      .select(expr("substring(text, i, 2)").as("pair"))
+    val mass = full.count()
+    val expected = docs.agg(sum(greatest(length($"text") - 1, lit(0))))
+      .head().getLong(0)
+    assert(mass === expected, "every adjacent pair counted exactly once")
+    val top = graft.operators.TextModel.bpePairCounts(spark, sf).head()
+    assert(top.getAs[Int]("rk") === 1)
+    val direct = full.groupBy($"pair").count()
+      .orderBy($"count".desc, $"pair").head()
+    assert(top.getAs[String]("pair") === direct.getString(0))
+    assert(top.getAs[Long]("n") === direct.getLong(1))
+  }
+
+  test("mixture_plan: rates cap at 1.0 and planned tokens never exceed source or budget math") {
+    import spark.implicits._
+    val plan = graft.operators.Sampling.mixturePlan(spark, sf).collect()
+    assert(plan.nonEmpty)
+    plan.foreach { r =>
+      val rate = r.getAs[Double]("keep_rate")
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("planned_tokens") <= r.getAs[Long]("src_tokens"))
+    }
+    val planned = plan.map(_.getAs[Long]("planned_tokens")).sum.toDouble
+    val total = plan.map(_.getAs[Long]("src_tokens")).sum.toDouble
+    // equal-share water level with caps: realized budget is ≤ target and
+    // within one source-share of it on this corpus
+    assert(planned <= 0.5 * total + plan.length)
+    assert(planned >= 0.4 * total, s"planned $planned of $total")
+  }
   import spark.implicits._
 
   test("ngram_lm_score: a repetitive doc is far more predictable than a varied one") {
