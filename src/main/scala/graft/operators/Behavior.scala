@@ -153,6 +153,33 @@ object Behavior {
       |  abs((mean_a - mean_b) / sqrt(v1 / n1 + v2 / n2)) > 1.96 AS significant_95
       |FROM j""".stripMargin
 
+  /** Seasonal activity profile: hour-of-day × event-type counts with
+    * each cell's share of its type (the load-shape table behind
+    * anomaly baselines and capacity planning). One partial-agg shuffle
+    * to a 24×|types| table; shares are exact int/int divisions over a
+    * window on that tiny table.
+    */
+  def seasonalProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, dir)
+      .groupBy(hour($"ts").as("hour_of_day"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+    cells
+      .withColumn("share_of_type",
+        round($"n".cast("double") / sum($"n").over(w).cast("double"), 6))
+      .orderBy($"event_type", $"hour_of_day")
+  }
+
+  val seasonalProfileSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(hour(ts) AS INT) AS hour_of_day, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT hour_of_day, event_type, n,
+      |  round(CAST(n AS DOUBLE)
+      |    / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS share_of_type
+      |FROM cells ORDER BY event_type, hour_of_day""".stripMargin
+
   val markovTransitionsSql: String =
     """WITH seq AS (
       |  SELECT event_type,

@@ -103,6 +103,32 @@ object Sampling {
       |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
       |FROM documents""".stripMargin
 
+  /** Deterministic k-per-group sample: the k docs per source with the
+    * smallest md5(text) — a content-hash "reservoir" that is stable
+    * across runs, partitionings, and appends of non-winning rows (the
+    * balanced eval-slice builder). Rank is WindowGroupLimit-prunable:
+    * each partition keeps ≤ k rows per group before the group shuffle,
+    * so the sort never sees the full corpus.
+    */
+  def samplePerGroup(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy(md5($"text"), $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"text")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"source", $"rk".cast("int").as("rk"), $"doc_id")
+      .orderBy($"source", $"rk")
+  }
+
+  val samplePerGroupSql: String =
+    """SELECT source, CAST(rk AS INT) AS rk, doc_id FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+      |  FROM documents) t
+      |WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+
   /** Training-mix plan: per-source keep rates that hit a token budget
     * (half the corpus) at equal source shares — the data-mixing sheet a
     * pipeline produces before sampling. A source smaller than its equal

@@ -202,6 +202,11 @@ class PlanSpec extends SparkSpec {
     assert(n <= 1)
   }
 
+  test("sample_per_group: rank is WindowGroupLimit-pruned before the group shuffle") {
+    val plan = physicalPlan(operators.Sampling.samplePerGroup(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pruning:\n$plan")
+  }
+
   test("bm25_multi: per-query ranks are WindowGroupLimit-pruned and " +
     "query fanout joins broadcast") {
     val df = operators.TextModel.bm25Multi(spark, sf)
