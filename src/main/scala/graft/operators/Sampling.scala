@@ -129,6 +129,87 @@ object Sampling {
       |  FROM documents) t
       |WHERE rk <= 10 ORDER BY source, rk""".stripMargin
 
+  /** WATER-FILLING mixture: the exact level L with Σ min(srcᵢ, L) = B,
+    * so the realized token count hits the budget instead of
+    * undershooting when small sources can't fill their equal share
+    * (the naive plan leaves their surplus on the table —
+    * [[mixturePlan]] documents that gap). Sources are ranked ascending;
+    * k = the largest rank where flattening everything above rank k to
+    * sₖ still fits the budget (cumₖ + sₖ·(n−k) ≤ B); then
+    * L = (B − cumₖ)/(n − k). All window math runs on the |sources|-row
+    * table — the corpus contributes one groupBy.
+    */
+  def mixtureWaterfill(spark: SparkSession, dir: String,
+                       budgetFrac: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val toks = filter(split($"text", "\\s+"), t => t =!= "")
+    val perSource = Tables.documents(spark, dir)
+      .select($"source", size(toks).cast("long").as("n_tok"))
+      .groupBy($"source")
+      .agg(sum($"n_tok").as("src_tokens"))
+    val totals = perSource.agg(sum($"src_tokens").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"src_tokens", $"source")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ranked = perSource.crossJoin(broadcast(totals))
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"src_tokens", $"source")))
+      .withColumn("cum", sum($"src_tokens").over(w))
+      .withColumn("budget", lit(budgetFrac) * $"total_tokens".cast("double"))
+      .withColumn("feasible",
+        $"cum".cast("double")
+          + $"src_tokens".cast("double") * ($"n_sources" - $"idx").cast("double")
+          <= $"budget")
+    val kRow = ranked.agg(
+      coalesce(max(when($"feasible", $"idx")), lit(0)).as("k"),
+      coalesce(max(when($"feasible", $"cum")), lit(0L)).as("cum_k"))
+    ranked.crossJoin(broadcast(kRow))
+      .withColumn("level",
+        ($"budget" - $"cum_k".cast("double")) / ($"n_sources" - $"k").cast("double"))
+      .select($"source", $"src_tokens",
+        when($"idx" <= $"k" || $"n_sources" === $"k", lit(1.0))
+          .otherwise(round($"level" / $"src_tokens".cast("double"), 6)).as("keep_rate"),
+        when($"idx" <= $"k" || $"n_sources" === $"k", $"src_tokens")
+          .otherwise(floor(round($"level" / $"src_tokens".cast("double"), 6)
+            * $"src_tokens".cast("double")).cast("long")).as("planned_tokens"))
+      .orderBy($"source")
+  }
+
+  val mixtureWaterfillSql: String =
+    """WITH per AS (
+      |  SELECT source,
+      |    CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT)
+      |      AS src_tokens
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+      |             count(*) AS n_sources FROM per),
+      |ranked AS (
+      |  SELECT per.*, t.n_sources,
+      |    row_number() OVER (ORDER BY src_tokens, source) AS idx,
+      |    sum(src_tokens) OVER (ORDER BY src_tokens, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    0.5 * CAST(t.total_tokens AS DOUBLE) AS budget
+      |  FROM per CROSS JOIN t),
+      |f AS (SELECT ranked.*,
+      |    CAST(cum AS DOUBLE) + CAST(src_tokens AS DOUBLE)
+      |      * CAST(n_sources - idx AS DOUBLE) <= budget AS feasible
+      |  FROM ranked),
+      |kk AS (SELECT coalesce(max(CASE WHEN feasible THEN idx END), 0) AS k,
+      |              coalesce(max(CASE WHEN feasible THEN cum END), 0) AS cum_k
+      |       FROM f)
+      |SELECT source, src_tokens,
+      |  CASE WHEN idx <= k OR n_sources = k THEN CAST(1.0 AS DOUBLE)
+      |       ELSE round(((budget - CAST(cum_k AS DOUBLE))
+      |         / CAST(n_sources - k AS DOUBLE)) / CAST(src_tokens AS DOUBLE), 6)
+      |  END AS keep_rate,
+      |  CASE WHEN idx <= k OR n_sources = k THEN src_tokens
+      |       ELSE CAST(floor(round(((budget - CAST(cum_k AS DOUBLE))
+      |         / CAST(n_sources - k AS DOUBLE)) / CAST(src_tokens AS DOUBLE), 6)
+      |         * CAST(src_tokens AS DOUBLE)) AS BIGINT)
+      |  END AS planned_tokens
+      |FROM f CROSS JOIN kk ORDER BY source""".stripMargin
+
   /** Training-mix plan: per-source keep rates that hit a token budget
     * (half the corpus) at equal source shares — the data-mixing sheet a
     * pipeline produces before sampling. A source smaller than its equal

@@ -24,6 +24,26 @@ class TextModelSpec extends SparkSpec {
     assert(top.getAs[Long]("n") === direct.getLong(1))
   }
 
+  test("mixture_waterfill hits the budget exactly (up to floor slack)") {
+    import spark.implicits._
+    val plan = graft.operators.Sampling.mixtureWaterfill(spark, sf).collect()
+    val total = plan.map(_.getAs[Long]("src_tokens")).sum
+    val planned = plan.map(_.getAs[Long]("planned_tokens")).sum
+    val budget = 0.5 * total
+    assert(math.abs(planned - budget) <= plan.length + 1,
+      s"planned $planned vs budget $budget")
+    // capped sources all sit at one water level; whole sources are below it
+    val (whole, capped) = plan.partition(_.getAs[Double]("keep_rate") == 1.0)
+    if (capped.nonEmpty) {
+      val levels = capped.map(r =>
+        r.getAs[Double]("keep_rate") * r.getAs[Long]("src_tokens")).toSeq
+      assert(levels.max - levels.min <= math.max(2.0, 1e-4 * levels.max),
+        s"capped sources must share the water level: $levels")
+      val maxWhole = if (whole.isEmpty) 0L else whole.map(_.getAs[Long]("src_tokens")).max
+      assert(maxWhole <= levels.min + 1)
+    }
+  }
+
   test("mixture_plan: rates cap at 1.0 and planned tokens never exceed source or budget math") {
     import spark.implicits._
     val plan = graft.operators.Sampling.mixturePlan(spark, sf).collect()
