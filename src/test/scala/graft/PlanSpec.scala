@@ -202,6 +202,24 @@ class PlanSpec extends SparkSpec {
     assert(n <= 1)
   }
 
+  test("shuffle budgets for the round-2 analytics additions") {
+    for ((name, df, budget) <- Seq(
+        ("holt_forecast", operators.TimeSeries.holtForecast(spark, sf), 2),
+        ("bpe_pair_counts", operators.TextModel.bpePairCounts(spark, sf), 2),
+        ("seasonal_profile", operators.Behavior.seasonalProfile(spark, sf), 3),
+        ("markov_transitions", operators.Behavior.markovTransitions(spark, sf), 4),
+        ("retention_cohorts", operators.Behavior.retentionCohorts(spark, sf), 5),
+        ("trend_fit", operators.Profile.trendFit(spark, sf), 2),
+        ("ab_ttest", operators.Behavior.abTtest(spark, sf), 4),
+        ("mixture_waterfill", operators.Sampling.mixtureWaterfill(spark, sf), 5),
+        ("group_topk", operators.Grouping.groupTopk(spark, sf), 2),
+        ("heavy_hitters_sketch", operators.Profile.heavyHittersSketch(spark, sf), 4))) {
+      val n = shuffleCount(df)
+      info(s"$name shuffles = $n (budget $budget)")
+      assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
+    }
+  }
+
   test("sample_per_group: rank is WindowGroupLimit-pruned before the group shuffle") {
     val plan = physicalPlan(operators.Sampling.samplePerGroup(spark, sf))
     assert(plan.contains("WindowGroupLimit"), s"no group-limit pruning:\n$plan")
