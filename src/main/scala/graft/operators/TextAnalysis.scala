@@ -178,6 +178,35 @@ object TextAnalysis {
     * order (never a float `sum` over an unordered group), so ranking is
     * bit-stable and the oracle reproduces it exactly.
     */
+  /** Boolean AND retrieval: documents containing EVERY query term,
+    * ranked by total term frequency (the filter-mode complement to
+    * BM25's ranked scoring — dataset slicing wants hard conjunctions).
+    * The term filter is pushed below the tf aggregate so only query-term
+    * postings leave the explode; the conjunction is countDistinct(term)
+    * = |query| on the per-doc aggregate — one shuffle total.
+    */
+  def booleanSearch(spark: SparkSession, dir: String,
+                    query: Seq[String] = Seq("spark", "query", "window")): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("w"))
+      .filter($"w".isin(query: _*))
+      .groupBy($"doc_id")
+      .agg(countDistinct($"w").as("n_terms"), count(lit(1)).as("total_tf"))
+      .filter($"n_terms" === query.length)
+      .select($"doc_id", $"total_tf")
+      .orderBy($"total_tf".desc, $"doc_id")
+  }
+
+  val booleanSearchSql: String =
+    """SELECT doc_id, count(*) AS total_tf
+      |FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+      |      FROM documents) t
+      |WHERE w IN ('spark', 'query', 'window')
+      |GROUP BY doc_id
+      |HAVING count(DISTINCT w) = 3
+      |ORDER BY total_tf DESC, doc_id""".stripMargin
+
   def bm25Search(spark: SparkSession, dir: String,
                  query: Seq[String] = Seq("spark", "query", "window"),
                  k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
