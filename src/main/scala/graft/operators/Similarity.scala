@@ -189,4 +189,58 @@ object Similarity {
       |SELECT q_id, rk, n_id, round(cos, 6) AS cos_sim
       |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   }
+
+  /** kNN label classification: each query vector takes the majority
+    * label of its 5 nearest corpus neighbors (ties → smaller label) —
+    * embedding-space inference for labeling/routing pipelines. Queries
+    * broadcast with their labels; the corpus is scanned, never
+    * shuffled; per-query neighbor ranks are WindowGroupLimit-pruned;
+    * the vote is a tiny (query × label) aggregate. Deterministic
+    * neighbor and vote ordering makes the prediction exact.
+    */
+  def knnClassify(spark: SparkSession, dir: String,
+                  k: Int = 5, nQueries: Int = 40): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"label".as("true_label"),
+        $"embedding".as("q_vec"), Dedup.norm($"embedding").as("q_norm"))
+    val corpus = e.filter($"vec_id" >= nQueries)
+      .select($"vec_id".as("n_id"), $"label".as("n_label"),
+        $"embedding".as("n_vec"), Dedup.norm($"embedding").as("n_norm"))
+    val wN = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+    val neighbors = corpus.crossJoin(broadcast(q))
+      .withColumn("cos", Dedup.cosinePre($"q_vec", $"n_vec", $"q_norm", $"n_norm"))
+      .withColumn("rk", row_number().over(wN))
+      .filter($"rk" <= k)
+    val wV = Window.partitionBy($"q_id").orderBy($"n_votes".desc, $"n_label")
+    neighbors.groupBy($"q_id", $"true_label", $"n_label")
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vrk", row_number().over(wV))
+      .filter($"vrk" === 1)
+      .select($"q_id", $"true_label", $"n_label".as("predicted_label"),
+        $"n_votes", ($"n_label" === $"true_label").as("correct"))
+      .orderBy($"q_id")
+  }
+
+  val knnClassifySql: String =
+    """WITH q AS (SELECT vec_id AS q_id, label AS true_label, embedding
+      |           FROM embeddings WHERE vec_id < 40),
+      |c AS (SELECT vec_id AS n_id, label AS n_label, embedding
+      |      FROM embeddings WHERE vec_id >= 40),
+      |nb AS (
+      |  SELECT q_id, true_label, n_label,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY
+      |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                             CAST(c.embedding AS DOUBLE[])) DESC, n_id) AS rk
+      |  FROM q, c),
+      |votes AS (
+      |  SELECT q_id, true_label, n_label, count(*) AS n_votes
+      |  FROM nb WHERE rk <= 5 GROUP BY 1, 2, 3),
+      |best AS (
+      |  SELECT votes.*, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY n_votes DESC, n_label) AS vrk FROM votes)
+      |SELECT q_id, true_label, n_label AS predicted_label, n_votes,
+      |  n_label = true_label AS correct
+      |FROM best WHERE vrk = 1 ORDER BY q_id""".stripMargin
 }
