@@ -398,6 +398,35 @@ object Cdc {
     """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS prop_k
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Semi-structured analytics: aggregate the JSON-extracted property
+    * per event type (count, min/max, exact integer mean at 6dp) —
+    * schema-on-read feeding a normal relational aggregate, the pattern
+    * that replaces a staged extract-then-load hop. One partial-agg
+    * shuffle; the parse is a per-row map fused into the scan.
+    */
+  def propsStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(spark, dir)
+      .select($"event_type", from_json($"props", schema).getField("k").as("k"))
+      .filter($"k".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        min($"k").as("k_min"), max($"k").as("k_max"),
+        round(sum($"k").cast("double") / count(lit(1)).cast("double"), 6).as("k_avg"))
+      .orderBy($"event_type")
+  }
+
+  val propsStatsSql: String =
+    """WITH x AS (
+      |  SELECT event_type,
+      |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, count(*) AS n, min(k) AS k_min, max(k) AS k_max,
+      |  round(CAST(sum(k) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS k_avg
+      |FROM x WHERE k IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Dead-letter routing: envelopes that fail parsing are FLAGGED with
     * a reason instead of silently dropped — at sustained bus volume a
     * parse-and-drop ingest loses data invisibly; the reference's sink
