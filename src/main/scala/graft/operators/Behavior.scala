@@ -153,6 +153,45 @@ object Behavior {
       |  abs((mean_a - mean_b) / sqrt(v1 / n1 + v2 / n2)) > 1.96 AS significant_95
       |FROM j""".stripMargin
 
+  /** DAU/WAU: daily active users and the trailing-7-day rolling
+    * distinct count, plus stickiness (DAU/WAU). Rolling COUNT DISTINCT
+    * has no window form — each (user, day) pair instead fans out to
+    * the 7 window-end days it supports (bounded 7× explode of the
+    * already-deduped user-day table, NOT of raw events), then one
+    * distinct aggregate per window day. Days are integer epoch-days so
+    * the arithmetic is engine-exact.
+    */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val userDays = Tables.events(spark, dir)
+      .select(floor(unix_timestamp($"ts") / 86400L).cast("long").as("day_n"),
+        $"user_id")
+      .distinct()
+    val dau = userDays.groupBy($"day_n").agg(countDistinct($"user_id").as("dau"))
+    val wau = userDays
+      .select(explode(sequence($"day_n", $"day_n" + 6)).as("w_day"), $"user_id")
+      .groupBy($"w_day").agg(countDistinct($"user_id").as("wau"))
+    dau.join(wau, $"day_n" === $"w_day")
+      .select($"day_n", $"dau", $"wau",
+        round($"dau".cast("double") / $"wau".cast("double"), 6).as("stickiness"))
+      .orderBy($"day_n")
+  }
+
+  val activeUsersSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day_n,
+      |    user_id
+      |  FROM events),
+      |dau AS (SELECT day_n, count(DISTINCT user_id) AS dau FROM ud GROUP BY day_n),
+      |wau AS (
+      |  SELECT w_day, count(DISTINCT user_id) AS wau
+      |  FROM (SELECT unnest(range(day_n, day_n + 7)) AS w_day, user_id FROM ud) f
+      |  GROUP BY w_day)
+      |SELECT dau.day_n, dau.dau, wau.wau,
+      |  round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+      |FROM dau JOIN wau ON dau.day_n = wau.w_day
+      |ORDER BY dau.day_n""".stripMargin
+
   /** Seasonal activity profile: hour-of-day × event-type counts with
     * each cell's share of its type (the load-shape table behind
     * anomaly baselines and capacity planning). One partial-agg shuffle
