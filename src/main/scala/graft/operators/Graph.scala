@@ -125,4 +125,78 @@ object Graph {
       |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
       |GROUP BY a.pk, b.pk
       |ORDER BY n_orders DESC, part_a, part_b LIMIT 50""".stripMargin
+
+  /** Triangle count over the FREQUENT co-purchase graph (pair support
+    * ≥ 2 orders — random single co-occurrences pruned before any
+    * quadratic step). Classic degree-ordered orientation: every edge
+    * points from its lower-(degree, id) endpoint to the higher, so each
+    * triangle is counted exactly once and the wedge join enumerates
+    * Σ C(outdeg, 2) pairs — outdegree is bounded by the graph's
+    * degeneracy under this orientation (√m worst case), not by the max
+    * hub degree, which is what keeps the wedge stage from exploding on
+    * a power-law co-purchase graph at scale. Three hash joins on id
+    * keys; only (src, dst, rank) longs ride the shuffles.
+    *
+    * The orientation rank packs (degree, id) into one long
+    * (deg·10⁹ + id) — a total order both engines reproduce exactly.
+    */
+  def triangleCount(spark: SparkSession, dir: String, minSupport: Int = 2): DataFrame = {
+    import spark.implicits._
+    val li = incidence(spark, dir)
+    // undirected support-filtered edges, canonical u < v by part id
+    val edges = li.as("a").join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("u"), $"b.pk".as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= minSupport)
+      .select($"u", $"v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.select($"u".as("node")).unionAll(edges.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val ranked = edges
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), Seq("v"))
+      .select($"u", $"v",
+        ($"du" * 1000000000L + $"u").as("ru"),
+        ($"dv" * 1000000000L + $"v").as("rv"))
+    // orient low-rank → high-rank
+    val oe = ranked
+      .select(when($"ru" < $"rv", $"u").otherwise($"v").as("src"),
+        when($"ru" < $"rv", $"v").otherwise($"u").as("dst"),
+        when($"ru" < $"rv", $"rv").otherwise($"ru").as("dst_rank"))
+    val tri = oe.as("e1")
+      .join(oe.as("e2"), $"e1.src" === $"e2.src" && $"e1.dst_rank" < $"e2.dst_rank")
+      .join(oe.as("e3"), $"e1.dst" === $"e3.src" && $"e2.dst" === $"e3.dst")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    nNodes.crossJoin(edges.agg(count(lit(1)).as("n_edges"))).crossJoin(tri)
+  }
+
+  val triangleCountSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |edges AS (
+      |  SELECT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+      |deg AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+      |  GROUP BY node),
+      |oe AS (
+      |  SELECT CASE WHEN ru < rv THEN u ELSE v END AS src,
+      |         CASE WHEN ru < rv THEN v ELSE u END AS dst,
+      |         CASE WHEN ru < rv THEN rv ELSE ru END AS dst_rank
+      |  FROM (SELECT e.u, e.v, du.deg * 1000000000 + e.u AS ru,
+      |               dv.deg * 1000000000 + e.v AS rv
+      |        FROM edges e
+      |        JOIN deg du ON du.node = e.u
+      |        JOIN deg dv ON dv.node = e.v)),
+      |tri AS (
+      |  SELECT count(*) AS n_triangles
+      |  FROM oe e1
+      |  JOIN oe e2 ON e1.src = e2.src AND e1.dst_rank < e2.dst_rank
+      |  JOIN oe e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+      |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+      |       (SELECT count(*) FROM edges) AS n_edges,
+      |       n_triangles
+      |FROM tri""".stripMargin
 }

@@ -257,4 +257,40 @@ object Sampling {
       |      / CAST(src_tokens AS DOUBLE)), 6) * CAST(src_tokens AS DOUBLE)) AS BIGINT)
       |    AS planned_tokens
       |FROM per CROSS JOIN t ORDER BY source""".stripMargin
+
+  /** Deterministic k-fold cross-validation assignment (k=5): each doc's
+    * fold comes from its content-hash bucket (md5 hex prefix split at
+    * 0x33/0x66/0x99/0xcc — 51/51/51/51/52 of the 256 buckets), so folds
+    * are stable across runs, engines, and partitioning, and appending
+    * data never reassigns an existing doc. The per-row fold map is a
+    * pure predicate (zero shuffles); the summary is one partial-agg
+    * groupBy to a k-row table.
+    */
+  def crossvalFolds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = substring(
+      md5(concat($"doc_id".cast("string"), lit(":"), $"text")), 1, 2)
+    Tables.documents(spark, dir)
+      .withColumn("fold",
+        when(bucket < "33", 0).when(bucket < "66", 1).when(bucket < "99", 2)
+          .when(bucket < "cc", 3).otherwise(4))
+      .groupBy($"fold")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length($"text")).as("n_chars"),
+        min($"doc_id").as("min_doc"))
+      .orderBy($"fold")
+  }
+
+  val crossvalFoldsSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN b < '33' THEN 0 WHEN b < '66' THEN 1 WHEN b < '99' THEN 2
+      |         WHEN b < 'cc' THEN 3 ELSE 4 END AS fold
+      |  FROM (SELECT doc_id, text,
+      |          substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 2) AS b
+      |        FROM documents))
+      |SELECT fold, count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+      |  min(doc_id) AS min_doc
+      |FROM f GROUP BY fold ORDER BY fold""".stripMargin
 }

@@ -261,4 +261,54 @@ object TextModel {
       |top AS (SELECT pair, n FROM counts ORDER BY n DESC, pair LIMIT 50)
       |SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rk, pair, n
       |FROM top ORDER BY rk""".stripMargin
+
+  /** Per-document n-gram NOVELTY against everything ingested before it
+    * (doc_id = ingestion order): the fraction of a doc's distinct
+    * bigrams whose first corpus appearance is the doc itself. Low
+    * novelty ⇒ the doc is mostly re-treading earlier content — the
+    * incremental-dedup signal for append-only corpus growth (a cheap
+    * streaming-order complement to pairwise near-dup search).
+    *
+    * Scale shape: bigrams form in one doc_id-keyed window pass (shared
+    * shape with [[ngramLmScore]]); first-seen is a gram-keyed min
+    * aggregate of the SAME distinct-gram table (no second raw pass);
+    * the verdict join is gram-keyed hash join of id/count rows only.
+    * novel_frac is exact-int ÷ exact-int — one correctly-rounded IEEE
+    * division, bit-identical in any engine, no rounding needed.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val dbg = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead($"tok", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .select($"doc_id", $"tok".as("w1"), $"nxt".as("w2"))
+      .distinct()
+    val firstSeen = dbg.groupBy($"w1", $"w2").agg(min($"doc_id").as("first_doc"))
+    dbg.join(firstSeen, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_grams", $"n_novel",
+        ($"n_novel".cast("double") / $"n_grams".cast("double")).as("novel_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val ngramNoveltySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT DISTINCT doc_id, t[i] AS w1, t[i+1] AS w2
+      |  FROM toks, unnest(range(1, len(t))) AS r(i)),
+      |fs AS (SELECT w1, w2, min(doc_id) AS first_doc FROM bg GROUP BY w1, w2)
+      |SELECT bg.doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN fs.first_doc = bg.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  CAST(sum(CASE WHEN fs.first_doc = bg.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS novel_frac
+      |FROM bg JOIN fs ON bg.w1 = fs.w1 AND bg.w2 = fs.w2
+      |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 }

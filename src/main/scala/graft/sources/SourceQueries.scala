@@ -56,4 +56,31 @@ object SourceQueries {
     """SELECT c_mktsegment, count(*) AS n_customers,
       |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** ORC source: orders through Spark's built-in columnar ORC format
+    * (typed round-trip incl. timestamps), aggregated by status. ORC is
+    * the second pushdown-capable columnar format next to parquet — the
+    * predicate below reaches the ORC reader as a pushed filter, and the
+    * oracle reproduces the aggregate from the original parquet.
+    */
+  def orcSource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("graft_orc")
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_orderpriority")
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .filter($"o_orderpriority" =!= "3-MEDIUM")
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+      .orderBy($"o_orderstatus", $"o_orderpriority")
+  }
+
+  val orcSourceSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders WHERE o_orderpriority <> '3-MEDIUM'
+      |GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 }

@@ -46,4 +46,24 @@ class GraphSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "rank/degree joins must broadcast")
     assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
+
+  test("triangle_count equals an unoriented brute-force triple join") {
+    val row = Graph.triangleCount(spark, sf).first()
+    val (nNodes, nEdges, nTri) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nNodes > 0 && nEdges > 0)
+    // brute force: edges are stored canonical u<v, so each triangle
+    // a<b<c appears exactly once as e(a,b) ∧ e(b,c) ∧ e(a,c) — no
+    // orientation needed, just three equi-joins on the id order
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val edges = li.as("a").join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("u"), $"b.pk".as("v"))
+      .agg(count(lit(1)).as("s")).filter($"s" >= 2).select($"u", $"v").cache()
+    val brute = edges.as("e1")
+      .join(edges.as("e2"), $"e1.v" === $"e2.u")
+      .join(edges.as("e3"), $"e1.u" === $"e3.u" && $"e2.v" === $"e3.v")
+      .count()
+    assert(nTri == brute, s"oriented count $nTri != brute $brute")
+    assert(nEdges == edges.count())
+  }
 }

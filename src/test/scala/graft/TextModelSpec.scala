@@ -87,6 +87,34 @@ class TextModelSpec extends SparkSpec {
       s"batched scoring must reproduce the single-query ranking:\n${single.toSeq}\n${multi.toSeq}")
   }
 
+  test("ngram_novelty: first doc is all-novel and novel mass sums to the distinct gram count") {
+    val nov = graft.operators.TextModel.ngramNovelty(spark, sf).cache()
+    val first = nov.orderBy($"doc_id").first()
+    assert(first.getDouble(3) == 1.0, "the earliest doc can only contain first-seen grams")
+    // every distinct corpus bigram is novel exactly once — at its first doc
+    val novelMass = nov.agg(sum($"n_novel")).first().getLong(0)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val distinctGrams = docs
+      .select($"doc_id", posexplode(filter(split($"text", "\\s+"), t => t =!= ""))
+        .as(Seq("pos", "tok")))
+      .withColumn("nxt", lead($"tok", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"pos")))
+      .filter($"nxt".isNotNull)
+      .select($"tok", $"nxt").distinct().count()
+    assert(novelMass == distinctGrams, s"novel mass $novelMass != distinct grams $distinctGrams")
+  }
+
+  test("crossval_folds partitions all docs into 5 roughly equal stable folds") {
+    val f = graft.operators.Sampling.crossvalFolds(spark, sf).collect()
+    assert(f.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3, 4))
+    val total = f.map(_.getLong(1)).sum
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(total == nDocs)
+    // 256-bucket split: each fold ~20%; allow binomial noise at small sf
+    f.foreach(r => assert(r.getLong(1) > nDocs / 10 && r.getLong(1) < nDocs * 3 / 10,
+      s"fold ${r.getInt(0)} has ${r.getLong(1)} of $nDocs docs"))
+  }
+
   test("bm25_multi ranks every query and never crosses query boundaries") {
     val rows = TextModel.bm25Multi(spark, sf).collect()
     val byQ = rows.groupBy(_.getString(0))
