@@ -26,7 +26,8 @@ object Bench {
     "bm25_multi", "ngram_lm_score",
     "decontaminate", "doc_chunks", "dedup_jaro",
     "part_pagerank", "heavy_hitters_sketch", "trend_fit", "dq_report",
-    "ann_bruteforce", "ann_lsh")
+    "ann_bruteforce", "ann_lsh",
+    "embedding_covariance", "zipf_fit", "triangle_count", "ngram_novelty")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

@@ -39,4 +39,99 @@ object Embeddings {
       |  round(CAST(sum(CAST(round(CAST(v AS DOUBLE), 7) AS DECIMAL(18,7))) AS DOUBLE)
       |    / CAST(count(*) AS DOUBLE), 6) AS centroid
       |FROM comp GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
+  /** The quantized long-vector column the covariance aggregate consumes:
+    * Spark's own round(x·10⁴) per component, so the quantization path
+    * is the engine-validated one (mirrored by DuckDB round). */
+  private def qvec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(c, v => round(v.cast("double") * 10000d, 0).cast("long"))
+
+  /** Full 64×64 embedding covariance matrix in ONE pass via the native
+    * [[graft.functions.VecCovSum]] aggregate: each partition accumulates
+    * d(d+1)/2 exact integer product sums (O(d²) state, zero row
+    * fan-out), buffers merge associatively, and the only data movement
+    * is sketch-sized partials — vs. the posexplode²-and-groupBy
+    * formulation that multiplies the corpus scan ×4096. Covariance
+    * derives per pair from the sufficient statistics in exact integer
+    * arithmetic ((n·Σqᵢqⱼ − Σqᵢ·Σqⱼ), all < 2⁵³ here) with a single
+    * double division at the end — bit-identical cross-engine.
+    *
+    * This is the whitening / PCA-prep primitive for an embedding corpus
+    * ([[pcaPower]] consumes it).
+    */
+  def embeddingCovariance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .agg(graft.functions.AggFunctions.vec_cov_sum(qvec($"embedding")).as("cov"))
+      .select(explode($"cov").as("e"))
+      .select($"e.i".as("i"), $"e.j".as("j"), $"e.n".as("n"),
+        (($"e.n" * $"e.s_ij" - $"e.s_i" * $"e.s_j").cast("double")
+          / ($"e.n".cast("double") * $"e.n".cast("double") * lit(1e8)))
+          .as("cov"))
+      .orderBy($"i", $"j")
+  }
+
+  val embeddingCovarianceSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, CAST(i AS INT) AS i,
+      |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 10000, 0) AS BIGINT) AS qv
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i))
+      |SELECT a.i AS i, b.i AS j, count(*) AS n,
+      |  CAST(count(*) * CAST(sum(a.qv * b.qv) AS BIGINT)
+      |       - CAST(sum(a.qv) AS BIGINT) * CAST(sum(b.qv) AS BIGINT) AS DOUBLE)
+      |    / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) * 1e8) AS cov
+      |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin
+
+  /** Top principal component of the embedding corpus by power iteration
+    * over the [[embeddingCovariance]] matrix. The distributed part is
+    * the one-pass covariance; the iteration itself runs on the d×d
+    * matrix — O(d²) driver traffic and compute (d=64), the same
+    * bounded "model-sized" exception as IVF centroid training, never
+    * O(corpus). Deterministic: fixed uniform start, a fixed iteration
+    * count of y=Av with ascending-index accumulation, L2 normalization
+    * each step; the sign convention fixes component 0 ≥ 0. The count is
+    * high (1000) because a near-isotropic spectrum converges at
+    * (λ₂/λ₁)^iters — iterations on a d×d matrix are microseconds.
+    *
+    * Output: one row per dimension with the eigenvector component, plus
+    * the eigenvalue and its share of total variance (trace). Rows-only
+    * (the iteration is float-recursive; the covariance INPUT is the
+    * oracled part) + spec asserting the eigenpair residual.
+    */
+  def pcaPower(spark: SparkSession, dir: String, iters: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val cov = embeddingCovariance(spark, dir)
+      .select($"i", $"j", $"cov").collect() // d(d+1)/2 rows — model-sized
+    val d = cov.map(_.getInt(1)).max + 1
+    val a = Array.ofDim[Double](d, d)
+    cov.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      a(i)(j) = c; a(j)(i) = c
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    var it = 0
+    while (it < iters) {
+      val y = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var s = 0.0; var j = 0
+        while (j < d) { s += a(i)(j) * v(j); j += 1 }
+        y(i) = s; i += 1
+      }
+      val norm = math.sqrt(y.map(x => x * x).sum)
+      lambda = norm
+      v = y.map(_ / norm)
+      it += 1
+    }
+    if (v(0) < 0) v = v.map(-_)
+    val trace = (0 until d).map(i => a(i)(i)).sum
+    val rows = v.zipWithIndex.map { case (c, i) =>
+      (i, c, lambda, lambda / trace)
+    }
+    spark.createDataFrame(rows.toIndexedSeq)
+      .toDF("dim", "component", "eigenvalue", "explained_frac")
+      .orderBy($"dim")
+  }
 }

@@ -311,4 +311,79 @@ object TextModel {
       |    / CAST(count(*) AS DOUBLE) AS novel_frac
       |FROM bg JOIN fs ON bg.w1 = fs.w1 AND bg.w2 = fs.w2
       |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
+
+  /** Zipf-law fit over the corpus term-frequency distribution: OLS of
+    * ln(freq) on ln(rank) for the top-500 terms — slope ≈ −s is the
+    * Zipf exponent, a one-number corpus-health signal (natural text
+    * sits near s≈1; templated/boilerplate corpora deviate hard).
+    *
+    * Scale shape: term counts are one partial-agg shuffle; the rank
+    * table is TakeOrdered-bounded to 500 rows BEFORE the window rank,
+    * so the fit never sorts the full vocabulary. Cross-engine
+    * exactness: ln values are quantized to integer micro-units
+    * (round(ln·10⁵)) — a 1-ulp libm disagreement flips a micro-unit
+    * with probability ~10⁻¹⁰ — summed exactly as integers, and the
+    * closed-form slope/intercept/r² combine the five sums in identical
+    * IEEE double order in both engines (the [[Profile.trendFit]]
+    * doctrine).
+    */
+  def zipfFit(spark: SparkSession, dir: String, topR: Int = 500): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok").limit(topR)
+    val ranked = tf.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy($"n".desc, $"tok")))
+      .select(round(log($"rk".cast("double")) * 100000d, 0).cast("long").as("x"),
+        round(log($"n".cast("double")) * 100000d, 0).cast("long").as("y"))
+    val sums = ranked.agg(
+      count(lit(1)).as("m"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"y").as("sxy"),
+      sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+    val m = $"m".cast("double")
+    val (sx, sy, sxy, sxx, syy) =
+      ($"sx".cast("double"), $"sy".cast("double"), $"sxy".cast("double"),
+        $"sxx".cast("double"), $"syy".cast("double"))
+    val covN = m * sxy - sx * sy     // ×10¹⁰ scale cancels in slope/r²
+    val varX = m * sxx - sx * sx
+    val varY = m * syy - sy * sy
+    sums.select($"m".as("n_terms"),
+      round(covN / varX, 6).as("slope"),
+      round((sy - (covN / varX) * sx) / m / lit(100000d), 6).as("intercept"),
+      round(covN * covN / (varX * varY), 6).as("r2"))
+  }
+
+  val zipfFitSql: String =
+    """WITH tf AS (
+      |  SELECT tok, count(*) AS n FROM (
+      |    SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+      |    FROM documents)
+      |  GROUP BY tok ORDER BY n DESC, tok LIMIT 500),
+      |rk AS (
+      |  SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY n DESC, tok) AS DOUBLE))
+      |              * 100000, 0) AS BIGINT) AS x,
+      |         CAST(round(ln(CAST(n AS DOUBLE)) * 100000, 0) AS BIGINT) AS y
+      |  FROM tf),
+      |s AS (
+      |  SELECT count(*) AS m,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM rk)
+      |SELECT m AS n_terms,
+      |  round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+      |    AS slope,
+      |  round((CAST(sy AS DOUBLE)
+      |      - ((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |         / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      |        * CAST(sx AS DOUBLE)) / CAST(m AS DOUBLE) / 100000, 6) AS intercept,
+      |  round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      * (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / ((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |    AS r2
+      |FROM s""".stripMargin
 }
