@@ -54,6 +54,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("top_k_by", "top_k_by(score, payload, k) - bounded top-k aggregate"),
       (args: Seq[Expression]) => graft.functions.TopKBy(args(0), args(1),
         args(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("space_saving"),
+      info("space_saving", "space_saving(item, m) - Misra-Gries frequent-items sketch"),
+      (args: Seq[Expression]) => graft.functions.SpaceSavingAgg(args(0),
+        args(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("vec_cov_sum"),
+      info("vec_cov_sum", "vec_cov_sum(qvec) - exact vector second-moment sums"),
+      (args: Seq[Expression]) => graft.functions.VecCovSum(args.head)
+        .toAggregateExpression()))
   }
 }
 
@@ -82,5 +90,11 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("top_k_by",
       (args: Seq[Expression]) => graft.functions.TopKBy(args(0), args(1),
         args(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("space_saving",
+      (args: Seq[Expression]) => graft.functions.SpaceSavingAgg(args(0),
+        args(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_cov_sum",
+      (args: Seq[Expression]) => graft.functions.VecCovSum(args.head)
+        .toAggregateExpression(), "scala_udf")
   }
 }

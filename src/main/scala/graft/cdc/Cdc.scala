@@ -223,6 +223,61 @@ object Cdc {
       |  ofs AS last_offset, n_changes
       |FROM c WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin
 
+  /** Snapshot diff — time travel between two materialized states of the
+    * same keyed table (the Iceberg snapshot-compare workflow): the
+    * changelog is replayed to its midpoint offset and to its head, and
+    * every key whose visibility or value differs is classified
+    * added / deleted / changed. Unchanged keys are filtered out BEFORE
+    * the sort, so output is proportional to churn, not table size; both
+    * snapshots share one scan lineage, each materialization is the same
+    * single key-partitioned window as [[cdcMaterialize]], and the diff
+    * itself is one key-keyed full outer join. The cutoff is a broadcast
+    * one-row scalar (integer floor-half of max offset — engine-exact).
+    */
+  def cdcSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val log = changelog(spark, dir)
+    val cut = log.agg(expr("max(offset) div 2").as("cut"))
+    val route = TableRoute(Seq("key"), "offset")
+    val t1 = materialize(
+      log.crossJoin(broadcast(cut)).filter($"offset" <= $"cut").drop("cut"), route)
+      .select($"key", $"value".as("old_value"))
+    val t2 = materialize(log, route)
+      .select($"key", $"value".as("new_value"))
+    t1.join(t2, Seq("key"), "full_outer")
+      .withColumn("change_kind",
+        when($"old_value".isNull, "added")
+          .when($"new_value".isNull, "deleted")
+          .when($"old_value" =!= $"new_value", "changed")
+          .otherwise("unchanged"))
+      .filter($"change_kind" =!= "unchanged")
+      .select($"key".as("user_id"), $"change_kind", $"old_value", $"new_value")
+      .orderBy($"user_id")
+  }
+
+  val cdcSnapshotDiffSql: String =
+    s"""WITH c AS (
+      |  SELECT user_id AS key, $sqlOp AS op, value, event_id AS ofs FROM events),
+      |cut AS (SELECT max(ofs) // 2 AS cut FROM c),
+      |t1 AS (
+      |  SELECT key, value AS old_value FROM (
+      |    SELECT key, value, op,
+      |      row_number() OVER (PARTITION BY key ORDER BY ofs DESC) AS rn
+      |    FROM c, cut WHERE ofs <= cut) WHERE rn = 1 AND op <> 'd'),
+      |t2 AS (
+      |  SELECT key, value AS new_value FROM (
+      |    SELECT key, value, op,
+      |      row_number() OVER (PARTITION BY key ORDER BY ofs DESC) AS rn
+      |    FROM c) WHERE rn = 1 AND op <> 'd')
+      |SELECT coalesce(t1.key, t2.key) AS user_id,
+      |  CASE WHEN t1.key IS NULL THEN 'added'
+      |       WHEN t2.key IS NULL THEN 'deleted'
+      |       ELSE 'changed' END AS change_kind,
+      |  t1.old_value, t2.new_value
+      |FROM t1 FULL OUTER JOIN t2 ON t1.key = t2.key
+      |WHERE t1.key IS NULL OR t2.key IS NULL OR t1.old_value <> t2.new_value
+      |ORDER BY user_id""".stripMargin
+
   /** Config-driven multi-table materialize — the reference sink handles
     * N tables, each with its own `id-columns`
     * (connect-iceberg-sink.json:36-37; two tables in

@@ -125,6 +125,48 @@ object TextAnalysis {
       |    ELSE 'en' END AS pred_lang
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Language mix per source — the corpus-composition report a training
+    * mix is planned against (per-source language shares drive sampling
+    * weights for multilingual models). The language predicate is the
+    * [[textLangid]] classifier fused into the scan; the aggregate is
+    * one partial-agg shuffle to a |sources|×|langs| table, and the
+    * share divides exact longs inside each source partition of that
+    * tiny table.
+    */
+  def langMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = concat(lit(" "), $"text", lit(" "))
+    val pred =
+      when($"text".rlike("[\\u4e00-\\u9fff]"), "zh")
+        .when(t.rlike(" (der|die|das|und|nicht) "), "de")
+        .when(t.rlike(" (le|la|les|et|est) "), "fr")
+        .when(t.rlike(" (el|los|las|es|y) "), "es")
+        .otherwise("en")
+    Tables.documents(spark, dir)
+      .select($"source", pred.as("pred_lang"))
+      .groupBy($"source", $"pred_lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", $"n_docs".cast("double")
+        / sum($"n_docs").over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"source")).cast("double"))
+      .orderBy($"source", $"pred_lang")
+  }
+
+  val langMixSql: String =
+    """WITH p AS (
+      |  SELECT source,
+      |    CASE
+      |      WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+      |      WHEN regexp_matches(' ' || text || ' ', ' (der|die|das|und|nicht) ') THEN 'de'
+      |      WHEN regexp_matches(' ' || text || ' ', ' (le|la|les|et|est) ') THEN 'fr'
+      |      WHEN regexp_matches(' ' || text || ' ', ' (el|los|las|es|y) ') THEN 'es'
+      |      ELSE 'en' END AS pred_lang
+      |  FROM documents),
+      |g AS (SELECT source, pred_lang, count(*) AS n_docs FROM p GROUP BY source, pred_lang)
+      |SELECT source, pred_lang, n_docs,
+      |  CAST(n_docs AS DOUBLE)
+      |    / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE) AS share
+      |FROM g ORDER BY source, pred_lang""".stripMargin
+
   /** TF-IDF top-3 terms per document — the explode→two-level-aggregate
     * shape: tf on (doc, term), df on term, score = tf·ln(N/df), ranked
     * per doc. One shuffle per aggregate. The tf⋈df join is NOT force-

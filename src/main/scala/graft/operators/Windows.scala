@@ -111,4 +111,35 @@ object Windows {
       |  CAST(sum(${sqlDec("value")}) AS DOUBLE) AS session_value,
       |  min(event_id) AS first_event, max(event_id) AS last_event
       |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  /** Trailing-1-hour RANGE-frame aggregate per user: for every event,
+    * the count and exact decimal sum of that user's values in the
+    * preceding hour INCLUDING the event — a value-based frame (RANGE on
+    * raw nanoseconds), not a row- or bucket-based one, so it completes
+    * the frame-type coverage next to [[windowRunning]] (ROWS) and
+    * [[graft.operators.TimeSeries.slidingWindowAgg]] (tumbling/sliding
+    * buckets). One shuffle on user_id, one sort; peers with equal
+    * timestamps enter the frame together in both engines, and the
+    * decimal sum is order-exact, so ties can't perturb the hash.
+    */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ns")
+      .rangeBetween(-3600L * 1000000000L, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"ts_ns", $"value")
+      .withColumn("trail_cnt", count(lit(1)).over(w))
+      .withColumn("trail_sum", sum(dec($"value")).over(w).cast("double"))
+      .select($"event_id", $"user_id", $"trail_cnt", $"trail_sum")
+      .orderBy($"event_id")
+  }
+
+  val windowRangeFrameSql: String =
+    s"""SELECT event_id, user_id,
+      |  count(*) OVER w AS trail_cnt,
+      |  CAST(sum(${sqlDec("value")}) OVER w AS DOUBLE) AS trail_sum
+      |FROM (SELECT event_id, user_id, epoch_ns(ts) AS tns, value FROM events) e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY tns
+      |             RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
 }

@@ -42,6 +42,13 @@ class ExtensionsSpec extends SparkSpec {
       assert(s2.sql("SELECT sig_agree(array(CAST(1 AS BIGINT)), array(CAST(1 AS BIGINT))) AS a")
         .first().getInt(0) == 1)
       assert(s2.sql("SELECT token_hash32('a a') AS t").first().getSeq[Long](0).distinct.length == 1)
+      // the native aggregates resolve through injection too
+      assert(s2.sql(
+        "SELECT top_k_by(CAST(v AS DOUBLE), CAST(v AS BIGINT), 2)[0].payload AS p " +
+          "FROM VALUES (1), (5), (3) AS t(v)").first().getLong(0) == 5L)
+      assert(s2.sql(
+        "SELECT size(vec_cov_sum(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)))) AS s " +
+          "FROM VALUES (1), (2) AS t(x)").first().getInt(0) == 3)
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)
