@@ -223,6 +223,58 @@ object Cdc {
       |  ofs AS last_offset, n_changes
       |FROM c WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin
 
+  /** MERGE INTO — the upsert the reference consumer leaves as
+    * `TODO: Switch to MERGE INTO` (consumer.py:76): apply a change
+    * batch onto an EXISTING materialized snapshot without replaying the
+    * full log. The base snapshot (log ≤ midpoint offset) full-outer
+    * joins the batch's per-key latest change on the key; matched
+    * updates overwrite, unmatched inserts appear, and a batch-terminal
+    * `d` drops the key. Cost ∝ |table| + |batch| — one key-keyed join —
+    * never ∝ |log history|.
+    *
+    * The oracle is the strongest one available: merge(snapshot@T, log
+    * after T) must equal [[cdcMaterialize]]'s full replay, row for row
+    * and bit for bit.
+    */
+  def cdcMergeUpsert(spark: SparkSession, dir: String, cutDiv: Int = 2): DataFrame = {
+    import spark.implicits._
+    val log = changelog(spark, dir)
+    val cut = log.agg(expr(s"max(offset) div $cutDiv").as("cut"))
+    val route = TableRoute(Seq("key"), "offset")
+    val withCut = log.crossJoin(broadcast(cut))
+    val base = materialize(withCut.filter($"offset" <= $"cut").drop("cut"), route)
+      .select($"key", $"value", $"op", $"offset")
+    // per-key latest change in the batch (the only row merge needs)
+    val batch = withCut.filter($"offset" > $"cut").drop("cut")
+    val wk = Window.partitionBy($"key").orderBy($"offset".desc)
+    val batchLatest = batch
+      .withColumn("rn", row_number().over(wk))
+      .filter($"rn" === 1)
+      .select($"key", $"value".as("b_value"), $"op".as("b_op"),
+        $"offset".as("b_offset"))
+    base.join(batchLatest, Seq("key"), "full_outer")
+      .filter($"b_op".isNull || $"b_op" =!= "d") // batch-terminal delete wins
+      .select($"key".as("user_id"),
+        coalesce($"b_value", $"value").as("current_value"),
+        coalesce($"b_op", $"op").as("last_op"),
+        coalesce($"b_offset", $"offset").as("last_offset"))
+      .orderBy($"user_id")
+  }
+
+  // merge == full replay on every surviving column (presence and the
+  // latest value/op/offset are cut-invariant; the n_changes audit
+  // column is deliberately absent — a key terminal-deleted at the cut
+  // and resurrected by the batch loses its pre-cut change count, so
+  // only a full replay can produce it)
+  val cdcMergeUpsertSql: String =
+    s"""WITH c AS (
+      |  SELECT user_id AS key, $sqlOp AS op, value, event_id AS ofs,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events)
+      |SELECT key AS user_id, value AS current_value, op AS last_op,
+      |  ofs AS last_offset
+      |FROM c WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin
+
   /** Snapshot diff — time travel between two materialized states of the
     * same keyed table (the Iceberg snapshot-compare workflow): the
     * changelog is replayed to its midpoint offset and to its head, and

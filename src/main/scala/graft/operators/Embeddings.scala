@@ -83,6 +83,48 @@ object Embeddings {
       |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
       |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin
 
+  /** Correlation matrix from the same one-pass sufficient statistics as
+    * [[embeddingCovariance]] — no second scan: corr_ij derives from the
+    * (i,j), (i,i), (j,j) moment rows of a single `vec_cov_sum` pass.
+    * The exact-integer centered moments (n·Σqᵢqⱼ − Σqᵢ·Σqⱼ) convert to
+    * double once; corr is one divide of a double by the sqrt-product —
+    * identical IEEE op order in both engines. Off-diagonal pairs only
+    * (the diagonal is 1 by construction).
+    */
+  def embeddingCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val moments = Tables.embeddings(spark, dir)
+      .agg(graft.functions.AggFunctions.vec_cov_sum(qvec($"embedding")).as("cov"))
+      .select(explode($"cov").as("e"))
+      .select($"e.i".as("i"), $"e.j".as("j"),
+        ($"e.n" * $"e.s_ij" - $"e.s_i" * $"e.s_j").cast("double").as("m_ij"))
+    val diag = moments.filter($"i" === $"j").select($"i".as("d"), $"m_ij".as("m_dd"))
+    moments.filter($"i" < $"j")
+      .join(broadcast(diag.withColumnRenamed("d", "i").withColumnRenamed("m_dd", "m_ii")), Seq("i"))
+      .join(broadcast(diag.withColumnRenamed("d", "j").withColumnRenamed("m_dd", "m_jj")), Seq("j"))
+      .select($"i", $"j",
+        round($"m_ij" / sqrt($"m_ii" * $"m_jj"), 9).as("corr"))
+      .orderBy($"i", $"j")
+  }
+
+  val embeddingCorrelationSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, CAST(i AS INT) AS i,
+      |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 10000, 0) AS BIGINT) AS qv
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+      |m AS (
+      |  SELECT a.i AS i, b.i AS j,
+      |    CAST(count(*) * CAST(sum(a.qv * b.qv) AS BIGINT)
+      |         - CAST(sum(a.qv) AS BIGINT) * CAST(sum(b.qv) AS BIGINT) AS DOUBLE) AS m_ij
+      |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY a.i, b.i)
+      |SELECT p.i, p.j, round(p.m_ij / sqrt(di.m_ij * dj.m_ij), 9) AS corr
+      |FROM m p
+      |JOIN m di ON di.i = p.i AND di.j = p.i
+      |JOIN m dj ON dj.i = p.j AND dj.j = p.j
+      |WHERE p.i < p.j
+      |ORDER BY p.i, p.j""".stripMargin
+
   /** Top principal component of the embedding corpus by power iteration
     * over the [[embeddingCovariance]] matrix. The distributed part is
     * the one-pass covariance; the iteration itself runs on the d×d

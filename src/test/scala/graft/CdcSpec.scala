@@ -78,6 +78,16 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("cdc_merge_upsert equals a full replay at ANY batch cut") {
+    val full = Cdc.cdcMaterialize(spark, sf)
+      .select($"user_id", $"current_value", $"last_op", $"last_offset")
+    Seq(2, 3, 7).foreach { cutDiv =>
+      val merged = Cdc.cdcMergeUpsert(spark, sf, cutDiv)
+      assert(merged.exceptAll(full).count() == 0 && full.exceptAll(merged).count() == 0,
+        s"merge at cut div $cutDiv must equal the full replay")
+    }
+  }
+
   test("routing: partitioned write creates one directory per target") {
     val out = java.nio.file.Files.createTempDirectory("graft_route").toString
     Cdc.changelog(spark, sf)
