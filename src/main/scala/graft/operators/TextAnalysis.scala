@@ -503,4 +503,46 @@ object TextAnalysis {
       |  CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_emails,
       |  CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS BIGINT) AS n_phones
       |FROM raw ORDER BY doc_id""".stripMargin
+
+  /** URL / domain extraction — the per-domain volume report web-corpus
+    * curation filters on (domain allow/deny lists, per-domain caps).
+    * The synthetic corpus carries no URLs, so deterministic fixture
+    * links are PLANTED on every 5th doc (two domains, rotating TLD and
+    * path) before extraction; the oracle plants identically. Extraction
+    * explodes only MATCHED urls (never tokens), the domain strips via
+    * one more regexp, and the report is one partial-agg shuffle over
+    * |domains| keys. RE2 ∩ java.util.regex pattern subset.
+    */
+  def urlStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urlPat = "https?://[a-z0-9.-]+/[a-z0-9/]*"
+    Tables.documents(spark, dir)
+      .withColumn("raw", when($"doc_id" % 5 === 0,
+        concat($"text",
+          lit(" see http://site"), ($"doc_id" % 3).cast("string"),
+          lit(".example.org/page/"), ($"doc_id" % 10).cast("string"),
+          lit(" and https://cdn"), ($"doc_id" % 2).cast("string"),
+          lit(".example.com/asset")))
+        .otherwise($"text"))
+      .select($"doc_id", explode(expr(s"regexp_extract_all(raw, '$urlPat', 0)")).as("url"))
+      .select(regexp_extract($"url", "https?://([a-z0-9.-]+)/", 1).as("domain"))
+      .groupBy($"domain")
+      .agg(count(lit(1)).as("n_urls"))
+      .orderBy($"domain")
+  }
+
+  val urlStatsSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN
+      |    text || ' see http://site' || CAST(doc_id % 3 AS VARCHAR) ||
+      |      '.example.org/page/' || CAST(doc_id % 10 AS VARCHAR) ||
+      |      ' and https://cdn' || CAST(doc_id % 2 AS VARCHAR) || '.example.com/asset'
+      |  ELSE text END AS raw
+      |  FROM documents),
+      |u AS (
+      |  SELECT unnest(regexp_extract_all(raw, 'https?://[a-z0-9.-]+/[a-z0-9/]*')) AS url
+      |  FROM raw),
+      |d AS (SELECT regexp_extract(url, 'https?://([a-z0-9.-]+)/', 1) AS domain FROM u)
+      |SELECT domain, count(*) AS n_urls
+      |FROM d GROUP BY domain ORDER BY domain""".stripMargin
 }
