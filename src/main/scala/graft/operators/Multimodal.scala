@@ -117,6 +117,46 @@ object Multimodal {
       .orderBy($"media_format")
   }
 
+  /** Resize + frame-sampling PLAN surfaced end-to-end: for every video
+    * frame a decode stage would touch, the target geometry and timestamp
+    * — i.e. the whole pre-decode planning path ([[withMedia]] metadata →
+    * [[resizePlan]] box fit → [[frameSample]] stride explode) as one
+    * driver-visible query. Pure per-row maps plus one bounded explode
+    * (≤ ceil(30/stride) rows/doc); the only shuffle is the output sort.
+    * All geometry is exact: integer metadata, one least()-of-ratios
+    * double op chain mirrored verbatim in SQL, ts = idx·40 ms exact.
+    */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = resizePlan(withMedia(Tables.documents(spark, dir)))
+    frameSample(media.select($"doc_id", $"media_format", $"media_meta",
+        $"resize_w", $"resize_h"))
+      .join(media.select($"doc_id", $"resize_w", $"resize_h"), Seq("doc_id"))
+      .select($"doc_id", $"media_format", $"frame_idx", $"frame_ts_ms",
+        $"resize_w", $"resize_h")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  val multimodalFramesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    ['png','jpeg','wav'][CAST(doc_id % 3 + 1 AS INT)] AS media_format,
+      |    CAST(doc_id % 64 + 16 AS INT) AS w, CAST(doc_id % 48 + 16 AS INT) AS h,
+      |    CAST(doc_id % 30 + 1 AS INT) AS n_frames
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, media_format, n_frames,
+      |    CAST(floor(CAST(w AS DOUBLE)
+      |      * least(64 / CAST(w AS DOUBLE), 64 / CAST(h AS DOUBLE), 1.0)) AS INT) AS resize_w,
+      |    CAST(floor(CAST(h AS DOUBLE)
+      |      * least(64 / CAST(w AS DOUBLE), 64 / CAST(h AS DOUBLE), 1.0)) AS INT) AS resize_h
+      |  FROM m)
+      |SELECT doc_id, media_format, CAST(f.i AS INT) AS frame_idx,
+      |  CAST(floor(CAST(f.i AS DOUBLE) / 25.0 * 1000) AS BIGINT) AS frame_ts_ms,
+      |  resize_w, resize_h
+      |FROM r, unnest(range(0, n_frames, 5)) AS f(i)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val multimodalMetaSql: String =
     """WITH p AS (
       |  SELECT doc_id,
