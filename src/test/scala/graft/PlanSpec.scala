@@ -220,6 +220,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("shuffle budgets for the round-3 additions") {
+    for ((name, df, budget) <- Seq(
+        // per-row map + k-row aggregate (+ its tiny sort)
+        ("crossval_folds", operators.Sampling.crossvalFolds(spark, sf), 3),
+        // window pass + gram-min agg + verdict join + doc agg + sort
+        ("ngram_novelty", operators.TextModel.ngramNovelty(spark, sf), 6),
+        // scan-fused classifier + one agg + tiny-table window + sort
+        ("lang_mix", operators.TextAnalysis.langMix(spark, sf), 4),
+        // ONE user_id exchange shared by the frame, + output sort
+        ("window_range_frame", operators.Windows.windowRangeFrame(spark, sf), 2),
+        // two key-partitioned materializations + full outer join + sort
+        ("cdc_snapshot_diff", cdc.Cdc.cdcSnapshotDiff(spark, sf), 6),
+        ("cdc_merge_upsert", cdc.Cdc.cdcMergeUpsert(spark, sf), 6),
+        // global 2-phase aggregate + explode + sort
+        ("embedding_covariance", operators.Embeddings.embeddingCovariance(spark, sf), 3),
+        ("zipf_fit", operators.TextModel.zipfFit(spark, sf), 4),
+        ("url_stats", operators.TextAnalysis.urlStats(spark, sf), 3),
+        ("multimodal_frames", operators.Multimodal.multimodalFrames(spark, sf), 3))) {
+      val n = shuffleCount(df)
+      info(s"$name shuffles = $n (budget $budget)")
+      assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
+    }
+  }
+
   test("sample_per_group: rank is WindowGroupLimit-pruned before the group shuffle") {
     val plan = physicalPlan(operators.Sampling.samplePerGroup(spark, sf))
     assert(plan.contains("WindowGroupLimit"), s"no group-limit pruning:\n$plan")
