@@ -810,4 +810,38 @@ object Dedup {
       |WHERE dist <= 60 AND CAST(dist AS DOUBLE) <= 0.1 * CAST(maxlen AS DOUBLE)
       |ORDER BY i, j""".stripMargin
   }
+
+  /** Dedup-quality evaluation — precision/recall of the MinHash+LSH
+    * near-dup decision against exact PPJoin Jaccard ground truth at the
+    * same τ. This is the pre-flight gate before committing a 100 TB
+    * dedup pass: both pipelines already run at corpus scale, the
+    * comparison is an id-pair join plus three counts, and the two
+    * fractions divide exact longs. One row out.
+    */
+  def dedupEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cand = dedupMinhash(spark, dir).select($"i", $"j")
+    val truth = dedupJaccardFull(spark, dir).select($"i", $"j")
+    val hits = cand.join(truth, Seq("i", "j")).agg(count(lit(1)).as("n_hit"))
+    cand.agg(count(lit(1)).as("n_cand"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+      .crossJoin(hits)
+      .select($"n_cand", $"n_true", $"n_hit",
+        ($"n_hit".cast("double") / $"n_cand".cast("double")).as("est_precision"),
+        ($"n_hit".cast("double") / $"n_true".cast("double")).as("est_recall"))
+  }
+
+  /** The eval oracle wraps both full pipeline oracles as subqueries (a
+    * WITH-bearing SELECT is a legal derived table, so their internal
+    * CTE names cannot collide). */
+  lazy val dedupEvalSql: String =
+    s"""WITH m AS (SELECT i, j FROM ($dedupMinhashSql) mm),
+      |t AS (SELECT i, j FROM ($dedupJaccardFullSql) tt),
+      |h AS (SELECT count(*) AS n_hit FROM m JOIN t USING (i, j)),
+      |cm AS (SELECT count(*) AS n_cand FROM m),
+      |ct AS (SELECT count(*) AS n_true FROM t)
+      |SELECT n_cand, n_true, n_hit,
+      |  CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) AS est_precision,
+      |  CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) AS est_recall
+      |FROM cm, ct, h""".stripMargin
 }
