@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -231,4 +232,62 @@ object Behavior {
       |SELECT from_type, to_type, n,
       |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
       |FROM trans ORDER BY from_type, to_type""".stripMargin
+
+  /** RFM customer segmentation: recency (days since last order at the
+    * corpus horizon), frequency (order count), monetary (exact decimal
+    * spend), each quintile-scored 1–5 with fully deterministic
+    * tie-breaks, 5 = best. Per-customer metrics are one partial-agg
+    * shuffle; the three ntiles ride one global sort each over the
+    * customer-cardinality table (same documented scale path as
+    * quality_buckets: at web scale, swap ntile for approx-quantile
+    * thresholds broadcast over the scan). Monetary is compared AS
+    * DECIMAL in the ranking, so score boundaries are engine-exact.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val horizon = o.agg(max($"o_orderdate").as("mx"))
+    val per = o.groupBy($"o_custkey")
+      .agg(max($"o_orderdate").as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum($"o_totalprice".cast("decimal(18,2)")).as("monetary"))
+      .crossJoin(broadcast(horizon))
+      .select($"o_custkey",
+        datediff($"mx", $"last_order").as("recency"),
+        $"frequency", $"monetary")
+    val r = ntile(5).over(Window.orderBy($"recency".desc, $"o_custkey"))
+    val f = ntile(5).over(Window.orderBy($"frequency".asc, $"o_custkey"))
+    val m = ntile(5).over(Window.orderBy($"monetary".asc, $"o_custkey"))
+    per.select($"o_custkey", $"recency", $"frequency",
+        $"monetary".cast("double").as("monetary"),
+        r.as("r_score"), f.as("f_score"), m.as("m_score"))
+      .withColumn("segment",
+        concat($"r_score".cast("string"), $"f_score".cast("string"),
+          $"m_score".cast("string")))
+      .orderBy($"o_custkey")
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey, max(o_orderdate) AS last_order,
+      |    count(*) AS frequency,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      |  FROM orders GROUP BY o_custkey),
+      |h AS (SELECT max(o_orderdate) AS mx FROM orders),
+      |base AS (
+      |  SELECT o_custkey,
+      |    date_diff('day', CAST(last_order AS DATE), CAST(mx AS DATE)) AS recency,
+      |    frequency, monetary
+      |  FROM per, h),
+      |scored AS (
+      |  SELECT o_custkey, recency, frequency, monetary,
+      |    ntile(5) OVER (ORDER BY recency DESC, o_custkey) AS r_score,
+      |    ntile(5) OVER (ORDER BY frequency ASC, o_custkey) AS f_score,
+      |    ntile(5) OVER (ORDER BY monetary ASC, o_custkey) AS m_score
+      |  FROM base)
+      |SELECT o_custkey, CAST(recency AS INT) AS recency, frequency,
+      |  CAST(monetary AS DOUBLE) AS monetary, r_score, f_score, m_score,
+      |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+      |    || CAST(m_score AS VARCHAR) AS segment
+      |FROM scored ORDER BY o_custkey""".stripMargin
 }

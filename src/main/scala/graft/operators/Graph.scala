@@ -199,4 +199,48 @@ object Graph {
       |       (SELECT count(*) FROM edges) AS n_edges,
       |       n_triangles
       |FROM tri""".stripMargin
+
+  /** "Frequently bought together" serving table: top-3 recommendations
+    * per part by co-purchase support ≥ 2. The pair aggregate is the
+    * same linear orderkey-co-partitioned shape as [[copurchaseTop]];
+    * symmetrization doubles a support-pruned pair table (≪ corpus);
+    * the per-part rank is WindowGroupLimit-pruned before its shuffle,
+    * so only k rows per part per task move. Deterministic
+    * (support DESC, rec_part ASC) ordering.
+    */
+  def partRecommend(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    import spark.implicits._
+    val li = incidence(spark, dir)
+    val pairs = li.as("a").join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("u"), $"b.pk".as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= 2)
+    val sym = pairs.select($"u".as("part"), $"v".as("rec_part"), $"support")
+      .unionByName(pairs.select($"v".as("part"), $"u".as("rec_part"), $"support"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"part").orderBy($"support".desc, $"rec_part")
+    sym.withColumn("rec_rank", row_number().over(w))
+      .filter($"rec_rank" <= topK)
+      .select($"part", $"rec_rank", $"rec_part", $"support")
+      .orderBy($"part", $"rec_rank")
+  }
+
+  val partRecommendSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS (
+      |  SELECT a.pk AS u, b.pk AS v, count(*) AS support
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+      |sym AS (
+      |  SELECT u AS part, v AS rec_part, support FROM pairs
+      |  UNION ALL
+      |  SELECT v AS part, u AS rec_part, support FROM pairs),
+      |ranked AS (
+      |  SELECT part, rec_part, support,
+      |    row_number() OVER (PARTITION BY part
+      |      ORDER BY support DESC, rec_part) AS rec_rank
+      |  FROM sym)
+      |SELECT part, CAST(rec_rank AS INT) AS rec_rank, rec_part, support
+      |FROM ranked WHERE rec_rank <= 3
+      |ORDER BY part, rec_rank""".stripMargin
 }
