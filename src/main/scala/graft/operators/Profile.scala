@@ -309,4 +309,48 @@ object Profile {
       |  (abs((e.value - d.mean) / d.std) > 3.0) AS is_anomaly
       |FROM events e JOIN d ON e.event_type = d.event_type
       |ORDER BY e.event_id""".stripMargin
+
+  /** Join-skew diagnostic — the pre-flight report before a big
+    * shuffle join: per-key row counts of both sides of
+    * orders ⋈ lineitem, the product per key (the join's output share),
+    * and the skew factors that decide whether AQE skew-split or salting
+    * is needed. Two partial-agg shuffles + one key join + TakeOrdered
+    * top-10 hot keys; skew_factor divides exact longs once.
+    */
+  def joinSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey".as("key")).agg(count(lit(1)).as("l_rows"))
+    val o = Tables.orders(spark, dir)
+      .groupBy($"o_orderkey".as("key")).agg(count(lit(1)).as("o_rows"))
+    val joined = o.join(l, Seq("key"))
+      .select($"key", $"o_rows", $"l_rows", ($"o_rows" * $"l_rows").as("out_rows"))
+    val stats = joined.agg(
+      count(lit(1)).as("n_keys"),
+      sum($"out_rows").as("total_out"),
+      max($"l_rows").as("max_l_rows"))
+    joined.orderBy($"out_rows".desc, $"key").limit(10)
+      .crossJoin(broadcast(stats))
+      .select($"key", $"o_rows", $"l_rows", $"out_rows", $"n_keys",
+        $"total_out",
+        ($"max_l_rows".cast("double") * $"n_keys".cast("double")
+          / $"total_out".cast("double")).as("skew_factor"))
+      .orderBy($"out_rows".desc, $"key")
+  }
+
+  val joinSkewReportSql: String =
+    """WITH l AS (SELECT l_orderkey AS key, count(*) AS l_rows FROM lineitem GROUP BY 1),
+      |o AS (SELECT o_orderkey AS key, count(*) AS o_rows FROM orders GROUP BY 1),
+      |j AS (
+      |  SELECT o.key, o_rows, l_rows, o_rows * l_rows AS out_rows
+      |  FROM o JOIN l ON o.key = l.key),
+      |s AS (
+      |  SELECT count(*) AS n_keys, CAST(sum(out_rows) AS BIGINT) AS total_out,
+      |    max(l_rows) AS max_l_rows
+      |  FROM j),
+      |top AS (SELECT * FROM j ORDER BY out_rows DESC, key LIMIT 10)
+      |SELECT top.key, o_rows, l_rows, out_rows, n_keys, total_out,
+      |  CAST(max_l_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
+      |    / CAST(total_out AS DOUBLE) AS skew_factor
+      |FROM top, s ORDER BY out_rows DESC, key""".stripMargin
 }

@@ -224,8 +224,12 @@ class PlanSpec extends SparkSpec {
     for ((name, df, budget) <- Seq(
         // per-row map + k-row aggregate (+ its tiny sort)
         ("crossval_folds", operators.Sampling.crossvalFolds(spark, sf), 3),
-        // window pass + gram-min agg + verdict join + doc agg + sort
-        ("ngram_novelty", operators.TextModel.ngramNovelty(spark, sf), 6),
+        // window pass + distinct + gram-min agg + verdict join (both
+        // sides) + doc agg + sort; exchange REUSE across the two
+        // consumers of the distinct-gram table varies with session
+        // state (4 observed isolated, 8 in-suite) — the budget pins
+        // the structural worst case, not the lucky reuse
+        ("ngram_novelty", operators.TextModel.ngramNovelty(spark, sf), 8),
         // scan-fused classifier + one agg + tiny-table window + sort
         ("lang_mix", operators.TextAnalysis.langMix(spark, sf), 4),
         // ONE user_id exchange shared by the frame, + output sort
