@@ -545,4 +545,83 @@ object TextAnalysis {
       |d AS (SELECT regexp_extract(url, 'https?://([a-z0-9.-]+)/', 1) AS domain FROM u)
       |SELECT domain, count(*) AS n_urls
       |FROM d GROUP BY domain ORDER BY domain""".stripMargin
+
+  /** Character-level Shannon entropy per document (bits/char) — the
+    * compressibility proxy quality rules threshold on: boilerplate and
+    * repeated-char gibberish sit far below natural text. Chars explode
+    * through the same sequence+substring map both engines index
+    * identically; per-(doc,char) probabilities are exact int divisions;
+    * each −p·ln p term is 9dp-quantized and decimal-summed
+    * (order-free), converted to bits by ONE division by ln 2 — the
+    * [[TextModel.ngramLmScore]] float doctrine. Two aggregates, both
+    * doc-keyed, so the char table shuffles once.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ln2 = 0.6931471805599453
+    val chars = Tables.documents(spark, dir)
+      .filter(length($"text") >= 1)
+      .select($"doc_id", explode(sequence(lit(1), length($"text"))).as("i"), $"text")
+      .select($"doc_id", expr("substring(text, i, 1)").as("ch"))
+    val counts = chars.groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum($"c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+    val p = $"c".cast("double") / $"tot".cast("double")
+    counts
+      .select($"doc_id", $"tot",
+        round(-(p * log(p)), 9).cast("decimal(18,9)").as("term"))
+      .groupBy($"doc_id")
+      .agg(max($"tot").as("n_chars"), count(lit(1)).as("n_distinct_chars"),
+        sum($"term").as("h"))
+      .select($"doc_id", $"n_chars", $"n_distinct_chars",
+        round($"h".cast("double") / lit(ln2), 6).as("entropy_bits"))
+      .orderBy($"doc_id")
+  }
+
+  val charEntropySql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, text[i:i] AS ch
+      |  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+      |  WHERE length(text) >= 1),
+      |cnt AS (
+      |  SELECT doc_id, ch, count(*) AS c,
+      |    sum(count(*)) OVER (PARTITION BY doc_id) AS tot
+      |  FROM ch GROUP BY doc_id, ch),
+      |terms AS (
+      |  SELECT doc_id, tot,
+      |    CAST(round(-((CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+      |      * ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))), 9) AS DECIMAL(18,9)) AS term
+      |  FROM cnt)
+      |SELECT doc_id, CAST(max(tot) AS BIGINT) AS n_chars,
+      |  count(*) AS n_distinct_chars,
+      |  round(CAST(sum(term) AS DOUBLE) / 0.6931471805599453, 6) AS entropy_bits
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Token-length histogram of the corpus (50-token bins) — the length
+    * distribution curation bounds derive from. One per-row token count
+    * fused into the scan, one partial-agg shuffle to |bins| rows.
+    */
+  def docLengthHistogram(spark: SparkSession, dir: String, width: Int = 50): DataFrame = {
+    import spark.implicits._
+    val nTok = size(filter(split($"text", "\\s+"), t => t =!= ""))
+    Tables.documents(spark, dir)
+      .select(nTok.cast("long").as("n_tokens"))
+      .withColumn("bin", expr(s"n_tokens div $width").cast("int"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("tokens_in_bin"))
+      .select($"bin", ($"bin" * width).cast("long").as("bin_lo"),
+        $"n_docs", $"tokens_in_bin")
+      .orderBy($"bin")
+  }
+
+  val docLengthHistogramSql: String =
+    """WITH t AS (
+      |  SELECT CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+      |    AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT CAST(n_tokens // 50 AS INT) AS bin,
+      |  CAST(min(n_tokens // 50) * 50 AS BIGINT) AS bin_lo,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS tokens_in_bin
+      |FROM t GROUP BY 1 ORDER BY bin""".stripMargin
 }
