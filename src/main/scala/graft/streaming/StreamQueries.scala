@@ -59,6 +59,24 @@ object StreamQueries {
       |SELECT user_id, value AS current_value, op AS last_op, ofs AS last_offset
       |FROM c WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin
 
+  /** Merge-on-write streaming CDC: events staged as FOUR files,
+    * maxFilesPerTrigger=1 forces four micro-batches, each MERGEd onto
+    * the previous snapshot version ([[CdcStream.mergeIngest]]); the
+    * final version must equal the batch full-replay materialization
+    * (same oracle as the merge-on-read ingest).
+    */
+  def streamMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = tmp("graft_sq_merge_in")
+    graft.sources.Tables.events(spark, dir).repartition(4)
+      .write.mode("overwrite").parquet(inDir)
+    val baseDir = tmp("graft_sq_merge_base")
+    val q = CdcStream.mergeIngest(spark, inDir, baseDir, tmp("graft_sq_merge_ckpt"))
+    q.processAllAvailable(); q.stop()
+    CdcStream.mergedView(spark, baseDir).orderBy(col("user_id"))
+  }
+
+  val streamMergeUpsertSql: String = streamCdcIngestSql
+
   /** Watermarked tumbling-window aggregation (complete mode → memory
     * sink; on a finite input the final state equals the batch hourly
     * rollup).

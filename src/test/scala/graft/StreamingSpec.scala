@@ -33,6 +33,30 @@ class StreamingSpec extends SparkSpec {
     assert(mismatched == 0)
   }
 
+  test("merge-on-write sink: multi-batch MERGE with mid-stream restart equals full replay") {
+    val inDir = tmp("graft_merge_in")
+    graft.sources.Tables.events(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(inDir)
+    val baseDir = tmp("graft_merge_base")
+    val ckpt = tmp("graft_merge_ckpt")
+    // phase 1: run a first query and stop it (whatever batches it got)
+    val q1 = CdcStream.mergeIngest(spark, inDir, baseDir, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    // phase 2: RESTART from the same checkpoint — replays/continues;
+    // version-by-batchId overwrite must keep the result exactly-once
+    val q2 = CdcStream.mergeIngest(spark, inDir, baseDir, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val merged = CdcStream.mergedView(spark, baseDir)
+      .select($"user_id", $"current_value", $"last_op", $"last_offset")
+    val full = graft.cdc.Cdc.cdcMaterialize(spark, sf)
+      .select($"user_id", $"current_value", $"last_op", $"last_offset")
+    assert(merged.exceptAll(full).count() == 0 && full.exceptAll(merged).count() == 0,
+      "streamed merge snapshot must equal the batch full replay")
+    // multiple versions actually materialized (several micro-batches ran)
+    val versions = new java.io.File(baseDir).listFiles().count(_.getName.startsWith("v="))
+    assert(versions >= 2, s"expected multiple snapshot versions, got $versions")
+  }
+
   test("streaming window agg equals batch window agg") {
     val outName = "stream_hourly"
     val events = spark.readStream
