@@ -77,6 +77,26 @@ object Profile {
       .orderBy($"l_returnflag")
   }
 
+  /** Sketch-based percentiles next to their exact counterparts — the
+    * scale story in one row per group: `approx_percentile` (Greenwald-
+    * Khanna, bounded state, mergeable partials) is what survives a
+    * 100 TB column, while the exact percentile needs a per-group sort.
+    * Rows-only by design (the sketch is accuracy-bounded, not
+    * value-deterministic across engines); ProfileSpec bounds the error
+    * against the exact values at the declared accuracy.
+    */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        percentile_approx($"value", lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx($"value", lit(0.95), lit(1000)).as("p95_approx"),
+        expr("percentile(value, 0.5)").as("p50_exact"),
+        expr("percentile(value, 0.95)").as("p95_exact"))
+      .orderBy($"event_type")
+  }
+
   /** Heavy hitters: every user holding at least `supportPct`% of all
     * events, with exact counts and shares. One groupBy (map-side
     * partial) + a broadcast scalar total; the support filter is what

@@ -16,6 +16,31 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("approx percentiles land at the right RANK (the GK guarantee)") {
+    // GK bounds RANK error, and the sketch returns an actual data value
+    // (no interpolation) — so the correct check is the empirical CDF at
+    // the returned value, not a value window (tail order-stat gaps can
+    // be arbitrarily wide)
+    val rows = graft.operators.Profile.approxPercentiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = graft.sources.Tables.events(spark, sf)
+      .select($"event_type", $"value").collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> rs.map(_.getDouble(1)).sorted
+      }
+    rows.foreach { r =>
+      val vals = byType(r.getString(0))
+      val n = vals.length.toDouble
+      def cdf(x: Double): Double = vals.count(_ <= x) / n
+      // rank tolerance: sketch bound (1/1000) ⊕ one order statistic
+      val tol = 0.001 + 1.5 / n
+      assert(math.abs(cdf(r.getDouble(1)) - 0.5) <= tol,
+        s"${r.getString(0)} p50 ${r.getDouble(1)} sits at cdf ${cdf(r.getDouble(1))}")
+      assert(math.abs(cdf(r.getDouble(2)) - 0.95) <= tol,
+        s"${r.getString(0)} p95 ${r.getDouble(2)} sits at cdf ${cdf(r.getDouble(2))}")
+    }
+  }
+
   test("winsorize clips ~5% each side and histogram mass equals row count") {
     val w = Profile.winsorize(spark, sf).collect()
     for (r <- w) {
