@@ -72,9 +72,6 @@ object CdcStream {
       .start()
   }
 
-  /** Current-state view over the accumulated changelog: same
-    * latest-wins-by-offset upsert as the batch materializer.
-    */
   /** Merge-on-WRITE streaming sink — per micro-batch MERGE INTO (the
     * reference consumer's TODO realized in streaming form): each batch
     * reduces to its per-key latest change, full-outer merges onto the
@@ -154,6 +151,9 @@ object CdcStream {
         col("op").as("last_op"), col("offset").as("last_offset"))
   }
 
+  /** Current-state view over the accumulated changelog: same
+    * latest-wins-by-offset upsert as the batch materializer.
+    */
   def materializedView(spark: SparkSession, logDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)

@@ -125,4 +125,44 @@ class MultiTableCdcSpec extends SparkSpec {
     assert(prod.first().getAs[String]("sku") == "A")
     assert(prod.first().getAs[Double]("price") == 6.5)
   }
+
+  test("streaming schema evolution: a table gains a column mid-stream and the sink widens") {
+    // the reference's mergeSchema behavior (consumer.py:76-78): upstream
+    // DDL adds a column; envelopes after it carry the extra field;
+    // restarting the consumer with the widened schema must (a) keep the
+    // old rows readable, (b) land the new field, (c) null-fill history
+    val busDir = tmp("graft_evo_bus")
+    val sinkDir = tmp("graft_evo_sink")
+    val ckpt = tmp("graft_evo_ckpt")
+    val topicDir = java.nio.file.Paths.get(s"$busDir/cdc.commerce.account")
+    java.nio.file.Files.createDirectories(topicDir)
+
+    // phase 1: v1 schema (no 'tier' column)
+    java.nio.file.Files.write(topicDir.resolve("p1.json"),
+      batch1.take(2).mkString("\n").getBytes)
+    val q1 = graft.streaming.CdcStream.ingestTopics(
+      spark, busDir, "cdc.commerce.*", Map("account" -> accountSchema), sinkDir, ckpt)
+    q1.processAllAvailable(); q1.stop()
+
+    // phase 2: upstream added 'tier'; envelopes carry it; consumer
+    // restarts from the SAME checkpoint with the widened schema
+    val widened = StructType(accountSchema.fields :+ StructField("tier", StringType))
+    java.nio.file.Files.write(topicDir.resolve("p2.json"),
+      Seq(env("account", "u",
+        """{"id":2,"owner":"bob","balance":55.0,"tier":"gold"}""",
+        """{"id":2,"owner":"bob","balance":20.0}""", 10)).mkString("\n").getBytes)
+    val q2 = graft.streaming.CdcStream.ingestTopics(
+      spark, busDir, "cdc.commerce.*", Map("account" -> widened), sinkDir, ckpt)
+    q2.processAllAvailable(); q2.stop()
+
+    val acct = Cdc.materialize(
+      spark.read.option("mergeSchema", "true").parquet(s"$sinkDir/account"),
+      routes("account"))
+    assert(acct.count() == 2)
+    assert(acct.schema.fieldNames.contains("tier"), "sink schema must widen")
+    assert(acct.filter($"id" === 2).first().getAs[String]("tier") == "gold")
+    assert(acct.filter($"id" === 2).first().getAs[Double]("balance") == 55.0)
+    assert(acct.filter($"id" === 1).first().getAs[String]("tier") == null,
+      "pre-evolution rows null-fill the new column")
+  }
 }
