@@ -125,6 +125,58 @@ object SnapshotTable {
     version
   }
 
+  /** Iceberg's expire_snapshots: drop manifests older than
+    * `keepLast` versions and delete data files no surviving manifest
+    * references. Time travel to an expired version fails; surviving
+    * versions are untouched. Returns (expired versions, deleted files).
+    *
+    * Deletion is manifest-driven (reference counting over file lists),
+    * so a file shared by surviving versions — the normal case for
+    * append-chain manifests — is never touched. O(|manifests| ×
+    * |files|) driver work on id strings, no data scan.
+    */
+  def expireSnapshots(spark: SparkSession, root: String,
+                      keepLast: Int): (Seq[Int], Seq[String]) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val all = listSnapshots(root)
+    val (expired, kept) = all.splitAt(math.max(0, all.size - keepLast))
+    if (expired.isEmpty) return (Seq.empty, Seq.empty)
+    val keptFiles = kept.flatMap(v => readManifest(spark, root, v)._1).toSet
+    val deadFiles = expired.flatMap(v => readManifest(spark, root, v)._1)
+      .distinct.filterNot(keptFiles)
+    deadFiles.foreach(f => fs(s"$root/$f").delete())
+    expired.foreach(v => fs(s"$root/snapshots/v$v.json").delete())
+    (expired, deadFiles)
+  }
+
+  /** Key erasure across the table's full history (right-to-be-forgotten
+    * for a keyed table): every surviving snapshot version is rewritten
+    * without the erased keys' rows and its manifest repointed — after
+    * erasure no version, current or time-traveled, can reproduce the
+    * keys. The rewrite reads each version's file list once; at scale
+    * the win comes from key-clustered layouts ([[Layout]]) where
+    * pruning touches only the files whose min/max key range covers the
+    * erased keys.
+    */
+  def eraseKeys(spark: SparkSession, root: String, keyCol: String,
+                keys: Seq[Long], orderCol: String = "offset"): Unit = {
+    listSnapshots(root).foreach { v =>
+      val (files, op) = readManifest(spark, root, v)
+      val log = spark.read.parquet(files.map(f => s"$root/$f"): _*)
+      val scrubbed = log.filter(!col(keyCol).isin(keys: _*))
+      val dataDir = s"data/v${v}_erased"
+      scrubbed.write.mode("overwrite").parquet(s"$root/$dataDir")
+      val newFiles = fs(s"$root/$dataDir").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => s"$dataDir/${f.getName}")
+        .toSeq.sorted
+      val maxOffset = scrubbed.agg(max(col(orderCol))).first() match {
+        case r if r.isNullAt(0) => -1L
+        case r => r.getLong(0)
+      }
+      writeManifest(root, v, newFiles, op, maxOffset)
+    }
+  }
+
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 

@@ -60,4 +60,49 @@ class SnapshotSpec extends SparkSpec {
       .select($"key", $"value").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(v4 == Map(1L -> 1.5, 2L -> 2.5, 4L -> 4.0))
   }
+
+  test("expire_snapshots drops old versions and only unreferenced files") {
+    val root = tmp("graft_snap_exp")
+    SnapshotTable.commit(batch((1L, "c", 1.0, 1L)), root, "offset")
+    SnapshotTable.commit(batch((2L, "c", 2.0, 2L)), root, "offset")
+    SnapshotTable.commit(batch((1L, "u", 1.1, 3L)), root, "offset")
+    val (expired, deleted) = SnapshotTable.expireSnapshots(spark, root, keepLast = 2)
+    assert(expired == Seq(1))
+    // v1's files are all still referenced by the append-chain manifests
+    // of v2/v3 — reference counting must delete NOTHING here
+    assert(deleted.isEmpty)
+    // the expired version is gone; survivors read exactly as before
+    intercept[Exception] { SnapshotTable.readSnapshot(spark, root, route, Some(1)).collect() }
+    val v3 = SnapshotTable.readSnapshot(spark, root, route, Some(3))
+      .select($"key", $"value").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(v3 == Map(1L -> 1.1, 2L -> 2.0))
+
+    // compact (files no longer shared), then expiring must delete the
+    // pre-compaction files that only dead manifests referenced
+    SnapshotTable.compact(spark, root, route)
+    val (expired2, deleted2) = SnapshotTable.expireSnapshots(spark, root, keepLast = 1)
+    assert(expired2.nonEmpty && deleted2.nonEmpty)
+    val cur = SnapshotTable.readSnapshot(spark, root, route)
+      .select($"key", $"value").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cur == Map(1L -> 1.1, 2L -> 2.0))
+  }
+
+  test("key erasure scrubs every version, current and time-traveled") {
+    val root = tmp("graft_snap_erase")
+    SnapshotTable.commit(batch((1L, "c", 1.0, 1L), (2L, "c", 2.0, 2L)), root, "offset")
+    SnapshotTable.commit(batch((1L, "u", 9.9, 3L), (3L, "c", 3.0, 4L)), root, "offset")
+    SnapshotTable.eraseKeys(spark, root, "key", Seq(1L))
+    (1 to 2).foreach { v =>
+      val snap = SnapshotTable.readSnapshot(spark, root, route, Some(v))
+      assert(snap.filter($"key" === 1L).count() == 0, s"key 1 must be gone from v$v")
+      val log = SnapshotTable.readChangelog(spark, root, Some(v))
+      assert(log.filter($"key" === 1L).count() == 0, s"no v$v changelog trace of key 1")
+    }
+    // untouched keys keep their full history semantics
+    val v2 = SnapshotTable.readSnapshot(spark, root, route, Some(2))
+      .select($"key", $"value").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(v2 == Map(2L -> 2.0, 3L -> 3.0))
+    assert(SnapshotTable.readSnapshot(spark, root, route, Some(1))
+      .select($"key").collect().map(_.getLong(0)).toSet == Set(2L))
+  }
 }
