@@ -54,12 +54,29 @@ object Cdc {
     * before.* for deletes) + op + ts_ms + offset passthrough columns.
     */
   def parseTables(raw: DataFrame, schemas: Map[String, StructType],
-                  passthrough: Seq[String] = Nil): Map[String, DataFrame] = {
+                  passthrough: Seq[String] = Nil): Map[String, DataFrame] =
+    parseTablesWithDeadLetter(raw, schemas, passthrough)._1
+
+  /** [[parseTables]] plus the QUARANTINE side: lines whose envelope
+    * doesn't parse or whose table has no registered schema come back as
+    * a (raw, reason) dead-letter frame instead of vanishing — the
+    * at-scale difference between a silent data hole and an alertable
+    * queue (mirrors the batch [[cdcDeadLetter]] contract).
+    */
+  def parseTablesWithDeadLetter(raw: DataFrame, schemas: Map[String, StructType],
+                                passthrough: Seq[String] = Nil)
+      : (Map[String, DataFrame], DataFrame) = {
     val slim = StructType(Seq(
       StructField("payload", StructType(Seq(StructField("source", sourceSchema))))))
     val tagged = raw.withColumn("__tbl",
       from_json(col("raw"), slim).getField("payload").getField("source").getField("table"))
-    schemas.map { case (t, rowSchema) =>
+    val known = schemas.keys.toSeq
+    val dead = tagged
+      .filter(col("__tbl").isNull || !col("__tbl").isin(known: _*))
+      .select(col("raw"),
+        when(col("__tbl").isNull, lit("unparseable_envelope"))
+          .otherwise(concat(lit("unrouted_table:"), col("__tbl"))).as("reason"))
+    val tables = schemas.map { case (t, rowSchema) =>
       val env = envelopeSchemaFor(rowSchema)
       val parsed = tagged.filter(col("__tbl") === t)
         .withColumn("__e", from_json(col("raw"), env))
@@ -71,6 +88,7 @@ object Cdc {
         col("__e.payload.ts_ms").as("ts_ms")) ++ passthrough.map(col)
       t -> parsed.select(rowCols.toSeq ++ metaCols: _*)
     }
+    (tables, dead)
   }
 
   /** Per-table materialize config — the Spark-native analog of the

@@ -65,8 +65,13 @@ object CdcStream {
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Cdc.parseTables(batch, schemas).foreach { case (t, df) =>
+        val (tables, dead) = Cdc.parseTablesWithDeadLetter(batch, schemas)
+        tables.foreach { case (t, df) =>
           df.write.mode("append").parquet(s"$sinkDir/$t")
+        }
+        // quarantine instead of silently dropping (alertable at scale)
+        if (!dead.isEmpty) {
+          dead.write.mode("append").parquet(s"$sinkDir/_dead_letter")
         }
       }
       .start()

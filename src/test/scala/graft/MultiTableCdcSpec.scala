@@ -126,6 +126,28 @@ class MultiTableCdcSpec extends SparkSpec {
     assert(prod.first().getAs[Double]("price") == 6.5)
   }
 
+  test("bus dead letters: malformed and unrouted envelopes are quarantined, not dropped") {
+    val busDir = tmp("graft_dl_bus")
+    val sinkDir = tmp("graft_dl_sink")
+    val topicDir = java.nio.file.Paths.get(s"$busDir/cdc.commerce.mixed")
+    java.nio.file.Files.createDirectories(topicDir)
+    val lines = Seq(
+      batch1.head,                                               // valid account insert
+      "{not json at all",                                        // unparseable
+      env("ledger", "c", """{"x":1}""", null, 99))               // table w/o schema
+    java.nio.file.Files.write(topicDir.resolve("p0.json"), lines.mkString("\n").getBytes)
+    val q = graft.streaming.CdcStream.ingestTopics(
+      spark, busDir, "cdc.commerce.*", Map("account" -> accountSchema),
+      sinkDir, tmp("graft_dl_ckpt"))
+    q.processAllAvailable(); q.stop()
+
+    assert(spark.read.parquet(s"$sinkDir/account").count() == 1)
+    val dead = spark.read.parquet(s"$sinkDir/_dead_letter").collect()
+    assert(dead.length == 2)
+    val reasons = dead.map(_.getAs[String]("reason")).sorted
+    assert(reasons.toSeq == Seq("unparseable_envelope", "unrouted_table:ledger"))
+  }
+
   test("streaming schema evolution: a table gains a column mid-stream and the sink widens") {
     // the reference's mergeSchema behavior (consumer.py:76-78): upstream
     // DDL adds a column; envelopes after it carry the extra field;
