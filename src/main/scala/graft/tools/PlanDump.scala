@@ -1,0 +1,55 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+/** Dev tool: dump `explain("formatted")` plans of representative
+  * queries to docs/PLANS.md — the curated evidence that the plans we
+  * claim (pushdown, broadcasts, WindowGroupLimit pruning, codegen
+  * spans, id-only shuffles) are the plans Catalyst actually produces.
+  * Regenerate with: sbt 'runMain graft.tools.PlanDump'
+  */
+object PlanDump {
+
+  private val picks: Seq[(String, String)] = Seq(
+    "q2_filter_project" ->
+      "predicate + projection pushdown: PushedFilters and a pruned ReadSchema reach the parquet scan",
+    "q5_local_supplier" ->
+      "6-way join: every dimension broadcast, only the fact-fact join shuffles (on its key)",
+    "q1_pricing_summary" ->
+      "partial aggregation + whole-stage codegen over the scan",
+    "window_topn" ->
+      "WindowGroupLimit prunes per-group rows before the rank shuffle",
+    "asof_join" ->
+      "union + carry-forward as-of: ONE key shuffle, no cross product",
+    "dedup_minhash" ->
+      "ids-only band join: no signature arrays in any Exchange (the r1 fix)",
+    "ann_lsh" ->
+      "persisted corpus index + broadcast query side; candidate dedup on ids only",
+    "embedding_covariance" ->
+      "single-pass vec_cov_sum: ObjectHashAggregate partials, no row fan-out",
+    "group_topk" ->
+      "bounded-state top-k aggregate: partial buffers map-side, k rows/group/task shuffle",
+    "cdc_materialize" ->
+      "one hash partition by key; both windows share the exchange")
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.get(4)
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val sb = new StringBuilder
+    sb.append("# PLANS — curated physical-plan evidence (generated)\n\n")
+    sb.append(s"Source: `sbt 'runMain graft.tools.PlanDump'` over `$dir`.\n")
+    sb.append("Each section: why this plan shape is the 100 TB-safe one, then the\n")
+    sb.append("`explain(\"formatted\")` output Catalyst actually produced.\n")
+    picks.foreach { case (name, why) =>
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      sb.append(s"\n## $name\n\n$why\n\n```\n$plan```\n")
+    }
+    Files.createDirectories(Paths.get("docs"))
+    Files.write(Paths.get("docs/PLANS.md"),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[plandump] wrote docs/PLANS.md (${picks.size} plans)")
+    spark.stop()
+  }
+}
