@@ -811,6 +811,58 @@ object Dedup {
       |ORDER BY i, j""".stripMargin
   }
 
+  /** INCREMENTAL MinHash dedup — the append-only corpus-growth path: a
+    * new batch of docs (here: doc_id above the corpus midpoint) is
+    * checked against the existing corpus WITHOUT re-pairing the old
+    * corpus against itself. The old side contributes only its
+    * (write-once) band index and signature table; candidate generation
+    * joins the FULL capped band table to the batch's bands, so the
+    * quadratic-ish work is ∝ |batch| × bucket-overlap, never
+    * ∝ |corpus|². Pairs (i < j) with j in the batch are EXACTLY the
+    * pairs involving ≥1 new doc (new ids sort above the cutoff), so
+    * the oracle is the full-pipeline oracle filtered to j ≥ cutoff —
+    * and DedupSpec asserts old-only ∪ incremental = full.
+    */
+  def dedupMinhashIncr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = minhashSigs(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cut = Tables.documents(spark, dir)
+      .agg(expr("max(doc_id) div 2").as("cut"))
+    val bands = sigs.select($"doc_id",
+        posexplode(graft.functions.HashFunctions.band_buckets($"sig")).as(Seq("band", "bucket")))
+    // the same bucket cap as the full pipeline, over the same full band
+    // table — capping over the union keeps incremental ≡ full
+    val capped = bands
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bucket")))
+      .filter($"bucket_n" <= 64)
+      .select($"doc_id", $"band", $"bucket")
+    val newBands = capped.crossJoin(broadcast(cut)).filter($"doc_id" > $"cut")
+      .select($"doc_id", $"band", $"bucket")
+    val pairs = capped.as("a")
+      .join(newBands.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .distinct()
+    pairs
+      .join(sigs.select($"doc_id".as("i"), $"sig".as("sig_i")), "i")
+      .join(sigs.select($"doc_id".as("j"), $"sig".as("sig_j")), "j")
+      .withColumn("est_jaccard",
+        graft.functions.HashFunctions.sig_agree($"sig_i", $"sig_j").cast("double") / NumHashes)
+      .filter($"est_jaccard" >= 0.5)
+      .select($"i", $"j", round($"est_jaccard", 6).as("est_jaccard"))
+      .orderBy($"i", $"j")
+  }
+
+  /** Oracle: the full pipeline restricted to pairs whose j-side is in
+    * the batch (⟺ at least one endpoint is new). */
+  lazy val dedupMinhashIncrSql: String =
+    s"""SELECT i, j, est_jaccard FROM ($dedupMinhashSql) m,
+      |  (SELECT max(doc_id) // 2 AS cut FROM documents) c
+      |WHERE m.j > c.cut ORDER BY i, j""".stripMargin
+
   /** Dedup-quality evaluation — precision/recall of the MinHash+LSH
     * near-dup decision against exact PPJoin Jaccard ground truth at the
     * same τ. This is the pre-flight gate before committing a 100 TB

@@ -166,6 +166,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental minhash: old-only pairs ∪ incremental pairs = full pairs") {
+    import graft.operators.Dedup
+    val full = Dedup.dedupMinhash(spark, sf).select($"i", $"j").cache()
+    val incr = Dedup.dedupMinhashIncr(spark, sf).select($"i", $"j").cache()
+    val cut = graft.sources.Tables.documents(spark, sf)
+      .agg(expr("max(doc_id) div 2")).first().getLong(0)
+    val oldOnly = full.filter($"j" <= cut)
+    val union = oldOnly.unionByName(incr)
+    assert(union.exceptAll(full).count() == 0 && full.exceptAll(union).count() == 0,
+      "incremental + old-only must reconstruct the full pair set exactly")
+    // and the incremental set touches only the batch
+    assert(incr.filter($"j" <= cut).count() == 0)
+  }
+
   test("duplicate clustering is transitive with min-id canonical election") {
     val dir = java.nio.file.Files.createTempDirectory("cc").toString
     val a = ("alpha beta gamma delta epsilon zeta eta theta " +
