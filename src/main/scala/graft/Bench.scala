@@ -27,7 +27,9 @@ object Bench {
     "decontaminate", "doc_chunks", "dedup_jaro",
     "part_pagerank", "heavy_hitters_sketch", "trend_fit", "dq_report",
     "ann_bruteforce", "ann_lsh",
-    "embedding_covariance", "zipf_fit", "triangle_count", "ngram_novelty")
+    "embedding_covariance", "zipf_fit", "triangle_count", "ngram_novelty",
+    "dedup_minhash_incr", "cdc_merge_upsert", "rfm_segments",
+    "char_entropy", "join_skew_report")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

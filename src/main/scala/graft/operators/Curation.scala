@@ -178,4 +178,33 @@ object Curation {
       |FROM (SELECT q.*, ntile(10) OVER (ORDER BY quality_score, doc_id) AS bucket
       |      FROM q) b
       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** The 100 TB path [[qualityBuckets]]'s scaladoc promises, implemented:
+    * decile THRESHOLDS from a bounded-state quantile sketch (9 numbers
+    * cross the driver), broadcast back as a range lookup over the scan —
+    * a per-row binary search instead of a global sort. No ntile, no
+    * full-corpus window. Bucket populations are sketch-approximate at
+    * the boundaries (rows-only; CurationSpec bounds the deviation vs the
+    * exact deciles and pins the threshold count).
+    */
+  def qualityBucketsApprox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = TextAnalysis.textQuality(spark, dir)
+    val cuts = scored.stat.approxQuantile(
+      "quality_score", (1 to 9).map(_ / 10.0).toArray, 0.001)
+    val cutsLit = array(cuts.map(lit(_)): _*)
+    // bucket = 1 + #thresholds strictly below the score (ties: upper
+    // bucket, matching the ascending-ntile convention closely enough
+    // for a sketch-bounded report)
+    scored
+      .withColumn("bucket",
+        (lit(1) + aggregate(cutsLit, lit(0),
+          (acc, c) => acc + when($"quality_score" > c, 1).otherwise(0))).cast("int"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"quality_score").as("min_score"),
+        max($"quality_score").as("max_score"),
+        sum($"n_tokens").cast("long").as("total_tokens"))
+      .orderBy($"bucket")
+  }
 }

@@ -57,6 +57,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("quality_buckets_approx tracks the exact deciles within sketch tolerance") {
+    val approx = graft.operators.Curation.qualityBucketsApprox(spark, sf).collect()
+    val exact = graft.operators.Curation.qualityBuckets(spark, sf).collect()
+    assert(approx.map(_.getInt(0)).toSeq == (1 to 10), "all ten buckets populated")
+    val total = exact.map(_.getLong(1)).sum
+    val exactByBucket = exact.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    approx.foreach { r =>
+      val (b, n) = (r.getInt(0), r.getLong(1))
+      // sketch relative error 0.001 on thresholds; score ties move whole
+      // clumps across a boundary, so allow a quarter-decile deviation
+      assert(math.abs(n - exactByBucket(b)) <= total / 40 + 1,
+        s"bucket $b: approx $n vs exact ${exactByBucket(b)}")
+    }
+    // monotone, non-overlapping score ranges (up to boundary ties)
+    approx.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getDouble(3) <= hi.getDouble(2) + 1e-9,
+        s"bucket ${lo.getInt(0)} max must not exceed bucket ${hi.getInt(0)} min")
+    case _ => ()
+    }
+  }
+
   test("dedup_editdistance finds a planted typo pair and rejects a distant one") {
     val docs = graft.sources.Tables.documents(spark, sf).select($"doc_id", $"text")
     val base = docs.filter($"doc_id" === 0).select($"text").head().getString(0)
