@@ -139,6 +139,78 @@ object TextModel {
       |  SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram) AS rk FROM c)
       |WHERE rk <= 50 ORDER BY rk""".stripMargin
 
+  /** PMI collocations — pointwise mutual information over bigrams with
+    * support ≥ 5 (raw counts rank "of the", PMI ranks genuinely bound
+    * pairs; the collocation signal behind tokenizer-merge and phrase
+    * mining choices). All inputs are exact integer counts; the PMI is
+    * ONE double expression — (c12·U²)/(T·c1·c2) then ln — evaluated in
+    * the same literal op order in both engines, so even the unrounded
+    * ranking doubles are bit-identical. Support filtering bounds the
+    * ranked table; the unigram joins are gram-keyed hash joins.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+    val uni = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+    val bg = toks
+      .withColumn("nxt", lead($"tok", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .groupBy($"tok".as("w1"), $"nxt".as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter($"c12" >= 5)
+    val totals = uni.agg(sum($"c").as("u_tot")).crossJoin(
+      toks.withColumn("nxt", lead($"tok", 1).over(w)).filter($"nxt".isNotNull)
+        .agg(count(lit(1)).as("t_tot")))
+    val pmi = log(
+      ($"c12".cast("double") * $"u_tot".cast("double") * $"u_tot".cast("double"))
+        / ($"t_tot".cast("double") * $"c1".cast("double") * $"c2".cast("double")))
+    val scored = bg
+      .join(uni.select($"tok".as("w1"), $"c".as("c1")), "w1")
+      .join(uni.select($"tok".as("w2"), $"c".as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", pmi)
+      .orderBy($"pmi".desc, $"w1", $"w2").limit(topK)
+    scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"pmi".desc, $"w1", $"w2")))
+      .select($"rk", concat_ws(" ", $"w1", $"w2").as("bigram"), $"c12",
+        round($"pmi", 6).as("pmi"))
+      .orderBy($"rk")
+  }
+
+  val pmiCollocationsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |uni AS (
+      |  SELECT tok, count(*) AS c FROM (SELECT unnest(t) AS tok FROM toks)
+      |  GROUP BY tok),
+      |bg AS (
+      |  SELECT w1, w2, count(*) AS c12 FROM (
+      |    SELECT t[i] AS w1, t[i+1] AS w2
+      |    FROM toks, unnest(range(1, len(t))) AS r(i) WHERE len(t) >= 2)
+      |  GROUP BY w1, w2 HAVING count(*) >= 5),
+      |tot AS (
+      |  SELECT CAST((SELECT sum(c) FROM uni) AS BIGINT) AS u_tot,
+      |         CAST((SELECT sum(c12) FROM (SELECT w1, w2, count(*) AS c12 FROM (
+      |            SELECT t[i] AS w1, t[i+1] AS w2
+      |            FROM toks, unnest(range(1, len(t))) AS r(i) WHERE len(t) >= 2)
+      |          GROUP BY w1, w2)) AS BIGINT) AS t_tot),
+      |scored AS (
+      |  SELECT bg.w1, bg.w2, bg.c12,
+      |    ln((CAST(bg.c12 AS DOUBLE) * CAST(u_tot AS DOUBLE) * CAST(u_tot AS DOUBLE))
+      |      / (CAST(t_tot AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) AS pmi
+      |  FROM bg JOIN uni u1 ON u1.tok = bg.w1
+      |          JOIN uni u2 ON u2.tok = bg.w2
+      |          CROSS JOIN tot),
+      |top AS (SELECT * FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 50)
+      |SELECT CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rk,
+      |  w1 || ' ' || w2 AS bigram, c12, round(pmi, 6) AS pmi
+      |FROM top ORDER BY rk""".stripMargin
+
   /** The fixed query batch for [[bm25Multi]]: (query_id, ordered terms).
     * Term order is part of the contract — scores add per-term components
     * in slot order, keeping the sum bit-stable. */
