@@ -187,6 +187,80 @@ object TimeSeries {
       |  count(*) AS n, CAST(sum(${sqlDec("value")}) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Classical seasonal decomposition of the hourly event-count series
+    * per type: value = trend + seasonal + residual. The series is
+    * DENSIFIED first (hour spine per type, zero-filled — a moving
+    * average over a gappy series would silently mix non-adjacent
+    * hours); trend is a centered 25-hour moving average (null at the
+    * edges where the window is short), seasonality is the hour-of-day
+    * mean of the detrended series (6dp-quantized decimal mean, so the
+    * unordered group sum is exact), residual is what remains. One
+    * event_type-keyed window shuffle + one (type, hour-of-day)
+    * aggregate; the spine is |types| × span-hours, ∝ time not data.
+    */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"event_type", expr("ts_ns div 3600000000000").as("h"))
+    val cnts = e.groupBy($"event_type", $"h").agg(count(lit(1)).as("cnt"))
+    val span = e.agg(min($"h").as("h0"), max($"h").as("h1"))
+    val spine = e.select($"event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select($"event_type", explode(sequence($"h0", $"h1")).as("h"))
+    val dense = spine.join(cnts, Seq("event_type", "h"), "left")
+      .select($"event_type", $"h", coalesce($"cnt", lit(0L)).as("cnt"))
+    val wRows = Window.partitionBy($"event_type").orderBy($"h")
+      .rowsBetween(-12, 12)
+    val t1 = dense
+      .withColumn("trend",
+        when(count(lit(1)).over(wRows) === 25,
+          sum($"cnt").over(wRows).cast("double") / 25.0))
+      .withColumn("detrended", $"cnt".cast("double") - $"trend")
+      .withColumn("hod", expr("h % 24"))
+    val seas = t1.filter($"detrended".isNotNull)
+      .groupBy($"event_type", $"hod")
+      .agg((sum(round($"detrended", 6).cast("decimal(20,6)")).cast("double")
+        / count(lit(1)).cast("double")).as("seasonal"))
+    t1.join(seas, Seq("event_type", "hod"), "left")
+      .select($"event_type", $"h", $"cnt",
+        round($"trend", 6).as("trend"),
+        round($"seasonal", 6).as("seasonal"),
+        round($"detrended" - $"seasonal", 6).as("residual"))
+      .orderBy($"event_type", $"h")
+  }
+
+  val seasonalDecomposeSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h FROM events),
+      |cnts AS (SELECT event_type, h, count(*) AS cnt FROM e GROUP BY 1, 2),
+      |span AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+      |spine AS (
+      |  SELECT event_type, unnest(range(h0, h1 + 1)) AS h
+      |  FROM (SELECT DISTINCT event_type FROM e), span),
+      |dense AS (
+      |  SELECT s.event_type, s.h, coalesce(c.cnt, 0) AS cnt
+      |  FROM spine s LEFT JOIN cnts c ON s.event_type = c.event_type AND s.h = c.h),
+      |t1 AS (
+      |  SELECT event_type, h, cnt,
+      |    CASE WHEN count(*) OVER w = 25
+      |      THEN CAST(sum(cnt) OVER w AS DOUBLE) / 25.0 END AS trend
+      |  FROM dense
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+      |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      |t2 AS (
+      |  SELECT *, CAST(cnt AS DOUBLE) - trend AS detrended, h % 24 AS hod FROM t1),
+      |seas AS (
+      |  SELECT event_type, hod,
+      |    CAST(sum(CAST(round(detrended, 6) AS DECIMAL(20,6))) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS seasonal
+      |  FROM t2 WHERE detrended IS NOT NULL GROUP BY event_type, hod)
+      |SELECT t2.event_type, t2.h, t2.cnt,
+      |  round(t2.trend, 6) AS trend,
+      |  round(s.seasonal, 6) AS seasonal,
+      |  round(t2.detrended - s.seasonal, 6) AS residual
+      |FROM t2 LEFT JOIN seas s ON t2.event_type = s.event_type AND t2.hod = s.hod
+      |ORDER BY t2.event_type, t2.h""".stripMargin
+
   /** Gap-filled resampling: 15-minute buckets over the full event span,
     * with empty buckets materialized (n=0, total 0) and a carry-forward
     * of the last observed bucket total — the densification step every
