@@ -50,6 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("jaro_winkler"),
       info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity"),
       (args: Seq[Expression]) => graft.functions.JaroWinkler(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("char_entropy_stats"),
+      info("char_entropy_stats", "char_entropy_stats(text) - one-pass char entropy stats"),
+      (args: Seq[Expression]) => graft.functions.CharEntropyStats(args.head)))
     ext.injectFunction((FunctionIdentifier("top_k_by"),
       info("top_k_by", "top_k_by(score, payload, k) - bounded top-k aggregate"),
       (args: Seq[Expression]) => graft.functions.TopKBy(args(0), args(1),
@@ -87,6 +90,8 @@ object GraftExtensions {
       (args: Seq[Expression]) => SigAgree(args(0), args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("jaro_winkler",
       (args: Seq[Expression]) => graft.functions.JaroWinkler(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("char_entropy_stats",
+      (args: Seq[Expression]) => graft.functions.CharEntropyStats(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("top_k_by",
       (args: Seq[Expression]) => graft.functions.TopKBy(args(0), args(1),
         args(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression(), "scala_udf")

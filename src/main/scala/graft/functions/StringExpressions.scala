@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftExpressionBridge.{toColumn, toExpression}
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Jaro–Winkler string similarity, standard parameters (match window
@@ -97,7 +97,97 @@ case class JaroWinkler(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Character-entropy implementation shared by interpreted eval and
+  * codegen (the emitted code calls the static method — the expression
+  * stays inside whole-stage codegen like [[JaroWinklerImpl]]).
+  *
+  * Arithmetic contract (must stay bit-identical to the composable
+  * explode→quantize→decimal-sum formulation AND its DuckDB oracle):
+  * p = (double) c / (double) tot; term = round(−(p·ln p), 9dp HALF_UP);
+  * terms summed EXACTLY as 9dp-scaled longs (order-free); entropy =
+  * decimal(sum,9).doubleValue / ln 2, rounded 6dp HALF_UP. Counting is
+  * by code point, matching Spark substring / DuckDB [] indexing.
+  */
+object CharEntropyImpl {
+  private val Ln2 = 0.6931471805599453
+
+  /** Returns {n_chars, n_distinct_chars, entropy_bits-as-double-bits}
+    * packed in a long array (codegen-friendly single return). */
+  def compute(s: UTF8String): Array[Long] = {
+    val str = s.toString
+    val counts = new java.util.HashMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      i += Character.charCount(cp)
+      n += 1
+    }
+    var sumScaled = 0L // Σ round(-p·ln p, 9) in 1e-9 units — exact
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      val p = c.toDouble / n.toDouble
+      val term = -(p * math.log(p))
+      sumScaled += java.math.BigDecimal.valueOf(term)
+        .setScale(9, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    }
+    val bits = new java.math.BigDecimal(java.math.BigInteger.valueOf(sumScaled), 9)
+      .doubleValue() / Ln2
+    val rounded = java.math.BigDecimal.valueOf(bits)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    Array(n, counts.size.toLong, java.lang.Double.doubleToLongBits(rounded))
+  }
+}
+
+/** char_entropy_stats(text) → struct(n_chars, n_distinct_chars,
+  * entropy_bits): the one-pass native form of the explode→aggregate
+  * entropy pipeline — a pure map over the scan (no char fan-out, no
+  * shuffles), emitting values bit-identical to the composable form.
+  */
+case class CharEntropyStats(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_distinct_chars", LongType, nullable = false),
+    StructField("entropy_bits", DoubleType, nullable = false)))
+  override def prettyName: String = "char_entropy_stats"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_entropy_stats expects a string, got $other")
+    }
+
+  private def toRow(a: Array[Long]) =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](a(0), a(1), java.lang.Double.longBitsToDouble(a(2))))
+
+  override def nullSafeEval(s: Any): Any =
+    toRow(CharEntropyImpl.compute(s.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val arr = ctx.freshName("ceArr")
+      s"""long[] $arr = graft.functions.CharEntropyImpl.compute($a);
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { $arr[0], $arr[1], Double.longBitsToDouble($arr[2]) });
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyStats =
+    copy(child = newChild)
+}
+
 object StringFunctions {
   def jaro_winkler(a: Column, b: Column): Column =
     toColumn(JaroWinkler(toExpression(a), toExpression(b)))
+
+  def char_entropy_stats(text: Column): Column =
+    toColumn(CharEntropyStats(toExpression(text)))
 }

@@ -558,6 +558,24 @@ object TextAnalysis {
     */
   def charEntropy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // native one-pass form: a pure codegen'd map over the scan — no char
+    // fan-out, no shuffles but the output sort. Bit-identical to
+    // charEntropyComposed (spec-asserted) and to the DuckDB oracle.
+    Tables.documents(spark, dir)
+      .filter(length($"text") >= 1)
+      .select($"doc_id",
+        graft.functions.StringFunctions.char_entropy_stats($"text").as("s"))
+      .select($"doc_id", $"s.n_chars".as("n_chars"),
+        $"s.n_distinct_chars".as("n_distinct_chars"),
+        $"s.entropy_bits".as("entropy_bits"))
+      .orderBy($"doc_id")
+  }
+
+  /** The composable explode→quantize→decimal-sum formulation the native
+    * expression must stay bit-identical to (kept as the spec witness —
+    * it IS the oracle's arithmetic). */
+  def charEntropyComposed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val ln2 = 0.6931471805599453
     val chars = Tables.documents(spark, dir)
       .filter(length($"text") >= 1)

@@ -57,6 +57,18 @@ class TextPipelineSpec extends SparkSpec {
     assert(kept("purchase") == totals("purchase"), "purchase stratum is kept whole")
   }
 
+  test("native char_entropy_stats is bit-identical to the composable form") {
+    import graft.operators.TextAnalysis
+    val native = TextAnalysis.charEntropy(spark, sf)
+    val composed = TextAnalysis.charEntropyComposed(spark, sf)
+    assert(native.exceptAll(composed).count() == 0 &&
+      composed.exceptAll(native).count() == 0,
+      "one-pass native entropy must equal the explode+decimal-sum pipeline bit-for-bit")
+    // and it must be a pure map: only the output sort shuffles
+    val plan = native.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), "native path must not explode chars")
+  }
+
   test("pipeline_clean drops exactly the docs that violate each filter") {
     val dir = java.nio.file.Files.createTempDirectory("clean").toString
     val good = (1 to 30).map(i => s"w$i the x$i").mkString(" ") // 90 toks, stopwordy, all bigrams distinct
