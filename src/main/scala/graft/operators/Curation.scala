@@ -97,6 +97,54 @@ object Curation {
       |FROM hits ORDER BY doc_id""".stripMargin
   }
 
+  /** Contamination sweep across n-gram sizes {3, 5, 8} — the standard
+    * eval-leak report (pipelines sweep sizes because short grams
+    * over-flag common phrases and long grams miss paraphrase overlap;
+    * GPT-3-style 13-gram vs Gopher-style 8-gram debates live on this
+    * curve). One row per size: contaminated-doc count and gram-hit
+    * mass. The token arrays are built once and shared by every size
+    * (persist), each size contributes one gram explode + broadcast
+    * bench join; output is |sizes| rows at any corpus scale.
+    */
+  def contaminationSweep(spark: SparkSession, dir: String,
+                         sizes: Seq[Int] = Seq(3, 5, 8)): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", filter(split($"text", "\\s+"), t => t =!= "").as("t"))
+      .withColumn("n", size($"t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sizes.map { k =>
+      val grams = toks.filter($"n" >= k)
+        .select($"doc_id", explode(expr(
+          s"transform(sequence(1, n - $k + 1), i -> array_join(slice(t, i, $k), ' '))"))
+          .as("gram"))
+      val bench = grams.filter($"doc_id" % 97 === 0).select($"gram").distinct()
+      grams.filter($"doc_id" % 97 =!= 0)
+        .join(broadcast(bench), "gram")
+        .agg(countDistinct($"doc_id").as("contaminated_docs"),
+          count(lit(1)).as("gram_hits"))
+        .select(lit(k).as("gram_size"), $"contaminated_docs", $"gram_hits")
+    }.reduce(_.unionByName(_)).orderBy($"gram_size")
+  }
+
+  val contaminationSweepSql: String = {
+    val toksExpr = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    def block(k: Int) =
+      s"""SELECT $k AS gram_size,
+        |  count(DISTINCT c.doc_id) AS contaminated_docs,
+        |  CAST(count(*) AS BIGINT) AS gram_hits
+        |FROM (SELECT doc_id, array_to_string(t[i:i+${k - 1}], ' ') AS gram
+        |      FROM tk, unnest(range(1, n - ${k} + 2)) AS r(i) WHERE n >= $k) c
+        |JOIN (SELECT DISTINCT array_to_string(t[i:i+${k - 1}], ' ') AS gram
+        |      FROM tk, unnest(range(1, n - ${k} + 2)) AS r(i)
+        |      WHERE n >= $k AND doc_id % 97 = 0) b ON c.gram = b.gram
+        |WHERE c.doc_id % 97 <> 0""".stripMargin
+    s"""WITH tk AS (
+      |  SELECT doc_id, $toksExpr AS t, len($toksExpr) AS n FROM documents)
+      |${Seq(3, 5, 8).map(block).mkString("\n|UNION ALL\n|")}
+      |ORDER BY gram_size""".stripMargin
+  }
+
   private val ChunkW = 32
   private val ChunkS = 24
 
