@@ -863,6 +863,38 @@ object Dedup {
       |  (SELECT max(doc_id) // 2 AS cut FROM documents) c
       |WHERE m.j > c.cut ORDER BY i, j""".stripMargin
 
+  /** Cross-source duplication matrix — which sources copy from which:
+    * the near-dup pairs grouped by their endpoints' (source_i,
+    * source_j). The curation report behind per-source dedup budgets
+    * and crawl-overlap audits. Pair generation is the linear minhash
+    * path; this adds two id-keyed joins to the narrow doc→source map
+    * and a |sources|² aggregate.
+    */
+  def dupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir).select($"doc_id", $"source")
+    dedupMinhash(spark, dir)
+      .join(src.select($"doc_id".as("i"), $"source".as("source_i")), "i")
+      .join(src.select($"doc_id".as("j"), $"source".as("source_j")), "j")
+      .groupBy($"source_i", $"source_j")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum($"est_jaccard".cast("decimal(10,6)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("avg_similarity"))
+      .orderBy($"source_i", $"source_j")
+  }
+
+  lazy val dupSourceMatrixSql: String =
+    s"""WITH pairs AS (SELECT i, j, est_jaccard FROM ($dedupMinhashSql) m)
+      |SELECT si.source AS source_i, sj.source AS source_j,
+      |  count(*) AS n_pairs,
+      |  round(CAST(sum(CAST(est_jaccard AS DECIMAL(10,6))) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS avg_similarity
+      |FROM pairs
+      |JOIN documents si ON si.doc_id = pairs.i
+      |JOIN documents sj ON sj.doc_id = pairs.j
+      |GROUP BY si.source, sj.source
+      |ORDER BY source_i, source_j""".stripMargin
+
   /** Dedup-quality evaluation — precision/recall of the MinHash+LSH
     * near-dup decision against exact PPJoin Jaccard ground truth at the
     * same τ. This is the pre-flight gate before committing a 100 TB

@@ -125,6 +125,59 @@ object Embeddings {
       |WHERE p.i < p.j
       |ORDER BY p.i, p.j""".stripMargin
 
+  /** Embedding drift per label — the distance each class prototype
+    * moved between the first and second half of the corpus (vec_id
+    * split): the distribution-shift monitor run before reusing an
+    * index/classifier trained on older data. Both halves' centroids
+    * come from the same one-pass decimal-exact mean shape as
+    * [[embeddingCentroids]] (one exchange keyed (half, label, dim));
+    * the L2 drift folds the 64 per-dim deltas in ascending-dim order
+    * via an exact-input double chain mirrored in SQL.
+    */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val half = e.agg(expr("max(vec_id) div 2").as("cut"))
+    val cent = e.crossJoin(broadcast(half))
+      .withColumn("half", when($"vec_id" <= $"cut", 0).otherwise(1))
+      .select($"half", $"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"half", $"label", $"dim")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"v".cast("double"), 7).cast("decimal(18,7)")).as("s"))
+      .select($"half", $"label", $"dim",
+        ($"s".cast("double") / $"n".cast("double")).as("c"))
+    val a = cent.filter($"half" === 0).select($"label", $"dim", $"c".as("c0"))
+    val b = cent.filter($"half" === 1).select($"label", $"dim", $"c".as("c1"))
+    a.join(b, Seq("label", "dim"))
+      .withColumn("d2", ($"c1" - $"c0") * ($"c1" - $"c0"))
+      .groupBy($"label")
+      // per-dim squares quantized then decimal-summed: order-free exact
+      .agg(sum(round($"d2", 12).cast("decimal(20,12)")).as("ss"))
+      .select($"label", round(sqrt($"ss".cast("double")), 6).as("drift_l2"))
+      .orderBy($"label")
+  }
+
+  val embeddingDriftSql: String =
+    """WITH cut AS (SELECT max(vec_id) // 2 AS cut FROM embeddings),
+      |comp AS (
+      |  SELECT CASE WHEN vec_id <= cut THEN 0 ELSE 1 END AS half, label,
+      |    CAST(i AS INT) AS dim, embedding[i + 1] AS v
+      |  FROM embeddings, cut
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+      |cent AS (
+      |  SELECT half, label, dim,
+      |    CAST(sum(CAST(round(CAST(v AS DOUBLE), 7) AS DECIMAL(18,7))) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS c
+      |  FROM comp GROUP BY half, label, dim),
+      |d AS (
+      |  SELECT a.label, a.dim, (b.c - a.c) * (b.c - a.c) AS d2
+      |  FROM cent a JOIN cent b
+      |    ON a.label = b.label AND a.dim = b.dim AND a.half = 0 AND b.half = 1)
+      |SELECT label,
+      |  round(sqrt(CAST(sum(CAST(round(d2, 12) AS DECIMAL(20,12))) AS DOUBLE)), 6)
+      |    AS drift_l2
+      |FROM d GROUP BY label ORDER BY label""".stripMargin
+
   /** Top principal component of the embedding corpus by power iteration
     * over the [[embeddingCovariance]] matrix. The distributed part is
     * the one-pass covariance; the iteration itself runs on the d×d
