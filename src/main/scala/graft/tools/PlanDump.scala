@@ -30,7 +30,11 @@ object PlanDump {
     "group_topk" ->
       "bounded-state top-k aggregate: partial buffers map-side, k rows/group/task shuffle",
     "cdc_materialize" ->
-      "one hash partition by key; both windows share the exchange")
+      "one hash partition by key; both windows share the exchange",
+    "char_entropy" ->
+      "native one-pass expression: a pure map over the scan, no char fan-out, only the output sort shuffles",
+    "triangle_count" ->
+      "degree-ordered orientation: three id-keyed hash joins, only (src, dst, rank) longs in the shuffles")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.get(4)
