@@ -152,4 +152,33 @@ object Relational2 {
       |  GROUP BY l_suppkey, l_partkey
       |  HAVING CAST(sum(${sqlDec("l_quantity")}) AS DOUBLE) > 50)
       |ORDER BY s_suppkey""".stripMargin
+
+  /** Month-over-month revenue growth: monthly decimal-exact revenue,
+    * lag window over the tiny month table, growth as one double
+    * division of exact decimal-to-double conversions. The heavy work
+    * is a single partial-agg shuffle to |months| rows; the window
+    * sorts only that table.
+    */
+  def monthlyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"month")
+    Tables.orders(spark, dir)
+      .groupBy(date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec($"o_totalprice")).as("rev"))
+      .withColumn("prev", lag($"rev", 1).over(w))
+      .select($"month", $"n_orders", $"rev".cast("double").as("revenue"),
+        round(($"rev".cast("double") - $"prev".cast("double"))
+          / $"prev".cast("double"), 6).as("mom_growth"))
+      .orderBy($"month")
+  }
+
+  val monthlyGrowthSql: String =
+    s"""WITH m AS (
+      |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+      |    count(*) AS n_orders, sum(${sqlDec("o_totalprice")}) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT month, n_orders, CAST(rev AS DOUBLE) AS revenue,
+      |  round((CAST(rev AS DOUBLE) - CAST(lag(rev, 1) OVER (ORDER BY month) AS DOUBLE))
+      |    / CAST(lag(rev, 1) OVER (ORDER BY month) AS DOUBLE), 6) AS mom_growth
+      |FROM m ORDER BY month""".stripMargin
 }

@@ -504,6 +504,46 @@ object TextAnalysis {
       |  CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS BIGINT) AS n_phones
       |FROM raw ORDER BY doc_id""".stripMargin
 
+  /** Per-source quality scorecard — mean quality score, token share,
+    * and doc counts per source (the sheet curation decisions read
+    * before setting per-source keep rates). The quality expression is
+    * [[textQuality]] fused into the scan; the report is one partial-agg
+    * shuffle to |sources| rows; the mean divides a 6dp-quantized
+    * decimal sum by an exact count; token share is exact ints divided
+    * once.
+    */
+  def sourceQualityReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = textQuality(spark, dir)
+      .join(Tables.documents(spark, dir).select($"doc_id", $"source"), "doc_id")
+    val per = scored.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens".cast("long")).as("src_tokens"),
+        round(sum($"quality_score".cast("decimal(12,6)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("avg_quality"))
+    per.crossJoin(broadcast(per.agg(sum($"src_tokens").as("total_tokens"))))
+      .select($"source", $"n_docs", $"src_tokens",
+        ($"src_tokens".cast("double") / $"total_tokens".cast("double"))
+          .as("token_share"),
+        $"avg_quality")
+      .orderBy($"source")
+  }
+
+  val sourceQualityReportSql: String =
+    s"""WITH q AS ($textQualitySql),
+      |per AS (
+      |  SELECT d.source, count(*) AS n_docs,
+      |    CAST(sum(CAST(q.n_tokens AS BIGINT)) AS BIGINT) AS src_tokens,
+      |    round(CAST(sum(CAST(q.quality_score AS DECIMAL(12,6))) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE), 6) AS avg_quality
+      |  FROM q JOIN documents d ON q.doc_id = d.doc_id
+      |  GROUP BY d.source),
+      |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens FROM per)
+      |SELECT source, n_docs, src_tokens,
+      |  CAST(src_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
+      |  avg_quality
+      |FROM per, tot ORDER BY source""".stripMargin
+
   /** URL / domain extraction — the per-domain volume report web-corpus
     * curation filters on (domain allow/deny lists, per-domain caps).
     * The synthetic corpus carries no URLs, so deterministic fixture
