@@ -55,7 +55,8 @@ object DataQuality {
     // FK checks: count of fact rows whose key misses the dimension
     val custKeys = customer.select($"c_custkey").distinct()
     val orderKeys = orders.select($"o_orderkey").distinct()
-    val fkOrdersCust = orders.join(broadcast(custKeys),
+    // custKeys is customer-cardinality (scales with SF) — AQE sizes the join.
+    val fkOrdersCust = orders.join(custKeys,
         $"o_custkey" === $"c_custkey", "left_anti")
       .agg(count(lit(1)).as("v"))
     val fkLineOrders = lineitem.join(orderKeys,

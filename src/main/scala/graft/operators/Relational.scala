@@ -8,8 +8,12 @@ import graft.sources.Tables
   * schema.
   *
   * Conventions (scale + correctness):
-  *   - Dimension tables (region/nation/supplier/part) are `broadcast`:
-  *     at 100 TB the facts shuffle at most once, on their join key.
+  *   - Only constant-cardinality dimensions (region: 5 rows, nation: 25
+  *     rows) carry a `broadcast` hint. customer/part/supplier scale
+  *     linearly with SF — multi-billion-row at the 100 TB target — so
+  *     those joins are left to AQE, which broadcasts when the runtime
+  *     size fits `spark.sql.autoBroadcastJoinThreshold` and shuffles
+  *     when it doesn't. A forced hint there is a latent executor OOM.
   *   - Money arithmetic runs in `decimal(18,4)` (sources carry 2 decimal
   *     places, so the cast is exact) and every product is re-cast to
   *     `decimal(18,4)` before the next multiply; sums are exact and
@@ -92,8 +96,8 @@ object Relational {
       |WHERE p_size BETWEEN 10 AND 20 AND p_type IN ('PROMO','STANDARD')
       |ORDER BY p_partkey""".stripMargin
 
-  /** q3: 3-way join + agg + top-N (shuffle only on l_orderkey; customer
-    * side broadcast after its selective filter).
+  /** q3: 3-way join + agg + top-N. customer scales with SF, so its join
+    * is AQE-sized (broadcast at small SF, shuffle at 100 TB) — no hint.
     */
   def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -101,7 +105,7 @@ object Relational {
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
     l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(c, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(sum(revTerm($"l_extendedprice", $"l_discount")).cast("double").as("revenue"))
       .select($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
@@ -136,7 +140,8 @@ object Relational {
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** q5: 6-way star join — region→nation→(customer,supplier)→orders→lineitem.
-    * All dims broadcast; the only shuffle is lineitem⋈orders.
+    * region/nation broadcast (constant cardinality); customer/supplier
+    * joins are AQE-sized because both scale with SF.
     */
   def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -147,8 +152,8 @@ object Relational {
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
     l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
-      .join(broadcast(s), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(s, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")
@@ -209,7 +214,7 @@ object Relational {
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
     val joined = l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(s), $"l_suppkey" === $"s_suppkey")
+      .join(s, $"l_suppkey" === $"s_suppkey")
       .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
     joined
       .groupBy(year($"o_orderdate").as("o_year"))
@@ -303,7 +308,7 @@ object Relational {
     val p = Tables.part(spark, dir)
     val l = Tables.lineitem(spark, dir)
       .filter($"l_shipdate" >= lit("1996-01-01") && $"l_shipdate" < lit("1997-01-01"))
-    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+    l.join(p, $"l_partkey" === $"p_partkey")
       .agg((lit(100.0) * sum(when($"p_type" === "PROMO", revTerm($"l_extendedprice", $"l_discount"))
         .otherwise(lit(0).cast(D))).cast("double")
         / sum(revTerm($"l_extendedprice", $"l_discount")).cast("double")).as("promo_revenue"))
@@ -323,8 +328,8 @@ object Relational {
     val p = Tables.part(spark, dir).filter($"p_brand" =!= "Brand#1")
     val bad = Tables.supplier(spark, dir).filter($"s_acctbal" < 0).select($"s_suppkey")
     val l = Tables.lineitem(spark, dir)
-    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
-      .join(broadcast(bad), $"l_suppkey" === $"s_suppkey", "left_anti")
+    l.join(p, $"l_partkey" === $"p_partkey")
+      .join(bad, $"l_suppkey" === $"s_suppkey", "left_anti")
       .groupBy($"p_brand", $"p_size")
       .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
       .orderBy($"supplier_cnt".desc, $"p_brand", $"p_size")
@@ -346,7 +351,8 @@ object Relational {
     val l = Tables.lineitem(spark, dir)
     val avgQ = l.groupBy($"l_partkey".as("ap_partkey"))
       .agg((sum(dec($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"))
-    l.join(broadcast(avgQ), $"l_partkey" === $"ap_partkey")
+    // avgQ is part-cardinality (scales with SF) — AQE decides the join.
+    l.join(avgQ, $"l_partkey" === $"ap_partkey")
       .filter($"l_quantity" < lit(0.5) * $"avg_qty")
       .agg((sum(dec($"l_extendedprice")).cast("double") / lit(7.0)).as("avg_yearly"),
         count(lit(1)).as("n_rows"))
@@ -393,7 +399,7 @@ object Relational {
     import spark.implicits._
     val p = Tables.part(spark, dir)
     val l = Tables.lineitem(spark, dir)
-    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+    l.join(p, $"l_partkey" === $"p_partkey")
       .filter(
         ($"p_brand" === "Brand#12" && $"p_size".between(1, 15) && $"l_quantity".between(1, 11)) ||
         ($"p_brand" === "Brand#23" && $"p_size".between(1, 25) && $"l_quantity".between(10, 20)) ||
@@ -424,7 +430,7 @@ object Relational {
     l1.join(multi, $"l_orderkey" === $"m_orderkey", "left_semi")
       .join(otherBad, $"l_orderkey" === otherBad("b_orderkey") &&
         $"l_suppkey" =!= otherBad("b_suppkey"), "left_anti")
-      .join(broadcast(s), $"l_suppkey" === $"s_suppkey")
+      .join(s, $"l_suppkey" === $"s_suppkey")
       .groupBy($"s_name")
       .agg(count(lit(1)).as("numwait"))
       .orderBy($"numwait".desc, $"s_name")

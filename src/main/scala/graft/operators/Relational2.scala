@@ -12,7 +12,8 @@ import Relational.{dec, sqlDec, revTerm, sqlRev, D}
 object Relational2 {
 
   /** q9: profit by nation and year. amount = revenue − cost·quantity.
-    * All dims broadcast; one fact shuffle (lineitem⋈orders).
+    * nation broadcast (25 rows); part/supplier joins AQE-sized (both
+    * scale with SF); one guaranteed fact shuffle (lineitem⋈orders).
     */
   def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -23,8 +24,8 @@ object Relational2 {
     val l = Tables.lineitem(spark, dir)
     val cost = (lit(0.8) * $"p_retailprice").cast("decimal(18,6)")
     l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(p), $"l_partkey" === $"p_partkey")
-      .join(broadcast(s), $"l_suppkey" === $"s_suppkey")
+      .join(p, $"l_partkey" === $"p_partkey")
+      .join(s, $"l_suppkey" === $"s_suppkey")
       .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name".as("nation"), year($"o_orderdate").cast("int").as("o_year"))
       .agg(round(sum(revTerm($"l_extendedprice", $"l_discount") - (cost * dec($"l_quantity")))
@@ -56,7 +57,7 @@ object Relational2 {
     val maxRev = rev.agg(max($"total_revenue").as("max_revenue"))
     rev.crossJoin(broadcast(maxRev))
       .filter($"total_revenue" === $"max_revenue")
-      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
       .select($"s_suppkey", $"s_name", $"total_revenue")
       .orderBy($"s_suppkey")
   }
@@ -132,7 +133,7 @@ object Relational2 {
     val l = Tables.lineitem(spark, dir)
     val s = Tables.supplier(spark, dir)
     val n = Tables.nation(spark, dir)
-    val shipped = l.join(broadcast(p.select($"p_partkey")), $"l_partkey" === $"p_partkey")
+    val shipped = l.join(p.select($"p_partkey"), $"l_partkey" === $"p_partkey")
       .groupBy($"l_suppkey", $"l_partkey")
       .agg(sum(dec($"l_quantity")).cast("double").as("qty"))
       .filter($"qty" > 50)

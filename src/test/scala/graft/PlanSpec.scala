@@ -25,9 +25,60 @@ class PlanSpec extends SparkSpec {
       "projection not pruned: p_brand should not be read")
   }
 
-  test("q5: all dimension joins are broadcast") {
+  test("q5: constant dims (region/nation) still broadcast") {
     val plan = physicalPlan(Relational.q5LocalSupplier(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
+  }
+
+  /** Forced `broadcast()` hints whose subtree scans an SF-scaling table
+    * (customer/part/supplier) without first reducing it to a scalar
+    * aggregate. At 100 TB those tables are multi-billion-row; a forced
+    * hint bypasses AQE's size check and becomes an executor OOM. Hints
+    * on region/nation (constant cardinality) and on 1-row scalar
+    * aggregates (e.g. q22's threshold) remain legitimate.
+    */
+  private def forcedScalingBroadcasts(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val scaling = Set("customer.parquet", "part.parquet", "supplier.parquet",
+      "orders.parquet", "lineitem.parquet")
+    df.queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.isDefined =>
+        val scalarReduced = h.child.collect {
+          case a: Aggregate if a.groupingExpressions.isEmpty => a
+        }.nonEmpty
+        if (scalarReduced) Nil
+        else h.child.collect {
+          case l: LogicalRelation => l.relation match {
+            case fs: HadoopFsRelation =>
+              fs.location.rootPaths.map(_.getName).filter(scaling.contains)
+            case _ => Nil
+          }
+        }.flatten
+    }.flatten.distinct
+  }
+
+  test("no forced broadcast over SF-scaling tables (customer/part/supplier)") {
+    val queries: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "q3" -> Relational.q3TopRevenue(spark, sf),
+      "q5" -> Relational.q5LocalSupplier(spark, sf),
+      "q7" -> Relational.q7AntiJoin(spark, sf),
+      "q8" -> Relational.q8MarketShare(spark, sf),
+      "q9" -> operators.Relational2.q9ProductProfit(spark, sf),
+      "q14" -> Relational.q14Promo(spark, sf),
+      "q15" -> operators.Relational2.q15TopSupplier(spark, sf),
+      "q16" -> Relational.q16SupplierCnt(spark, sf),
+      "q17" -> Relational.q17SmallQty(spark, sf),
+      "q19" -> Relational.q19Disjunctive(spark, sf),
+      "q20" -> operators.Relational2.q20ExcessSuppliers(spark, sf),
+      "q21" -> Relational.q21Waiting(spark, sf),
+      "q22" -> Relational.q22GlobalSales(spark, sf),
+      "dq_report" -> operators.DataQuality.dqReport(spark, sf))
+    for ((name, df) <- queries) {
+      val offenders = forcedScalingBroadcasts(df)
+      assert(offenders.isEmpty,
+        s"$name forces broadcast of SF-scaling table(s): ${offenders.mkString(", ")}")
+    }
   }
 
   test("q1: aggregation runs inside whole-stage codegen") {
