@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftExpressionBridge.{toColumn, toExpression}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+
+/** Product-quantization kernels shared by interpreted eval and codegen.
+  *
+  * The composable formulation (`greatest` over M×K `vec_dot` structs
+  * with literal centroids) expands to ~256 dot-product terms in ONE
+  * generated method, overflowing janino's 64 KB method limit — Spark
+  * then silently drops the whole stage to interpreted execution, and
+  * the stage it drops is the corpus-side encode map, the one pass that
+  * touches every row at 100 TB. These kernels keep the generated code
+  * at a single static call (the [[JaroWinklerImpl]] pattern); the
+  * codebooks travel as plan references, not literals.
+  *
+  * Arithmetic contract (bit-identical to the expanded form it
+  * replaces): per-subspace scores accumulate `(double)v_f * (double)c_f`
+  * left-to-right over the subvector exactly like [[DotProduct]];
+  * `encode` ties resolve to the HIGHEST code index (the `greatest`
+  * struct-comparison semantics); `distTable` rows evaluate
+  * `(qq - 2.0*qc) + |c|²` in that order. Centroid norms are
+  * precomputed once per plan with the same `x.toDouble * x` summation
+  * the literal expansion used.
+  */
+object PqImpl {
+
+  /** codes(s) = argmax_c (v_s · books(s)(c) − |books(s)(c)|²/2); ties
+    * take the larger c, matching `greatest(struct(score, idx)).i`.
+    */
+  def encode(v: ArrayData, books: Array[Array[Array[Float]]],
+             halfNorms: Array[Array[Double]]): ArrayData = {
+    val m = books.length
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val sub = books(s)
+      val subDim = sub(0).length
+      val off = s * subDim
+      var best = Double.NegativeInfinity
+      var bestI = 0
+      var i = 0
+      while (i < sub.length) {
+        val c = sub(i)
+        var acc = 0.0
+        var d = 0
+        while (d < subDim) {
+          acc += v.getFloat(off + d).toDouble * c(d).toDouble
+          d += 1
+        }
+        val score = acc - halfNorms(s)(i)
+        if (score >= best) { best = score; bestI = i }
+        i += 1
+      }
+      codes(s) = bestI
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** dtab(s)(c) = |q_s − books(s)(c)|² expanded as qq − 2·(q_s·c) + |c|². */
+  def distTable(q: ArrayData, books: Array[Array[Array[Float]]],
+                norms: Array[Array[Double]]): ArrayData = {
+    val m = books.length
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val sub = books(s)
+      val subDim = sub(0).length
+      val off = s * subDim
+      var qq = 0.0
+      var d = 0
+      while (d < subDim) {
+        val x = q.getFloat(off + d).toDouble
+        qq += x * x
+        d += 1
+      }
+      val row = new Array[Double](sub.length)
+      var i = 0
+      while (i < sub.length) {
+        val c = sub(i)
+        var qc = 0.0
+        d = 0
+        while (d < subDim) {
+          qc += q.getFloat(off + d).toDouble * c(d).toDouble
+          d += 1
+        }
+        row(i) = qq - 2.0 * qc + norms(s)(i)
+        i += 1
+      }
+      out(s) = new GenericArrayData(row)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `pq_encode(vec)` → array<int> of M per-subspace code indices. */
+case class PqEncode(child: Expression, books: Array[Array[Array[Float]]])
+    extends UnaryExpression with Serializable {
+
+  @transient private lazy val halfNorms: Array[Array[Double]] =
+    books.map(_.map(c => c.map(x => x.toDouble * x).sum / 2.0))
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode expects array<float>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    PqImpl.encode(v.asInstanceOf[ArrayData], books, halfNorms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("pqBooks", books, "float[][][]")
+    val h = ctx.addReferenceObj("pqHalfNorms", halfNorms, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.PqImpl.encode($v, $b, $h);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** `pq_dist_table(qvec)` → array<array<double>> of per-subspace squared
+  * L2 distances from the query subvector to every codebook centroid.
+  */
+case class PqDistTable(child: Expression, books: Array[Array[Array[Float]]])
+    extends UnaryExpression with Serializable {
+
+  @transient private lazy val norms: Array[Array[Double]] =
+    books.map(_.map(c => c.map(x => x.toDouble * x).sum))
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def prettyName: String = "pq_dist_table"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_dist_table expects array<float>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    PqImpl.distTable(v.asInstanceOf[ArrayData], books, norms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("pqBooks", books, "float[][][]")
+    val n = ctx.addReferenceObj("pqNorms", norms, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.PqImpl.distTable($v, $b, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqDistTable =
+    copy(child = newChild)
+}
+
+object PqFunctions {
+  def pq_encode(vec: Column, books: Array[Array[Array[Float]]]): Column =
+    toColumn(PqEncode(toExpression(vec), books))
+
+  def pq_dist_table(qvec: Column, books: Array[Array[Array[Float]]]): Column =
+    toColumn(PqDistTable(toExpression(qvec), books))
+}

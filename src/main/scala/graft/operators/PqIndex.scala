@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions.vec_dot
+import graft.functions.PqFunctions.{pq_dist_table, pq_encode}
 
 /** Product-quantization (PQ) ANN index — the vector-COMPRESSION scale
   * path (Jégou et al., "Product Quantization for Nearest Neighbor
@@ -33,10 +34,6 @@ object PqIndex {
   val K = 32         // centroids per subspace (5-bit codes)
   val Dim = 64
   val SubDim: Int = Dim / M
-
-  /** 1-based inclusive slice of one subvector. */
-  private def subvec(vec: Column, s: Int): Column =
-    slice(vec, s * SubDim + 1, SubDim)
 
   /** Deterministic per-subspace L2 k-means codebooks, all M subspaces
     * trained in ONE distributed job per Lloyd iteration. Seeding: the K
@@ -85,23 +82,18 @@ object PqIndex {
     books
   }
 
-  /** Append `__codes`: per subspace the argmin-L2 codebook entry, via
-    * unrolled native dot products (argmax of v·c − |c|²/2 — the |v|²
-    * term is constant per (row, subspace)). M×K literal centroids keep
-    * the whole encode inside whole-stage codegen; map-only, no shuffle.
+  /** Append `__codes`: per subspace the argmin-L2 codebook entry
+    * (argmax of v·c − |c|²/2 — the |v|² term is constant per (row,
+    * subspace)), computed by the native [[graft.functions.PqEncode]]
+    * kernel. The earlier M×K literal `greatest(vec_dot…)` expansion
+    * generated ~256 dot-product terms in one method and overflowed
+    * janino's 64 KB limit, dropping the whole corpus-side encode map to
+    * interpreted execution; the kernel is one static call, so the stage
+    * stays inside whole-stage codegen. Map-only, no shuffle.
     */
   def encode(vectors: DataFrame, vecCol: String,
-             books: Array[Array[Array[Float]]]): DataFrame = {
-    val codes = (0 until M).map { s =>
-      val scores = books(s).zipWithIndex.map { case (c, i) =>
-        val half = c.map(x => x.toDouble * x).sum / 2.0
-        struct((vec_dot(subvec(col(vecCol), s), typedLit(c)) - lit(half)).as("s"),
-          lit(i).as("i"))
-      }
-      greatest(scores: _*).getField("i")
-    }
-    vectors.withColumn("__codes", array(codes: _*))
-  }
+             books: Array[Array[Array[Float]]]): DataFrame =
+    vectors.withColumn("__codes", pq_encode(col(vecCol), books))
 
   /** ADC lookup sum over bound `dtab`/`codes` attributes, added in fixed
     * subspace order. */
@@ -111,15 +103,10 @@ object PqIndex {
       .reduce(_ + _)
 
   /** Per-query ADC distance-table column over `books` for the (possibly
-    * residual) query vector `qv`: dtab(s)(c) = |qv_s − books(s)(c)|². */
+    * residual) query vector `qv`: dtab(s)(c) = |qv_s − books(s)(c)|².
+    * Native kernel for the same 64 KB-overflow reason as [[encode]]. */
   private def distanceTable(qv: Column, books: Array[Array[Array[Float]]]): Column =
-    array((0 until M).map { s =>
-      val qs = subvec(qv, s)
-      array(books(s).map { c =>
-        val cNorm2 = c.map(x => x.toDouble * x).sum
-        vec_dot(qs, qs) - lit(2.0) * vec_dot(qs, typedLit(c)) + lit(cNorm2)
-      }: _*)
-    }: _*)
+    pq_dist_table(qv, books)
 
   /** End-to-end PQ ANN with re-ranking (the production ADC+R shape):
     * train codebooks, encode the corpus once into the narrow code

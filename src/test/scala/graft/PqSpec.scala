@@ -21,6 +21,16 @@ class PqSpec extends SparkSpec {
     assert(coded.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < PqIndex.K)))
   }
 
+  test("encode stays inside whole-stage codegen (no 64 KB fallback)") {
+    val books = PqIndex.trainCodebooks(corpus, "n_id", "n_vec")
+    val df = PqIndex.encode(corpus, "n_vec", books).select($"n_id", $"__codes")
+    df.collect() // force AQE-final plan with materialized codegen stages
+    val plan = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+      s"encode fell out of whole-stage codegen:\n$plan")
+    assert(plan.contains("pq_encode"), s"native kernel missing from plan:\n$plan")
+  }
+
   test("ADC distance tracks true squared L2 (bounded mean relative error)") {
     val books = PqIndex.trainCodebooks(corpus, "n_id", "n_vec")
     val coded = PqIndex.encode(corpus, "n_vec", books)
