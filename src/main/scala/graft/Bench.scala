@@ -59,6 +59,8 @@ object Bench {
     }
 
   def main(args: Array[String]): Unit = {
+    // optional args: run only the named headline queries (dev iteration)
+    val selected = if (args.isEmpty) headline else headline.filter(args.contains)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -82,7 +84,7 @@ object Bench {
     graft.sources.Tables.names.foreach { t =>
       evalAll(graft.sources.Tables.load(spark, sfDir, t))
     }
-    headline.foreach { name =>
+    selected.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try evalAll(fn(spark, "/root/testdata/sf0.001"))
         catch { case _: Throwable => () }
@@ -96,7 +98,7 @@ object Bench {
     // min of two timed passes per query: a transient hypervisor-steal
     // burst (observed repeatedly in this sandbox) then has to span both
     // passes of a query to corrupt its number
-    val results = headline.flatMap { name =>
+    val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val elapsed =
           try {

@@ -36,11 +36,13 @@ object Graph {
   /** PageRank over the undirected co-purchase graph, 5 damped
     * iterations from a uniform start, top-100 parts by rank.
     *
-    * Scale: the rank/degree tables are NODE-cardinality (|part| ≪
-    * |lineitem|) and broadcast to the edge table each iteration, so one
-    * iteration costs exactly one shuffle — the dst-keyed contribution
-    * aggregate; edges are computed once and persisted. Driver traffic
-    * is a single node count. The final top-k is TakeOrderedAndProject.
+    * Scale: the rank/degree tables are NODE-cardinality — they scale
+    * with |part|, so they are joined WITHOUT a broadcast hint: AQE
+    * broadcasts them while they fit its size threshold and falls back
+    * to a shuffle join keyed on src when they don't (at TPC-H-100TB,
+    * ~20 B nodes is far past any broadcast). Edges are computed once
+    * and persisted; driver traffic is a single node count. The final
+    * top-k is TakeOrderedAndProject.
     */
   def partPagerank(spark: SparkSession, dir: String, topK: Int = 100): DataFrame = {
     import spark.implicits._
@@ -54,21 +56,20 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = deg.count()
     val teleport = 150000000L / n // (1-d)·10⁹ / n, floored once on the driver
-    // the loop builds ONE lazy DAG: each iteration's rank subtree feeds
-    // exactly one broadcast, so every stage executes once, and the five
-    // identical broadcast(deg) subtrees collapse to a ReusedExchange.
+    // the loop builds ONE lazy DAG: every stage executes once, and the
+    // five identical deg-side exchanges collapse to a ReusedExchange.
     // (Eagerly persisting+counting per iteration was measured 2× slower
-    // — five extra jobs, five deg-broadcast rebuilds.)
+    // — five extra jobs, five deg-side rebuilds.)
     var ranks = deg.select($"node", $"deg", lit(1000000000L / n).as("pr"))
     for (_ <- 1 to Iters) {
       val contrib = edges
-        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
         .select($"dst", expr("pr DIV deg").as("c"))
       ranks = contrib.groupBy($"dst")
         .agg(sum($"c").as("s"))
         .select($"dst".as("node"),
           (lit(teleport) + expr("(17 * s) DIV 20")).as("pr"))
-        .join(broadcast(deg), "node")
+        .join(deg, "node")
         .select($"node", $"deg", $"pr")
     }
     // edges/deg stay persisted: the returned frame is lazy and its five

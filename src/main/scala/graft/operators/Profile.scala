@@ -105,7 +105,7 @@ object Profile {
     * bot/outlier detection in training-data pipelines.
     */
   def heavyHitters(spark: SparkSession, dir: String,
-                   supportPct: Double = 0.75): DataFrame = {
+                   supportPct: Double = 0.05): DataFrame = {
     import spark.implicits._
     val events = Tables.events(spark, dir)
     val total = events.agg(count(lit(1)).as("total"))
@@ -124,7 +124,7 @@ object Profile {
       |SELECT user_id, n_events,
       |  round(CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
       |FROM c CROSS JOIN t
-      |WHERE n_events * 100.0 >= 0.75 * total
+      |WHERE n_events * 100.0 >= 0.05 * total
       |ORDER BY n_events DESC, user_id""".stripMargin
 
   /** EXACT heavy hitters in bounded memory — the 100 TB shape of
@@ -132,14 +132,18 @@ object Profile {
     * distinct key (billions of counters on a web-scale key space); here
     * pass 1 runs the Misra–Gries sketch aggregate (O(m) state per
     * partial buffer, mergeable), whose retention guarantee (any item
-    * with frequency > n/m survives; m=256 ≫ 1/0.75%) makes the ≤ 256
-    * candidates a certain superset of the true heavy hitters. Pass 2
+    * with frequency > n/m survives; m=4096 so the guarantee covers
+    * everything above 0.0245%, well under the 0.05% support) makes the
+    * ≤ m candidates a certain superset of the true heavy hitters.
+    * The support fraction is sized so the candidate-recount join (pass
+    * 2) produces rows across the tested SFs — a threshold nothing
+    * crosses would leave the measured path ending at the sketch. Pass 2
     * recounts ONLY the candidates via a broadcast semi-join — so the
     * output is exact and identical to the full groupBy, which is why it
     * shares that oracle shape despite the sketch in the middle.
     */
   def heavyHittersSketch(spark: SparkSession, dir: String,
-                         supportPct: Double = 0.75, m: Int = 256): DataFrame = {
+                         supportPct: Double = 0.05, m: Int = 4096): DataFrame = {
     import spark.implicits._
     val events = Tables.events(spark, dir)
     val cand = events

@@ -289,7 +289,7 @@ object StreamQueries {
     val name = uniqueName("sq_hh")
     val schema = spark.read.parquet(inDir).schema
     val q = spark.readStream.schema(schema).parquet(inDir)
-      .agg(graft.functions.AggFunctions.space_saving($"user_id", 256).as("sk"))
+      .agg(graft.functions.AggFunctions.space_saving($"user_id", 4096).as("sk"))
       .writeStream.outputMode("complete").format("memory").queryName(name).start()
     q.processAllAvailable(); q.stop()
     val cand = spark.table(name)
@@ -300,7 +300,7 @@ object StreamQueries {
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n_events"))
       .crossJoin(broadcast(total))
-      .filter($"n_events" * 100.0 >= lit(0.75) * $"total")
+      .filter($"n_events" * 100.0 >= lit(0.05) * $"total")
       .select($"user_id", $"n_events",
         round($"n_events".cast("double") / $"total".cast("double"), 6).as("share"))
       .orderBy($"n_events".desc, $"user_id")

@@ -73,7 +73,8 @@ class PlanSpec extends SparkSpec {
       "q20" -> operators.Relational2.q20ExcessSuppliers(spark, sf),
       "q21" -> Relational.q21Waiting(spark, sf),
       "q22" -> Relational.q22GlobalSales(spark, sf),
-      "dq_report" -> operators.DataQuality.dqReport(spark, sf))
+      "dq_report" -> operators.DataQuality.dqReport(spark, sf),
+      "part_pagerank" -> operators.Graph.partPagerank(spark, sf))
     for ((name, df) <- queries) {
       val offenders = forcedScalingBroadcasts(df)
       assert(offenders.isEmpty,
