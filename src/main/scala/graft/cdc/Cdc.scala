@@ -309,16 +309,18 @@ object Cdc {
     val log = changelog(spark, dir)
     val cut = log.agg(expr("max(offset) div 2").as("cut"))
     val route = TableRoute(Seq("key"), "offset")
+    // explicit presence flags: classifying on value nullness would
+    // misread a legitimately-NULL value for a live key as absence
     val t1 = materialize(
       log.crossJoin(broadcast(cut)).filter($"offset" <= $"cut").drop("cut"), route)
-      .select($"key", $"value".as("old_value"))
+      .select($"key", $"value".as("old_value"), lit(true).as("in_old"))
     val t2 = materialize(log, route)
-      .select($"key", $"value".as("new_value"))
+      .select($"key", $"value".as("new_value"), lit(true).as("in_new"))
     t1.join(t2, Seq("key"), "full_outer")
       .withColumn("change_kind",
-        when($"old_value".isNull, "added")
-          .when($"new_value".isNull, "deleted")
-          .when($"old_value" =!= $"new_value", "changed")
+        when($"in_old".isNull, "added")
+          .when($"in_new".isNull, "deleted")
+          .when(!($"old_value" <=> $"new_value"), "changed")
           .otherwise("unchanged"))
       .filter($"change_kind" =!= "unchanged")
       .select($"key".as("user_id"), $"change_kind", $"old_value", $"new_value")
@@ -330,22 +332,24 @@ object Cdc {
       |  SELECT user_id AS key, $sqlOp AS op, value, event_id AS ofs FROM events),
       |cut AS (SELECT max(ofs) // 2 AS cut FROM c),
       |t1 AS (
-      |  SELECT key, value AS old_value FROM (
+      |  SELECT key, value AS old_value, TRUE AS in_old FROM (
       |    SELECT key, value, op,
       |      row_number() OVER (PARTITION BY key ORDER BY ofs DESC) AS rn
       |    FROM c, cut WHERE ofs <= cut) WHERE rn = 1 AND op <> 'd'),
       |t2 AS (
-      |  SELECT key, value AS new_value FROM (
+      |  SELECT key, value AS new_value, TRUE AS in_new FROM (
       |    SELECT key, value, op,
       |      row_number() OVER (PARTITION BY key ORDER BY ofs DESC) AS rn
       |    FROM c) WHERE rn = 1 AND op <> 'd')
-      |SELECT coalesce(t1.key, t2.key) AS user_id,
-      |  CASE WHEN t1.key IS NULL THEN 'added'
-      |       WHEN t2.key IS NULL THEN 'deleted'
-      |       ELSE 'changed' END AS change_kind,
-      |  t1.old_value, t2.new_value
-      |FROM t1 FULL OUTER JOIN t2 ON t1.key = t2.key
-      |WHERE t1.key IS NULL OR t2.key IS NULL OR t1.old_value <> t2.new_value
+      |SELECT user_id, change_kind, old_value, new_value FROM (
+      |  SELECT coalesce(t1.key, t2.key) AS user_id,
+      |    CASE WHEN in_old IS NULL THEN 'added'
+      |         WHEN in_new IS NULL THEN 'deleted'
+      |         WHEN t1.old_value IS DISTINCT FROM t2.new_value THEN 'changed'
+      |         ELSE 'unchanged' END AS change_kind,
+      |    t1.old_value, t2.new_value
+      |  FROM t1 FULL OUTER JOIN t2 ON t1.key = t2.key) d
+      |WHERE change_kind <> 'unchanged'
       |ORDER BY user_id""".stripMargin
 
   /** Config-driven multi-table materialize — the reference sink handles

@@ -113,7 +113,7 @@ object Curation {
       .select($"doc_id", filter(split($"text", "\\s+"), t => t =!= "").as("t"))
       .withColumn("n", size($"t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sizes.map { k =>
+    val out = sizes.map { k =>
       val grams = toks.filter($"n" >= k)
         .select($"doc_id", explode(expr(
           s"transform(sequence(1, n - $k + 1), i -> array_join(slice(t, i, $k), ' '))"))
@@ -125,6 +125,12 @@ object Curation {
           count(lit(1)).as("gram_hits"))
         .select(lit(k).as("gram_size"), $"contaminated_docs", $"gram_hits")
     }.reduce(_.unionByName(_)).orderBy($"gram_size")
+    // the result is |sizes| rows at ANY corpus scale: materialize it
+    // eagerly so the shared token table can be unpersisted here rather
+    // than leaking into the caller's executor cache
+    val rows = out.collect().toSeq
+    toks.unpersist()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
   }
 
   val contaminationSweepSql: String = {

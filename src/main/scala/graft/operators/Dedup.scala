@@ -822,6 +822,12 @@ object Dedup {
     * pairs involving ≥1 new doc (new ids sort above the cutoff), so
     * the oracle is the full-pipeline oracle filtered to j ≥ cutoff —
     * and DedupSpec asserts old-only ∪ incremental = full.
+    *
+    * Cache contract: the signature table stays persisted because the
+    * RETURNED frame is lazy and reads it three times (bands + both sig
+    * joins) — unpersisting here would triple-recompute the signatures.
+    * Callers own the cache lifecycle after materializing the result
+    * (Bench and Verify clear the cache manager between queries).
     */
   def dedupMinhashIncr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

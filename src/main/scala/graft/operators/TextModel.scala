@@ -143,10 +143,15 @@ object TextModel {
     * support ≥ 5 (raw counts rank "of the", PMI ranks genuinely bound
     * pairs; the collocation signal behind tokenizer-merge and phrase
     * mining choices). All inputs are exact integer counts; the PMI is
-    * ONE double expression — (c12·U²)/(T·c1·c2) then ln — evaluated in
-    * the same literal op order in both engines, so even the unrounded
-    * ranking doubles are bit-identical. Support filtering bounds the
-    * ranked table; the unigram joins are gram-keyed hash joins.
+    * ONE double expression — (c12·U²)/(T·c1·c2) then ln — but JVM
+    * Math.log and DuckDB's libm ln are each only 1-ulp-accurate, so
+    * ranking raw ln doubles could flip a tie or a 6dp rounding edge
+    * between engines. Like [[zipfFit]], the ln is quantized to integer
+    * micro-units (round(ln·10⁵) as BIGINT — Spark round ↔ DuckDB round
+    * is the validated pair) and BOTH the ranking and the emitted value
+    * derive from that integer, so order and output are engine-exact.
+    * Support filtering bounds the ranked table; the unigram joins are
+    * gram-keyed hash joins.
     */
   def pmiCollocations(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
     import spark.implicits._
@@ -164,20 +169,21 @@ object TextModel {
     val totals = uni.agg(sum($"c").as("u_tot")).crossJoin(
       toks.withColumn("nxt", lead($"tok", 1).over(w)).filter($"nxt".isNotNull)
         .agg(count(lit(1)).as("t_tot")))
-    val pmi = log(
+    val pmiMicro = round(log(
       ($"c12".cast("double") * $"u_tot".cast("double") * $"u_tot".cast("double"))
         / ($"t_tot".cast("double") * $"c1".cast("double") * $"c2".cast("double")))
+      * 100000d, 0).cast("long")
     val scored = bg
       .join(uni.select($"tok".as("w1"), $"c".as("c1")), "w1")
       .join(uni.select($"tok".as("w2"), $"c".as("c2")), "w2")
       .crossJoin(broadcast(totals))
-      .withColumn("pmi", pmi)
-      .orderBy($"pmi".desc, $"w1", $"w2").limit(topK)
+      .withColumn("pmi_u", pmiMicro)
+      .orderBy($"pmi_u".desc, $"w1", $"w2").limit(topK)
     scored
       .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy($"pmi".desc, $"w1", $"w2")))
+        org.apache.spark.sql.expressions.Window.orderBy($"pmi_u".desc, $"w1", $"w2")))
       .select($"rk", concat_ws(" ", $"w1", $"w2").as("bigram"), $"c12",
-        round($"pmi", 6).as("pmi"))
+        ($"pmi_u".cast("double") / 100000d).as("pmi"))
       .orderBy($"rk")
   }
 
@@ -201,14 +207,15 @@ object TextModel {
       |          GROUP BY w1, w2)) AS BIGINT) AS t_tot),
       |scored AS (
       |  SELECT bg.w1, bg.w2, bg.c12,
-      |    ln((CAST(bg.c12 AS DOUBLE) * CAST(u_tot AS DOUBLE) * CAST(u_tot AS DOUBLE))
-      |      / (CAST(t_tot AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) AS pmi
+      |    CAST(round(ln((CAST(bg.c12 AS DOUBLE) * CAST(u_tot AS DOUBLE) * CAST(u_tot AS DOUBLE))
+      |      / (CAST(t_tot AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)))
+      |      * 100000, 0) AS BIGINT) AS pmi_u
       |  FROM bg JOIN uni u1 ON u1.tok = bg.w1
       |          JOIN uni u2 ON u2.tok = bg.w2
       |          CROSS JOIN tot),
-      |top AS (SELECT * FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 50)
-      |SELECT CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rk,
-      |  w1 || ' ' || w2 AS bigram, c12, round(pmi, 6) AS pmi
+      |top AS (SELECT * FROM scored ORDER BY pmi_u DESC, w1, w2 LIMIT 50)
+      |SELECT CAST(row_number() OVER (ORDER BY pmi_u DESC, w1, w2) AS INT) AS rk,
+      |  w1 || ' ' || w2 AS bigram, c12, CAST(pmi_u AS DOUBLE) / 100000 AS pmi
       |FROM top ORDER BY rk""".stripMargin
 
   /** The fixed query batch for [[bm25Multi]]: (query_id, ordered terms).

@@ -151,21 +151,29 @@ object SnapshotTable {
 
   /** Key erasure across the table's full history (right-to-be-forgotten
     * for a keyed table): every surviving snapshot version is rewritten
-    * without the erased keys' rows and its manifest repointed — after
-    * erasure no version, current or time-traveled, can reproduce the
-    * keys. The rewrite reads each version's file list once; at scale
-    * the win comes from key-clustered layouts ([[Layout]]) where
-    * pruning touches only the files whose min/max key range covers the
-    * erased keys.
+    * without the erased keys' rows, its manifest repointed, and the
+    * now-unreferenced original data files PHYSICALLY DELETED (the same
+    * reference counting [[expireSnapshots]] uses) — after erasure no
+    * version, current or time-traveled, can reproduce the keys, and the
+    * bytes are gone from disk, not merely unlinked from manifests.
+    * Each invocation writes to a fresh `data/v{v}_erased{n}` directory,
+    * so a later forget request re-runs cleanly (an in-place overwrite
+    * would read and write the same path and fail partway). Returns the
+    * deleted original files. At scale the win comes from key-clustered
+    * layouts ([[Layout]]) where pruning touches only the files whose
+    * min/max key range covers the erased keys.
     */
   def eraseKeys(spark: SparkSession, root: String, keyCol: String,
-                keys: Seq[Long], orderCol: String = "offset"): Unit = {
-    listSnapshots(root).foreach { v =>
+                keys: Seq[Long], orderCol: String = "offset"): Seq[String] = {
+    val versions = listSnapshots(root)
+    val before = versions.flatMap(v => readManifest(spark, root, v)._1).distinct
+    versions.foreach { v =>
       val (files, op) = readManifest(spark, root, v)
       val log = spark.read.parquet(files.map(f => s"$root/$f"): _*)
       val scrubbed = log.filter(!col(keyCol).isin(keys: _*))
-      val dataDir = s"data/v${v}_erased"
-      scrubbed.write.mode("overwrite").parquet(s"$root/$dataDir")
+      val dataDir = Iterator.from(0).map(n => s"data/v${v}_erased$n")
+        .find(d => !fs(s"$root/$d").exists()).get
+      scrubbed.write.mode("error").parquet(s"$root/$dataDir")
       val newFiles = fs(s"$root/$dataDir").listFiles()
         .filter(_.getName.endsWith(".parquet")).map(f => s"$dataDir/${f.getName}")
         .toSeq.sorted
@@ -175,6 +183,20 @@ object SnapshotTable {
       }
       writeManifest(root, v, newFiles, op, maxOffset)
     }
+    // reference-count originals against the rewritten manifests and
+    // delete what nothing references any more; sweep emptied data dirs
+    // (write markers included) so no scrubbed bytes linger
+    val live = versions.flatMap(v => readManifest(spark, root, v)._1).toSet
+    val dead = before.filterNot(live)
+    dead.foreach(f => fs(s"$root/$f").delete())
+    dead.map(_.split("/").init.mkString("/")).distinct.foreach { d =>
+      val dir = fs(s"$root/$d")
+      if (dir.exists() && !dir.listFiles().exists(_.getName.endsWith(".parquet"))) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
+    }
+    dead
   }
 
   private def tmp(prefix: String): String =

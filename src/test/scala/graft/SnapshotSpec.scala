@@ -91,7 +91,7 @@ class SnapshotSpec extends SparkSpec {
     val root = tmp("graft_snap_erase")
     SnapshotTable.commit(batch((1L, "c", 1.0, 1L), (2L, "c", 2.0, 2L)), root, "offset")
     SnapshotTable.commit(batch((1L, "u", 9.9, 3L), (3L, "c", 3.0, 4L)), root, "offset")
-    SnapshotTable.eraseKeys(spark, root, "key", Seq(1L))
+    val deleted = SnapshotTable.eraseKeys(spark, root, "key", Seq(1L))
     (1 to 2).foreach { v =>
       val snap = SnapshotTable.readSnapshot(spark, root, route, Some(v))
       assert(snap.filter($"key" === 1L).count() == 0, s"key 1 must be gone from v$v")
@@ -104,5 +104,24 @@ class SnapshotSpec extends SparkSpec {
     assert(v2 == Map(2L -> 2.0, 3L -> 3.0))
     assert(SnapshotTable.readSnapshot(spark, root, route, Some(1))
       .select($"key").collect().map(_.getLong(0)).toSet == Set(2L))
+    // erased bytes are physically gone, not just unlinked from manifests
+    assert(deleted.nonEmpty, "erasure must report deleted originals")
+    deleted.foreach { f =>
+      assert(!new java.io.File(s"$root/$f").exists(), s"original $f still on disk")
+    }
+    // a later forget request re-runs cleanly over the erased layout
+    val deleted2 = SnapshotTable.eraseKeys(spark, root, "key", Seq(2L))
+    assert(deleted2.nonEmpty)
+    deleted2.foreach { f =>
+      assert(!new java.io.File(s"$root/$f").exists(), s"gen-1 file $f still on disk")
+    }
+    (1 to 2).foreach { v =>
+      val keysLeft = SnapshotTable.readChangelog(spark, root, Some(v))
+        .select($"key").collect().map(_.getLong(0)).toSet
+      assert(!keysLeft.contains(1L) && !keysLeft.contains(2L),
+        s"v$v still contains erased keys: $keysLeft")
+    }
+    assert(SnapshotTable.readSnapshot(spark, root, route, Some(2))
+      .select($"key").collect().map(_.getLong(0)).toSet == Set(3L))
   }
 }
