@@ -46,22 +46,21 @@ object CdcStream {
       .start()
   }
 
-  /** Topic-pattern ingestion over a directory bus — the no-Kafka analog
-    * of the reference consumer's `subscribePattern 'cdc.commerce.*'`
-    * (consumer.py:43-49; no kafka-sql jar ships in this environment, so
-    * a directory stands in for a topic): each subdirectory of `busDir`
-    * is a topic of JSON envelope lines, `topicGlob` selects which are
-    * ingested, and records route to TYPED per-table changelog sinks via
+  /** Topic-pattern ingestion over any [[BusSource]] — the reference
+    * consumer's `subscribePattern 'cdc.commerce.*'` loop
+    * (consumer.py:43-49): the bus yields raw JSON envelope lines and
+    * records route to TYPED per-table changelog sinks via
     * `Cdc.parseTables` — schema per table, key config per table, ONE
-    * streaming query for all topics. Nothing about any specific table is
-    * hardcoded: add a table by adding a (schema, route) entry.
+    * streaming query for all topics. Nothing about any specific table
+    * or bus is hardcoded: add a table by adding a (schema, route)
+    * entry; point at a broker by passing [[KafkaBus]] instead of
+    * [[FileBus]] — routing, dead-lettering and checkpoint-restart
+    * behavior are identical because they live above the source.
     */
-  def ingestTopics(spark: SparkSession, busDir: String, topicGlob: String,
+  def ingestTopics(spark: SparkSession, bus: BusSource,
                    schemas: Map[String, org.apache.spark.sql.types.StructType],
                    sinkDir: String, checkpointDir: String): StreamingQuery = {
-    val raw = spark.readStream
-      .text(s"$busDir/$topicGlob")
-      .withColumnRenamed("value", "raw")
+    val raw = bus.open(spark)
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -76,6 +75,12 @@ object CdcStream {
       }
       .start()
   }
+
+  /** Directory-bus convenience overload (the pre-[[BusSource]] shape). */
+  def ingestTopics(spark: SparkSession, busDir: String, topicGlob: String,
+                   schemas: Map[String, org.apache.spark.sql.types.StructType],
+                   sinkDir: String, checkpointDir: String): StreamingQuery =
+    ingestTopics(spark, FileBus(busDir, topicGlob), schemas, sinkDir, checkpointDir)
 
   /** Merge-on-WRITE streaming sink — per micro-batch MERGE INTO (the
     * reference consumer's TODO realized in streaming form): each batch
