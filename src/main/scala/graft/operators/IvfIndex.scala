@@ -80,23 +80,22 @@ object IvfIndex {
       greatest(scores: _*).getField("i"))
   }
 
-  /** End-to-end IVF ANN query: build index, probe top-`nprobe` clusters
-    * per query, exact cosine top-k within the probe set.
+  /** IVF ANN over caller-supplied tables — the reusable library shape:
+    * `corpus` carries (n_id: long, n_vec: array<float>), `queries`
+    * (q_id: long, q_vec: array<float>). Build index, probe top-`nprobe`
+    * clusters per query, exact cosine top-k within the probe set.
     */
-  def annIvf(spark: SparkSession, dir: String, k: Int = 8, nprobe: Int = 3,
-             topK: Int = 5): DataFrame = {
+  def annIvfOn(corpus: DataFrame, queries: DataFrame, k: Int = 8,
+               nprobe: Int = 3, topK: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
     import spark.implicits._
-    val e = graft.sources.Tables.embeddings(spark, dir)
-    val corpus = e.filter($"vec_id" >= 8)
-      .select($"vec_id".as("n_id"), $"embedding".as("n_vec"))
     val centroids = trainCentroids(corpus, "n_id", "n_vec", k)
     val index = assignClusters(corpus, "n_vec", centroids)
       .select($"n_id", $"n_vec", $"__cluster".as("cluster"), norm($"n_vec").as("n_norm"))
 
     // per-query centroid ranking (k is tiny → unrolled literal scores)
-    val queries = e.filter($"vec_id" < 8)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), norm($"embedding").as("q_norm"))
-    val probes = queries.select($"q_id", $"q_vec", $"q_norm",
+    val probes = queries
+      .select($"q_id", $"q_vec", norm($"q_vec").as("q_norm"),
         explode(array(centroids.zipWithIndex.map { case (c, i) =>
           struct(vec_dot($"q_vec", typedLit(c)).as("score"), lit(i).as("cluster"))
         }: _*)).as("cs"))
@@ -112,6 +111,17 @@ object IvfIndex {
       .filter($"rk" <= topK)
       .select($"q_id", $"rk", $"n_id", round($"cos", 6).as("cos_sim"))
       .orderBy($"q_id", $"rk")
+  }
+
+  /** End-to-end IVF ANN over the embeddings testdata table. */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 8, nprobe: Int = 3,
+             topK: Int = 5): DataFrame = {
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    annIvfOn(
+      e.filter($"vec_id" >= 8).select($"vec_id".as("n_id"), $"embedding".as("n_vec")),
+      e.filter($"vec_id" < 8).select($"vec_id".as("q_id"), $"embedding".as("q_vec")),
+      k, nprobe, topK)
   }
 
   /** ADAPTIVE-nprobe IVF: instead of a fixed probe count, each query

@@ -62,6 +62,65 @@ class IvfSpec extends SparkSpec {
     assert(widths.distinct.length > 1, "probe width should vary across queries")
   }
 
+  test("clustered corpus: recall beats the scan fraction (≥0.9 at ≤25% scan)") {
+    // Real embedding corpora are ANISOTROPIC — vectors concentrate near
+    // semantic clusters. The isotropic testdata bounds recall at the
+    // scan fraction no matter how good training is, so this fixture
+    // plants 16 well-separated clusters (unit centers + sigma=0.05
+    // gaussian noise, seeded) and demands what IVF actually promises on
+    // structured data: recall far ABOVE the fraction of corpus scanned.
+    val dim = 64; val kClusters = 16; val perCluster = 64; val nQ = 32
+    val rnd = new scala.util.Random(42)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val centers = Array.fill(kClusters)(unit(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    def jitter(c: Array[Float]): Array[Float] =
+      c.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val corpusVecs = (0 until kClusters * perCluster)
+      .map(i => (i.toLong, jitter(centers(i % kClusters))))
+    val queryVecs = (0 until nQ).map(i => (i.toLong, jitter(centers(i % kClusters))))
+    val corpus = corpusVecs.toDF("n_id", "n_vec")
+    val queries = queryVecs.toDF("q_id", "q_vec")
+
+    val nprobe = 4 // 4 of 16 clusters → nominal 25% scan
+    val got = IvfIndex.annIvfOn(corpus, queries, k = kClusters, nprobe = nprobe)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    // exact cosine top-5 ground truth (tiny fixture → driver-side)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val truth = queryVecs.map { case (qid, qv) =>
+      qid -> corpusVecs.map { case (nid, nv) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }.take(5).map(_._1).toSet
+    }.toMap
+    val recall = truth.map { case (qid, want) =>
+      got.getOrElse(qid, Set.empty).intersect(want).size.toDouble / want.size
+    }.sum / truth.size
+
+    // measured scan fraction: probed-cluster mass over corpus × queries
+    val cents = IvfIndex.trainCentroids(corpus, "n_id", "n_vec", kClusters)
+    val sizes = IvfIndex.assignClusters(corpus, "n_vec", cents)
+      .groupBy($"__cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val scanned = queryVecs.map { case (_, qv) =>
+      val scores = cents.zipWithIndex
+        .map { case (c, i) => (c.zip(qv).map { case (a, b) => a.toDouble * b }.sum, i) }
+      scores.sortBy { case (s, i) => (-s, i) }.take(nprobe)
+        .map { case (_, i) => sizes.getOrElse(i, 0L) }.sum
+    }.sum.toDouble / (corpusVecs.size.toLong * nQ)
+
+    info(f"clustered-fixture recall@5 = $recall%.3f at ${scanned * 100}%.1f%% scanned")
+    assert(scanned <= 0.28, f"scan fraction $scanned%.3f above the 25%% budget")
+    assert(recall >= 0.9, f"recall $recall%.3f under 0.9 on clustered data")
+    assert(recall > 2 * scanned, "recall must clearly beat the scan fraction")
+  }
+
   test("centroid training is deterministic") {
     val corpus = sources.Tables.embeddings(spark, sf)
       .select($"vec_id".as("n_id"), $"embedding".as("n_vec"))
