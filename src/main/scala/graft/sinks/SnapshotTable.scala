@@ -54,7 +54,43 @@ object SnapshotTable {
       s""""files":[${files.map(f => "\"" + f + "\"").mkString(",")}]}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$root/snapshots/v$version.json"), json.getBytes)
+    writeMetadata(root, version, files, op, maxOffset)
   }
+
+  /** EXTERNALIZED metadata (docs/SNAPSHOT_LAYOUT.md) — the offline-tool
+    * surface, following Iceberg's HadoopCatalog conventions:
+    * `metadata/version-hint.text` holds the current version number and
+    * `metadata/manifest-list-v{N}.json` one self-describing document per
+    * live version with a FIXED field set (format_version, table_format,
+    * version, op, max_offset, manifests[{path,length}]). Every commit /
+    * compaction / erasure rewrite funnels through [[writeManifest]], so
+    * the external view can never drift from the operational manifests;
+    * [[expireSnapshots]] retires the expired versions' lists and
+    * refreshes the hint. Full Iceberg binary interop is out of scope
+    * in-sandbox; the layout gives catalogs and offline tooling a stable
+    * contract to enumerate snapshots and their data files.
+    */
+  private def writeMetadata(root: String, version: Int, files: Seq[String],
+                            op: String, maxOffset: Long): Unit = {
+    fs(s"$root/metadata").mkdirs()
+    val manifests = files.map { f =>
+      s"""{"path":"$f","length":${fs(s"$root/$f").length()}}"""
+    }
+    val json = s"""{"format_version":1,"table_format":"graft-snapshot-v1",""" +
+      s""""version":$version,"op":"$op","max_offset":$maxOffset,""" +
+      s""""manifests":[${manifests.mkString(",")}]}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/metadata/manifest-list-v$version.json"),
+      json.getBytes)
+    refreshVersionHint(root)
+  }
+
+  private def refreshVersionHint(root: String): Unit =
+    listSnapshots(root).lastOption.foreach { hint =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/metadata/version-hint.text"),
+        hint.toString.getBytes)
+    }
 
   /** Append a changelog batch as a new snapshot version. Returns the
     * committed version number.
@@ -145,7 +181,11 @@ object SnapshotTable {
     val deadFiles = expired.flatMap(v => readManifest(spark, root, v)._1)
       .distinct.filterNot(keptFiles)
     deadFiles.foreach(f => fs(s"$root/$f").delete())
-    expired.foreach(v => fs(s"$root/snapshots/v$v.json").delete())
+    expired.foreach { v =>
+      fs(s"$root/snapshots/v$v.json").delete()
+      fs(s"$root/metadata/manifest-list-v$v.json").delete()
+    }
+    refreshVersionHint(root)
     (expired, deadFiles)
   }
 
