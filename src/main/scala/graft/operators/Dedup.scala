@@ -255,6 +255,57 @@ object Dedup {
             graft.functions.HashFunctions.token_hash32($"text"))).as("sig"))
   }
 
+  /** Band rows whose (band, bucket) can possibly pair: a bloom built
+    * from the buckets holding 2..`cap` docs prunes definite-unique rows
+    * MAP-SIDE before any pair work, then an exact recount on the
+    * surviving rows reinstates the precise [2, cap] bound (bloom
+    * membership is per bucket key, so survivors are complete buckets
+    * and the recount equals the true bucket size — false positives
+    * admit only whole singleton/oversize buckets, which the recount
+    * then removes; false negatives don't exist). Output rows are
+    * EXACTLY the pair-capable band rows.
+    *
+    * Scale rationale: on a lightly-duplicated web corpus most band rows
+    * are singletons. The count aggregate is sort-free with map-side
+    * combine and its shuffle carries only (band, bucket, n); the
+    * self-join's shuffle — previously every band row — now receives
+    * only the possibly-repeated fraction.
+    */
+  private[graft] def pairableBands(bands: DataFrame, cap: Int): DataFrame = {
+    import bands.sparkSession.implicits._
+    // count on the 8-byte key hash, not the (band, bucket) pair: the
+    // stats shuffle carries (hash, n) — a third narrower than the
+    // doc_id-bearing rows the old full-table window shuffled, sort-free,
+    // and map-side combined where duplication exists. A hash collision
+    // can only MERGE groups, inflating n — never deflating it below a
+    // true repeated bucket's count — so `n >= 2` admits a superset and
+    // the exact recount below remains the sole authority for the
+    // [2, cap] bound.
+    val keyed = bands.withColumn("bk", xxhash64($"band", $"bucket"))
+    val repeated = keyed.groupBy($"bk")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // size the bitmap to the MEASURED repeated-key count (the persisted
+    // repeated table is tiny — the expensive counts pass runs once and
+    // feeds both the count and the bloom build). might_contain requires
+    // a CONSTANT bloom, so the bitmap is collected and embedded as a
+    // binary literal — model-sized driver traffic like the IVF
+    // centroids / PQ codebooks. Undersizing only raises the
+    // false-positive rate (more rows surviving to the exact recount),
+    // never correctness.
+    val nRepeated = math.max(repeated.count(), 1L)
+    val bloomBytes = repeated.agg(graft.functions.BloomFunctions
+      .bloom_agg($"bk", nRepeated).as("bf")).first().getAs[Array[Byte]]("bf")
+    repeated.unpersist()
+    keyed
+      .filter(graft.functions.BloomFunctions.bloom_might_contain(lit(bloomBytes), $"bk"))
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bucket")))
+      .filter($"bucket_n" >= 2 && $"bucket_n" <= cap)
+      .select($"doc_id", $"band", $"bucket")
+  }
+
   /** MinHash-LSH near-dup candidate pairs, exact-verified by signature
     * agreement ratio. Linear: 16 band keys per doc, bucket equi-join,
     * dedup on ids. Buckets larger than 64 docs are dropped (degenerate
@@ -265,6 +316,9 @@ object Dedup {
     * library, so the plan is deliberate):
     *  - the signature pipeline runs ONCE (persisted index), not once per
     *    self-join branch;
+    *  - a bloom pre-pass ([[pairableBands]]) drops definite-unique band
+    *    rows map-side, so the pair join shuffles only possibly-repeated
+    *    buckets — the standard 100 TB dedup cost reducer;
     *  - the exploded band table and everything through the pair
     *    `distinct` carry only (doc_id, band, bucket) / (i, j) longs —
     *    no signature arrays ride a shuffle;
@@ -277,11 +331,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sigs.select($"doc_id",
         posexplode(graft.functions.HashFunctions.band_buckets($"sig")).as(Seq("band", "bucket")))
-    val capped = bands
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bucket")))
-      .filter($"bucket_n" <= 64)
-      .select($"doc_id", $"band", $"bucket")
+    val capped = pairableBands(bands, cap = 64)
     // ids only through the join + distinct (16 bytes/row, not ~1 KB)
     val pairs = capped.as("a")
       .join(capped.as("b"),

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** The dedup bloom pre-pass: exactness (identical pairs to the
+  * pre-bloom window formulation) and the measured shuffle reduction it
+  * buys on the pair-join path.
+  */
+class BloomPrepassSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bands: DataFrame = {
+    val sigs = Dedup.minhashSigs(spark, sf)
+    sigs.select($"doc_id",
+      posexplode(graft.functions.HashFunctions.band_buckets($"sig")).as(Seq("band", "bucket")))
+  }
+
+  /** The pre-bloom formulation: full-table window count, cap filter. */
+  private def windowCapped(cap: Int): DataFrame =
+    bands
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bucket")))
+      .filter($"bucket_n" <= cap)
+      .select($"doc_id", $"band", $"bucket")
+
+  private def pairsFrom(capped: DataFrame): DataFrame =
+    capped.as("a")
+      .join(capped.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .distinct()
+
+  private def measureShuffleBytes(action: => Unit): Long = {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      action
+      // the listener bus is async — wait for the tally to go quiet
+      var prev = -1L
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        val cur = bytes.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      bytes.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("bloom pre-pass emits exactly the window formulation's pairs") {
+    val ref = pairsFrom(windowCapped(64)).orderBy($"i", $"j")
+      .as[(Long, Long)].collect().toSeq
+    val got = pairsFrom(Dedup.pairableBands(bands, 64)).orderBy($"i", $"j")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == ref, "bloom pre-pass changed the candidate pair set")
+    assert(ref.nonEmpty, "fixture must exercise real duplicate pairs")
+  }
+
+  test("definite-unique band rows are pruned before the pair join") {
+    val total = bands.count()
+    val pairable = Dedup.pairableBands(bands, 64).count()
+    info(s"band rows: $total total, $pairable pairable " +
+      f"(${100.0 * pairable / total}%.1f%% reach the join)")
+    // the join (and its sorted exchange) sees only possibly-repeated
+    // buckets; on this corpus the definite-unique majority is skipped
+    assert(pairable * 4 <= total,
+      s"expected >=4x pruning, got $pairable of $total")
+  }
+
+  test("measured shuffle bytes drop on the candidate-pair path (corpus data)") {
+    spark.sharedState.cacheManager.clearCache()
+    val refBytes = measureShuffleBytes {
+      pairsFrom(windowCapped(64)).write.format("noop").mode("overwrite").save()
+    }
+    val newBytes = measureShuffleBytes {
+      // includes the pre-pass's own stats + bloom jobs — the comparison
+      // charges the new path its full cost, not just the join stage
+      pairsFrom(Dedup.pairableBands(bands, 64))
+        .write.format("noop").mode("overwrite").save()
+    }
+    info(f"shuffle bytes: window=$refBytes%,d bloom=$newBytes%,d " +
+      f"(${100.0 * newBytes / refBytes}%.1f%%)")
+    // at this tiny SF both paths are dominated by the shared signature
+    // pipeline, so the demand here is only "not more expensive" — the
+    // decisive measurement is the web-scale-shaped test below
+    assert(newBytes <= refBytes,
+      s"bloom path shuffled more: $newBytes vs $refBytes")
+  }
+
+  test("measured shuffle bytes drop decisively on a web-scale-shaped band table") {
+    // 100k docs × 16 bands, 95% of docs in globally-unique buckets and
+    // 5% in 5-doc duplicate groups — the unique-heavy profile the
+    // pre-pass targets at 100 TB. Measured directly on the band table
+    // so the shared signature pipeline doesn't dilute the comparison.
+    spark.sharedState.cacheManager.clearCache()
+    val synth = spark.range(100000L)
+      .select($"id".as("doc_id"),
+        explode(sequence(lit(0), lit(15))).as("band"))
+      .select($"doc_id", $"band",
+        when($"doc_id" % 20 === 0, xxhash64($"band", $"doc_id" % 1000))
+          .otherwise(xxhash64($"band", $"doc_id", lit("unique"))).as("bucket"))
+    val refBytes = measureShuffleBytes {
+      val capped = synth
+        .withColumn("bucket_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bucket")))
+        .filter($"bucket_n" <= 64)
+        .select($"doc_id", $"band", $"bucket")
+      pairsFrom(capped).write.format("noop").mode("overwrite").save()
+    }
+    val newBytes = measureShuffleBytes {
+      pairsFrom(Dedup.pairableBands(synth, 64))
+        .write.format("noop").mode("overwrite").save()
+    }
+    info(f"synthetic shuffle bytes: window=$refBytes%,d bloom=$newBytes%,d " +
+      f"(${100.0 * newBytes / refBytes}%.1f%%)")
+    assert(newBytes * 10 <= refBytes * 9,
+      s"expected >=10%% shuffle-byte reduction, got $newBytes vs $refBytes")
+  }
+}
