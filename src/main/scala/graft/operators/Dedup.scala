@@ -683,6 +683,33 @@ object Dedup {
       |  (a = min(b)) AS is_canonical
       |FROM closure GROUP BY a ORDER BY doc_id""".stripMargin
 
+  /** The shippable dedup ARTIFACT: one keep/drop decision per corpus
+    * document. Docs in no near-dup cluster keep themselves; clustered
+    * docs keep only the canonical (min doc_id) member. This is the
+    * table a 100 TB curation run actually materializes and joins
+    * against downstream — `cluster_id` doubles as the dedup key for
+    * lineage audits. One id-keyed left join over the cluster table;
+    * everything upstream is the linear PPJoin + label-propagation path.
+    */
+  def dedupKeepList(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clusters = dedupClusters(spark, dir)
+    Tables.documents(spark, dir).select($"doc_id")
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .select($"doc_id",
+        coalesce($"cluster_id", $"doc_id").as("cluster_id"),
+        coalesce($"is_canonical", lit(true)).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  lazy val dedupKeepListSql: String =
+    s"""WITH cl AS ($dedupClustersSql)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(cl.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+      |  coalesce(cl.is_canonical, TRUE) AS keep
+      |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Entity-resolution clusters from COMBINED evidence: one blocked
     * self-join computes BOTH the banded edit distance and Jaro–Winkler
     * per candidate pair (one pass over candidates, two match rules), a

@@ -200,6 +200,27 @@ class DedupSpec extends SparkSpec {
       (20L, 20L, true), (21L, 20L, false)))
   }
 
+  test("keep list: full-corpus coverage, canonical-only keeps, dropped docs point at a kept doc") {
+    val keep = Dedup.dedupKeepList(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(keep.length.toLong == nDocs, "one decision per corpus doc")
+    val dropped = keep.filterNot(_._3)
+    assert(dropped.nonEmpty, "fixture must exercise real drops")
+    val keptIds = keep.filter(_._3).map(_._1).toSet
+    // every dropped doc's cluster_id names a KEPT doc (its canonical)
+    dropped.foreach { case (id, cid, _) =>
+      assert(keptIds.contains(cid), s"doc $id dropped toward non-kept $cid")
+      assert(cid < id, "canonical must be the cluster min")
+    }
+    // unclustered docs keep themselves under their own id
+    val clustered = Dedup.dedupClusters(spark, sf)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    keep.filterNot(k => clustered.contains(k._1)).foreach { case (id, cid, kp) =>
+      assert(kp && cid == id, s"unclustered doc $id must keep itself")
+    }
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val p = Dedup.dedupEmbedding(spark, sf)
     assert(p.filter($"cos_sim" < 0.3).count() == 0)
