@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftExpressionBridge.{toColumn, toExpression}
@@ -60,6 +60,19 @@ object PqImpl {
       s += 1
     }
     new GenericArrayData(codes)
+  }
+
+  /** out(d) = v(d) − centroids(cluster)(d), float arithmetic. */
+  def residual(v: ArrayData, cluster: Int,
+               centroids: Array[Array[Float]]): ArrayData = {
+    val c = centroids(cluster)
+    val out = new Array[Float](c.length)
+    var d = 0
+    while (d < c.length) {
+      out(d) = v.getFloat(d) - c(d)
+      d += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** dtab(s)(c) = |q_s − books(s)(c)|² expanded as qq − 2·(q_s·c) + |c|². */
@@ -168,10 +181,51 @@ case class PqDistTable(child: Expression, books: Array[Array[Array[Float]]])
     copy(child = newChild)
 }
 
+/** `vec_centroid_residual(vec, cluster)` → array<float> of
+  * vec − centroids(cluster), elementwise in FLOAT arithmetic (the same
+  * IEEE op as the `zip_with((a, b) => a - b)` formulation it replaces —
+  * which, being a higher-order function, evaluated interpreted with a
+  * lambda frame per element on EVERY corpus row of the IVF-PQ encode
+  * path). One static call; stays inside whole-stage codegen.
+  */
+case class VecCentroidResidual(left: Expression, right: Expression,
+                               centroids: Array[Array[Float]])
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "vec_centroid_residual"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_centroid_residual expects (array<float>, int), got $other")
+    }
+
+  override def nullSafeEval(v: Any, c: Any): Any =
+    PqImpl.residual(v.asInstanceOf[ArrayData], c.asInstanceOf[Int], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("residualCentroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"${ev.value} = graft.functions.PqImpl.residual($v, $c, $cents);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecCentroidResidual =
+    copy(left = newLeft, right = newRight)
+}
+
 object PqFunctions {
   def pq_encode(vec: Column, books: Array[Array[Array[Float]]]): Column =
     toColumn(PqEncode(toExpression(vec), books))
 
   def pq_dist_table(qvec: Column, books: Array[Array[Array[Float]]]): Column =
     toColumn(PqDistTable(toExpression(qvec), books))
+
+  def vec_centroid_residual(vec: Column, cluster: Column,
+                            centroids: Array[Array[Float]]): Column =
+    toColumn(VecCentroidResidual(toExpression(vec), toExpression(cluster), centroids))
 }

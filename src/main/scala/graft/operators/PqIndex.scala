@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions.vec_dot
-import graft.functions.PqFunctions.{pq_dist_table, pq_encode}
+import graft.functions.PqFunctions.{pq_dist_table, pq_encode, vec_centroid_residual}
 
 /** Product-quantization (PQ) ANN index — the vector-COMPRESSION scale
   * path (Jégou et al., "Product Quantization for Nearest Neighbor
@@ -175,13 +175,14 @@ object PqIndex {
     val corpus = e.filter($"vec_id" >= 8)
       .select($"vec_id".as("n_id"), $"embedding".as("n_vec"))
     val coarse = IvfIndex.trainCentroids(corpus, "n_id", "n_vec", kCoarse)
-    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
 
     // residual = v − centroid(cluster); cluster from the shared IVF
-    // assignment (argmin L2 over literal centroids)
+    // assignment. Native kernel: the zip_with formulation is a
+    // higher-order function evaluated interpreted per element — on the
+    // corpus-side encode path that is the one map that touches every
+    // row, so it must stay in codegen like pq_encode itself.
     def residual(vec: Column, cluster: Column): Column =
-      zip_with(vec, element_at(coarseLit, cluster + 1),
-        (a, b) => (a - b).cast("float"))
+      vec_centroid_residual(vec, cluster, coarse)
     val assigned = IvfIndex.assignClusters(corpus, "n_vec", coarse)
       .select($"n_id", $"n_vec", $"__cluster".as("cluster"))
     val residuals = assigned
