@@ -14,7 +14,7 @@ object PlanDump {
     "q2_filter_project" ->
       "predicate + projection pushdown: PushedFilters and a pruned ReadSchema reach the parquet scan",
     "q5_local_supplier" ->
-      "6-way join: every dimension broadcast, only the fact-fact join shuffles (on its key)",
+      "6-way join: constant dims (region/nation) hinted broadcast; customer/supplier scale with SF so AQE sizes those joins; the fact-fact join shuffles on its key",
     "q1_pricing_summary" ->
       "partial aggregation + whole-stage codegen over the scan",
     "window_topn" ->
@@ -22,7 +22,11 @@ object PlanDump {
     "asof_join" ->
       "union + carry-forward as-of: ONE key shuffle, no cross product",
     "dedup_minhash" ->
-      "ids-only band join: no signature arrays in any Exchange (the r1 fix)",
+      "ids-only band join behind the bloom pre-pass: definite-unique rows pruned map-side by a constant bloom, no signature arrays in any Exchange",
+    "part_pagerank" ->
+      "iterative rank: persisted edges, one dst-keyed shuffle per iteration, rank/deg joins AQE-sized (no forced broadcast of node-cardinality tables)",
+    "ann_pq" ->
+      "native pq_encode/pq_dist_table kernels: the corpus encode map stays inside whole-stage codegen (no 64 KB fallback)",
     "ann_lsh" ->
       "persisted corpus index + broadcast query side; candidate dedup on ids only",
     "embedding_covariance" ->
