@@ -194,6 +194,61 @@ object Curation {
       |FROM e ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  private val PackBudget = 512 // tokens per training sequence
+  private val PackShards = 32
+
+  /** Sequence PACKING: assign documents to fixed-token-budget training
+    * sequences (the step after chunking/cleaning that decides what a
+    * trainer actually reads). Docs are sharded by `doc_id % 32` and
+    * packed within each shard in doc_id order by cumulative token
+    * count: a doc's sequence is `floor(tokens_before / 512)` — the
+    * standard first-fit-by-offset packing whose boundary docs straddle
+    * two sequences (flagged, so the trainer can split or pad). Fully
+    * deterministic: shard, order, and cumsum are all pure integer
+    * functions of the input.
+    *
+    * Scale: packing is embarrassingly parallel across shards — the
+    * window partitions by shard, so no global sort exists anywhere; at
+    * 100 TB you raise the shard count to the write parallelism you
+    * want and each shard packs independently. One hash shuffle of
+    * (doc_id, n_tokens) pairs + the presentation sort.
+    */
+  def docPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("shard", pmod($"doc_id", lit(PackShards)).cast("int"))
+      .withColumn("tokens_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .select($"doc_id", $"shard",
+        ($"tokens_before" / PackBudget).cast("long").as("seq_no"),
+        ($"tokens_before" % PackBudget).as("seq_offset"),
+        $"n_tokens",
+        ($"tokens_before" % PackBudget + $"n_tokens" > PackBudget).as("straddles"))
+      .orderBy($"doc_id")
+  }
+
+  val docPackSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH d AS (
+      |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+      |    CAST(doc_id % $PackShards AS INT) AS shard
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+      |  FROM d)
+      |SELECT doc_id, shard,
+      |  CAST(tokens_before // $PackBudget AS BIGINT) AS seq_no,
+      |  CAST(tokens_before % $PackBudget AS BIGINT) AS seq_offset,
+      |  n_tokens,
+      |  (tokens_before % $PackBudget + n_tokens > $PackBudget) AS straddles
+      |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   /** Quality-percentile bucketing: decile buckets over the composite
     * quality score (CCNet-style head/middle/tail selection generalized
     * to 10 buckets), with per-bucket volume stats used to pick the

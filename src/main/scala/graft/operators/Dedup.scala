@@ -40,6 +40,45 @@ object Dedup {
       |      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20) u
       |GROUP BY md5(text) HAVING count(*) > 1 ORDER BY keep_id""".stripMargin
 
+  /** NORMALIZED exact dedup — the aggressive exact pre-pass real
+    * pipelines run before any probabilistic method: texts that differ
+    * only in case, punctuation, or whitespace runs hash identically
+    * (lowercase → non-alphanumerics to spaces → collapse runs → trim).
+    * Catches the boilerplate-variant duplicates raw `dedup_exact`
+    * misses while staying a pure map + hash-groupBy (one shuffle of
+    * 16-byte fingerprints, no text ever shuffles). Emits one row per
+    * normalized cluster with the winning (min) doc_id; the planted
+    * variants (case flip + punctuation noise on the first 10 docs)
+    * keep the oracle non-vacuous on a corpus without natural variants.
+    */
+  def dedupExactNorm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def norm(c: Column): Column =
+      trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9]+", " "), " +", " "))
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val variants = docs.filter($"doc_id" < 10)
+      .select(($"doc_id" + 2000000L).as("doc_id"),
+        concat(upper($"text"), lit("!!")).as("text"))
+    docs.unionByName(variants)
+      .groupBy(md5(norm($"text")).as("norm_fp"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter($"n_copies" > 1)
+      .orderBy($"keep_id")
+  }
+
+  val dedupExactNormSql: String =
+    """WITH u AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, upper(text) || '!!' FROM documents WHERE doc_id < 10),
+      |n AS (
+      |  SELECT doc_id,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+      |      ' +', ' ', 'g'))) AS norm_fp
+      |  FROM u)
+      |SELECT norm_fp, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM n GROUP BY norm_fp HAVING count(*) > 1 ORDER BY keep_id""".stripMargin
+
   /** Exact word-set Jaccard near-dup pairs (the verification primitive the
     * probabilistic methods approximate). Token explode → self-join on
     * token → intersection counts → |A∪B| by inclusion-exclusion. Verified

@@ -406,6 +406,78 @@ object TextModel {
     * IEEE double order in both engines (the [[Profile.trendFit]]
     * doctrine).
     */
+  /** Token-distribution DRIFT between the training split and the
+    * held-out split (doc_id % 97 — the same bench split
+    * `decontaminate` uses): per-token KL(P_train‖Q_held) contribution
+    * p·ln(p/q) under add-one smoothing over the joint vocabulary, top
+    * 50 tokens. The distribution-shift report a mixture rebalance or
+    * contamination investigation starts from.
+    *
+    * Engine-exactness: p = a/b and q = c/d are ratios of exact integer
+    * counts with CONSTANT denominators (b = N_train+V, d = N_held+V),
+    * so ranking by p·ln(p/q) equals ranking by the INTEGER
+    * a · round(ln(ad/bc)·10⁵) — counts ride the shuffle, the ln is
+    * micro-unit-quantized ([[zipfFit]] doctrine), and the tie-break is
+    * the token itself. The emitted contribution derives from that same
+    * integer (one conversion, two divisions, fixed order). One token
+    * groupBy shuffle + a broadcast scalar; output is 50 rows at any
+    * corpus scale.
+    */
+  def tokenKlDrift(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .withColumn("held", pmod($"doc_id", lit(97)) === 0)
+    val counts = toks.groupBy($"tok").agg(
+      sum(when(!$"held", 1L).otherwise(0L)).as("c_train"),
+      sum(when($"held", 1L).otherwise(0L)).as("c_held"))
+    val totals = counts.agg(
+      sum($"c_train").as("n_train"), sum($"c_held").as("n_held"),
+      count(lit(1)).as("v"))
+    val scored = counts.crossJoin(broadcast(totals))
+      .withColumn("ln_u", round(log(
+        (($"c_train" + 1) * ($"n_held" + $"v")).cast("double")
+          / (($"n_train" + $"v") * ($"c_held" + 1)).cast("double"))
+        * 100000d, 0).cast("long"))
+      .withColumn("rank_key", ($"c_train" + 1) * $"ln_u")
+      .orderBy($"rank_key".desc, $"tok").limit(topK)
+    scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"rank_key".desc, $"tok")))
+      .select($"rk", $"tok", $"c_train", $"c_held",
+        round($"rank_key".cast("double") / ($"n_train" + $"v").cast("double")
+          / 100000d, 9).as("kl_contrib"))
+      .orderBy($"rk")
+  }
+
+  val tokenKlDriftSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH t AS (
+      |  SELECT doc_id % 97 = 0 AS held, unnest($toks) AS tok FROM documents),
+      |c AS (
+      |  SELECT tok,
+      |    CAST(sum(CASE WHEN held THEN 0 ELSE 1 END) AS BIGINT) AS c_train,
+      |    CAST(sum(CASE WHEN held THEN 1 ELSE 0 END) AS BIGINT) AS c_held
+      |  FROM t GROUP BY tok),
+      |tot AS (
+      |  SELECT CAST(sum(c_train) AS BIGINT) AS n_train,
+      |         CAST(sum(c_held) AS BIGINT) AS n_held,
+      |         CAST(count(*) AS BIGINT) AS v FROM c),
+      |s AS (
+      |  SELECT tok, c_train, c_held,
+      |    (c_train + 1) * CAST(round(ln(
+      |      CAST((c_train + 1) * (n_held + v) AS DOUBLE)
+      |        / CAST((n_train + v) * (c_held + 1) AS DOUBLE)) * 100000, 0) AS BIGINT)
+      |      AS rank_key,
+      |    n_train + v AS b
+      |  FROM c CROSS JOIN tot),
+      |top AS (SELECT * FROM s ORDER BY rank_key DESC, tok LIMIT 50)
+      |SELECT CAST(row_number() OVER (ORDER BY rank_key DESC, tok) AS INT) AS rk,
+      |  tok, c_train, c_held,
+      |  round(CAST(rank_key AS DOUBLE) / CAST(b AS DOUBLE) / 100000, 9) AS kl_contrib
+      |FROM top ORDER BY rk""".stripMargin
+  }
+
   def zipfFit(spark: SparkSession, dir: String, topR: Int = 500): DataFrame = {
     import spark.implicits._
     val tf = Tables.documents(spark, dir)

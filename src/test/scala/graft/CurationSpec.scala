@@ -34,6 +34,28 @@ class CurationSpec extends SparkSpec {
     chunks.unpersist()
   }
 
+  test("doc_pack: every doc packed once, offsets bounded, sequences contiguous per shard") {
+    val packed = Curation.docPack(spark, sf).cache()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(packed.count() === nDocs, "one packing decision per doc")
+    assert(packed.filter($"seq_offset" < 0 || $"seq_offset" >= 512).count() === 0,
+      "offset must lie inside the sequence budget")
+    // straddles ⟺ the doc crosses its sequence's 512-token boundary
+    assert(packed.filter(
+      ($"seq_offset" + $"n_tokens" > 512) =!= $"straddles").count() === 0)
+    // within a shard, the first doc opens sequence 0 and seq_no is
+    // non-decreasing in doc_id order (an oversized doc may legitimately
+    // skip numbers — its tail spills past whole sequences)
+    val perShard = packed.groupBy($"shard").agg(min($"seq_no").as("first_seq"))
+    assert(perShard.filter($"first_seq" =!= 0).count() === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"doc_id")
+    assert(packed.withColumn("prev_seq", lag($"seq_no", 1).over(w))
+      .filter($"prev_seq".isNotNull && $"seq_no" < $"prev_seq").count() === 0,
+      "seq_no must be non-decreasing within a shard")
+    packed.unpersist()
+  }
+
   test("decontaminate: hits are real — every flagged doc shares a 3-gram with the bench set") {
     val flagged = Curation.decontaminate(spark, sf)
     assert(flagged.count() > 0, "gate must be non-vacuous")
