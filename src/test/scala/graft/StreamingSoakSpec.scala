@@ -47,6 +47,92 @@ class StreamingSoakSpec extends SparkSpec {
     assert(n1 == spark.read.parquet(s"$in/events.parquet").count())
   }
 
+  test("wide soak matrix: 4 tables x 8 waves x 2 restarts with deletes, " +
+    "dead letters, and an unsubscribed topic") {
+    import org.apache.spark.sql.types._
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val busDir = tmp("graft_wsoak_bus")
+    val sinkDir = tmp("graft_wsoak_sink")
+    val ckpt = tmp("graft_wsoak_ckpt")
+    val tables = Seq("account", "product", "orders", "shipment")
+    val schemas: Map[String, StructType] = tables.map { t =>
+      t -> StructType(Seq(StructField("id", LongType), StructField("v", DoubleType)))
+    }.toMap
+    val routes = tables.map(t => t -> graft.cdc.Cdc.TableRoute(Seq("id"), "ts_ms")).toMap
+    (tables :+ "audit.other").foreach { t =>
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$busDir/cdc.commerce.$t"))
+    }
+
+    val nIds = 4
+    var validLines = 0L
+    var deadLines = 0L
+    def env(t: String, id: Long, op: String, v: Double, ts: Long): String = {
+      val row = s"""{"id":$id,"v":$v}"""
+      val (b, a) = if (op == "d") (row, "null") else ("null", row)
+      s"""{"payload":{"before":$b,"after":$a,"op":"$op","ts_ms":$ts,""" +
+        s""""source":{"db":"p","schema":"commerce","table":"$t"}}}"""
+    }
+    def writeWave(w: Int): Unit = {
+      tables.foreach { t =>
+        val lines = (0 until nIds).map { id =>
+          // wave 3 deletes account's even ids; everything else upserts
+          val op = if (w == 3 && t == "account" && id % 2 == 0) "d"
+                   else if (w == 0) "c" else "u"
+          env(t, id, op, w * 100.0 + id, w * 10L + id)
+        } ++ (if (w == 4 && t == "product")
+                Seq("{corrupt line", env("ghost_table", 9L, "c", 0.0, 999L))
+              else Nil)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$busDir/cdc.commerce.$t/w$w.json"),
+          lines.mkString("\n").getBytes)
+        validLines += nIds
+        if (w == 4 && t == "product") deadLines += 2
+      }
+      // traffic on the unsubscribed topic must never be ingested
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$busDir/cdc.commerce.audit.other/w$w.json"),
+        "should never be read".getBytes)
+    }
+    // segment the 8 waves across three query incarnations (two restarts)
+    def runWaves(ws: Range): Unit = {
+      val q = streaming.CdcStream.ingestTopics(
+        spark, streaming.FileBus(busDir, "cdc.commerce.{account,product,orders,shipment}"),
+        schemas, sinkDir, ckpt)
+      ws.foreach { w => writeWave(w); q.processAllAvailable() }
+      q.stop()
+    }
+    runWaves(0 to 2); runWaves(3 to 5); runWaves(6 to 7)
+
+    // exactly-once per table across both restarts
+    val logs = tables.map(t => t -> spark.read.parquet(s"$sinkDir/$t")).toMap
+    assert(logs.values.map(_.count()).sum == validLines,
+      s"lost/duplicated changelog rows across restarts")
+    // dead letters quarantined exactly once, with reasons
+    val dead = spark.read.parquet(s"$sinkDir/_dead_letter")
+    assert(dead.count() == deadLines)
+    assert(dead.filter($"reason" === "unrouted_table:ghost_table").count() == 1)
+    // latest-wins snapshots: wave-7 values everywhere, minus the
+    // tombstoned account ids (deleted in wave 3, re-upserted in 4..7 —
+    // so they must be PRESENT with post-delete values, proving the
+    // delete didn't permanently shadow later updates)
+    val snaps = graft.cdc.Cdc.materializeAll(logs, routes)
+    tables.foreach { t =>
+      val rows = snaps(t).collect()
+      assert(rows.length == nIds, s"$t snapshot wrong size: ${rows.length}")
+      rows.foreach { r =>
+        assert(r.getAs[Double]("v") == 700.0 + r.getAs[Long]("id"),
+          s"$t id ${r.getAs[Long]("id")} not at wave-7 state")
+      }
+    }
+    // and a mid-history read really shows the tombstone: materializing
+    // only waves <= 3 must drop account's even ids
+    val upTo3 = logs("account").filter($"ts_ms" < 40)
+    val snap3 = graft.cdc.Cdc.materialize(upTo3, routes("account"))
+    assert(snap3.collect().map(_.getAs[Long]("id")).toSet == Set(1L, 3L),
+      "wave-3 tombstones must erase even ids at that point in history")
+  }
+
   test("topic-bus soak: waves across a restart ingest exactly once") {
     import org.apache.spark.sql.types._
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
