@@ -65,6 +65,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("vec_cov_sum", "vec_cov_sum(qvec) - exact vector second-moment sums"),
       (args: Seq[Expression]) => graft.functions.VecCovSum(args.head)
         .toAggregateExpression()))
+    // Spark's internal bloom expressions, surfaced for explicit
+    // pre-pass filters (the dedup definite-unique skip in SQL form)
+    ext.injectFunction((FunctionIdentifier("bloom_agg"),
+      info("bloom_agg", "bloom_agg(item, n) - bloom filter of long items sized for n"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1).eval().asInstanceOf[Number].longValue())
+          .toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain",
+        "bloom_might_contain(bloom, item) - membership probe, no false negatives"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))))
   }
 }
 
@@ -101,5 +114,14 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("vec_cov_sum",
       (args: Seq[Expression]) => graft.functions.VecCovSum(args.head)
         .toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_agg",
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1).eval().asInstanceOf[Number].longValue())
+          .toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_might_contain",
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0), args(1)), "scala_udf")
   }
 }

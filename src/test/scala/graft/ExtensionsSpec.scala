@@ -19,6 +19,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(sh == 5L) // single token: its bits win every vote
   }
 
+  test("bloom_agg + bloom_might_contain compose as a SQL pre-pass filter") {
+    GraftExtensions.register(spark)
+    spark.range(100).createOrReplaceTempView("bloom_probe_t")
+    // the scalar-subquery form might_contain requires; no false
+    // negatives on the inserted half, few false positives above it
+    val hits = spark.sql(
+      """SELECT count(*) AS n FROM bloom_probe_t
+        |WHERE bloom_might_contain(
+        |  (SELECT bloom_agg(id, 1000) FROM bloom_probe_t WHERE id < 50), id)""".stripMargin)
+      .first().getLong(0)
+    assert(hits >= 50, s"bloom lost inserted items: $hits")
+    assert(hits <= 60, s"false-positive rate implausibly high: $hits")
+  }
+
   test("spark.sql.extensions injection path registers the functions") {
     import org.apache.spark.sql.SparkSession
     // force a genuinely new session (same SparkContext) so the

@@ -77,6 +77,39 @@ class PqSpec extends SparkSpec {
     assert(ivfpq.values.forall(_.size == 5), "top-5 per query")
   }
 
+  test("re-rank telemetry: true neighbors sit inside the ADC shortlist budget") {
+    // the shortlistFactor=8 contract: ADC ranks are approximate, so the
+    // exact re-rank only works if the TRUE top-5 mostly appear within
+    // the top 5*8=40 ADC candidates. Measure where true neighbors land.
+    val books = PqIndex.trainCodebooks(corpus, "n_id", "n_vec")
+    val coded = PqIndex.encode(corpus, "n_vec", books)
+      .select($"n_id", $"n_vec", $"__codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getSeq[Int](2).toArray))
+    val queries = sources.Tables.embeddings(spark, sf).filter($"vec_id" < 8)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    def adc(q: Array[Float], codes: Array[Int]): Double =
+      (0 until PqIndex.M).map { s =>
+        val c = books(s)(codes(s))
+        val qs = q.slice(s * PqIndex.SubDim, (s + 1) * PqIndex.SubDim)
+        qs.zip(c).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+      }.sum
+    val adcRanksOfTrue = queries.flatMap { case (_, q) =>
+      val byAdc = coded.map { case (id, _, codes) => (id, adc(q, codes)) }
+        .sortBy { case (id, d) => (d, id) }.map(_._1).zipWithIndex.toMap
+      val trueTop = coded.map { case (id, v, _) => (id, l2(q, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(5).map(_._1)
+      trueTop.map(byAdc)
+    }
+    val within = adcRanksOfTrue.count(_ < 40).toDouble / adcRanksOfTrue.length
+    val worst = adcRanksOfTrue.max
+    info(f"true-top-5 ADC ranks: ${within * 100}%.0f%% within budget 40, worst rank $worst")
+    assert(within >= 0.7,
+      f"shortlist budget too small: only ${within * 100}%.0f%% of true neighbors inside")
+  }
+
   test("ann_pq recall@5 vs exact L2 at ~50x compression") {
     val pq = PqIndex.annPq(spark, sf).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
