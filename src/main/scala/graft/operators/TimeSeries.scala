@@ -86,6 +86,51 @@ object TimeSeries {
       |  ON e.user_id = o.k AND e.t <= o.t
       |ORDER BY e.event_id""".stripMargin
 
+  /** As-of join with a TOLERANCE bound (pandas merge_asof's
+    * `tolerance`): the backward match is kept only while the matched
+    * order is at most `toleranceS` seconds stale — bounding how old a
+    * carried-forward quote/dimension row may be, the guard production
+    * as-of pipelines run to avoid joining against dead state. Same
+    * union + carry-forward single-shuffle shape as [[asofJoin]]; the
+    * bound is a residual filter on the carried timestamp, so the plan
+    * is unchanged. (Default sized to this corpus: the synthetic event
+    * epoch sits decades after the TPC-H order dates, so a calendar-week
+    * tolerance would be vacuous here.)
+    */
+  def asofJoinTolerance(spark: SparkSession, dir: String,
+                        toleranceS: Long = 723000000L): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .groupBy($"o_custkey".as("k"),
+        unix_timestamp($"o_orderdate".cast("timestamp")).as("t_s"))
+      .agg(max($"o_orderkey").as("o_key"))
+      .select($"k", $"t_s", $"o_key", lit(null).cast("long").as("event_id"),
+        lit(0).as("src"))
+    val events = Tables.events(spark, dir)
+      .select($"user_id".as("k"), expr("ts_ns div 1000000000").as("t_s"),
+        lit(null).cast("long").as("o_key"), $"event_id", lit(1).as("src"))
+    val ord = when($"src" === 0, struct($"t_s".as("t"), $"o_key".as("key")))
+    val w = Window.partitionBy($"k").orderBy($"t_s", $"src", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.unionByName(events)
+      .withColumn("bwd", last(ord, ignoreNulls = true).over(w))
+      .filter($"src" === 1 && $"bwd".isNotNull &&
+        ($"t_s" - $"bwd.t") <= toleranceS)
+      .select($"event_id", $"k".as("user_id"), $"bwd.key".as("asof_order"),
+        ($"t_s" - $"bwd.t").as("staleness_s"))
+      .orderBy($"event_id")
+  }
+
+  val asofJoinToleranceSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t FROM events),
+      |o AS (SELECT o_custkey AS k, epoch_ns(CAST(o_orderdate AS TIMESTAMP)) // 1000000000 AS t,
+      |        max(o_orderkey) AS o_key
+      |      FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, o.o_key AS asof_order, e.t - o.t AS staleness_s
+      |FROM e ASOF JOIN o ON e.user_id = o.k AND e.t >= o.t
+      |WHERE e.t - o.t <= 723000000
+      |ORDER BY e.event_id""".stripMargin
+
   /** NEAREST as-of: each event joined to whichever order is closest in
     * time, before or after (ties → the earlier/backward order). Both
     * directional carries share ONE hash shuffle on the key — two window

@@ -14,6 +14,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(total == 4 * events, s"window fanout: $total != 4 * $events")
   }
 
+  test("asof_join_tolerance: a bounded subset of asof_join with staleness proof") {
+    val tol = 723000000L
+    val bounded = TimeSeries.asofJoinTolerance(spark, sf).cache()
+    // the bound actually holds on every emitted row
+    assert(bounded.filter($"staleness_s" > tol || $"staleness_s" < 0).count() == 0)
+    // it is EXACTLY the unbounded backward match filtered by staleness:
+    // same (event, order) assignments, nothing re-matched to older rows
+    val unbounded = TimeSeries.asofJoin(spark, sf)
+      .select($"event_id", $"asof_order")
+    val joined = bounded.select($"event_id", $"asof_order".as("tol_order"))
+      .join(unbounded, "event_id")
+    assert(joined.filter($"tol_order" =!= $"asof_order").count() == 0,
+      "tolerance must filter matches, never change them")
+    // and it filters something on this corpus (non-vacuous bound)
+    assert(bounded.count() < unbounded.count())
+    bounded.unpersist()
+  }
+
   test("ewma_smooth folds in strict time order: hand-computed fixture") {
     val dir = java.nio.file.Files.createTempDirectory("ewma").toString
     // written out of time order on purpose — the operator must re-sort
