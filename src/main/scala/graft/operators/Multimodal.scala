@@ -96,6 +96,80 @@ object Multimodal {
       .select(col("doc_id"), col("media_format"), col("frame_idx"), col("frame_ts_ms"))
   }
 
+  private val AudioWin = 256
+  private val AudioStride = 128
+
+  val audioWindowSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("win_idx", IntegerType),
+    StructField("win_start", IntegerType),
+    StructField("win_bytes", IntegerType),
+    StructField("energy", LongType),
+    StructField("peak", IntegerType)))
+
+  /** Audio-style FRAMED feature extraction over the binary payloads:
+    * slide 256-byte windows with stride 128 across each wav payload
+    * (the frame loop every audio featurizer runs — here over the stub
+    * bytes, since no codec ships in this container), emit per-window
+    * energy/peak. The scale-relevant parts are real: a bounded explode
+    * of window indices (the docChunks integer arithmetic), BINARY
+    * slicing pushed into the row (`substring` over BinaryType — no
+    * per-window payload copies ride a shuffle), and the batch
+    * iterator→iterator decode shape of [[decodeStub]]. Byte stats over
+    * ASCII payloads are exact integer arithmetic, so the whole path
+    * replays in SQL.
+    */
+  def multimodalAudioWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = withMedia(Tables.documents(spark, dir))
+      .filter($"media_format" === "wav")
+      .select($"doc_id", $"media_bytes", length($"media_bytes").as("n"))
+      .withColumn("nwin", lit(1) +
+        ((greatest(lit(0), $"n" - AudioWin) + lit(AudioStride - 1)) / lit(AudioStride))
+          .cast("int"))
+    val windows = media
+      .withColumn("win_idx", explode(sequence(lit(0), $"nwin" - 1)))
+      .select($"doc_id", $"win_idx",
+        ($"win_idx" * AudioStride + 1).as("win_start"),
+        expr(s"substring(media_bytes, win_idx * $AudioStride + 1, $AudioWin)")
+          .as("win_payload"))
+    val enc = org.apache.spark.sql.Encoders.row(audioWindowSchema)
+    windows.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("win_payload")
+        var sum = 0L; var max = 0
+        var i = 0
+        while (i < bytes.length) {
+          val v = bytes(i) & 0xFF
+          sum += v; if (v > max) max = v
+          i += 1
+        }
+        Row(r.getAs[Long]("doc_id"), r.getAs[Int]("win_idx"),
+          r.getAs[Int]("win_start"), bytes.length, sum, max)
+      }
+    }(enc).orderBy($"doc_id", $"win_idx")
+  }
+
+  val multimodalAudioWindowsSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 'MEDIA:wav:' || text AS s
+      |  FROM documents WHERE ['png','jpeg','wav'][CAST(doc_id % 3 + 1 AS INT)] = 'wav'),
+      |n AS (
+      |  SELECT doc_id, s, length(s) AS n,
+      |    1 + (greatest(0, length(s) - 256) + 127) // 128 AS nwin
+      |  FROM p),
+      |w AS (
+      |  SELECT doc_id, CAST(i AS INT) AS win_idx,
+      |    CAST(i * 128 + 1 AS INT) AS win_start,
+      |    substring(s, CAST(i * 128 + 1 AS INT), 256) AS wp
+      |  FROM n, unnest(range(0, nwin)) AS r(i))
+      |SELECT doc_id, win_idx, win_start,
+      |  CAST(length(wp) AS INT) AS win_bytes,
+      |  CAST(list_reduce(list_transform(split(wp, ''), c -> CAST(unicode(c) AS BIGINT)),
+      |    (a, b) -> a + b) AS BIGINT) AS energy,
+      |  CAST(list_max(list_transform(split(wp, ''), c -> unicode(c))) AS INT) AS peak
+      |FROM w ORDER BY doc_id, win_idx""".stripMargin
+
   /** End-to-end multimodal pass: synthesize payloads, batch-"decode",
     * aggregate per format. Oracle-checked: the stub's byte statistics
     * are deterministic integer arithmetic over ASCII payloads, so the

@@ -53,4 +53,32 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.filter($"n_bytes" <= 0 || $"feature_mean" <= 0.0).count() == 0)
     assert(feats.count() == media.count())
   }
+
+  test("audio windows cover every payload byte with stride-128 overlap") {
+    val wins = Multimodal.multimodalAudioWindows(spark, sf).cache()
+    val payloads = Multimodal.withMedia(sources.Tables.documents(spark, sf))
+      .filter($"media_format" === "wav")
+      .select($"doc_id", length($"media_bytes").as("n"))
+    // per doc: window 0 starts at byte 1; the last window reaches the
+    // final byte; at most the last window is short
+    val agg = wins.groupBy($"doc_id").agg(
+      min($"win_start").as("first_start"),
+      max($"win_start" + $"win_bytes" - 1).as("last_byte"),
+      sum(when($"win_bytes" < 256, 1).otherwise(0)).as("n_short"))
+    val j = agg.join(payloads, "doc_id")
+    assert(j.filter($"first_start" =!= 1).count() == 0)
+    assert(j.filter($"last_byte" =!= $"n").count() == 0,
+      "window coverage must end exactly at the payload's last byte")
+    assert(j.filter($"n_short" > 1).count() == 0, "at most one short window per doc")
+    // consecutive windows advance by exactly the stride
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"win_idx")
+    assert(wins.withColumn("next_start", lead($"win_start", 1).over(w))
+      .filter($"next_start".isNotNull && $"next_start" - $"win_start" =!= 128)
+      .count() == 0)
+    // energy is genuine byte mass: positive and bounded by 255/byte
+    assert(wins.filter($"energy" <= 0 || $"energy" > $"win_bytes" * 255L ||
+      $"peak" > 255).count() == 0)
+    wins.unpersist()
+  }
 }
