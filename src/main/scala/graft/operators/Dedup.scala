@@ -207,6 +207,72 @@ object Dedup {
       |FROM pairs WHERE CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) >= 0.5
       |ORDER BY i, j""".stripMargin
 
+  /** DIRECTED containment near-dup pairs: |A∩B| / |A| ≥ τ — the
+    * doc-in-doc duplication (quotes, article-in-digest, boilerplate
+    * wrappers) that symmetric Jaccard structurally misses when the
+    * container is much larger than the contained doc. Same
+    * prefix-filter exactness argument as [[dedupJaccardFull]], made
+    * asymmetric: if |A∩B| ≥ τ·|A| then A's (⌊(1−τ)·|A|⌋ + 1) rarest
+    * shingles MUST intersect B somewhere, so candidates come from
+    * A-PREFIX × B-FULL-POSTINGS — exact, no false negatives; a size
+    * filter (|B| ≥ τ·|A|, since |A∩B| ≤ |B|) prunes impossible pairs;
+    * survivors verify per pair against the two shingle arrays. Output
+    * is ordered pairs (i contained-in j), both directions possible.
+    */
+  def dedupContainment(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id", array_distinct(
+        graft.functions.HashFunctions.shingle_hash3(
+          graft.functions.HashFunctions.token_hash32($"text"))).as("shs"))
+      .select($"doc_id", $"shs", size($"shs").as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sh.select($"doc_id", $"n", explode($"shs").as("h"))
+    val dfh = ex.groupBy($"h").agg(count(lit(1)).as("dfh"))
+    val prefixA = ex.join(dfh, "h")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+          .orderBy($"dfh", $"h")))
+      .filter($"rn" <= $"n" - ceil(lit(tau) * $"n").cast("int") + 1)
+      .select($"doc_id".as("i"), $"n".as("na"), $"h")
+    val postB = ex.select($"doc_id".as("j"), $"n".as("nb"), $"h")
+    val cand = prefixA.join(postB, Seq("h"))
+      .filter($"i" =!= $"j" && $"nb".cast("double") >= lit(tau) * $"na")
+      .select($"i", $"j")
+      .distinct()
+    val shI = sh.select($"doc_id".as("i"), $"shs".as("sa"), $"n".as("na"))
+    val shJ = sh.select($"doc_id".as("j"), $"shs".as("sb"))
+    cand.join(shI, "i").join(shJ, "j")
+      .withColumn("c", size(array_intersect($"sa", $"sb")))
+      .withColumn("containment", $"c".cast("double") / $"na".cast("double"))
+      .filter($"containment" >= tau)
+      .select($"i", $"j", round($"containment", 6).as("containment"))
+      .orderBy($"i", $"j")
+  }
+
+  /** Brute-force ordered-pairs oracle (the prefix filter is exact). */
+  lazy val dedupContainmentSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, $duckTokens32 AS th
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(th) < 3 THEN
+      |      [list_reduce(list_concat([CAST(7 AS BIGINT)], th), (a, h) -> (a * 33 + h) & 4294967295)]
+      |    ELSE
+      |      list_transform(range(1, len(th) - 1), i ->
+      |        (((((th[i] * 31) & 4294967295) * 33 + ((th[i+1] * 62) & 4294967295)) & 4294967295) * 33
+      |          + ((th[i+2] * 93) & 4294967295)) & 4294967295)
+      |    END) AS s
+      |  FROM toks),
+      |pairs AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j,
+      |    len(list_intersect(a.s, b.s)) AS c, len(a.s) AS na
+      |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+      |SELECT i, j, round(CAST(c AS DOUBLE) / CAST(na AS DOUBLE), 6) AS containment
+      |FROM pairs WHERE CAST(c AS DOUBLE) / CAST(na AS DOUBLE) >= 0.8
+      |ORDER BY i, j""".stripMargin
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   val NumHashes = 64

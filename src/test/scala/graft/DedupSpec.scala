@@ -200,6 +200,30 @@ class DedupSpec extends SparkSpec {
       (20L, 20L, true), (21L, 20L, false)))
   }
 
+  test("containment catches doc-in-doc duplication that Jaccard misses") {
+    val dir = java.nio.file.Files.createTempDirectory("containment").toString
+    val inner = (1 to 40).map(i => s"w$i").mkString(" ")      // 40 tokens
+    val wrapper = (100 to 260).map(i => s"x$i").mkString(" ") // 161 tokens
+    Seq(
+      (1L, inner),                       // the contained doc
+      (2L, s"$wrapper $inner"),          // container: inner quoted verbatim
+      (3L, (300 to 400).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val cont = Dedup.dedupContainment(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 1 is contained in 2 at full containment...
+    assert(cont.exists { case (i, j, c) => i == 1L && j == 2L && c >= 0.9 },
+      s"missed the planted containment: ${cont.toSeq}")
+    // ...but NOT the reverse (2's shingles are mostly outside 1)
+    assert(!cont.exists { case (i, j, _) => i == 2L && j == 1L })
+    // and symmetric Jaccard structurally misses the pair:
+    // J ≤ |A|/|B| ≈ 40/200 < 0.5
+    val jac = Dedup.dedupJaccardFull(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!jac.contains((1L, 2L)), "fixture must be a Jaccard-invisible pair")
+  }
+
   test("keep list: full-corpus coverage, canonical-only keeps, dropped docs point at a kept doc") {
     val keep = Dedup.dedupKeepList(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
