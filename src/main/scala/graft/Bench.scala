@@ -29,7 +29,8 @@ object Bench {
     "ann_bruteforce", "ann_lsh",
     "embedding_covariance", "zipf_fit", "triangle_count", "ngram_novelty",
     "dedup_minhash_incr", "cdc_merge_upsert", "rfm_segments",
-    "char_entropy", "join_skew_report")
+    "char_entropy", "join_skew_report",
+    "doc_pack", "dedup_exact_norm", "dedup_containment")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

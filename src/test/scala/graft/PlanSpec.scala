@@ -156,6 +156,7 @@ class PlanSpec extends SparkSpec {
         "dedup_minhash" -> operators.Dedup.dedupMinhash(spark, sf),
         "dedup_simhash" -> operators.Dedup.dedupSimhash(spark, sf),
         "dedup_jaccard_full" -> operators.Dedup.dedupJaccardFull(spark, sf),
+        "dedup_containment" -> operators.Dedup.dedupContainment(spark, sf),
         "ann_lsh" -> operators.Similarity.annLsh(spark, sf))) {
       val ag = arrayGroupings(df.queryExecution.optimizedPlan)
       assert(ag.isEmpty, s"$name groups by array column(s): $ag")
