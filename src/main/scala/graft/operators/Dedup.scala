@@ -733,10 +733,17 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     clusterPairs(spark, dedupJaccardFull(spark, dir).select(col("i"), col("j")))
 
-  /** Distributed min-label propagation over an (i, j) pair frame —
-    * shared by [[dedupClusters]] and [[erClusters]]. Per round: one
-    * join + one groupBy of (id, label) longs, O(log diameter) rounds;
-    * the driver sees a convergence count only.
+  /** Distributed min-label propagation WITH POINTER JUMPING over an
+    * (i, j) pair frame — shared by [[dedupClusters]], [[erClusters]]
+    * and [[Graph.partComponents]]. Per round: one edge join propagates
+    * labels one hop, then a label→label self-join compresses paths
+    * (each node adopts its label's label), so label distance to the
+    * component minimum HALVES per round after reaching it — O(log
+    * diameter) rounds even on chain-shaped components, where plain
+    * propagation needs O(diameter) (measured: the sf0.01 co-purchase
+    * graph exhausts a 50-round plain loop; with jumping it converges
+    * in a handful). The fixpoint — component = min member id — is
+    * identical; the driver sees one convergence count per round.
     */
   private[graft] def clusterPairs(spark: SparkSession, pairsIn: DataFrame): DataFrame = {
     import spark.implicits._
@@ -750,10 +757,23 @@ object Dedup {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
-      val next = edges.join(labels, $"b" === $"id")
+      val prop = edges.join(labels, $"b" === $"id")
         .select($"a".as("id"), $"label")
         .union(labels)
         .groupBy($"id").agg(min($"label").as("label"))
+      // pointer jumping: every label value is itself a node id, so the
+      // self-join is total; the adopted label can only be ≤ the old one
+      val nextPlan = prop.as("x")
+        .join(prop.select($"id".as("l_id"), $"label".as("l_label")).as("y"),
+          $"x.label" === $"l_id")
+        .select($"x.id".as("id"), least($"x.label", $"l_label").as("label"))
+      // CUT the logical lineage each round: the loop references `labels`
+      // (and prop) more than once, so without a leaf boundary the
+      // logical plan DOUBLES per round — 2^rounds nodes — and AQE's
+      // plan-string rendering alone OOMs the driver past ~20 rounds
+      // (caching bounds recomputation, not plan size). Rebasing on the
+      // persisted RDD makes every round's plan constant-depth.
+      val next = spark.createDataFrame(nextPlan.rdd, nextPlan.schema)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changed = next.as("n")
         .join(labels.as("o"), $"n.id" === $"o.id")

@@ -201,6 +201,50 @@ object Graph {
       |       n_triangles
       |FROM tri""".stripMargin
 
+  /** Connected components of the FREQUENT co-purchase graph (pair
+    * support ≥ 2, like [[triangleCount]]'s edge set): which parts form
+    * closed purchasing communities. Reuses the distributed min-label
+    * propagation from the dedup family ([[Dedup.clusterPairs]]) — one
+    * join + groupBy of (id, label) longs per round, O(log diameter)
+    * rounds — over the linear orderkey-co-partitioned pair aggregate.
+    * Emits per-node (component = min member id, is_canonical).
+    */
+  def partComponents(spark: SparkSession, dir: String,
+                     minSupport: Int = 2): DataFrame = {
+    import spark.implicits._
+    val li = incidence(spark, dir)
+    val pairs = li.as("a").join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("i"), $"b.pk".as("j"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= minSupport)
+      .select($"i", $"j")
+    Dedup.clusterPairs(spark, pairs)
+      .select($"doc_id".as("part_id"), $"cluster_id".as("component_id"),
+        $"is_canonical")
+      .orderBy($"part_id")
+  }
+
+  val partComponentsSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |p AS (
+      |  SELECT a.pk AS i, b.pk AS j
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+      |edges AS (
+      |  SELECT i AS a, j AS b FROM p
+      |  UNION SELECT j, i FROM p
+      |  UNION SELECT i, i FROM p
+      |  UNION SELECT j, j FROM p),
+      |closure AS (
+      |  WITH RECURSIVE reach(a, b) AS (
+      |    SELECT a, b FROM edges
+      |    UNION
+      |    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      |  SELECT * FROM reach)
+      |SELECT a AS part_id, CAST(min(b) AS BIGINT) AS component_id,
+      |  (a = min(b)) AS is_canonical
+      |FROM closure GROUP BY a ORDER BY part_id""".stripMargin
+
   /** "Frequently bought together" serving table: top-3 recommendations
     * per part by co-purchase support ≥ 2. The pair aggregate is the
     * same linear orderkey-co-partitioned shape as [[copurchaseTop]];

@@ -258,6 +258,54 @@ object Sampling {
       |    AS planned_tokens
       |FROM per CROSS JOIN t ORDER BY source""".stripMargin
 
+  /** Temperature-scaled mixture weights (τ = 2, i.e. w_s ∝ tokens_s^(1/τ)
+    * = √tokens_s) — the standard rebalance that upweights small sources
+    * without letting any source dominate (multilingual/multi-corpus
+    * training mixes). Emits per-source sampling weight and its boost
+    * over the proportional share.
+    *
+    * Engine-exactness: √x is IEEE correctly rounded (exact in both
+    * engines, unlike a general pow), and each √tokens is quantized to
+    * integer micro-units BEFORE the normalizing sum, so the total is an
+    * exact integer and every emitted ratio is a fixed-order double
+    * expression over exact integers. One groupBy to |sources| rows +
+    * a broadcast scalar.
+    */
+  def mixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = filter(split($"text", "\\s+"), t => t =!= "")
+    val perSource = Tables.documents(spark, dir)
+      .select($"source", size(toks).cast("long").as("n_tok"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("src_tokens"))
+      .withColumn("q", round(sqrt($"src_tokens".cast("double")) * 1000000d, 0).cast("long"))
+    val totals = perSource.agg(
+      sum($"q").as("qt"), sum($"src_tokens").as("tt"))
+    perSource.crossJoin(broadcast(totals))
+      .select($"source", $"n_docs", $"src_tokens",
+        round($"q".cast("double") / $"qt".cast("double"), 6).as("weight"),
+        round(($"q".cast("double") / $"qt".cast("double"))
+          / ($"src_tokens".cast("double") / $"tt".cast("double")), 6).as("boost"))
+      .orderBy($"source")
+  }
+
+  val mixtureTemperatureSql: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT)
+      |      AS src_tokens
+      |  FROM documents GROUP BY source),
+      |q AS (
+      |  SELECT source, n_docs, src_tokens,
+      |    CAST(round(sqrt(CAST(src_tokens AS DOUBLE)) * 1000000, 0) AS BIGINT) AS q
+      |  FROM per),
+      |t AS (SELECT CAST(sum(q) AS BIGINT) AS qt, CAST(sum(src_tokens) AS BIGINT) AS tt FROM q)
+      |SELECT source, n_docs, src_tokens,
+      |  round(CAST(q AS DOUBLE) / CAST(qt AS DOUBLE), 6) AS weight,
+      |  round((CAST(q AS DOUBLE) / CAST(qt AS DOUBLE))
+      |    / (CAST(src_tokens AS DOUBLE) / CAST(tt AS DOUBLE)), 6) AS boost
+      |FROM q CROSS JOIN t ORDER BY source""".stripMargin
+
   /** Deterministic k-fold cross-validation assignment (k=5): each doc's
     * fold comes from its content-hash bucket (md5 hex prefix split at
     * 0x33/0x66/0x99/0xcc — 51/51/51/51/52 of the 256 buckets), so folds
