@@ -258,6 +258,53 @@ object Sampling {
       |    AS planned_tokens
       |FROM per CROSS JOIN t ORDER BY source""".stripMargin
 
+  /** Quality-WEIGHTED deterministic sampling: each doc is kept with
+    * probability ∝ its quality score (targeting a 0.5 overall rate,
+    * capped at 1) — the doc-level rebalance that keeps more of the
+    * good tail than a uniform sample at the same budget. Deterministic
+    * Bernoulli: the doc's content hash yields a 16-bit bucket and the
+    * doc is kept iff bucket < ⌊p·65536⌋ rendered in hex — stable across
+    * runs, engines, partitionings, and appends, like [[sampleSplit]].
+    * The mean quality normalizer is a decimal-exact sum (6dp scores)
+    * over one broadcast scalar; the per-row decision is a pure map.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String,
+                     targetRate: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val q = TextAnalysis.textQuality(spark, dir)
+      .select($"doc_id", $"quality_score")
+    val hashed = Tables.documents(spark, dir)
+      .select($"doc_id",
+        substring(md5(concat(lit("wq:"), $"doc_id".cast("string"), lit(":"), $"text")), 1, 4)
+          .as("bucket"))
+    val avg = q.agg((sum($"quality_score".cast("decimal(12,6)")).cast("double")
+      / count(lit(1)).cast("double")).as("avg_q"))
+    q.join(hashed, "doc_id")
+      .crossJoin(broadcast(avg))
+      .withColumn("keep_prob",
+        round(least(lit(1.0), lit(targetRate) * $"quality_score" / $"avg_q"), 6))
+      .withColumn("cut", least(floor($"keep_prob" * 65536d).cast("long"), lit(65535L)))
+      .select($"doc_id", $"quality_score", $"keep_prob",
+        ($"bucket" < lower(lpad(hex($"cut"), 4, "0"))).as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  val sampleWeightedSql: String =
+    s"""WITH q AS (${TextAnalysis.textQualitySql.replace("ORDER BY doc_id", "")}),
+      |h AS (
+      |  SELECT doc_id,
+      |    substr(md5('wq:' || CAST(doc_id AS VARCHAR) || ':' || text), 1, 4) AS bucket
+      |  FROM documents),
+      |a AS (SELECT CAST(sum(CAST(quality_score AS DECIMAL(12,6))) AS DOUBLE)
+      |        / CAST(count(*) AS DOUBLE) AS avg_q FROM q),
+      |p AS (
+      |  SELECT q.doc_id, q.quality_score, h.bucket,
+      |    round(least(1.0, 0.5 * q.quality_score / avg_q), 6) AS keep_prob
+      |  FROM q JOIN h ON q.doc_id = h.doc_id CROSS JOIN a)
+      |SELECT doc_id, quality_score, keep_prob,
+      |  bucket < printf('%04x', CAST(least(floor(keep_prob * 65536), 65535) AS BIGINT)) AS kept
+      |FROM p ORDER BY doc_id""".stripMargin
+
   /** Temperature-scaled mixture weights (τ = 2, i.e. w_s ∝ tokens_s^(1/τ)
     * = √tokens_s) — the standard rebalance that upweights small sources
     * without letting any source dominate (multilingual/multi-corpus
