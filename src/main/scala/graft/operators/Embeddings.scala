@@ -40,6 +40,74 @@ object Embeddings {
       |    / CAST(count(*) AS DOUBLE), 6) AS centroid
       |FROM comp GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  /** Per-dimension INT8 scalar quantization report — the simplest and
+    * most common embedding compression (4× over float32, no codebooks):
+    * per dim, the [min, max] range, the 255-step code grid, and the
+    * EXACT reconstruction error mass it would cost. Two linear passes
+    * sharing one dim-keyed shuffle (the 64-row stats side broadcasts
+    * back by AQE); the complement to [[PqIndex]]'s 50× codebook path.
+    *
+    * Engine-exactness: min/max are exact float selections cast
+    * losslessly to double; code = round((v−min)/(max−min)·255) is the
+    * validated Spark↔DuckDB round pair; each reconstruction error is
+    * quantized to integer nano-units BEFORE squaring and summing, so
+    * the per-dim error mass is an exact integer in any partial-agg
+    * order, and mse derives from it with fixed-order double ops.
+    */
+  def embeddingQuantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val comp = Tables.embeddings(spark, dir)
+      .select(posexplode($"embedding").as(Seq("dim", "v")))
+    val stats = comp.groupBy($"dim")
+      .agg(min($"v").as("vmin_f"), max($"v").as("vmax_f"))
+    val vd = $"v".cast("double")
+    val vmind = $"vmin_f".cast("double")
+    val vmaxd = $"vmax_f".cast("double")
+    val code = when($"vmax_f" === $"vmin_f", lit(0))
+      .otherwise(round((vd - vmind) / (vmaxd - vmind) * 255d, 0).cast("int"))
+    val recon = vmind + code.cast("double") * (vmaxd - vmind) / 255d
+    val errNano = round((vd - recon) * 1000000000d, 0).cast("long")
+    comp.join(stats, "dim")
+      .select($"dim", $"v", $"vmin_f", $"vmax_f", (errNano * errNano).as("e2"))
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n"),
+        round(min($"v").cast("double"), 6).as("vmin"),
+        round(max($"v").cast("double"), 6).as("vmax"),
+        sum($"e2").as("sse_nano2"))
+      .select($"dim", $"n", $"vmin", $"vmax", $"sse_nano2",
+        round($"sse_nano2".cast("double") / $"n".cast("double") / 1e18, 12).as("mse"))
+      .orderBy($"dim")
+  }
+
+  val embeddingQuantizeInt8Sql: String =
+    """WITH comp AS (
+      |  SELECT CAST(i AS INT) AS dim, embedding[i + 1] AS v
+      |  FROM embeddings
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+      |st AS (
+      |  SELECT dim, min(v) AS vmin_f, max(v) AS vmax_f FROM comp GROUP BY dim),
+      |e AS (
+      |  SELECT c.dim, c.v,
+      |    CASE WHEN vmax_f = vmin_f THEN 0
+      |         ELSE CAST(round((CAST(c.v AS DOUBLE) - CAST(vmin_f AS DOUBLE))
+      |           / (CAST(vmax_f AS DOUBLE) - CAST(vmin_f AS DOUBLE)) * 255, 0) AS INT)
+      |    END AS code,
+      |    CAST(vmin_f AS DOUBLE) AS vmind, CAST(vmax_f AS DOUBLE) AS vmaxd
+      |  FROM comp c JOIN st ON c.dim = st.dim),
+      |err AS (
+      |  SELECT dim, v,
+      |    CAST(round((CAST(v AS DOUBLE)
+      |      - (vmind + CAST(code AS DOUBLE) * (vmaxd - vmind) / 255))
+      |      * 1000000000, 0) AS BIGINT) AS e_nano
+      |  FROM e)
+      |SELECT dim, count(*) AS n,
+      |  round(CAST(min(v) AS DOUBLE), 6) AS vmin,
+      |  round(CAST(max(v) AS DOUBLE), 6) AS vmax,
+      |  CAST(sum(e_nano * e_nano) AS BIGINT) AS sse_nano2,
+      |  round(CAST(sum(e_nano * e_nano) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e18, 12)
+      |    AS mse
+      |FROM err GROUP BY dim ORDER BY dim""".stripMargin
+
   /** The quantized long-vector column the covariance aggregate consumes:
     * Spark's own round(x·10⁴) per component, so the quantization path
     * is the engine-validated one (mirrored by DuckDB round). */

@@ -275,6 +275,63 @@ object StreamQueries {
 
   val streamDecontamSql: String = graft.operators.Curation.decontaminateSql
 
+  /** Stream × snapshot ENRICHMENT — the reference-data join every CDC
+    * deployment runs: a dimension table maintained as a
+    * [[graft.sinks.SnapshotTable]] (here: latest-wins user state from
+    * the first half of the changelog) enriches an event stream per
+    * micro-batch with the dimension value and an explicit
+    * presence flag (a flag column, not value-nullness — the
+    * [[Cdc.cdcSnapshotDiff]] lesson). At scale the dimension read is
+    * manifest-pruned and AQE sizes the per-batch join; the stream side
+    * never re-reads history.
+    */
+  def streamSnapshotEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = tmp("graft_sq_snaproot")
+    val log = Cdc.changelog(spark, dir).select($"key", $"op", $"value", $"offset")
+    val cut = log.agg(expr("max(offset) div 2")).first().getLong(0)
+    graft.sinks.SnapshotTable.commit(log.filter($"offset" <= cut), root, "offset")
+    val dim = graft.sinks.SnapshotTable.readSnapshot(
+        spark, root, Cdc.TableRoute(Seq("key"), "offset"))
+      .select($"key".as("user_id"), $"value".as("dim_value"),
+        lit(true).as("present"))
+    val inDir = stageEvents(dir)
+    val sinkDir = tmp("graft_sq_enrich_sink")
+    val schema = spark.read.parquet(inDir).schema
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", tmp("graft_sq_enrich_ckpt"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select($"event_id", $"user_id", $"value")
+          .join(dim, Seq("user_id"), "left_outer")
+          .select($"event_id", $"user_id", $"value", $"dim_value",
+            coalesce($"present", lit(false)).as("known_user"))
+          .write.mode("append").parquet(sinkDir)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    spark.read.parquet(sinkDir).orderBy(col("event_id"))
+  }
+
+  val streamSnapshotEnrichSql: String =
+    """WITH c AS (
+      |  SELECT user_id AS key,
+      |    CASE event_type WHEN 'signup' THEN 'c' WHEN 'purchase' THEN 'u'
+      |      WHEN 'error' THEN 'd' ELSE 'r' END AS op,
+      |    value, event_id AS ofs
+      |  FROM events),
+      |cut AS (SELECT max(ofs) // 2 AS cut FROM c),
+      |dim AS (
+      |  SELECT key, value AS dim_value FROM (
+      |    SELECT key, value, op,
+      |      row_number() OVER (PARTITION BY key ORDER BY ofs DESC) AS rn
+      |    FROM c, cut WHERE ofs <= cut) t
+      |  WHERE rn = 1 AND op <> 'd')
+      |SELECT e.event_id, e.user_id, e.value, d.dim_value,
+      |  d.key IS NOT NULL AS known_user
+      |FROM events e LEFT JOIN dim d ON e.user_id = d.key
+      |ORDER BY e.event_id""".stripMargin
+
   /** Misra–Gries sketch as STREAMING state: the space_saving aggregate
     * runs in complete mode over the event stream (O(m) state regardless
     * of stream length or key cardinality — the frequent-items shape for
