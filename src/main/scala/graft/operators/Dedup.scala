@@ -218,6 +218,16 @@ object Dedup {
     * filter (|B| ≥ τ·|A|, since |A∩B| ≤ |B|) prunes impossible pairs;
     * survivors verify per pair against the two shingle arrays. Output
     * is ordered pairs (i contained-in j), both directions possible.
+    *
+    * Scale honesty: unlike the symmetric PPJoin, the container side is
+    * FULL postings — exactness requires it (a contained doc may only
+    * share its rarest shingles with the container's common ones), so a
+    * boilerplate shingle with a huge posting list is a skew risk at
+    * extreme scale. Production at 100 TB runs [[dedupExactNorm]] first
+    * (which collapses boilerplate clusters) and caps df on the
+    * container side, accepting bounded recall loss on pairs whose ONLY
+    * shared shingles are corpus-common — here the uncapped form keeps
+    * the brute-force oracle exact.
     */
   def dedupContainment(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame = {
     import spark.implicits._

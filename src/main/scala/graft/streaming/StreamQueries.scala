@@ -291,10 +291,13 @@ object StreamQueries {
     val log = Cdc.changelog(spark, dir).select($"key", $"op", $"value", $"offset")
     val cut = log.agg(expr("max(offset) div 2")).first().getLong(0)
     graft.sinks.SnapshotTable.commit(log.filter($"offset" <= cut), root, "offset")
+    // persisted: every micro-batch probes the dimension — without the
+    // cache each batch would replay the snapshot materialization
     val dim = graft.sinks.SnapshotTable.readSnapshot(
         spark, root, Cdc.TableRoute(Seq("key"), "offset"))
       .select($"key".as("user_id"), $"value".as("dim_value"),
         lit(true).as("present"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inDir = stageEvents(dir)
     val sinkDir = tmp("graft_sq_enrich_sink")
     val schema = spark.read.parquet(inDir).schema

@@ -301,6 +301,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("shuffle budgets for the round-3 operator batch") {
+    for ((name, df, budget) <- Seq(
+        // one shard-keyed window shuffle + presentation sort
+        ("doc_pack", operators.Curation.docPack(spark, sf), 2),
+        // source groupBy + broadcast scalar + sort
+        ("mixture_temperature", operators.Sampling.mixtureTemperature(spark, sf), 3),
+        // quality scan + hash scan share documents; id join + sort
+        ("sample_weighted", operators.Sampling.sampleWeighted(spark, sf), 4),
+        // token groupBy + broadcast scalar + top-k sort
+        ("token_kl_drift", operators.TextModel.tokenKlDrift(spark, sf), 4),
+        // fingerprint groupBy + sort
+        ("dedup_exact_norm", operators.Dedup.dedupExactNorm(spark, sf), 2),
+        // window-index explode is map-only; output sort only
+        ("multimodal_audio_windows",
+          operators.Multimodal.multimodalAudioWindows(spark, sf), 2),
+        // union+carry window (one key shuffle) + output sort, like asof_join
+        ("asof_join_tolerance", operators.TimeSeries.asofJoinTolerance(spark, sf), 4),
+        // per-dim stats agg + stats join + final agg + sort
+        ("embedding_quantize_int8",
+          operators.Embeddings.embeddingQuantizeInt8(spark, sf), 5))) {
+      val n = shuffleCount(df)
+      info(s"$name shuffles = $n (budget $budget)")
+      assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
+    }
+  }
+
   test("sample_per_group: rank is WindowGroupLimit-pruned before the group shuffle") {
     val plan = physicalPlan(operators.Sampling.samplePerGroup(spark, sf))
     assert(plan.contains("WindowGroupLimit"), s"no group-limit pruning:\n$plan")
