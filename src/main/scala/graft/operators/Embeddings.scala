@@ -40,6 +40,76 @@ object Embeddings {
       |    / CAST(count(*) AS DOUBLE), 6) AS centroid
       |FROM comp GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  /** Per-label embedding outliers — the points farthest from their
+    * class prototype, the standard curation pass for mislabeled or
+    * corrupt vectors (drop/re-queue the top tail before training).
+    *
+    * Plan: one (label, dim)-keyed exchange builds the exact decimal
+    * centroids (same pass as [[embeddingCentroids]]); the centroid
+    * table is LABELS×DIMS rows — model-sized — so AQE broadcasts it
+    * back onto the component stream; per-vector distances then
+    * partial-aggregate on vec_id, and the per-label top-k is a rank
+    * window over the already-reduced |corpus| row table with a
+    * map-side WindowGroupLimit. The corpus embedding column itself
+    * never rides a shuffle wider than its posexploded components.
+    *
+    * Engine-exactness: centroids are 6dp-rounded doubles from exact
+    * decimal sums; each per-dim deviation is quantized to integer
+    * micro-units BEFORE squaring, so dist2_micro2 is an exact integer
+    * in any aggregation order; the emitted distance derives from it
+    * via IEEE sqrt (correctly rounded in both engines, unlike ln —
+    * no quantization needed) and the validated round(_, 6) pair.
+    */
+  def embeddingOutliers(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    import spark.implicits._
+    val comp = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("dim", "v")))
+    val cent = comp.groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"v".cast("double"), 7).cast("decimal(18,7)")).as("s"))
+      .select($"label", $"dim",
+        round($"s".cast("double") / $"n".cast("double"), 6).as("c"))
+    val dist = comp.join(cent, Seq("label", "dim"))
+      .select($"vec_id", $"label",
+        round(($"v".cast("double") - $"c") * 1000000d, 0).cast("long").as("e"))
+      .groupBy($"vec_id", $"label")
+      .agg(sum($"e" * $"e").as("dist2_micro2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"label").orderBy($"dist2_micro2".desc, $"vec_id")
+    dist.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= topK)
+      .select($"label", $"rk", $"vec_id", $"dist2_micro2",
+        round(sqrt($"dist2_micro2".cast("double")) / 1000000d, 6).as("dist"))
+      .orderBy($"label", $"rk")
+  }
+
+  val embeddingOutliersSql: String =
+    """WITH comp AS (
+      |  SELECT vec_id, label, CAST(i AS INT) AS dim, embedding[i + 1] AS v
+      |  FROM embeddings
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+      |cent AS (
+      |  SELECT label, dim,
+      |    round(CAST(sum(CAST(round(CAST(v AS DOUBLE), 7) AS DECIMAL(18,7))) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE), 6) AS c
+      |  FROM comp GROUP BY label, dim),
+      |dist AS (
+      |  SELECT vec_id, comp.label,
+      |    CAST(sum(e * e) AS BIGINT) AS dist2_micro2
+      |  FROM (
+      |    SELECT vec_id, comp.label AS label,
+      |      CAST(round((CAST(v AS DOUBLE) - c) * 1000000, 0) AS BIGINT) AS e
+      |    FROM comp JOIN cent ON comp.label = cent.label AND comp.dim = cent.dim) comp
+      |  GROUP BY vec_id, comp.label)
+      |SELECT label, rk, vec_id, dist2_micro2,
+      |  round(sqrt(CAST(dist2_micro2 AS DOUBLE)) / 1000000, 6) AS dist
+      |FROM (
+      |  SELECT label, vec_id, dist2_micro2,
+      |    CAST(row_number() OVER (PARTITION BY label
+      |      ORDER BY dist2_micro2 DESC, vec_id) AS INT) AS rk
+      |  FROM dist)
+      |WHERE rk <= 5 ORDER BY label, rk""".stripMargin
+
   /** Per-dimension INT8 scalar quantization report — the simplest and
     * most common embedding compression (4× over float32, no codebooks):
     * per dim, the [min, max] range, the 255-step code grid, and the

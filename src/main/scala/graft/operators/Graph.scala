@@ -127,6 +127,81 @@ object Graph {
       |GROUP BY a.pk, b.pk
       |ORDER BY n_orders DESC, part_a, part_b LIMIT 50""".stripMargin
 
+  /** Multi-source BFS over the frequent co-purchase graph (pair
+    * support ≥ 2, same pruning as [[triangleCount]]): minimum hop
+    * distance from the seed set (every 50th part id) out to 3 hops —
+    * the "blast radius" query behind recall expansion, contamination
+    * spread, and related-item exploration.
+    *
+    * Scale: textbook frontier BFS — the edge table is built once and
+    * persisted; each round is ONE src-keyed hash join frontier⋈edges
+    * plus an anti-join against the visited set, and only (node, hop)
+    * longs ride the shuffles. Hop count is fixed and small, so the
+    * logical plan stays shallow (no lineage cut needed — contrast
+    * [[partComponents]]' pointer-jumping loop). Frontiers shrink as the
+    * graph saturates; the visited table is node-cardinality, AQE-sized
+    * for the anti-join (broadcast while it fits, shuffle when it
+    * doesn't — never a forced hint).
+    *
+    * Exactness: pure integer set algebra — no floats anywhere — so the
+    * DuckDB mirror (hop levels unrolled as CTEs) is bit-identical.
+    */
+  def graphBfs(spark: SparkSession, dir: String, maxHops: Int = 3): DataFrame = {
+    import spark.implicits._
+    val li = incidence(spark, dir)
+    val pairs = li.as("a").join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("pa"), $"b.pk".as("pb"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter($"n_orders" >= 2)
+      .select($"pa", $"pb")
+    val edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
+      .union(pairs.select($"pb".as("src"), $"pa".as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seeds = edges.select($"src".as("node")).distinct()
+      .filter(pmod($"node", lit(50)) === 0)
+    var reached = seeds.select($"node", lit(0).as("hop"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = seeds
+    for (h <- 1 to maxHops) {
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select($"dst".as("node")).distinct()
+        .join(reached, Seq("node"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      reached = reached.union(next.select($"node", lit(h).as("hop")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      frontier = next
+    }
+    reached.select($"node".as("part_id"), $"hop").orderBy($"hop", $"part_id")
+  }
+
+  val graphBfsSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |p AS (
+      |  SELECT a.pk AS pa, b.pk AS pb
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+      |e AS (SELECT pa AS src, pb AS dst FROM p
+      |      UNION ALL SELECT pb, pa FROM p),
+      |h0 AS (SELECT DISTINCT src AS node FROM e WHERE src % 50 = 0),
+      |h1 AS (
+      |  SELECT DISTINCT dst AS node FROM e JOIN h0 ON e.src = h0.node
+      |  WHERE dst NOT IN (SELECT node FROM h0)),
+      |h2 AS (
+      |  SELECT DISTINCT dst AS node FROM e JOIN h1 ON e.src = h1.node
+      |  WHERE dst NOT IN (SELECT node FROM h0)
+      |    AND dst NOT IN (SELECT node FROM h1)),
+      |h3 AS (
+      |  SELECT DISTINCT dst AS node FROM e JOIN h2 ON e.src = h2.node
+      |  WHERE dst NOT IN (SELECT node FROM h0)
+      |    AND dst NOT IN (SELECT node FROM h1)
+      |    AND dst NOT IN (SELECT node FROM h2))
+      |SELECT node AS part_id, hop FROM (
+      |  SELECT node, CAST(0 AS INT) AS hop FROM h0
+      |  UNION ALL SELECT node, CAST(1 AS INT) FROM h1
+      |  UNION ALL SELECT node, CAST(2 AS INT) FROM h2
+      |  UNION ALL SELECT node, CAST(3 AS INT) FROM h3)
+      |ORDER BY hop, part_id""".stripMargin
+
   /** Triangle count over the FREQUENT co-purchase graph (pair support
     * ≥ 2 orders — random single co-occurrences pruned before any
     * quadratic step). Classic degree-ordered orientation: every edge

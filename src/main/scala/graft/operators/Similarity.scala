@@ -52,6 +52,36 @@ object Similarity {
       |       (SELECT * FROM embeddings WHERE vec_id >= 8) c) t
       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
+  /** Same exact top-k as [[annBruteforce]], but the shortlist comes
+    * from the bounded-state `top_k_by` aggregate instead of a window
+    * rank. The window path sort-shuffles every scored row to its
+    * query's partition; the aggregate path partial-aggregates map-side
+    * (O(k) heap state per query per task), so the exchange carries at
+    * most k rows per query per map task and the reduce is a buffer
+    * merge, not a sort — the shape a deep re-rank shortlist (k in the
+    * hundreds) wants at 100 TB. Tie-break (score DESC, payload ASC)
+    * matches the window's (cos DESC, n_id), so the output — and the
+    * DuckDB oracle — is bit-identical to the window variant's.
+    */
+  def annTopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        Dedup.norm($"embedding").as("q_norm"))
+    val corpus = e.filter($"vec_id" >= 8)
+      .select($"vec_id".as("n_id"), $"embedding".as("n_vec"),
+        Dedup.norm($"embedding").as("n_norm"))
+    corpus.crossJoin(broadcast(q))
+      .withColumn("cos", Dedup.cosinePre($"q_vec", $"n_vec", $"q_norm", $"n_norm"))
+      .groupBy($"q_id")
+      .agg(graft.functions.AggFunctions.top_k_by($"cos", $"n_id", 5).as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", ($"pos" + 1).as("rk"), $"col.payload".as("n_id"),
+        round($"col.score", 6).as("cos_sim"))
+      .orderBy($"q_id", $"rk")
+  }
+
   /** Multi-table random-hyperplane LSH: L independent tables of K sign
     * bits. A candidate matches if it shares a bucket in ANY table —
     * the standard recall/cost dial (higher L → higher recall, K bounds

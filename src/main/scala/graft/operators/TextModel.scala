@@ -478,6 +478,86 @@ object TextModel {
       |FROM top ORDER BY rk""".stripMargin
   }
 
+  /** Per-language distinguishing tokens — Monroe-style log-odds with an
+    * add-one Dirichlet prior: for each language, which tokens are
+    * over-represented vs the REST of the corpus. The mixture-balance
+    * diagnostic behind "what is this source actually full of" during
+    * corpus curation (raw counts rank stopwords; log-odds ranks what is
+    * distinctive). Support ≥ 10 occurrences in-language keeps the
+    * high-variance rare tail out of the ranking.
+    *
+    * Plan: one token-keyed exchange builds per-(lang, tok) counts; the
+    * per-token corpus counts reduce FROM those partials (second keyed
+    * agg, no re-scan), per-lang totals and the (V, N) scalars are
+    * model-sized broadcasts, and the per-lang top-k is a rank window
+    * with map-side group limits. Corpus text never rides a shuffle —
+    * only (lang, tok, count) rows.
+    *
+    * Engine-exactness: all four odds components are exact integers;
+    * delta = ln of ONE exact integer-ratio double, quantized to
+    * micro-units (round(ln·10⁵) BIGINT — the [[zipfFit]]/[[pmiCollocations]]
+    * pattern), so ranking and output are bit-identical cross-engine.
+    */
+  def tokenLogodds(spark: SparkSession, dir: String, topK: Int = 10,
+      minSupport: Int = 10): DataFrame = {
+    import spark.implicits._
+    val lt = Tables.documents(spark, dir)
+      .select($"lang", explode(tokens($"text")).as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("y_lw"))
+    val tokTot = lt.groupBy($"tok").agg(sum($"y_lw").as("y_w"))
+    val langTot = lt.groupBy($"lang").agg(sum($"y_lw").as("n_l"))
+    val totals = tokTot.agg(sum($"y_w").as("n"), count(lit(1)).as("v"))
+    val num1 = $"y_lw" + 1L
+    val den1 = $"n_l" + $"v" - $"y_lw" - 1L
+    val num2 = $"y_w" - $"y_lw" + 1L
+    val den2 = $"n" - $"n_l" + $"v" - ($"y_w" - $"y_lw") - 1L
+    val scored = lt
+      .join(tokTot, "tok")
+      .join(langTot, "lang")
+      .crossJoin(broadcast(totals))
+      .withColumn("delta_micro",
+        round(log((num1 * den2).cast("double") / (den1 * num2).cast("double"))
+          * 100000d, 0).cast("long"))
+      .filter($"y_lw" >= minSupport)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"delta_micro".desc, $"tok")
+    scored.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= topK)
+      .select($"lang", $"rk", $"tok", $"y_lw", $"delta_micro",
+        round($"delta_micro".cast("double") / 100000d, 5).as("log_odds"))
+      .orderBy($"lang", $"rk")
+  }
+
+  val tokenLogoddsSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH t AS (SELECT lang, unnest($toks) AS tok FROM documents),
+      |lt AS (
+      |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS y_lw
+      |  FROM t GROUP BY lang, tok),
+      |tt AS (SELECT tok, CAST(sum(y_lw) AS BIGINT) AS y_w FROM lt GROUP BY tok),
+      |ngl AS (SELECT lang, CAST(sum(y_lw) AS BIGINT) AS n_l FROM lt GROUP BY lang),
+      |tot AS (
+      |  SELECT CAST(sum(y_w) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM tt),
+      |s AS (
+      |  SELECT lt.lang, lt.tok, y_lw,
+      |    CAST(round(ln(
+      |      CAST((y_lw + 1) * (n - n_l + v - (y_w - y_lw) - 1) AS DOUBLE)
+      |        / CAST((n_l + v - y_lw - 1) * (y_w - y_lw + 1) AS DOUBLE))
+      |      * 100000, 0) AS BIGINT) AS delta_micro
+      |  FROM lt JOIN tt ON lt.tok = tt.tok
+      |          JOIN ngl ON lt.lang = ngl.lang
+      |          CROSS JOIN tot
+      |  WHERE y_lw >= 10)
+      |SELECT lang, rk, tok, y_lw, delta_micro,
+      |  round(CAST(delta_micro AS DOUBLE) / 100000, 5) AS log_odds
+      |FROM (
+      |  SELECT lang, tok, y_lw, delta_micro,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY delta_micro DESC, tok) AS INT) AS rk
+      |  FROM s)
+      |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
+  }
+
   def zipfFit(spark: SparkSession, dir: String, topR: Int = 500): DataFrame = {
     import spark.implicits._
     val tf = Tables.documents(spark, dir)

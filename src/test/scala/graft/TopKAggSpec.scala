@@ -60,6 +60,16 @@ class TopKAggSpec extends SparkSpec {
       plan.contains("partial"), s"no map-side partial aggregation:\n$plan")
   }
 
+  test("ann_topk_agg is row-identical to ann_bruteforce and plans without a window sort") {
+    val agg = operators.Similarity.annTopkAgg(spark, sf)
+    val win = operators.Similarity.annBruteforce(spark, sf)
+    assert(agg.except(win).isEmpty && win.except(agg).isEmpty)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window("),
+      s"ann_topk_agg must not rank via a window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"expected object-hash agg:\n$plan")
+  }
+
   test("SQL surface: top_k_by resolves via the extension registry") {
     GraftExtensions.register(spark)
     graft.sources.Tables.events(spark, sf).createOrReplaceTempView("ev_topk")
