@@ -290,4 +290,109 @@ object Behavior {
       |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
       |    || CAST(m_score AS VARCHAR) AS segment
       |FROM scored ORDER BY o_custkey""".stripMargin
+
+  private val AttribWindowNs = 7L * 86400L * 1000000000L
+
+  /** Last-touch conversion attribution: each purchase is credited to
+    * the user's most recent non-purchase event within a 7-day lookback
+    * ("direct" when none) — the channel-performance report every
+    * event-sourced product runs. One user-keyed window shuffle carries
+    * the whole computation: the carried last-non-purchase type and its
+    * timestamp come from ignore-nulls last_value frames, so there is no
+    * self-join of the event stream against itself.
+    *
+    * Exactness: timestamps are raw nanosecond longs (ties broken by
+    * event_id); purchase values are micro-unit-quantized BEFORE the
+    * channel sum, so totals are exact integers in any aggregation
+    * order.
+    */
+  def funnelAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"ts_ns", $"value")
+      .withColumn("prev_type",
+        last(when($"event_type" =!= "purchase", $"event_type"), ignoreNulls = true).over(w))
+      .withColumn("prev_ts",
+        last(when($"event_type" =!= "purchase", $"ts_ns"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("channel",
+        when($"prev_ts".isNotNull && $"ts_ns" - $"prev_ts" <= AttribWindowNs,
+          $"prev_type").otherwise(lit("direct")))
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("conversions"),
+        sum(round($"value" * 1000000d, 0).cast("long")).as("value_micro"))
+      .select($"channel", $"conversions", $"value_micro",
+        round($"value_micro".cast("double") / 1000000d, 6).as("total_value"))
+      .orderBy($"channel")
+  }
+
+  val funnelAttributionSql: String =
+    s"""WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns, value
+      |  FROM events),
+      |carried AS (
+      |  SELECT user_id, event_id, event_type, ts_ns, value,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_type,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN ts_ns END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ts
+      |  FROM ev),
+      |conv AS (
+      |  SELECT CASE WHEN prev_ts IS NOT NULL
+      |      AND ts_ns - prev_ts <= ${AttribWindowNs} THEN prev_type
+      |    ELSE 'direct' END AS channel,
+      |    CAST(round(value * 1000000, 0) AS BIGINT) AS v_micro
+      |  FROM carried WHERE event_type = 'purchase')
+      |SELECT channel, CAST(count(*) AS BIGINT) AS conversions,
+      |  CAST(sum(v_micro) AS BIGINT) AS value_micro,
+      |  round(CAST(sum(v_micro) AS DOUBLE) / 1000000, 6) AS total_value
+      |FROM conv GROUP BY channel ORDER BY channel""".stripMargin
+
+  /** Top event-type trigram journeys: the 20 most common 3-step
+    * event-type sequences over per-user (ts, event_id)-ordered streams
+    * — the path-mining view behind "what do users actually do before
+    * X" ([[markovTransitions]] gives the 1-step matrix; this ranks
+    * whole paths). One user-keyed window shuffle builds the leads, the
+    * trigram counts partial-aggregate, and the global top-20 runs as
+    * TakeOrdered — the full distinct-path table never single-partition
+    * sorts. Pure integer counts; rank ties break on the path string.
+    */
+  def userJourney(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+    val counts = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"ts_ns")
+      .withColumn("e2", lead($"event_type", 1).over(w))
+      .withColumn("e3", lead($"event_type", 2).over(w))
+      .filter($"e3".isNotNull)
+      .groupBy(concat_ws(" > ", $"event_type", $"e2", $"e3").as("path"))
+      .agg(count(lit(1)).as("n"))
+    counts.orderBy($"n".desc, $"path").limit(topK)
+      .withColumn("rk", row_number().over(Window.orderBy($"n".desc, $"path")))
+      .select($"rk", $"path", $"n")
+      .orderBy($"rk")
+  }
+
+  val userJourneySql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+      |seq AS (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts_ns, event_id) AS e2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id
+      |      ORDER BY ts_ns, event_id) AS e3
+      |  FROM ev),
+      |c AS (
+      |  SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM seq WHERE e3 IS NOT NULL GROUP BY 1)
+      |SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS INT) AS rk,
+      |  path, n
+      |FROM (SELECT * FROM c ORDER BY n DESC, path LIMIT 20)
+      |ORDER BY rk""".stripMargin
 }

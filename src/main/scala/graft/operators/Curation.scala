@@ -97,6 +97,70 @@ object Curation {
       |FROM hits ORDER BY doc_id""".stripMargin
   }
 
+  /** Span-level contamination report: WHERE inside each corpus document
+    * the benchmark overlap sits, as token intervals. [[decontaminate]]
+    * answers "which documents leak"; this answers "which spans" — the
+    * shape needed to surgically excise quoted benchmark text instead of
+    * dropping whole documents (and to distinguish a verbatim block from
+    * scattered common phrases). Matched 3-gram start positions are
+    * grouped into maximal runs (gaps-and-islands: pos − row_number per
+    * doc is constant within a consecutive run), each emitted as
+    * [span_start, span_end] token coverage plus its gram-hit count.
+    *
+    * Scale: same broadcast-probe shape as [[decontaminate]] — corpus
+    * text never shuffles; only matched (doc_id, pos) int pairs reach
+    * the island window, keyed by doc_id. All arithmetic is integer set
+    * algebra; the oracle mirrors it bit-identically.
+    */
+  def docSpanOverlaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("t"))
+      .withColumn("n", size($"t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = toks.filter($"n" >= GramN)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(1, n - ${GramN - 1}), i -> array_join(slice(t, i, $GramN), ' '))"))
+        .as(Seq("p0", "gram")))
+      .select($"doc_id", ($"p0" + 1).as("pos"), $"gram")
+    val bench = grams.filter($"doc_id" % 97 === 0).select($"gram").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    grams.filter($"doc_id" % 97 =!= 0)
+      .join(broadcast(bench), "gram")
+      .select($"doc_id", $"pos")
+      .withColumn("island", $"pos" - row_number().over(w))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"pos").as("span_start"),
+        (max($"pos") + (GramN - 1)).as("span_end"),
+        count(lit(1)).as("n_hits"))
+      .select($"doc_id", $"span_start", $"span_end", $"n_hits")
+      .orderBy($"doc_id", $"span_start")
+  }
+
+  val docSpanOverlapsSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH tk AS (
+      |  SELECT doc_id, $toks AS t, len($toks) AS n FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(i AS INT) AS pos,
+      |    array_to_string(t[i:i+2], ' ') AS gram
+      |  FROM tk, unnest(range(1, n - 1)) AS r(i) WHERE n >= 3),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+      |hits AS (
+      |  SELECT c.doc_id, c.pos FROM g c
+      |  JOIN bench ON c.gram = bench.gram
+      |  WHERE c.doc_id % 97 <> 0),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    pos - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS INT)
+      |      AS island
+      |  FROM hits)
+      |SELECT doc_id, min(pos) AS span_start, max(pos) + 2 AS span_end,
+      |  CAST(count(*) AS BIGINT) AS n_hits
+      |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
+  }
+
   /** Contamination sweep across n-gram sizes {3, 5, 8} — the standard
     * eval-leak report (pipelines sweep sizes because short grams
     * over-flag common phrases and long grams miss paraphrase overlap;

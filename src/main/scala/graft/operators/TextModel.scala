@@ -501,9 +501,13 @@ object TextModel {
   def tokenLogodds(spark: SparkSession, dir: String, topK: Int = 10,
       minSupport: Int = 10): DataFrame = {
     import spark.implicits._
+    // (lang, tok, count) is vocab-cardinality — far below the corpus —
+    // and feeds three aggregates; persisted so the corpus tokenization
+    // pass runs once, not three times
     val lt = Tables.documents(spark, dir)
       .select($"lang", explode(tokens($"text")).as("tok"))
       .groupBy($"lang", $"tok").agg(count(lit(1)).as("y_lw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tokTot = lt.groupBy($"tok").agg(sum($"y_lw").as("y_w"))
     val langTot = lt.groupBy($"lang").agg(sum($"y_lw").as("n_l"))
     val totals = tokTot.agg(sum($"y_w").as("n"), count(lit(1)).as("v"))

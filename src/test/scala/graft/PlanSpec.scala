@@ -327,6 +327,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("shuffle budgets for the round-3 second batch") {
+    for ((name, df, budget) <- Seq(
+        // q_id groupBy (bounded top-k agg) + presentation sort
+        ("ann_topk_agg", operators.Similarity.annTopkAgg(spark, sf), 2),
+        // (label,dim) centroid agg + AQE-broadcast join back +
+        // per-vector agg + label rank window + sort
+        ("embedding_outliers", operators.Embeddings.embeddingOutliers(spark, sf), 5),
+        // ONE cached (lang,tok) build exchange — printed under each of
+        // its four InMemoryTableScan references, so the string count
+        // sees it 4× — + tok/lang/scalar aggs + lang rank window + sort
+        ("token_logodds", operators.TextModel.tokenLogodds(spark, sf), 10),
+        // bench distinct + doc_id island window/agg + sort
+        // (corpus probe is a broadcast join — text never shuffles)
+        ("doc_span_overlaps", operators.Curation.docSpanOverlaps(spark, sf), 4),
+        // ONE user window carries carry-forward + channel agg + sort
+        ("funnel_attribution", operators.Behavior.funnelAttribution(spark, sf), 3),
+        // user window + path agg + TakeOrdered + 20-row rank/sort
+        ("user_journey", operators.Behavior.userJourney(spark, sf), 5))) {
+      val n = shuffleCount(df)
+      info(s"$name shuffles = $n (budget $budget)")
+      assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
+    }
+  }
+
   test("sample_per_group: rank is WindowGroupLimit-pruned before the group shuffle") {
     val plan = physicalPlan(operators.Sampling.samplePerGroup(spark, sf))
     assert(plan.contains("WindowGroupLimit"), s"no group-limit pruning:\n$plan")
