@@ -377,4 +377,84 @@ object Profile {
       |  CAST(max_l_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
       |    / CAST(total_out AS DOUBLE) AS skew_factor
       |FROM top, s ORDER BY out_rows DESC, key""".stripMargin
+
+  /** Population Stability Index per event type between the first and
+    * second half of the time range — the standard "has this feature's
+    * distribution drifted" gate before retraining or alerting
+    * (rule of thumb: psi < 0.1 stable, > 0.25 action). Values bucket on
+    * the [[valueHistogram]] grid; both halves are add-one smoothed over
+    * the union of observed buckets so empty cells stay finite.
+    *
+    * Scale: two keyed partial-agg passes over the events scan ((type,
+    * bin) counts, then per-type totals) and a |types|·|bins| scoring
+    * table — no shuffle carries raw events beyond the first groupBy.
+    *
+    * Engine-exactness: counts are integers; ln(p/q) collapses to ln of
+    * ONE exact integer-ratio double, quantized to micro-units (the
+    * zipf/pmi doctrine); each bucket term (p−q)·ln is then quantized to
+    * nano-psi BEFORE the per-type sum, so the total is an exact integer
+    * in any aggregation order. The epoch split point is integer
+    * nanosecond arithmetic.
+    */
+  def psiDrift(spark: SparkSession, dir: String, width: Double = 50.0): DataFrame = {
+    import spark.implicits._
+    val mm = Tables.events(spark, dir)
+      .agg(min($"ts_ns").as("mn"), max($"ts_ns").as("mx"))
+    val counts = Tables.events(spark, dir)
+      .select($"event_type", $"ts_ns", $"value")
+      .crossJoin(broadcast(mm))
+      .withColumn("is_base", $"ts_ns" <= expr("mn + ((mx - mn) div 2)"))
+      .withColumn("bin", floor($"value" / width).cast("int"))
+      .groupBy($"event_type", $"bin")
+      .agg(sum(when($"is_base", 1L).otherwise(0L)).as("c_b"),
+        sum(when(!$"is_base", 1L).otherwise(0L)).as("c_c"))
+    val tot = counts.groupBy($"event_type")
+      .agg(sum($"c_b").as("n_b"), sum($"c_c").as("n_c"),
+        count(lit(1)).as("bins"))
+    counts.join(tot, "event_type")
+      .withColumn("ln_micro", round(log(
+        (($"c_b" + 1) * ($"n_c" + $"bins")).cast("double")
+          / (($"n_b" + $"bins") * ($"c_c" + 1)).cast("double")) * 100000d, 0)
+        .cast("long"))
+      .withColumn("term_nano", round(
+        (($"c_b" + 1).cast("double") / ($"n_b" + $"bins").cast("double")
+          - ($"c_c" + 1).cast("double") / ($"n_c" + $"bins").cast("double"))
+          * $"ln_micro".cast("double") * 10000d, 0).cast("long"))
+      .groupBy($"event_type")
+      .agg(max($"n_b").as("n_base"), max($"n_c").as("n_curr"),
+        max($"bins").as("n_bins"), sum($"term_nano").as("psi_nano"))
+      .select($"event_type", $"n_base", $"n_curr", $"n_bins", $"psi_nano",
+        round($"psi_nano".cast("double") / 1000000000d, 9).as("psi"))
+      .orderBy($"event_type")
+  }
+
+  val psiDriftSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ns(ts) AS ts_ns, value FROM events),
+      |mm AS (SELECT min(ts_ns) AS mn, max(ts_ns) AS mx FROM ev),
+      |c AS (
+      |  SELECT event_type, CAST(floor(value / 50.0) AS INT) AS bin,
+      |    CAST(sum(CASE WHEN ts_ns <= mn + ((mx - mn) // 2) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c_b,
+      |    CAST(sum(CASE WHEN ts_ns <= mn + ((mx - mn) // 2) THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS c_c
+      |  FROM ev, mm GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, CAST(sum(c_b) AS BIGINT) AS n_b,
+      |    CAST(sum(c_c) AS BIGINT) AS n_c, CAST(count(*) AS BIGINT) AS bins
+      |  FROM c GROUP BY event_type),
+      |s AS (
+      |  SELECT c.event_type, n_b, n_c, bins,
+      |    CAST(round(
+      |      (CAST(c_b + 1 AS DOUBLE) / CAST(n_b + bins AS DOUBLE)
+      |        - CAST(c_c + 1 AS DOUBLE) / CAST(n_c + bins AS DOUBLE))
+      |      * CAST(CAST(round(ln(
+      |          CAST((c_b + 1) * (n_c + bins) AS DOUBLE)
+      |            / CAST((n_b + bins) * (c_c + 1) AS DOUBLE)) * 100000, 0)
+      |        AS BIGINT) AS DOUBLE) * 10000, 0) AS BIGINT) AS term_nano
+      |  FROM c JOIN t ON c.event_type = t.event_type)
+      |SELECT event_type, max(n_b) AS n_base, max(n_c) AS n_curr,
+      |  max(bins) AS n_bins, CAST(sum(term_nano) AS BIGINT) AS psi_nano,
+      |  round(CAST(sum(term_nano) AS DOUBLE) / 1000000000, 9) AS psi
+      |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
 }

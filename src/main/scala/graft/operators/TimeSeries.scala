@@ -542,4 +542,58 @@ object TimeSeries {
       |    / CAST(greatest((SELECT count(*) FROM s), 1) AS DOUBLE), 6) AS click_rate,
       |  round(CAST((SELECT count(*) FROM p) AS DOUBLE)
       |    / CAST(greatest((SELECT count(*) FROM c), 1) AS DOUBLE), 6) AS purchase_rate""".stripMargin
+
+  /** Open-order backlog over time — classic interval sweep: an order is
+    * open from its placement date until its last lineitem ships, and the
+    * daily backlog is the running sum of +1 (placed) / −1 (completed)
+    * deltas. The operations-dashboard query behind "is fulfillment
+    * keeping up with intake".
+    *
+    * Scale: the sweep reduces the fact table to DATE-cardinality rows
+    * (+1/−1 deltas per day) BEFORE the cumulative window — the calendar
+    * axis is bounded by elapsed time, not data volume (TPC-H spans
+    * ~2.5k days at any SF), so the single-partition running-sum window
+    * is over a constant-size table; the data-scaled work is just the
+    * per-order max-shipdate aggregate and the delta groupBy, both
+    * keyed partial-agg passes. Pure integer arithmetic.
+    */
+  def openOrderBacklog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val done = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey").agg(max(to_date($"l_shipdate")).as("ship_done"))
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderkey", to_date($"o_orderdate").as("placed"))
+      .join(done, $"o_orderkey" === $"l_orderkey")
+    val deltas = o.select($"placed".as("day"), lit(1L).as("delta"))
+      .unionByName(o.select(date_add($"ship_done", 1).as("day"), lit(-1L).as("delta")))
+      .groupBy($"day").agg(sum($"delta").as("net_change"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    deltas.withColumn("open_orders", sum($"net_change").over(w))
+      // epoch-day integer, not DATE: the two engines' date dtypes do
+      // not compare equal through the oracle harness (active_users
+      // convention)
+      .select(unix_date($"day").cast("long").as("day_n"),
+        $"net_change", $"open_orders")
+      .orderBy($"day_n")
+  }
+
+  val openOrderBacklogSql: String =
+    """WITH done AS (
+      |  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS ship_done
+      |  FROM lineitem GROUP BY l_orderkey),
+      |o AS (
+      |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS placed, ship_done
+      |  FROM orders JOIN done ON o_orderkey = l_orderkey),
+      |d AS (
+      |  SELECT day, CAST(sum(delta) AS BIGINT) AS net_change FROM (
+      |    SELECT placed AS day, 1 AS delta FROM o
+      |    UNION ALL SELECT ship_done + 1, -1 FROM o) u
+      |  GROUP BY day)
+      |SELECT CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS day_n,
+      |  net_change,
+      |  CAST(sum(net_change) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS open_orders
+      |FROM d ORDER BY day_n""".stripMargin
 }

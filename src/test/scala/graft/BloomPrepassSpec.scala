@@ -123,4 +123,23 @@ class BloomPrepassSpec extends SparkSpec {
     assert(newBytes * 10 <= refBytes * 9,
       s"expected >=10%% shuffle-byte reduction, got $newBytes vs $refBytes")
   }
+
+  test("bloom_prune_join: bloom pass keeps a superset of matches and prunes the fact scan") {
+    val hot = graft.sources.Tables.customer(spark, sf)
+      .filter($"c_acctbal" > 9000.0).select($"c_custkey")
+    val nHot = math.max(hot.count(), 1L)
+    val bloomBytes = hot
+      .agg(graft.functions.BloomFunctions.bloom_agg($"c_custkey", nHot).as("bf"))
+      .first().getAs[Array[Byte]]("bf")
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val total = orders.count()
+    val kept = orders.filter(graft.functions.BloomFunctions
+      .bloom_might_contain(lit(bloomBytes), $"o_custkey")).count()
+    val trueMatches = orders.join(hot, $"o_custkey" === $"c_custkey").count()
+    info(s"fact rows $total -> bloom-kept $kept (true matches $trueMatches)")
+    // no false negatives: every true match survives the bloom
+    assert(kept >= trueMatches, "bloom dropped true matches")
+    // and the filter actually prunes (dim predicate is selective)
+    assert(kept < total, "bloom pruned nothing")
+  }
 }
