@@ -291,7 +291,7 @@ object Behavior {
       |    || CAST(m_score AS VARCHAR) AS segment
       |FROM scored ORDER BY o_custkey""".stripMargin
 
-  private val AttribWindowNs = 7L * 86400L * 1000000000L
+  private[graft] val AttribWindowNs = 7L * 86400L * 1000000000L
 
   /** Last-touch conversion attribution: each purchase is credited to
     * the user's most recent non-purchase event within a 7-day lookback

@@ -367,4 +367,36 @@ object StreamQueries {
   }
 
   val streamHeavyHittersSql: String = graft.operators.Profile.heavyHittersSql
+
+  /** Stateful streaming last-touch attribution ([[Attribution]]): the
+    * event file streams through flatMapGroupsWithState carrying each
+    * user's last non-purchase touch; per-purchase attribution rows are
+    * final at emission (Append), and the channel rollup over the sink
+    * equals the batch operator bit-for-bit — micro-unit value
+    * quantization happens at emission, so the final sum is an exact
+    * integer regardless of micro-batch boundaries. Shares the batch
+    * oracle.
+    */
+  def streamAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inDir = stageEvents(dir)
+    val name = uniqueName("sq_attrib")
+    val schema = spark.read.parquet(inDir).schema
+    val events = spark.readStream.schema(schema).parquet(inDir)
+      .select($"user_id", $"event_id", $"event_type",
+        $"ts".as("ts_ns"), $"value")
+      .as[AttribEvent]
+    val q = Attribution.attribute(spark, events)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("conversions"), sum($"v_micro").as("value_micro"))
+      .select($"channel", $"conversions", $"value_micro",
+        round($"value_micro".cast("double") / 1000000d, 6).as("total_value"))
+      .orderBy($"channel")
+  }
+
+  val streamAttributionSql: String =
+    graft.operators.Behavior.funnelAttributionSql
 }

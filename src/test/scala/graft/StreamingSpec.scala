@@ -127,4 +127,41 @@ class StreamingSpec extends SparkSpec {
     assert(diff.count() == 0)
     assert(streamedCounts.count() == batch.count())
   }
+
+  test("streaming attribution carries last-touch state across micro-batches") {
+    // split events into 3 time-ordered files: maxFilesPerTrigger=1
+    // forces 3 micro-batches, so a purchase in batch N must be credited
+    // to a touch carried from batch N-1 via state, not the batch slice
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"event_type", $"ts_ns", $"value")
+      .orderBy($"ts_ns", $"event_id")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_attrib_multi").toString
+    val n = ev.count()
+    val slices = ev.collect().grouped((n / 3 + 1).toInt).toSeq
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), ev.schema)
+        .write.parquet(s"$inDir/slice_$i")
+    }
+    val schema = ev.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$inDir/slice_*")
+      .as[graft.streaming.AttribEvent]
+    val name = "attrib_multi_sink"
+    val q = graft.streaming.Attribution.attribute(spark, stream)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table(name)
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("conversions"), sum($"v_micro").as("value_micro"))
+    val batch = operators.Behavior.funnelAttribution(spark, sf)
+      .select($"channel", $"conversions".as("conversions_b"),
+        $"value_micro".as("value_micro_b"))
+    val bad = streamed.join(batch, "channel")
+      .filter($"conversions" =!= $"conversions_b" ||
+        $"value_micro" =!= $"value_micro_b")
+    assert(bad.count() == 0, "streamed channel rollup diverged from batch")
+    assert(streamed.count() == batch.count())
+  }
 }
