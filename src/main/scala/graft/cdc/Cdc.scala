@@ -556,6 +556,60 @@ object Cdc {
       |FROM x WHERE k IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Change-cadence audit over the changelog — the CDC staleness
+    * monitor: per key, the largest silent gap between consecutive
+    * changes, trailing silence against the stream's high-water mark,
+    * and the offset/event-time inversion count (the upstream
+    * reorder/clock-skew signal; a sink applying updates in offset
+    * order silently loses writes when the source reordered them — this
+    * testdata arrives in order, so the column reads 0, but the lag
+    * machinery it audits is exercised by every row). Worst 50 keys by
+    * max gap.
+    *
+    * Scale: ONE key-ordered window shuffle (lag over offset order), a
+    * key-keyed partial agg, a broadcast scalar high-water mark, and a
+    * TakeOrdered top-50. All integer microsecond arithmetic — exact in
+    * both engines.
+    */
+  def cdcGapAudit(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"key").orderBy($"offset")
+    val log = changelog(spark, dir)
+      .select($"key", $"offset", unix_micros($"ts").as("ts_us"))
+    val hwm = log.agg(max($"ts_us").as("hwm_us"))
+    log.withColumn("prev_us", lag($"ts_us", 1).over(w))
+      .groupBy($"key")
+      .agg(count(lit(1)).as("n_changes"),
+        max(when($"prev_us".isNotNull, $"ts_us" - $"prev_us")
+          .otherwise(lit(0L))).as("max_gap_us"),
+        max($"ts_us").as("last_us"),
+        sum(when($"prev_us" > $"ts_us", 1L).otherwise(0L)).as("n_inversions"))
+      .crossJoin(broadcast(hwm))
+      .select($"key", $"n_changes", $"max_gap_us",
+        ($"hwm_us" - $"last_us").as("silence_us"), $"n_inversions")
+      .orderBy($"max_gap_us".desc, $"key").limit(topK)
+  }
+
+  val cdcGapAuditSql: String =
+    """WITH c AS (
+      |  SELECT user_id AS key, event_id AS "offset",
+      |    epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events),
+      |l AS (
+      |  SELECT key, ts_us,
+      |    lag(ts_us, 1) OVER (PARTITION BY key ORDER BY "offset") AS prev_us
+      |  FROM c),
+      |hwm AS (SELECT max(ts_us) AS hwm_us FROM c)
+      |SELECT key, CAST(count(*) AS BIGINT) AS n_changes,
+      |  CAST(max(CASE WHEN prev_us IS NOT NULL THEN ts_us - prev_us
+      |    ELSE 0 END) AS BIGINT) AS max_gap_us,
+      |  CAST(max(hwm_us) - max(ts_us) AS BIGINT) AS silence_us,
+      |  CAST(sum(CASE WHEN prev_us > ts_us THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_inversions
+      |FROM l, hwm GROUP BY key
+      |ORDER BY max_gap_us DESC, key LIMIT 50""".stripMargin
+
   /** Dead-letter routing: envelopes that fail parsing are FLAGGED with
     * a reason instead of silently dropped — at sustained bus volume a
     * parse-and-drop ingest loses data invisibly; the reference's sink

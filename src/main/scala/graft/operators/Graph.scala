@@ -127,6 +127,72 @@ object Graph {
       |GROUP BY a.pk, b.pk
       |ORDER BY n_orders DESC, part_a, part_b LIMIT 50""".stripMargin
 
+  /** K-core peeling over the frequent co-purchase graph: 5 rounds of
+    * "drop nodes with degree < k, restrict edges to survivors" toward
+    * the 3-core — the density filter that isolates the stable
+    * frequently-co-bought backbone from one-off pairings (and, on
+    * document graphs, the community kernel extractor). Fixed round
+    * count so the DuckDB mirror unrolls exactly; each peel strictly
+    * shrinks the graph, and the monotone-convergence spec iterates the
+    * SAME peel to fixpoint and checks containment (the true 3-core is
+    * a subset of every round's survivor set).
+    *
+    * Scale: per round ONE degree partial-agg plus two id-keyed hash
+    * semi-joins — only (src, dst) longs ride shuffles, the survivor
+    * table is node-cardinality (AQE-sized joins, no forced broadcast),
+    * and the plan depth grows linearly in rounds (no self-reference
+    * doubling — contrast [[partComponents]]' pointer jumping).
+    */
+  def kcore(spark: SparkSession, dir: String, k: Int = 3,
+      rounds: Int = 5): DataFrame = {
+    import spark.implicits._
+    val li = incidence(spark, dir)
+    val pairs = li.as("a").join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("pa"), $"b.pk".as("pb"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter($"n_orders" >= 2)
+      .select($"pa", $"pb")
+    var edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
+      .union(pairs.select($"pb".as("src"), $"pa".as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= k).select($"src".as("node"))
+      edges = edges
+        .join(keep.select($"node".as("src")), "src")
+        .join(keep.select($"node".as("dst")), "dst")
+        .select($"src", $"dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .select($"src".as("part_id"), $"deg")
+      .orderBy($"part_id")
+  }
+
+  val kcoreSql: String = {
+    val base =
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (
+        |  SELECT a.pk AS pa, b.pk AS pb
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+        |e0 AS (SELECT pa AS src, pb AS dst FROM p
+        |       UNION ALL SELECT pb, pa FROM p)""".stripMargin
+    val its = (0 until 5).map { r =>
+      s""",
+         |d$r AS (SELECT src, count(*) AS deg FROM e$r GROUP BY src),
+         |k$r AS (SELECT src FROM d$r WHERE deg >= 3),
+         |e${r + 1} AS (
+         |  SELECT e.src, e.dst FROM e$r e
+         |  JOIN k$r a ON e.src = a.src
+         |  JOIN k$r b ON e.dst = b.src)""".stripMargin
+    }.mkString
+    base + its +
+      """
+        |SELECT src AS part_id, CAST(count(*) AS BIGINT) AS deg
+        |FROM e5 GROUP BY src ORDER BY part_id""".stripMargin
+  }
+
   /** Multi-source BFS over the frequent co-purchase graph (pair
     * support ≥ 2, same pruning as [[triangleCount]]): minimum hop
     * distance from the seed set (every 50th part id) out to 3 hops —

@@ -302,6 +302,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("shuffle budgets for the round-3 operator batch") {
+    spark.sharedState.cacheManager.clearCache()
     for ((name, df, budget) <- Seq(
         // one shard-keyed window shuffle + presentation sort
         ("doc_pack", operators.Curation.docPack(spark, sf), 2),
@@ -328,6 +329,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("shuffle budgets for the round-3 second batch") {
+    // the string count prints cached-build lineage under every
+    // InMemoryTableScan reference — clear suite-accumulated cache
+    // entries so the count is the operator's own, not test-order noise
+    spark.sharedState.cacheManager.clearCache()
     for ((name, df, budget) <- Seq(
         // q_id groupBy (bounded top-k agg) + presentation sort
         ("ann_topk_agg", operators.Similarity.annTopkAgg(spark, sf), 2),
