@@ -30,7 +30,10 @@ object Bench {
     "embedding_covariance", "zipf_fit", "triangle_count", "ngram_novelty",
     "dedup_minhash_incr", "cdc_merge_upsert", "rfm_segments",
     "char_entropy", "join_skew_report",
-    "doc_pack", "dedup_exact_norm", "dedup_containment")
+    "doc_pack", "dedup_exact_norm", "dedup_containment",
+    "graph_bfs", "kcore", "bloom_prune_join", "token_logodds",
+    "psi_drift", "funnel_attribution", "open_order_backlog",
+    "doc_span_overlaps", "embedding_outliers", "ann_topk_agg")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

@@ -127,15 +127,19 @@ object Graph {
       |GROUP BY a.pk, b.pk
       |ORDER BY n_orders DESC, part_a, part_b LIMIT 50""".stripMargin
 
-  /** K-core peeling over the frequent co-purchase graph: 5 rounds of
-    * "drop nodes with degree < k, restrict edges to survivors" toward
-    * the 3-core — the density filter that isolates the stable
-    * frequently-co-bought backbone from one-off pairings (and, on
-    * document graphs, the community kernel extractor). Fixed round
-    * count so the DuckDB mirror unrolls exactly; each peel strictly
-    * shrinks the graph, and the monotone-convergence spec iterates the
-    * SAME peel to fixpoint and checks containment (the true 3-core is
-    * a subset of every round's survivor set).
+  /** K-core peeling over the co-purchase graph: 5 rounds of "drop
+    * nodes with degree < k, restrict edges to survivors" toward the
+    * k-core — the density filter that isolates the stable co-purchase
+    * backbone (and, on document graphs, the community kernel
+    * extractor). k = 64 sits in the bite zone of this graph's
+    * degree distribution (median ≈ 90..120 at every SF — items-per-
+    * order is SF-invariant, so per-part degree is too): the peel
+    * removes the thin tail without emptying the graph at any scale —
+    * both failure modes (all survive / none survive) are vacuous.
+    * Fixed round count so the DuckDB mirror unrolls exactly; each peel
+    * strictly shrinks the graph, and the monotone-convergence spec
+    * iterates the SAME peel to fixpoint and checks containment (the
+    * true k-core is a subset of every round's survivor set).
     *
     * Scale: per round ONE degree partial-agg plus two id-keyed hash
     * semi-joins — only (src, dst) longs ride shuffles, the survivor
@@ -143,14 +147,13 @@ object Graph {
     * and the plan depth grows linearly in rounds (no self-reference
     * doubling — contrast [[partComponents]]' pointer jumping).
     */
-  def kcore(spark: SparkSession, dir: String, k: Int = 3,
+  def kcore(spark: SparkSession, dir: String, k: Int = 64,
       rounds: Int = 5): DataFrame = {
     import spark.implicits._
     val li = incidence(spark, dir)
     val pairs = li.as("a").join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
       .groupBy($"a.pk".as("pa"), $"b.pk".as("pb"))
       .agg(count(lit(1)).as("n_orders"))
-      .filter($"n_orders" >= 2)
       .select($"pa", $"pb")
     var edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
       .union(pairs.select($"pb".as("src"), $"pa".as("dst")))
@@ -169,20 +172,26 @@ object Graph {
       .orderBy($"part_id")
   }
 
+  /** CTEs are MATERIALIZED: each e_r is referenced twice (its degree
+    * table and the next round), so without the hint DuckDB inlines and
+    * the recompute doubles per round — the oracle-side cousin of the
+    * [[partComponents]] plan-doubling lesson.
+    */
   val kcoreSql: String = {
     val base =
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |p AS (
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS MATERIALIZED (
         |  SELECT a.pk AS pa, b.pk AS pb
         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-        |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
-        |e0 AS (SELECT pa AS src, pb AS dst FROM p
+        |  GROUP BY a.pk, b.pk),
+        |e0 AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM p
         |       UNION ALL SELECT pb, pa FROM p)""".stripMargin
     val its = (0 until 5).map { r =>
       s""",
-         |d$r AS (SELECT src, count(*) AS deg FROM e$r GROUP BY src),
-         |k$r AS (SELECT src FROM d$r WHERE deg >= 3),
-         |e${r + 1} AS (
+         |d$r AS MATERIALIZED (SELECT src, count(*) AS deg FROM e$r GROUP BY src),
+         |k$r AS MATERIALIZED (SELECT src FROM d$r WHERE deg >= 64),
+         |e${r + 1} AS MATERIALIZED (
          |  SELECT e.src, e.dst FROM e$r e
          |  JOIN k$r a ON e.src = a.src
          |  JOIN k$r b ON e.dst = b.src)""".stripMargin

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -377,6 +377,84 @@ object Profile {
       |  CAST(max_l_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
       |    / CAST(total_out AS DOUBLE) AS skew_factor
       |FROM top, s ORDER BY out_rows DESC, key""".stripMargin
+
+  /** Pairwise Pearson correlations among lineitem's quantity, price and
+    * discount per return flag — the numeric-column relationship profile
+    * (pricing sanity: price should track quantity; discount should
+    * track neither). ONE partial-agg pass collects the exact sufficient
+    * statistics; correlations derive per group afterwards.
+    *
+    * Engine-exactness: all three measures are exactly representable on
+    * an integer grid (quantity is whole, price/discount are 2dp), so
+    * the sufficient statistics are EXACT decimal sums (products stay
+    * under 2⁶³ per row; sums ride DECIMAL(38,0), never float). Each
+    * correlation is then a FIXED-ORDER double expression over those
+    * exact integers — decimal→double conversion happens exactly once
+    * per factor, sqrt is IEEE-correctly-rounded, and the validated
+    * round(_, 6) pair quantizes the output.
+    */
+  def columnCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    val s = Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        round($"l_quantity", 0).cast("long").as("qi"),
+        round($"l_extendedprice" * 100, 0).cast("long").as("pi"),
+        round($"l_discount" * 100, 0).cast("long").as("di"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum($"qi".cast(d38)).as("sq"),
+        sum($"pi".cast(d38)).as("sp"),
+        sum($"di".cast(d38)).as("sd"),
+        sum(($"qi" * $"qi").cast(d38)).as("sqq"),
+        sum(($"pi" * $"pi").cast(d38)).as("spp"),
+        sum(($"di" * $"di").cast(d38)).as("sdd"),
+        sum(($"qi" * $"pi").cast(d38)).as("sqp"),
+        sum(($"qi" * $"di").cast(d38)).as("sqd"),
+        sum(($"pi" * $"di").cast(d38)).as("spd"))
+    def corr(sxy: Column, sx: Column, sy: Column,
+        sxx: Column, syy: Column): Column =
+      round(($"n" * sxy - sx * sy).cast("double")
+        / (sqrt(($"n" * sxx - sx * sx).cast("double"))
+          * sqrt(($"n" * syy - sy * sy).cast("double"))), 6)
+    s.select($"l_returnflag", $"n".cast("long").as("n"),
+        corr($"sqp", $"sq", $"sp", $"sqq", $"spp").as("corr_qty_price"),
+        corr($"sqd", $"sq", $"sd", $"sqq", $"sdd").as("corr_qty_disc"),
+        corr($"spd", $"sp", $"sd", $"spp", $"sdd").as("corr_price_disc"))
+      .orderBy($"l_returnflag")
+  }
+
+  val columnCorrSql: String =
+    """WITH x AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_quantity, 0) AS BIGINT) AS qi,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pi,
+      |    CAST(round(l_discount * 100, 0) AS BIGINT) AS di
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT l_returnflag,
+      |    CAST(count(*) AS DECIMAL(38,0)) AS n,
+      |    CAST(sum(qi) AS DECIMAL(38,0)) AS sq,
+      |    CAST(sum(pi) AS DECIMAL(38,0)) AS sp,
+      |    CAST(sum(di) AS DECIMAL(38,0)) AS sd,
+      |    CAST(sum(qi * qi) AS DECIMAL(38,0)) AS sqq,
+      |    CAST(sum(pi * pi) AS DECIMAL(38,0)) AS spp,
+      |    CAST(sum(di * di) AS DECIMAL(38,0)) AS sdd,
+      |    CAST(sum(qi * pi) AS DECIMAL(38,0)) AS sqp,
+      |    CAST(sum(qi * di) AS DECIMAL(38,0)) AS sqd,
+      |    CAST(sum(pi * di) AS DECIMAL(38,0)) AS spd
+      |  FROM x GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  round(CAST(n * sqp - sq * sp AS DOUBLE)
+      |    / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+      |      * sqrt(CAST(n * spp - sp * sp AS DOUBLE))), 6) AS corr_qty_price,
+      |  round(CAST(n * sqd - sq * sd AS DOUBLE)
+      |    / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+      |      * sqrt(CAST(n * sdd - sd * sd AS DOUBLE))), 6) AS corr_qty_disc,
+      |  round(CAST(n * spd - sp * sd AS DOUBLE)
+      |    / (sqrt(CAST(n * spp - sp * sp AS DOUBLE))
+      |      * sqrt(CAST(n * sdd - sd * sd AS DOUBLE))), 6) AS corr_price_disc
+      |FROM s ORDER BY l_returnflag""".stripMargin
 
   /** Population Stability Index per event type between the first and
     * second half of the time range — the standard "has this feature's
