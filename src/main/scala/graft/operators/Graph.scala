@@ -250,22 +250,23 @@ object Graph {
   }
 
   val graphBfsSql: String =
-    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-      |p AS (
+    """WITH li AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |p AS MATERIALIZED (
       |  SELECT a.pk AS pa, b.pk AS pb
       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
       |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
-      |e AS (SELECT pa AS src, pb AS dst FROM p
+      |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM p
       |      UNION ALL SELECT pb, pa FROM p),
-      |h0 AS (SELECT DISTINCT src AS node FROM e WHERE src % 50 = 0),
-      |h1 AS (
+      |h0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e WHERE src % 50 = 0),
+      |h1 AS MATERIALIZED (
       |  SELECT DISTINCT dst AS node FROM e JOIN h0 ON e.src = h0.node
       |  WHERE dst NOT IN (SELECT node FROM h0)),
-      |h2 AS (
+      |h2 AS MATERIALIZED (
       |  SELECT DISTINCT dst AS node FROM e JOIN h1 ON e.src = h1.node
       |  WHERE dst NOT IN (SELECT node FROM h0)
       |    AND dst NOT IN (SELECT node FROM h1)),
-      |h3 AS (
+      |h3 AS MATERIALIZED (
       |  SELECT DISTINCT dst AS node FROM e JOIN h2 ON e.src = h2.node
       |  WHERE dst NOT IN (SELECT node FROM h0)
       |    AND dst NOT IN (SELECT node FROM h1)
