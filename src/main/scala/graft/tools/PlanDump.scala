@@ -38,7 +38,13 @@ object PlanDump {
     "char_entropy" ->
       "native one-pass expression: a pure map over the scan, no char fan-out, only the output sort shuffles",
     "triangle_count" ->
-      "degree-ordered orientation: three id-keyed hash joins, only (src, dst, rank) longs in the shuffles")
+      "degree-ordered orientation: three id-keyed hash joins, only (src, dst, rank) longs in the shuffles",
+    "ann_topk_agg" ->
+      "deep-shortlist shape: bounded-state top_k_by partials map-side, merge-only reduce — no window sort of the scored corpus",
+    "bloom_prune_join" ->
+      "explicit runtime filter: constant-bloom probe prunes the fact scan BEFORE the join shuffle; exact join settles false positives",
+    "funnel_attribution" ->
+      "ONE user-keyed window carries the whole last-touch computation (ignore-nulls frames) — no event-stream self-join")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.get(4)
