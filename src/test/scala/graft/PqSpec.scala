@@ -110,6 +110,50 @@ class PqSpec extends SparkSpec {
       f"shortlist budget too small: only ${within * 100}%.0f%% of true neighbors inside")
   }
 
+  test("re-rank dial curve: recall@5 rises with shortlist depth and saturates") {
+    // the production tuning question: how deep must the ADC shortlist
+    // be before the exact re-rank recovers the true neighbors? Measure
+    // recall@5 at shortlist factors 1..16 and assert the dial behaves:
+    // monotone non-decreasing, and the deep end beats the shallow end.
+    val books = PqIndex.trainCodebooks(corpus, "n_id", "n_vec")
+    val coded = PqIndex.encode(corpus, "n_vec", books)
+      .select($"n_id", $"n_vec", $"__codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getSeq[Int](2).toArray))
+    val queries = sources.Tables.embeddings(spark, sf).filter($"vec_id" < 8)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    def adc(q: Array[Float], codes: Array[Int]): Double =
+      (0 until PqIndex.M).map { s =>
+        val c = books(s)(codes(s))
+        val qs = q.slice(s * PqIndex.SubDim, (s + 1) * PqIndex.SubDim)
+        qs.zip(c).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+      }.sum
+    val factors = Seq(1, 2, 4, 8, 16, 32)
+    val recalls = factors.map { f =>
+      val rs = queries.map { case (_, q) =>
+        val shortlist = coded.map { case (id, _, codes) => (id, adc(q, codes)) }
+          .sortBy { case (id, d) => (d, id) }.take(5 * f).map(_._1).toSet
+        val trueTop = coded.map { case (id, v, _) => (id, l2(q, v)) }
+          .sortBy { case (id, d) => (d, id) }.take(5).map(_._1)
+        val reranked = coded.filter(c => shortlist(c._1))
+          .map { case (id, v, _) => (id, l2(q, v)) }
+          .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+        trueTop.count(reranked).toDouble / 5
+      }
+      rs.sum / rs.length
+    }
+    info("recall@5 by shortlist factor: " +
+      factors.zip(recalls).map { case (f, r) => f"$f->$r%.2f" }.mkString(", "))
+    recalls.sliding(2).foreach { case Seq(a, b) =>
+      assert(b + 1e-9 >= a, s"recall must not fall as the shortlist deepens: $recalls")
+    }
+    assert(recalls.last > recalls.head,
+      s"deep shortlist should beat ADC-order alone: $recalls")
+    assert(recalls.last >= 0.9, s"factor-32 re-rank recall too low: ${recalls.last}")
+  }
+
   test("ann_pq recall@5 vs exact L2 at ~50x compression") {
     val pq = PqIndex.annPq(spark, sf).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
