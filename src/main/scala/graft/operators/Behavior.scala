@@ -291,6 +291,45 @@ object Behavior {
       |    || CAST(m_score AS VARCHAR) AS segment
       |FROM scored ORDER BY o_custkey""".stripMargin
 
+  /** Customer-lifetime-value cohort matrix: customers grouped by the
+    * QUARTER of their first order; each (cohort, quarters-since-first)
+    * cell reports active customers, orders, and exact decimal revenue —
+    * [[retentionCohorts]]' revenue-weighted twin over the orders fact.
+    *
+    * Scale: the first-order table is customer-cardinality and
+    * co-partitioned on o_custkey with the orders join (same key as its
+    * own groupBy — AQE reuses the exchange); the matrix is
+    * quarters × quarters rows. Integer quarter indices; revenue is the
+    * decimal-exact dsum.
+    */
+  def customerLtvCohort(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import Relational.dsum
+    val o = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_totalprice",
+        (year($"o_orderdate") * 4 + quarter($"o_orderdate") - 1).as("q"))
+    val first = o.groupBy($"o_custkey").agg(min($"q").as("cohort_q"))
+    o.join(first, "o_custkey")
+      .groupBy($"cohort_q", ($"q" - $"cohort_q").as("age_q"))
+      .agg(countDistinct($"o_custkey").as("active_customers"),
+        count(lit(1)).as("n_orders"),
+        dsum($"o_totalprice").as("revenue"))
+      .orderBy($"cohort_q", $"age_q")
+  }
+
+  val customerLtvCohortSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_totalprice,
+      |    CAST(year(o_orderdate) * 4 + quarter(o_orderdate) - 1 AS INT) AS q
+      |  FROM orders),
+      |f AS (SELECT o_custkey, min(q) AS cohort_q FROM o GROUP BY o_custkey)
+      |SELECT cohort_q, o.q - cohort_q AS age_q,
+      |  CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM o JOIN f ON o.o_custkey = f.o_custkey
+      |GROUP BY cohort_q, age_q ORDER BY cohort_q, age_q""".stripMargin
+
   private[graft] val AttribWindowNs = 7L * 86400L * 1000000000L
 
   /** Last-touch conversion attribution: each purchase is credited to

@@ -215,6 +215,84 @@ object Curation {
       |ORDER BY gram_size""".stripMargin
   }
 
+  /** Does the quality score track document length, per language? —
+    * the calibration check run before using a heuristic quality score
+    * as a sampling weight (a score that is secretly a length proxy
+    * skews the mixture). Pairwise Pearson correlations among token
+    * count, char count, and the quality score, per language, from
+    * EXACT decimal sufficient statistics (the [[Profile.columnCorr]]
+    * doctrine: integer-grid inputs — the 6dp score scales to micro
+    * units losslessly — DECIMAL(38,0) sums, fixed-order double
+    * derivation with one conversion per factor and IEEE sqrt).
+    *
+    * Scale: quality scoring is a scan-fused map; the stats are one
+    * lang-keyed partial agg; output is |langs| rows.
+    */
+  def qualityCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    val q = TextAnalysis.textQuality(spark, dir)
+      .select($"doc_id", $"n_tokens", $"quality_score")
+    val s = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", length($"text").cast("long").as("ci"))
+      .join(q, "doc_id")
+      .select($"lang", $"ci", $"n_tokens".cast("long").as("ti"),
+        round($"quality_score" * 1000000d, 0).cast("long").as("qi"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum($"ti".cast(d38)).as("st"), sum($"ci".cast(d38)).as("sc"),
+        sum($"qi".cast(d38)).as("sq"),
+        sum(($"ti" * $"ti").cast(d38)).as("stt"),
+        sum(($"ci" * $"ci").cast(d38)).as("scc"),
+        sum(($"qi" * $"qi").cast(d38)).as("sqq"),
+        sum(($"ti" * $"ci").cast(d38)).as("stc"),
+        sum(($"ti" * $"qi").cast(d38)).as("stq"),
+        sum(($"ci" * $"qi").cast(d38)).as("scq"))
+    def corr(sxy: Column, sx: Column, sy: Column,
+        sxx: Column, syy: Column): Column =
+      round(($"n" * sxy - sx * sy).cast("double")
+        / (sqrt(($"n" * sxx - sx * sx).cast("double"))
+          * sqrt(($"n" * syy - sy * sy).cast("double"))), 6)
+    s.select($"lang", $"n".cast("long").as("n"),
+        corr($"stc", $"st", $"sc", $"stt", $"scc").as("corr_tokens_chars"),
+        corr($"stq", $"st", $"sq", $"stt", $"sqq").as("corr_tokens_quality"),
+        corr($"scq", $"sc", $"sq", $"scc", $"sqq").as("corr_chars_quality"))
+      .orderBy($"lang")
+  }
+
+  val qualityCorrSql: String =
+    s"""WITH q AS (${TextAnalysis.textQualitySql}),
+      |x AS (
+      |  SELECT d.lang,
+      |    CAST(length(d.text) AS BIGINT) AS ci,
+      |    CAST(q.n_tokens AS BIGINT) AS ti,
+      |    CAST(round(q.quality_score * 1000000, 0) AS BIGINT) AS qi
+      |  FROM documents d JOIN q ON d.doc_id = q.doc_id),
+      |s AS (
+      |  SELECT lang,
+      |    CAST(count(*) AS DECIMAL(38,0)) AS n,
+      |    CAST(sum(ti) AS DECIMAL(38,0)) AS st,
+      |    CAST(sum(ci) AS DECIMAL(38,0)) AS sc,
+      |    CAST(sum(qi) AS DECIMAL(38,0)) AS sq,
+      |    CAST(sum(ti * ti) AS DECIMAL(38,0)) AS stt,
+      |    CAST(sum(ci * ci) AS DECIMAL(38,0)) AS scc,
+      |    CAST(sum(qi * qi) AS DECIMAL(38,0)) AS sqq,
+      |    CAST(sum(ti * ci) AS DECIMAL(38,0)) AS stc,
+      |    CAST(sum(ti * qi) AS DECIMAL(38,0)) AS stq,
+      |    CAST(sum(ci * qi) AS DECIMAL(38,0)) AS scq
+      |  FROM x GROUP BY lang)
+      |SELECT lang, CAST(n AS BIGINT) AS n,
+      |  round(CAST(n * stc - st * sc AS DOUBLE)
+      |    / (sqrt(CAST(n * stt - st * st AS DOUBLE))
+      |      * sqrt(CAST(n * scc - sc * sc AS DOUBLE))), 6) AS corr_tokens_chars,
+      |  round(CAST(n * stq - st * sq AS DOUBLE)
+      |    / (sqrt(CAST(n * stt - st * st AS DOUBLE))
+      |      * sqrt(CAST(n * sqq - sq * sq AS DOUBLE))), 6) AS corr_tokens_quality,
+      |  round(CAST(n * scq - sc * sq AS DOUBLE)
+      |    / (sqrt(CAST(n * scc - sc * sc AS DOUBLE))
+      |      * sqrt(CAST(n * sqq - sq * sq AS DOUBLE))), 6) AS corr_chars_quality
+      |FROM s ORDER BY lang""".stripMargin
+
   private val ChunkW = 32
   private val ChunkS = 24
 

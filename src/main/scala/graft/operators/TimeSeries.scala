@@ -543,6 +543,54 @@ object TimeSeries {
       |  round(CAST((SELECT count(*) FROM p) AS DOUBLE)
       |    / CAST(greatest((SELECT count(*) FROM c), 1) AS DOUBLE), 6) AS purchase_rate""".stripMargin
 
+  /** Order-fulfillment latency distribution: days from placement to the
+    * last lineitem shipping, as a histogram with cumulative share — the
+    * SLA curve behind "what fraction of orders ship within N days".
+    *
+    * Scale: the per-order latency reduces to a DAYS-cardinality
+    * histogram before any window (the latency axis is bounded by
+    * policy, not data volume), so the cumulative sum runs over a
+    * constant-size table; the data-scaled work is two keyed partial
+    * aggs. Integer day arithmetic; one broadcast scalar total; the
+    * share is a single fixed-order double division.
+    */
+  def fulfillmentLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val done = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey").agg(max(to_date($"l_shipdate")).as("ship_done"))
+    val hist = Tables.orders(spark, dir)
+      .select($"o_orderkey", to_date($"o_orderdate").as("placed"))
+      .join(done, $"o_orderkey" === $"l_orderkey")
+      .select(datediff($"ship_done", $"placed").as("days"))
+      .groupBy($"days").agg(count(lit(1)).as("n"))
+    val tot = hist.agg(sum($"n").as("total"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"days")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    hist.withColumn("cum", sum($"n").over(w))
+      .crossJoin(broadcast(tot))
+      .select($"days", $"n", $"cum",
+        round($"cum".cast("double") / $"total".cast("double"), 6).as("cum_share"))
+      .orderBy($"days")
+  }
+
+  val fulfillmentLatencySql: String =
+    """WITH done AS (
+      |  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS ship_done
+      |  FROM lineitem GROUP BY l_orderkey),
+      |lat AS (
+      |  SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE), ship_done)
+      |    AS INT) AS days
+      |  FROM orders JOIN done ON o_orderkey = l_orderkey),
+      |h AS (SELECT days, CAST(count(*) AS BIGINT) AS n FROM lat GROUP BY days),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h)
+      |SELECT days, n,
+      |  CAST(sum(n) OVER (ORDER BY days
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |  round(CAST(sum(n) OVER (ORDER BY days
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(total AS DOUBLE), 6) AS cum_share
+      |FROM h, t ORDER BY days""".stripMargin
+
   /** Open-order backlog over time — classic interval sweep: an order is
     * open from its placement date until its last lineitem ships, and the
     * daily backlog is the running sum of +1 (placed) / −1 (completed)
