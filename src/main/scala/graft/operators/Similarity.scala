@@ -228,6 +228,48 @@ object Similarity {
     * the vote is a tiny (query × label) aggregate. Deterministic
     * neighbor and vote ordering makes the prediction exact.
     */
+  /** Hard-negative mining — for each query vector, the most similar
+    * corpus vectors with a DIFFERENT label: the pairs a contrastive /
+    * embedding-finetune pipeline trains against ("closest thing that
+    * should be far"). Same broadcast-query/scan-only-corpus shape as
+    * [[annBruteforce]] with a label-disagreement filter BEFORE the
+    * rank, so negatives from dominant classes can't crowd the window.
+    */
+  def knnHardNegatives(spark: SparkSession, dir: String,
+      topK: Int = 3, nQueries: Int = 8): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"embedding".as("q_vec"), Dedup.norm($"embedding").as("q_norm"))
+    val corpus = e.filter($"vec_id" >= nQueries)
+      .select($"vec_id".as("n_id"), $"label".as("n_label"),
+        $"embedding".as("n_vec"), Dedup.norm($"embedding").as("n_norm"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+    corpus.crossJoin(broadcast(q))
+      .filter($"n_label" =!= $"q_label")
+      .withColumn("cos", Dedup.cosinePre($"q_vec", $"n_vec", $"q_norm", $"n_norm"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= topK)
+      .select($"q_id", $"q_label", $"rk", $"n_id", $"n_label",
+        round($"cos", 6).as("cos_sim"))
+      .orderBy($"q_id", $"rk")
+  }
+
+  val knnHardNegativesSql: String =
+    """SELECT q_id, q_label, rk, n_id, n_label, round(cos, 6) AS cos_sim FROM (
+      |  SELECT q.vec_id AS q_id, q.label AS q_label,
+      |    c.vec_id AS n_id, c.label AS n_label,
+      |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                           CAST(c.embedding AS DOUBLE[])) AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                 CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rk
+      |  FROM (SELECT * FROM embeddings WHERE vec_id < 8) q,
+      |       (SELECT * FROM embeddings WHERE vec_id >= 8) c
+      |  WHERE c.label <> q.label) t
+      |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
   def knnClassify(spark: SparkSession, dir: String,
                   k: Int = 5, nQueries: Int = 40): DataFrame = {
     import spark.implicits._

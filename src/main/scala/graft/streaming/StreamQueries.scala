@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.cdc.Cdc
 
@@ -399,4 +399,57 @@ object StreamQueries {
 
   val streamAttributionSql: String =
     graft.operators.Behavior.funnelAttributionSql
+
+  /** Streaming PSI drift: the (type, bin, half) bucket counts run as a
+    * complete-mode streaming aggregate — the O(|types|·|bins|) state
+    * shape that monitors drift on an unbounded feed — with the
+    * time-range split point pinned batch-side up front (a production
+    * deployment pins "reference window vs live window" the same way);
+    * the nano-quantized PSI derivation then runs over the sink's
+    * bucket table exactly as the batch operator, whose oracle it
+    * shares. Final state on a finite input equals batch psi_drift.
+    */
+  def streamPsi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inDir = stageEvents(dir)
+    val name = uniqueName("sq_psi")
+    val batch = spark.read.parquet(inDir)
+    val Row(mn: Long, mx: Long) = batch
+      .agg(min($"ts"), max($"ts")).first()
+    val mid = mn + (mx - mn) / 2
+    val q = spark.readStream.schema(batch.schema).parquet(inDir)
+      .withColumn("is_base", $"ts" <= mid)
+      .withColumn("bin", floor($"value" / 50.0).cast("int"))
+      .groupBy($"event_type", $"bin")
+      .agg(sum(when($"is_base", 1L).otherwise(0L)).as("c_b"),
+        sum(when(!$"is_base", 1L).otherwise(0L)).as("c_c"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    // the PSI derivation joins the bucket table with its own totals;
+    // memory-sink views don't support self-joins, so re-seat the
+    // |types|·|bins| rows as a plain local frame (model-sized)
+    val sink = spark.table(name)
+    val counts = spark.createDataFrame(
+      spark.sparkContext.parallelize(sink.collect().toSeq, 1), sink.schema)
+    val tot = counts.groupBy($"event_type")
+      .agg(sum($"c_b").as("n_b"), sum($"c_c").as("n_c"),
+        count(lit(1)).as("bins"))
+    counts.join(tot, "event_type")
+      .withColumn("ln_micro", round(log(
+        (($"c_b" + 1) * ($"n_c" + $"bins")).cast("double")
+          / (($"n_b" + $"bins") * ($"c_c" + 1)).cast("double")) * 100000d, 0)
+        .cast("long"))
+      .withColumn("term_nano", round(
+        (($"c_b" + 1).cast("double") / ($"n_b" + $"bins").cast("double")
+          - ($"c_c" + 1).cast("double") / ($"n_c" + $"bins").cast("double"))
+          * $"ln_micro".cast("double") * 10000d, 0).cast("long"))
+      .groupBy($"event_type")
+      .agg(max($"n_b").as("n_base"), max($"n_c").as("n_curr"),
+        max($"bins").as("n_bins"), sum($"term_nano").as("psi_nano"))
+      .select($"event_type", $"n_base", $"n_curr", $"n_bins", $"psi_nano",
+        round($"psi_nano".cast("double") / 1000000000d, 9).as("psi"))
+      .orderBy($"event_type")
+  }
+
+  val streamPsiSql: String = graft.operators.Profile.psiDriftSql
 }
