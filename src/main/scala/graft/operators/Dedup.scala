@@ -482,7 +482,11 @@ object Dedup {
       |               list_transform(range(1, length(t) + 1), i -> CAST(unicode(t[i]) AS BIGINT))),
       |             (a, c) -> (a * 31 + c) & 4294967295))""".stripMargin
 
-  val dedupMinhashSql: String =
+  /** Shared CTE chain of the minhash replay (through the candidate
+    * agreement table `est`, which carries the INTEGER agreement count
+    * so downstream aggregates never sum floats).
+    */
+  private def minhashEstCtes: String =
     s"""WITH toks AS (
       |  SELECT doc_id, $duckTokens32 AS th
       |  FROM documents),
@@ -519,10 +523,66 @@ object Dedup {
       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
       |est AS (
       |  SELECT p.i, p.j,
+      |    CAST(len(list_filter(range(1, 65), k -> si.sig[k] = sj.sig[k])) AS BIGINT) AS agree,
       |    CAST(len(list_filter(range(1, 65), k -> si.sig[k] = sj.sig[k])) AS DOUBLE) / 64 AS est_jaccard
-      |  FROM pairs p JOIN sig si ON p.i = si.doc_id JOIN sig sj ON p.j = sj.doc_id)
-      |SELECT i, j, round(est_jaccard, 6) AS est_jaccard
-      |FROM est WHERE est_jaccard >= 0.5 ORDER BY i, j""".stripMargin
+      |  FROM pairs p JOIN sig si ON p.i = si.doc_id JOIN sig sj ON p.j = sj.doc_id)""".stripMargin
+
+  val dedupMinhashSql: String =
+    minhashEstCtes +
+      """
+        |SELECT i, j, round(est_jaccard, 6) AS est_jaccard
+        |FROM est WHERE est_jaccard >= 0.5 ORDER BY i, j""".stripMargin
+
+  /** LSH tuning curve: how many candidate pairs survive each estimated-
+    * Jaccard threshold, with the exact mean agreement among survivors —
+    * the dial a pipeline reads before picking its dedup cutoff (too low
+    * floods the cluster step with weak pairs; too high misses true
+    * near-dups). ONE pass builds the candidate/agreement table — the
+    * same persisted ids-only band-join as [[dedupMinhash]] — then each
+    * threshold is a constant-time aggregate over it; the INTEGER
+    * agreement sum makes the mean exact in any aggregation order.
+    */
+  def dedupThresholdCurve(spark: SparkSession, dir: String,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    import spark.implicits._
+    val sigs = minhashSigs(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sigs.select($"doc_id",
+      posexplode(graft.functions.HashFunctions.band_buckets($"sig")).as(Seq("band", "bucket")))
+    val capped = pairableBands(bands, cap = 64)
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .distinct()
+    val est = pairs
+      .join(sigs.select($"doc_id".as("i"), $"sig".as("sig_i")), "i")
+      .join(sigs.select($"doc_id".as("j"), $"sig".as("sig_j")), "j")
+      .select($"i", $"j",
+        graft.functions.HashFunctions.sig_agree($"sig_i", $"sig_j")
+          .cast("long").as("agree"))
+      .withColumn("est_jaccard", $"agree".cast("double") / NumHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    thresholds.map { t =>
+      est.filter($"est_jaccard" >= t)
+        .agg(count(lit(1)).as("n_pairs"), sum($"agree").as("sa"))
+        .select(lit(t).as("threshold"), $"n_pairs",
+          round($"sa".cast("double")
+            / ($"n_pairs" * lit(NumHashes.toLong)).cast("double"), 6)
+            .as("avg_est"))
+    }.reduce(_.unionByName(_)).orderBy($"threshold")
+  }
+
+  val dedupThresholdCurveSql: String =
+    minhashEstCtes +
+      """,
+        |th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+        |SELECT threshold,
+        |  CAST(count(e.i) AS BIGINT) AS n_pairs,
+        |  round(CAST(sum(e.agree) AS DOUBLE)
+        |    / CAST(count(e.i) * 64 AS DOUBLE), 6) AS avg_est
+        |FROM th LEFT JOIN est e ON e.est_jaccard >= th.threshold
+        |GROUP BY threshold ORDER BY threshold""".stripMargin
 
   // ---- SimHash ----------------------------------------------------------
 
