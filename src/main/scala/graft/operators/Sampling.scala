@@ -388,4 +388,67 @@ object Sampling {
       |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
       |  min(doc_id) AS min_doc
       |FROM f GROUP BY fold ORDER BY fold""".stripMargin
+
+  /** Split-bias audit: is the hash split independent of language? Each
+    * (lang, split) cell reports observed count, the independence-
+    * expected count, and its chi-square contribution — the QA gate
+    * proving the content-hash split didn't correlate with a stratum
+    * (a biased split silently shifts the val/test mixture). Cells with
+    * large terms are the evidence; summing terms against the chi-square
+    * table is the caller's call.
+    *
+    * Scale: one (lang, split) partial agg; margins reduce FROM the
+    * cell table (no second corpus pass) and broadcast back; the scored
+    * table is |langs|·|splits| rows. Exactness: counts and margins are
+    * exact integers; expected and the chi term are per-row fixed-order
+    * double expressions (no float aggregation anywhere), rounded
+    * through the validated pair.
+    */
+  def samplingBiasReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = substring(
+      md5(concat($"doc_id".cast("string"), lit(":"), $"text")), 1, 2)
+    val cells = Tables.documents(spark, dir)
+      .select($"lang",
+        when(b < "cc", lit("train")).when(b < "e6", lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .groupBy($"lang", $"split").agg(count(lit(1)).as("n"))
+    val langTot = cells.groupBy($"lang").agg(sum($"n").as("lang_n"))
+    val splitTot = cells.groupBy($"split").agg(sum($"n").as("split_n"))
+    val total = cells.agg(sum($"n").as("total"))
+    val e = ($"lang_n" * $"split_n").cast("double") / $"total".cast("double")
+    cells.join(langTot, "lang").join(splitTot, "split")
+      .crossJoin(broadcast(total))
+      .select($"lang", $"split", $"n",
+        round(e, 6).as("expected"),
+        round(($"n".cast("double") - e) * ($"n".cast("double") - e) / e, 6)
+          .as("chi2_term"))
+      .orderBy($"lang", $"split")
+  }
+
+  val samplingBiasReportSql: String =
+    """WITH s AS (
+      |  SELECT lang,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 2) < 'cc'
+      |           THEN 'train'
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 2) < 'e6'
+      |           THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |c AS (SELECT lang, split, CAST(count(*) AS BIGINT) AS n
+      |      FROM s GROUP BY lang, split),
+      |lt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lang_n FROM c GROUP BY lang),
+      |st AS (SELECT split, CAST(sum(n) AS BIGINT) AS split_n FROM c GROUP BY split),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+      |SELECT c.lang, c.split, n,
+      |  round(CAST(lang_n * split_n AS DOUBLE) / CAST(total AS DOUBLE), 6)
+      |    AS expected,
+      |  round((CAST(n AS DOUBLE)
+      |      - CAST(lang_n * split_n AS DOUBLE) / CAST(total AS DOUBLE))
+      |    * (CAST(n AS DOUBLE)
+      |      - CAST(lang_n * split_n AS DOUBLE) / CAST(total AS DOUBLE))
+      |    / (CAST(lang_n * split_n AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+      |    AS chi2_term
+      |FROM c JOIN lt ON c.lang = lt.lang JOIN st ON c.split = st.split, t
+      |ORDER BY c.lang, c.split""".stripMargin
 }

@@ -543,6 +543,70 @@ object TimeSeries {
       |  round(CAST((SELECT count(*) FROM p) AS DOUBLE)
       |    / CAST(greatest((SELECT count(*) FROM c), 1) AS DOUBLE), 6) AS purchase_rate""".stripMargin
 
+  private val FunnelWindowNs = 7L * 86400L * 1000000000L
+
+  /** Time-bounded funnel (the windowFunnel primitive): signup → first
+    * click WITHIN 7 DAYS → first purchase within 7 days of that click.
+    * [[funnelConversion]] counts eventual progression; this counts
+    * timely progression — the difference IS the activation metric
+    * ("how many convert while the intent is hot"). Same stage-join
+    * shape, each stage's min-timestamp bounded to the predecessor's
+    * window; single-row output composed lazily, exact ns integer
+    * comparisons.
+    */
+  def windowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val signup = e.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts_ns").as("t_signup"))
+    val click = e.filter($"event_type" === "click")
+      .join(signup, "user_id")
+      .filter($"ts_ns" > $"t_signup" && $"ts_ns" <= $"t_signup" + FunnelWindowNs)
+      .groupBy($"user_id").agg(min($"ts_ns").as("t_click"))
+    val purchase = e.filter($"event_type" === "purchase")
+      .join(click, "user_id")
+      .filter($"ts_ns" > $"t_click" && $"ts_ns" <= $"t_click" + FunnelWindowNs)
+      .groupBy($"user_id").agg(min($"ts_ns").as("t_purchase"))
+    e.agg(countDistinct($"user_id").as("n_users"))
+      .crossJoin(signup.agg(count(lit(1)).as("n_signup")))
+      .crossJoin(click.agg(count(lit(1)).as("n_click_7d")))
+      .crossJoin(purchase.agg(count(lit(1)).as("n_purchase_7d")))
+      .select($"n_users", $"n_signup", $"n_click_7d", $"n_purchase_7d",
+        round($"n_click_7d".cast("double")
+          / greatest($"n_signup", lit(1L)).cast("double"), 6)
+          .as("click_rate_7d"),
+        round($"n_purchase_7d".cast("double")
+          / greatest($"n_click_7d", lit(1L)).cast("double"), 6)
+          .as("purchase_rate_7d"))
+  }
+
+  val windowFunnelSql: String =
+    s"""WITH s AS (
+      |  SELECT user_id, min(epoch_ns(ts)) AS t_signup FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t_click
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s.t_signup
+      |    AND epoch_ns(e.ts) <= s.t_signup + ${FunnelWindowNs}
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t_click
+      |    AND epoch_ns(e.ts) <= c.t_click + ${FunnelWindowNs}
+      |  GROUP BY e.user_id)
+      |SELECT
+      |  CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT) AS n_users,
+      |  CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
+      |  CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_7d,
+      |  CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_7d,
+      |  round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+      |    / CAST(greatest((SELECT count(*) FROM s), 1) AS DOUBLE), 6)
+      |    AS click_rate_7d,
+      |  round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+      |    / CAST(greatest((SELECT count(*) FROM c), 1) AS DOUBLE), 6)
+      |    AS purchase_rate_7d""".stripMargin
+
   /** Order-fulfillment latency distribution: days from placement to the
     * last lineitem shipping, as a histogram with cumulative share — the
     * SLA curve behind "what fraction of orders ship within N days".
