@@ -125,6 +125,55 @@ object TextAnalysis {
       |    ELSE 'en' END AS pred_lang
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Language-ID confusion matrix against the labeled lang column —
+    * the classifier-quality gate behind every lang-filtered mixture
+    * decision (a langid that leaks zh into the en bucket silently
+    * poisons the mix): per (labeled, predicted) cell the count, the
+    * labeled-class share (row-normalized recall), and a correct flag.
+    * One partial-agg shuffle to a |langs|² table; the per-cell share
+    * divides exact longs against a broadcast-size row total.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = concat(lit(" "), $"text", lit(" "))
+    val pred =
+      when($"text".rlike("[\\u4e00-\\u9fff]"), "zh")
+        .when(t.rlike(" (der|die|das|und|nicht) "), "de")
+        .when(t.rlike(" (le|la|les|et|est) "), "fr")
+        .when(t.rlike(" (el|los|las|es|y) "), "es")
+        .otherwise("en")
+    val cells = Tables.documents(spark, dir)
+      .select($"lang".as("labeled_lang"), pred.as("pred_lang"))
+      .groupBy($"labeled_lang", $"pred_lang")
+      .agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy($"labeled_lang").agg(sum($"n").as("row_n"))
+    cells.join(rowTot, "labeled_lang")
+      .select($"labeled_lang", $"pred_lang", $"n",
+        round($"n".cast("double") / $"row_n".cast("double"), 6).as("share"),
+        ($"labeled_lang" === $"pred_lang").as("correct"))
+      .orderBy($"labeled_lang", $"pred_lang")
+  }
+
+  val langConfusionSql: String =
+    """WITH p AS (
+      |  SELECT lang AS labeled_lang,
+      |    CASE
+      |      WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+      |      WHEN regexp_matches(' ' || text || ' ', ' (der|die|das|und|nicht) ') THEN 'de'
+      |      WHEN regexp_matches(' ' || text || ' ', ' (le|la|les|et|est) ') THEN 'fr'
+      |      WHEN regexp_matches(' ' || text || ' ', ' (el|los|las|es|y) ') THEN 'es'
+      |      ELSE 'en' END AS pred_lang
+      |  FROM documents),
+      |c AS (SELECT labeled_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+      |      FROM p GROUP BY labeled_lang, pred_lang),
+      |r AS (SELECT labeled_lang, CAST(sum(n) AS BIGINT) AS row_n
+      |      FROM c GROUP BY labeled_lang)
+      |SELECT c.labeled_lang, pred_lang, n,
+      |  round(CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE), 6) AS share,
+      |  c.labeled_lang = pred_lang AS correct
+      |FROM c JOIN r ON c.labeled_lang = r.labeled_lang
+      |ORDER BY c.labeled_lang, pred_lang""".stripMargin
+
   /** Language mix per source — the corpus-composition report a training
     * mix is planned against (per-source language shares drive sampling
     * weights for multilingual models). The language predicate is the
