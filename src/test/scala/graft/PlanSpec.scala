@@ -356,6 +356,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("shuffle budgets for the round-3 final batch") {
+    spark.sharedState.cacheManager.clearCache()
+    for ((name, df, budget) <- Seq(
+        ("column_corr", operators.Profile.columnCorr(spark, sf), 2),
+        ("quality_corr", operators.Curation.qualityCorr(spark, sf), 3),
+        ("customer_ltv_cohort", operators.Behavior.customerLtvCohort(spark, sf), 5),
+        ("fulfillment_latency", operators.TimeSeries.fulfillmentLatency(spark, sf), 5),
+        ("lang_confusion", operators.TextAnalysis.langConfusion(spark, sf), 5),
+        ("sampling_bias_report", operators.Sampling.samplingBiasReport(spark, sf), 8),
+        ("psi_drift", operators.Profile.psiDrift(spark, sf), 5),
+        ("knn_hard_negatives", operators.Similarity.knnHardNegatives(spark, sf), 3),
+        ("open_order_backlog", operators.TimeSeries.openOrderBacklog(spark, sf), 4))) {
+      val n = shuffleCount(df)
+      info(s"$name shuffles = $n (budget $budget)")
+      assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
+    }
+  }
+
   test("sample_per_group: rank is WindowGroupLimit-pruned before the group shuffle") {
     val plan = physicalPlan(operators.Sampling.samplePerGroup(spark, sf))
     assert(plan.contains("WindowGroupLimit"), s"no group-limit pruning:\n$plan")
