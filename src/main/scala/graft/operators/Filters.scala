@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Rule-based corpus filters: the published-heuristic cleaning passes a
+  * training-data pipeline runs before tokenization (Gopher-style
+  * repetition/length rules; C4-style span-level global dedup).
+  *
+  * Both operators follow the corpus discipline used across this
+  * codebase: the document text itself never rides a shuffle — the rule
+  * filter is a pure scan-fused map, and span dedup shuffles only
+  * (md5 fingerprint, packed position, span length) tuples.
+  *
+  * Reference scope: the reference POC ships raw CDC text through to
+  * Iceberg untouched; these are the quality gates a 100 TB corpus needs
+  * on top (rule thresholds follow the Gopher/C4 papers' shapes, with
+  * bounds re-centered so each rule bites on this corpus's statistics —
+  * a filter that never fires verifies nothing).
+  */
+object Filters {
+
+  /** Non-empty whitespace-separated tokens. */
+  private def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Gopher-style document quality rules, one row per document with
+    * per-rule pass flags and the keep decision:
+    *
+    *   - `r_len`:  token count in [40, 90]
+    *   - `r_mwl`:  mean word length in [4.3, 4.75]
+    *   - `r_stop`: at least 2 stopword occurrences
+    *   - `r_rep`:  most-frequent token ≤ 1/8 of the document
+    *
+    * Every decision is an integer comparison (mean-word-length bounds
+    * are cross-multiplied: 10·Σlen ≥ 43·n and 4·Σlen ≤ 19·n), so the
+    * flags are bit-deterministic across engines; the reported ratio
+    * columns are exact integer-over-integer divisions rounded for
+    * display only. Bounds sit inside the corpus's SF-invariant
+    * distributions (word-count and word-length stats don't drift with
+    * scale factor), so each rule keeps a non-trivial pass AND fail
+    * population at every SF — no rule is vacuous at bench scale.
+    *
+    * Scale: a zero-shuffle scan-fused map (the most-frequent-token
+    * count is a per-row array fold over a ≤|vocab| distinct list, not
+    * an aggregation) followed only by the presentation sort. At 100 TB
+    * this runs inside whole-stage codegen directly over the parquet
+    * scan, like [[TextAnalysis.textQuality]].
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stopArr = array(stopwords.map(lit): _*)
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n"),
+        aggregate(transform($"toks", t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).as("sum_len"),
+        size(filter($"toks", t => array_contains(stopArr, t))).cast("long").as("n_stop"),
+        array_max(transform(array_distinct($"toks"),
+          x => size(filter($"toks", t => t === x)))).cast("long").as("top_cnt"))
+    val rLen = $"n" >= 40 && $"n" <= 90
+    val rMwl = $"sum_len" * 10 >= $"n" * 43 && $"sum_len" * 4 <= $"n" * 19
+    val rStop = $"n_stop" >= 2
+    val rRep = $"top_cnt" * 8 <= $"n"
+    base.select($"doc_id",
+        $"n".cast("int").as("n_tokens"),
+        round($"sum_len".cast("double") / $"n".cast("double"), 6).as("mean_word_len"),
+        $"n_stop".cast("int").as("n_stopwords"),
+        round($"top_cnt".cast("double") / $"n".cast("double"), 6).as("top_token_frac"),
+        rLen.as("r_len"), rMwl.as("r_mwl"), rStop.as("r_stop"), rRep.as("r_rep"),
+        (rLen && rMwl && rStop && rRep).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val gopherRulesSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    val stopList = stopwords.map(s => s"'$s'").mkString("[", ",", "]")
+    s"""WITH t AS (
+      |  SELECT doc_id, $toks AS toks FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n,
+      |    CAST(list_reduce(list_transform(toks, x -> length(x)), (a, b) -> a + b)
+      |      AS BIGINT) AS sum_len,
+      |    CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS BIGINT)
+      |      AS n_stop,
+      |    CAST(list_max(list_transform(list_distinct(toks),
+      |      x -> len(list_filter(toks, t -> t = x)))) AS BIGINT) AS top_cnt
+      |  FROM t)
+      |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+      |  round(CAST(sum_len AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_word_len,
+      |  CAST(n_stop AS INT) AS n_stopwords,
+      |  round(CAST(top_cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS top_token_frac,
+      |  (n >= 40 AND n <= 90) AS r_len,
+      |  (sum_len * 10 >= n * 43 AND sum_len * 4 <= n * 19) AS r_mwl,
+      |  (n_stop >= 2) AS r_stop,
+      |  (top_cnt * 8 <= n) AS r_rep,
+      |  (n >= 40 AND n <= 90 AND sum_len * 10 >= n * 43 AND sum_len * 4 <= n * 19
+      |    AND n_stop >= 2 AND top_cnt * 8 <= n) AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  private val SpanW = 8
+
+  /** C4-style span-level GLOBAL dedup: split every document into
+    * disjoint 8-token windows, fingerprint each window, and mark every
+    * occurrence after the first (corpus-wide, first = smallest
+    * (doc_id, window_index)) as a duplicate span. One row per document:
+    * span count, duplicate-span count, tokens lost to duplicate spans,
+    * and the lost-token ratio. This is the cross-document boilerplate
+    * remover (C4 dedupes three-sentence spans; the window analog fits
+    * this corpus's unpunctuated text) — [[Dedup.dedupExact]] catches
+    * whole-document copies, [[doc_span_overlaps]] localizes benchmark
+    * leaks, this catches REPEATED BOILERPLATE inside otherwise-unique
+    * documents.
+    *
+    * Scale: the only shuffle carries (md5 fingerprint, packed position,
+    * span length) — never span text. The keeper is a min aggregate on
+    * the packed (doc_id·2¹⁴ + k) key, then one fingerprint-keyed hash
+    * join back and a doc_id partial agg. All per-span state is O(1);
+    * work is linear in corpus tokens — the same budget as the
+    * tokenization pass itself.
+    */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spans = Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", size($"toks").as("n"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(toks) / ${SpanW}.0) as int) - 1)," +
+          s" k -> array_join(slice(toks, k * $SpanW + 1, $SpanW), ' '))"))
+        .as(Seq("k", "span")))
+      .select($"doc_id", $"n", $"k",
+        md5($"span").as("fp"),
+        least(lit(SpanW), $"n" - $"k" * SpanW).as("span_len"),
+        ($"doc_id" * 16384 + $"k").as("pos_key"))
+    val keepers = spans.groupBy($"fp").agg(min($"pos_key").as("keep_key"))
+    spans.join(keepers, "fp")
+      .withColumn("dup", $"pos_key" > $"keep_key")
+      .groupBy($"doc_id")
+      .agg(max($"n").as("n_tokens"),
+        count(lit(1)).cast("int").as("n_spans"),
+        sum(when($"dup", 1L).otherwise(0L)).as("n_dup_spans"),
+        sum(when($"dup", $"span_len".cast("long")).otherwise(0L)).as("tokens_lost"))
+      .select($"doc_id", $"n_tokens", $"n_spans", $"n_dup_spans", $"tokens_lost",
+        round($"tokens_lost".cast("double") / $"n_tokens".cast("double"), 6)
+          .as("dup_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val spanDedupSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH t AS (
+      |  SELECT doc_id, $toks AS toks, len($toks) AS n FROM documents),
+      |sp AS (
+      |  SELECT doc_id, n, CAST(k AS INT) AS k,
+      |    md5(array_to_string(toks[k * $SpanW + 1 : k * $SpanW + $SpanW], ' ')) AS fp,
+      |    least($SpanW, n - k * $SpanW) AS span_len,
+      |    doc_id * 16384 + k AS pos_key
+      |  FROM t, unnest(range(0, CAST(ceil(n / ${SpanW}.0) AS INT))) r(k)),
+      |kp AS (SELECT fp, min(pos_key) AS keep_key FROM sp GROUP BY fp)
+      |SELECT sp.doc_id, CAST(max(sp.n) AS INT) AS n_tokens,
+      |  CAST(count(*) AS INT) AS n_spans,
+      |  CAST(sum(CASE WHEN sp.pos_key > kp.keep_key THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_spans,
+      |  CAST(sum(CASE WHEN sp.pos_key > kp.keep_key THEN sp.span_len ELSE 0 END)
+      |    AS BIGINT) AS tokens_lost,
+      |  round(CAST(sum(CASE WHEN sp.pos_key > kp.keep_key THEN sp.span_len ELSE 0 END)
+      |      AS DOUBLE) / CAST(max(sp.n) AS DOUBLE), 6) AS dup_ratio
+      |FROM sp JOIN kp ON sp.fp = kp.fp
+      |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Filters
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the rule-filter family (gopher_rules, span_dedup)
+  * beyond the DuckDB hash gate: non-vacuity of every rule, flag/keep
+  * consistency, and span-dedup conservation invariants.
+  */
+class FiltersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gopher_rules: every rule has both a pass and a fail population, keep = AND of flags") {
+    val r = Filters.gopherRules(spark, sf).cache()
+    val n = r.count()
+    assert(n === graft.sources.Tables.documents(spark, sf).count(),
+      "one verdict per document")
+    for (flag <- Seq("r_len", "r_mwl", "r_stop", "r_rep")) {
+      val fails = r.filter(!col(flag)).count()
+      assert(fails > 0, s"$flag never fails — the rule is vacuous on this corpus")
+      assert(fails < n, s"$flag always fails — the bound is mis-centered")
+    }
+    assert(r.filter($"keep" =!= ($"r_len" && $"r_mwl" && $"r_stop" && $"r_rep"))
+      .count() === 0, "keep must be the conjunction of the four rule flags")
+    // flags restate the reported statistics (spot-check the integer
+    // cross-multiplied mean-word-length band against the ratio column,
+    // away from the rounding boundary)
+    assert(r.filter($"mean_word_len" > 4.31 && $"mean_word_len" < 4.74 && !$"r_mwl")
+      .count() === 0, "r_mwl must pass strictly inside the band")
+    r.unpersist()
+  }
+
+  test("span_dedup: conservation — global span count balances keepers + duplicates") {
+    val d = Filters.spanDedup(spark, sf).cache()
+    // spans per doc = ceil(n_tokens / 8), and losses never exceed the doc
+    assert(d.filter($"n_spans" =!= ceil($"n_tokens" / 8.0).cast("int"))
+      .count() === 0, "disjoint 8-token windows must tile the document")
+    assert(d.filter($"n_dup_spans" > $"n_spans" || $"tokens_lost" > $"n_tokens")
+      .count() === 0)
+    // the corpus-wide identity: total spans - duplicate spans = distinct fingerprints
+    val totals = d.agg(sum($"n_spans").as("spans"), sum($"n_dup_spans").as("dups"))
+      .first()
+    val distinctFps = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", filter(split($"text", "\\s+"), t => t =!= "").as("toks"))
+      .select(explode(expr(
+        "transform(sequence(0, cast(ceil(size(toks) / 8.0) as int) - 1)," +
+          " k -> array_join(slice(toks, k * 8 + 1, 8), ' '))")).as("span"))
+      .select(md5($"span")).distinct().count()
+    assert(totals.getLong(0) - totals.getLong(1) === distinctFps,
+      "every non-duplicate span must be a distinct fingerprint's keeper")
+    // dedup must actually fire on this corpus (non-vacuity at any SF)
+    assert(totals.getLong(1) > 0, "no duplicate spans found — operator is vacuous")
+    d.unpersist()
+  }
+}
