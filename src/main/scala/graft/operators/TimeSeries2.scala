@@ -1,0 +1,253 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import Relational.{dec, sqlDec}
+
+/** Statistical time-series operators beyond [[TimeSeries]]'s smoothing
+  * family: changepoint detection, autocorrelation, and robust trend
+  * estimation — the drift-monitoring toolkit a data pipeline points at
+  * its own volume/quality series.
+  *
+  * Shared exactness doctrine: every series value is carried on the
+  * DECIMAL(18,4) money grid scaled to BIGINT ten-thousandths, all
+  * sufficient statistics are DECIMAL(38,0) integer sums, and doubles
+  * appear only in the final fixed-order derivation — so scores, ranks,
+  * and argmaxes are bit-identical in the DuckDB mirror.
+  */
+object TimeSeries2 {
+
+  /** Daily event-value series per type: (event_type, day_n, x_u) with
+    * x_u = Σ round(value·10⁴) as BIGINT — the exact integer grid the
+    * whole file computes on. One partial agg over the scan.
+    */
+  private def dailySeries(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type",
+        floor(unix_timestamp($"ts") / 86400L).cast("long").as("day_n"),
+        dec($"value").as("v"))
+      .groupBy($"event_type", $"day_n")
+      .agg((sum($"v") * 10000).cast("decimal(38,0)").cast("long").as("x_u"))
+  }
+
+  private val dailySeriesSql: String =
+    s"""SELECT event_type,
+      |  CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day_n,
+      |  CAST(CAST(sum(${sqlDec("value")}) * 10000 AS DECIMAL(38,0)) AS BIGINT) AS x_u
+      |FROM events GROUP BY event_type, day_n""".stripMargin
+
+  /** Single-changepoint detection per event-type series by binary
+    * segmentation: the split t maximizing the CUSUM statistic
+    * t(n−t)/n · (x̄_L − x̄_R)², i.e. the day where the daily-value mean
+    * shifts most. Emitted per series: the best split day, the exact
+    * left/right means, and the statistic — the monitoring primitive
+    * behind "did ingest volume/quality step-change, and when?".
+    *
+    * Exactness: with S_t the prefix sum and S the total (all BIGINT on
+    * the 10⁻⁴ grid), the score ∝ p²/(n·t·(n−t)) for p = n·S_t − t·S —
+    * p² is DECIMAL(38,0)-exact and the single double division is
+    * fixed-order, so the argmax (tie-break: smallest t) is
+    * engine-exact. No ln, no iteration, no recursion — one window pass
+    * over each series.
+    *
+    * Scale: series are (type, day) aggregates — cardinality ∝ time,
+    * not data volume. One partial agg over the scan, one type-keyed
+    * window shuffle, one |types|-row result.
+    */
+  def changepointDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day_n")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type")
+    val d38 = "decimal(38,0)"
+    val scored = dailySeries(spark, dir)
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("s_t", sum($"x_u").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("s", sum($"x_u").over(wAll))
+      .filter($"t" < $"n")
+      .withColumn("p",
+        ($"n".cast(d38) * $"s_t".cast(d38) - $"t".cast(d38) * $"s".cast(d38))
+          .cast(d38))
+      .withColumn("stat",
+        ($"p" * $"p").cast(d38).cast("double")
+          / ($"n" * $"t" * ($"n" - $"t")).cast("double"))
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"stat".desc, $"t")
+    scored.withColumn("rk", row_number().over(best))
+      .filter($"rk" === 1)
+      .select($"event_type", $"n".as("n_days"), $"t".as("split_after"),
+        $"day_n".as("split_day"),
+        round($"s_t".cast("double") / ($"t" * 10000L).cast("double"), 6)
+          .as("mean_left"),
+        round(($"s" - $"s_t").cast("double")
+          / (($"n" - $"t") * 10000L).cast("double"), 6).as("mean_right"),
+        round($"stat" / 100000000d, 6).as("cusum_stat"))
+      .orderBy($"event_type")
+  }
+
+  val changepointDetectSql: String =
+    s"""WITH daily AS ($dailySeriesSql),
+      |c AS (
+      |  SELECT event_type, day_n, x_u,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day_n)
+      |      AS BIGINT) AS t,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |    CAST(sum(x_u) OVER (PARTITION BY event_type ORDER BY day_n
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_t,
+      |    CAST(sum(x_u) OVER (PARTITION BY event_type) AS BIGINT) AS s
+      |  FROM daily),
+      |sc AS (
+      |  SELECT *,
+      |    CAST(CAST(CAST(n AS DECIMAL(38,0)) * s_t - CAST(t AS DECIMAL(38,0)) * s
+      |        AS DECIMAL(38,0)) * CAST(CAST(n AS DECIMAL(38,0)) * s_t
+      |        - CAST(t AS DECIMAL(38,0)) * s AS DECIMAL(38,0)) AS DOUBLE)
+      |      / CAST(n * t * (n - t) AS DOUBLE) AS stat
+      |  FROM c WHERE t < n),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY stat DESC, t) AS rk FROM sc)
+      |SELECT event_type, n AS n_days, t AS split_after, day_n AS split_day,
+      |  round(CAST(s_t AS DOUBLE) / CAST(t * 10000 AS DOUBLE), 6) AS mean_left,
+      |  round(CAST(s - s_t AS DOUBLE) / CAST((n - t) * 10000 AS DOUBLE), 6)
+      |    AS mean_right,
+      |  round(stat / 100000000, 6) AS cusum_stat
+      |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
+
+  private val AcfMaxLag = 7
+
+  /** Autocorrelation function of each event-type's daily-value series
+    * at lags 1..7 — the seasonality detector (a weekly cycle shows as
+    * a lag-7 peak) and the independence check behind forecast-model
+    * choice. Standard ACF estimator: r_ℓ = Σ_{t≤n−ℓ}(x_t−x̄)(x_{t+ℓ}−x̄)
+    * / Σ(x_t−x̄)², computed n-scaled so every sum is integer-exact:
+    * numerator terms (n·x_t−S)(n·x_{t+ℓ}−S) in DECIMAL(38,0), one
+    * double division at the end.
+    *
+    * Scale: all 7 lag columns come from ONE type-keyed window shuffle
+    * (lead at 7 offsets over the same frame); the result is
+    * |types|·7 rows regardless of data volume.
+    */
+  def acfLags(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day_n")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type")
+    val d38 = "decimal(38,0)"
+    val base = dailySeries(spark, dir)
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("s", sum($"x_u").over(wAll))
+      .withColumn("d", ($"n".cast(d38) * $"x_u".cast(d38) - $"s".cast(d38)).cast(d38))
+    val withLeads = (1 to AcfMaxLag).foldLeft(base) { (df, l) =>
+      df.withColumn(s"d_$l", lead($"d", l).over(w))
+    }
+    val perLag = (1 to AcfMaxLag).map { l =>
+      withLeads.groupBy($"event_type")
+        .agg(max($"n").as("n_days"),
+          sum(($"d" * $"d").cast(d38)).as("den"),
+          sum(when(col(s"d_$l").isNotNull, ($"d" * col(s"d_$l")).cast(d38))
+            .otherwise(lit(0).cast(d38))).as("num"))
+        .select($"event_type", lit(l).as("lag"), $"n_days",
+          round($"num".cast("double") / $"den".cast("double"), 6).as("acf"))
+    }.reduce(_.unionByName(_))
+    perLag.orderBy($"event_type", $"lag")
+  }
+
+  val acfLagsSql: String = {
+    val blocks = (1 to AcfMaxLag).map { l =>
+      s"""SELECT event_type, $l AS lag, max(n) AS n_days,
+        |  round(CAST(sum(CASE WHEN d_lead IS NOT NULL
+        |      THEN CAST(d * d_lead AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0))
+        |      END) AS DOUBLE)
+        |    / CAST(sum(CAST(d * d AS DECIMAL(38,0))) AS DOUBLE), 6) AS acf
+        |FROM (SELECT event_type, n, d,
+        |        lead(d, $l) OVER (PARTITION BY event_type ORDER BY day_n) AS d_lead
+        |      FROM base) x
+        |GROUP BY event_type""".stripMargin
+    }.mkString("\n|UNION ALL\n|")
+    s"""WITH daily AS ($dailySeriesSql),
+      |base AS MATERIALIZED (
+      |  SELECT event_type, day_n,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |    CAST(CAST(count(*) OVER (PARTITION BY event_type) AS DECIMAL(38,0))
+      |        * x_u - CAST(sum(x_u) OVER (PARTITION BY event_type)
+      |        AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS d
+      |  FROM daily)
+      |$blocks
+      |ORDER BY event_type, lag""".stripMargin
+  }
+
+  /** Theil–Sen robust trend per part brand over MONTHLY revenue: the
+    * (lower) median of all pairwise month-to-month slopes — the
+    * outlier-immune answer to [[Profile.trendFit]]'s least-squares
+    * slope (one promotional spike month drags OLS; the slope median
+    * shrugs it off).
+    *
+    * Exactness: monthly revenue is an exact DECIMAL sum surfaced as
+    * BIGINT ten-thousandths; each pairwise slope is quantized to that
+    * same integer grid (round of one fixed-order double division);
+    * the median is the rank-⌈k/2⌉ element under a total order, so both
+    * engines pick the identical slope.
+    *
+    * Scale: months-per-brand is calendar-bounded (~84), so the
+    * pairwise self-join is ≤ 84²/2 rows per brand — O(|brands|·months²)
+    * total, independent of lineitem volume. The heavy step is the one
+    * (brand, month) partial agg over the scan; the part join carries no
+    * broadcast hint (part scales with SF — AQE decides).
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
+      .select($"p_brand".as("brand"),
+        ((year($"l_shipdate") - 1992) * 12 + month($"l_shipdate") - 1)
+          .cast("long").as("m"),
+        Relational.revTerm($"l_extendedprice", $"l_discount").as("rev"))
+      .groupBy($"brand", $"m")
+      .agg((sum($"rev") * 10000).cast("decimal(38,0)").cast("long").as("y_u"))
+    val slopes = monthly.as("a").join(monthly.as("b"),
+        $"a.brand" === $"b.brand" && $"a.m" < $"b.m")
+      .select($"a.brand".as("brand"),
+        round(($"b.y_u" - $"a.y_u").cast("double") / ($"b.m" - $"a.m").cast("double"), 0)
+          .cast("long").as("slope_u"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"brand").orderBy($"slope_u")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"brand")
+    slopes
+      .withColumn("rk", row_number().over(w))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .filter($"rk" === ($"k" + 1) / 2)
+      .select($"brand", $"k".as("n_pairs"),
+        round($"slope_u".cast("double") / 10000d, 4).as("sen_slope"))
+      .orderBy($"brand")
+  }
+
+  val theilSenSql: String =
+    s"""WITH monthly AS MATERIALIZED (
+      |  SELECT p.p_brand AS brand,
+      |    CAST((year(l.l_shipdate) - 1992) * 12 + month(l.l_shipdate) - 1
+      |      AS BIGINT) AS m,
+      |    CAST(CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+      |        * CAST(1 - l.l_discount AS DECIMAL(18,4)) AS DECIMAL(18,4)))
+      |      * 10000 AS DECIMAL(38,0)) AS BIGINT) AS y_u
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY p.p_brand, (year(l.l_shipdate) - 1992) * 12 + month(l.l_shipdate) - 1),
+      |slopes AS (
+      |  SELECT a.brand,
+      |    CAST(round(CAST(b.y_u - a.y_u AS DOUBLE)
+      |      / CAST(b.m - a.m AS DOUBLE), 0) AS BIGINT) AS slope_u
+      |  FROM monthly a JOIN monthly b ON a.brand = b.brand AND a.m < b.m),
+      |r AS (
+      |  SELECT brand, slope_u,
+      |    row_number() OVER (PARTITION BY brand ORDER BY slope_u) AS rk,
+      |    count(*) OVER (PARTITION BY brand) AS k
+      |  FROM slopes)
+      |SELECT brand, CAST(k AS BIGINT) AS n_pairs,
+      |  round(CAST(slope_u AS DOUBLE) / 10000, 4) AS sen_slope
+      |FROM r WHERE rk = (k + 1) // 2 ORDER BY brand""".stripMargin
+}
