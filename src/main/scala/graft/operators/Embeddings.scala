@@ -367,4 +367,56 @@ object Embeddings {
       .toDF("dim", "component", "eigenvalue", "explained_frac")
       .orderBy($"dim")
   }
+
+  private val RpDims = 16
+
+  /** Johnson–Lindenstrauss random projection 64 → 16 dims with a
+    * HASH-DERIVED sign matrix (Achlioptas ±1 construction): the
+    * dimensionality-reduction pass that feeds cheap ANN pre-filters
+    * and drift monitors without shipping a trained projection around —
+    * the matrix is a pure function of (i, j), so every executor, every
+    * run, and the DuckDB oracle materialize the identical projection.
+    *
+    * Exactness: components are quantized to the micro grid
+    * (round(x·10⁶) BIGINT — float→double widening is exact), signs
+    * come from the parity of an integer LCG over (i, j), and each
+    * output is an exact 64-term integer dot product. No float
+    * accumulation anywhere.
+    *
+    * Scale: a ZERO-SHUFFLE per-row map (one `transform`/`aggregate`
+    * HOF pair inside whole-stage codegen over the scan — 16×64
+    * multiply-adds per row, no explode of the input, no join); the
+    * posexplode fans out only the 16 projected values per row.
+    */
+  def embeddingRp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val proj = expr(
+      s"""transform(sequence(0, ${RpDims - 1}), j ->
+         |  aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) ->
+         |    acc + cast(round(cast(embedding[i] as double) * 1000000, 0) as bigint)
+         |      * (case when ((cast(i as bigint) * 1103515245
+         |           + cast(j as bigint) * 12345 + 987654321) div 65536) % 2 = 0
+         |         then 1 else -1 end)))""".stripMargin)
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", posexplode(proj).as(Seq("rp_dim", "proj_u")))
+      .select($"vec_id", $"rp_dim",
+        $"proj_u", round($"proj_u".cast("double") / 1000000d, 6).as("proj"))
+      .orderBy($"vec_id", $"rp_dim")
+  }
+
+  val embeddingRpSql: String =
+    s"""WITH cells AS (
+      |  SELECT e.vec_id, CAST(j AS INT) AS rp_dim,
+      |    CAST(sum(CAST(round(CAST(e.embedding[i + 1] AS DOUBLE) * 1000000, 0)
+      |        AS BIGINT)
+      |      * (CASE WHEN ((CAST(i AS BIGINT) * 1103515245
+      |             + CAST(j AS BIGINT) * 12345 + 987654321) // 65536) % 2 = 0
+      |         THEN 1 ELSE -1 END)) AS BIGINT) AS proj_u
+      |  FROM embeddings e
+      |  CROSS JOIN (SELECT unnest(range(0, $RpDims)) AS j)
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+      |  GROUP BY e.vec_id, j)
+      |SELECT vec_id, rp_dim, proj_u,
+      |  round(CAST(proj_u AS DOUBLE) / 1000000, 6) AS proj
+      |FROM cells ORDER BY vec_id, rp_dim""".stripMargin
 }

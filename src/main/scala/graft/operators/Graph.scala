@@ -588,4 +588,88 @@ object Graph {
       |JOIN c ca ON r.antecedent = ca.pk
       |JOIN c cc ON r.consequent = cc.pk
       |ORDER BY lift DESC, r.antecedent, r.consequent LIMIT 50""".stripMargin
+
+  private val HitsIters = 4
+
+  /** HITS hubs-and-authorities over the bipartite customer→part
+    * purchase graph: 4 mutual-reinforcement rounds (authority(part) =
+    * Σ hub(customer) over its buyers, hub(customer) = Σ authority(part)
+    * over their basket), max-normalized each half-round; top-100 parts
+    * by authority. The bipartite complement to [[partPagerank]]'s
+    * co-purchase rank: PageRank scores parts by co-purchase centrality,
+    * HITS separates influential BUYERS from endorsed PRODUCTS.
+    *
+    * Exactness: scores are integer micro-units; normalization is
+    * `score·10⁶ div max(score)` with max computed IN-PLAN (a 1-row
+    * broadcast cross join — no driver collect), so each round is a
+    * deterministic integer function of the last and the DuckDB
+    * unrolled mirror is bit-identical. Integer headroom: score ≤
+    * deg_max·10⁶, the div keeps every product under 10¹⁵ at this
+    * graph's degrees (a 10⁹-degree graph would move the grid to
+    * DECIMAL(38,0) — noted, not needed at TPC-H degrees).
+    *
+    * Scale: per half-round ONE id-keyed hash join + partial agg over
+    * (id, score) longs — node-cardinality tables, AQE-sized joins, no
+    * broadcast hints on scaling sides. Each half-round's score table is
+    * persisted before its max aggregate so the two consumers (max +
+    * normalize) share one computation — the [[kcore]] eager-persist
+    * discipline, linear plan depth, no recompute doubling.
+    */
+  def hitsScores(spark: SparkSession, dir: String, topK: Int = 100): DataFrame = {
+    import spark.implicits._
+    val edges = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_partkey".as("p")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the raw score table feeds BOTH its max aggregate and the
+    // normalization — persist so the two consumers share one
+    // computation, then CUT THE LOGICAL LINEAGE (createDataFrame over
+    // the same RDD): without the cut the crossJoin's double reference
+    // doubles the logical plan per half-round and plan RENDERING alone
+    // (the UI explain string) OOMs the driver by round 4 — the
+    // partComponents lesson, on the plan-string side
+    def normalize(df: DataFrame, id: String): DataFrame = {
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val mx = cached.agg(max($"s").as("mx"))
+      val out = cached.crossJoin(broadcast(mx))
+        .select(col(id), expr("(s * 1000000) div mx").as("s"))
+      spark.createDataFrame(out.rdd, out.schema)
+    }
+    var auth = edges.select($"p").distinct().select($"p", lit(1000000L).as("s"))
+    for (_ <- 1 to HitsIters) {
+      val hub = normalize(
+        edges.join(auth, "p").groupBy($"c").agg(sum($"s").as("s")), "c")
+      auth = normalize(
+        edges.join(hub, "c").groupBy($"p").agg(sum($"s").as("s")), "p")
+    }
+    auth.select($"p".as("part_id"), $"s".as("auth_u"),
+        round($"s".cast("double") / 1000000d, 6).as("authority"))
+      .orderBy($"auth_u".desc, $"part_id").limit(topK)
+  }
+
+  val hitsScoresSql: String = {
+    val base =
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |a0 AS MATERIALIZED (SELECT DISTINCT p, 1000000 AS s FROM e)""".stripMargin
+    val its = (1 to HitsIters).map { i =>
+      s""",
+         |hr$i AS MATERIALIZED (
+         |  SELECT e.c, CAST(sum(a.s) AS BIGINT) AS s
+         |  FROM e JOIN a${i - 1} a ON e.p = a.p GROUP BY e.c),
+         |h$i AS MATERIALIZED (
+         |  SELECT c, (s * 1000000) // (SELECT max(s) FROM hr$i) AS s FROM hr$i),
+         |ar$i AS MATERIALIZED (
+         |  SELECT e.p, CAST(sum(h.s) AS BIGINT) AS s
+         |  FROM e JOIN h$i h ON e.c = h.c GROUP BY e.p),
+         |a$i AS MATERIALIZED (
+         |  SELECT p, (s * 1000000) // (SELECT max(s) FROM ar$i) AS s FROM ar$i)""".stripMargin
+    }.mkString
+    base + its +
+      s"""
+         |SELECT p AS part_id, CAST(s AS BIGINT) AS auth_u,
+         |  round(CAST(s AS DOUBLE) / 1000000, 6) AS authority
+         |FROM a$HitsIters ORDER BY auth_u DESC, part_id LIMIT 100""".stripMargin
+  }
 }
