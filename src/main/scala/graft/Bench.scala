@@ -33,7 +33,10 @@ object Bench {
     "doc_pack", "dedup_exact_norm", "dedup_containment",
     "graph_bfs", "kcore", "bloom_prune_join", "token_logodds",
     "psi_drift", "funnel_attribution", "open_order_backlog",
-    "doc_span_overlaps", "embedding_outliers", "ann_topk_agg")
+    "doc_span_overlaps", "embedding_outliers", "ann_topk_agg",
+    "gopher_rules", "span_dedup", "changepoint_detect", "acf_lags",
+    "theil_sen", "adamic_adar", "basket_rules", "embedding_rp",
+    "hits_scores")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

@@ -487,9 +487,11 @@ object Graph {
     val edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
       .union(pairs.select($"pb".as("src"), $"pa".as("dst")))
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-    // middle-node term: a wedge's center has deg >= 2 by construction,
-    // so ln(deg) > 0 and the integer division is total
-    val mid = edges.join(deg, "src")
+    // middle-node term: only deg >= 2 nodes can center a wedge, and the
+    // explicit filter must come BEFORE the term projection — a deg-1
+    // node's ln(1) = 0 would divide-by-zero during evaluation even
+    // though no wedge ever consumes that row
+    val mid = edges.join(deg.filter($"deg" >= 2), "src")
       .select($"src".as("w"), $"dst",
         expr("cast(100000000000 div cast(round(ln(deg) * 100000, 0) as bigint) as bigint)")
           .as("term_u"))
@@ -515,7 +517,7 @@ object Graph {
       |m AS MATERIALIZED (
       |  SELECT e.src AS w, e.dst,
       |    100000000000 // CAST(round(ln(d.deg) * 100000, 0) AS BIGINT) AS term_u
-      |  FROM e JOIN d ON e.src = d.src),
+      |  FROM e JOIN d ON e.src = d.src WHERE d.deg >= 2),
       |s AS (
       |  SELECT x.dst AS u, y.dst AS v, count(*) AS n_common,
       |    CAST(sum(x.term_u) AS BIGINT) AS aa_u
