@@ -52,8 +52,19 @@ object Filters {
     */
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    gopherFlags(Tables.documents(spark, dir)).orderBy($"doc_id")
+  }
+
+  /** The rule evaluation over any (doc_id, text) frame — narrow
+    * per-row expressions only, so the SAME operator runs on a
+    * Structured Streaming frame unchanged (see
+    * [[graft.streaming.StreamQueries.streamQualityFilter]], the
+    * [[Curation.gramTable]] batch/stream-sharing pattern).
+    */
+  private[graft] def gopherFlags(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val stopArr = array(stopwords.map(lit): _*)
-    val base = Tables.documents(spark, dir)
+    val base = docs
       .select($"doc_id", tokens($"text").as("toks"))
       .select($"doc_id",
         size($"toks").cast("long").as("n"),
@@ -73,7 +84,6 @@ object Filters {
         round($"top_cnt".cast("double") / $"n".cast("double"), 6).as("top_token_frac"),
         rLen.as("r_len"), rMwl.as("r_mwl"), rStop.as("r_stop"), rRep.as("r_rep"),
         (rLen && rMwl && rStop && rRep).as("keep"))
-      .orderBy($"doc_id")
   }
 
   val gopherRulesSql: String = {

@@ -275,6 +275,32 @@ object StreamQueries {
 
   val streamDecontamSql: String = graft.operators.Curation.decontaminateSql
 
+  /** The [[graft.operators.Filters.gopherRules]] quality gate run as a
+    * STREAMING filter — the shape a live ingest pipeline actually
+    * wants (score-and-flag documents as they arrive, not in a nightly
+    * batch). Because the rule evaluation is a pure per-row map
+    * (zero state, zero watermark), the IDENTICAL frame-level operator
+    * serves batch and stream, and the stream's append-mode output
+    * hash-matches the batch oracle — operator interchangeability,
+    * proven by the shared SQL.
+    */
+  def streamQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inDir = tmp("graft_sq_gopher")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$inDir/documents.parquet"))
+    val name = uniqueName("sq_gopher")
+    val static = spark.read.parquet(inDir)
+    val stream = spark.readStream.schema(static.schema).parquet(inDir)
+    val q = graft.operators.Filters.gopherFlags(stream)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name).orderBy($"doc_id")
+  }
+
+  val streamQualityFilterSql: String = graft.operators.Filters.gopherRulesSql
+
   /** Stream × snapshot ENRICHMENT — the reference-data join every CDC
     * deployment runs: a dimension table maintained as a
     * [[graft.sinks.SnapshotTable]] (here: latest-wins user state from
