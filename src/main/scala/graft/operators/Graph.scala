@@ -591,6 +591,69 @@ object Graph {
       |JOIN c cc ON r.consequent = cc.pk
       |ORDER BY lift DESC, r.antecedent, r.consequent LIMIT 50""".stripMargin
 
+  /** [[graphBfs]] with FRONTIER COMPRESSION: each hop's candidate set
+    * is pruned map-side against a size-capped Bloom filter of the
+    * visited set BEFORE the exact anti-join — the high-degree-graph
+    * BFS optimization. In plain frontier BFS the anti-join reshuffles
+    * candidate ∪ visited every hop, and on a high-fan-out graph the
+    * candidate set is dominated by already-visited nodes (every
+    * wavefront re-discovers the previous one backwards: ≥ half the
+    * expansion on an undirected graph). The bloom drops those at the
+    * map side, so only PLAUSIBLY-NEW ids ride the anti-join shuffle;
+    * false positives are settled by the exact anti-join, which stays
+    * the sole correctness authority — output is bit-identical to
+    * [[graphBfs]] (shared oracle; BfsBloomSpec additionally pins
+    * equality and measures the prune).
+    *
+    * Scale honesty: the bloom is rebuilt per hop from the visited
+    * table with the [[RuntimeFilter.MaxBloomItems]] cap, so the
+    * driver collect is O(1) at any graph size and a saturated bloom
+    * degrades to fewer map-side drops, never to wrong output.
+    */
+  def graphBfsBloom(spark: SparkSession, dir: String, maxHops: Int = 3): DataFrame = {
+    import spark.implicits._
+    val li = incidence(spark, dir)
+    val pairs = li.as("a").join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("pa"), $"b.pk".as("pb"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter($"n_orders" >= 2)
+      .select($"pa", $"pb")
+    val edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
+      .union(pairs.select($"pb".as("src"), $"pa".as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seeds = edges.select($"src".as("node")).distinct()
+      .filter(pmod($"node", lit(50)) === 0)
+    var reached = seeds.select($"node", lit(0).as("hop"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = seeds
+    for (h <- 1 to maxHops) {
+      val nReached = math.max(reached.count(), 1L)
+      val visitedBloom = reached
+        .agg(graft.functions.BloomFunctions.bloom_agg($"node",
+          math.min(nReached, RuntimeFilter.MaxBloomItems)).as("bf"))
+        .first().getAs[Array[Byte]]("bf")
+      val cands = frontier.join(edges, frontier("node") === edges("src"))
+        .select($"dst".as("node")).distinct()
+      // route on the bloom verdict: a bloom NEGATIVE is definitely
+      // unvisited (no false negatives) and skips the anti-join
+      // entirely; a bloom POSITIVE is only MAYBE visited — false
+      // positives are real new nodes, so positives must go through the
+      // exact anti-join, never be dropped outright (dropping them
+      // pushed genuinely-new nodes a hop late — caught by the
+      // equality spec)
+      val mightBeVisited = graft.functions.BloomFunctions
+        .bloom_might_contain(lit(visitedBloom), $"node")
+      val next = cands.filter(!mightBeVisited)
+        .unionByName(cands.filter(mightBeVisited)
+          .join(reached, Seq("node"), "left_anti"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      reached = reached.union(next.select($"node", lit(h).as("hop")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      frontier = next
+    }
+    reached.select($"node".as("part_id"), $"hop").orderBy($"hop", $"part_id")
+  }
+
   private val HitsIters = 4
 
   /** HITS hubs-and-authorities over the bipartite customer→part
