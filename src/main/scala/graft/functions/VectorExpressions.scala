@@ -80,4 +80,83 @@ object VectorFunctions {
   /** cosine = dot / (normA * normB) — pass precomputed norms on hot paths. */
   def vec_cosine(a: Column, b: Column): Column =
     vec_dot(a, b) / vec_norm(a) / vec_norm(b)
+
+  /** Hash-signed random projection to `outDims` micro-unit sums. */
+  def rp_project(a: Column, outDims: Int): Column =
+    toColumn(RpProject(toExpression(a), outDims))
+}
+
+/** Shared kernel for [[RpProject]] — interpreted eval and codegen call
+  * the same static method, so results are identical by construction.
+  */
+object RpImpl {
+  /** Spark `cast(round(x, 0) as bigint)` semantics, exactly: Round on
+    * DoubleType goes through BigDecimal HALF_UP, the cast truncates.
+    */
+  private def quant(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  /** proj(j) = Σ_i round(v_i·10⁶) · s(i,j) with the LCG-parity sign
+    * s(i,j) = ±1 — bit-identical to the HOF fold it replaces, but the
+    * quantization runs ONCE per component instead of once per (i, j).
+    */
+  def project(v: ArrayData, outDims: Int): ArrayData = {
+    val d = v.numElements()
+    val q = new Array[Long](d)
+    var i = 0
+    while (i < d) {
+      q(i) = quant(v.getFloat(i).toDouble * 1000000.0)
+      i += 1
+    }
+    val out = new Array[Long](outDims)
+    var j = 0
+    while (j < outDims) {
+      var acc = 0L
+      i = 0
+      while (i < d) {
+        val h = (i.toLong * 1103515245L + j.toLong * 12345L + 987654321L) / 65536L
+        acc += (if (h % 2 == 0) q(i) else -q(i))
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `rp_project(vec)` → array<long> of LCG-signed random-projection
+  * micro-sums. The HOF formulation (`transform` × `aggregate`) is
+  * CodegenFallback — an interpreted lambda frame per (i, j) term, and
+  * it re-rounds every component once per output dim; this kernel is
+  * one static call inside whole-stage codegen with one quantization
+  * pass (same integers, ~64× less rounding work).
+  */
+case class RpProject(child: Expression, outDims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "rp_project"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rp_project expects array<float>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    RpImpl.project(v.asInstanceOf[ArrayData], outDims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.RpImpl.project($v, $outDims);")
+
+  override protected def withNewChildInternal(newChild: Expression): RpProject =
+    copy(child = newChild)
 }

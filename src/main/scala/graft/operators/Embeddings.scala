@@ -383,20 +383,17 @@ object Embeddings {
     * output is an exact 64-term integer dot product. No float
     * accumulation anywhere.
     *
-    * Scale: a ZERO-SHUFFLE per-row map (one `transform`/`aggregate`
-    * HOF pair inside whole-stage codegen over the scan — 16×64
-    * multiply-adds per row, no explode of the input, no join); the
-    * posexplode fans out only the 16 projected values per row.
+    * Scale: a ZERO-SHUFFLE per-row map via the native [[graft.functions.RpProject]]
+    * kernel — ONE static call inside whole-stage codegen over the scan,
+    * one quantization pass per row. (The composable `transform` ×
+    * `aggregate` HOF formulation is CodegenFallback: an interpreted
+    * lambda frame per (i, j) term plus a re-round per output dim —
+    * the PQ-encode lesson again; EmbeddingsSpec pins kernel ≡ HOF.)
+    * The posexplode fans out only the 16 projected values per row.
     */
   def embeddingRp(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val proj = expr(
-      s"""transform(sequence(0, ${RpDims - 1}), j ->
-         |  aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) ->
-         |    acc + cast(round(cast(embedding[i] as double) * 1000000, 0) as bigint)
-         |      * (case when ((cast(i as bigint) * 1103515245
-         |           + cast(j as bigint) * 12345 + 987654321) div 65536) % 2 = 0
-         |         then 1 else -1 end)))""".stripMargin)
+    val proj = graft.functions.VectorFunctions.rp_project($"embedding", RpDims)
     Tables.embeddings(spark, dir)
       .select($"vec_id", posexplode(proj).as(Seq("rp_dim", "proj_u")))
       .select($"vec_id", $"rp_dim",

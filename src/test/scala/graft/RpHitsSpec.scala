@@ -34,6 +34,23 @@ class RpHitsSpec extends SparkSpec {
       s"sign matrix unbalanced: $signCounts")
   }
 
+  test("embedding_rp: native kernel is bit-identical to the composable HOF fold") {
+    val hof = org.apache.spark.sql.functions.expr(
+      """transform(sequence(0, 15), j ->
+        |  aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) ->
+        |    acc + cast(round(cast(embedding[i] as double) * 1000000, 0) as bigint)
+        |      * (case when ((cast(i as bigint) * 1103515245
+        |           + cast(j as bigint) * 12345 + 987654321) div 65536) % 2 = 0
+        |         then 1 else -1 end)))""".stripMargin)
+    val diff = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id",
+        graft.functions.VectorFunctions.rp_project($"embedding", 16).as("k"),
+        hof.as("h"))
+      .filter($"k" =!= $"h")
+      .count()
+    assert(diff === 0, "kernel and HOF projections diverged")
+  }
+
   test("hits_scores: normalized fixpoint invariants") {
     val h = Graph.hitsScores(spark, sf).cache()
     assert(h.count() === 100)
