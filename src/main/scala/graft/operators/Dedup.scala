@@ -1206,4 +1206,99 @@ object Dedup {
       |  CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) AS est_precision,
       |  CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) AS est_recall
       |FROM cm, ct, h""".stripMargin
+
+  /** Duplicate-cluster SIZE DISTRIBUTION from exact content hashing
+    * (same redelivery planting as [[dedupExact]] so sizes > 1 exist):
+    * one row per cluster size with cluster and document counts — the
+    * curation dashboard number ("how much of the corpus is 2-way vs
+    * N-way duplicated?") that decides whether exact dedup suffices or
+    * near-dup methods are needed.
+    *
+    * Scale: two cascaded partial aggs over (md5, count) pairs — corpus
+    * text never shuffles, output is |distinct sizes| rows.
+    */
+  def dupSizeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val redelivered = docs.filter($"doc_id" < 20)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    docs.unionByName(redelivered)
+      .groupBy(md5($"text").as("content_fp"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select($"cluster_size", $"n_clusters",
+        ($"cluster_size" * $"n_clusters").as("n_docs"))
+      .orderBy($"cluster_size")
+  }
+
+  val dupSizeHistogramSql: String =
+    """WITH g AS (
+      |  SELECT md5(text) AS fp, count(*) AS cluster_size
+      |  FROM (SELECT doc_id, text FROM documents
+      |        UNION ALL
+      |        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20) u
+      |  GROUP BY md5(text))
+      |SELECT cluster_size, count(*) AS n_clusters,
+      |  cluster_size * count(*) AS n_docs
+      |FROM g GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
+  /** URL-canonicalization dedup — the web-corpus first pass: the same
+    * resource fetched as `https://…`, `HTTP://HOST/…/`, or with
+    * tracking params must collapse to ONE canonical key before any
+    * content-based method runs (URL dedup is free; content dedup costs
+    * a corpus pass). Canonical form: lowercase, scheme stripped, query
+    * string / fragment stripped, trailing slash stripped. URLs are
+    * planted deterministically in three variant shapes per resource
+    * (corpus has none), so every canonical group exercises real
+    * collapsing and the oracle is non-vacuous.
+    *
+    * Scale: per-row regex canonicalization fused into the scan; one
+    * partial agg keyed by the canonical string; output ∝ |resources|.
+    */
+  def dedupUrl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = when($"doc_id" % 3 === 0,
+        concat(lit("https://example.com/item/"), ($"doc_id" % 7).cast("string")))
+      .when($"doc_id" % 3 === 1,
+        concat(lit("HTTP://EXAMPLE.COM/item/"), ($"doc_id" % 7).cast("string"),
+          lit("/")))
+      .otherwise(
+        concat(lit("https://example.com/item/"), ($"doc_id" % 7).cast("string"),
+          lit("?utm_source=feed#frag")))
+    val canon = regexp_replace(
+      regexp_replace(
+        regexp_replace(lower($"raw_url"), "^https?://", ""),
+        "[?#].*$", ""),
+      "/$", "")
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % 4 === 0)
+      .select($"doc_id", raw.as("raw_url"))
+      .select($"doc_id", $"raw_url", canon.as("canonical_url"))
+      .groupBy($"canonical_url")
+      .agg(countDistinct($"raw_url").as("n_variants"),
+        count(lit(1)).as("n_docs"),
+        min($"doc_id").as("keep_doc"))
+      .orderBy($"canonical_url")
+  }
+
+  val dedupUrlSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0
+      |           THEN 'https://example.com/item/' || CAST(doc_id % 7 AS VARCHAR)
+      |         WHEN doc_id % 3 = 1
+      |           THEN 'HTTP://EXAMPLE.COM/item/' || CAST(doc_id % 7 AS VARCHAR) || '/'
+      |         ELSE 'https://example.com/item/' || CAST(doc_id % 7 AS VARCHAR)
+      |           || '?utm_source=feed#frag'
+      |    END AS raw_url
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |c AS (
+      |  SELECT doc_id, raw_url,
+      |    regexp_replace(regexp_replace(regexp_replace(lower(raw_url),
+      |      '^https?://', ''), '[?#].*$', ''), '/$', '') AS canonical_url
+      |  FROM u)
+      |SELECT canonical_url, count(DISTINCT raw_url) AS n_variants,
+      |  count(*) AS n_docs, min(doc_id) AS keep_doc
+      |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
 }

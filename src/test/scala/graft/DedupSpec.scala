@@ -268,4 +268,24 @@ class DedupSpec extends SparkSpec {
       assert(cid === members.keys.min)
     }
   }
+
+  test("dup_size_histogram: conserves the corpus and sees the planted redelivery") {
+    val h = graft.operators.Dedup.dupSizeHistogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val corpus = graft.sources.Tables.documents(spark, sf).count()
+    assert(h.map(_._3).sum === corpus + 20, "histogram must cover every ingested doc")
+    assert(h.exists(b => b._1 >= 2 && b._2 > 0),
+      "redelivered docs must form size>=2 clusters")
+  }
+
+  test("dedup_url: every canonical group collapses multiple raw variants") {
+    import org.apache.spark.sql.functions.col
+    val u = graft.operators.Dedup.dedupUrl(spark, sf).cache()
+    assert(u.count() === 7, "7 planted resources")
+    assert(u.filter(col("n_variants") < 2).count() === 0,
+      "each resource is planted in >=2 raw shapes — collapsing must be real")
+    assert(u.filter(col("canonical_url").rlike("^https?://|[?#]|/$")).count() === 0,
+      "canonical form must be scheme-, query-, fragment-, and slash-free")
+    u.unpersist()
+  }
 }
