@@ -36,7 +36,7 @@ object Bench {
     "doc_span_overlaps", "embedding_outliers", "ann_topk_agg",
     "gopher_rules", "span_dedup", "changepoint_detect", "acf_lags",
     "theil_sen", "adamic_adar", "basket_rules", "embedding_rp",
-    "hits_scores")
+    "hits_scores", "ann_rp")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

@@ -98,8 +98,22 @@ object RpImpl {
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
 
   /** proj(j) = Σ_i round(v_i·10⁶) · s(i,j) with the LCG-parity sign
-    * s(i,j) = ±1 — bit-identical to the HOF fold it replaces, but the
-    * quantization runs ONCE per component instead of once per (i, j).
+    * s(i,j) = ±1 over the COMBINED cell index i·outDims + j —
+    * bit-identical to the HOF fold it replaces, but the quantization
+    * runs ONCE per component instead of once per (i, j).
+    *
+    * Why the CUBE-mod sign: any sign LINEAR in the cell index —
+    * including bit-k of an LCG over it — leaves adjacent output dims
+    * with near-identical sign vectors (measured pairwise agreement up
+    * to 63/64: a rank-1 projection, ANN recall at chance, 0.025).
+    * Per-dim balance checks cannot see this; the property that matters
+    * is CROSS-DIM decorrelation. s(i,j) = parity of
+    * ((i·outDims + j + 17)³ mod 1000003) is nonlinear in the index,
+    * measured balanced (29–37 of 64 positive per dim) AND decorrelated
+    * (pairwise agreement 23–42 of 64), and every intermediate stays
+    * below 2³¹ — exactly expressible in DuckDB BIGINT arithmetic,
+    * which ERRORS on 64-bit overflow (splitmix-style avalanche mixing
+    * is not portable there). Both properties pinned in RpHitsSpec.
     */
   def project(v: ArrayData, outDims: Int): ArrayData = {
     val d = v.numElements()
@@ -115,8 +129,8 @@ object RpImpl {
       var acc = 0L
       i = 0
       while (i < d) {
-        val h = (i.toLong * 1103515245L + j.toLong * 12345L + 987654321L) / 65536L
-        acc += (if (h % 2 == 0) q(i) else -q(i))
+        val x = i.toLong * outDims + j.toLong + 17L
+        acc += (if (x * x * x % 1000003L % 2L == 0L) q(i) else -q(i))
         i += 1
       }
       out(j) = acc

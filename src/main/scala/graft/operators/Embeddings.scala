@@ -406,8 +406,10 @@ object Embeddings {
       |  SELECT e.vec_id, CAST(j AS INT) AS rp_dim,
       |    CAST(sum(CAST(round(CAST(e.embedding[i + 1] AS DOUBLE) * 1000000, 0)
       |        AS BIGINT)
-      |      * (CASE WHEN ((CAST(i AS BIGINT) * 1103515245
-      |             + CAST(j AS BIGINT) * 12345 + 987654321) // 65536) % 2 = 0
+      |      * (CASE WHEN (CAST(i AS BIGINT) * $RpDims + CAST(j AS BIGINT) + 17)
+      |             * (CAST(i AS BIGINT) * $RpDims + CAST(j AS BIGINT) + 17)
+      |             * (CAST(i AS BIGINT) * $RpDims + CAST(j AS BIGINT) + 17)
+      |             % 1000003 % 2 = 0
       |         THEN 1 ELSE -1 END)) AS BIGINT) AS proj_u
       |  FROM embeddings e
       |  CROSS JOIN (SELECT unnest(range(0, $RpDims)) AS j)

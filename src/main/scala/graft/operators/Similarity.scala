@@ -315,4 +315,122 @@ object Similarity {
       |SELECT q_id, true_label, n_label AS predicted_label, n_votes,
       |  n_label = true_label AS correct
       |FROM best WHERE vrk = 1 ORDER BY q_id""".stripMargin
+
+  /** ANN by RANDOM-PROJECTION CASCADE: corpus and queries are
+    * projected 64→16 dims by the hash-derived JL matrix
+    * ([[Embeddings.embeddingRp]]'s `RpProject` kernel), a per-query
+    * SHORTLIST of 50 candidates is ranked by exact integer squared-L2
+    * between the micro-unit sketches, and only the shortlist is
+    * re-ranked by exact micro-grid 64-dim distance — the codebook-free
+    * sibling of [[PqIndex.annPq]]'s ADC+R shape (nothing to train or
+    * ship; the projection is a pure function of (i, j)).
+    *
+    * A sketch SHORTLISTS, it must not fine-rank: within a tight
+    * cluster the 16-dim distances cannot order candidates (measured
+    * recall@5 0.24 even on well-separated planted clusters when
+    * ranking in sketch space alone; 0.96 once the exact re-rank owns
+    * the final order — RpHitsSpec pins both tiers' contracts).
+    *
+    * Unlike IVF/PQ this cascade is fully ORACLED: the sketch is
+    * integer-exact, and the re-rank distance is an order-free INTEGER
+    * sum of squared micro-unit diffs, so the DuckDB mirror replays
+    * every tier bit-identically.
+    *
+    * Scale: projections fuse into each side's scan (native kernel,
+    * zero shuffle); the sketch scan touches 16 longs instead of 64
+    * floats per row; original vectors are read only for ~50 rows per
+    * query via an id hash-join.
+    */
+  def annRp(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    annRpOn(
+      e.filter($"vec_id" >= 8).select($"vec_id".as("n_id"), $"embedding".as("n_vec")),
+      e.filter($"vec_id" < 8).select($"vec_id".as("q_id"), $"embedding".as("q_vec")),
+      topK)
+  }
+
+  private val RpShortlist = 50
+
+  /** [[annRp]] over explicit corpus/queries frames (RpHitsSpec drives
+    * it over a planted clustered fixture — on near-isotropic data even
+    * the shortlist tier is contrast-bound, like every ANN tier here).
+    */
+  private[graft] def annRpOn(corpus: DataFrame, queries: DataFrame,
+                             topK: Int): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val q = queries.select($"q_id", $"q_vec",
+      graft.functions.VectorFunctions.rp_project($"q_vec", 16).as("qp"))
+    val c = corpus.select($"n_id",
+      graft.functions.VectorFunctions.rp_project($"n_vec", 16).as("np"))
+    val w = Window.partitionBy($"q_id").orderBy($"d".asc, $"n_id")
+    val shortlist = c.crossJoin(broadcast(q.select($"q_id", $"qp")))
+      .withColumn("d", expr(
+        "aggregate(zip_with(qp, np, (a, b) -> (a - b) * (a - b)), " +
+          "cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("ark", row_number().over(w))
+      .filter($"ark" <= RpShortlist)
+      .select($"q_id", $"n_id", $"d".as("rp_dist_u"))
+    // exact re-rank on the ORIGINAL vectors, micro-grid integer sums —
+    // order-free, so engine-exact without any float-accumulation care
+    val wr = Window.partitionBy($"q_id").orderBy($"d_u".asc, $"n_id")
+    shortlist
+      .join(corpus, "n_id")
+      .join(broadcast(q.select($"q_id", $"q_vec")), "q_id")
+      .withColumn("d_u", expr(
+        "aggregate(zip_with(" +
+          "transform(q_vec, x -> cast(round(cast(x as double) * 1000000, 0) as bigint)), " +
+          "transform(n_vec, x -> cast(round(cast(x as double) * 1000000, 0) as bigint)), " +
+          "(a, b) -> (a - b) * (a - b)), cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("rk", row_number().over(wr))
+      .filter($"rk" <= topK)
+      .select($"q_id", $"rk", $"n_id", $"rp_dist_u", $"d_u")
+      .orderBy($"q_id", $"rk")
+  }
+
+  val annRpSql: String =
+    """WITH cells AS (
+      |  SELECT e.vec_id, CAST(j AS INT) AS rp_dim,
+      |    CAST(sum(CAST(round(CAST(e.embedding[i + 1] AS DOUBLE) * 1000000, 0)
+      |        AS BIGINT)
+      |      * (CASE WHEN (CAST(i AS BIGINT) * 16 + CAST(j AS BIGINT) + 17)
+      |             * (CAST(i AS BIGINT) * 16 + CAST(j AS BIGINT) + 17)
+      |             * (CAST(i AS BIGINT) * 16 + CAST(j AS BIGINT) + 17)
+      |             % 1000003 % 2 = 0
+      |         THEN 1 ELSE -1 END)) AS BIGINT) AS proj_u
+      |  FROM embeddings e
+      |  CROSS JOIN (SELECT unnest(range(0, 16)) AS j)
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+      |  GROUP BY e.vec_id, j),
+      |v AS (
+      |  SELECT vec_id, list(proj_u ORDER BY rp_dim) AS p FROM cells
+      |  GROUP BY vec_id),
+      |pairs AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    CAST(list_sum(list_transform(range(1, 17),
+      |      i -> (q.p[i] - c.p[i]) * (q.p[i] - c.p[i]))) AS BIGINT) AS d
+      |  FROM (SELECT * FROM v WHERE vec_id < 8) q,
+      |       (SELECT * FROM v WHERE vec_id >= 8) c),
+      |short AS (
+      |  SELECT q_id, n_id, d AS rp_dist_u,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY d, n_id) AS ark
+      |  FROM pairs),
+      |rer AS (
+      |  SELECT s.q_id, s.n_id, s.rp_dist_u,
+      |    CAST(list_sum(list_transform(range(1, 65), i ->
+      |      (CAST(round(CAST(q.embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+      |        - CAST(round(CAST(c.embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT))
+      |      * (CAST(round(CAST(q.embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+      |        - CAST(round(CAST(c.embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT))))
+      |      AS BIGINT) AS d_u
+      |  FROM short s
+      |  JOIN embeddings q ON s.q_id = q.vec_id
+      |  JOIN embeddings c ON s.n_id = c.vec_id
+      |  WHERE s.ark <= 50),
+      |r AS (
+      |  SELECT q_id, n_id, rp_dist_u, d_u,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY d_u, n_id) AS rk
+      |  FROM rer)
+      |SELECT q_id, CAST(rk AS INT) AS rk, n_id, rp_dist_u, d_u
+      |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 }

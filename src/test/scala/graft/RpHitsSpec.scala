@@ -14,24 +14,30 @@ class RpHitsSpec extends SparkSpec {
     val emb = graft.sources.Tables.embeddings(spark, sf)
       .filter($"vec_id" === 7).select($"embedding").first()
       .getSeq[Float](0)
+    def sign(i: Int, j: Int): Long = {
+      val x = i.toLong * 16 + j.toLong + 17L
+      if (x * x * x % 1000003L % 2L == 0L) 1L else -1L
+    }
     for (j <- 0 until 16) {
       val expected = (0 until 64).map { i =>
-        val q = math.round(emb(i).toDouble * 1000000d)
-        val sign = if (((i.toLong * 1103515245L + j.toLong * 12345L + 987654321L)
-          / 65536L) % 2 == 0) 1L else -1L
-        q * sign
+        math.round(emb(i).toDouble * 1000000d) * sign(i, j)
       }.sum
       assert(one(j).getLong(2) === expected, s"dim $j mismatch")
     }
-    // signs are hash-balanced: no projected dim may be a near-copy of the
-    // raw L1 mass (all-+1 signs would correlate every dim perfectly)
+    // signs are hash-balanced per dim AND decorrelated across dims —
+    // the first sign formula was balanced per dim yet near-identical
+    // across dims (rank-1 projection, chance-level ANN recall), so
+    // both properties are pinned
     val signCounts = (0 until 16).map { j =>
-      (0 until 64).count { i =>
-        ((i.toLong * 1103515245L + j.toLong * 12345L + 987654321L) / 65536L) % 2 == 0
-      }
+      (0 until 64).count(i => sign(i, j) == 1L)
     }
     assert(signCounts.forall(c => c >= 20 && c <= 44),
       s"sign matrix unbalanced: $signCounts")
+    for (j1 <- 0 until 16; j2 <- j1 + 1 until 16) {
+      val agree = (0 until 64).count(i => sign(i, j1) == sign(i, j2))
+      assert(agree >= 16 && agree <= 48,
+        s"sign vectors of dims $j1/$j2 agree on $agree/64 — correlated projection")
+    }
   }
 
   test("embedding_rp: native kernel is bit-identical to the composable HOF fold") {
@@ -39,8 +45,10 @@ class RpHitsSpec extends SparkSpec {
       """transform(sequence(0, 15), j ->
         |  aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) ->
         |    acc + cast(round(cast(embedding[i] as double) * 1000000, 0) as bigint)
-        |      * (case when ((cast(i as bigint) * 1103515245
-        |           + cast(j as bigint) * 12345 + 987654321) div 65536) % 2 = 0
+        |      * (case when (cast(i as bigint) * 16 + cast(j as bigint) + 17)
+        |           * (cast(i as bigint) * 16 + cast(j as bigint) + 17)
+        |           * (cast(i as bigint) * 16 + cast(j as bigint) + 17)
+        |           % 1000003 % 2 = 0
         |         then 1 else -1 end)))""".stripMargin)
     val diff = graft.sources.Tables.embeddings(spark, sf)
       .select($"vec_id",
@@ -49,6 +57,67 @@ class RpHitsSpec extends SparkSpec {
       .filter($"k" =!= $"h")
       .count()
     assert(diff === 0, "kernel and HOF projections diverged")
+  }
+
+  test("ann_rp: clustered-fixture recall (anisotropic data is the RP contract)") {
+    // The parquet testdata is near-isotropic (per-query nearest
+    // neighbor only ~20% closer than the MEDIAN corpus point), which
+    // bounds ANY 16-dim sketch's top-5 rank fidelity — the same
+    // contrast bound the IVF spec documents. Real embedding corpora
+    // are anisotropic, so like IvfSpec this plants 16 well-separated
+    // clusters and demands what RP actually promises there: in-cluster
+    // neighbors stay in front.
+    val dim = 64; val kClusters = 16; val perCluster = 64; val nQ = 32
+    val rnd = new scala.util.Random(42)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val centers = Array.fill(kClusters)(unit(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    def jitter(c: Array[Float]): Array[Float] =
+      c.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val corpusVecs = (0 until kClusters * perCluster)
+      .map(i => (i.toLong, jitter(centers(i % kClusters))))
+    val queryVecs = (0 until nQ).map(i => (i.toLong, jitter(centers(i % kClusters))))
+    val corpus = corpusVecs.toDF("n_id", "n_vec")
+    val queries = queryVecs.toDF("q_id", "q_vec")
+    val got = graft.operators.Similarity.annRpOn(corpus, queries, topK = 5)
+      .select($"q_id", $"n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // exact L2 top-5 ground truth, driver-side on the tiny fixture
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val byId = corpusVecs.toMap
+    var hits = 0
+    for ((qid, qv) <- queryVecs) {
+      val truth = corpusVecs.sortBy { case (nid, nv) => (l2(qv, nv), nid) }
+        .take(5).map(_._1).toSet
+      hits += truth.count(got(qid).contains)
+    }
+    val recall = hits.toDouble / (nQ * 5)
+    info(f"ann_rp clustered-fixture recall@5 = $recall%.3f")
+    assert(recall >= 0.9, f"RP cascade recall on clustered data collapsed: $recall%.3f")
+    // and on the isotropic parquet data the cascade still beats the
+    // chance line by a wide margin (the 16-dim shortlist tier is
+    // contrast-bound there — documented, like IVF on the same data)
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val qs = e.filter($"vec_id" < 8).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val cs = e.filter($"vec_id" >= 8).select($"vec_id".as("n_id"), $"embedding".as("n_vec"))
+    val got5 = graft.operators.Similarity.annRpOn(cs, qs, topK = 5)
+      .select($"q_id", $"n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = cs.crossJoin(broadcast(qs))
+      .withColumn("d", expr(
+        "aggregate(zip_with(q_vec, n_vec, (a, b) -> cast(a - b as double) * (a - b)), " +
+          "0.0d, (acc, x) -> acc + x)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"d".asc, $"n_id")))
+      .filter($"rk" <= 5).select($"q_id", $"n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val isoRecall = exact.count(got5.contains).toDouble / exact.length
+    info(f"ann_rp isotropic recall@5 (shortlist-bound): $isoRecall%.3f")
+    assert(isoRecall >= 0.2, f"cascade recall at chance: $isoRecall%.3f")
   }
 
   test("hits_scores: normalized fixpoint invariants") {
