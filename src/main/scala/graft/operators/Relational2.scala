@@ -182,4 +182,126 @@ object Relational2 {
       |  round((CAST(rev AS DOUBLE) - CAST(lag(rev, 1) OVER (ORDER BY month) AS DOUBLE))
       |    / CAST(lag(rev, 1) OVER (ORDER BY month) AS DOUBLE), 6) AS mom_growth
       |FROM m ORDER BY month""".stripMargin
+
+  /** 2-D Pareto SKYLINE over parts (minimize price AND size — the
+    * "cheapest small part" frontier): a part survives iff no strictly
+    * cheaper part is as small or smaller, and no equal-priced part is
+    * strictly smaller. Computed WITHOUT the naive O(n²) dominance
+    * self-join: on the integer price grid, "any strictly cheaper
+    * part's min size" is ONE running-min window with a RANGE frame
+    * ending 1 price-unit before the current row, and the equal-price
+    * check is a min over the price partition — two window passes,
+    * O(n log n), the 2-D skyline's textbook sort-scan made
+    * declarative.
+    *
+    * Scale: a single global-order window is the exactness-gate shape;
+    * at 100 TB the same algebra range-partitions by price (skylines
+    * are distributive: local skyline, then prefix-min of per-partition
+    * minima broadcast — survivors only). All comparisons are integer
+    * (price on the cent grid); output is the frontier, ordered.
+    */
+  def paretoSkyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val base = Tables.part(spark, dir)
+      .select($"p_partkey",
+        (dec($"p_retailprice") * 100).cast("long").as("price_u"),
+        $"p_size".cast("long").as("size"))
+    val wCheaper = W.orderBy($"price_u")
+      .rangeBetween(W.unboundedPreceding, -1)
+    val wEq = W.partitionBy($"price_u")
+    base
+      .withColumn("min_size_cheaper", min($"size").over(wCheaper))
+      .withColumn("min_size_eq", min($"size").over(wEq))
+      .filter(($"min_size_cheaper".isNull || $"min_size_cheaper" > $"size")
+        && $"size" === $"min_size_eq")
+      .select($"p_partkey",
+        round($"price_u".cast("double") / 100d, 2).as("price"),
+        $"size".cast("int").as("size"))
+      .orderBy($"price", $"p_partkey")
+  }
+
+  val paretoSkylineSql: String =
+    s"""WITH base AS (
+      |  SELECT p_partkey,
+      |    CAST(${sqlDec("p_retailprice")} * 100 AS BIGINT) AS price_u,
+      |    CAST(p_size AS BIGINT) AS size
+      |  FROM part),
+      |w AS (
+      |  SELECT p_partkey, price_u, size,
+      |    min(size) OVER (ORDER BY price_u
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_size_cheaper,
+      |    min(size) OVER (PARTITION BY price_u) AS min_size_eq
+      |  FROM base)
+      |SELECT p_partkey, round(CAST(price_u AS DOUBLE) / 100, 2) AS price,
+      |  CAST(size AS INT) AS size
+      |FROM w
+      |WHERE (min_size_cheaper IS NULL OR min_size_cheaper > size)
+      |  AND size = min_size_eq
+      |ORDER BY price, p_partkey""".stripMargin
+
+  /** Revenue CONCENTRATION per brand — the exact Gini coefficient over
+    * per-part revenue: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n with x sorted
+    * ascending. The "is this brand's volume three parts or three
+    * thousand?" monitoring number (feeds mixture and skew decisions the
+    * way [[graft.operators.Profile.joinSkewReport]] feeds join
+    * planning).
+    *
+    * Exactness: revenue on the DECIMAL money grid as BIGINT
+    * ten-thousandths; rank·value products summed in DECIMAL(38,0)
+    * (i ≤ n keeps every product exact); ties in x rank arbitrarily but
+    * Σ i·xᵢ is tie-order-invariant over equal values, so the statistic
+    * is engine-exact. One fixed-order double derivation at the end.
+    *
+    * Scale: one (brand, part) partial agg over the scan, one
+    * brand-keyed window, |brands| output rows.
+    */
+  def giniByBrand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val perPart = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand".as("brand"), $"p_partkey")
+      .agg((sum(revTerm($"l_extendedprice", $"l_discount")) * 10000)
+        .cast(d38).cast("long").as("x_u"))
+    perPart
+      .withColumn("i", row_number().over(
+        W.partitionBy($"brand").orderBy($"x_u", $"p_partkey")).cast("long"))
+      .groupBy($"brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum($"x_u".cast(d38)).as("sx"),
+        sum(($"i".cast(d38) * $"x_u".cast(d38)).cast(d38)).as("six"))
+      .select($"brand", $"n_parts",
+        round($"sx".cast("double") / 10000d, 2).as("revenue"),
+        round(lit(2d) * $"six".cast("double")
+            / ($"n_parts".cast("double") * $"sx".cast("double"))
+          - ($"n_parts" + 1).cast("double") / $"n_parts".cast("double"), 6)
+          .as("gini"))
+      .orderBy($"brand")
+  }
+
+  val giniByBrandSql: String =
+    s"""WITH per_part AS (
+      |  SELECT p.p_brand AS brand, l.l_partkey,
+      |    CAST(CAST(sum($sqlRev) * 10000 AS DECIMAL(38,0)) AS BIGINT) AS x_u
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY p.p_brand, l.l_partkey),
+      |ranked AS (
+      |  SELECT brand, x_u,
+      |    CAST(row_number() OVER (PARTITION BY brand ORDER BY x_u, l_partkey)
+      |      AS BIGINT) AS i
+      |  FROM per_part),
+      |agg AS (
+      |  SELECT brand, count(*) AS n_parts,
+      |    CAST(sum(CAST(x_u AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+      |    CAST(sum(CAST(i AS DECIMAL(38,0)) * CAST(x_u AS DECIMAL(38,0)))
+      |      AS DECIMAL(38,0)) AS six
+      |  FROM ranked GROUP BY brand)
+      |SELECT brand, n_parts,
+      |  round(CAST(sx AS DOUBLE) / 10000, 2) AS revenue,
+      |  round(2 * CAST(six AS DOUBLE)
+      |      / (CAST(n_parts AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    - CAST(n_parts + 1 AS DOUBLE) / CAST(n_parts AS DOUBLE), 6) AS gini
+      |FROM agg ORDER BY brand""".stripMargin
 }
