@@ -190,4 +190,110 @@ object StringFunctions {
 
   def char_entropy_stats(text: Column): Column =
     toColumn(CharEntropyStats(toExpression(text)))
+
+  def token_stats(text: Column, stopwords: Seq[String]): Column =
+    toColumn(TokenStats(toExpression(text), stopwords))
+}
+
+/** Shared kernel for [[TokenStats]] — one pass over the text computing
+  * every per-token statistic the rule filters need. Tokenization is
+  * bit-compatible with `filter(split(text, "\s+"), _ != "")`: tokens
+  * are maximal runs of characters outside Java regex `\s`
+  * ([ \t\n\x0B\f\r]), so empty leading fields vanish exactly as the
+  * filter drops them.
+  */
+object TokenStatsImpl {
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Returns [n_tokens, sum_len, n_stop, n_uniq, top_cnt]; top_cnt is
+    * -1 when no tokens (the caller surfaces SQL NULL, matching
+    * `array_max` over an empty distinct list).
+    */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String,
+              stop: java.util.HashSet[String]): Array[Long] = {
+    val s = text.toString
+    val counts = new java.util.HashMap[String, Int]()
+    var nTok = 0L; var sumLen = 0L; var nStop = 0L
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        val tok = s.substring(start, i)
+        nTok += 1
+        sumLen += tok.codePointCount(0, tok.length)
+        if (stop.contains(tok)) nStop += 1
+        counts.merge(tok, 1, Integer.sum)
+      }
+    }
+    var top = -1L
+    if (!counts.isEmpty) {
+      top = 0L
+      val it = counts.values().iterator()
+      while (it.hasNext) { val c = it.next().toLong; if (c > top) top = c }
+    }
+    Array(nTok, sumLen, nStop, counts.size.toLong, top)
+  }
+}
+
+/** `token_stats(text)` → struct of the five per-token statistics.
+  * The composable form is four separate HOF chains over the same
+  * token array (interpreted lambda frames, and the most-frequent-token
+  * count is O(distinct·n) re-scans); this is ONE linear pass in a
+  * static call inside whole-stage codegen. Results are pinned
+  * bit-identical to the HOF chain by spec.
+  */
+case class TokenStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with Serializable {
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val h = new java.util.HashSet[String]()
+    stopwords.foreach(h.add)
+    h
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("sum_len", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false),
+    StructField("n_uniq", LongType, nullable = false),
+    StructField("top_cnt", LongType, nullable = true)))
+  override def prettyName: String = "token_stats"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_stats expects a string, got $other")
+    }
+
+  private def toRow(a: Array[Long]) =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](a(0), a(1), a(2), a(3),
+        if (a(4) < 0) null else java.lang.Long.valueOf(a(4))))
+
+  override def nullSafeEval(s: Any): Any =
+    toRow(TokenStatsImpl.compute(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], stopSet))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val stopRef = ctx.addReferenceObj("tokenStatsStop", stopSet,
+      "java.util.HashSet<String>")
+    nullSafeCodeGen(ctx, ev, a => {
+      val arr = ctx.freshName("tsArr")
+      s"""long[] $arr = graft.functions.TokenStatsImpl.compute($a, $stopRef);
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { $arr[0], $arr[1], $arr[2], $arr[3],
+         |    ($arr[4] < 0L ? null : (Object) java.lang.Long.valueOf($arr[4])) });
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
 }

@@ -63,16 +63,16 @@ object Filters {
     */
   private[graft] def gopherFlags(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val stopArr = array(stopwords.map(lit): _*)
+    // ONE native token_stats pass (whole-stage codegen) instead of four
+    // interpreted HOF chains over the same token array — HOFs are
+    // CodegenFallback, and the top-token count was O(distinct·n)
+    // re-scans per row; kernel ≡ HOF pinned in FiltersSpec
     val base = docs
-      .select($"doc_id", tokens($"text").as("toks"))
       .select($"doc_id",
-        size($"toks").cast("long").as("n"),
-        aggregate(transform($"toks", t => length(t).cast("long")),
-          lit(0L), (a, x) => a + x).as("sum_len"),
-        size(filter($"toks", t => array_contains(stopArr, t))).cast("long").as("n_stop"),
-        array_max(transform(array_distinct($"toks"),
-          x => size(filter($"toks", t => t === x)))).cast("long").as("top_cnt"))
+        graft.functions.StringFunctions.token_stats($"text", stopwords).as("ts"))
+      .select($"doc_id",
+        $"ts.n_tokens".as("n"), $"ts.sum_len".as("sum_len"),
+        $"ts.n_stop".as("n_stop"), $"ts.top_cnt".as("top_cnt"))
     val rLen = $"n" >= 40 && $"n" <= 90
     val rMwl = $"sum_len" * 10 >= $"n" * 43 && $"sum_len" * 4 <= $"n" * 19
     val rStop = $"n_stop" >= 2

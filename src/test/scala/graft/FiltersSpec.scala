@@ -30,6 +30,29 @@ class FiltersSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("token_stats kernel is bit-identical to the composable HOF chains") {
+    val stopArr = array(Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+      .map(lit): _*)
+    val toks = filter(split($"text", "\\s+"), t => t =!= "")
+    val hof = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", toks.as("toks"),
+        graft.functions.StringFunctions.token_stats($"text",
+          Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")).as("ts"))
+      .select($"ts",
+        size($"toks").cast("long").as("n"),
+        aggregate(transform($"toks", t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).as("sum_len"),
+        size(filter($"toks", t => array_contains(stopArr, t))).cast("long").as("n_stop"),
+        size(array_distinct($"toks")).cast("long").as("n_uniq"),
+        array_max(transform(array_distinct($"toks"),
+          x => size(filter($"toks", t => t === x)))).cast("long").as("top_cnt"))
+    val diff = hof.filter(
+      $"ts.n_tokens" =!= $"n" || $"ts.sum_len" =!= $"sum_len" ||
+        $"ts.n_stop" =!= $"n_stop" || $"ts.n_uniq" =!= $"n_uniq" ||
+        $"ts.top_cnt" =!= $"top_cnt").count()
+    assert(diff === 0, "token_stats kernel diverged from the HOF chains")
+  }
+
   test("span_dedup: conservation — global span count balances keepers + duplicates") {
     val d = Filters.spanDedup(spark, sf).cache()
     // spans per doc = ceil(n_tokens / 8), and losses never exceed the doc
