@@ -78,6 +78,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "bloom_might_contain(bloom, item) - membership probe, no false negatives"),
       (args: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("token_stats"),
+      info("token_stats",
+        "token_stats(text, stopwords_csv) - one-pass per-token rule statistics"),
+      (args: Seq[Expression]) => graft.functions.TokenStats(args(0),
+        args(1).eval().toString.split(",").toSeq)))
+    ext.injectFunction((FunctionIdentifier("rp_project"),
+      info("rp_project",
+        "rp_project(vec, dims) - hash-signed JL random projection to integer micro-sums"),
+      (args: Seq[Expression]) => graft.functions.RpProject(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())))
   }
 }
 
@@ -123,5 +133,11 @@ object GraftExtensions {
       (args: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("token_stats",
+      (args: Seq[Expression]) => graft.functions.TokenStats(args(0),
+        args(1).eval().toString.split(",").toSeq), "scala_udf")
+    reg.createOrReplaceTempFunction("rp_project",
+      (args: Seq[Expression]) => graft.functions.RpProject(args(0),
+        args(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
   }
 }

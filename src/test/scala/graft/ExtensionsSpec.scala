@@ -17,6 +17,17 @@ class ExtensionsSpec extends SparkSpec {
     val sh = spark.sql("SELECT simhash64(array(CAST(5 AS BIGINT))) AS s")
       .first().getLong(0)
     assert(sh == 5L) // single token: its bits win every vote
+    val ts = spark.sql(
+      "SELECT t.s.* FROM (SELECT token_stats('the cat the hat', 'the,a') AS s) t")
+      .first()
+    assert(ts.getLong(0) == 4 && ts.getLong(1) == 12
+      && ts.getLong(2) == 2 && ts.getLong(3) == 3 && ts.getLong(4) == 2,
+      s"token_stats SQL surface mismatch: $ts")
+    val rp = spark.sql(
+      "SELECT rp_project(CAST(array(1.0, -1.0) AS ARRAY<FLOAT>), 4) AS p")
+      .first().getSeq[Long](0)
+    assert(rp.length == 4 && rp.forall(v => math.abs(v) == 2000000L || v == 0L),
+      s"rp_project SQL surface mismatch: $rp")
   }
 
   test("bloom_agg + bloom_might_contain compose as a SQL pre-pass filter") {
