@@ -50,15 +50,17 @@ object TextAnalysis {
     */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stopArr = array(stopwords.map(lit): _*)
-    // tokenize once into a materialized column — the ratio expressions
-    // below reference it as a bound attribute, not a re-parsed subtree
+    // token statistics via the ONE-PASS native token_stats kernel
+    // (whole-stage codegen) instead of three interpreted HOF chains;
+    // the statistics — and therefore the score — are bit-identical to
+    // the composable form (FiltersSpec pins the kernel equality)
     val base = Tables.documents(spark, dir)
-      .select($"doc_id", $"text", tokens($"text").as("toks"))
+      .select($"doc_id", $"text",
+        graft.functions.StringFunctions.token_stats($"text", stopwords).as("ts"))
       .select($"doc_id",
-        size($"toks").cast("double").as("n_tok"),
-        size(filter($"toks", t => array_contains(stopArr, t))).cast("double").as("n_stop"),
-        size(array_distinct($"toks")).cast("double").as("n_uniq"),
+        $"ts.n_tokens".cast("double").as("n_tok"),
+        $"ts.n_stop".cast("double").as("n_stop"),
+        $"ts.n_uniq".cast("double").as("n_uniq"),
         length(regexp_replace($"text", "[^.,!?;:]", "")).cast("double").as("n_punct"),
         length($"text").cast("double").as("n_chars"))
     val stopRatio = $"n_stop" / greatest($"n_tok", lit(1.0))

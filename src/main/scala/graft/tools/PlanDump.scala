@@ -44,7 +44,19 @@ object PlanDump {
     "bloom_prune_join" ->
       "explicit runtime filter: constant-bloom probe prunes the fact scan BEFORE the join shuffle; exact join settles false positives",
     "funnel_attribution" ->
-      "ONE user-keyed window carries the whole last-touch computation (ignore-nulls frames) — no event-stream self-join")
+      "ONE user-keyed window carries the whole last-touch computation (ignore-nulls frames) — no event-stream self-join",
+    "gopher_rules" ->
+      "native token_stats kernel: all four rule statistics from one codegen'd pass over the scan, zero shuffles before the presentation sort",
+    "embedding_rp" ->
+      "native rp_project kernel: the JL projection is a pure map fused into the scan (the HOF fold it replaced ran interpreted)",
+    "ann_rp" ->
+      "codebook-free cascade: 16-long sketch scan shortlists, original vectors re-read only for ~50 ids per query via hash join",
+    "pareto_skyline" ->
+      "O(n log n) skyline: strictly-cheaper dominance folded into ONE integer RANGE-frame running-min window — no O(n²) dominance self-join",
+    "hits_scores" ->
+      "normalized integer fixpoint: per-half-round persist + lineage cut; max normalization stays in-plan as a 1-row broadcast cross join",
+    "adamic_adar" ->
+      "support-filtered wedge join: hub fan-out bounded by the repeat-pair backbone, only id/term longs in the shuffles")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.get(4)
