@@ -535,4 +535,79 @@ object Profile {
       |  max(bins) AS n_bins, CAST(sum(term_nano) AS BIGINT) AS psi_nano,
       |  round(CAST(sum(term_nano) AS DOUBLE) / 1000000000, 9) AS psi
       |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private val EstTopK = 100
+
+  /** JOIN-SIZE estimation audit — the cardinality-estimator check a
+    * cost-based planner needs: for the skewed lineitem⋈lineitem
+    * self-join on l_partkey, the TRUE output size Σ_k c(k)² against
+    * the sketch estimate a planner would carry (exact counts for the
+    * top-100 heavy keys + a uniform-tail assumption for the rest), and
+    * the relative error. On skewed keys a uniform estimator is off by
+    * the skew factor — this op puts the number on it and validates the
+    * heavy-hitter correction.
+    *
+    * Exactness: true size and the HH head are integer sums in
+    * DECIMAL(38,0); the uniform tail is one fixed-order double
+    * expression over exact integer totals.
+    *
+    * Scale: one partkey partial agg (the count table), a top-k rank
+    * over it, two |keys|-row aggregates — fact rows never shuffle.
+    */
+  def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(W.orderBy($"c".desc, $"l_partkey")))
+    val agg = counts.agg(
+      sum(($"c".cast(d38) * $"c".cast(d38)).cast(d38)).as("true_sq"),
+      sum(when($"rk" <= EstTopK, ($"c".cast(d38) * $"c".cast(d38)).cast(d38))
+        .otherwise(lit(0).cast(d38))).as("head_sq"),
+      sum(when($"rk" > EstTopK, $"c".cast(d38)).otherwise(lit(0).cast(d38)))
+        .as("tail_rows"),
+      sum(when($"rk" > EstTopK, 1L).otherwise(0L)).as("tail_keys"))
+    agg.select(
+        $"true_sq".cast("long").as("true_rows"),
+        ($"head_sq".cast("double")
+          + when($"tail_keys" > 0,
+              $"tail_rows".cast("double") * $"tail_rows".cast("double")
+                / $"tail_keys".cast("double"))
+            .otherwise(lit(0.0))).as("est"),
+        $"head_sq".cast("long").as("head_rows"))
+      .select($"true_rows", round($"est", 2).as("est_rows"), $"head_rows",
+        round(abs($"est" - $"true_rows".cast("double"))
+          / $"true_rows".cast("double"), 6).as("rel_err"))
+  }
+
+  val joinSizeEstimateSql: String =
+    s"""WITH c AS (
+      |  SELECT l_partkey, count(*) AS c,
+      |    row_number() OVER (ORDER BY count(*) DESC, l_partkey) AS rk
+      |  FROM lineitem GROUP BY l_partkey),
+      |a AS (
+      |  SELECT
+      |    CAST(sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+      |      AS DECIMAL(38,0)) AS true_sq,
+      |    CAST(sum(CASE WHEN rk <= $EstTopK
+      |      THEN CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))
+      |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS head_sq,
+      |    CAST(sum(CASE WHEN rk > $EstTopK THEN CAST(c AS DECIMAL(38,0))
+      |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS tail_rows,
+      |    CAST(sum(CASE WHEN rk > $EstTopK THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS tail_keys
+      |  FROM c)
+      |SELECT CAST(true_sq AS BIGINT) AS true_rows,
+      |  round(CAST(head_sq AS DOUBLE)
+      |    + CASE WHEN tail_keys > 0
+      |        THEN CAST(tail_rows AS DOUBLE) * CAST(tail_rows AS DOUBLE)
+      |          / CAST(tail_keys AS DOUBLE) ELSE 0.0 END, 2) AS est_rows,
+      |  CAST(head_sq AS BIGINT) AS head_rows,
+      |  round(abs(CAST(head_sq AS DOUBLE)
+      |      + CASE WHEN tail_keys > 0
+      |          THEN CAST(tail_rows AS DOUBLE) * CAST(tail_rows AS DOUBLE)
+      |            / CAST(tail_keys AS DOUBLE) ELSE 0.0 END
+      |      - CAST(true_sq AS DOUBLE)) / CAST(true_sq AS DOUBLE), 6) AS rel_err
+      |FROM a""".stripMargin
 }

@@ -227,6 +227,153 @@ object TimeSeries2 {
       .orderBy($"brand")
   }
 
+  /** LATE-EVENT AUDIT — the watermark-tuning input for every stateful
+    * streaming query here: per simulated source partition
+    * (event_id % 32, the kafka-partition analog — arrival order is
+    * only meaningful WITHIN a partition), an event's lateness is
+    * (max event-time seen so far at its arrival) − (its event time),
+    * bucketed into the operationally meaningful bands (on-time/1min/
+    * 5min/15min/1h/worse). Read the histogram, pick the watermark
+    * that bounds the dropped fraction.
+    *
+    * The testdata's ingest id is exactly event-time-ordered (zero
+    * lateness — a vacuous audit), so delivery delay is PLANTED
+    * deterministically (hash-jitter 0..996 s per event, the
+    * urlStats/dedup_exact planting convention): arrival order =
+    * event time + jitter, which genuinely reorders events within
+    * every shard at every SF.
+    *
+    * Exactness: jitter, arrival order, and lateness are pure integer
+    * ns arithmetic; bands are integer thresholds; pct is one
+    * exact-int division.
+    *
+    * Scale: ONE shard-keyed window (32-way parallel, no global
+    * order), one |bands|-row aggregate.
+    */
+  def lateEventAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lateness = Tables.events(spark, dir)
+      .select($"event_id", pmod($"event_id", lit(32)).cast("int").as("shard"),
+        $"ts_ns")
+      .withColumn("arrival_ns",
+        $"ts_ns" + ($"event_id" * 2654435761L % 997L) * 1000000000L)
+      .withColumn("late_s",
+        expr("(max(ts_ns) over (partition by shard order by arrival_ns, event_id " +
+          "rows between unbounded preceding and current row) - ts_ns) div 1000000000"))
+    val banded = lateness.withColumn("band",
+      when($"late_s" <= 0, 0).when($"late_s" <= 60, 1)
+        .when($"late_s" <= 300, 2).when($"late_s" <= 900, 3)
+        .when($"late_s" <= 3600, 4).otherwise(5))
+    val total = banded.count()
+    banded.groupBy($"band")
+      .agg(count(lit(1)).as("n_events"), max($"late_s").as("max_late_s"))
+      .select($"band", $"n_events", $"max_late_s",
+        round($"n_events".cast("double") / lit(total.toDouble), 6).as("pct"))
+      .orderBy($"band")
+  }
+
+  val lateEventAuditSql: String =
+    """WITH j AS (
+      |  SELECT event_id, CAST(event_id % 32 AS INT) AS shard,
+      |    epoch_ns(ts) AS ts_ns,
+      |    epoch_ns(ts) + (event_id * 2654435761 % 997) * 1000000000 AS arrival_ns
+      |  FROM events),
+      |l AS (
+      |  SELECT event_id,
+      |    (max(ts_ns) OVER (PARTITION BY shard ORDER BY arrival_ns, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |     - ts_ns) // 1000000000 AS late_s
+      |  FROM j),
+      |b AS (
+      |  SELECT CASE WHEN late_s <= 0 THEN 0 WHEN late_s <= 60 THEN 1
+      |              WHEN late_s <= 300 THEN 2 WHEN late_s <= 900 THEN 3
+      |              WHEN late_s <= 3600 THEN 4 ELSE 5 END AS band, late_s
+      |  FROM l),
+      |t AS (SELECT count(*) AS total FROM b)
+      |SELECT band, count(*) AS n_events, max(late_s) AS max_late_s,
+      |  round(CAST(count(*) AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE), 6)
+      |    AS pct
+      |FROM b GROUP BY band ORDER BY band""".stripMargin
+
+  /** Linear-INTERPOLATION resampling on the 15-minute grid —
+    * [[TimeSeries.resampleFill]]'s carry-forward sibling for
+    * continuous signals (a gauge held flat across a gap lies about
+    * trends; interpolation doesn't). Grid points with no observation
+    * get prev + (next − prev)·(t − t_prev)/(t_next − t_prev); leading/
+    * trailing gaps carry the nearest observation.
+    *
+    * Exactness: observed values land on the DECIMAL money grid; the
+    * interpolation is ONE fixed-order double expression over exact
+    * integers (grid positions are integers), rounded at 6dp — the
+    * engines evaluate the identical expression tree.
+    *
+    * Scale: spine ∝ time span; two window passes (backward carry,
+    * forward carry) over the spine, both sharing one order.
+    */
+  def resampleInterp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val bucketNs = 900L * 1000000000L
+    val agg = Tables.events(spark, dir)
+      .withColumn("bucket", expr(s"ts_ns div ${bucketNs}L"))
+      .groupBy($"bucket")
+      .agg((sum(dec($"value")) * 10000).cast("decimal(38,0)").cast("long").as("v_u"))
+    val span = agg.agg(min($"bucket").as("lo"), max($"bucket").as("hi"))
+    val spine = span.select(explode(sequence($"lo", $"hi")).as("bucket"))
+    val filled = spine.join(agg, Seq("bucket"), "left")
+    val wb = W.orderBy($"bucket").rowsBetween(W.unboundedPreceding, 0)
+    val wf = W.orderBy($"bucket").rowsBetween(0, W.unboundedFollowing)
+    filled
+      .withColumn("pv", last($"v_u", ignoreNulls = true).over(wb))
+      .withColumn("pt", last(when($"v_u".isNotNull, $"bucket"), ignoreNulls = true).over(wb))
+      .withColumn("nv", first($"v_u", ignoreNulls = true).over(wf))
+      .withColumn("nt", first(when($"v_u".isNotNull, $"bucket"), ignoreNulls = true).over(wf))
+      .select($"bucket", $"v_u".isNotNull.as("observed"),
+        round(
+          when($"v_u".isNotNull, $"v_u".cast("double"))
+            .when($"pv".isNull, $"nv".cast("double"))
+            .when($"nv".isNull, $"pv".cast("double"))
+            .otherwise($"pv".cast("double")
+              + ($"nv" - $"pv").cast("double")
+                * ($"bucket" - $"pt").cast("double")
+                / ($"nt" - $"pt").cast("double"))
+          / 10000d, 6).as("value"))
+      .orderBy($"bucket")
+  }
+
+  val resampleInterpSql: String =
+    """WITH b AS (
+      |  SELECT epoch_ns(ts) // 900000000000 AS bucket,
+      |    CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS DECIMAL(38,0))
+      |      AS BIGINT) AS v_u
+      |  FROM events GROUP BY 1),
+      |spine AS (
+      |  SELECT unnest(generate_series((SELECT min(bucket) FROM b),
+      |                                (SELECT max(bucket) FROM b))) AS bucket),
+      |f AS (
+      |  SELECT s.bucket, b.v_u FROM spine s LEFT JOIN b ON s.bucket = b.bucket),
+      |w AS (
+      |  SELECT bucket, v_u,
+      |    last_value(v_u IGNORE NULLS) OVER (ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN v_u IS NOT NULL THEN bucket END IGNORE NULLS)
+      |      OVER (ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+      |    first_value(v_u IGNORE NULLS) OVER (ORDER BY bucket
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN v_u IS NOT NULL THEN bucket END IGNORE NULLS)
+      |      OVER (ORDER BY bucket
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      |  FROM f)
+      |SELECT bucket, v_u IS NOT NULL AS observed,
+      |  round((CASE WHEN v_u IS NOT NULL THEN CAST(v_u AS DOUBLE)
+      |    WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+      |    WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+      |    ELSE CAST(pv AS DOUBLE)
+      |      + CAST(nv - pv AS DOUBLE) * CAST(bucket - pt AS DOUBLE)
+      |        / CAST(nt - pt AS DOUBLE) END) / 10000, 6) AS value
+      |FROM w ORDER BY bucket""".stripMargin
+
   val theilSenSql: String =
     s"""WITH monthly AS MATERIALIZED (
       |  SELECT p.p_brand AS brand,
