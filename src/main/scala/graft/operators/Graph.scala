@@ -693,12 +693,30 @@ object Graph {
     // doubles the logical plan per half-round and plan RENDERING alone
     // (the UI explain string) OOMs the driver by round 4 — the
     // partComponents lesson, on the plan-string side
+    // Per-half-round normalization needs a GLOBAL max between rounds.
+    // Referencing the raw score frame twice (max aggregate + divide)
+    // doubles the logical plan per round — plan RENDERING alone OOMs
+    // the driver (the partComponents lesson) — and cutting lineage via
+    // createDataFrame(rdd) erases size stats, so every edges⋈score
+    // join plans as a sort-merge that reshuffles the full edge table.
+    // The distributed shape a native engine would pick is: shuffle-agg
+    // the scores, tree-reduce the max, ship ONE 8-byte scalar back,
+    // map-side divide. That is exactly a per-round first() on the
+    // persisted aggregate plus a LITERAL divisor: the raw frame is
+    // then referenced once (linear plan growth, no cut), the divisor
+    // costs no broadcast exchange, and the score side keeps accurate
+    // InMemoryRelation stats so the planner broadcasts it while it
+    // fits — no hints, shuffle-join degradation when it doesn't.
+    // Driver traffic is 8 longs total (model-sized by doctrine).
+    var pinned: Option[DataFrame] = None
     def normalize(df: DataFrame, id: String): DataFrame = {
-      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-      val mx = cached.agg(max($"s").as("mx"))
-      val out = cached.crossJoin(broadcast(mx))
-        .select(col(id), expr("(s * 1000000) div mx").as("s"))
-      spark.createDataFrame(out.rdd, out.schema)
+      val raw = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val mxVal = raw.agg(max($"s")).first().getLong(0)
+      val cut = raw.select(col(id),
+        expr(s"(s * 1000000) div ${mxVal}L").as("s"))
+      pinned.foreach(_.unpersist(false))
+      pinned = Some(raw)
+      cut
     }
     var auth = edges.select($"p").distinct().select($"p", lit(1000000L).as("s"))
     for (_ <- 1 to HitsIters) {
