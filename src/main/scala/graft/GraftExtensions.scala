@@ -88,6 +88,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "rp_project(vec, dims) - hash-signed JL random projection to integer micro-sums"),
       (args: Seq[Expression]) => graft.functions.RpProject(args(0),
         args(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("rolling_hash"),
+      info("rolling_hash",
+        "rolling_hash(text) - base-31 mod 1e9+7 Rabin-Karp code-point fingerprint"),
+      (args: Seq[Expression]) => graft.functions.RollingHash(args.head)))
   }
 }
 
@@ -139,5 +143,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("rp_project",
       (args: Seq[Expression]) => graft.functions.RpProject(args(0),
         args(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("rolling_hash",
+      (args: Seq[Expression]) => graft.functions.RollingHash(args.head), "scala_udf")
   }
 }

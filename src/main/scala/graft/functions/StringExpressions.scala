@@ -184,6 +184,64 @@ case class CharEntropyStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Rabin-Karp fingerprint kernel shared by interpreted eval and
+  * codegen. Bit-identical to the HOF formulation
+  * `aggregate(transform(split(text, ""), ascii), 0L, (a,c) => (a*31+c) % p)`
+  * and its DuckDB mirror (`list_reduce` over `unicode(x)`): iteration
+  * is by CODE POINT, the accumulator stays < 10⁹+7 so `acc*31 + cp`
+  * never leaves the long range, and the empty string folds to 0 both
+  * ways (no iterations here; a single ascii('')=0 step there — same
+  * result). The HOF chain is CodegenFallback — a per-character lambda
+  * frame on a full-corpus scan path — which is exactly the interpreted
+  * hot-loop shape the RpProject/TokenStats kernels exist to remove.
+  */
+object RollingHashImpl {
+  private val Mod = 1000000007L
+
+  def compute(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+/** rolling_hash(text) → bigint: one-pass base-31 mod 10⁹+7 polynomial
+  * rolling hash over the code points — the native form of the
+  * split→transform→aggregate HOF chain (which never enters whole-stage
+  * codegen), staying inside the scan's generated loop.
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rolling_hash expects a string, got $other")
+    }
+
+  override def nullSafeEval(s: Any): Any =
+    RollingHashImpl.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.RollingHashImpl.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
 object StringFunctions {
   def jaro_winkler(a: Column, b: Column): Column =
     toColumn(JaroWinkler(toExpression(a), toExpression(b)))
@@ -193,6 +251,9 @@ object StringFunctions {
 
   def token_stats(text: Column, stopwords: Seq[String]): Column =
     toColumn(TokenStats(toExpression(text), stopwords))
+
+  def rolling_hash(text: Column): Column =
+    toColumn(RollingHash(toExpression(text)))
 }
 
 /** Shared kernel for [[TokenStats]] — one pass over the text computing

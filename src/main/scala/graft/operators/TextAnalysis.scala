@@ -366,15 +366,19 @@ object TextAnalysis {
   /** Content fingerprinting: md5 plus a 64-bit polynomial rolling hash
     * (base-31 mod 1e9+7 over the character codepoints — the classic
     * Rabin-Karp fingerprint), both deterministic across engines.
+    *
+    * The hash is the native [[graft.functions.RollingHash]] kernel: the
+    * equivalent `aggregate(transform(split(text, ""), ascii), ...)` HOF
+    * chain is CodegenFallback — an interpreted per-CHARACTER lambda
+    * frame on a corpus-scan path (the PQ-encode overflow shape) —
+    * where the kernel is one generated-loop call per row
+    * (RollingHashSpec pins kernel ≡ HOF on real corpus text).
     */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rolling = aggregate(
-      transform(split($"text", ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, code) => (acc * 31 + code) % 1000000007L)
     Tables.documents(spark, dir)
-      .select($"doc_id", md5($"text").as("md5_fp"), rolling.as("rolling_fp"))
+      .select($"doc_id", md5($"text").as("md5_fp"),
+        graft.functions.StringFunctions.rolling_hash($"text").as("rolling_fp"))
       .orderBy($"doc_id")
   }
 
