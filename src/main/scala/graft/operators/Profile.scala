@@ -536,6 +536,121 @@ object Profile {
       |  round(CAST(sum(term_nano) AS DOUBLE) / 1000000000, 9) AS psi
       |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Nano-quantized PSI scoring of windowed live bucket counts against
+    * a fixed reference distribution — the derivation shared by the
+    * batch [[psiDriftWindowed]] and the streaming update-mode variant
+    * (StreamQueries.streamPsiUpdate), so the two stay bit-identical by
+    * construction. `ref` is (event_type, bin, c_b); `live` is
+    * (event_type, w, bin, c_c). Every window of a type scores against
+    * the SAME reference bins over the UNION of bin grids (full outer
+    * join, add-one smoothing), with the [[psiDrift]] integer-term
+    * arithmetic: ln of one exact integer ratio → micro-units, each
+    * term → nano-units BEFORE the sum, so the per-window total is an
+    * exact integer in any aggregation order.
+    */
+  private[graft] def psiWindowedDerive(ref: DataFrame, live: DataFrame): DataFrame = {
+    val wins = live.select(col("event_type"), col("w")).distinct()
+    val refW = ref.join(wins, "event_type")
+      .select(col("event_type"), col("w"), col("bin"), col("c_b"))
+    val full = refW.join(live, Seq("event_type", "w", "bin"), "full_outer")
+      .na.fill(0L, Seq("c_b", "c_c"))
+    val tot = full.groupBy(col("event_type"), col("w"))
+      .agg(sum(col("c_b")).as("n_b"), sum(col("c_c")).as("n_c"),
+        count(lit(1)).as("bins"))
+    full.join(tot, Seq("event_type", "w"))
+      .withColumn("ln_micro", round(log(
+        ((col("c_b") + 1) * (col("n_c") + col("bins"))).cast("double")
+          / ((col("n_b") + col("bins")) * (col("c_c") + 1)).cast("double")) * 100000d, 0)
+        .cast("long"))
+      .withColumn("term_nano", round(
+        ((col("c_b") + 1).cast("double") / (col("n_b") + col("bins")).cast("double")
+          - (col("c_c") + 1).cast("double") / (col("n_c") + col("bins")).cast("double"))
+          * col("ln_micro").cast("double") * 10000d, 0).cast("long"))
+      .groupBy(col("event_type"), col("w"))
+      .agg(max(col("n_b")).as("n_base"), max(col("n_c")).as("n_curr"),
+        max(col("bins")).as("n_bins"), sum(col("term_nano")).as("psi_nano"))
+      .select(col("event_type"), col("w"), col("n_base"), col("n_curr"),
+        col("n_bins"), col("psi_nano"),
+        round(col("psi_nano").cast("double") / 1000000000d, 9).as("psi"))
+      .orderBy(col("event_type"), col("w"))
+  }
+
+  /** [[psiDrift]] with a WINDOWED live side — the production drift
+    * monitor shape: the first half of the time range is the pinned
+    * reference distribution; the second half is scored per tumbling
+    * DAY window, so the output is a drift TRAJECTORY (event_type ×
+    * window) rather than one number — the table a retraining gate
+    * watches. The streaming twin (stream_psi_update) runs the live
+    * counting as an update-mode streaming aggregate and shares this
+    * operator's oracle.
+    *
+    * Scale: raw events cross one keyed partial agg each side; the
+    * scoring joins run over bucket-count tables (|types|·|windows|·
+    * |bins| rows), never raw events.
+    */
+  def psiDriftWindowed(spark: SparkSession, dir: String, width: Double = 50.0): DataFrame = {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    val mm = Tables.events(spark, dir)
+      .agg(min($"ts_ns").as("mn"), max($"ts_ns").as("mx"))
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", $"ts_ns", $"value")
+      .crossJoin(broadcast(mm))
+      .withColumn("mid", expr("mn + ((mx - mn) div 2)"))
+    val ref = ev.filter($"ts_ns" <= $"mid")
+      .withColumn("bin", floor($"value" / width).cast("int"))
+      .groupBy($"event_type", $"bin").agg(count(lit(1)).as("c_b"))
+    val live = ev.filter($"ts_ns" > $"mid")
+      .withColumn("w", expr(s"cast((ts_ns - mid - 1) div ${dayNs}L as int)"))
+      .withColumn("bin", floor($"value" / width).cast("int"))
+      .groupBy($"event_type", $"w", $"bin").agg(count(lit(1)).as("c_c"))
+    psiWindowedDerive(ref, live)
+  }
+
+  val psiDriftWindowedSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ns(ts) AS ts_ns, value FROM events),
+      |mm AS (SELECT min(ts_ns) AS mn, max(ts_ns) AS mx FROM ev),
+      |m2 AS (SELECT mn + ((mx - mn) // 2) AS mid FROM mm),
+      |ref AS (
+      |  SELECT event_type, CAST(floor(value / 50.0) AS INT) AS bin,
+      |    CAST(count(*) AS BIGINT) AS c_b
+      |  FROM ev, m2 WHERE ts_ns <= mid GROUP BY 1, 2),
+      |live AS (
+      |  SELECT event_type,
+      |    CAST((ts_ns - mid - 1) // 86400000000000 AS INT) AS w,
+      |    CAST(floor(value / 50.0) AS INT) AS bin,
+      |    CAST(count(*) AS BIGINT) AS c_c
+      |  FROM ev, m2 WHERE ts_ns > mid GROUP BY 1, 2, 3),
+      |wins AS (SELECT DISTINCT event_type, w FROM live),
+      |refw AS (
+      |  SELECT r.event_type, wins.w, r.bin, r.c_b
+      |  FROM ref r JOIN wins ON r.event_type = wins.event_type),
+      |f AS (
+      |  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+      |    coalesce(a.w, b.w) AS w, coalesce(a.bin, b.bin) AS bin,
+      |    coalesce(a.c_b, 0) AS c_b, coalesce(b.c_c, 0) AS c_c
+      |  FROM refw a FULL OUTER JOIN live b
+      |    ON a.event_type = b.event_type AND a.w = b.w AND a.bin = b.bin),
+      |t AS (
+      |  SELECT event_type, w, CAST(sum(c_b) AS BIGINT) AS n_b,
+      |    CAST(sum(c_c) AS BIGINT) AS n_c, CAST(count(*) AS BIGINT) AS bins
+      |  FROM f GROUP BY 1, 2),
+      |s AS (
+      |  SELECT f.event_type, f.w, n_b, n_c, bins,
+      |    CAST(round(
+      |      (CAST(c_b + 1 AS DOUBLE) / CAST(n_b + bins AS DOUBLE)
+      |        - CAST(c_c + 1 AS DOUBLE) / CAST(n_c + bins AS DOUBLE))
+      |      * CAST(CAST(round(ln(
+      |          CAST((c_b + 1) * (n_c + bins) AS DOUBLE)
+      |            / CAST((n_b + bins) * (c_c + 1) AS DOUBLE)) * 100000, 0)
+      |        AS BIGINT) AS DOUBLE) * 10000, 0) AS BIGINT) AS term_nano
+      |  FROM f JOIN t ON f.event_type = t.event_type AND f.w = t.w)
+      |SELECT event_type, w, max(n_b) AS n_base, max(n_c) AS n_curr,
+      |  max(bins) AS n_bins, CAST(sum(term_nano) AS BIGINT) AS psi_nano,
+      |  round(CAST(sum(term_nano) AS DOUBLE) / 1000000000, 9) AS psi
+      |FROM s GROUP BY 1, 2 ORDER BY event_type, w""".stripMargin
+
   private val EstTopK = 100
 
   /** JOIN-SIZE estimation audit — the cardinality-estimator check a

@@ -478,4 +478,50 @@ object StreamQueries {
   }
 
   val streamPsiSql: String = graft.operators.Profile.psiDriftSql
+
+  /** Windowed streaming PSI in UPDATE mode — the incremental drift
+    * monitor beyond [[streamPsi]]'s complete-mode shape: the reference
+    * distribution is pinned batch-side (the production "reference
+    * table"), the live feed's (type, day-window, bin) counts run as an
+    * update-mode streaming aggregate — each micro-batch emits only the
+    * keys it changed, so sink traffic is proportional to the batch,
+    * not the state — and the nano-quantized PSI trajectory is derived
+    * from the recovered final state exactly as the batch
+    * [[graft.operators.Profile.psiDriftWindowed]], whose oracle it
+    * shares. Counts only grow, so the final state of a key is its max
+    * across emitted revisions (PsiWindowSpec drives multiple
+    * micro-batches and pins both the multi-revision sink shape and
+    * bit-equality with the batch operator).
+    */
+  def streamPsiUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inDir = stageEvents(dir)
+    val name = uniqueName("sq_psiw")
+    val dayNs = 86400L * 1000000000L
+    val batch = spark.read.parquet(inDir)
+    val Row(mn: Long, mx: Long) = batch
+      .agg(min($"ts"), max($"ts")).first()
+    val mid = mn + (mx - mn) / 2
+    val ref = batch.filter($"ts" <= mid)
+      .withColumn("bin", floor($"value" / 50.0).cast("int"))
+      .groupBy($"event_type", $"bin").agg(count(lit(1)).as("c_b"))
+    val q = spark.readStream.schema(batch.schema).parquet(inDir)
+      .filter($"ts" > mid)
+      .withColumn("w", expr(s"cast((ts - ${mid}L - 1) div ${dayNs}L as int)"))
+      .withColumn("bin", floor($"value" / 50.0).cast("int"))
+      .groupBy($"event_type", $"w", $"bin").agg(count(lit(1)).as("c_c"))
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    // the sink holds every per-batch revision of a changed key; counts
+    // are monotone, so final state = per-key max. Re-seat the
+    // model-sized bucket table as a local frame (memory-sink views
+    // don't support the self-joins the derivation needs).
+    val sink = spark.table(name)
+      .groupBy($"event_type", $"w", $"bin").agg(max($"c_c").as("c_c"))
+    val live = spark.createDataFrame(
+      spark.sparkContext.parallelize(sink.collect().toSeq, 1), sink.schema)
+    graft.operators.Profile.psiWindowedDerive(ref, live)
+  }
+
+  val streamPsiUpdateSql: String = graft.operators.Profile.psiDriftWindowedSql
 }
