@@ -434,4 +434,167 @@ object Behavior {
       |  path, n
       |FROM (SELECT * FROM c ORDER BY n DESC, path LIMIT 20)
       |ORDER BY rk""".stripMargin
+
+  /** Mutual information between event type and hour-of-day — the
+    * feature-dependence audit ("is this feature informative about that
+    * one, and which categories carry the signal") run before keeping a
+    * derived feature or stratifying a sample. Emits each event type's
+    * MI CONTRIBUTION Σ_h p(t,h)·ln(p(t,h)/(p(t)p(h))) plus the
+    * `__total` rollup row (the full MI of the pair).
+    *
+    * Engine-exactness: all probabilities stay as counts; each cell's
+    * ln collapses to ONE exact integer-ratio double (c_th·N over
+    * c_t·c_h — DECIMAL(38,0) products so the ratio is exact at any
+    * scale), quantized to micro-units; Σ c_th·ln_micro rides a
+    * DECIMAL(38,0) sum, and the division by N·10⁵ happens once at the
+    * end. Hour is integer ns arithmetic ((ts_ns div 3600e9) mod 24,
+    * timezone-free).
+    *
+    * Scale: one (type, hour) partial agg over the events scan — a
+    * |types|·24-cell table; the marginals join the cell table, never
+    * the raw events.
+    */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, dir)
+      .select($"event_type", expr("(ts_ns div 3600000000000) % 24").as("hour"))
+      .groupBy($"event_type", $"hour").agg(count(lit(1)).as("c_th"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val margT = cells.groupBy($"event_type").agg(sum($"c_th").as("c_t"))
+    val margH = cells.groupBy($"hour").agg(sum($"c_th").as("c_h"))
+    val nTot = cells.agg(sum($"c_th").as("n"))
+    val scored = cells.join(margT, "event_type").join(margH, "hour")
+      .crossJoin(broadcast(nTot))
+      .withColumn("ln_micro", round(log(
+        ($"c_th".cast("decimal(38,0)") * $"n".cast("decimal(38,0)")).cast("double")
+          / ($"c_t".cast("decimal(38,0)") * $"c_h".cast("decimal(38,0)")).cast("double"))
+        * 100000d, 0).cast("long"))
+      .withColumn("term", ($"c_th" * $"ln_micro").cast("decimal(38,0)"))
+    scored.rollup($"event_type")
+      .agg(sum($"c_th").as("n_x"), sum($"term").as("term_sum"),
+        max($"n").as("n"))
+      .select(coalesce($"event_type", lit("__total")).as("event_type"),
+        $"n_x".cast("long").as("n_x"),
+        $"term_sum".cast("long").as("term_sum"),
+        round($"term_sum".cast("double") / $"n".cast("double") / 100000d, 9)
+          .as("mi_nats"))
+      .orderBy($"event_type")
+  }
+
+  val mutualInfoSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS hour
+      |  FROM events),
+      |cells AS (
+      |  SELECT event_type, hour, CAST(count(*) AS BIGINT) AS c_th
+      |  FROM ev GROUP BY 1, 2),
+      |mt AS (SELECT event_type, CAST(sum(c_th) AS BIGINT) AS c_t
+      |       FROM cells GROUP BY 1),
+      |mh AS (SELECT hour, CAST(sum(c_th) AS BIGINT) AS c_h FROM cells GROUP BY 1),
+      |nn AS (SELECT CAST(sum(c_th) AS BIGINT) AS n FROM cells),
+      |s AS (
+      |  SELECT cells.event_type, c_th, n,
+      |    c_th * CAST(round(ln(
+      |      CAST(CAST(c_th AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) AS DOUBLE)
+      |        / CAST(CAST(c_t AS DECIMAL(38,0)) * CAST(c_h AS DECIMAL(38,0)) AS DOUBLE))
+      |      * 100000, 0) AS BIGINT) AS term
+      |  FROM cells JOIN mt ON cells.event_type = mt.event_type
+      |  JOIN mh ON cells.hour = mh.hour CROSS JOIN nn)
+      |SELECT coalesce(event_type, '__total') AS event_type,
+      |  CAST(sum(c_th) AS BIGINT) AS n_x,
+      |  CAST(sum(term) AS BIGINT) AS term_sum,
+      |  round(CAST(sum(term) AS DOUBLE) / CAST(max(n) AS DOUBLE) / 100000, 9)
+      |    AS mi_nats
+      |FROM s GROUP BY ROLLUP (event_type)
+      |ORDER BY event_type""".stripMargin
+
+  private val ChurnGapDays = 90
+  private val MonthDays = 30
+
+  /** Kaplan–Meier retention over customer purchase lifetimes — the
+    * survival curve behind "how long does a customer stay active",
+    * with right-censoring done properly (customers still active at the
+    * end of the observation window are AT RISK up to their observed
+    * lifetime, not counted as churned — the error naive retention
+    * tables make). Lifetime = months between first and last order;
+    * churned = last order more than 90 days before the global horizon;
+    * otherwise censored. Emits one row per event month: the at-risk
+    * count, deaths, and the KM survival estimate Π(1 − d_i/n_i).
+    *
+    * Engine-exactness: durations and counts are integer day/month
+    * arithmetic (epoch-day grid); each factor's ln((n−d)/n) is an
+    * exact-integer-ratio double quantized to nano-units, the running
+    * product is a window SUM of those integers (order-fixed by the
+    * month key), and exp surfaces only in the final display column —
+    * the exact accumulator ships alongside it.
+    *
+    * Scale: one customer-cardinality partial agg (first/last order per
+    * customer) off the orders scan, then a |months|-row survival
+    * table; the at-risk counts come from a window over that table,
+    * never a rescan.
+    */
+  def survivalRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val horizon = Tables.orders(spark, dir)
+      .agg(max(unix_date($"o_orderdate".cast("date"))).as("mx"))
+    val lives = Tables.orders(spark, dir)
+      .select($"o_custkey", unix_date($"o_orderdate".cast("date")).as("d"))
+      .groupBy($"o_custkey").agg(min($"d").as("f"), max($"d").as("l"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        expr(s"(l - f) div $MonthDays").as("t_month"),
+        ($"mx" - $"l" > ChurnGapDays).cast("long").as("died"))
+    val byMonth = lives.groupBy($"t_month")
+      .agg(count(lit(1)).as("c_all"), sum($"died").as("d"))
+    val wDesc = Window.orderBy($"t_month".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy($"t_month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byMonth
+      .withColumn("n_risk", sum($"c_all").over(wDesc))
+      .filter($"d" > 0)
+      .withColumn("ln_nano", round(log(
+        ($"n_risk" - $"d").cast("double") / $"n_risk".cast("double")) * 1000000000d, 0)
+        .cast("long"))
+      .withColumn("cum_ln_nano", sum($"ln_nano").over(wAsc))
+      .select($"t_month".cast("int").as("t_month"), $"n_risk", $"d".as("d_churned"),
+        $"cum_ln_nano",
+        round(exp($"cum_ln_nano".cast("double") / 1000000000d), 6).as("survival"))
+      .orderBy($"t_month")
+  }
+
+  val survivalRetentionSql: String =
+    s"""WITH o AS (
+       |  SELECT o_custkey,
+       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d
+       |  FROM orders),
+       |hz AS (SELECT max(d) AS mx FROM o),
+       |lives AS (
+       |  SELECT (max(d) - min(d)) // $MonthDays AS t_month,
+       |    CASE WHEN (SELECT mx FROM hz) - max(d) > $ChurnGapDays
+       |      THEN 1 ELSE 0 END AS died
+       |  FROM o GROUP BY o_custkey),
+       |bym AS (
+       |  SELECT t_month, CAST(count(*) AS BIGINT) AS c_all,
+       |    CAST(sum(died) AS BIGINT) AS d
+       |  FROM lives GROUP BY t_month),
+       |risk AS (
+       |  SELECT t_month, d,
+       |    CAST(sum(c_all) OVER (ORDER BY t_month DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS n_risk
+       |  FROM bym),
+       |ev AS (
+       |  SELECT t_month, n_risk, d,
+       |    CAST(round(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+       |      * 1000000000, 0) AS BIGINT) AS ln_nano
+       |  FROM risk WHERE d > 0)
+       |SELECT CAST(t_month AS INT) AS t_month, n_risk, d AS d_churned,
+       |  CAST(sum(ln_nano) OVER (ORDER BY t_month
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_ln_nano,
+       |  round(exp(CAST(sum(ln_nano) OVER (ORDER BY t_month
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    / 1000000000), 6) AS survival
+       |FROM ev ORDER BY t_month""".stripMargin
 }

@@ -536,6 +536,80 @@ object Profile {
       |  round(CAST(sum(term_nano) AS DOUBLE) / 1000000000, 9) AS psi
       |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Robust outlier detection per event type via median/MAD — the
+    * heavy-tail-safe complement to [[anomalyZscore]] on the same
+    * table (mean/std are themselves dragged by the outliers they're
+    * meant to flag; the median/MAD pair has a 50% breakdown point).
+    * Flags the Iglewicz–Hoaglin modified z-score
+    * 0.6745·|x−med|/MAD > 3.5. (TPC-H money columns are
+    * near-uniform — no tail, zero flags at every SF — so this runs on
+    * the long-tailed event values, where it flags ~4% per type.)
+    *
+    * Engine-exactness: values are 4dp-quantized onto an integer grid
+    * (the [[anomalyZscore]] convention), so every comparison is
+    * INTEGER — med doubled (m2) and MAD quadrupled (mad4) stay
+    * integral through the even-count midpoint average, and the flag
+    * is `1349·dev2 > 3500·mad4` (the 0.6745/3.5 ratio cleared of
+    * denominators), never a float threshold.
+    *
+    * Scale: per-group exact medians via the percentile aggregate
+    * (value-histogram state — bounded by the 4dp grid's distinct
+    * values, not row count); group-stat frames are |types| rows, so
+    * the join-backs are AQE-broadcast; events is scanned, never
+    * shuffled by row. The sketch path at extreme scale is
+    * [[approxPercentiles]]' KLL route — same grid, bounded error.
+    */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val xc = Tables.events(spark, dir)
+      .select($"event_type",
+        round($"value" * 10000, 0).cast("long").as("xc"))
+    val med = xc.groupBy($"event_type")
+      .agg((expr("percentile(xc, 0.5)") * 2).cast("long").as("m2"))
+    val dev = xc.join(med, "event_type")
+      .withColumn("dev2", abs($"xc" * 2 - $"m2"))
+    val mad = dev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        (expr("percentile(dev2, 0.5)") * 2).cast("long").as("mad4"))
+    dev.join(mad, "event_type")
+      .groupBy($"event_type", $"n", $"m2", $"mad4")
+      .agg(sum(when($"dev2" * 1349 > $"mad4" * 3500, 1L).otherwise(0L))
+        .as("n_outliers"))
+      .select($"event_type", $"n",
+        round($"m2".cast("double") / 20000d, 4).as("median_value"),
+        round($"mad4".cast("double") / 40000d, 4).as("mad"),
+        $"n_outliers",
+        round($"n_outliers".cast("double") / $"n".cast("double"), 6)
+          .as("outlier_frac"))
+      .orderBy($"event_type")
+  }
+
+  val anomalyMadSql: String =
+    """WITH x AS (
+      |  SELECT event_type,
+      |    CAST(round(value * 10000, 0) AS BIGINT) AS xc
+      |  FROM events),
+      |med AS (
+      |  SELECT event_type, CAST(quantile_cont(xc, 0.5) * 2 AS BIGINT) AS m2
+      |  FROM x GROUP BY event_type),
+      |d AS (
+      |  SELECT x.event_type, m2, abs(xc * 2 - m2) AS dev2
+      |  FROM x JOIN med ON x.event_type = med.event_type),
+      |mad AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+      |  FROM d GROUP BY event_type)
+      |SELECT d.event_type, n,
+      |  round(CAST(d.m2 AS DOUBLE) / 20000, 4) AS median_value,
+      |  round(CAST(mad4 AS DOUBLE) / 40000, 4) AS mad,
+      |  CAST(sum(CASE WHEN dev2 * 1349 > mad4 * 3500 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers,
+      |  round(CAST(sum(CASE WHEN dev2 * 1349 > mad4 * 3500 THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / CAST(n AS DOUBLE), 6) AS outlier_frac
+      |FROM d JOIN mad ON d.event_type = mad.event_type
+      |GROUP BY d.event_type, n, d.m2, mad4
+      |ORDER BY d.event_type""".stripMargin
+
   /** Nano-quantized PSI scoring of windowed live bucket counts against
     * a fixed reference distribution — the derivation shared by the
     * batch [[psiDriftWindowed]] and the streaming update-mode variant
