@@ -508,6 +508,202 @@ object Behavior {
       |FROM s GROUP BY ROLLUP (event_type)
       |ORDER BY event_type""".stripMargin
 
+  /** Two-sample Kolmogorov–Smirnov test between event groups — the
+    * distribution-shape companion to [[abTtest]] (which only sees the
+    * mean) and [[Profile.psiDrift]] (which pre-bins): D is the max gap
+    * between the two EXACT empirical CDFs on the 4dp value grid, so it
+    * catches variance/shape shifts a t-test misses with no binning
+    * choice at all.
+    *
+    * Engine-exactness: D's argmax comparison is INTEGER —
+    * |cum_a·n_b − cum_b·n_a| on DECIMAL(38,0) (cross-multiplied ECDFs,
+    * exact at any row count), and the α=0.05 rejection
+    * D > 1.358·√((n_a+n_b)/(n_a·n_b)) is squared and cleared of
+    * denominators: 10⁶·Ds² > 1844164·(n_a+n_b)·n_a·n_b. Doubles appear
+    * only in the display column.
+    *
+    * Scale: the ECDF table is GRID-cardinality (distinct 4dp values —
+    * bounded by the value range, not row count): one partial agg per
+    * group over the events scan, a grid-sized full-outer merge, one
+    * ordered window over grid rows for the running sums, then a 1-row
+    * max.
+    */
+  def ksTest(spark: SparkSession, dir: String,
+             groupA: String = "purchase", groupB: String = "view"): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.events(spark, dir)
+      .filter($"event_type".isin(groupA, groupB))
+      .select($"event_type", round($"value" * 10000, 0).cast("long").as("xc"))
+      .groupBy($"xc")
+      .agg(sum(when($"event_type" === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when($"event_type" === groupB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy($"xc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum_a", sum($"ca").over(w).cast("decimal(18,0)"))
+      .withColumn("cum_b", sum($"cb").over(w).cast("decimal(18,0)"))
+    val tot = cum.agg(max($"cum_a").as("na"), max($"cum_b").as("nb"))
+    cum.crossJoin(broadcast(tot))
+      .select(abs($"cum_a" * $"nb" - $"cum_b" * $"na").as("ds"),
+        $"na", $"nb")
+      .groupBy($"na", $"nb").agg(max($"ds").as("d_scaled"))
+      .select(
+        lit(groupA).as("group_a"), lit(groupB).as("group_b"),
+        $"na".cast("long").as("n_a"), $"nb".cast("long").as("n_b"),
+        round($"d_scaled".cast("double")
+          / ($"na".cast("double") * $"nb".cast("double")), 9).as("ks_d"),
+        // identical expression order both engines: exact-int casts,
+        // one division, IEEE sqrt, one multiply — deterministic compare
+        ($"d_scaled".cast("double")
+          / ($"na".cast("double") * $"nb".cast("double")) >
+          lit(1.358) * sqrt(($"na" + $"nb").cast("double")
+            / ($"na".cast("double") * $"nb".cast("double"))))
+          .as("significant_95"))
+  }
+
+  val ksTestSql: String =
+    """WITH x AS (
+      |  SELECT event_type, CAST(round(value * 10000, 0) AS BIGINT) AS xc
+      |  FROM events WHERE event_type IN ('purchase', 'view')),
+      |c AS (
+      |  SELECT xc,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM x GROUP BY xc),
+      |cum AS (
+      |  SELECT
+      |    CAST(sum(ca) OVER (ORDER BY xc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS DECIMAL(18,0)) AS cum_a,
+      |    CAST(sum(cb) OVER (ORDER BY xc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS DECIMAL(18,0)) AS cum_b
+      |  FROM c),
+      |t AS (SELECT max(cum_a) AS na, max(cum_b) AS nb FROM cum),
+      |d AS (
+      |  SELECT na, nb, max(abs(cum_a * nb - cum_b * na)) AS d_scaled
+      |  FROM cum CROSS JOIN t GROUP BY na, nb)
+      |SELECT 'purchase' AS group_a, 'view' AS group_b,
+      |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  round(CAST(d_scaled AS DOUBLE)
+      |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 9) AS ks_d,
+      |  CAST(d_scaled AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+      |    > 1.358 * sqrt(CAST(na + nb AS DOUBLE)
+      |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+      |    AS significant_95
+      |FROM d""".stripMargin
+
+  /** RFM segment migration between the first and second half of the
+    * order history — the customer-value FLOW matrix ("which value tier
+    * are customers moving to") that a static [[rfmSegments]] snapshot
+    * can't show. Each half scores R/F/M quintiles independently
+    * (deterministic (key, custkey) ntile order, the rfm_segments
+    * convention), collapses to value tiers (high ≥ 12, mid ≥ 7, low
+    * — the 3..15 score range cut in thirds), and customers active in
+    * BOTH halves are counted per (tier_before, tier_after) cell with
+    * the row-share of their origin tier.
+    *
+    * Scale: two customer-cardinality aggregates off the orders scan;
+    * the quintile windows are the rfm_segments shape (per-half global
+    * ntiles — at extreme scale the documented path is the two-level
+    * grid ntile, same as any global rank); the matrix is ≤ 9 rows.
+    */
+  def rfmMigration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    // two 8-byte timestamps to the driver (model-sized): the half
+    // boundary must outlive the per-half aggregates, so it rides as a
+    // literal rather than a column the groupBy would drop
+    val mmRow = o.agg(min($"o_orderdate"), max($"o_orderdate")).first()
+    def toDate(a: Any): java.time.LocalDate = a match {
+      case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+      case t: java.time.LocalDateTime => t.toLocalDate
+      case t: java.time.Instant =>
+        t.atZone(java.time.ZoneOffset.UTC).toLocalDate
+    }
+    val mnD = toDate(mmRow.get(0))
+    val mxD = toDate(mmRow.get(1))
+    val midD = mnD.plusDays(java.time.temporal.ChronoUnit.DAYS.between(mnD, mxD) / 2)
+    def half(filtered: DataFrame, hz: java.time.LocalDate): DataFrame = {
+      val per = filtered.groupBy($"o_custkey")
+        .agg(max($"o_orderdate").as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum($"o_totalprice".cast("decimal(18,2)")).as("monetary"))
+        .withColumn("recency", datediff(lit(java.sql.Date.valueOf(hz)), $"last_order"))
+      val r = ntile(5).over(Window.orderBy($"recency".desc, $"o_custkey"))
+      val f = ntile(5).over(Window.orderBy($"frequency".asc, $"o_custkey"))
+      val m = ntile(5).over(Window.orderBy($"monetary".asc, $"o_custkey"))
+      per.select($"o_custkey", (r + f + m).as("score"))
+        .select($"o_custkey",
+          when($"score" >= 12, "high").when($"score" >= 7, "mid")
+            .otherwise("low").as("tier"))
+    }
+    val midTs = java.sql.Timestamp.valueOf(midD.atStartOfDay())
+    val before = half(o.filter($"o_orderdate" <= lit(midTs)), midD)
+      .withColumnRenamed("tier", "tier_before")
+    val after = half(o.filter($"o_orderdate" > lit(midTs)), mxD)
+      .withColumnRenamed("tier", "tier_after")
+    val cells = before.join(after, "o_custkey")
+      .groupBy($"tier_before", $"tier_after").agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("share", round($"n".cast("double")
+        / sum($"n").over(Window.partitionBy($"tier_before")).cast("double"), 6))
+      .orderBy($"tier_before", $"tier_after")
+  }
+
+  val rfmMigrationSql: String =
+    """WITH mm AS (
+      |  SELECT min(o_orderdate) AS mn, max(o_orderdate) AS mx FROM orders),
+      |m2 AS (
+      |  SELECT mn + INTERVAL (date_diff('day', mn, mx) // 2) DAY AS mid_d, mx
+      |  FROM mm),
+      |pb AS (
+      |  SELECT o_custkey,
+      |    date_diff('day', max(o_orderdate), (SELECT mid_d FROM m2)) AS recency,
+      |    count(*) AS frequency,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      |  FROM orders WHERE o_orderdate <= (SELECT mid_d FROM m2)
+      |  GROUP BY o_custkey),
+      |sb AS (
+      |  SELECT o_custkey,
+      |    ntile(5) OVER (ORDER BY recency DESC, o_custkey)
+      |      + ntile(5) OVER (ORDER BY frequency ASC, o_custkey)
+      |      + ntile(5) OVER (ORDER BY monetary ASC, o_custkey) AS score
+      |  FROM pb),
+      |tb AS (
+      |  SELECT o_custkey,
+      |    CASE WHEN score >= 12 THEN 'high' WHEN score >= 7 THEN 'mid'
+      |      ELSE 'low' END AS tier_before
+      |  FROM sb),
+      |pa AS (
+      |  SELECT o_custkey,
+      |    date_diff('day', max(o_orderdate), (SELECT mx FROM m2)) AS recency,
+      |    count(*) AS frequency,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      |  FROM orders WHERE o_orderdate > (SELECT mid_d FROM m2)
+      |  GROUP BY o_custkey),
+      |sa AS (
+      |  SELECT o_custkey,
+      |    ntile(5) OVER (ORDER BY recency DESC, o_custkey)
+      |      + ntile(5) OVER (ORDER BY frequency ASC, o_custkey)
+      |      + ntile(5) OVER (ORDER BY monetary ASC, o_custkey) AS score
+      |  FROM pa),
+      |ta AS (
+      |  SELECT o_custkey,
+      |    CASE WHEN score >= 12 THEN 'high' WHEN score >= 7 THEN 'mid'
+      |      ELSE 'low' END AS tier_after
+      |  FROM sa),
+      |cells AS (
+      |  SELECT tier_before, tier_after, CAST(count(*) AS BIGINT) AS n
+      |  FROM tb JOIN ta ON tb.o_custkey = ta.o_custkey
+      |  GROUP BY 1, 2)
+      |SELECT tier_before, tier_after, n,
+      |  round(CAST(n AS DOUBLE)
+      |    / CAST(sum(n) OVER (PARTITION BY tier_before) AS DOUBLE), 6) AS share
+      |FROM cells ORDER BY tier_before, tier_after""".stripMargin
+
   private val ChurnGapDays = 90
   private val MonthDays = 30
 

@@ -49,6 +49,45 @@ class RobustStatsSpec extends SparkSpec {
       "mutual information must be nonnegative")
   }
 
+  test("ks_test: D bounds, self-test is zero, and a planted shape shift is caught " +
+    "where the t-test is blind") {
+    val r = Behavior.ksTest(spark, sf).first()
+    val d = r.getAs[Double]("ks_d")
+    assert(d >= 0 && d <= 1, s"KS D out of range: $d")
+    // same group twice → identical ECDFs → D = 0
+    val self = Behavior.ksTest(spark, sf, "purchase", "purchase").first()
+    assert(self.getAs[Double]("ks_d") === 0.0)
+    assert(!self.getAs[Boolean]("significant_95"))
+    // planted: same mean, doubled spread — mean-based tests see nothing,
+    // KS must reject. ECDF cross-multiplication replayed locally.
+    val a = (1 to 2000).map(i => 100.0 + (i % 21) - 10)     // mean 100, ±10
+    val b = (1 to 2000).map(i => 100.0 + 2 * ((i % 21) - 10)) // mean 100, ±20
+    def ecdf(xs: Seq[Double]) = xs.groupBy(identity).view.mapValues(_.size).toMap
+    val (ea, eb) = (ecdf(a), ecdf(b))
+    val grid = (ea.keySet ++ eb.keySet).toSeq.sorted
+    var (ca, cb, best) = (0L, 0L, 0L)
+    grid.foreach { v =>
+      ca += ea.getOrElse(v, 0).toLong; cb += eb.getOrElse(v, 0).toLong
+      best = math.max(best, math.abs(ca * 2000L - cb * 2000L))
+    }
+    val dPlanted = best.toDouble / (2000L * 2000L)
+    val thresh = 1.358 * math.sqrt(4000.0 / (2000.0 * 2000.0))
+    assert(dPlanted > thresh,
+      s"planted variance shift must exceed the KS threshold ($dPlanted vs $thresh)")
+  }
+
+  test("rfm_migration: every before-tier row is a probability distribution " +
+    "and totals match customers active in both halves") {
+    val rows = Behavior.rfmMigration(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    rows.groupBy(_.getString(0)).foreach { case (tier, rs) =>
+      val share = rs.map(_.getAs[Double]("share")).sum
+      assert(math.abs(share - 1.0) < 1e-4, s"$tier shares sum to $share")
+    }
+    val matrixTotal = rows.map(_.getAs[Long]("n")).sum
+    assert(matrixTotal > 0, "no customer active in both halves — vacuous split")
+  }
+
   test("survival_retention: KM curve is monotone nonincreasing, at-risk counts " +
     "decrease, and survival matches the exact accumulator") {
     val rows = Behavior.survivalRetention(spark, sf).collect()
