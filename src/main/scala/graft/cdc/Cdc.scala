@@ -241,6 +241,46 @@ object Cdc {
       |  ofs AS last_offset, n_changes
       |FROM c WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin
 
+  /** Point-in-time replay: materialize the table AS OF an offset
+    * cutoff — the "what did this row look like when offset X
+    * committed" answer a CDC consumer owes its auditors, computed by
+    * replaying the changelog only up to the cutoff (latest-wins below
+    * it, deletes honored). Distinct from [[cdcMaterialize]] (head
+    * state), [[cdcHistory]] (all versions), and snapshot time travel
+    * (needs a snapshot at the boundary — this replays to ANY offset).
+    * The cutoff here is max_offset/2, computed IN-PLAN (1-row
+    * broadcast — no driver traffic).
+    *
+    * Scale: the cutoff filter lands before the per-key window, so the
+    * shuffle carries only the replayed prefix; one key-partitioned
+    * window, the materialize shape.
+    */
+  def cdcReplayAsof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val log = changelog(spark, dir)
+    val cut = log.agg(expr("max(offset) div 2").as("cut"))
+    val w = Window.partitionBy($"key").orderBy($"offset".desc)
+    log.crossJoin(broadcast(cut))
+      .filter($"offset" <= $"cut")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_changes_asof", count(lit(1)).over(Window.partitionBy($"key")))
+      .filter($"rn" === 1 && $"op" =!= "d")
+      .select($"key".as("user_id"), $"value".as("value_asof"),
+        $"op".as("last_op"), $"offset".as("last_offset"), $"n_changes_asof")
+      .orderBy($"user_id")
+  }
+
+  val cdcReplayAsofSql: String =
+    s"""WITH cut AS (SELECT max(event_id) // 2 AS cut FROM events),
+       |c AS (
+       |  SELECT user_id AS key, $sqlOp AS op, value, event_id AS ofs,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn,
+       |    count(*) OVER (PARTITION BY user_id) AS n_changes_asof
+       |  FROM events, cut WHERE event_id <= cut)
+       |SELECT key AS user_id, value AS value_asof, op AS last_op,
+       |  ofs AS last_offset, n_changes_asof
+       |FROM c WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin
+
   /** MERGE INTO — the upsert the reference consumer leaves as
     * `TODO: Switch to MERGE INTO` (consumer.py:76): apply a change
     * batch onto an EXISTING materialized snapshot without replaying the
