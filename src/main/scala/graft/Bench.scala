@@ -36,7 +36,9 @@ object Bench {
     "doc_span_overlaps", "embedding_outliers", "ann_topk_agg",
     "gopher_rules", "span_dedup", "changepoint_detect", "acf_lags",
     "theil_sen", "adamic_adar", "basket_rules", "embedding_rp",
-    "hits_scores", "ann_rp")
+    "hits_scores", "ann_rp",
+    "anomaly_mad", "ks_test", "survival_retention", "rfm_migration",
+    "mutual_info", "psi_drift_windowed", "cdc_replay_asof")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

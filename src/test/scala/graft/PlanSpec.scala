@@ -240,6 +240,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("shuffle budgets for the round-4 statistics/CDC batch") {
+    spark.catalog.clearCache()
+    for ((name, df, budget) <- Seq(
+        ("anomaly_mad", operators.Profile.anomalyMad(spark, sf), 5),
+        ("ks_test", operators.Behavior.ksTest(spark, sf), 4),
+        // mutual_info's cell table is persisted and referenced by both
+        // marginals + the total: the unmaterialized cache build prints
+        // under every reference, so the PRINTED count (the budgeted
+        // quantity per the r3 doctrine) exceeds the true exchange count
+        ("mutual_info", operators.Behavior.mutualInfo(spark, sf), 9),
+        ("survival_retention", operators.Behavior.survivalRetention(spark, sf), 6),
+        ("rfm_migration", operators.Behavior.rfmMigration(spark, sf), 14),
+        ("psi_drift_windowed", operators.Profile.psiDriftWindowed(spark, sf), 12),
+        ("cdc_replay_asof", graft.cdc.Cdc.cdcReplayAsof(spark, sf), 3))) {
+      val n = shuffleCount(df)
+      info(s"$name shuffles = $n (budget $budget)")
+      assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
+    }
+  }
+
   test("decontaminate: bench grams broadcast; corpus text never shuffles") {
     val plan = physicalPlan(operators.Curation.decontaminate(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),
