@@ -361,14 +361,16 @@ object Dedup {
     * signature rejoins all read one computed copy instead of re-running
     * the tokenize→shingle→minhash pipeline per branch.
     */
-  def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id",
-        graft.functions.HashFunctions.minhash_sig(
-          graft.functions.HashFunctions.shingle_hash3(
-            graft.functions.HashFunctions.token_hash32($"text"))).as("sig"))
-  }
+  def minhashSigs(spark: SparkSession, dir: String): DataFrame =
+    minhashSigsOf(Tables.documents(spark, dir))
+
+  /** Signature projection over any (doc_id, text) frame — shared by the
+    * corpus loaders and the streaming gate's frozen-index builder. */
+  def minhashSigsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.HashFunctions.minhash_sig(
+        graft.functions.HashFunctions.shingle_hash3(
+          graft.functions.HashFunctions.token_hash32(col("text")))).as("sig"))
 
   /** Band rows whose (band, bucket) can possibly pair: a bloom built
     * from the buckets holding 2..`cap` docs prunes definite-unique rows
@@ -1140,6 +1142,33 @@ object Dedup {
     s"""SELECT i, j, est_jaccard FROM ($dedupMinhashSql) m,
       |  (SELECT max(doc_id) // 2 AS cut FROM documents) c
       |WHERE m.j > c.cut ORDER BY i, j""".stripMargin
+
+  /** Oracle for the streaming near-dup gate: the minhash replay split
+    * at the index/stream boundary — index-side bands (old docs) are
+    * capped over the INDEX alone (the gate cannot see future
+    * arrivals), stream-side bands probe uncapped, and agreement runs
+    * over the same integer signatures. */
+  lazy val dedupGateSql: String =
+    minhashEstCtes + s""",
+      |cut AS (SELECT max(doc_id) // 2 AS cut FROM documents),
+      |idx AS (
+      |  SELECT doc_id, band, bucket FROM (
+      |    SELECT bk.doc_id, bk.band, bk.bucket,
+      |      count(*) OVER (PARTITION BY bk.band, bk.bucket) AS n
+      |    FROM bk, cut WHERE bk.doc_id <= cut) t WHERE n <= 64),
+      |nb AS (SELECT bk.doc_id, bk.band, bk.bucket FROM bk, cut
+      |       WHERE bk.doc_id > cut),
+      |gp AS (
+      |  SELECT DISTINCT idx.doc_id AS i, nb.doc_id AS j
+      |  FROM idx JOIN nb ON idx.band = nb.band AND idx.bucket = nb.bucket),
+      |gest AS (
+      |  SELECT gp.i, gp.j,
+      |    CAST(len(list_filter(range(1, 65), k -> si.sig[k] = sj.sig[k]))
+      |      AS DOUBLE) / 64 AS est_jaccard
+      |  FROM gp JOIN sig si ON gp.i = si.doc_id
+      |  JOIN sig sj ON gp.j = sj.doc_id)
+      |SELECT i, j, round(est_jaccard, 6) AS est_jaccard
+      |FROM gest WHERE est_jaccard >= 0.5 ORDER BY i, j""".stripMargin
 
   /** Cross-source duplication matrix — which sources copy from which:
     * the near-dup pairs grouped by their endpoints' (source_i,

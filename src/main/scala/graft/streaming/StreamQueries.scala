@@ -524,4 +524,112 @@ object StreamQueries {
   }
 
   val streamPsiUpdateSql: String = graft.operators.Profile.psiDriftWindowedSql
+
+  /** Streaming SCD2: the changelog stream folded into closed version
+    * rows by the [[Scd2Stream]] state machine (one open version per
+    * key in state; a version emits exactly once, when its successor
+    * arrives). Output equals the batch cdc_history restricted to
+    * CLOSED versions (shared-derivation oracle); Scd2StreamSpec
+    * additionally drives waves across micro-batches and pins the
+    * cross-batch close path.
+    */
+  def streamScd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inDir = stageEvents(dir)
+    val name = uniqueName("sq_scd2")
+    val schema = spark.read.parquet(inDir).schema
+    val changes = spark.readStream.schema(schema).parquet(inDir)
+      .select($"user_id",
+        when($"event_type" === "signup", "c")
+          .when($"event_type" === "purchase", "u")
+          .when($"event_type" === "error", "d")
+          .otherwise("r").as("op"),
+        $"value", $"event_id".as("offset"))
+      .as[Scd2Change]
+    val q = Scd2Stream.history(spark, changes)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+      .select($"user_id", $"value", $"op", $"valid_from", $"valid_to")
+      .orderBy($"user_id", $"valid_from")
+  }
+
+  val streamScd2Sql: String =
+    """WITH c AS (
+      |  SELECT user_id,
+      |    CASE event_type WHEN 'signup' THEN 'c' WHEN 'purchase' THEN 'u'
+      |      WHEN 'error' THEN 'd' ELSE 'r' END AS op,
+      |    value, event_id AS ofs,
+      |    lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+      |      AS valid_to
+      |  FROM events)
+      |SELECT user_id, value, op, ofs AS valid_from, valid_to
+      |FROM c WHERE op <> 'd' AND valid_to IS NOT NULL
+      |ORDER BY user_id, valid_from""".stripMargin
+
+  /** Streaming near-dup ingest gate — the training-pipeline admission
+    * filter: each arriving document is MinHash-signed in the stream
+    * (native row expression, no state), its band buckets probe a
+    * FROZEN corpus-side LSH index via stream-static joins, and
+    * band-collision candidates are verified by exact signature
+    * agreement (≥ 0.5 estimated Jaccard) — so a new document is
+    * flagged against the existing corpus before it is admitted.
+    * Multi-band re-collisions collapse through a stateful
+    * dropDuplicates on the (i, j) pair (a production deployment bounds
+    * that state with an event-time watermark; the gate's own state is
+    * otherwise ZERO — signing and probing are per-row).
+    *
+    * Scale: the index side is the write-once capped band table every
+    * batch dedup op shares (ids only); the stream side ships
+    * (doc_id, band, bucket, sig) — per-document constant size. The
+    * oracle replays index-capped band probing + signature agreement in
+    * DuckDB integer arithmetic (the dedup_minhash replay, split at the
+    * index/batch boundary).
+    */
+  def streamDedupGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = tmp("graft_sq_docs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$d/documents.parquet"))
+    val name = uniqueName("sq_dedupgate")
+    val docs = spark.read.parquet(d)
+    val cut = docs.agg(expr("max(doc_id) div 2")).first().getLong(0)
+    // frozen corpus index: signatures + capped band table for old docs
+    val oldSigs = graft.operators.Dedup.minhashSigsOf(
+        docs.filter($"doc_id" <= cut))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idxBands = oldSigs.select($"doc_id",
+        posexplode(graft.functions.HashFunctions.band_buckets($"sig"))
+          .as(Seq("band", "bucket")))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bucket")))
+      .filter($"n" <= 64)
+      .select($"doc_id".as("i"), $"band", $"bucket")
+      .join(oldSigs.select($"doc_id".as("i"), $"sig".as("sig_i")), "i")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    idxBands.count() // freeze (and give the planner true index stats)
+    val stream = spark.readStream.schema(docs.schema).parquet(d)
+      .filter($"doc_id" > cut)
+      .select($"doc_id".as("j"),
+        graft.functions.HashFunctions.minhash_sig(
+          graft.functions.HashFunctions.shingle_hash3(
+            graft.functions.HashFunctions.token_hash32($"text"))).as("sig_j"))
+      .select($"j", $"sig_j",
+        posexplode(graft.functions.HashFunctions.band_buckets($"sig_j"))
+          .as(Seq("band", "bucket")))
+    val q = stream
+      .join(idxBands, Seq("band", "bucket"))
+      .withColumn("est_jaccard",
+        graft.functions.HashFunctions.sig_agree($"sig_i", $"sig_j")
+          .cast("double") / 64d)
+      .filter($"est_jaccard" >= 0.5)
+      .select($"i", $"j", round($"est_jaccard", 6).as("est_jaccard"))
+      .dropDuplicates("i", "j")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name).orderBy($"i", $"j")
+  }
+
+  val streamDedupGateSql: String = graft.operators.Dedup.dedupGateSql
 }
