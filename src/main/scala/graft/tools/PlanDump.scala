@@ -54,9 +54,17 @@ object PlanDump {
     "pareto_skyline" ->
       "O(n log n) skyline: strictly-cheaper dominance folded into ONE integer RANGE-frame running-min window — no O(n²) dominance self-join",
     "hits_scores" ->
-      "normalized integer fixpoint: per-half-round persist + lineage cut; max normalization stays in-plan as a 1-row broadcast cross join",
+      "normalized integer fixpoint: per-half-round persisted aggregate + literal max divisor (one 8-byte scalar to the driver per round) — the frame is referenced once, so no lineage cut, accurate cache stats, planner-sized score joins",
     "adamic_adar" ->
-      "support-filtered wedge join: hub fan-out bounded by the repeat-pair backbone, only id/term longs in the shuffles")
+      "support-filtered wedge join: hub fan-out bounded by the repeat-pair backbone, only id/term longs in the shuffles",
+    "text_fingerprint" ->
+      "native rolling_hash kernel: the Rabin-Karp fold is a pure map inside the scan's codegen loop (the split/transform/aggregate HOF chain it replaced ran interpreted, one lambda frame per character)",
+    "ks_test" ->
+      "exact two-sample ECDF compare: one partial agg per group onto the 4dp grid, a GRID-cardinality running-sum window, then a 1-row max — raw events never shuffle",
+    "cdc_replay_asof" ->
+      "point-in-time replay: the offset cutoff (1-row broadcast) filters BEFORE the per-key window, so only the replayed prefix rides the shuffle",
+    "anomaly_mad" ->
+      "two-phase robust stats: per-group exact percentile aggregates (value-histogram state), group-stat frames broadcast back over the scan, integer-only outlier comparisons")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.get(4)
