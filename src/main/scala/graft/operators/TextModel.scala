@@ -41,14 +41,19 @@ object TextModel {
     */
   def ngramLmScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"pos")
     val docs = Tables.documents(spark, dir)
+    // consecutive bigrams formed MAP-SIDE by zipping the token array
+    // with its own tail (slice/arrays_zip are codegen'd, no lambda) —
+    // the posexplode + lead() window formulation shuffles and sorts
+    // every token on doc_id first; this fuses bigram formation into
+    // the scan and the first shuffle is the (doc, bigram) aggregate
     val bg = docs
-      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
-      .withColumn("nxt", lead($"tok", 1).over(w))
-      .filter($"nxt".isNotNull)
-      .select($"doc_id", $"tok".as("w1"), $"nxt".as("w2"))
+      .select($"doc_id", tokens($"text").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", explode(arrays_zip(
+        slice($"t", lit(1), size($"t") - 1),
+        slice($"t", lit(2), size($"t") - 1))).as("p"))
+      .select($"doc_id", $"p".getField("0").as("w1"), $"p".getField("1").as("w2"))
     // per-doc distinct bigrams with multiplicity — the score join then
     // carries one row per distinct (doc, bigram), not per occurrence;
     // the GLOBAL model tables both derive from this aggregate, so the
@@ -357,13 +362,15 @@ object TextModel {
     */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"pos")
+    // map-side bigram formation (the ngramLmScore zip rewrite): no
+    // token-level window shuffle; the first exchange is the distinct
     val dbg = Tables.documents(spark, dir)
-      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
-      .withColumn("nxt", lead($"tok", 1).over(w))
-      .filter($"nxt".isNotNull)
-      .select($"doc_id", $"tok".as("w1"), $"nxt".as("w2"))
+      .select($"doc_id", tokens($"text").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", explode(arrays_zip(
+        slice($"t", lit(1), size($"t") - 1),
+        slice($"t", lit(2), size($"t") - 1))).as("p"))
+      .select($"doc_id", $"p".getField("0").as("w1"), $"p".getField("1").as("w2"))
       .distinct()
     val firstSeen = dbg.groupBy($"w1", $"w2").agg(min($"doc_id").as("first_doc"))
     dbg.join(firstSeen, Seq("w1", "w2"))
