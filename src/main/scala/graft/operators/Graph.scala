@@ -411,6 +411,96 @@ object Graph {
       |  (a = min(b)) AS is_canonical
       |FROM closure GROUP BY a ORDER BY part_id""".stripMargin
 
+  /** Newman modularity of the BRAND partition over the co-purchase
+    * graph — "do customers co-buy within brands?": for each brand c,
+    * Q_c = e_c/m − (d_c/2m)², summed to the partition's modularity in
+    * the `__total` rollup row. Against the trivial connected-component
+    * partition (every edge internal by construction) the brand labels
+    * make the intra-edge fraction a real measurement, and the number
+    * is the standard clustering-quality gate before trusting any
+    * community assignment.
+    *
+    * Engine-exactness: m, e_c, d_c are exact integers; each brand's
+    * contribution is the single integer 4·m·e_c − d_c² carried as
+    * DECIMAL(38,0) (headroom for m ~ 10¹² edge counts), divided once
+    * by 4m² in double at the end.
+    *
+    * Scale: the pair aggregate is the shared orderkey-co-partitioned
+    * self-join; brand labels attach via two id-keyed joins to the part
+    * table (AQE-sized — part scales with SF, no hint); everything
+    * after is |brands|-sized.
+    */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = incidence(spark, dir)
+    val pairs = li.as("a").join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("i"), $"b.pk".as("j"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= 2)
+      .select($"i", $"j")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val brand = Tables.part(spark, dir).select($"p_partkey", $"p_brand")
+    val m = pairs.agg(count(lit(1)).as("m"))
+    val labeled = pairs
+      .join(brand.select($"p_partkey".as("i"), $"p_brand".as("brand_i")), "i")
+      .join(brand.select($"p_partkey".as("j"), $"p_brand".as("brand_j")), "j")
+    val intra = labeled.filter($"brand_i" === $"brand_j")
+      .groupBy($"brand_i".as("brand")).agg(count(lit(1)).as("e_c"))
+    val deg = pairs.select($"i".as("node")).unionAll(pairs.select($"j".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+      .join(brand.select($"p_partkey".as("node"), $"p_brand".as("brand")), "node")
+      .groupBy($"brand").agg(sum($"deg").as("d_c"), count(lit(1)).as("n_nodes"))
+    deg.join(intra, Seq("brand"), "left_outer")
+      .na.fill(0L, Seq("e_c"))
+      .crossJoin(broadcast(m))
+      .withColumn("contrib_scaled",
+        (lit(4).cast("decimal(38,0)") * $"m".cast("decimal(19,0)") * $"e_c".cast("decimal(19,0)")
+          - $"d_c".cast("decimal(19,0)") * $"d_c".cast("decimal(19,0)")).cast("decimal(38,0)"))
+      .rollup($"brand")
+      .agg(sum($"n_nodes").as("n_nodes"), sum($"e_c").as("intra_edges"),
+        sum($"d_c").as("degree_sum"),
+        sum($"contrib_scaled").as("num"), max($"m").as("m"))
+      .select(coalesce($"brand", lit("__total")).as("brand"),
+        $"n_nodes", $"intra_edges", $"degree_sum",
+        round($"num".cast("double")
+          / (lit(4d) * $"m".cast("double") * $"m".cast("double")), 9).as("q_contrib"))
+      .orderBy($"brand")
+  }
+
+  val graphModularitySql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |p AS MATERIALIZED (
+      |  SELECT a.pk AS i, b.pk AS j
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+      |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+      |intra AS (
+      |  SELECT bi.p_brand AS brand, CAST(count(*) AS BIGINT) AS e_c
+      |  FROM p JOIN part bi ON p.i = bi.p_partkey
+      |  JOIN part bj ON p.j = bj.p_partkey
+      |  WHERE bi.p_brand = bj.p_brand GROUP BY 1),
+      |deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT i AS node FROM p UNION ALL SELECT j FROM p) u GROUP BY node),
+      |bdeg AS (
+      |  SELECT pt.p_brand AS brand, CAST(sum(deg) AS BIGINT) AS d_c,
+      |    CAST(count(*) AS BIGINT) AS n_nodes
+      |  FROM deg JOIN part pt ON deg.node = pt.p_partkey GROUP BY 1),
+      |cells AS (
+      |  SELECT bdeg.brand, n_nodes, coalesce(e_c, 0) AS e_c, d_c, m,
+      |    CAST(4 AS DECIMAL(38,0)) * CAST(m AS DECIMAL(19,0))
+      |        * CAST(coalesce(e_c, 0) AS DECIMAL(19,0))
+      |      - CAST(d_c AS DECIMAL(19,0)) * CAST(d_c AS DECIMAL(19,0))
+      |      AS contrib_scaled
+      |  FROM bdeg LEFT JOIN intra ON bdeg.brand = intra.brand CROSS JOIN mm)
+      |SELECT coalesce(brand, '__total') AS brand,
+      |  CAST(sum(n_nodes) AS BIGINT) AS n_nodes,
+      |  CAST(sum(e_c) AS BIGINT) AS intra_edges,
+      |  CAST(sum(d_c) AS BIGINT) AS degree_sum,
+      |  round(CAST(sum(contrib_scaled) AS DOUBLE)
+      |    / (4 * CAST(max(m) AS DOUBLE) * CAST(max(m) AS DOUBLE)), 9) AS q_contrib
+      |FROM cells GROUP BY ROLLUP (brand) ORDER BY brand""".stripMargin
+
   /** "Frequently bought together" serving table: top-3 recommendations
     * per part by co-purchase support ≥ 2. The pair aggregate is the
     * same linear orderkey-co-partitioned shape as [[copurchaseTop]];

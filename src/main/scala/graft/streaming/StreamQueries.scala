@@ -632,4 +632,60 @@ object StreamQueries {
   }
 
   val streamDedupGateSql: String = graft.operators.Dedup.dedupGateSql
+
+  /** Streaming robust-anomaly gate — [[graft.operators.Profile.anomalyMad]]
+    * as an online filter: per-type median/MAD reference stats are
+    * frozen batch-side (production ships the last window's stats the
+    * same way), and each arriving event is flagged by the integer
+    * modified-z comparison `1349·dev2 > 3500·mad4` in a stateless
+    * stream-static join + filter — zero streaming state, per-row cost
+    * only. Emits the flagged events with their robust z-score.
+    */
+  def streamAnomalyFlags(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inDir = stageEvents(dir)
+    val name = uniqueName("sq_madgate")
+    val batch = spark.read.parquet(inDir)
+      .select($"event_type", round($"value" * 10000, 0).cast("long").as("xc"))
+    val med = batch.groupBy($"event_type")
+      .agg((expr("percentile(xc, 0.5)") * 2).cast("long").as("m2"))
+    val stats = batch.join(med, "event_type")
+      .withColumn("dev2", abs($"xc" * 2 - $"m2"))
+      .groupBy($"event_type", $"m2")
+      .agg((expr("percentile(dev2, 0.5)") * 2).cast("long").as("mad4"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    stats.count() // freeze the reference
+    val q = spark.readStream.schema(spark.read.parquet(inDir).schema).parquet(inDir)
+      .withColumn("xc", round($"value" * 10000, 0).cast("long"))
+      .join(stats, "event_type")
+      .withColumn("dev2", abs($"xc" * 2 - $"m2"))
+      .filter($"dev2" * 1349 > $"mad4" * 3500)
+      .select($"event_id", $"event_type", $"value",
+        round($"dev2".cast("double") * 1.349 / $"mad4".cast("double"), 6)
+          .as("robust_z"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name).orderBy($"event_id")
+  }
+
+  val streamAnomalyFlagsSql: String =
+    """WITH x AS (
+      |  SELECT event_id, event_type, value,
+      |    CAST(round(value * 10000, 0) AS BIGINT) AS xc
+      |  FROM events),
+      |med AS (
+      |  SELECT event_type, CAST(quantile_cont(xc, 0.5) * 2 AS BIGINT) AS m2
+      |  FROM x GROUP BY event_type),
+      |mad AS (
+      |  SELECT x.event_type,
+      |    CAST(quantile_cont(abs(xc * 2 - m2), 0.5) * 2 AS BIGINT) AS mad4
+      |  FROM x JOIN med ON x.event_type = med.event_type
+      |  GROUP BY x.event_type)
+      |SELECT event_id, x.event_type, value,
+      |  round(CAST(abs(xc * 2 - m2) AS DOUBLE) * 1.349
+      |    / CAST(mad4 AS DOUBLE), 6) AS robust_z
+      |FROM x JOIN med ON x.event_type = med.event_type
+      |JOIN mad ON x.event_type = mad.event_type
+      |WHERE abs(xc * 2 - m2) * 1349 > mad4 * 3500
+      |ORDER BY event_id""".stripMargin
 }
