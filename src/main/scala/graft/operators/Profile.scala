@@ -610,6 +610,44 @@ object Profile {
       |GROUP BY d.event_type, n, d.m2, mad4
       |ORDER BY d.event_type""".stripMargin
 
+  /** Per-type quantile normalization — the rank-based feature
+    * transform (map each value to its mid-rank ECDF position
+    * (2·rank−1)/2n) that makes downstream thresholds distribution-free;
+    * the preprocessing step quality classifiers and mixture planners
+    * consume. Rank order is (value, event_id) so ties are
+    * deterministic; q is an exact small-integer ratio rounded once.
+    *
+    * Scale: ONE per-type window shuffle (the sessionize shape) and a
+    * count aggregate joined back per type — no global sort; the output
+    * order is the presentation sort.
+    */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"value", $"event_id")
+    val n = Tables.events(spark, dir).groupBy($"event_type")
+      .agg(count(lit(1)).as("n"))
+    Tables.events(spark, dir)
+      .select($"event_id", $"event_type", $"value")
+      .withColumn("rk", row_number().over(w))
+      .join(n, "event_type")
+      .select($"event_id", $"event_type", $"value",
+        round(($"rk" * 2 - 1).cast("double") / ($"n" * 2).cast("double"), 9)
+          .as("q"))
+      .orderBy($"event_id")
+  }
+
+  val quantileNormalizeSql: String =
+    """WITH r AS (
+      |  SELECT event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_id, event_type, value,
+      |  round(CAST(rk * 2 - 1 AS DOUBLE) / CAST(n * 2 AS DOUBLE), 9) AS q
+      |FROM r ORDER BY event_id""".stripMargin
+
   /** Nano-quantized PSI scoring of windowed live bucket counts against
     * a fixed reference distribution — the derivation shared by the
     * batch [[psiDriftWindowed]] and the streaming update-mode variant
