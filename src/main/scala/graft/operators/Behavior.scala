@@ -793,4 +793,115 @@ object Behavior {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
        |    / 1000000000), 6) AS survival
        |FROM ev ORDER BY t_month""".stripMargin
+
+  /** Mann–Whitney U rank-sum test between two event types' value
+    * distributions — the non-parametric complement to [[abTtest]]
+    * (median shift, no normality assumption) and [[ksTest]] (which
+    * answers "any distribution difference"; U answers "is one
+    * stochastically larger").
+    *
+    * Engine-exactness: values live on the same 4dp grid as [[ksTest]];
+    * ranks are handled per DISTINCT grid value with midrank tie
+    * handling kept in DOUBLED integer units (midrank2 = 2·cum_before +
+    * t + 1, exactly integral even for .5 midranks), so the rank sum,
+    * U statistic, and the tie-correction mass T = Σ(t³−t) are exact
+    * integers in any aggregation order. The z-score is assembled from
+    * those integers in one fixed-order double expression mirrored
+    * verbatim in the oracle.
+    *
+    * Scale: one (grid value)-keyed partial agg over the events scan
+    * collapses the corpus to |distinct values| rows; the cumulative
+    * window and the final fold run on that value-cardinality table
+    * (money-grid cardinality, not corpus cardinality). Nothing else
+    * shuffles.
+    */
+  def mannWhitney(spark: SparkSession, dir: String,
+                  groupA: String = "purchase", groupB: String = "view"): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.events(spark, dir)
+      .filter($"event_type".isin(groupA, groupB))
+      .select($"event_type", round($"value" * 10000, 0).cast("long").as("xc"))
+      .groupBy($"xc")
+      .agg(sum(when($"event_type" === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when($"event_type" === groupB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy($"xc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = counts
+      .withColumn("t", $"ca" + $"cb")
+      .withColumn("cum", sum($"t").over(w))
+      // 2× the midrank of this tie group: 2·(rows before) + t + 1
+      .withColumn("mid2", lit(2) * ($"cum" - $"t") + $"t" + lit(1))
+    ranked.agg(
+        sum($"ca").as("na"), sum($"cb").as("nb"),
+        sum(($"ca" * $"mid2").cast("decimal(38,0)")).as("ra2"),
+        sum(($"t" * $"t" * $"t" - $"t").cast("decimal(38,0)")).as("tie_mass"))
+      .select(
+        lit(groupA).as("group_a"), lit(groupB).as("group_b"),
+        $"na".cast("long").as("n_a"), $"nb".cast("long").as("n_b"),
+        // U_a = R_a − na(na+1)/2, carried in 2× units (exact integer)
+        (($"ra2" - ($"na" * ($"na" + 1)).cast("decimal(38,0)"))
+          .cast("double") / 2.0d).as("u_stat"),
+        round(
+          (($"ra2" - ($"na" * ($"na" + 1)).cast("decimal(38,0)")).cast("double") / 2.0d
+            - $"na".cast("double") * $"nb".cast("double") / 2.0d)
+          / sqrt($"na".cast("double") * $"nb".cast("double") / 12.0d
+            * (($"na" + $"nb" + 1).cast("double")
+              - $"tie_mass".cast("double")
+                / (($"na" + $"nb").cast("double")
+                  * ($"na" + $"nb" - 1).cast("double")))), 6).as("z"),
+        (abs(
+          (($"ra2" - ($"na" * ($"na" + 1)).cast("decimal(38,0)")).cast("double") / 2.0d
+            - $"na".cast("double") * $"nb".cast("double") / 2.0d)
+          / sqrt($"na".cast("double") * $"nb".cast("double") / 12.0d
+            * (($"na" + $"nb" + 1).cast("double")
+              - $"tie_mass".cast("double")
+                / (($"na" + $"nb").cast("double")
+                  * ($"na" + $"nb" - 1).cast("double"))))) > 1.96d)
+          .as("significant_95"))
+  }
+
+  val mannWhitneySql: String =
+    """WITH x AS (
+      |  SELECT event_type, CAST(round(value * 10000, 0) AS BIGINT) AS xc
+      |  FROM events WHERE event_type IN ('purchase', 'view')),
+      |c AS (
+      |  SELECT xc,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM x GROUP BY xc),
+      |r AS (
+      |  SELECT ca, cb, ca + cb AS t,
+      |    2 * (CAST(sum(ca + cb) OVER (ORDER BY xc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      - (ca + cb)) + (ca + cb) + 1 AS mid2
+      |  FROM c),
+      |agg AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+      |    CAST(sum(CAST(ca * mid2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ra2,
+      |    CAST(sum(CAST(t * t * t - t AS DECIMAL(38,0))) AS DECIMAL(38,0))
+      |      AS tie_mass
+      |  FROM r)
+      |SELECT 'purchase' AS group_a, 'view' AS group_b,
+      |  na AS n_a, nb AS n_b,
+      |  CAST(ra2 - CAST(na * (na + 1) AS DECIMAL(38,0)) AS DOUBLE) / 2.0
+      |    AS u_stat,
+      |  round(
+      |    (CAST(ra2 - CAST(na * (na + 1) AS DECIMAL(38,0)) AS DOUBLE) / 2.0
+      |      - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+      |    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+      |      * (CAST(na + nb + 1 AS DOUBLE)
+      |        - CAST(tie_mass AS DOUBLE)
+      |          / (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))), 6)
+      |    AS z,
+      |  abs(
+      |    (CAST(ra2 - CAST(na * (na + 1) AS DECIMAL(38,0)) AS DOUBLE) / 2.0
+      |      - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+      |    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+      |      * (CAST(na + nb + 1 AS DOUBLE)
+      |        - CAST(tie_mass AS DOUBLE)
+      |          / (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))))
+      |    > 1.96 AS significant_95
+      |FROM agg""".stripMargin
 }

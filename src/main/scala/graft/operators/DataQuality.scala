@@ -123,4 +123,128 @@ object DataQuality {
       |SELECT "check", CAST(violations AS BIGINT) AS violations,
       |  violations = 0 AS pass
       |FROM checks ORDER BY "check"""".stripMargin
+
+  /** Benford first-digit audit on order totals — the classic fraud /
+    * synthetic-data smoke test: does the leading significant digit of
+    * a money column follow log10(1+1/d)? Emits the observed count,
+    * expected fraction, and chi-square contribution per digit (the
+    * total chi² is the column sum; a per-digit breakdown localizes
+    * WHICH digits deviate, which a single statistic can't).
+    *
+    * Engine-exactness: the leading digit comes from integer-cents
+    * string formatting (cast(round(price·100) as bigint) → first char
+    * — no log10/floor boundary rounding at powers of ten); expected
+    * fractions are shared 9dp literals; each chi² term is one
+    * fixed-order double expression over exact integers, rounded 6dp.
+    *
+    * Scale: one 9-bucket map-side partial agg over the orders scan —
+    * the report is 9 rows at any input size, nothing else shuffles.
+    */
+  def benfordTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // log10(1 + 1/d) to 9dp, shared verbatim with the oracle
+    val p = Seq(0.301029996d, 0.176091259d, 0.124938737d, 0.096910013d,
+      0.079181246d, 0.066946790d, 0.057991947d, 0.051152522d, 0.045757491d)
+    val pExpr = p.zipWithIndex.foldLeft(lit(0.0d)) { case (acc, (f, i)) =>
+      when($"digit" === (i + 1), lit(f)).otherwise(acc)
+    }
+    val counts = Tables.orders(spark, dir)
+      .select(substring(round($"o_totalprice" * 100, 0).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("observed"))
+    val tot = counts.agg(sum($"observed").as("n"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("expected_frac", pExpr)
+      .select($"digit", $"observed", $"n".cast("long").as("n"),
+        $"expected_frac",
+        round(($"observed".cast("double") - $"n".cast("double") * $"expected_frac")
+          * ($"observed".cast("double") - $"n".cast("double") * $"expected_frac")
+          / ($"n".cast("double") * $"expected_frac"), 6).as("chi2_term"))
+      .orderBy($"digit")
+  }
+
+  val benfordTestSql: String =
+    """WITH d AS (
+      |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+      |    AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM orders),
+      |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed FROM d GROUP BY digit),
+      |t AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM c),
+      |e AS (
+      |  SELECT digit, observed, n,
+      |    CASE digit WHEN 1 THEN 0.301029996 WHEN 2 THEN 0.176091259
+      |      WHEN 3 THEN 0.124938737 WHEN 4 THEN 0.096910013
+      |      WHEN 5 THEN 0.079181246 WHEN 6 THEN 0.066946790
+      |      WHEN 7 THEN 0.057991947 WHEN 8 THEN 0.051152522
+      |      ELSE 0.045757491 END AS expected_frac
+      |  FROM c CROSS JOIN t)
+      |SELECT digit, observed, n, expected_frac,
+      |  round((CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * expected_frac)
+      |    * (CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * expected_frac)
+      |    / (CAST(n AS DOUBLE) * expected_frac), 6) AS chi2_term
+      |FROM e ORDER BY digit""".stripMargin
+
+  /** Dimension-coverage audit — the inverse of [[dqReport]]'s orphan
+    * FK checks: for each dimension → fact relationship, how much of
+    * the dimension is actually REFERENCED (dead customers, never-
+    * ordered parts, idle suppliers). Dead dimension mass is a storage
+    * and broadcast-size tax at 100 TB, and a sudden coverage drop is
+    * the classic symptom of a broken upstream join key.
+    *
+    * Scale: each relationship is one distinct-key projection of the
+    * fact scan (map-side partial distinct on the key column — the fact
+    * table collapses to key cardinality before its exchange) left-anti
+    * joined into a dimension-cardinality count. Four independent
+    * relationships, four reduced joins; the report is 4 rows.
+    */
+  def fkCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def cover(rel: String, dim: DataFrame, dimKey: String,
+              fact: DataFrame, factKey: String): DataFrame = {
+      val refKeys = fact.select(col(factKey).as("k")).distinct()
+      val total = dim.agg(count(lit(1)).as("dim_rows"))
+      val dead = dim.join(refKeys, col(dimKey) === $"k", "left_anti")
+        .agg(count(lit(1)).as("v"))
+      total.crossJoin(dead)
+        .select(lit(rel).as("relationship"),
+          $"dim_rows".cast("long").as("dim_rows"),
+          coalesce($"v", lit(0L)).cast("long").as("unreferenced"),
+          round(($"dim_rows" - coalesce($"v", lit(0L))).cast("double")
+            / $"dim_rows".cast("double"), 6).as("coverage"))
+    }
+    cover("customer->orders", Tables.customer(spark, dir), "c_custkey",
+        Tables.orders(spark, dir), "o_custkey")
+      .unionByName(cover("part->lineitem", Tables.part(spark, dir), "p_partkey",
+        Tables.lineitem(spark, dir), "l_partkey"))
+      .unionByName(cover("supplier->lineitem", Tables.supplier(spark, dir),
+        "s_suppkey", Tables.lineitem(spark, dir), "l_suppkey"))
+      .unionByName(cover("orders->lineitem", Tables.orders(spark, dir),
+        "o_orderkey", Tables.lineitem(spark, dir), "l_orderkey"))
+      .orderBy($"relationship")
+  }
+
+  val fkCoverageSql: String =
+    """WITH rels AS (
+      |  SELECT 'customer->orders' AS relationship,
+      |    (SELECT count(*) FROM customer) AS dim_rows,
+      |    (SELECT count(*) FROM customer c WHERE NOT EXISTS
+      |      (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+      |      AS unreferenced
+      |  UNION ALL SELECT 'part->lineitem',
+      |    (SELECT count(*) FROM part),
+      |    (SELECT count(*) FROM part p WHERE NOT EXISTS
+      |      (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey))
+      |  UNION ALL SELECT 'supplier->lineitem',
+      |    (SELECT count(*) FROM supplier),
+      |    (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+      |      (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey))
+      |  UNION ALL SELECT 'orders->lineitem',
+      |    (SELECT count(*) FROM orders),
+      |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+      |      (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)))
+      |SELECT relationship, CAST(dim_rows AS BIGINT) AS dim_rows,
+      |  CAST(unreferenced AS BIGINT) AS unreferenced,
+      |  round(CAST(dim_rows - unreferenced AS DOUBLE)
+      |    / CAST(dim_rows AS DOUBLE), 6) AS coverage
+      |FROM rels ORDER BY relationship""".stripMargin
 }

@@ -418,4 +418,115 @@ object Embeddings {
       |SELECT vec_id, rp_dim, proj_u,
       |  round(CAST(proj_u AS DOUBLE) / 1000000, 6) AS proj
       |FROM cells ORDER BY vec_id, rp_dim""".stripMargin
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): within each
+    * label cluster, elect the member closest to the class prototype as
+    * the REPRESENTATIVE, score every member's cosine similarity to it,
+    * and flag members above the similarity threshold as drops — the
+    * embedding-space analog of [[graft.operators.Dedup]]'s lexical
+    * near-dup family, used to thin semantically redundant training
+    * data. Here the cluster assignment is the label column (the
+    * prototype machinery of [[embeddingCentroids]]); with unlabeled
+    * data the same pass runs over [[IvfIndex]]'s k-means cells.
+    *
+    * Engine-exactness: prototypes are the exact decimal-sum centroids;
+    * representative election uses the integer micro-unit distances of
+    * [[embeddingOutliers]] (vec_id tie-break); components quantize to
+    * the 7dp integer grid BEFORE dot/norm products, so dot and norms
+    * are exact integers and the cosine is one fixed-order double
+    * division (IEEE sqrt), rounded 6dp.
+    *
+    * Scale: two (label, dim)-keyed partial aggs (centroids + member
+    * components) and one label-keyed rank window; the representative
+    * component table is |labels|·dims rows — model-sized — so AQE
+    * broadcasts it back onto the member component stream. The corpus
+    * embedding column itself never rides a shuffle wider than its
+    * posexploded components.
+    */
+  def semdedup(spark: SparkSession, dir: String,
+               simThreshold: Double = 0.93): DataFrame = {
+    import spark.implicits._
+    val comp = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .withColumn("vm", round($"v".cast("double") * 10000000d, 0).cast("long"))
+    val cent = comp.groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"v".cast("double"), 7).cast("decimal(18,7)")).as("s"))
+      .select($"label", $"dim",
+        round($"s".cast("double") / $"n".cast("double"), 6).as("c"))
+    val per = comp.join(cent, Seq("label", "dim"))
+      .select($"vec_id", $"label", $"dim", $"vm",
+        round(($"v".cast("double") - $"c") * 1000000d, 0).cast("long").as("e"))
+      .groupBy($"vec_id", $"label")
+      .agg(sum($"e" * $"e").as("dist2"),
+        sum(($"vm" * $"vm").cast("decimal(38,0)")).as("n2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"label").orderBy($"dist2".asc, $"vec_id")
+    val withRep = per.withColumn("is_rep",
+      row_number().over(w) === 1)
+    val repComp = withRep.filter($"is_rep")
+      .select($"label", $"vec_id".as("rep_id"), $"n2".as("rep_n2"))
+      .join(comp.select($"vec_id", $"dim", $"vm".as("rm")),
+        $"rep_id" === $"vec_id")
+      .select($"label", $"rep_id", $"rep_n2", $"dim", $"rm")
+    val dots = comp.join(repComp, Seq("label", "dim"))
+      .groupBy($"vec_id", $"label")
+      .agg(sum(($"vm" * $"rm").cast("decimal(38,0)")).as("dot"),
+        min($"rep_n2").as("rep_n2"))
+    withRep.join(dots, Seq("vec_id", "label"))
+      .select($"vec_id", $"label", $"is_rep",
+        round($"dot".cast("double")
+          / (sqrt($"n2".cast("double")) * sqrt($"rep_n2".cast("double"))), 6)
+          .as("sim_to_rep"),
+        ($"is_rep" || ($"dot".cast("double")
+          / (sqrt($"n2".cast("double")) * sqrt($"rep_n2".cast("double")))
+          < simThreshold)).as("is_kept"))
+      .orderBy($"label", $"vec_id")
+  }
+
+  val semdedupSql: String =
+    """WITH comp AS (
+      |  SELECT vec_id, label, CAST(i AS INT) AS dim, embedding[i + 1] AS v,
+      |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 10000000, 0) AS BIGINT)
+      |      AS vm
+      |  FROM embeddings
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+      |cent AS (
+      |  SELECT label, dim,
+      |    round(CAST(sum(CAST(round(CAST(v AS DOUBLE), 7) AS DECIMAL(18,7))) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE), 6) AS c
+      |  FROM comp GROUP BY label, dim),
+      |per AS (
+      |  SELECT vec_id, comp.label AS label,
+      |    CAST(sum(e * e) AS BIGINT) AS dist2,
+      |    CAST(sum(CAST(vm * vm AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS n2
+      |  FROM (
+      |    SELECT vec_id, comp.label, vm,
+      |      CAST(round((CAST(v AS DOUBLE) - c) * 1000000, 0) AS BIGINT) AS e
+      |    FROM comp JOIN cent ON comp.label = cent.label AND comp.dim = cent.dim) comp
+      |  GROUP BY vec_id, comp.label),
+      |wr AS (
+      |  SELECT vec_id, label, dist2, n2,
+      |    row_number() OVER (PARTITION BY label ORDER BY dist2 ASC, vec_id) = 1
+      |      AS is_rep
+      |  FROM per),
+      |repc AS (
+      |  SELECT w.label, w.vec_id AS rep_id, w.n2 AS rep_n2, c.dim, c.vm AS rm
+      |  FROM wr w JOIN comp c ON c.vec_id = w.vec_id
+      |  WHERE w.is_rep),
+      |dots AS (
+      |  SELECT comp.vec_id, comp.label,
+      |    CAST(sum(CAST(vm * rm AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS dot,
+      |    min(rep_n2) AS rep_n2
+      |  FROM comp JOIN repc ON comp.label = repc.label AND comp.dim = repc.dim
+      |  GROUP BY comp.vec_id, comp.label)
+      |SELECT w.vec_id, w.label, w.is_rep,
+      |  round(CAST(dot AS DOUBLE)
+      |    / (sqrt(CAST(w.n2 AS DOUBLE)) * sqrt(CAST(d.rep_n2 AS DOUBLE))), 6)
+      |    AS sim_to_rep,
+      |  w.is_rep OR (CAST(dot AS DOUBLE)
+      |    / (sqrt(CAST(w.n2 AS DOUBLE)) * sqrt(CAST(d.rep_n2 AS DOUBLE)))
+      |    < 0.93) AS is_kept
+      |FROM wr w JOIN dots d ON d.vec_id = w.vec_id AND d.label = w.label
+      |ORDER BY w.label, w.vec_id""".stripMargin
 }

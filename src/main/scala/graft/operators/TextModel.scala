@@ -628,4 +628,61 @@ object TextModel {
       |      * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
       |    AS r2
       |FROM s""".stripMargin
+
+  /** Vocabulary coverage curve — what share of all token OCCURRENCES
+    * the top-K most frequent types cover, for the K ladder a tokenizer
+    * budget decision reads off ("how big must the vocab be to cover
+    * 95% of the stream"). Emits one row per K with the covered mass,
+    * total mass, share, and the full type count.
+    *
+    * Scale: the corpus collapses to the type-frequency table on one
+    * gram-keyed partial agg (map-side combine — the explode never
+    * re-shuffles raw tokens); the rank runs over the TYPE table only.
+    * The global row_number window is single-partition over the vocab —
+    * fine for natural-language vocabularies (≤ tens of millions of
+    * types); for an unbounded key domain the documented path is the
+    * two-level grid rank used by the ntile family.
+    */
+  def tokenCoverage(spark: SparkSession, dir: String,
+                    ks: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
+    import spark.implicits._
+    val freq = Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"n".desc, $"tok")
+    val ranked = freq.withColumn("rk", row_number().over(w))
+    val tot = freq.agg(sum($"n").as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    val ladder = ks.map { k =>
+      ranked.filter($"rk" <= k).agg(lit(k).as("k"), sum($"n").as("covered"))
+    }.reduce(_ unionByName _)
+    ladder.crossJoin(broadcast(tot))
+      .select($"k", $"covered".cast("long").as("covered"),
+        $"total_tokens".cast("long").as("total_tokens"),
+        round($"covered".cast("double") / $"total_tokens".cast("double"), 6)
+          .as("share"),
+        $"vocab_size".cast("long").as("vocab_size"))
+      .orderBy($"k")
+  }
+
+  val tokenCoverageSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+      |    x -> x <> '')) AS tok
+      |  FROM documents),
+      |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+      |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rk FROM f),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+      |  CAST(count(*) AS BIGINT) AS vocab_size FROM f),
+      |ladder AS (
+      |  SELECT 100 AS k, CAST(sum(n) AS BIGINT) AS covered FROM r WHERE rk <= 100
+      |  UNION ALL
+      |  SELECT 1000, CAST(sum(n) AS BIGINT) FROM r WHERE rk <= 1000
+      |  UNION ALL
+      |  SELECT 10000, CAST(sum(n) AS BIGINT) FROM r WHERE rk <= 10000)
+      |SELECT k, covered, total_tokens,
+      |  round(CAST(covered AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS share,
+      |  vocab_size
+      |FROM ladder CROSS JOIN t ORDER BY k""".stripMargin
 }
