@@ -20,20 +20,32 @@ object Tables {
     if (name == "events") normalizeEventTs(df) else df
   }
 
-  /** events.ts is TIMESTAMP(NANOS) in parquet, read as a long (see
-    * `spark.sql.legacy.parquet.nanosAsLong`). Surface it as:
-    *   - `ts`: microsecond timestamp, ns floor-divided (matches DuckDB's
-    *     floor-truncation semantics exactly, so oracle comparisons at any
-    *     granularity agree), and
-    *   - `ts_ns`: the raw nanosecond long for exact arithmetic.
+  /** The driver has generated events.ts under several parquet encodings
+    * across rounds — TIMESTAMP(NANOS) (read as a long via
+    * `spark.sql.legacy.parquet.nanosAsLong`), TIMESTAMP_NTZ micros
+    * (isAdjustedToUTC=false), and plain TIMESTAMP micros. Normalize all
+    * of them to the same two columns so operators never branch:
+    *   - `ts`: microsecond TIMESTAMP (ns floor-divided when the source
+    *     is nanos — matches DuckDB's floor-truncation, so oracle
+    *     comparisons at any granularity agree; NTZ is cast under the
+    *     UTC session timezone, which preserves the wall-clock instant
+    *     DuckDB sees), and
+    *   - `ts_ns`: a nanosecond long for exact integer arithmetic
+    *     (mirrors DuckDB `epoch_ns(ts)`, which also accepts micros).
     */
   private def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts_ns", col("ts"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        val t = col("ts").cast(TimestampType)
+        df.withColumn("ts", t).withColumn("ts_ns", unix_micros(t) * 1000)
+      case _ =>
+        df.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
