@@ -33,7 +33,7 @@ object Tables {
     *   - `ts_ns`: a nanosecond long for exact integer arithmetic
     *     (mirrors DuckDB `epoch_ns(ts)`, which also accepts micros).
     */
-  private def normalizeEventTs(df: DataFrame): DataFrame = {
+  def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {

@@ -35,6 +35,20 @@ object StreamQueries {
   private def uniqueName(base: String): String =
     base + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
 
+  /** Streaming read of a staged events dir with the SAME schema-matched
+    * ts normalization as the batch loader
+    * ([[graft.sources.Tables.normalizeEventTs]]): the stream schema is
+    * known before plan construction, so the same `dataType match`
+    * applies. Every event-time streaming query reads through here —
+    * a driver-side re-encode of events.ts (ns-long → TIMESTAMP_NTZ →
+    * TIMESTAMP has happened across rounds) then can't break the
+    * streaming path while the batch path keeps working. Yields the
+    * normalized pair: `ts` TIMESTAMP (micros) + `ts_ns` LONG.
+    */
+  private def eventStream(spark: SparkSession, inDir: String): DataFrame =
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(spark.read.parquet(inDir).schema).parquet(inDir))
+
   /** File-source CDC ingest → routed changelog sink → materialized view
     * (the full streaming ingest path, then the same latest-wins upsert
     * as the batch materializer).
@@ -84,10 +98,7 @@ object StreamQueries {
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
     val inDir = stageEvents(dir)
     val name = uniqueName("sq_window_agg")
-    val events = spark.readStream
-      .schema(spark.read.parquet(inDir).schema)
-      .parquet(inDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = eventStream(spark, inDir)
     val q = CdcStream.windowAgg(events)
       .writeStream.outputMode("complete").format("memory").queryName(name).start()
     q.processAllAvailable(); q.stop()
@@ -112,10 +123,7 @@ object StreamQueries {
   def streamSlidingAgg(spark: SparkSession, dir: String): DataFrame = {
     val inDir = stageEvents(dir)
     val name = uniqueName("sq_sliding")
-    val events = spark.readStream
-      .schema(spark.read.parquet(inDir).schema)
-      .parquet(inDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = eventStream(spark, inDir)
     val q = events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
@@ -164,10 +172,7 @@ object StreamQueries {
   def streamJoin(spark: SparkSession, dir: String): DataFrame = {
     val inDir = stageEvents(dir)
     val name = uniqueName("sq_join")
-    def src = spark.readStream
-      .schema(spark.read.parquet(inDir).schema)
-      .parquet(inDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = eventStream(spark, inDir)
     val q = CdcStream.streamStreamJoin(
         src.filter(col("event_type") === "purchase"),
         src.filter(col("event_type") === "click"))
@@ -197,10 +202,8 @@ object StreamQueries {
     import spark.implicits._
     val inDir = stageEvents(dir)
     val name = uniqueName("sq_sessions")
-    val events = spark.readStream
-      .schema(spark.read.parquet(inDir).schema)
-      .parquet(inDir)
-      .withColumn("ts_s", expr("ts div 1000000000"))
+    val events = eventStream(spark, inDir)
+      .withColumn("ts_s", expr("ts_ns div 1000000000"))
       .withColumn("et", col("ts_s").cast("timestamp"))
       .withWatermark("et", "0 seconds")
       // keep `et` in the projection: dropping the watermark column would
@@ -407,10 +410,8 @@ object StreamQueries {
     import spark.implicits._
     val inDir = stageEvents(dir)
     val name = uniqueName("sq_attrib")
-    val schema = spark.read.parquet(inDir).schema
-    val events = spark.readStream.schema(schema).parquet(inDir)
-      .select($"user_id", $"event_id", $"event_type",
-        $"ts".as("ts_ns"), $"value")
+    val events = eventStream(spark, inDir)
+      .select($"user_id", $"event_id", $"event_type", $"ts_ns", $"value")
       .as[AttribEvent]
     val q = Attribution.attribute(spark, events)
       .writeStream.outputMode("append").format("memory").queryName(name).start()
@@ -439,12 +440,12 @@ object StreamQueries {
     import spark.implicits._
     val inDir = stageEvents(dir)
     val name = uniqueName("sq_psi")
-    val batch = spark.read.parquet(inDir)
+    val batch = graft.sources.Tables.normalizeEventTs(spark.read.parquet(inDir))
     val Row(mn: Long, mx: Long) = batch
-      .agg(min($"ts"), max($"ts")).first()
+      .agg(min($"ts_ns"), max($"ts_ns")).first()
     val mid = mn + (mx - mn) / 2
-    val q = spark.readStream.schema(batch.schema).parquet(inDir)
-      .withColumn("is_base", $"ts" <= mid)
+    val q = eventStream(spark, inDir)
+      .withColumn("is_base", $"ts_ns" <= mid)
       .withColumn("bin", floor($"value" / 50.0).cast("int"))
       .groupBy($"event_type", $"bin")
       .agg(sum(when($"is_base", 1L).otherwise(0L)).as("c_b"),
@@ -498,16 +499,16 @@ object StreamQueries {
     val inDir = stageEvents(dir)
     val name = uniqueName("sq_psiw")
     val dayNs = 86400L * 1000000000L
-    val batch = spark.read.parquet(inDir)
+    val batch = graft.sources.Tables.normalizeEventTs(spark.read.parquet(inDir))
     val Row(mn: Long, mx: Long) = batch
-      .agg(min($"ts"), max($"ts")).first()
+      .agg(min($"ts_ns"), max($"ts_ns")).first()
     val mid = mn + (mx - mn) / 2
-    val ref = batch.filter($"ts" <= mid)
+    val ref = batch.filter($"ts_ns" <= mid)
       .withColumn("bin", floor($"value" / 50.0).cast("int"))
       .groupBy($"event_type", $"bin").agg(count(lit(1)).as("c_b"))
-    val q = spark.readStream.schema(batch.schema).parquet(inDir)
-      .filter($"ts" > mid)
-      .withColumn("w", expr(s"cast((ts - ${mid}L - 1) div ${dayNs}L as int)"))
+    val q = eventStream(spark, inDir)
+      .filter($"ts_ns" > mid)
+      .withColumn("w", expr(s"cast((ts_ns - ${mid}L - 1) div ${dayNs}L as int)"))
       .withColumn("bin", floor($"value" / 50.0).cast("int"))
       .groupBy($"event_type", $"w", $"bin").agg(count(lit(1)).as("c_c"))
       .writeStream.outputMode("update").format("memory").queryName(name).start()

@@ -60,9 +60,11 @@ class LayoutSpec extends SparkSpec {
   test("3-dim z-order: every dimension prunes; range layout prunes only its own key") {
     // sf0.01: enough rows per file that a file's FOREIGN-dim footer
     // range reflects the layout, not small-sample luck
-    val events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    // normalized load: `ts_ns` is a long under every driver-side
+    // encoding of events.ts (ns-long / TIMESTAMP_NTZ / TIMESTAMP)
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.01")
       .withColumn("vbucket", floor($"value" / 8).cast("long"))
-      .withColumn("hbucket", expr("(ts div 3600000000000) % 24").cast("long"))
+      .withColumn("hbucket", expr("(ts_ns div 3600000000000) % 24").cast("long"))
     val zDir = java.nio.file.Files.createTempDirectory("graft_z3").toString
     val rDir = java.nio.file.Files.createTempDirectory("graft_r3").toString
     val nFiles = 32

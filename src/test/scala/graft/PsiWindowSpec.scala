@@ -36,19 +36,23 @@ class PsiWindowSpec extends SparkSpec {
   test("stream_psi_update across micro-batches: keys revised per batch, " +
     "final state bit-identical to batch") {
     val dayNs = 86400L * 1000000000L
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-    val Row(mn: Long, mx: Long) = ev.agg(min($"ts"), max($"ts")).first()
+    // normalized load: `ts_ns` is a long under every driver-side
+    // encoding of events.ts (ns-long / TIMESTAMP_NTZ / TIMESTAMP)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val Row(mn: Long, mx: Long) = ev.agg(min($"ts_ns"), max($"ts_ns")).first()
     val mid = mn + (mx - mn) / 2
 
     // stage the LIVE half in two waves split by event parity so most
-    // (type, w, bin) keys receive rows in BOTH micro-batches
+    // (type, w, bin) keys receive rows in BOTH micro-batches; the
+    // staged files carry the normalized schema, so the stream reads
+    // `ts_ns` directly
     val inDir = tmpDir("graft_psiw_in")
-    val live = ev.filter($"ts" > mid)
+    val live = ev.filter($"ts_ns" > mid)
     live.filter($"event_id" % 2 === 0).coalesce(1).write.mode("append").parquet(inDir)
     val name = "psiw_spec_sink"
-    val q = spark.readStream.schema(ev.schema)
+    val q = spark.readStream.schema(live.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
-      .withColumn("w", expr(s"cast((ts - ${mid}L - 1) div ${dayNs}L as int)"))
+      .withColumn("w", expr(s"cast((ts_ns - ${mid}L - 1) div ${dayNs}L as int)"))
       .withColumn("bin", floor($"value" / 50.0).cast("int"))
       .groupBy($"event_type", $"w", $"bin").agg(count(lit(1)).as("c_c"))
       .writeStream.outputMode("update").format("memory").queryName(name).start()
@@ -68,7 +72,7 @@ class PsiWindowSpec extends SparkSpec {
     val got = sinkRaw.groupBy(r => (r.getString(0), r.getInt(1), r.getInt(2)))
       .map { case (k, rs) => (k, rs.map(_.getLong(3)).max) }
     val want = live
-      .withColumn("w", expr(s"cast((ts - ${mid}L - 1) div ${dayNs}L as int)"))
+      .withColumn("w", expr(s"cast((ts_ns - ${mid}L - 1) div ${dayNs}L as int)"))
       .withColumn("bin", floor($"value" / 50.0).cast("int"))
       .groupBy($"event_type", $"w", $"bin").agg(count(lit(1)).as("c_c"))
       .collect()

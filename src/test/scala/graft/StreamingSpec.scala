@@ -59,11 +59,9 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming window agg equals batch window agg") {
     val outName = "stream_hourly"
-    val events = spark.readStream
+    val events = sources.Tables.normalizeEventTs(spark.readStream
       .schema(spark.read.parquet(eventsDir).schema)
-      .parquet(eventsDir)
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros($"ts_us"))
+      .parquet(eventsDir))
     val q = CdcStream.windowAgg(events)
       .writeStream.outputMode("complete").format("memory").queryName(outName).start()
     q.processAllAvailable(); q.stop()
@@ -87,10 +85,9 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stream-stream interval join matches the batch range join") {
-    def streamEvents() = spark.readStream
+    def streamEvents() = sources.Tables.normalizeEventTs(spark.readStream
       .schema(spark.read.parquet(eventsDir).schema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(eventsDir))
     val purchases = streamEvents().filter($"event_type" === "purchase")
     val clicks = streamEvents().filter($"event_type" === "click")
     val q = streaming.CdcStream.streamStreamJoin(purchases, clicks)
