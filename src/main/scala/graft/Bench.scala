@@ -8,9 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * would let column pruning erase the measured work for
   * projection-only queries (and EliminateSorts drop their orderBy).
   * Failures are reported explicitly (-1 time, an `errors` field, and
-  * a stderr line) instead of being timed as if they succeeded, and
-  * each query's row count is emitted so a wrong result can't hide
-  * behind a fast time.
+  * a stderr line) instead of being timed as if they succeeded; each
+  * query's row count goes to BENCH_DETAIL.json (result-size evidence —
+  * a wrong result can't hide behind a fast time), which also carries
+  * 3-decimal times and per-query steal.
   */
 object Bench {
   // representative of each operator family; the full surface is in
@@ -67,6 +68,35 @@ object Bench {
       case _ => 0.0
     }
 
+  /** Previous-round per-query seconds from the committed
+    * BENCH_DETAIL.json, used as the outlier reference: a query whose
+    * min-of-2 exceeds 3× its previous value gets a third pass, so a
+    * steal burst must span THREE passes to corrupt its number (r5's
+    * headline total was ~2× inflated by exactly such a burst).
+    * Hand-rolled scrape, not a JSON parser: the file is self-written
+    * with a fixed shape, and only the "queries" object is read.
+    */
+  private def previousTimes(sfDir: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_DETAIL.json")))
+      // only a same-SF reference is meaningful (a dev run at sf0.001
+      // must not become the outlier baseline for the sf0.1 round)
+      val qStart = txt.indexOf("\"queries\":{")
+      if (qStart < 0 || !txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+      else {
+        val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
+        body.split(',').flatMap { kv =>
+          kv.split(':') match {
+            case Array(k, v) =>
+              try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+              catch { case _: Throwable => None }
+            case _ => None
+          }
+        }.toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     // optional args: run only the named headline queries (dev iteration)
     val selected = if (args.isEmpty) headline else headline.filter(args.contains)
@@ -103,22 +133,31 @@ object Bench {
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val rowCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val perSteal = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val prev = previousTimes(sfDir)
     val statBefore = procStat()
     // min of two timed passes per query: a transient hypervisor-steal
     // burst (observed repeatedly in this sandbox) then has to span both
-    // passes of a query to corrupt its number
+    // passes of a query to corrupt its number. If the result still
+    // exceeds 3× the previous round's time for that query, a THIRD
+    // pass runs — an algorithmic regression reproduces, a steal burst
+    // that already lasted two passes rarely survives a third.
     val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
+        val qBefore = procStat()
         val elapsed =
           try {
-            val times = (1 to 2).map { pass =>
+            def onePass(countRows: Boolean): Double = {
               val t0 = System.nanoTime()
               val df = fn(spark, sfDir)
               evalAll(df)
               val t = (System.nanoTime() - t0) / 1e9
-              if (pass == 2) rowCounts(name) = df.count() // untimed: result-size evidence
+              if (countRows) rowCounts(name) = df.count() // untimed: result-size evidence
               t
             }
+            var times = Seq(onePass(countRows = false), onePass(countRows = true))
+            if (prev.get(name).exists(p => p > 0 && times.min > 3 * p))
+              times = times :+ onePass(countRows = false)
             // operators persist intermediates (signature/index tables);
             // left cached they accumulate across the 35+ headline
             // queries until eviction pressure perturbs LATER timings —
@@ -132,6 +171,7 @@ object Bench {
               errors(name) = e.getClass.getSimpleName
               -1.0
           }
+        perSteal(name) = stealPct(qBefore, procStat())
         name -> elapsed
       }
     }
@@ -148,15 +188,21 @@ object Bench {
       .mkString("{", ",", "}")
     val rows = rowCounts.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val stealByQ = perSteal.map { case (k, v) => "\"" + k + f"""\":$v%.1f""" }
+      .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    // stdout drops the errors field when empty: the driver keeps only a
+    // ~2KB tail of the run's output and the ~70-query line is already
+    // close to it — every spare byte widens the survival margin
+    val errField = if (errors.isEmpty) "" else s""","errors":$errs"""
     val total = results.map(_._2).filter(_ >= 0).sum
-    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs3,"rows":$rows,"errors":$errs,"steal_pct":$steal%.1f,"sf":"$sfDir"}"""
+    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs3,"rows":$rows,"errors":$errs,"steal_by_query":$stealByQ,"steal_pct":$steal%.1f,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detail) finally w.close()
     } catch { case _: Throwable => () }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"steal_pct":$steal%.1f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errField,"steal_pct":$steal%.1f,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }

@@ -831,18 +831,22 @@ object Behavior {
       .withColumn("cum", sum($"t").over(w))
       // 2× the midrank of this tie group: 2·(rows before) + t + 1
       .withColumn("mid2", lit(2) * ($"cum" - $"t") + $"t" + lit(1))
+    // every multiply runs in DECIMAL(38,0), operands cast FIRST: at
+    // corpus scale mid2 ≈ 2N and ca·mid2 / t³ overflow a LONG well
+    // before the cast would have rescued them (N ≥ ~2·10⁹ rows)
     ranked.agg(
         sum($"ca").as("na"), sum($"cb").as("nb"),
-        sum(($"ca" * $"mid2").cast("decimal(38,0)")).as("ra2"),
-        sum(($"t" * $"t" * $"t" - $"t").cast("decimal(38,0)")).as("tie_mass"))
+        sum($"ca".cast("decimal(38,0)") * $"mid2".cast("decimal(38,0)")).as("ra2"),
+        sum($"t".cast("decimal(38,0)") * $"t".cast("decimal(38,0)")
+          * $"t".cast("decimal(38,0)") - $"t".cast("decimal(38,0)")).as("tie_mass"))
       .select(
         lit(groupA).as("group_a"), lit(groupB).as("group_b"),
         $"na".cast("long").as("n_a"), $"nb".cast("long").as("n_b"),
         // U_a = R_a − na(na+1)/2, carried in 2× units (exact integer)
-        (($"ra2" - ($"na" * ($"na" + 1)).cast("decimal(38,0)"))
+        (($"ra2" - ($"na".cast("decimal(38,0)") * ($"na" + 1).cast("decimal(38,0)")))
           .cast("double") / 2.0d).as("u_stat"),
         round(
-          (($"ra2" - ($"na" * ($"na" + 1)).cast("decimal(38,0)")).cast("double") / 2.0d
+          (($"ra2" - ($"na".cast("decimal(38,0)") * ($"na" + 1).cast("decimal(38,0)"))).cast("double") / 2.0d
             - $"na".cast("double") * $"nb".cast("double") / 2.0d)
           / sqrt($"na".cast("double") * $"nb".cast("double") / 12.0d
             * (($"na" + $"nb" + 1).cast("double")
@@ -850,7 +854,7 @@ object Behavior {
                 / (($"na" + $"nb").cast("double")
                   * ($"na" + $"nb" - 1).cast("double")))), 6).as("z"),
         (abs(
-          (($"ra2" - ($"na" * ($"na" + 1)).cast("decimal(38,0)")).cast("double") / 2.0d
+          (($"ra2" - ($"na".cast("decimal(38,0)") * ($"na" + 1).cast("decimal(38,0)"))).cast("double") / 2.0d
             - $"na".cast("double") * $"nb".cast("double") / 2.0d)
           / sqrt($"na".cast("double") * $"nb".cast("double") / 12.0d
             * (($"na" + $"nb" + 1).cast("double")
@@ -879,16 +883,18 @@ object Behavior {
       |  FROM c),
       |agg AS (
       |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
-      |    CAST(sum(CAST(ca * mid2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ra2,
-      |    CAST(sum(CAST(t * t * t - t AS DECIMAL(38,0))) AS DECIMAL(38,0))
-      |      AS tie_mass
+      |    CAST(sum(CAST(ca AS DECIMAL(38,0)) * CAST(mid2 AS DECIMAL(38,0)))
+      |      AS DECIMAL(38,0)) AS ra2,
+      |    CAST(sum(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+      |        * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0)))
+      |      AS DECIMAL(38,0)) AS tie_mass
       |  FROM r)
       |SELECT 'purchase' AS group_a, 'view' AS group_b,
       |  na AS n_a, nb AS n_b,
-      |  CAST(ra2 - CAST(na * (na + 1) AS DECIMAL(38,0)) AS DOUBLE) / 2.0
+      |  CAST(ra2 - (CAST(na AS DECIMAL(38,0)) * CAST(na + 1 AS DECIMAL(38,0))) AS DOUBLE) / 2.0
       |    AS u_stat,
       |  round(
-      |    (CAST(ra2 - CAST(na * (na + 1) AS DECIMAL(38,0)) AS DOUBLE) / 2.0
+      |    (CAST(ra2 - (CAST(na AS DECIMAL(38,0)) * CAST(na + 1 AS DECIMAL(38,0))) AS DOUBLE) / 2.0
       |      - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
       |    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
       |      * (CAST(na + nb + 1 AS DOUBLE)
@@ -896,7 +902,7 @@ object Behavior {
       |          / (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))), 6)
       |    AS z,
       |  abs(
-      |    (CAST(ra2 - CAST(na * (na + 1) AS DECIMAL(38,0)) AS DOUBLE) / 2.0
+      |    (CAST(ra2 - (CAST(na AS DECIMAL(38,0)) * CAST(na + 1 AS DECIMAL(38,0))) AS DOUBLE) / 2.0
       |      - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
       |    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
       |      * (CAST(na + nb + 1 AS DOUBLE)

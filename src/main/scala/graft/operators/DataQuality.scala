@@ -142,7 +142,12 @@ object DataQuality {
     */
   def benfordTest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // log10(1 + 1/d) to 9dp, shared verbatim with the oracle
+    // log10(1 + 1/d) to 9dp, shared verbatim with the oracle; digits
+    // outside 1-9 (a '-' sign or '0' leading char from pathological
+    // inputs) get an explicit 0.0 in BOTH engines — the oracle's CASE
+    // now carries a WHEN 9 branch plus ELSE 0.0 to match this fold's
+    // otherwise-0.0 default, instead of silently folding strays into
+    // the digit-9 fraction
     val p = Seq(0.301029996d, 0.176091259d, 0.124938737d, 0.096910013d,
       0.079181246d, 0.066946790d, 0.057991947d, 0.051152522d, 0.045757491d)
     val pExpr = p.zipWithIndex.foldLeft(lit(0.0d)) { case (acc, (f, i)) =>
@@ -176,7 +181,8 @@ object DataQuality {
       |      WHEN 3 THEN 0.124938737 WHEN 4 THEN 0.096910013
       |      WHEN 5 THEN 0.079181246 WHEN 6 THEN 0.066946790
       |      WHEN 7 THEN 0.057991947 WHEN 8 THEN 0.051152522
-      |      ELSE 0.045757491 END AS expected_frac
+      |      WHEN 9 THEN 0.045757491
+      |      ELSE 0.0 END AS expected_frac
       |  FROM c CROSS JOIN t)
       |SELECT digit, observed, n, expected_frac,
       |  round((CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * expected_frac)

@@ -227,7 +227,8 @@ object Dedup {
     * (which collapses boilerplate clusters) and caps df on the
     * container side, accepting bounded recall loss on pairs whose ONLY
     * shared shingles are corpus-common — here the uncapped form keeps
-    * the brute-force oracle exact.
+    * the brute-force oracle exact. That mitigation IS implemented as
+    * the production default: [[dedupContainmentCapped]].
     */
   def dedupContainment(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame = {
     import spark.implicits._
@@ -281,6 +282,140 @@ object Dedup {
       |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
       |SELECT i, j, round(CAST(c AS DOUBLE) / CAST(na AS DOUBLE), 6) AS containment
       |FROM pairs WHERE CAST(c AS DOUBLE) / CAST(na AS DOUBLE) >= 0.8
+      |ORDER BY i, j""".stripMargin
+
+  /** PRODUCTION-DEFAULT containment: [[dedupContainment]] with the two
+    * documented skew mitigations applied — (1) a normalized-exact
+    * pre-pass (the [[dedupExactNorm]] normalization) collapses each
+    * boilerplate-variant cluster to its min-doc_id representative
+    * before any shingle explodes, and (2) candidate generation runs
+    * only over shingles whose document frequency is ≤ `dfCap`, so
+    * every posting list the candidate join shuffles is bounded by the
+    * cap — the uncapped operator's worst case (a corpus-common
+    * boilerplate shingle shipping its whole posting list to one
+    * reducer) structurally cannot occur. Verification still intersects
+    * the FULL shingle arrays, so every emitted containment value is
+    * exact; the cap's only cost is bounded recall loss on pairs whose
+    * shared shingles are ALL corpus-common (df > cap) — precisely the
+    * boilerplate mass the pre-pass already collapsed. The oracle
+    * replays the same capped candidate semantics, so the operator is
+    * hash-checked, not rows-only.
+    */
+  def dedupContainmentCapped(spark: SparkSession, dir: String,
+      tau: Double = 0.8, dfCap: Int = 64): DataFrame =
+    dedupContainmentCappedOf(Tables.documents(spark, dir), tau, dfCap)
+
+  /** Frame-level form of [[dedupContainmentCapped]] (specs plant
+    * boilerplate-cluster fixtures through here). `cappedShingleTable`
+    * below is the candidate-side table whose per-shingle posting size
+    * the spec bounds.
+    */
+  def dedupContainmentCappedOf(docs: DataFrame, tau: Double,
+      dfCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reps = normReps(docs)
+    val sh = reps
+      .select(col("doc_id"), array_distinct(
+        graft.functions.HashFunctions.shingle_hash3(
+          graft.functions.HashFunctions.token_hash32(col("text")))).as("shs"))
+      .select(col("doc_id"), col("shs"), size(col("shs")).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = cappedShingleTable(sh, dfCap)
+    val prefixA = capped
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("dfh"), col("h"))))
+      .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n")).cast("int") + 1)
+      .select(col("doc_id").as("i"), col("n").as("na"), col("h"))
+    val postB = capped.select(col("doc_id").as("j"), col("n").as("nb"), col("h"))
+    val cand = prefixA.join(postB, Seq("h"))
+      .filter(col("i") =!= col("j")
+        && col("nb").cast("double") >= lit(tau) * col("na"))
+      .select(col("i"), col("j"))
+      .distinct()
+    val shI = sh.select(col("doc_id").as("i"), col("shs").as("sa"), col("n").as("na"))
+    val shJ = sh.select(col("doc_id").as("j"), col("shs").as("sb"))
+    cand.join(shI, "i").join(shJ, "j")
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("containment", col("c").cast("double") / col("na").cast("double"))
+      .filter(col("containment") >= tau)
+      .select(col("i"), col("j"), round(col("containment"), 6).as("containment"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Min-doc_id representative per normalized-text cluster (the
+    * [[dedupExactNorm]] normalization): one window shuffle keyed on the
+    * 16-byte fingerprint — no text moves beyond its group.
+    */
+  private[graft] def normReps(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nf = md5(trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9]+", " "), " +", " ")))
+    docs.select(col("doc_id"), col("text"), nf.as("nf"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("nf")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("text"))
+  }
+
+  /** Exploded (doc_id, n, h, dfh) shingle table restricted to shingles
+    * with document frequency ≤ `dfCap`: by construction no shingle key
+    * in the candidate join carries more than `dfCap` postings.
+    */
+  private[graft] def cappedShingleTable(sh: DataFrame, dfCap: Int): DataFrame = {
+    val ex = sh.select(col("doc_id"), col("n"), explode(col("shs")).as("h"))
+    val dfh = ex.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
+    ex.join(dfh, "h").filter(col("dfh") <= dfCap)
+  }
+
+  /** Capped-candidate oracle: the SAME pre-pass + df-cap + prefix
+    * semantics replayed in DuckDB integer arithmetic, then exact
+    * verification — green means the mitigation loses exactly the pairs
+    * it declares, nothing else.
+    */
+  lazy val dedupContainmentCappedSql: String =
+    s"""WITH u AS (
+      |  SELECT doc_id, text,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+      |      ' +', ' ', 'g'))) AS nf
+      |  FROM documents),
+      |reps AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      row_number() OVER (PARTITION BY nf ORDER BY doc_id) AS rn
+      |    FROM u) t WHERE rn = 1),
+      |toks AS (
+      |  SELECT doc_id, $duckTokens32 AS th
+      |  FROM reps),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(th) < 3 THEN
+      |      [list_reduce(list_concat([CAST(7 AS BIGINT)], th), (a, h) -> (a * 33 + h) & 4294967295)]
+      |    ELSE
+      |      list_transform(range(1, len(th) - 1), i ->
+      |        (((((th[i] * 31) & 4294967295) * 33 + ((th[i+1] * 62) & 4294967295)) & 4294967295) * 33
+      |          + ((th[i+2] * 93) & 4294967295)) & 4294967295)
+      |    END) AS s
+      |  FROM toks),
+      |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS h FROM sh),
+      |dfh AS (SELECT h, count(*) AS dfh FROM ex GROUP BY h),
+      |capped AS (
+      |  SELECT ex.doc_id, ex.n, ex.h, dfh.dfh
+      |  FROM ex JOIN dfh ON ex.h = dfh.h WHERE dfh.dfh <= 64),
+      |pre AS (
+      |  SELECT doc_id AS i, n AS na, h FROM (
+      |    SELECT doc_id, n, h,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY dfh, h) AS rn
+      |    FROM capped) t
+      |  WHERE rn <= n - CAST(ceil(0.8 * n) AS INT) + 1),
+      |post AS (SELECT doc_id AS j, n AS nb, h FROM capped),
+      |cand AS (
+      |  SELECT DISTINCT i, j FROM pre JOIN post USING (h)
+      |  WHERE i <> j AND CAST(nb AS DOUBLE) >= 0.8 * CAST(na AS DOUBLE)),
+      |pairs AS (
+      |  SELECT c.i, c.j, len(list_intersect(a.s, b.s)) AS cnt, len(a.s) AS na
+      |  FROM cand c JOIN sh a ON a.doc_id = c.i JOIN sh b ON b.doc_id = c.j)
+      |SELECT i, j, round(CAST(cnt AS DOUBLE) / CAST(na AS DOUBLE), 6) AS containment
+      |FROM pairs WHERE CAST(cnt AS DOUBLE) / CAST(na AS DOUBLE) >= 0.8
       |ORDER BY i, j""".stripMargin
 
   // ---- MinHash + LSH ----------------------------------------------------

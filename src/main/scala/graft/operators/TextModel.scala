@@ -654,9 +654,14 @@ object TextModel {
     val ranked = freq.withColumn("rk", row_number().over(w))
     val tot = freq.agg(sum($"n").as("total_tokens"),
       count(lit(1)).as("vocab_size"))
-    val ladder = ks.map { k =>
-      ranked.filter($"rk" <= k).agg(lit(k).as("k"), sum($"n").as("covered"))
-    }.reduce(_ unionByName _)
+    // ONE pass over the ranked vocab: every K rung is a conditional
+    // sum in the same aggregate, then the 1-row result unpivots to the
+    // ladder (the previous shape re-scanned the vocab once per K)
+    val covs = ks.map(k => sum(when($"rk" <= k, $"n").otherwise(0L)).as(s"c$k"))
+    val ladder = ranked.agg(covs.head, covs.tail: _*)
+      .select(explode(array(ks.map(k =>
+        struct(lit(k).as("k"), col(s"c$k").as("covered"))): _*)).as("s"))
+      .select($"s.k".as("k"), $"s.covered".as("covered"))
     ladder.crossJoin(broadcast(tot))
       .select($"k", $"covered".cast("long").as("covered"),
         $"total_tokens".cast("long").as("total_tokens"),
