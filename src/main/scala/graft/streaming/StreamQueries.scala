@@ -45,7 +45,7 @@ object StreamQueries {
     * streaming path while the batch path keeps working. Yields the
     * normalized pair: `ts` TIMESTAMP (micros) + `ts_ns` LONG.
     */
-  private def eventStream(spark: SparkSession, inDir: String): DataFrame =
+  private[graft] def eventStream(spark: SparkSession, inDir: String): DataFrame =
     graft.sources.Tables.normalizeEventTs(
       spark.readStream.schema(spark.read.parquet(inDir).schema).parquet(inDir))
 
