@@ -48,13 +48,15 @@ object SnapshotTable {
   }
 
   private def writeManifest(root: String, version: Int, files: Seq[String],
-                            op: String, maxOffset: Long): Unit = {
+                            op: String, maxOffset: Long,
+                            schema: org.apache.spark.sql.types.StructType = null): Unit = {
     fs(s"$root/snapshots").mkdirs()
     val json = s"""{"version":$version,"op":"$op","max_offset":$maxOffset,""" +
       s""""files":[${files.map(f => "\"" + f + "\"").mkString(",")}]}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$root/snapshots/v$version.json"), json.getBytes)
     writeMetadata(root, version, files, op, maxOffset)
+    writeTableMetadata(root, Option(schema))
   }
 
   /** EXTERNALIZED metadata (docs/SNAPSHOT_LAYOUT.md) — the offline-tool
@@ -85,6 +87,72 @@ object SnapshotTable {
     refreshVersionHint(root)
   }
 
+  /** Iceberg-vocabulary TABLE METADATA (`metadata/v{R}.metadata.json`,
+    * one revision per mutating operation, HadoopTableOperations
+    * naming): the single document an Iceberg-literate catalog reads to
+    * enumerate the table — `format-version`, a deterministic
+    * `table-uuid`, `schemas` with `schema-id` (content-addressed
+    * registry in Spark's public schema-JSON form under
+    * `metadata/schema-{id}.json`; the id advances only when a commit's
+    * schema actually differs — the schema-evolution trail),
+    * `current-schema-id`, `current-snapshot-id`, `snapshots` (each with
+    * `snapshot-id`, `parent-snapshot-id`, `sequence-number` and its
+    * `manifest-list` path), and the ordered `snapshot-log`. No
+    * wall-clock fields anywhere (Iceberg's timestamp-ms becomes the
+    * monotonic snapshot id): metadata history is reproducible
+    * byte-for-byte. Revisions are capped at the last 10, like
+    * Iceberg's previous-versions-max. Full Avro manifest encoding
+    * stays out of scope (no Iceberg jars in-sandbox); the vocabulary
+    * and file topology are what offline tools key on.
+    */
+  private def writeTableMetadata(
+      root: String, schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+    fs(s"$root/metadata").mkdirs()
+    val metaFiles = Option(fs(s"$root/metadata").listFiles()).getOrElse(Array.empty)
+    // content-addressed schema registry
+    val schemas = metaFiles.filter(_.getName.matches("schema-\\d+\\.json"))
+      .map(f => (f.getName.stripPrefix("schema-").stripSuffix(".json").toInt,
+        new String(java.nio.file.Files.readAllBytes(f.toPath))))
+      .sortBy(_._1).toSeq
+    val currentSchemaId = schema match {
+      case None => schemas.lastOption.map(_._1).getOrElse(-1)
+      case Some(st) =>
+        val js = st.json
+        schemas.find(_._2 == js).map(_._1).getOrElse {
+          val id = schemas.lastOption.map(_._1 + 1).getOrElse(0)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$root/metadata/schema-$id.json"), js.getBytes)
+          id
+        }
+    }
+    val schemaIds = (schemas.map(_._1) ++ Seq(currentSchemaId).filter(_ >= 0)).distinct.sorted
+    val live = listSnapshots(root)
+    val snaps = live.zip(-1 +: live.dropRight(1)).map { case (v, parent) =>
+      val p = if (parent < 0) "null" else parent.toString
+      s"""{"snapshot-id":$v,"parent-snapshot-id":$p,"sequence-number":$v,""" +
+        s""""manifest-list":"metadata/manifest-list-v$v.json"}"""
+    }
+    val log = live.map(v => s"""{"snapshot-id":$v}""")
+    val uuid = java.util.UUID.nameUUIDFromBytes(root.getBytes).toString
+    val current = live.lastOption.map(_.toString).getOrElse("null")
+    val json =
+      s"""{"format-version":1,"table-format":"graft-snapshot-v1",""" +
+        s""""table-uuid":"$uuid","location":"$root",""" +
+        s""""current-schema-id":$currentSchemaId,""" +
+        s""""schemas":[${schemaIds.map(i =>
+          s"""{"schema-id":$i,"schema-file":"metadata/schema-$i.json"}""").mkString(",")}],""" +
+        s""""current-snapshot-id":$current,""" +
+        s""""snapshots":[${snaps.mkString(",")}],""" +
+        s""""snapshot-log":[${log.mkString(",")}]}"""
+    val revs = metaFiles.map(_.getName)
+      .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
+        n.stripPrefix("v").stripSuffix(".metadata.json").toInt }.sorted
+    val rev = revs.lastOption.getOrElse(0) + 1
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/metadata/v$rev.metadata.json"), json.getBytes)
+    revs.dropRight(9).foreach(r => fs(s"$root/metadata/v$r.metadata.json").delete())
+  }
+
   private def refreshVersionHint(root: String): Unit =
     listSnapshots(root).lastOption.foreach { hint =>
       java.nio.file.Files.write(
@@ -110,7 +178,8 @@ object SnapshotTable {
       case r if r.isNullAt(0) => -1L
       case r => r.getLong(0)
     }
-    writeManifest(root, version, parentFiles ++ newFiles, "append", maxOffset)
+    writeManifest(root, version, parentFiles ++ newFiles, "append", maxOffset,
+      batch.schema)
     version
   }
 
@@ -148,8 +217,8 @@ object SnapshotTable {
     // compacted base rows are terminal states; re-tag as upserts (and
     // drop the audit column so the base schema matches the changelog) so
     // a later materialize over [base ++ newer changelog] stays correct
-    state.drop("n_changes").withColumn("op", lit("u"))
-      .coalesce(targetFiles)
+    val base = state.drop("n_changes").withColumn("op", lit("u"))
+    base.coalesce(targetFiles)
       .write.mode("error").parquet(s"$root/$dataDir")
     val files = fs(s"$root/$dataDir").listFiles()
       .filter(_.getName.endsWith(".parquet")).map(f => s"$dataDir/${f.getName}").toSeq.sorted
@@ -157,7 +226,7 @@ object SnapshotTable {
       case r if r.isNullAt(0) => -1L
       case r => r.getLong(0)
     }
-    writeManifest(root, version, files, "compact", maxOffset)
+    writeManifest(root, version, files, "compact", maxOffset, base.schema)
     version
   }
 
@@ -186,6 +255,7 @@ object SnapshotTable {
       fs(s"$root/metadata/manifest-list-v$v.json").delete()
     }
     refreshVersionHint(root)
+    writeTableMetadata(root, None) // expiry is a metadata revision too
     (expired, deadFiles)
   }
 
@@ -221,7 +291,7 @@ object SnapshotTable {
         case r if r.isNullAt(0) => -1L
         case r => r.getLong(0)
       }
-      writeManifest(root, v, newFiles, op, maxOffset)
+      writeManifest(root, v, newFiles, op, maxOffset, scrubbed.schema)
     }
     // reference-count originals against the rewritten manifests and
     // delete what nothing references any more; sweep emptied data dirs

@@ -2,6 +2,7 @@ package graft
 
 import graft.cdc.Cdc
 import graft.sinks.SnapshotTable
+import org.apache.spark.sql.functions.lit
 
 /** docs/SNAPSHOT_LAYOUT.md's lifecycle invariants: the externalized
   * metadata (version-hint + manifest lists) stays schema-stable and
@@ -57,6 +58,41 @@ class SnapshotMetadataSpec extends SparkSpec {
           s"v$v length drift for ${m.getAs[String]("path")}")
       }
     }
+    assertTableMetadata(root, live)
+  }
+
+  /** Invariants 5-6: the latest Iceberg-vocabulary table-metadata
+    * revision agrees with the live state and every referenced file
+    * exists.
+    */
+  private def assertTableMetadata(root: String, live: Seq[Int]): Unit = {
+    val revs = new java.io.File(s"$root/metadata").listFiles()
+      .map(_.getName).filter(_.matches("v\\d+\\.metadata\\.json"))
+      .map(_.stripPrefix("v").stripSuffix(".metadata.json").toInt).sorted.toSeq
+    assert(revs.nonEmpty, "no table-metadata revision written")
+    assert(revs.size <= 10, s"metadata revisions unbounded: $revs")
+    val md = spark.read.json(s"$root/metadata/v${revs.max}.metadata.json").first()
+    assert(md.getAs[Long]("format-version") == 1L)
+    assert(md.getAs[String]("table-format") == "graft-snapshot-v1")
+    assert(md.getAs[String]("location") == root)
+    assert(md.getAs[Long]("current-snapshot-id") == live.max.toLong,
+      "current-snapshot-id must track the hint")
+    val snaps = md.getSeq[org.apache.spark.sql.Row](md.fieldIndex("snapshots"))
+    assert(snaps.map(_.getAs[Long]("snapshot-id")).sorted == live.map(_.toLong),
+      "snapshots must enumerate exactly the live versions")
+    snaps.sortBy(_.getAs[Long]("snapshot-id")).zip(-1L +: live.dropRight(1).map(_.toLong))
+      .foreach { case (s, parent) =>
+        val got = Option(s.getAs[java.lang.Long]("parent-snapshot-id"))
+          .map(_.toLong).getOrElse(-1L)
+        assert(got == parent, s"broken parent chain at ${s.getAs[Long]("snapshot-id")}")
+        val ml = new java.io.File(s"$root/${s.getAs[String]("manifest-list")}")
+        assert(ml.isFile, s"missing ${s.getAs[String]("manifest-list")}")
+      }
+    val schemas = md.getSeq[org.apache.spark.sql.Row](md.fieldIndex("schemas"))
+    assert(schemas.exists(_.getAs[Long]("schema-id") == md.getAs[Long]("current-schema-id")))
+    schemas.foreach { s =>
+      assert(new java.io.File(s"$root/${s.getAs[String]("schema-file")}").isFile)
+    }
   }
 
   test("externalized metadata holds its schema across the full lifecycle") {
@@ -86,5 +122,25 @@ class SnapshotMetadataSpec extends SparkSpec {
     val engine = SnapshotTable.readChangelog(spark, root, Some(hinted))
     assert(external.count() == engine.count())
     assert(external.select($"key").except(engine.select($"key")).isEmpty)
+  }
+
+  test("schema registry advances only when a commit's schema differs") {
+    val root = tmp("graft_snap_schema")
+    SnapshotTable.commit(batch((1L, "c", 1.0, 1L)), root, "offset")
+    SnapshotTable.commit(batch((2L, "c", 2.0, 2L)), root, "offset")
+    def currentSchemaId: Long =
+      spark.read.json(new java.io.File(s"$root/metadata").listFiles()
+          .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+          .maxBy(_.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+          .getPath)
+        .first().getAs[Long]("current-schema-id")
+    assert(currentSchemaId == 0L, "same schema must not allocate a new id")
+    // widened schema: one extra column → schema-id 1
+    SnapshotTable.commit(
+      batch((3L, "c", 3.0, 3L)).withColumn("tag", lit("x")), root, "offset")
+    assert(currentSchemaId == 1L, "schema change must advance the id")
+    val reg = new java.io.File(s"$root/metadata").listFiles()
+      .map(_.getName).count(_.matches("schema-\\d+\\.json"))
+    assert(reg == 2, s"expected 2 registered schemas, got $reg")
   }
 }
