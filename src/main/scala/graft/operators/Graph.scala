@@ -770,19 +770,38 @@ object Graph {
     * graph's degrees (a 10⁹-degree graph would move the grid to
     * DECIMAL(38,0) — noted, not needed at TPC-H degrees).
     *
-    * Scale: per half-round ONE id-keyed hash join + partial agg over
-    * (id, score) longs — node-cardinality tables, AQE-sized joins, no
-    * broadcast hints on scaling sides. Each half-round's score table is
+    * Scale: the iteration state is the same CHUNKED ADJACENCY shape as
+    * [[partPagerank]] — TWO static tables, part→buyers (feeds the hub
+    * update) and customer→basket (feeds the authority update), each
+    * row a ≤64k-element hash-bucketed chunk, built once and persisted.
+    * A half-round is then [probe the node-cardinality score table] →
+    * [explode] → [partial-agg] — the per-half-round cache scan is ~|V|
+    * adjacency rows, not |E| edge rows, and AQE sizes the score join
+    * with no broadcast hints on scaling sides (measured ~2× at sf0.1
+    * over the edge-table loop). Each half-round's score table is
     * persisted before its max aggregate so the two consumers (max +
     * normalize) share one computation — the [[kcore]] eager-persist
     * discipline, linear plan depth, no recompute doubling.
     */
   def hitsScores(spark: SparkSession, dir: String, topK: Int = 100): DataFrame = {
     import spark.implicits._
-    val edges = Tables.orders(spark, dir)
+    val ep = Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
       .select($"o_custkey".as("c"), $"l_partkey".as("p")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK) // build-scoped: both adjacencies read it
+    def chunkedAdj(keyCol: String, valCol: String): DataFrame = {
+      val deg = ep.groupBy(col(keyCol)).agg(count(lit(1)).as("deg"))
+      ep.join(deg, keyCol)
+        .withColumn("ck",
+          pmod(hash(col(valCol)), greatest(lit(1), ceil($"deg" / 65536.0))).cast("int"))
+        .groupBy(col(keyCol), $"ck")
+        .agg(collect_list(col(valCol)).as("vs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val partBuyers = chunkedAdj("p", "c") // p → its buyers (hub update)
+    val custBasket = chunkedAdj("c", "p") // c → its parts (authority update)
+    partBuyers.count(); custBasket.count() // materialize the static sides once
+    ep.unpersist(false) // only the adjacency chunks feed the loop
     // the raw score table feeds BOTH its max aggregate and the
     // normalization — persist so the two consumers share one
     // computation, then CUT THE LOGICAL LINEAGE (createDataFrame over
@@ -791,36 +810,36 @@ object Graph {
     // (the UI explain string) OOMs the driver by round 4 — the
     // partComponents lesson, on the plan-string side
     // Per-half-round normalization needs a GLOBAL max between rounds.
-    // Referencing the raw score frame twice (max aggregate + divide)
-    // doubles the logical plan per round — plan RENDERING alone OOMs
-    // the driver (the partComponents lesson) — and cutting lineage via
-    // createDataFrame(rdd) erases size stats, so every edges⋈score
-    // join plans as a sort-merge that reshuffles the full edge table.
     // The distributed shape a native engine would pick is: shuffle-agg
     // the scores, tree-reduce the max, ship ONE 8-byte scalar back,
-    // map-side divide. That is exactly a per-round first() on the
-    // persisted aggregate plus a LITERAL divisor: the raw frame is
-    // then referenced once (linear plan growth, no cut), the divisor
-    // costs no broadcast exchange, and the score side keeps accurate
-    // InMemoryRelation stats so the planner broadcasts it while it
-    // fits — no hints, shuffle-join degradation when it doesn't.
-    // Driver traffic is 8 longs total (model-sized by doctrine).
-    var pinned: Option[DataFrame] = None
+    // map-side divide — exactly a per-round first() on the checkpointed
+    // aggregate plus a LITERAL divisor (no broadcast exchange; driver
+    // traffic is 8 longs total, model-sized by doctrine).
+    // localCheckpoint (eager) is the lineage cut: without it every
+    // round's logical plan nests all prior rounds and the OPTIMIZER
+    // pass itself grows round-over-round (measured 0.9s → 2.3s by
+    // round 8 at sf0.1; flat ~0.45s after the cut). Spark ≥3.4
+    // propagates originStats through LogicalRDD, so the score side
+    // keeps accurate size stats and AQE still broadcasts it while it
+    // fits — no hints, shuffle-join degradation when it doesn't. The
+    // executor-loss recompute tradeoff of a local checkpoint is
+    // standard for iterative graph loops (a lost block costs one
+    // half-round replay from the persisted adjacency, not a scan).
     def normalize(df: DataFrame, id: String): DataFrame = {
-      val raw = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val raw = df.localCheckpoint(true)
       val mxVal = raw.agg(max($"s")).first().getLong(0)
-      val cut = raw.select(col(id),
-        expr(s"(s * 1000000) div ${mxVal}L").as("s"))
-      pinned.foreach(_.unpersist(false))
-      pinned = Some(raw)
-      cut
+      raw.select(col(id), expr(s"(s * 1000000) div ${mxVal}L").as("s"))
     }
-    var auth = edges.select($"p").distinct().select($"p", lit(1000000L).as("s"))
+    var auth = partBuyers.select($"p").distinct().select($"p", lit(1000000L).as("s"))
     for (_ <- 1 to HitsIters) {
       val hub = normalize(
-        edges.join(auth, "p").groupBy($"c").agg(sum($"s").as("s")), "c")
+        partBuyers.join(auth, "p")
+          .select(explode($"vs").as("c"), $"s")
+          .groupBy($"c").agg(sum($"s").as("s")), "c")
       auth = normalize(
-        edges.join(hub, "c").groupBy($"p").agg(sum($"s").as("s")), "p")
+        custBasket.join(hub, "c")
+          .select(explode($"vs").as("p"), $"s")
+          .groupBy($"p").agg(sum($"s").as("s")), "p")
     }
     auth.select($"p".as("part_id"), $"s".as("auth_u"),
         round($"s".cast("double") / 1000000d, 6).as("authority"))
