@@ -218,6 +218,53 @@ object Cdc {
       |  max(event_id) AS last_offset
       |FROM events GROUP BY event_type ORDER BY target""".stripMargin
 
+  /** CATALOG-registered routing — the reference's exact sink discipline
+    * (consumer.py:74-78): per target, `spark.catalog.tableExists` →
+    * APPEND when the table is already registered, CREATE otherwise.
+    * The changelog is driven through in two offset waves so ONE run
+    * exercises both branches (wave 1 creates every table, wave 2
+    * appends), into a per-invocation database so reruns are hermetic.
+    * The routing summary is then computed FROM the catalog read-back
+    * (`spark.table`), so oracle-green means the create/append
+    * round-trip lost nothing — same oracle as [[cdcRoute]].
+    *
+    * The per-wave target list is a driver collect of |event types|
+    * rows — model-sized, and the same shape as the reference's
+    * per-batch `topics` collect (consumer.py:69). Each target's write
+    * is a filtered scan; at scale a single `partitionBy` write (the
+    * [[cdcRoute]] path) amortizes the N scans — this operator's point
+    * is the catalog contract, exercised per-table like the reference.
+    */
+  def cdcCatalogRoute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val db = "graft_cdc_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    spark.sql(s"CREATE DATABASE `$db`")
+    val log = changelog(spark, dir)
+      .withColumn("table_name", concat(lit("commerce_"), $"event_type"))
+    val cut = log.agg(expr("max(offset) div 2")).first().getLong(0)
+    val targets = log.select($"table_name").distinct().as[String].collect().sorted
+    Seq(log.filter($"offset" <= cut), log.filter($"offset" > cut)).foreach { wave =>
+      targets.foreach { t =>
+        val tdf = wave.filter($"table_name" === t).drop("table_name")
+        if (spark.catalog.tableExists(s"`$db`.`$t`"))
+          tdf.write.mode("append").format("parquet").saveAsTable(s"`$db`.`$t`")
+        else
+          tdf.write.format("parquet").saveAsTable(s"`$db`.`$t`")
+      }
+    }
+    targets.map { t =>
+      spark.table(s"`$db`.`$t`")
+        .agg(count(lit(1)).as("n_records"),
+          countDistinct($"key").as("n_keys"),
+          min($"offset").as("first_offset"),
+          max($"offset").as("last_offset"))
+        .select(lit(s"cdc.$t").as("target"),
+          $"n_records", $"n_keys", $"first_offset", $"last_offset")
+    }.reduce(_.unionByName(_)).orderBy($"target")
+  }
+
+  val cdcCatalogRouteSql: String = cdcRouteSql
+
   /** MERGE-INTO semantics the reference left as a TODO: latest-wins keyed
     * upsert. One shuffle (hash by key), one sort, row_number — the
     * current-state snapshot. Deletes (op='d') as the final op remove the
