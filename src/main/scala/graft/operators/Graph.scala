@@ -349,11 +349,16 @@ object Graph {
       .select($"u", $"v",
         ($"du" * 1000000000L + $"u").as("ru"),
         ($"dv" * 1000000000L + $"v").as("rv"))
-    // orient low-rank → high-rank
+    // orient low-rank → high-rank; EAGERLY persisted — the triangle
+    // join reads this frame three times in one job, and without a
+    // materialized cache the three readers race the same in-flight
+    // partitions and recompute the edges⋈deg⋈deg build per reference
     val oe = ranked
       .select(when($"ru" < $"rv", $"u").otherwise($"v").as("src"),
         when($"ru" < $"rv", $"v").otherwise($"u").as("dst"),
         when($"ru" < $"rv", $"rv").otherwise($"ru").as("dst_rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    oe.count()
     val tri = oe.as("e1")
       .join(oe.as("e2"), $"e1.src" === $"e2.src" && $"e1.dst_rank" < $"e2.dst_rank")
       .join(oe.as("e3"), $"e1.dst" === $"e3.src" && $"e2.dst" === $"e3.dst")
