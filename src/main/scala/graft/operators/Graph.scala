@@ -598,10 +598,16 @@ object Graph {
     // explicit filter must come BEFORE the term projection — a deg-1
     // node's ln(1) = 0 would divide-by-zero during evaluation even
     // though no wedge ever consumes that row
+    // EAGERLY persisted — the wedge self-join reads `mid` twice in one
+    // job; unmaterialized, both readers race the same in-flight
+    // partitions and the edges⋈deg build runs per reference (the
+    // triangleCount lesson)
     val mid = edges.join(deg.filter($"deg" >= 2), "src")
       .select($"src".as("w"), $"dst",
         expr("cast(100000000000 div cast(round(ln(deg) * 100000, 0) as bigint) as bigint)")
           .as("term_u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    mid.count()
     val scored = mid.as("x").join(mid.as("y"), $"x.w" === $"y.w" && $"x.dst" < $"y.dst")
       .groupBy($"x.dst".as("u"), $"y.dst".as("v"))
       .agg(count(lit(1)).as("n_common"), sum($"x.term_u").as("aa_u"))
@@ -657,9 +663,13 @@ object Graph {
     val li = incidence(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val nOrders = li.select($"ok").distinct().count()
     val cnt = li.groupBy($"pk").agg(count(lit(1)).as("c"))
+    // persisted: BOTH directed-rule branches of the union read the
+    // pair aggregate — unmaterialized, the coPairCounts build runs
+    // once per branch
     val pairs = coPairCounts(spark, dir)
       .filter($"n_orders" >= 2)
       .select($"pa", $"pb", $"n_orders".as("cab"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val rules = pairs
       .select($"pa".as("antecedent"), $"pb".as("consequent"), $"cab")
       .unionByName(pairs
