@@ -80,7 +80,11 @@ object Graph {
     */
   def partPagerank(spark: SparkSession, dir: String, topK: Int = 100): DataFrame = {
     import spark.implicits._
+    // build-scoped persist: the union's two branches and the two edge
+    // consumers (deg, adj) would otherwise re-run the coPairCounts
+    // aggregate up to four times
     val pairs = coPairCounts(spark, dir).select($"pa".as("src"), $"pb".as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.unionByName(pairs.select($"dst".as("src"), $"src".as("dst")))
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "node")
@@ -92,6 +96,7 @@ object Graph {
       .agg(max($"deg").as("deg"), collect_list($"dst").as("dsts"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count() // materialize the iteration state once
+    pairs.unpersist(false) // only adj/deg feed the loop
     val n = deg.count()
     val teleport = 150000000L / n // (1-d)·10⁹ / n, floored once on the driver
     // the loop builds ONE lazy DAG: every stage executes once.
@@ -534,9 +539,11 @@ object Graph {
     */
   def partRecommend(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
     import spark.implicits._
+    // persisted: both symmetrization branches read the pair aggregate
     val pairs = coPairCounts(spark, dir)
       .filter($"n_orders" >= 2)
       .select($"pa".as("u"), $"pb".as("v"), $"n_orders".as("support"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sym = pairs.select($"u".as("part"), $"v".as("rec_part"), $"support")
       .unionByName(pairs.select($"v".as("part"), $"u".as("rec_part"), $"support"))
     val w = org.apache.spark.sql.expressions.Window
