@@ -364,6 +364,66 @@ object StreamQueries {
       |FROM events e LEFT JOIN dim d ON e.user_id = d.key
       |ORDER BY e.event_id""".stripMargin
 
+  /** The reference's EXACT streaming sink discipline
+    * (consumer.py:68-81): a foreachBatch hook that splits each
+    * micro-batch by target, collects the batch's distinct targets on
+    * the driver (|event types| rows — the reference's `topics`
+    * collect, consumer.py:69), and per target APPENDS to the session
+    * catalog table when `spark.catalog.tableExists` says so, CREATES
+    * it otherwise. Staged as four files with maxFilesPerTrigger=1, so
+    * batch 1 takes every create branch and batches 2-4 take the
+    * append branch — the cross-micro-batch catalog lifecycle, into a
+    * per-invocation database for hermetic reruns. The routing summary
+    * is computed FROM the catalog read-back, so oracle-green proves
+    * no batch lost or duplicated rows; shares [[graft.cdc.Cdc.cdcRoute]]'s
+    * oracle.
+    */
+  def streamCatalogRoute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val db = "graft_scr_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    spark.sql(s"CREATE DATABASE `$db`")
+    val inDir = tmp("graft_sq_cat_in")
+    graft.sources.Tables.events(spark, dir).repartition(4)
+      .write.mode("overwrite").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .select($"user_id".as("key"),
+        when($"event_type" === "signup", "c")
+          .when($"event_type" === "purchase", "u")
+          .when($"event_type" === "error", "d")
+          .otherwise("r").as("op"),
+        $"value", $"event_id".as("offset"),
+        concat(lit("commerce_"), $"event_type").as("table_name"))
+      .writeStream
+      .option("checkpointLocation", tmp("graft_sq_cat_ckpt"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val targets = batch.select(col("table_name")).distinct()
+          .collect().map(_.getString(0)).sorted
+        targets.foreach { t =>
+          val tdf = batch.filter(col("table_name") === t).drop("table_name")
+          if (spark.catalog.tableExists(s"`$db`.`$t`"))
+            tdf.write.mode("append").format("parquet").saveAsTable(s"`$db`.`$t`")
+          else
+            tdf.write.format("parquet").saveAsTable(s"`$db`.`$t`")
+        }
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val tables = spark.catalog.listTables(db).collect().map(_.name).sorted
+    tables.map { t =>
+      spark.table(s"`$db`.`$t`")
+        .agg(count(lit(1)).as("n_records"),
+          count_distinct(col("key")).as("n_keys"),
+          min(col("offset")).as("first_offset"),
+          max(col("offset")).as("last_offset"))
+        .select(lit(s"cdc.$t").as("target"),
+          col("n_records"), col("n_keys"), col("first_offset"), col("last_offset"))
+    }.reduce(_.unionByName(_)).orderBy(col("target"))
+  }
+
+  val streamCatalogRouteSql: String = graft.cdc.Cdc.cdcRouteSql
+
   /** Misra–Gries sketch as STREAMING state: the space_saving aggregate
     * runs in complete mode over the event stream (O(m) state regardless
     * of stream length or key cardinality — the frequent-items shape for

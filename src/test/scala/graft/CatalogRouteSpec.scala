@@ -17,6 +17,14 @@ class CatalogRouteSpec extends SparkSpec {
       "catalog create/append round-trip lost or duplicated rows")
   }
 
+  test("streaming foreachBatch route equals the derived-column summary " +
+    "across create+append micro-batches") {
+    val viaStream = graft.streaming.StreamQueries.streamCatalogRoute(spark, sf).collect()
+    val direct = Cdc.cdcRoute(spark, sf).collect()
+    assert(viaStream.toSeq === direct.toSeq,
+      "streamed catalog route lost or duplicated rows across micro-batches")
+  }
+
   test("tables are registered in a per-invocation database") {
     Cdc.cdcCatalogRoute(spark, sf).collect()
     val dbs = spark.catalog.listDatabases().collect()
