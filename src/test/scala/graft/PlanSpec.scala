@@ -406,4 +406,46 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"no group-limit pruning:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), "query/df fanout should broadcast")
   }
+
+  test("iterative graph loops read caches, not parquet (round-6 shapes)") {
+    // partPagerank: the 5-iteration result DAG must read ONLY the
+    // persisted chunked adjacency + degree tables. A FileSourceScan
+    // NODE in the executed tree would mean an iteration rebuilt the
+    // edge derivation (scans that appear only inside an
+    // InMemoryTableScan's cached-plan DESCRIPTION are fine — that is
+    // the cache's provenance string, not an executed scan, so this
+    // walks the tree instead of matching the rendered plan)
+    def executedFileScans(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      var n = 0
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        p match {
+          case _: org.apache.spark.sql.execution.FileSourceScanExec => n += 1
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+          case other => other.children.foreach(walk)
+        }
+      }
+      walk(df.queryExecution.executedPlan)
+      n
+    }
+    val pr = operators.Graph.partPagerank(spark, sf)
+    assert(executedFileScans(pr) == 0,
+      "pagerank result DAG re-scans parquet instead of the cached adjacency")
+    assert(physicalPlan(pr).contains("InMemoryTableScan"),
+      "pagerank iterations must read the cached adjacency")
+    // hitsScores: the per-round localCheckpoint cuts lineage, so the
+    // final frame derives from the checkpointed RDD (Scan ExistingRDD),
+    // and the top-k is TakeOrdered, not a global sort
+    val hits = operators.Graph.hitsScores(spark, sf)
+    assert(executedFileScans(hits) == 0,
+      "HITS result DAG re-scans parquet instead of the checkpointed scores")
+    val hPlan = physicalPlan(hits)
+    assert(hPlan.contains("ExistingRDD"),
+      "HITS final frame must derive from the localCheckpoint cut")
+    assert(hPlan.contains("TakeOrderedAndProject"),
+      "HITS top-k must be TakeOrdered, not a global sort")
+  }
 }
