@@ -56,8 +56,10 @@ object TextModel {
       .select($"doc_id", $"p".getField("0").as("w1"), $"p".getField("1").as("w2"))
     // per-doc distinct bigrams with multiplicity — the score join then
     // carries one row per distinct (doc, bigram), not per occurrence;
-    // the GLOBAL model tables both derive from this aggregate, so the
-    // expensive posexplode+window pass runs once, not three times
+    // the GLOBAL model tables both derive from this aggregate, whose
+    // identical exchange subtrees collapse to ReusedExchange in the
+    // one-action plan (an explicit persist was MEASURED SLOWER at
+    // sf0.1 — 1.2s → 1.9s — cache-write cost without recompute saved)
     val dbg = bg.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("m"))
     val c2 = dbg.groupBy($"w1", $"w2").agg(sum($"m").as("c2"))
     val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))

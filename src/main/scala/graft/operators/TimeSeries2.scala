@@ -210,6 +210,9 @@ object TimeSeries2 {
         Relational.revTerm($"l_extendedprice", $"l_discount").as("rev"))
       .groupBy($"brand", $"m")
       .agg((sum($"rev") * 10000).cast("decimal(38,0)").cast("long").as("y_u"))
+      // persisted: the pair self-join reads the monthly aggregate twice
+      // — unmaterialized, the lineitem⋈part build runs per reference
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val slopes = monthly.as("a").join(monthly.as("b"),
         $"a.brand" === $"b.brand" && $"a.m" < $"b.m")
       .select($"a.brand".as("brand"),
