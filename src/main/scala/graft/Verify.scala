@@ -22,11 +22,27 @@ object Verify {
     val sel: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter(kv => only(kv._1))
+    // per-query watchdog: one hung query must not zero the whole
+    // round's correctness dump. The query runs under its own job
+    // group; on timeout the group is cancelled (stops the executors'
+    // work, not just the wait) and the sweep continues.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_SEC", "300").toLong
     sel.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val worker = new Thread(() =>
+        try {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        } finally spark.sparkContext.clearJobGroup())
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(timeoutSec * 1000)
+      if (worker.isAlive) {
+        System.err.println(s"[verify] $name TIMED OUT after ${timeoutSec}s — cancelling")
+        spark.sparkContext.cancelJobGroup(name)
+        worker.join(30000)
       }
       // operators persist intermediates (index/signature tables); left
       // cached across 160+ queries they accumulate until eviction storms
