@@ -410,7 +410,11 @@ object StreamQueries {
       }
       .start()
     q.processAllAvailable(); q.stop()
-    val tables = spark.catalog.listTables(db).collect().map(_.name).sorted
+    // listTables(db) ALSO returns session temp views (database=null) —
+    // another operator's createOrReplaceTempView would leak into the
+    // summary and break the read-back; keep only the db's own tables
+    val tables = spark.catalog.listTables(db).collect()
+      .filter(_.database == db).map(_.name).sorted
     tables.map { t =>
       spark.table(s"`$db`.`$t`")
         .agg(count(lit(1)).as("n_records"),

@@ -30,7 +30,10 @@ class CatalogRouteSpec extends SparkSpec {
     val dbs = spark.catalog.listDatabases().collect()
       .map(_.name).filter(_.startsWith("graft_cdc_"))
     assert(dbs.nonEmpty, "no graft_cdc_* database registered")
-    val tables = spark.catalog.listTables(dbs.max).collect().map(_.name)
+    // filter to the db's own tables: listTables also returns session
+    // temp views (database=null) created by other suites' operators
+    val tables = spark.catalog.listTables(dbs.max).collect()
+      .filter(_.database == dbs.max).map(_.name)
     assert(tables.length >= 2 && tables.forall(_.startsWith("commerce_")),
       s"unexpected catalog tables: ${tables.toSeq}")
     tables.foreach { t =>
