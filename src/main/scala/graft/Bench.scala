@@ -142,35 +142,53 @@ object Bench {
     // exceeds 3× the previous round's time for that query, a THIRD
     // pass runs — an algorithmic regression reproduces, a steal burst
     // that already lasted two passes rarely survives a third.
+    // per-query watchdog (mirrors Verify): a hung query is cancelled
+    // via its job group and reported as an error instead of stalling
+    // the whole round's perf gate
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT_SEC", "300").toLong
     val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val qBefore = procStat()
-        val elapsed =
-          try {
-            def onePass(countRows: Boolean): Double = {
-              val t0 = System.nanoTime()
-              val df = fn(spark, sfDir)
-              evalAll(df)
-              val t = (System.nanoTime() - t0) / 1e9
-              if (countRows) rowCounts(name) = df.count() // untimed: result-size evidence
-              t
-            }
-            var times = Seq(onePass(countRows = false), onePass(countRows = true))
-            if (prev.get(name).exists(p => p > 0 && times.min > 3 * p))
-              times = times :+ onePass(countRows = false)
-            // operators persist intermediates (signature/index tables);
-            // left cached they accumulate across the 35+ headline
-            // queries until eviction pressure perturbs LATER timings —
-            // each query must pay its own cache cost, not its
-            // predecessors' eviction storms
-            spark.sharedState.cacheManager.clearCache()
-            times.min
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
-              errors(name) = e.getClass.getSimpleName
-              -1.0
-          }
+        @volatile var elapsed = -1.0
+        val worker = new Thread(() =>
+          elapsed =
+            try {
+              spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+              def onePass(countRows: Boolean): Double = {
+                val t0 = System.nanoTime()
+                val df = fn(spark, sfDir)
+                evalAll(df)
+                val t = (System.nanoTime() - t0) / 1e9
+                if (countRows) rowCounts(name) = df.count() // untimed: result-size evidence
+                t
+              }
+              var times = Seq(onePass(countRows = false), onePass(countRows = true))
+              if (prev.get(name).exists(p => p > 0 && times.min > 3 * p))
+                times = times :+ onePass(countRows = false)
+              // operators persist intermediates (signature/index tables);
+              // left cached they accumulate across the 35+ headline
+              // queries until eviction pressure perturbs LATER timings —
+              // each query must pay its own cache cost, not its
+              // predecessors' eviction storms
+              spark.sharedState.cacheManager.clearCache()
+              times.min
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+                errors(name) = e.getClass.getSimpleName
+                -1.0
+            })
+        worker.setDaemon(true)
+        worker.start()
+        worker.join(timeoutSec * 1000)
+        if (worker.isAlive) {
+          System.err.println(s"BENCH TIMEOUT $name after ${timeoutSec}s — cancelling")
+          errors(name) = "Timeout"
+          spark.sparkContext.cancelJobGroup(name)
+          worker.join(30000)
+          elapsed = -1.0
+        }
+        spark.sparkContext.clearJobGroup()
         perSteal(name) = stealPct(qBefore, procStat())
         name -> elapsed
       }
