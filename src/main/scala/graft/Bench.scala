@@ -216,7 +216,10 @@ object Bench {
     val errField = if (errors.isEmpty) "" else s""","errors":$errs"""
     val total = results.map(_._2).filter(_ >= 0).sum
     val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs3,"rows":$rows,"errors":$errs,"steal_by_query":$stealByQ,"steal_pct":$steal%.1f,"sf":"$sfDir"}"""
-    try {
+    // only a FULL headline run may replace the committed detail — a
+    // selected-queries dev run would silently shrink the same-SF
+    // reference the outlier third pass (and the next round) reads
+    if (args.isEmpty) try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detail) finally w.close()
     } catch { case _: Throwable => () }
