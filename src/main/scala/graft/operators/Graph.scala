@@ -210,6 +210,11 @@ object Graph {
         .persist(StorageLevel.MEMORY_AND_DISK)
       if (dropped.isEmpty) done = true
       else {
+        // persist, NOT localCheckpoint: the HITS-style eager cut was
+        // MEASURED 2.6× slower here (1.5s → 4.0s at sf0.1) — the peel
+        // loop is shallow (≤5 rounds, capped by the early exit) so
+        // lineage growth never bites, while the checkpoint pays a full
+        // eager materialization per round that the lazy persist defers
         edges = edges
           .join(dropped.select($"node".as("src")), Seq("src"), "left_anti")
           .join(dropped.select($"node".as("dst")), Seq("dst"), "left_anti")
