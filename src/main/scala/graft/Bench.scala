@@ -149,9 +149,19 @@ object Bench {
     val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val qBefore = procStat()
-        @volatile var elapsed = -1.0
-        val worker = new Thread(() =>
-          elapsed =
+        // A worker that survives cancelJobGroup past the 30s grace (a
+        // driver-side loop, or non-interruptible plan construction) is a
+        // ZOMBIE that runs into the next query's measurement. All shared
+        // state is therefore guarded: the zombie checks `abandoned`
+        // under `lock` before every mutation (elapsed, the maps, the
+        // per-pass clearCache), so once the main thread abandons it, the
+        // worst a zombie can still do is burn CPU — it can no longer
+        // flip a later query's bookkeeping or evict its caches.
+        val lock = new Object
+        var abandoned = false // guarded by lock
+        var elapsed = -1.0 // guarded by lock
+        val worker = new Thread(() => {
+          val t =
             try {
               spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
               def onePass(countRows: Boolean): Double = {
@@ -159,7 +169,10 @@ object Bench {
                 val df = fn(spark, sfDir)
                 evalAll(df)
                 val t = (System.nanoTime() - t0) / 1e9
-                if (countRows) rowCounts(name) = df.count() // untimed: result-size evidence
+                if (countRows) {
+                  val n = df.count() // untimed: result-size evidence
+                  lock.synchronized { if (!abandoned) rowCounts(name) = n }
+                }
                 t
               }
               var times = Seq(onePass(countRows = false), onePass(countRows = true))
@@ -170,27 +183,34 @@ object Bench {
               // queries until eviction pressure perturbs LATER timings —
               // each query must pay its own cache cost, not its
               // predecessors' eviction storms
-              spark.sharedState.cacheManager.clearCache()
+              lock.synchronized {
+                if (!abandoned) spark.sharedState.cacheManager.clearCache()
+              }
               times.min
             } catch {
               case e: Throwable =>
                 System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
-                errors(name) = e.getClass.getSimpleName
+                lock.synchronized { if (!abandoned) errors(name) = e.getClass.getSimpleName }
                 -1.0
-            })
+            }
+          lock.synchronized { if (!abandoned) elapsed = t }
+        })
         worker.setDaemon(true)
         worker.start()
         worker.join(timeoutSec * 1000)
         if (worker.isAlive) {
           System.err.println(s"BENCH TIMEOUT $name after ${timeoutSec}s — cancelling")
-          errors(name) = "Timeout"
           spark.sparkContext.cancelJobGroup(name)
           worker.join(30000)
-          elapsed = -1.0
+          lock.synchronized { abandoned = true; elapsed = -1.0; errors(name) = "Timeout" }
+          // the timed-out query skipped its own per-pass clearCache —
+          // drop its persisted intermediates on the MAIN thread so they
+          // can't pollute the next query's timing
+          spark.sharedState.cacheManager.clearCache()
         }
         spark.sparkContext.clearJobGroup()
         perSteal(name) = stealPct(qBefore, procStat())
-        name -> elapsed
+        name -> lock.synchronized(elapsed)
       }
     }
     val steal = stealPct(statBefore, procStat())

@@ -852,8 +852,22 @@ object Graph {
     // executor-loss recompute tradeoff of a local checkpoint is
     // standard for iterative graph loops (a lost block costs one
     // half-round replay from the persisted adjacency, not a scan).
+    // The eager localCheckpoint pins node-cardinality score blocks in
+    // the block manager; without an explicit release 2×HitsIters of
+    // them accumulate until the ContextCleaner GCs the handles — fine
+    // in-sandbox, memory pressure at scale. Each half-round therefore
+    // unpersists the PREVIOUS round's checkpointed RDD once the new
+    // checkpoint has materialized (the new one consumed the old one
+    // during its eager materialization, so the old blocks are dead the
+    // moment localCheckpoint returns). The last round's blocks stay
+    // pinned — the final select still reads them.
+    var pinnedRdd: org.apache.spark.rdd.RDD[_] = null
     def normalize(df: DataFrame, id: String): DataFrame = {
       val raw = df.localCheckpoint(true)
+      if (pinnedRdd != null) pinnedRdd.unpersist(blocking = false)
+      pinnedRdd = raw.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.orNull
       val mxVal = raw.agg(max($"s")).first().getLong(0)
       raw.select(col(id), expr(s"(s * 1000000) div ${mxVal}L").as("s"))
     }

@@ -114,8 +114,22 @@ object SnapshotTable {
       .map(f => (f.getName.stripPrefix("schema-").stripSuffix(".json").toInt,
         new String(java.nio.file.Files.readAllBytes(f.toPath))))
       .sortBy(_._1).toSeq
+    // schema=None (expiry and other data-preserving revisions) must
+    // CARRY FORWARD the previous revision's current-schema-id, not
+    // reach for the highest registered id: after a schema revert
+    // (commit A → B → A, where A content-addresses to id 0) the
+    // registry holds {0, 1} but the latest commit wrote schema 0, and
+    // invariant 5 says current-schema-id resolves to THAT schema.
+    val prevCurrentSchemaId = metaFiles.map(_.getName)
+      .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
+        n.stripPrefix("v").stripSuffix(".metadata.json").toInt }.sorted.lastOption
+      .flatMap { r =>
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$root/metadata/v$r.metadata.json")))
+        "\"current-schema-id\":(-?\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+      }
     val currentSchemaId = schema match {
-      case None => schemas.lastOption.map(_._1).getOrElse(-1)
+      case None => prevCurrentSchemaId.getOrElse(schemas.lastOption.map(_._1).getOrElse(-1))
       case Some(st) =>
         val js = st.json
         schemas.find(_._2 == js).map(_._1).getOrElse {

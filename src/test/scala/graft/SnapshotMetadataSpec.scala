@@ -142,5 +142,15 @@ class SnapshotMetadataSpec extends SparkSpec {
     val reg = new java.io.File(s"$root/metadata").listFiles()
       .map(_.getName).count(_.matches("schema-\\d+\\.json"))
     assert(reg == 2, s"expected 2 registered schemas, got $reg")
+    // revert-then-expire (invariant 5): commit schema A again — the
+    // content-addressed registry resolves it back to id 0 — then run a
+    // data-preserving revision (expiry). current-schema-id must stay 0
+    // (the schema the latest COMMIT wrote), not jump to the highest
+    // registered id.
+    SnapshotTable.commit(batch((4L, "c", 4.0, 4L)), root, "offset")
+    assert(currentSchemaId == 0L, "revert must content-address back to id 0")
+    SnapshotTable.expireSnapshots(spark, root, keepLast = 2)
+    assert(currentSchemaId == 0L,
+      "expiry must carry forward the latest commit's schema id, not max(registry)")
   }
 }
