@@ -161,6 +161,151 @@ object Filters {
       .orderBy($"doc_id")
   }
 
+  /** The C4 step that actually SHIPS: rewrite every document with its
+    * duplicate and contaminated token spans excised, emitting the
+    * cleaned corpus plus per-document excision accounting. Intervals
+    * come from the two existing decision operators — [[spanDedup]]'s
+    * corpus-global duplicate windows ([k·8+1, k·8+len] token coverage,
+    * every occurrence after the corpus-wide first) and
+    * [[Curation.docSpanOverlaps]]' benchmark-contamination islands —
+    * merged per document (overlapping OR adjacent intervals coalesce:
+    * next.s ≤ cur.e + 1), then each document's kept tokens are
+    * rebuilt into `clean_text` (single-space joined; excision is
+    * token-level, so rebuilt text is whitespace-normalized by
+    * construction). Conservation invariant (FiltersSpec):
+    * n_tokens_clean + tokens_removed = n_tokens for every document.
+    *
+    * Scale: interval derivation inherits the parents' shapes (only
+    * fingerprints/positions shuffle). The merge is a doc_id-keyed
+    * window whose per-key row count is bounded by ⌈n_tokens/8⌉ +
+    * contamination islands — document-, not corpus-cardinality. The
+    * rebuild is ONE doc_id-keyed join of the corpus against its merged
+    * interval lists: the interval side carries only (doc_id, int-pair
+    * array) rows for AFFECTED documents, so AQE broadcasts it while it
+    * fits and the corpus never leaves its scan; past broadcast size it
+    * degrades to the single keyed exchange any keep-list rewrite pays
+    * — one corpus pass either way, never a token explosion, never
+    * text through an aggregate. The excision itself is a per-row
+    * index filter in the projection. The oracle rebuilds via
+    * unnest + NOT EXISTS + ordered string_agg, bit-identically.
+    */
+  def spanExcise(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("t"))
+      .withColumn("n", size($"t"))
+    val spans = docs
+      .select($"doc_id", $"n", posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(t) / ${SpanW}.0) as int) - 1)," +
+          s" k -> array_join(slice(t, k * $SpanW + 1, $SpanW), ' '))"))
+        .as(Seq("k", "span")))
+      .select($"doc_id", $"k",
+        md5($"span").as("fp"),
+        least(lit(SpanW), $"n" - $"k" * SpanW).as("span_len"),
+        ($"doc_id" * 16384 + $"k").as("pos_key"))
+    val keepers = spans.groupBy($"fp").agg(min($"pos_key").as("keep_key"))
+    val dupIv = spans.join(keepers, "fp")
+      .filter($"pos_key" > $"keep_key")
+      .select($"doc_id", ($"k" * SpanW + 1).as("s"), ($"k" * SpanW + $"span_len").as("e"))
+    val contamIv = Curation.docSpanOverlaps(spark, dir)
+      .select($"doc_id", $"span_start".as("s"), $"span_end".as("e"))
+    // classic interval coalesce: running max of e over earlier rows;
+    // a row opens a new group iff it starts past that max + 1.
+    // Explicit ROWS frames on both windows — the default RANGE frame
+    // would give tied (s, e) rows a shared running sum and diverge
+    // from the oracle's ROWS arithmetic.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"s", $"e")
+    val merged = dupIv.unionByName(contamIv)
+      .withColumn("maxe", max($"e").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("ng", when($"maxe".isNull || $"s" > $"maxe" + 1, 1L).otherwise(0L))
+      .withColumn("grp", sum($"ng").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"s").as("s"), max($"e").as("e"))
+    val perDoc = merged.groupBy($"doc_id")
+      .agg(collect_list(struct($"s", $"e")).as("ivs0"),
+        count(lit(1)).cast("int").as("n_excised"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("ivs", coalesce($"ivs0", expr("cast(array() as array<struct<s:int,e:int>>)")))
+      .withColumn("kept", filter($"t", (tok, i0) =>
+        !exists($"ivs", iv => i0 + 1 >= iv("s") && i0 + 1 <= iv("e"))))
+      .select($"doc_id",
+        $"n".as("n_tokens"),
+        coalesce($"n_excised", lit(0)).as("n_spans_excised"),
+        ($"n" - size($"kept")).cast("long").as("tokens_removed"),
+        size($"kept").cast("long").as("n_tokens_clean"),
+        array_join($"kept", " ").as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  val spanExciseSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH tk AS (
+      |  SELECT doc_id, $toks AS t, len($toks) AS n FROM documents),
+      |sp AS (
+      |  SELECT doc_id, n, CAST(k AS INT) AS k,
+      |    md5(array_to_string(t[k * $SpanW + 1 : k * $SpanW + $SpanW], ' ')) AS fp,
+      |    least($SpanW, n - k * $SpanW) AS span_len,
+      |    doc_id * 16384 + k AS pos_key
+      |  FROM tk, unnest(range(0, CAST(ceil(n / ${SpanW}.0) AS INT))) r(k)),
+      |kp AS (SELECT fp, min(pos_key) AS keep_key FROM sp GROUP BY fp),
+      |dup AS (
+      |  SELECT sp.doc_id, CAST(sp.k * $SpanW + 1 AS INT) AS s,
+      |    CAST(sp.k * $SpanW + sp.span_len AS INT) AS e
+      |  FROM sp JOIN kp ON sp.fp = kp.fp WHERE sp.pos_key > kp.keep_key),
+      |g AS (
+      |  SELECT doc_id, CAST(i AS INT) AS pos,
+      |    array_to_string(t[i:i+2], ' ') AS gram
+      |  FROM tk, unnest(range(1, n - 1)) AS r(i) WHERE n >= 3),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+      |hits AS (
+      |  SELECT c.doc_id, c.pos FROM g c
+      |  JOIN bench ON c.gram = bench.gram
+      |  WHERE c.doc_id % 97 <> 0),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    pos - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS INT)
+      |      AS island
+      |  FROM hits),
+      |contam AS (
+      |  SELECT doc_id, CAST(min(pos) AS INT) AS s, CAST(max(pos) + 2 AS INT) AS e
+      |  FROM isl GROUP BY doc_id, island),
+      |iv AS (SELECT * FROM dup UNION ALL SELECT * FROM contam),
+      |ord AS (
+      |  SELECT doc_id, s, e,
+      |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+      |  FROM iv),
+      |gi AS (
+      |  SELECT doc_id, s, e,
+      |    sum(CASE WHEN maxe IS NULL OR s > maxe + 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY s, e
+      |        ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM ord),
+      |merged AS (
+      |  SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM gi GROUP BY doc_id, grp),
+      |perdoc AS (SELECT doc_id, count(*) AS n_excised FROM merged GROUP BY doc_id),
+      |kept AS (
+      |  SELECT tk.doc_id, i, t[i] AS tok
+      |  FROM tk, unnest(range(1, n + 1)) r(i)
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM merged m
+      |    WHERE m.doc_id = tk.doc_id AND i >= m.s AND i <= m.e)),
+      |ka AS (
+      |  SELECT doc_id, count(*) AS n_clean,
+      |    string_agg(tok, ' ' ORDER BY i) AS ctext
+      |  FROM kept GROUP BY doc_id)
+      |SELECT tk.doc_id, CAST(tk.n AS INT) AS n_tokens,
+      |  CAST(coalesce(p.n_excised, 0) AS INT) AS n_spans_excised,
+      |  CAST(tk.n - coalesce(ka.n_clean, 0) AS BIGINT) AS tokens_removed,
+      |  CAST(coalesce(ka.n_clean, 0) AS BIGINT) AS n_tokens_clean,
+      |  coalesce(ka.ctext, '') AS clean_text
+      |FROM tk LEFT JOIN perdoc p USING (doc_id) LEFT JOIN ka USING (doc_id)
+      |ORDER BY tk.doc_id""".stripMargin
+  }
+
   val spanDedupSql: String = {
     val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
     s"""WITH t AS (

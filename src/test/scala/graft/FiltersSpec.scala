@@ -75,4 +75,31 @@ class FiltersSpec extends SparkSpec {
     assert(totals.getLong(1) > 0, "no duplicate spans found — operator is vacuous")
     d.unpersist()
   }
+
+  test("span_excise: token-mass conservation and rebuild fidelity") {
+    val ex = Filters.spanExcise(spark, sf).cache()
+    // conservation: kept + removed = original token mass, per document
+    assert(ex.filter($"n_tokens_clean" + $"tokens_removed" =!= $"n_tokens")
+      .count() === 0, "excision must conserve token mass")
+    // the rebuilt text's token count is the reported clean count
+    assert(ex.filter(size(filter(split($"clean_text", "\\s+"), t => t =!= ""))
+      =!= $"n_tokens_clean".cast("int")).count() === 0,
+      "clean_text must contain exactly n_tokens_clean tokens")
+    // untouched documents round-trip to the whitespace-normalized original
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id",
+        array_join(filter(split($"text", "\\s+"), t => t =!= ""), " ").as("norm"))
+    val untouched = ex.filter($"n_spans_excised" === 0)
+      .join(docs, "doc_id")
+    assert(untouched.filter($"clean_text" =!= $"norm").count() === 0,
+      "documents with no excised spans must round-trip unchanged")
+    // excision must bite: every span_dedup duplicate token is removed,
+    // so corpus-wide removed mass >= span_dedup's tokens_lost total
+    // (contamination intervals can only add to it)
+    val removed = ex.agg(sum($"tokens_removed")).first().getLong(0)
+    val lost = Filters.spanDedup(spark, sf).agg(sum($"tokens_lost")).first().getLong(0)
+    assert(lost > 0 && removed >= lost,
+      s"excised mass $removed must cover span_dedup's duplicate mass $lost")
+    ex.unpersist()
+  }
 }
