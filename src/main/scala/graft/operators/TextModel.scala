@@ -348,6 +348,147 @@ object TextModel {
       |SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rk, pair, n
       |FROM top ORDER BY rk""".stripMargin
 
+  private val BpeMerges = 8
+
+  /** Iterative BPE tokenizer TRAINING — the k-merge loop that turns
+    * [[bpePairCounts]]' one-round candidate table into an actual merge
+    * list. Classic word-frequency formulation (the shape every
+    * distributed BPE trainer uses): the corpus collapses once into
+    * (word, count) — pair statistics within words times word frequency
+    * are exact, and all per-round work is |distinct words|-cardinality,
+    * not corpus-cardinality. Each round: adjacent-symbol pair counts
+    * (weighted by word count) → the single most frequent pair (ties
+    * broken lexicographically) → apply the merge left-to-right to every
+    * word's symbol sequence. Left-to-right semantics for a run of equal
+    * symbols (L == R) merge at even run offsets only — implemented with
+    * deterministic index arithmetic (a position starts a merge iff its
+    * preceding same-symbol run length is even), identically in the
+    * oracle, so no engine-specific regex/replace semantics leak in.
+    * Output: the k=8 merge rules in training order with their
+    * selection-time counts — deterministic, the artifact a tokenizer
+    * budget decision consumes.
+    *
+    * Scale shape: mirrors the graph loops' iteration-state doctrine —
+    * the word table is persisted per round via eager localCheckpoint
+    * (8 rounds of nested higher-order functions would otherwise stack
+    * into one unoptimizable mega-plan), releasing the previous round's
+    * blocks once the next materializes. Driver traffic is ONE
+    * (pair, count) row per round — O(model), the IVF-centroid pattern.
+    * The pair aggregate shuffles only (symbol, symbol, long) rows.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // merge-apply: new symbol array after applying (l, r) -> l+r
+    // left-to-right. st(i) marks merge starts; a position following a
+    // start is consumed; everything else passes through.
+    def mergeApply(syms: Column, l: String, r: String): Column = {
+      val n = size(syms)
+      // 1-based position of the last non-l symbol at-or-before each
+      // index; pre(i) = i-1 - max(nonL[1..i-1]) = length of the
+      // immediately-preceding run of l's
+      val nonL = transform(syms, (x, idx) => when(x =!= l, idx + 1).otherwise(0))
+      val st = transform(syms, (x, idx) => {
+        val i = idx + 1
+        when(i < n && x === lit(l) && element_at(syms, i + 1) === lit(r),
+          lit(l != r) ||
+            ((i - 1 - coalesce(array_max(slice(nonL, lit(1), i - 1)), lit(0))) % 2 === 0))
+          .otherwise(lit(false))
+      })
+      filter(
+        transform(syms, (x, idx) => {
+          val i = idx + 1
+          when(element_at(st, i), lit(l + r))
+            .when(i > lit(1) && element_at(st, i - 1), lit(null).cast("string"))
+            .otherwise(x)
+        }),
+        x => x.isNotNull)
+    }
+    var words = Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .select($"w", $"cnt", filter(split($"w", ""), c => c =!= "").as("syms"))
+      .localCheckpoint(true)
+    var prevRdd: org.apache.spark.rdd.RDD[_] = null
+    val merges = scala.collection.mutable.ListBuffer[(Int, String, String, String, Long)]()
+    var rk = 1
+    // a tiny corpus can run dry before k merges — the oracle's replay
+    // stops identically (an empty top-pair CTE empties every later
+    // round via its cross join), so both sides emit the same prefix
+    while (rk <= BpeMerges && {
+      val top = words
+        .filter(size($"syms") >= 2)
+        .select($"cnt", explode(transform(sequence(lit(1), size($"syms") - 1),
+          i => struct(element_at($"syms", i).as("l"), element_at($"syms", i + 1).as("r"))))
+          .as("p"))
+        .groupBy($"p.l", $"p.r").agg(sum($"cnt").as("n"))
+        .orderBy($"n".desc, $"l", $"r")
+        .limit(1).collect()
+      top.nonEmpty && {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val next = words.select($"w", $"cnt", mergeApply($"syms", l, r).as("syms"))
+          .localCheckpoint(true)
+        if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        prevRdd = words.queryExecution.analyzed.collectFirst {
+          case lrdd: org.apache.spark.sql.execution.LogicalRDD => lrdd.rdd
+        }.orNull
+        words = next
+        merges += ((rk, l, r, l + r, n))
+        true
+      }
+    }) rk += 1
+    merges.toSeq.toDF("rk", "lhs", "rhs", "merged", "n").orderBy($"rk")
+  }
+
+  /** Unrolled 8-round replay of the training loop: per round, a pair
+    * count CTE, a LIMIT-1 top pair, a merge-start flag table (same
+    * index arithmetic as the Spark side), and the rewritten word table.
+    */
+  val bpeTrainSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    val rounds = (0 until BpeMerges).map { i =>
+      s""",
+         |pc$i AS (
+         |  SELECT syms[i] AS lhs, syms[i + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM wd$i, unnest(range(1, len(syms))) r(i)
+         |  GROUP BY 1, 2),
+         |top$i AS (SELECT lhs, rhs, n FROM pc$i ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |wa$i AS (
+         |  SELECT w, cnt, syms, lhs, rhs,
+         |    list_transform(range(1, len(syms) + 1), p ->
+         |      CASE WHEN syms[p] <> lhs THEN p ELSE 0 END) AS nonl
+         |  FROM wd$i, top$i),
+         |ws$i AS (
+         |  SELECT w, cnt, syms, lhs, rhs,
+         |    list_transform(range(1, len(syms) + 1), i ->
+         |      CASE WHEN i < len(syms) AND syms[i] = lhs AND syms[i + 1] = rhs
+         |        THEN (lhs <> rhs OR
+         |          ((i - 1 - coalesce(list_max(nonl[1:i - 1]), 0)) % 2 = 0))
+         |        ELSE FALSE END) AS st
+         |  FROM wa$i),
+         |wd${i + 1} AS (
+         |  SELECT w, cnt,
+         |    list_filter(
+         |      list_transform(range(1, len(syms) + 1), i ->
+         |        CASE WHEN st[i] THEN lhs || rhs
+         |             WHEN i > 1 AND st[i - 1] THEN NULL
+         |             ELSE syms[i] END),
+         |      x -> x IS NOT NULL) AS syms
+         |  FROM ws$i)""".stripMargin
+    }.mkString
+    val out = (0 until BpeMerges).map { i =>
+      s"SELECT ${i + 1} AS rk, lhs, rhs, lhs || rhs AS merged, n FROM top$i"
+    }.mkString("\n|", "\n|UNION ALL\n|", "")
+    s"""WITH wf AS (
+       |  SELECT tok AS w, count(*) AS cnt
+       |  FROM (SELECT unnest($toks) AS tok FROM documents)
+       |  GROUP BY tok),
+       |wd0 AS (
+       |  SELECT w, cnt,
+       |    list_transform(range(1, length(w) + 1), i -> w[i]) AS syms
+       |  FROM wf)$rounds$out
+       |ORDER BY rk""".stripMargin
+  }
+
   /** Per-document n-gram NOVELTY against everything ingested before it
     * (doc_id = ingestion order): the fraction of a doc's distinct
     * bigrams whose first corpus appearance is the doc itself. Low

@@ -24,6 +24,39 @@ class TextModelSpec extends SparkSpec {
     assert(top.getAs[Long]("n") === direct.getLong(1))
   }
 
+  test("bpe_train: hand-computed merges on a planted corpus, incl. equal-symbol runs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    // word frequencies: "aaaa" x6, "ab" x4, "ba" x1.
+    // round 1 pair counts: (a,a) = 3*6 = 18 (overlapping adjacencies),
+    //   (a,b) = 4, (b,a) = 1 -> merge (a,a); left-to-right on "aaaa"
+    //   merges at run offsets 0 and 2 -> [aa, aa]
+    // round 2: (aa,aa) = 6, (a,b) = 4, (b,a) = 1 -> merge (aa,aa)
+    // round 3: "aaaa" is a single symbol; (a,b) = 4 wins over (b,a) = 1
+    val words = Seq.fill(6)("aaaa") ++ Seq.fill(4)("ab") ++ Seq("ba")
+    Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextModel.bpeTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got(0) == ((1, "a", "a", "aa", 18L)),
+      s"round 1 must merge the overlap-counted (a,a): ${got(0)}")
+    assert(got(1) == ((2, "aa", "aa", "aaaa", 6L)),
+      s"round 2 must see [aa, aa] from even-offset run merging: ${got(1)}")
+    assert(got(2) == ((3, "a", "b", "ab", 4L)),
+      s"round 3 falls through to (a,b): ${got(2)}")
+    // odd-length run: "aaa" merges to [aa, a] (offset 0 only), so after
+    // round 1 the leftover single 'a' still pairs with a following 'b'
+    val dir2 = java.nio.file.Files.createTempDirectory("bpe2").toString
+    Seq((0L, (Seq.fill(5)("aaab") ++ Seq.fill(2)("cd")).mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val got2 = TextModel.bpeTrain(spark, dir2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got2(0) == ((1, "a", "a", 10L)), s"${got2(0)}") // 2 overlapping per word
+    assert(got2(1) == ((2, "aa", "a", 5L)) || got2(1) == ((2, "a", "b", 5L)),
+      s"round 2 count must reflect [aa, a, b] decomposition: ${got2(1)}")
+  }
+
   test("mixture_waterfill hits the budget exactly (up to floor slack)") {
     import spark.implicits._
     val plan = graft.operators.Sampling.mixtureWaterfill(spark, sf).collect()
