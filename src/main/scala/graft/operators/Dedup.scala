@@ -621,12 +621,16 @@ object Dedup {
 
   /** Shared CTE chain of the minhash replay (through the candidate
     * agreement table `est`, which carries the INTEGER agreement count
-    * so downstream aggregates never sum floats).
+    * so downstream aggregates never sum floats). Parameterized over the
+    * (doc_id, text) source relation so the SAME replay verifies
+    * document-level ([[dedupMinhash]]) and paragraph-level
+    * ([[dedupParagraph]]) pipelines; emitted WITHOUT the leading WITH
+    * so callers can prepend their own CTEs.
     */
-  private def minhashEstCtes: String =
-    s"""WITH toks AS (
+  private def minhashEstChainOver(source: String): String =
+    s"""toks AS (
       |  SELECT doc_id, $duckTokens32 AS th
-      |  FROM documents),
+      |  FROM $source),
       |sh AS (
       |  SELECT doc_id,
       |    CASE WHEN len(th) < 3 THEN
@@ -664,11 +668,111 @@ object Dedup {
       |    CAST(len(list_filter(range(1, 65), k -> si.sig[k] = sj.sig[k])) AS DOUBLE) / 64 AS est_jaccard
       |  FROM pairs p JOIN sig si ON p.i = si.doc_id JOIN sig sj ON p.j = sj.doc_id)""".stripMargin
 
+  private def minhashEstCtes: String = "WITH " + minhashEstChainOver("documents")
+
   val dedupMinhashSql: String =
     minhashEstCtes +
       """
         |SELECT i, j, round(est_jaccard, 6) AS est_jaccard
         |FROM est WHERE est_jaccard >= 0.5 ORDER BY i, j""".stripMargin
+
+  private val ParaW = 32
+
+  /** Paragraph-granularity near-dup: the whole-document family misses
+    * SHARED BOILERPLATE (headers, navigation, license blocks) living
+    * inside otherwise-unique documents — web-corpus practice dedups at
+    * paragraph level. Documents split on newlines; each line segments
+    * into 32-token blocks (this corpus is single-line, so the block
+    * path is what bites; the newline path is the real-corpus
+    * semantics). Every paragraph gets a MinHash signature through the
+    * SAME pipeline as [[dedupMinhash]] — identical shingles,
+    * permutations, band buckets, bloom-pruned capped band join,
+    * est ≥ 0.5 verification — keyed by a packed paragraph id
+    * (doc·2¹⁶ + line·2⁶ + block; widen the packing for corpora with
+    * >1024 lines or >2048-token lines). A paragraph is DUPLICATED if
+    * it near-matches any earlier paragraph (smaller pid — same
+    * first-occurrence convention as [[Filters.spanDedup]]); the
+    * doc-level report gives paragraph counts and duplicated-paragraph
+    * token mass.
+    *
+    * Scale: inherits dedupMinhash's budget at paragraph cardinality —
+    * signatures are built scan-side, only (pid, band, bucket) longs
+    * ride the candidate shuffles, and the doc report is one pid→doc_id
+    * integer-divide aggregate. No paragraph text ever shuffles.
+    */
+  def dedupParagraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val paras = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split($"text", "\n")).as(Seq("line", "lstr")))
+      .select($"doc_id", $"line",
+        filter(split($"lstr", "\\s+"), t => t =!= "").as("lt"))
+      .filter(size($"lt") >= 1)
+      .select($"doc_id", $"line", size($"lt").as("np"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(lt) / ${ParaW}.0) as int) - 1)," +
+          s" b -> array_join(slice(lt, b * $ParaW + 1, $ParaW), ' '))"))
+        .as(Seq("blk", "ptext")))
+      .select($"doc_id",
+        ($"doc_id" * 65536 + $"line" * 64 + $"blk").as("pid"),
+        least(lit(ParaW), $"np" - $"blk" * ParaW).cast("long").as("ptoks"),
+        $"ptext")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSigsOf(paras.select($"pid".as("doc_id"), $"ptext".as("text")))
+      .select($"doc_id".as("pid"), $"sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sigs.select($"pid".as("doc_id"),
+      posexplode(graft.functions.HashFunctions.band_buckets($"sig")).as(Seq("band", "bucket")))
+    val capped = pairableBands(bands, cap = 64)
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .distinct()
+    val dup = pairs
+      .join(sigs.select($"pid".as("i"), $"sig".as("sig_i")), "i")
+      .join(sigs.select($"pid".as("j"), $"sig".as("sig_j")), "j")
+      .filter(graft.functions.HashFunctions.sig_agree($"sig_i", $"sig_j")
+        .cast("double") / NumHashes >= 0.5)
+      .select($"j".as("pid")).distinct()
+      .withColumn("isdup", lit(1L))
+    paras.join(dup, Seq("pid"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("int").as("n_paras"),
+        sum(coalesce($"isdup", lit(0L))).as("n_dup_paras"),
+        sum($"ptoks").as("n_tokens"),
+        sum(when($"isdup".isNotNull, $"ptoks").otherwise(0L)).as("tokens_dup"))
+      .select($"doc_id", $"n_paras", $"n_dup_paras", $"n_tokens", $"tokens_dup",
+        round($"tokens_dup".cast("double") / $"n_tokens".cast("double"), 6)
+          .as("dup_mass"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupParagraphSql: String = {
+    val ws = wsClass
+    s"""WITH pl AS (
+      |  SELECT doc_id, i - 1 AS line,
+      |    list_filter(string_split_regex(lines[i], '$ws'), x -> x <> '') AS lt
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents) t,
+      |    unnest(range(1, len(lines) + 1)) r(i)),
+      |pq AS (SELECT doc_id, line, lt, len(lt) AS np FROM pl WHERE len(lt) >= 1),
+      |para AS (
+      |  SELECT doc_id, doc_id * 65536 + line * 64 + blk AS pid,
+      |    CAST(least($ParaW, np - blk * $ParaW) AS BIGINT) AS ptoks,
+      |    array_to_string(lt[blk * $ParaW + 1 : blk * $ParaW + $ParaW], ' ') AS ptext
+      |  FROM pq, unnest(range(0, CAST(ceil(np / ${ParaW}.0) AS INT))) b(blk)),
+      |${minhashEstChainOver("(SELECT pid AS doc_id, ptext AS text FROM para) pp")},
+      |dup AS (SELECT DISTINCT j AS pid FROM est WHERE est_jaccard >= 0.5)
+      |SELECT p.doc_id,
+      |  CAST(count(*) AS INT) AS n_paras,
+      |  CAST(sum(CASE WHEN d.pid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_paras,
+      |  CAST(sum(p.ptoks) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN d.pid IS NOT NULL THEN p.ptoks ELSE 0 END) AS BIGINT)
+      |    AS tokens_dup,
+      |  round(CAST(sum(CASE WHEN d.pid IS NOT NULL THEN p.ptoks ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(p.ptoks) AS DOUBLE), 6) AS dup_mass
+      |FROM para p LEFT JOIN dup d USING (pid)
+      |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+  }
 
   /** LSH tuning curve: how many candidate pairs survive each estimated-
     * Jaccard threshold, with the exact mean agreement among survivors —

@@ -288,4 +288,35 @@ class DedupSpec extends SparkSpec {
       "canonical form must be scheme-, query-, fragment-, and slash-free")
     u.unpersist()
   }
+
+  test("dedup_paragraph: planted shared boilerplate is flagged, unique text is not") {
+    val dir = java.nio.file.Files.createTempDirectory("paradedup").toString
+    // a 32-token boilerplate line shared by docs 0/1/2 (newline-delimited
+    // paragraphs), plus per-doc unique lines longer than one block
+    val boiler = (1 to 32).map(i => s"boiler$i").mkString(" ")
+    def uniq(d: Int) = (1 to 40).map(i => s"u${d}x$i").mkString(" ")
+    Seq(
+      (0L, boiler + "\n" + uniq(0)),
+      (1L, uniq(1) + "\n" + boiler),
+      (2L, boiler),                  // boilerplate-only doc
+      (3L, uniq(3))                  // clean doc
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Dedup.dedupParagraph(spark, dir).collect()
+      .map(x => x.getLong(0) ->
+        (x.getInt(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    // doc 0 owns the first boilerplate occurrence: nothing excised there;
+    // its unique 40-token line splits into 2 blocks (32 + 8)
+    assert(r(0L) == ((3, 0L, 72L, 0L)), s"doc0: ${r(0L)}")
+    // docs 1 and 2 carry later copies: exactly the 32-token paragraph flagged
+    assert(r(1L) == ((3, 1L, 72L, 32L)), s"doc1: ${r(1L)}")
+    assert(r(2L) == ((1, 1L, 32L, 32L)), s"doc2: ${r(2L)}")
+    // the clean doc is untouched
+    assert(r(3L) == ((2, 0L, 40L, 0L)), s"doc3: ${r(3L)}")
+    // non-vacuity on the real corpus: exact-duplicate documents must
+    // surface as duplicated paragraphs
+    val mass = Dedup.dedupParagraph(spark, sf)
+      .agg(sum(col("n_dup_paras"))).first().getLong(0)
+    assert(mass > 0, "no duplicated paragraphs found on the corpus — vacuous")
+  }
 }
