@@ -18,6 +18,23 @@ import graft.cdc.Cdc
   */
 object StreamQueries {
 
+  /** Enforced ceiling for memory-sink readbacks: the two PSI readbacks
+    * below re-seat |types|·|bins|(·|windows|) bucket tables on the
+    * driver — model-cardinality BY CONSTRUCTION (the grids are fixed),
+    * and this guard turns that comment into a runtime invariant: a
+    * future edit that lets corpus-cardinality rows reach a driver
+    * collect fails loudly at the first Verify run instead of silently
+    * becoming a 100 TB OOM. Same discipline as PlanSpec's
+    * unpartitioned-window sweep, on the streaming side.
+    */
+  private val ModelBound = 65536
+  private def boundedModelRows(rows: Array[Row]): Array[Row] = {
+    require(rows.length <= ModelBound,
+      s"memory-sink readback returned ${rows.length} rows (> $ModelBound): " +
+        "this path may only carry model-cardinality state")
+    rows
+  }
+
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
@@ -521,7 +538,8 @@ object StreamQueries {
     // |types|·|bins| rows as a plain local frame (model-sized)
     val sink = spark.table(name)
     val counts = spark.createDataFrame(
-      spark.sparkContext.parallelize(sink.collect().toSeq, 1), sink.schema)
+      spark.sparkContext.parallelize(boundedModelRows(sink.collect()).toSeq, 1),
+      sink.schema)
     val tot = counts.groupBy($"event_type")
       .agg(sum($"c_b").as("n_b"), sum($"c_c").as("n_c"),
         count(lit(1)).as("bins"))
@@ -584,7 +602,8 @@ object StreamQueries {
     val sink = spark.table(name)
       .groupBy($"event_type", $"w", $"bin").agg(max($"c_c").as("c_c"))
     val live = spark.createDataFrame(
-      spark.sparkContext.parallelize(sink.collect().toSeq, 1), sink.schema)
+      spark.sparkContext.parallelize(boundedModelRows(sink.collect()).toSeq, 1),
+      sink.schema)
     graft.operators.Profile.psiWindowedDerive(ref, live)
   }
 

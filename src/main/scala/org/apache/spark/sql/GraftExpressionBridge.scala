@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftExpressionBridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over an arbitrary logical plan (`Dataset.ofRows` is
+    * `private[sql]` in Spark 4) — used by PlanSpec to materialize and
+    * count the INPUT subtree of a plan node under audit.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

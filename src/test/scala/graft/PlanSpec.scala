@@ -448,4 +448,79 @@ class PlanSpec extends SparkSpec {
     assert(hPlan.contains("TakeOrderedAndProject"),
       "HITS top-k must be TakeOrdered, not a global sort")
   }
+
+  test("unpartitioned windows only ever read grid/model-cardinality inputs") {
+    // The library-wide discipline behind the Spark "No Partition
+    // Defined" WARNs: a Window with an empty partitionSpec serializes
+    // on one task, so it may only consume inputs bounded by a value
+    // grid, vocabulary, or model — never corpus rows. This sweep makes
+    // the discipline mechanical instead of commentary: every batch
+    // query's optimized plan is scanned for unpartitioned Window
+    // nodes; any query not on the exemption list fails, and every
+    // exempted site's window INPUT is counted and must stay under the
+    // grid bound. Streaming queries are excluded (constructing them
+    // executes the stream; their bounded-state discipline is enforced
+    // at runtime by the ModelBound requires in StreamQueries).
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+    val GridBound = 65536L
+    // grid-bounded sites: the window input is a value grid, vocabulary,
+    // time axis, or WindowGroupLimit-pruned top-k — cardinality set by
+    // the DOMAIN (or an explicit k), not by corpus rows. Each one's
+    // input is counted below and must stay under the grid bound.
+    val gridBounded = Map(
+      "mann_whitney_u" -> "tie-group table: one row per distinct rounded value",
+      "ks_test" -> "tie-group table: one row per distinct rounded value",
+      "token_coverage" -> "vocabulary rank: one row per distinct token",
+      "zipf_fit" -> "vocabulary rank: one row per distinct token",
+      "token_kl_drift" -> "per-window vocabulary: rows = |vocab|",
+      "pmi_collocations" -> "min-support bigram vocabulary",
+      "top_ngrams" -> "rank decoration after LIMIT (WindowGroupLimit)",
+      "bpe_pair_counts" -> "rank decoration after LIMIT (WindowGroupLimit)",
+      "bm25_search" -> "rank decoration over top-k (WindowGroupLimit)",
+      "user_journey" -> "rank decoration over top-k (WindowGroupLimit)",
+      "resample_fill" -> "time grid: one row per resample bucket",
+      "resample_interp" -> "time grid: one row per resample bucket",
+      "monthly_growth" -> "month grid",
+      "open_order_backlog" -> "date grid: one row per day",
+      "fulfillment_latency" -> "date grid: one row per day",
+      "survival_retention" -> "day grid survival curve",
+      "mixture_waterfill" -> "|sources|-row plan table",
+      "join_size_estimate" -> "per-key stats capped by heavy-hitter k")
+    // exactness-gate sites: the window deliberately reads a
+    // corpus-cardinality input because the ORACLE semantics (exact
+    // global ntile) demand a total order; each documents its 100 TB
+    // path (broadcast range-lookup from sketch quantiles — see
+    // quality_buckets_approx) and is excluded from the count bound.
+    val exactnessGate = Set(
+      "rfm_segments", // Behavior.rfmSegments scaladoc: quintile cutoff scale path
+      "rfm_migration", // shares rfmSegments' scoring shape
+      "quality_buckets", // Curation.qualityBuckets scaladoc + _approx twin
+      "pareto_skyline") // Relational2 skyline: exact dominance rank gate
+    val offenders = scala.collection.mutable.Map[String, Seq[LogicalPlan]]()
+    val errors = scala.collection.mutable.Map[String, String]()
+    for ((name, fn) <- SparkEntry.queries if !name.startsWith("stream_")) {
+      try {
+        val wins = fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w.child
+        }
+        if (wins.nonEmpty) offenders(name) = wins
+      } catch { case e: Throwable => errors(name) = e.getClass.getSimpleName }
+    }
+    // a construction failure would silently exempt a query from the
+    // sweep — it must be visible here, not swallowed
+    assert(errors.isEmpty, s"queries failed to construct during the sweep: $errors")
+    val unexpected = offenders.keySet -- gridBounded.keySet -- exactnessGate
+    assert(unexpected.isEmpty,
+      s"unpartitioned windows outside the exemption lists: $unexpected — " +
+        "either partition the window or justify + exempt it here")
+    // stale exemptions rot the discipline: every listed site must exist
+    val stale = (gridBounded.keySet ++ exactnessGate) -- offenders.keySet
+    assert(stale.isEmpty, s"exempted sites no longer have unpartitioned windows: $stale")
+    // grid-bounded sites must actually be sub-grid: count the window input
+    for ((name, children) <- offenders if gridBounded.contains(name); child <- children) {
+      val n = org.apache.spark.sql.GraftExpressionBridge.ofRows(spark, child).count()
+      assert(n <= GridBound,
+        s"$name: unpartitioned window reads $n rows (> $GridBound) — ${gridBounded(name)}")
+    }
+  }
 }
