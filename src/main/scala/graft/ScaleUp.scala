@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Referential-integrity-preserving scale-up of a testdata directory:
+  * replicates every fact table K times with per-table key strides so
+  * foreign keys stay consistent (replica i's orders reference replica
+  * i's customers, etc.). Fixed-cardinality dims (region, nation) copy
+  * unchanged — exactly TPC-H's scaling rule. Text/vector payloads
+  * replicate verbatim: clones are EXACT duplicates, which makes the
+  * dedup/ANN workloads legitimately ~K× heavier (duplicate groups of
+  * size K are what a scaled web corpus looks like to those operators).
+  *
+  * Purpose: the sf1 scale probe — BENCH at 10× rows to measure each
+  * headline query's scaling exponent instead of arguing it from plan
+  * shape. Usage: runMain graft.ScaleUp <srcDir> <outDir> [k]
+  *
+  * The events table is read and written RAW (no ts normalization):
+  * whatever encoding the source carries is what the clone carries, and
+  * readers go through Tables.events / eventStream as always.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val k = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = GraftSession.builder(cpus.toInt).appName("graft-scaleup").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def load(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def stride(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).first().getLong(0) + 1L
+
+    val custS = stride(load("customer"), "c_custkey")
+    val suppS = stride(load("supplier"), "s_suppkey")
+    val partS = stride(load("part"), "p_partkey")
+    val orderS = stride(load("orders"), "o_orderkey")
+    val docS = stride(load("documents"), "doc_id")
+    val vecS = stride(load("embeddings"), "vec_id")
+    val eventS = stride(load("events"), "event_id")
+    val userS = stride(load("events"), "user_id")
+
+    /** K offset replicas: cross join with the replica index, shift the
+      * named key columns by stride·i, keep everything else verbatim.
+      */
+    def replicate(df: DataFrame, shifts: (String, Long)*): DataFrame = {
+      val rep = spark.range(k).select($"id".as("__rep"))
+      shifts.foldLeft(df.crossJoin(rep)) { case (d, (c, s)) =>
+        d.withColumn(c, col(c) + $"__rep" * s)
+      }.drop("__rep")
+    }
+
+    val tables: Seq[(String, DataFrame)] = Seq(
+      "region" -> load("region"),
+      "nation" -> load("nation"),
+      "customer" -> replicate(load("customer"), "c_custkey" -> custS),
+      "supplier" -> replicate(load("supplier"), "s_suppkey" -> suppS),
+      "part" -> replicate(load("part"), "p_partkey" -> partS),
+      "orders" -> replicate(load("orders"),
+        "o_orderkey" -> orderS, "o_custkey" -> custS),
+      "lineitem" -> replicate(load("lineitem"),
+        "l_orderkey" -> orderS, "l_partkey" -> partS, "l_suppkey" -> suppS),
+      "events" -> replicate(load("events"),
+        "event_id" -> eventS, "user_id" -> userS),
+      "documents" -> replicate(load("documents"), "doc_id" -> docS),
+      "embeddings" -> replicate(load("embeddings"), "vec_id" -> vecS))
+    tables.foreach { case (t, df) =>
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"SCALEUP $t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
+    }
+    spark.stop()
+  }
+}
