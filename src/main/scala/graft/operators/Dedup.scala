@@ -145,15 +145,37 @@ object Dedup {
     */
   def dedupJaccardFull(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     import spark.implicits._
+    // EXACT-DUPLICATE COLLAPSE pre-pass: Jaccard depends only on the
+    // shingle SET, so docs with identical (sorted) sets are one
+    // equivalence class — the PPJoin runs over one REPRESENTATIVE per
+    // class and pairs expand back through class members afterwards
+    // (intra-class pairs are J=1.0 by definition; cross-class pairs
+    // inherit the representative pair's value). Output-identical to
+    // the uncollapsed join, and it removes the clone-driven quadratic
+    // the sf1 probe measured (10× exact clones → 100× candidate join
+    // rows uncollapsed: posting lists scale with CORPUS size once the
+    // shingle space saturates, and Σ p², not Σ p, pays for it). This
+    // is the dedupExactNorm-first production discipline, fused in.
     val sh = Tables.documents(spark, dir)
       .select($"doc_id", array_distinct(
         graft.functions.HashFunctions.shingle_hash3(
           graft.functions.HashFunctions.token_hash32($"text"))).as("shs"))
-      .select($"doc_id", $"shs", size($"shs").as("n"))
+      .select($"doc_id", $"shs", size($"shs").as("n"),
+        // cryptographic set fingerprint (no hash-collision risk to the
+        // oracle's bit-parity); a 32-char string key, never an array key
+        md5(concat_ws(",", transform(array_sort($"shs"), _.cast("string"))))
+          .as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = sh.select($"doc_id", $"n", explode($"shs").as("h"))
+    val members = sh.select($"fp", $"doc_id")
+    val reps = members.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+    val shR = sh.join(reps, Seq("fp", "doc_id"))
+      .select($"doc_id", $"fp", $"shs", $"n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = shR.select($"doc_id", $"n", explode($"shs").as("h"))
     // df table is |distinct shingles| rows of two longs — partial-agg'd
-    // map-side and broadcast back by AQE; ex recomputes from persisted sh
+    // map-side and broadcast back by AQE; ex recomputes from persisted
+    // shR. Ranking by representative-df keeps the prefix filter exact
+    // (any rarity order is exact; rarity only tunes selectivity).
     val dfh = ex.groupBy($"h").agg(count(lit(1)).as("dfh"))
     val prefix = ex.join(dfh, "h")
       .withColumn("rn", row_number().over(
@@ -171,12 +193,22 @@ object Dedup {
       .distinct()
     // per-pair verification against the two shingle arrays: one row per
     // candidate, never |cand|×|shingles per doc| exploded rows
-    val shI = sh.select($"doc_id".as("i"), $"shs".as("sa"), $"n".as("na"))
-    val shJ = sh.select($"doc_id".as("j"), $"shs".as("sb"), $"n".as("nb"))
-    cand.join(shI, "i").join(shJ, "j")
+    val shI = shR.select($"doc_id".as("i"), $"fp".as("fpa"), $"shs".as("sa"), $"n".as("na"))
+    val shJ = shR.select($"doc_id".as("j"), $"fp".as("fpb"), $"shs".as("sb"), $"n".as("nb"))
+    val repPairs = cand.join(shI, "i").join(shJ, "j")
       .withColumn("c", size(array_intersect($"sa", $"sb")))
       .withColumn("jaccard", $"c".cast("double") / ($"na" + $"nb" - $"c").cast("double"))
       .filter($"jaccard" >= tau)
+      .select($"fpa", $"fpb", $"jaccard")
+    // expansion: intra-class pairs (J = 1.0) + cross-class member pairs
+    val intra = members.as("a").join(members.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"), lit(1.0).as("jaccard"))
+    val cross = repPairs
+      .join(members.select($"fp".as("fpa"), $"doc_id".as("da")), "fpa")
+      .join(members.select($"fp".as("fpb"), $"doc_id".as("db")), "fpb")
+      .select(least($"da", $"db").as("i"), greatest($"da", $"db").as("j"), $"jaccard")
+    intra.unionByName(cross)
       .select($"i", $"j", round($"jaccard", 6).as("jaccard"))
       .orderBy($"i", $"j")
   }
