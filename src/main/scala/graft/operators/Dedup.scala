@@ -264,13 +264,28 @@ object Dedup {
     */
   def dedupContainment(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame = {
     import spark.implicits._
+    // Same exact-duplicate collapse as [[dedupJaccardFull]]:
+    // containment |A∩B|/|A| depends only on the shingle sets, so the
+    // prefix×postings join runs over one representative per identical
+    // set and ORDERED pairs expand back afterwards — intra-class
+    // (a ≠ b, containment 1.0 both directions) plus cross-class pairs
+    // inheriting the representative value. The sf1 probe's worst
+    // remaining ratio (10.1×) was exactly this operator paying the
+    // posting-list quadratic on the ×10 clone corpus.
     val sh = Tables.documents(spark, dir)
       .select($"doc_id", array_distinct(
         graft.functions.HashFunctions.shingle_hash3(
           graft.functions.HashFunctions.token_hash32($"text"))).as("shs"))
-      .select($"doc_id", $"shs", size($"shs").as("n"))
+      .select($"doc_id", $"shs", size($"shs").as("n"),
+        md5(concat_ws(",", transform(array_sort($"shs"), _.cast("string"))))
+          .as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = sh.select($"doc_id", $"n", explode($"shs").as("h"))
+    val members = sh.select($"fp", $"doc_id")
+    val reps = members.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+    val shR = sh.join(reps, Seq("fp", "doc_id"))
+      .select($"doc_id", $"fp", $"shs", $"n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = shR.select($"doc_id", $"n", explode($"shs").as("h"))
     val dfh = ex.groupBy($"h").agg(count(lit(1)).as("dfh"))
     val prefixA = ex.join(dfh, "h")
       .withColumn("rn", row_number().over(
@@ -283,12 +298,21 @@ object Dedup {
       .filter($"i" =!= $"j" && $"nb".cast("double") >= lit(tau) * $"na")
       .select($"i", $"j")
       .distinct()
-    val shI = sh.select($"doc_id".as("i"), $"shs".as("sa"), $"n".as("na"))
-    val shJ = sh.select($"doc_id".as("j"), $"shs".as("sb"))
-    cand.join(shI, "i").join(shJ, "j")
+    val shI = shR.select($"doc_id".as("i"), $"fp".as("fpa"), $"shs".as("sa"), $"n".as("na"))
+    val shJ = shR.select($"doc_id".as("j"), $"fp".as("fpb"), $"shs".as("sb"))
+    val repPairs = cand.join(shI, "i").join(shJ, "j")
       .withColumn("c", size(array_intersect($"sa", $"sb")))
       .withColumn("containment", $"c".cast("double") / $"na".cast("double"))
       .filter($"containment" >= tau)
+      .select($"fpa", $"fpb", $"containment")
+    val intra = members.as("a").join(members.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" =!= $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"), lit(1.0).as("containment"))
+    val cross = repPairs
+      .join(members.select($"fp".as("fpa"), $"doc_id".as("i")), "fpa")
+      .join(members.select($"fp".as("fpb"), $"doc_id".as("j")), "fpb")
+      .select($"i", $"j", $"containment")
+    intra.unionByName(cross)
       .select($"i", $"j", round($"containment", 6).as("containment"))
       .orderBy($"i", $"j")
   }
