@@ -376,7 +376,15 @@ object TextModel {
     * (pair, count) row per round — O(model), the IVF-centroid pattern.
     * The pair aggregate shuffles only (symbol, symbol, long) rows.
     */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainCore(spark, dir)._1
+
+  /** The trained state: (merge list, final word table). The word table
+    * IS the tokenizer — after k merges each word's symbol sequence is
+    * its BPE tokenization — which [[bpeTokenize]] joins back to the
+    * corpus.
+    */
+  private def bpeTrainCore(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     // merge-apply: new symbol array after applying (l, r) -> l+r
     // left-to-right. st(i) marks merge starts; a position following a
@@ -436,14 +444,64 @@ object TextModel {
         true
       }
     }) rk += 1
-    merges.toSeq.toDF("rk", "lhs", "rhs", "merged", "n").orderBy($"rk")
+    (merges.toSeq.toDF("rk", "lhs", "rhs", "merged", "n").orderBy($"rk"), words)
   }
+
+  /** Apply the trained tokenizer to the corpus: per-document BPE token
+    * counts and the chars-per-token compression ratio — the number a
+    * tokenizer budget decision actually reads (how much sequence length
+    * the k merges buy on THIS corpus). The trained word table maps each
+    * distinct word to its post-merge symbol count; the corpus joins to
+    * it on the word key — a vocabulary-sized build side AQE broadcasts,
+    * so tokenization is one scan + one map-side join at any corpus
+    * size. All ratios are exact-int divisions rounded for display.
+    */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = bpeTrainCore(spark, dir)._2
+    val wlen = words.select($"w", size($"syms").cast("long").as("n_syms"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("w"))
+      .join(wlen, "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length($"w").cast("long")).as("n_chars"),
+        sum($"n_syms").as("n_bpe_tokens"))
+      .select($"doc_id", $"n_words", $"n_chars", $"n_bpe_tokens",
+        round($"n_chars".cast("double") / $"n_bpe_tokens".cast("double"), 6)
+          .as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  /** Replay: the training chain's final word table joined back to the
+    * per-document word explode.
+    */
+  val bpeTokenizeSql: String =
+    bpeTrainChainSql +
+      s""",
+         |wl AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_syms FROM wd$BpeMerges),
+         |dw AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(length(dw.w)) AS BIGINT) AS n_chars,
+         |  CAST(sum(wl.n_syms) AS BIGINT) AS n_bpe_tokens,
+         |  round(CAST(sum(length(dw.w)) AS DOUBLE)
+         |    / CAST(sum(wl.n_syms) AS DOUBLE), 6) AS chars_per_token
+         |FROM dw JOIN wl ON dw.w = wl.w
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Unrolled 8-round replay of the training loop: per round, a pair
     * count CTE, a LIMIT-1 top pair, a merge-start flag table (same
     * index arithmetic as the Spark side), and the rewritten word table.
     */
-  val bpeTrainSql: String = {
+  /** The shared CTE chain through the final word table `wd8` (no
+    * trailing SELECT) — [[bpeTrainSql]] appends the merge-list union,
+    * [[bpeTokenizeSql]] the corpus join.
+    */
+  private lazy val bpeTrainChainSql: String = {
     val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
     val rounds = (0 until BpeMerges).map { i =>
       s""",
@@ -475,9 +533,6 @@ object TextModel {
          |      x -> x IS NOT NULL) AS syms
          |  FROM ws$i)""".stripMargin
     }.mkString
-    val out = (0 until BpeMerges).map { i =>
-      s"SELECT ${i + 1} AS rk, lhs, rhs, lhs || rhs AS merged, n FROM top$i"
-    }.mkString("\n|", "\n|UNION ALL\n|", "")
     s"""WITH wf AS (
        |  SELECT tok AS w, count(*) AS cnt
        |  FROM (SELECT unnest($toks) AS tok FROM documents)
@@ -485,8 +540,14 @@ object TextModel {
        |wd0 AS (
        |  SELECT w, cnt,
        |    list_transform(range(1, length(w) + 1), i -> w[i]) AS syms
-       |  FROM wf)$rounds$out
-       |ORDER BY rk""".stripMargin
+       |  FROM wf)$rounds""".stripMargin
+  }
+
+  val bpeTrainSql: String = {
+    val out = (0 until BpeMerges).map { i =>
+      s"SELECT ${i + 1} AS rk, lhs, rhs, lhs || rhs AS merged, n FROM top$i"
+    }.mkString("", "\nUNION ALL\n", "")
+    bpeTrainChainSql + "\n" + out + "\nORDER BY rk"
   }
 
   /** Per-document n-gram NOVELTY against everything ingested before it

@@ -57,6 +57,19 @@ class TextModelSpec extends SparkSpec {
       s"round 2 count must reflect [aa, a, b] decomposition: ${got2(1)}")
   }
 
+  test("bpe_tokenize: merged words compress; counts bounded by chars and words") {
+    import spark.implicits._
+    val t = TextModel.bpeTokenize(spark, sf).cache()
+    // hard bounds: a word is >= 1 symbol, a symbol covers >= 1 char
+    assert(t.filter($"n_bpe_tokens" > $"n_chars" || $"n_bpe_tokens" < $"n_words")
+      .count() === 0)
+    // 8 merges on this corpus must actually compress below char-level
+    val tot = t.agg(sum($"n_chars"), sum($"n_bpe_tokens")).first()
+    assert(tot.getLong(1) < tot.getLong(0),
+      s"BPE tokens ${tot.getLong(1)} must be fewer than chars ${tot.getLong(0)}")
+    t.unpersist()
+  }
+
   test("mixture_waterfill hits the budget exactly (up to floor slack)") {
     import spark.implicits._
     val plan = graft.operators.Sampling.mixtureWaterfill(spark, sf).collect()
