@@ -449,6 +449,17 @@ class PlanSpec extends SparkSpec {
       "HITS top-k must be TakeOrdered, not a global sort")
   }
 
+  test("shuffle budgets for the round-7 additions") {
+    for ((name, df, budget) <- Seq(
+        ("span_excise", operators.Filters.spanExcise(spark, sf), 6),
+        ("dedup_paragraph", operators.Dedup.dedupParagraph(spark, sf), 7),
+        ("bpe_tokenize", operators.TextModel.bpeTokenize(spark, sf), 2))) {
+      val n = shuffleCount(df)
+      info(s"$name shuffles = $n (budget $budget)")
+      assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
+    }
+  }
+
   test("unpartitioned windows only ever read grid/model-cardinality inputs") {
     // The library-wide discipline behind the Spark "No Partition
     // Defined" WARNs: a Window with an empty partitionSpec serializes
