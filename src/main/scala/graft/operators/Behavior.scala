@@ -243,11 +243,14 @@ object Behavior {
     * thresholds broadcast over the scan). Monetary is compared AS
     * DECIMAL in the ranking, so score boundaries are engine-exact.
     */
-  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-customer (recency, frequency, monetary) — shared by the exact
+    * ntile scorer and the sketch-threshold scale twin.
+    */
+  private def rfmPer(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val o = Tables.orders(spark, dir)
     val horizon = o.agg(max($"o_orderdate").as("mx"))
-    val per = o.groupBy($"o_custkey")
+    o.groupBy($"o_custkey")
       .agg(max($"o_orderdate").as("last_order"),
         count(lit(1)).as("frequency"),
         sum($"o_totalprice".cast("decimal(18,2)")).as("monetary"))
@@ -255,12 +258,54 @@ object Behavior {
       .select($"o_custkey",
         datediff($"mx", $"last_order").as("recency"),
         $"frequency", $"monetary")
+  }
+
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = rfmPer(spark, dir)
     val r = ntile(5).over(Window.orderBy($"recency".desc, $"o_custkey"))
     val f = ntile(5).over(Window.orderBy($"frequency".asc, $"o_custkey"))
     val m = ntile(5).over(Window.orderBy($"monetary".asc, $"o_custkey"))
     per.select($"o_custkey", $"recency", $"frequency",
         $"monetary".cast("double").as("monetary"),
         r.as("r_score"), f.as("f_score"), m.as("m_score"))
+      .withColumn("segment",
+        concat($"r_score".cast("string"), $"f_score".cast("string"),
+          $"m_score".cast("string")))
+      .orderBy($"o_custkey")
+  }
+
+  /** The 100 TB path [[rfmSegments]]'s scaladoc promises, implemented
+    * (the quality_buckets_approx pattern): quintile THRESHOLDS from a
+    * bounded-state quantile sketch — 12 numbers cross the driver —
+    * broadcast back as literal range lookups over the per-customer
+    * scan. No ntile, no global sort, no unpartitioned window; the
+    * whole scorer is one partial-agg shuffle plus a map. Scores are
+    * sketch-approximate at bucket BOUNDARIES only (rows-only entry;
+    * RfmApproxSpec bounds the deviation vs the exact quintiles and
+    * pins the score-direction conventions).
+    */
+  def rfmSegmentsApprox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = rfmPer(spark, dir)
+      .select($"o_custkey", $"recency", $"frequency",
+        $"monetary".cast("double").as("monetary"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probs = (1 to 4).map(_ / 5.0).toArray
+    val cuts = per.stat.approxQuantile(
+      Array("recency", "frequency", "monetary"), probs, 0.001)
+    def score(c: org.apache.spark.sql.Column, cut: Array[Double],
+        ascending: Boolean): org.apache.spark.sql.Column = {
+      val above = aggregate(array(cut.map(lit(_)): _*), lit(0),
+        (acc, t) => acc + when(c > t, 1).otherwise(0))
+      // ascending metrics (frequency, monetary): more ⇒ better ⇒ 1+above;
+      // recency is inverted (recent = small = best = 5)
+      (if (ascending) lit(1) + above else lit(5) - above).cast("int")
+    }
+    per.select($"o_custkey", $"recency", $"frequency", $"monetary",
+        score($"recency".cast("double"), cuts(0), ascending = false).as("r_score"),
+        score($"frequency".cast("double"), cuts(1), ascending = true).as("f_score"),
+        score($"monetary", cuts(2), ascending = true).as("m_score"))
       .withColumn("segment",
         concat($"r_score".cast("string"), $"f_score".cast("string"),
           $"m_score".cast("string")))
