@@ -756,7 +756,12 @@ object Dedup {
     * ride the candidate shuffles, and the doc report is one pid→doc_id
     * integer-divide aggregate. No paragraph text ever shuffles.
     */
-  def dedupParagraph(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared paragraph machinery: the paragraph table (packed pid,
+    * token count, text) and the duplicated-pid set, both persisted —
+    * [[dedupParagraph]] aggregates the report, [[paragraphExcise]]
+    * rewrites the corpus.
+    */
+  private def paragraphState(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val paras = Tables.documents(spark, dir)
       .select($"doc_id", posexplode(split($"text", "\n")).as(Seq("line", "lstr")))
@@ -790,6 +795,12 @@ object Dedup {
         .cast("double") / NumHashes >= 0.5)
       .select($"j".as("pid")).distinct()
       .withColumn("isdup", lit(1L))
+    (paras, dup)
+  }
+
+  def dedupParagraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (paras, dup) = paragraphState(spark, dir)
     paras.join(dup, Seq("pid"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).cast("int").as("n_paras"),
@@ -800,6 +811,108 @@ object Dedup {
         round($"tokens_dup".cast("double") / $"n_tokens".cast("double"), 6)
           .as("dup_mass"))
       .orderBy($"doc_id")
+  }
+
+  /** The paragraph family's SHIP step ([[Filters.spanExcise]]'s
+    * granularity sibling): rewrite every document with its duplicated
+    * paragraphs dropped — each later near-copy of an earlier paragraph
+    * (the [[dedupParagraph]] decision, same MinHash pipeline) is
+    * removed whole; surviving paragraphs rebuild the document (blocks
+    * space-joined within a line, lines newline-joined, lines left
+    * empty by excision dropped — C4 drops the paragraph, not its
+    * slot). Per-doc accounting mirrors span_excise's conservation
+    * shape: kept + removed = total paragraph token mass.
+    *
+    * Scale: the dup decision inherits dedupParagraph's ids-only
+    * budget; the rewrite joins each doc ONCE against its dropped
+    * (line, block) int pairs — document text never rides a shuffle;
+    * the excision itself is a nested index filter in the projection
+    * (tokens whose block key is dropped vanish, exactly the windowed
+    * twin of span_excise's interval filter).
+    */
+  def paragraphExcise(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (paras, dup) = paragraphState(spark, dir)
+    val perDoc = paras.join(dup, Seq("pid"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("int").as("n_paras"),
+        sum(coalesce($"isdup", lit(0L))).as("n_dropped"),
+        sum($"ptoks").as("n_tokens"),
+        sum(when($"isdup".isNotNull, $"ptoks").otherwise(0L)).as("tokens_removed"),
+        // dropped (line, block) keys, ids only — the rewrite join side
+        collect_list(when($"isdup".isNotNull,
+          struct((($"pid" % 65536) / 64).cast("int").as("l"),
+            ($"pid" % 64).cast("int").as("b")))).as("dl"))
+    Tables.documents(spark, dir)
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("dl", coalesce($"dl", expr("cast(array() as array<struct<l:int,b:int>>)")))
+      .withColumn("clean_text", array_join(
+        filter(
+          transform(split($"text", "\n"), (lstr, l) =>
+            array_join(
+              filter(filter(split(lstr, "\\s+"), t => t =!= ""), (t, i) =>
+                !exists($"dl", d =>
+                  d("l") === l && d("b") === (i / ParaW).cast("int"))),
+              " ")),
+          s => s =!= ""),
+        "\n"))
+      .select($"doc_id",
+        coalesce($"n_paras", lit(0)).as("n_paras"),
+        coalesce($"n_dropped", lit(0L)).as("n_dropped"),
+        (coalesce($"n_tokens", lit(0L)) - coalesce($"tokens_removed", lit(0L)))
+          .as("n_tokens_clean"),
+        coalesce($"tokens_removed", lit(0L)).as("tokens_removed"),
+        $"clean_text")
+      .orderBy($"doc_id")
+  }
+
+  /** Replay: the dedupParagraph chain, kept paragraphs re-joined in
+    * (line, block) order.
+    */
+  val paragraphExciseSql: String = {
+    val ws = wsClass
+    s"""WITH pl AS (
+      |  SELECT doc_id, i - 1 AS line,
+      |    list_filter(string_split_regex(lines[i], '$ws'), x -> x <> '') AS lt
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents) t,
+      |    unnest(range(1, len(lines) + 1)) r(i)),
+      |pq AS (SELECT doc_id, line, lt, len(lt) AS np FROM pl WHERE len(lt) >= 1),
+      |para AS (
+      |  SELECT doc_id, line, CAST(blk AS INT) AS blk,
+      |    doc_id * 65536 + line * 64 + blk AS pid,
+      |    CAST(least($ParaW, np - blk * $ParaW) AS BIGINT) AS ptoks,
+      |    array_to_string(lt[blk * $ParaW + 1 : blk * $ParaW + $ParaW], ' ') AS ptext
+      |  FROM pq, unnest(range(0, CAST(ceil(np / ${ParaW}.0) AS INT))) b(blk)),
+      |${minhashEstChainOver("(SELECT pid AS doc_id, ptext AS text FROM para) pp")},
+      |dup AS (SELECT DISTINCT j AS pid FROM est WHERE est_jaccard >= 0.5),
+      |kept AS (
+      |  SELECT p.doc_id, p.line, p.blk, p.ptext
+      |  FROM para p LEFT JOIN dup d USING (pid) WHERE d.pid IS NULL),
+      |kl AS (
+      |  SELECT doc_id, line, string_agg(ptext, ' ' ORDER BY blk) AS ltext
+      |  FROM kept GROUP BY doc_id, line),
+      |kd AS (
+      |  SELECT doc_id, string_agg(ltext, chr(10) ORDER BY line) AS clean_text
+      |  FROM kl GROUP BY doc_id),
+      |acct AS (
+      |  SELECT p.doc_id,
+      |    CAST(count(*) AS INT) AS n_paras,
+      |    CAST(sum(CASE WHEN d.pid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_dropped,
+      |    CAST(sum(CASE WHEN d.pid IS NULL THEN p.ptoks ELSE 0 END) AS BIGINT)
+      |      AS n_tokens_clean,
+      |    CAST(sum(CASE WHEN d.pid IS NOT NULL THEN p.ptoks ELSE 0 END) AS BIGINT)
+      |      AS tokens_removed
+      |  FROM para p LEFT JOIN dup d USING (pid) GROUP BY p.doc_id)
+      |SELECT t.doc_id,
+      |  coalesce(a.n_paras, 0) AS n_paras,
+      |  coalesce(a.n_dropped, 0) AS n_dropped,
+      |  coalesce(a.n_tokens_clean, 0) AS n_tokens_clean,
+      |  coalesce(a.tokens_removed, 0) AS tokens_removed,
+      |  coalesce(k.clean_text, '') AS clean_text
+      |FROM (SELECT doc_id FROM documents) t
+      |LEFT JOIN acct a USING (doc_id) LEFT JOIN kd k USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
   }
 
   val dedupParagraphSql: String = {

@@ -318,5 +318,23 @@ class DedupSpec extends SparkSpec {
     val mass = Dedup.dedupParagraph(spark, sf)
       .agg(sum(col("n_dup_paras"))).first().getLong(0)
     assert(mass > 0, "no duplicated paragraphs found on the corpus — vacuous")
+
+    // the excise twin rewrites the same fixture: later boilerplate
+    // copies vanish whole, unique lines survive verbatim
+    val ex = Dedup.paragraphExcise(spark, dir).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(ex(0L).getAs[String]("clean_text") == boiler + "\n" + uniq(0),
+      "first boilerplate occurrence must survive")
+    assert(ex(1L).getAs[String]("clean_text") == uniq(1),
+      "doc1 must lose its boilerplate copy and keep its unique line")
+    assert(ex(2L).getAs[String]("clean_text") == "",
+      "a boilerplate-only doc excises to empty")
+    assert(ex(3L).getAs[String]("clean_text") == uniq(3), "clean doc untouched")
+    // conservation on every doc: kept + removed = paragraph token mass
+    ex.values.foreach { r =>
+      val toks = r.getAs[String]("clean_text").split("\\s+").count(_.nonEmpty)
+      assert(toks == r.getAs[Long]("n_tokens_clean"),
+        s"clean_text token count must equal n_tokens_clean for doc ${r.getLong(0)}")
+    }
   }
 }
