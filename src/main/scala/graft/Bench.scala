@@ -39,7 +39,11 @@ object Bench {
     "theil_sen", "adamic_adar", "basket_rules", "embedding_rp",
     "hits_scores", "ann_rp",
     "anomaly_mad", "ks_test", "survival_retention", "rfm_migration",
-    "mutual_info", "psi_drift_windowed", "cdc_replay_asof")
+    "mutual_info", "psi_drift_windowed", "cdc_replay_asof",
+    // round-7 additions: corpus rewrites, paragraph near-dup, the BPE
+    // trainer/tokenizer pair, and the sketch-quantile RFM twin
+    "span_excise", "dedup_paragraph", "paragraph_excise",
+    "bpe_train", "bpe_tokenize", "rfm_segments_approx")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).
