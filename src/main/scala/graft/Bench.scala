@@ -43,7 +43,10 @@ object Bench {
     // round-7 additions: corpus rewrites, paragraph near-dup, the BPE
     // trainer/tokenizer pair, and the sketch-quantile RFM twin
     "span_excise", "dedup_paragraph", "paragraph_excise",
-    "bpe_train", "bpe_tokenize", "rfm_segments_approx")
+    "bpe_train", "bpe_tokenize", "rfm_segments_approx",
+    // round-7 second batch: the exact-integer training loops + LPA
+    "kmeans_train", "quality_classifier", "embedding_classifier",
+    "graph_lpa")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

@@ -912,4 +912,73 @@ object Graph {
          |  round(CAST(s AS DOUBLE) / 1000000, 6) AS authority
          |FROM a$HitsIters ORDER BY auth_u DESC, part_id LIMIT 100""".stripMargin
   }
+
+  private val LpaRounds = 3
+
+  /** Weighted label-propagation communities over the co-purchase graph
+    * — the community DETECTOR complementing [[graphModularity]] (which
+    * only scores a given partition) and [[partComponents]] (pure
+    * connectivity: one label per connected component regardless of
+    * structure). Classic synchronous LPA: every node starts as its own
+    * community; each round it adopts the community with the largest
+    * co-purchase-weighted vote among its neighbors (tie → smallest
+    * label, which also makes the sync update deterministic — vanilla
+    * LPA's random tie-break would be oracle-hostile).
+    *
+    * Scale shape: the persisted weighted edge table is built once (the
+    * shared map-side coPairCounts stage); each round is one
+    * dst-keyed hash join (labels are |V|-row, AQE broadcasts while they
+    * fit) + one (src, lbl) partial-agg exchange + the per-node argmax
+    * as a map-side struct-max — no window, no sort. 3 rounds keeps the
+    * DAG shallow enough that no lineage cut is needed (contrast the
+    * 5-round pagerank loop, which checkpoints).
+    */
+  def graphLpa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = coPairCounts(spark, dir)
+    val edges = pairs
+      .select($"pa".as("src"), $"pb".as("dst"), $"n_orders".as("w"))
+      .unionByName(pairs.select($"pb".as("src"), $"pa".as("dst"), $"n_orders".as("w")))
+      .persist()
+    edges.count() // materialize the iteration state once (family doctrine)
+    var labels = edges.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("lbl"))
+    for (_ <- 1 to LpaRounds) {
+      labels = edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy($"src", $"lbl").agg(sum($"w").as("votes"))
+        .groupBy($"src")
+        .agg(max(struct($"votes", (-$"lbl").as("neg"))).as("best"))
+        .select($"src".as("node"), (-$"best.neg").as("lbl"))
+    }
+    labels.groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy($"community")
+  }
+
+  val graphLpaSql: String = {
+    val base =
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |cp AS MATERIALIZED (
+        |  SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS w
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |edges AS MATERIALIZED (
+        |  SELECT pa AS src, pb AS dst, w FROM cp
+        |  UNION ALL SELECT pb, pa, w FROM cp),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)""".stripMargin
+    val its = (1 to LpaRounds).map { i =>
+      s""",
+         |v$i AS (
+         |  SELECT e.src, l.lbl, CAST(sum(e.w) AS BIGINT) AS votes
+         |  FROM edges e JOIN l${i - 1} l ON e.dst = l.node GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (
+         |  SELECT src AS node, lbl FROM (
+         |    SELECT src, lbl,
+         |      row_number() OVER (PARTITION BY src ORDER BY votes DESC, lbl) AS rk
+         |    FROM v$i) WHERE rk = 1)""".stripMargin
+    }.mkString
+    base + its +
+      s"""
+         |SELECT lbl AS community, count(*) AS n_members
+         |FROM l$LpaRounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -1,0 +1,464 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Distributed training loops run ON the corpus itself — the two
+  * model-fitting passes a curation pipeline owns end-to-end (as opposed
+  * to scoring with an externally trained model): unsupervised k-means
+  * over the embedding space (`kmeans_train`) and a fasttext-style
+  * quality classifier fit on weak labels (`quality_classifier`, plus
+  * its corpus-scoring pass `quality_classifier_score`).
+  *
+  * Shared doctrine with the graph loops (Graph.scala) and IVF training
+  * (IvfIndex.scala): per iteration exactly ONE distributed pass over a
+  * persisted feature table; only the MODEL (k×d centroids / d weights —
+  * O(model), never data rows) crosses the driver; assignment/scoring
+  * runs as literal-embedded codegen expressions so the corpus never
+  * shuffles for the model side of the join. Unlike IVF's float
+  * k-means-lite (rows-only spec), all arithmetic here is exact
+  * scaled-integer, so the DuckDB oracle replays every iteration
+  * bit-identically — a hash-green distributed training loop.
+  *
+  * Reference anchor: the reference POC stops at ingest
+  * (consumer.py:68-81); these operators are part of the
+  * training-data-pipeline surface the brief layers on top.
+  */
+object Training {
+  private val M = 1000000L // micro-unit fixed-point scale
+
+  /** Exact floor division on long columns. Both engines evaluate
+    * (a − pmod(a,b)) / b: the numerator is an exact multiple of b and
+    * |result| < 2^53, so the intermediate double division is lossless
+    * in Spark and DuckDB alike; % has C semantics (sign of dividend)
+    * in both, making the pmod identical. */
+  private def fdiv(a: Column, b: Column): Column =
+    ((a - ((a % b + b) % b)) / b).cast("long")
+  private[operators] def fdivSql(a: String, b: String): String =
+    s"CAST((($a) - ((($a) % ($b) + ($b)) % ($b))) / ($b) AS BIGINT)"
+
+  // ------------------------------------------------------------------
+  // kmeans_train — exact-integer Lloyd's over the embeddings table
+  // ------------------------------------------------------------------
+
+  /** Quantized embedding components: micro-unit longs, the validated
+    * round(x·1e6)→long pair (same as Embeddings.embeddingOutliers). */
+  private def quantized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        transform($"embedding",
+          x => round(x.cast("double") * 1000000d, 0).cast("long")).as("vq"))
+  }
+
+  /** One nearest-centroid assignment pass. The k centroids ride in as
+    * LITERAL arrays (collected driver-side, O(k·d)); per row the k
+    * exact-integer squared distances evaluate inside whole-stage
+    * codegen via zip_with/aggregate — no explode, no shuffle, the scan
+    * is the whole stage. Tie-break: smaller cluster id (struct
+    * ordering of (d2, cluster)). */
+  private def assign(quant: DataFrame, cent: Array[Array[Long]]): DataFrame = {
+    val spark = quant.sparkSession
+    import spark.implicits._
+    val scored = cent.zipWithIndex.map { case (cv, j) =>
+      struct(
+        aggregate(
+          zip_with($"vq", typedlit(cv.toSeq), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"),
+        lit(j).as("cluster"))
+    }
+    quant.withColumn("best", array_min(array(scored.toIndexedSeq: _*)))
+      .select($"vec_id", $"vq", $"best.cluster".as("cluster"), $"best.d2".as("d2"))
+  }
+
+  /** Exact-integer Lloyd's k-means, `iters` full update rounds then a
+    * final assignment against the post-update centroids. Seeds: the k
+    * smallest vec_ids (deterministic under any partitioning; spread
+    * quality matters less than replayability — the oracle must agree
+    * on every centroid at every round).
+    *
+    * Per iteration: one job — assignment fused into the scan of the
+    * persisted quantized table, then a (cluster, dim)-keyed exchange of
+    * N·d component rows for the mean update (the same linear pass shape
+    * as embedding_centroids), k·d sums collected. Update is exact:
+    * floorDiv(Σvq, n) driver-side (Math.floorDiv ≡ the oracle's pmod
+    * division); empty clusters carry the previous centroid.
+    *
+    * Output (k·d rows): cluster, n, inertia_kilo, dim, centroid_micro.
+    * Inertia is summed in kilo-units (floorDiv(d2, 1000) per row before
+    * the sum — exact in both engines) so the total stays far from long
+    * overflow even at 10^9-vector corpora (d2 ≤ ~10^15 ⇒ kilo-summand
+    * ≤ 10^12; 9.2·10^18 / 10^12 ≈ 9M rows per cluster headroom ×1000).
+    */
+  def kmeansTrainK(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
+    import spark.implicits._
+    val quant = quantized(spark, dir).persist()
+    var cent: Array[Array[Long]] = quant.orderBy($"vec_id").limit(k)
+      .select($"vq").collect().map(_.getSeq[Long](0).toArray)
+
+    for (_ <- 1 to iters) {
+      val sums = assign(quant, cent)
+        .select($"cluster", posexplode($"vq").as(Seq("dim", "v")))
+        .groupBy($"cluster", $"dim")
+        .agg(sum($"v").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val upd = sums.map(r => (r.getInt(0), r.getInt(1)) ->
+        java.lang.Math.floorDiv(r.getLong(2), r.getLong(3))).toMap
+      cent = cent.zipWithIndex.map { case (cv, j) =>
+        Array.tabulate(cv.length)(d => upd.getOrElse((j, d), cv(d)))
+      }
+    }
+
+    val fin = assign(quant, cent)
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n"), sum(fdiv($"d2", lit(1000L))).as("inertia_kilo"))
+    val centDf = spark.createDataFrame(
+      cent.zipWithIndex.flatMap { case (cv, j) =>
+        cv.zipWithIndex.map { case (v, d) => (j, d, v) }
+      }.toSeq).toDF("cluster", "dim", "centroid_micro")
+    centDf.join(fin, Seq("cluster"), "left")
+      .select($"cluster",
+        coalesce($"n", lit(0L)).as("n"),
+        coalesce($"inertia_kilo", lit(0L)).as("inertia_kilo"),
+        $"dim", $"centroid_micro")
+      .orderBy($"cluster", $"dim")
+  }
+
+  def kmeansTrain(spark: SparkSession, dir: String): DataFrame =
+    kmeansTrainK(spark, dir, k = 4, iters = 3)
+
+  val kmeansTrainSql: String = {
+    val k = 4; val iters = 3
+    val sb = new StringBuilder
+    sb ++= s"""WITH comp AS (
+      |  SELECT vec_id, CAST(i AS INT) AS dim,
+      |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000, 0) AS BIGINT) AS vq
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+      |seeds AS (
+      |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+      |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+      |cent0 AS (
+      |  SELECT s.cluster, c.dim, c.vq AS cq FROM seeds s JOIN comp c USING (vec_id))""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s""",
+      |dist$t AS (
+      |  SELECT c.vec_id, k.cluster, sum((c.vq - k.cq) * (c.vq - k.cq)) AS d2
+      |  FROM comp c JOIN cent${t - 1} k ON c.dim = k.dim GROUP BY 1, 2),
+      |asg$t AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cluster,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+      |    FROM dist$t) WHERE rk = 1),
+      |upd$t AS (
+      |  SELECT a.cluster, c.dim, ${fdivSql("sum(c.vq)", "count(*)")} AS cq
+      |  FROM asg$t a JOIN comp c USING (vec_id) GROUP BY 1, 2),
+      |cent$t AS (
+      |  SELECT p.cluster, p.dim, COALESCE(u.cq, p.cq) AS cq
+      |  FROM cent${t - 1} p LEFT JOIN upd$t u
+      |    ON p.cluster = u.cluster AND p.dim = u.dim)""".stripMargin
+    }
+    sb ++= s""",
+      |distF AS (
+      |  SELECT c.vec_id, k.cluster, sum((c.vq - k.cq) * (c.vq - k.cq)) AS d2
+      |  FROM comp c JOIN cent$iters k ON c.dim = k.dim GROUP BY 1, 2),
+      |asgF AS (
+      |  SELECT vec_id, cluster, d2 FROM (
+      |    SELECT vec_id, cluster, d2,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+      |    FROM distF) WHERE rk = 1),
+      |sizes AS (
+      |  SELECT cluster, count(*) AS n,
+      |    CAST(sum(${fdivSql("d2", "1000")}) AS BIGINT) AS inertia_kilo
+      |  FROM asgF GROUP BY 1)
+      |SELECT k.cluster, COALESCE(s.n, 0) AS n,
+      |  COALESCE(s.inertia_kilo, 0) AS inertia_kilo,
+      |  k.dim, k.cq AS centroid_micro
+      |FROM cent$iters k LEFT JOIN sizes s USING (cluster)
+      |ORDER BY k.cluster, k.dim""".stripMargin
+    sb.toString
+  }
+
+  // ------------------------------------------------------------------
+  // quality_classifier — hard-sigmoid logistic GD on weak labels
+  // ------------------------------------------------------------------
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private val LR = 250000L // learning rate, micro (0.25)
+  private val Iters = 4
+
+  /** Per-document integer feature vector, all components in [0, 1e6]
+    * micro-units (bounded features keep every gradient sum far from
+    * long overflow: per-doc summand ≤ 1e6 ⇒ 9.2e12 docs of headroom):
+    *   x0 bias; x1 capped token count /512; x2 stopword ratio;
+    *   x3 mean word length /16 (capped). Weak label y = (lang = 'en') —
+    *   the standard bootstrap for a quality/language classifier when no
+    *   human labels exist. Pure per-row map over the scan: zero
+    *   shuffles, array functions only (no explode — token counting
+    *   stays inside codegen). */
+  private def features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val ntok = greatest(size(toks), lit(1)).cast("long")
+    val nstop = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+    val letters = length($"text").cast("long") - (size(toks).cast("long") - 1L)
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        when($"lang" === "en", 1L).otherwise(0L).as("y"),
+        lit(M).as("x0"),
+        fdiv(least(ntok, lit(512L)) * M, lit(512L)).as("x1"),
+        fdiv(nstop * M, ntok).as("x2"),
+        least(fdiv(letters * M, ntok * 16L), lit(M)).as("x3"))
+  }
+
+  /** Hard-sigmoid score in micro-units for literal weights:
+    * s = clamp(0.5 + margin/4, 0, 1), margin = w·x. The hard sigmoid
+    * (piecewise-linear, the quantized-net standard) replaces exp so
+    * the whole forward pass is exact integer — the one substitution
+    * that makes a logistic training loop oracle-replayable. */
+  private def scoreCol(w: Array[Long]): Column = {
+    val margin = fdiv(
+      col("x0") * lit(w(0)) + col("x1") * lit(w(1)) +
+        col("x2") * lit(w(2)) + col("x3") * lit(w(3)), lit(M))
+    least(greatest(lit(500000L) + fdiv(margin, lit(4L)), lit(0L)), lit(M))
+  }
+
+  /** The training loop: `Iters` rounds of full-batch GD. Per round one
+    * distributed aggregate over the persisted feature table produces
+    * the d+1 gradient sums (map-side partial, d=4 columns — the
+    * shuffle carries partitions·d rows); the weight update is O(d)
+    * driver arithmetic, Math.floorDiv matching the oracle's pmod
+    * division exactly. */
+  private def trainWeights(feats: DataFrame): Array[Long] = {
+    var w = Array(0L, 0L, 0L, 0L)
+    for (_ <- 1 to Iters) {
+      val err = col("y") * lit(M) - scoreCol(w)
+      val r = feats.agg(
+        count(lit(1)).as("n"),
+        sum(fdiv(err * col("x0"), lit(M))).as("g0"),
+        sum(fdiv(err * col("x1"), lit(M))).as("g1"),
+        sum(fdiv(err * col("x2"), lit(M))).as("g2"),
+        sum(fdiv(err * col("x3"), lit(M))).as("g3")).head()
+      val n = r.getLong(0)
+      w = Array.tabulate(4) { j =>
+        val mean = java.lang.Math.floorDiv(r.getLong(j + 1), n)
+        w(j) + java.lang.Math.floorDiv(LR * mean, M)
+      }
+    }
+    w
+  }
+
+  /** Single-row training report: corpus size, positive count, the four
+    * trained micro-weights, and training accuracy (pred = s ≥ 0.5). */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = features(spark, dir).persist()
+    val w = trainWeights(feats)
+    feats.agg(
+      count(lit(1)).as("n"),
+      sum($"y").as("n_pos"),
+      max(lit(w(0))).as("w0"), max(lit(w(1))).as("w1"),
+      max(lit(w(2))).as("w2"), max(lit(w(3))).as("w3"),
+      fdiv(sum(when((scoreCol(w) >= 500000L) === ($"y" === 1L), 1L)
+        .otherwise(0L)) * M, count(lit(1))).as("acc_micro"))
+  }
+
+  /** Corpus scoring with the trained weights: the 20 highest- and 20
+    * lowest-scoring documents (tie-break doc_id), the audit sample a
+    * curation run eyeballs before trusting the filter. TakeOrdered
+    * top-k twice — no global sort, no unpartitioned window. */
+  def qualityClassifierScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = features(spark, dir).persist()
+    val w = trainWeights(feats)
+    val scored = feats.select($"doc_id", $"y".as("label_en"),
+      scoreCol(w).as("score_micro"))
+    val top = scored.orderBy($"score_micro".desc, $"doc_id").limit(20)
+      .select(lit("top").as("side"), $"doc_id", $"label_en", $"score_micro")
+    val bottom = scored.orderBy($"score_micro".asc, $"doc_id").limit(20)
+      .select(lit("bottom").as("side"), $"doc_id", $"label_en", $"score_micro")
+    top.union(bottom).orderBy($"side", $"doc_id")
+  }
+
+  /** Oracle CTE chain shared by both classifier queries: feats, then
+    * unrolled per-iteration (score → gradient → weights) CTEs. */
+  private def classifierCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH toks AS (
+      |  SELECT doc_id, lang, str_split(text, ' ') AS tk, CAST(length(text) AS BIGINT) AS nch
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id,
+      |    CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y,
+      |    CAST(1000000 AS BIGINT) AS x0,
+      |    ${fdivSql("least(greatest(CAST(len(tk) AS BIGINT), 1), 512) * 1000000", "512")} AS x1,
+      |    ${fdivSql(
+        "CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) * 1000000",
+        "greatest(CAST(len(tk) AS BIGINT), 1)")} AS x2,
+      |    least(${fdivSql("(nch - (CAST(len(tk) AS BIGINT) - 1)) * 1000000",
+        "greatest(CAST(len(tk) AS BIGINT), 1) * 16")}, 1000000) AS x3
+      |  FROM toks),
+      |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+      |       CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)""".stripMargin
+    def sExpr = {
+      val margin = fdivSql(
+        "f.x0 * w.w0 + f.x1 * w.w1 + f.x2 * w.w2 + f.x3 * w.w3", "1000000")
+      s"least(greatest(500000 + ${fdivSql(margin, "4")}, 0), 1000000)"
+    }
+    for (t <- 1 to Iters) {
+      sb ++= s""",
+      |s$t AS (
+      |  SELECT f.*, $sExpr AS s FROM feats f CROSS JOIN w${t - 1} w),
+      |g$t AS (
+      |  SELECT count(*) AS n,
+      |    sum(${fdivSql("(y * 1000000 - s) * x0", "1000000")}) AS g0,
+      |    sum(${fdivSql("(y * 1000000 - s) * x1", "1000000")}) AS g1,
+      |    sum(${fdivSql("(y * 1000000 - s) * x2", "1000000")}) AS g2,
+      |    sum(${fdivSql("(y * 1000000 - s) * x3", "1000000")}) AS g3
+      |  FROM s$t),
+      |w$t AS (
+      |  SELECT w.w0 + ${fdivSql(s"$LR * ${fdivSql("g.g0", "g.n")}", "1000000")} AS w0,
+      |         w.w1 + ${fdivSql(s"$LR * ${fdivSql("g.g1", "g.n")}", "1000000")} AS w1,
+      |         w.w2 + ${fdivSql(s"$LR * ${fdivSql("g.g2", "g.n")}", "1000000")} AS w2,
+      |         w.w3 + ${fdivSql(s"$LR * ${fdivSql("g.g3", "g.n")}", "1000000")} AS w3
+      |  FROM w${t - 1} w CROSS JOIN g$t g)""".stripMargin
+    }
+    sb ++= s""",
+      |scoredF AS (
+      |  SELECT f.doc_id, f.y, $sExpr AS s FROM feats f CROSS JOIN w$Iters w)""".stripMargin
+    sb.toString
+  }
+
+  val qualityClassifierSql: String =
+    classifierCtes + s"""
+      |SELECT (SELECT count(*) FROM feats) AS n,
+      |  (SELECT CAST(sum(y) AS BIGINT) FROM feats) AS n_pos,
+      |  w.w0 AS w0, w.w1 AS w1, w.w2 AS w2, w.w3 AS w3,
+      |  (SELECT ${fdivSql("sum(CASE WHEN (s >= 500000) = (y = 1) THEN 1 ELSE 0 END) * 1000000",
+        "count(*)")} FROM scoredF) AS acc_micro
+      |FROM w$Iters w""".stripMargin
+
+  // ------------------------------------------------------------------
+  // embedding_classifier — supervised GD on the embedding table
+  // ------------------------------------------------------------------
+
+  /** Linear probe over the embedding space: hard-sigmoid logistic GD
+    * predicting the coarse label split (label ≤ 4) from the raw
+    * 64-dim embedding + bias — the supervised complement of
+    * [[qualityClassifier]]'s weak-label text features, and the shape
+    * of every "train a linear filter on embeddings" curation pass
+    * (CLIP-score filters, NSFW probes, domain classifiers).
+    *
+    * Per iteration: the forward pass (margin → hard sigmoid → error)
+    * is a zip_with/aggregate dot product against the LITERAL weight
+    * vector — fused into the scan, zero shuffles; the backward pass is
+    * one (dim)-keyed exchange of N·(d+1) exploded components with
+    * map-side partial sums (65 gradient rows out). Driver traffic per
+    * round: d+1 longs. All integer micro-unit arithmetic — the oracle
+    * unrolls all `Iters` rounds and hash-matches weights AND accuracy.
+    *
+    * Output: d+1 rows (dim, w_micro, n, acc_micro); dim 64 is the bias.
+    */
+  def embeddingClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        when($"label" <= 4, 1L).otherwise(0L).as("y"),
+        concat(
+          transform($"embedding",
+            x => round(x.cast("double") * 1000000d, 0).cast("long")),
+          array(lit(M))).as("xq"))
+      .persist()
+
+    def sCol(w: Array[Long]): Column = {
+      val margin = fdiv(
+        aggregate(zip_with($"xq", typedlit(w.toSeq), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x), lit(M))
+      least(greatest(lit(500000L) + fdiv(margin, lit(4L)), lit(0L)), lit(M))
+    }
+
+    var w = Array.fill(65)(0L)
+    for (_ <- 1 to Iters) {
+      val err = ($"y" * M - sCol(w)).as("err")
+      val grads = base.select(err, posexplode($"xq").as(Seq("dim", "x")))
+        .groupBy($"dim")
+        .agg(sum(fdiv($"err" * $"x", lit(M))).as("g"), count(lit(1)).as("cnt"))
+        .collect()
+      val n = grads.head.getLong(2)
+      val gm = grads.map(r => r.getInt(0) -> r.getLong(1)).toMap
+      w = Array.tabulate(65) { d =>
+        w(d) + java.lang.Math.floorDiv(LR * java.lang.Math.floorDiv(gm(d), n), M)
+      }
+    }
+
+    val accDf = base.agg(
+      count(lit(1)).as("n"),
+      fdiv(sum(when((sCol(w) >= 500000L) === ($"y" === 1L), 1L)
+        .otherwise(0L)) * M, count(lit(1))).as("acc_micro"))
+    val wDf = spark.createDataFrame(
+      w.zipWithIndex.map { case (v, d) => (d, v) }.toSeq).toDF("dim", "w_micro")
+    wDf.crossJoin(accDf)
+      .select($"dim", $"w_micro", $"n", $"acc_micro")
+      .orderBy($"dim")
+  }
+
+  val embeddingClassifierSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH comp AS (
+      |  SELECT vec_id, CAST(i AS INT) AS dim,
+      |    CASE WHEN i = 64 THEN CAST(1000000 AS BIGINT)
+      |      ELSE CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000, 0) AS BIGINT)
+      |    END AS xq
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 65)) AS i)),
+      |lab AS (
+      |  SELECT vec_id, CASE WHEN label <= 4 THEN CAST(1 AS BIGINT)
+      |    ELSE CAST(0 AS BIGINT) END AS y
+      |  FROM embeddings),
+      |nn AS (SELECT count(*) AS n FROM embeddings),
+      |w0 AS (
+      |  SELECT CAST(i AS INT) AS dim, CAST(0 AS BIGINT) AS w
+      |  FROM (SELECT unnest(range(0, 65)) AS i))""".stripMargin
+    def sSel(t: String, prev: String) = s""",
+      |m$t AS (
+      |  SELECT c.vec_id, ${fdivSql("CAST(sum(c.xq * w.w) AS BIGINT)", "1000000")} AS margin
+      |  FROM comp c JOIN $prev w USING (dim) GROUP BY c.vec_id),
+      |s$t AS (
+      |  SELECT l.vec_id, l.y,
+      |    least(greatest(500000 + ${fdivSql("margin", "4")}, 0), 1000000) AS s
+      |  FROM m$t JOIN lab l USING (vec_id))""".stripMargin
+    for (t <- 1 to Iters) {
+      sb ++= sSel(t.toString, s"w${t - 1}")
+      sb ++= s""",
+      |g$t AS (
+      |  SELECT c.dim,
+      |    CAST(sum(${fdivSql("(s.y * 1000000 - s.s) * c.xq", "1000000")}) AS BIGINT) AS g
+      |  FROM comp c JOIN s$t s USING (vec_id) GROUP BY c.dim),
+      |w$t AS (
+      |  SELECT w.dim,
+      |    w.w + ${fdivSql(s"$LR * ${fdivSql("g.g", "(SELECT n FROM nn)")}", "1000000")} AS w
+      |  FROM w${t - 1} w JOIN g$t g USING (dim))""".stripMargin
+    }
+    sb ++= sSel("F", s"w$Iters")
+    sb ++= s""",
+      |acc AS (
+      |  SELECT count(*) AS n,
+      |    ${fdivSql("sum(CASE WHEN (s >= 500000) = (y = 1) THEN 1 ELSE 0 END) * 1000000",
+        "count(*)")} AS acc_micro
+      |  FROM sF)
+      |SELECT w.dim, w.w AS w_micro, a.n AS n, a.acc_micro AS acc_micro
+      |FROM w$Iters w CROSS JOIN acc a ORDER BY w.dim""".stripMargin
+    sb.toString
+  }
+
+  val qualityClassifierScoreSql: String =
+    classifierCtes + s"""
+      |SELECT side, doc_id, label_en, score_micro FROM (
+      |  SELECT 'top' AS side, doc_id, y AS label_en, s AS score_micro
+      |  FROM scoredF ORDER BY s DESC, doc_id LIMIT 20
+      |) UNION ALL
+      |SELECT side, doc_id, label_en, score_micro FROM (
+      |  SELECT 'bottom' AS side, doc_id, y AS label_en, s AS score_micro
+      |  FROM scoredF ORDER BY s ASC, doc_id LIMIT 20
+      |)
+      |ORDER BY side, doc_id""".stripMargin
+}

@@ -104,4 +104,23 @@ class GraphSpec extends SparkSpec {
       assert(minDeg >= k, s"fixpoint violated: min degree $minDeg")
     }
   }
+
+  test("graph_lpa: communities partition the nodes and propagation merges them") {
+    val out = Graph.graphLpa(spark, sf).cache()
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val nodes = li.join(
+        li.groupBy($"ok").agg(countDistinct($"pk").as("np")).filter($"np" >= 2), "ok")
+      .select($"pk").distinct().count()
+    val members = out.agg(sum($"n_members")).head.getLong(0)
+    val communities = out.count()
+    info(s"nodes=$nodes communities=$communities")
+    assert(members === nodes, "every co-purchase node lands in exactly one community")
+    assert(communities < nodes, "3 weighted-vote rounds must merge SOME labels")
+    // every community label is a real node id (labels propagate, never invent)
+    assert(communities > 1, "the graph is not one blob at 3 rounds on this data")
+    // deterministic sync update: a second run is bit-identical
+    assert(out.collect().toSeq === Graph.graphLpa(spark, sf).collect().toSeq)
+    out.unpersist()
+  }
 }

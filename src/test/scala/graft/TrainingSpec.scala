@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.Training
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the exact-integer training loops (kmeans_train,
+  * quality_classifier, quality_classifier_score) beyond the DuckDB hash
+  * gate: Lloyd's must IMPROVE the objective, the classifier must BEAT
+  * chance, and both must be bit-deterministic across runs — the
+  * properties that make a training loop a training loop, which a
+  * single-run hash compare can't express.
+  */
+class TrainingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nVecs: Long =
+    graft.sources.Tables.embeddings(spark, sf).count()
+
+  test("kmeans_train: k*d centroid rows, assignment partitions the corpus") {
+    val out = Training.kmeansTrain(spark, sf).cache()
+    assert(out.count() === 4L * 64L, "one row per (cluster, dim)")
+    val sizes = out.filter($"dim" === 0).select($"cluster", $"n")
+    assert(sizes.agg(sum($"n")).head.getLong(0) === nVecs,
+      "cluster sizes must sum to the corpus size (a partition, not a cover)")
+    // centroid components stay inside the quantized data range
+    val range = graft.sources.Tables.embeddings(spark, sf)
+      .select(posexplode($"embedding").as(Seq("d", "v")))
+      .agg(min(round($"v".cast("double") * 1000000d, 0).cast("long")),
+        max(round($"v".cast("double") * 1000000d, 0).cast("long"))).head
+    val (lo, hi) = (range.getLong(0), range.getLong(1))
+    assert(out.filter($"centroid_micro" < lo || $"centroid_micro" > hi)
+      .count() === 0, "centroids are convex combinations: inside data range")
+    out.unpersist()
+  }
+
+  test("kmeans_train: Lloyd iterations strictly reduce total inertia on this data") {
+    def inertia(iters: Int): Long =
+      Training.kmeansTrainK(spark, sf, k = 4, iters = iters)
+        .filter($"dim" === 0)
+        .agg(sum($"inertia_kilo")).head.getLong(0)
+    val before = inertia(0)
+    val after = inertia(3)
+    info(s"inertia_kilo: seeds=$before after-3-Lloyd=$after")
+    assert(after < before, "3 Lloyd rounds must improve on the seed centroids")
+  }
+
+  test("kmeans_train is bit-deterministic across runs") {
+    val a = Training.kmeansTrain(spark, sf).collect().toSeq
+    val b = Training.kmeansTrain(spark, sf).collect().toSeq
+    assert(a === b)
+  }
+
+  test("quality_classifier: beats the majority-class baseline on the weak label") {
+    val r = Training.qualityClassifier(spark, sf).head
+    val n = r.getAs[Long]("n")
+    val nPos = r.getAs[Long]("n_pos")
+    val acc = r.getAs[Long]("acc_micro").toDouble / 1e6
+    val majority = math.max(nPos, n - nPos).toDouble / n
+    info(f"n=$n pos=$nPos acc=$acc%.3f majority=$majority%.3f " +
+      s"w=${(0 to 3).map(j => r.getAs[Long](s"w$j")).mkString(",")}")
+    assert(acc >= majority,
+      "4 GD rounds on these features must at least match always-majority")
+    assert((0 to 3).exists(j => r.getAs[Long](s"w$j") != 0L),
+      "training moved the weights")
+  }
+
+  test("embedding_classifier: the linear probe actually learns the label split") {
+    val out = Training.embeddingClassifier(spark, sf).cache()
+    assert(out.count() === 65, "64 dims + bias")
+    val r = out.head
+    val n = r.getAs[Long]("n")
+    val acc = r.getAs[Long]("acc_micro").toDouble / 1e6
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val nPos = emb.filter($"label" <= 4).count()
+    val majority = math.max(nPos, n - nPos).toDouble / n
+    info(f"n=$n acc=$acc%.3f majority=$majority%.3f")
+    // embeddings are linearly separable by construction; the GD probe
+    // must beat always-majority, not just match it
+    assert(acc > majority, "the supervised probe must learn, not memorize the prior")
+    assert(out.filter($"w_micro" =!= 0L).count() > 10,
+      "most dimensions carry signal")
+    out.unpersist()
+  }
+
+  test("quality_classifier_score: 20+20 audit sample, top scores dominate bottom") {
+    val out = Training.qualityClassifierScore(spark, sf).cache()
+    assert(out.filter($"side" === "top").count() === 20)
+    assert(out.filter($"side" === "bottom").count() === 20)
+    val minTop = out.filter($"side" === "top")
+      .agg(min($"score_micro")).head.getLong(0)
+    val maxBottom = out.filter($"side" === "bottom")
+      .agg(max($"score_micro")).head.getLong(0)
+    assert(minTop >= maxBottom, "every top-side score >= every bottom-side score")
+    out.unpersist()
+  }
+}
