@@ -936,9 +936,14 @@ object Graph {
   def graphLpa(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = coPairCounts(spark, dir)
+    // cached PRE-PARTITIONED on dst — the per-round join key. The
+    // InMemoryRelation preserves the hash partitioning, so each vote
+    // round shuffles only the |V|-row label table onto the edges; the
+    // |E|-row side never rides the wire again after the build.
     val edges = pairs
       .select($"pa".as("src"), $"pb".as("dst"), $"n_orders".as("w"))
       .unionByName(pairs.select($"pb".as("src"), $"pa".as("dst"), $"n_orders".as("w")))
+      .repartition($"dst")
       .persist()
     edges.count() // materialize the iteration state once (family doctrine)
     var labels = edges.select($"src".as("node")).distinct()
