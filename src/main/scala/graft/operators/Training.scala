@@ -91,12 +91,14 @@ object Training {
     * overflow even at 10^9-vector corpora (d2 ≤ ~10^15 ⇒ kilo-summand
     * ≤ 10^12; 9.2·10^18 / 10^12 ≈ 9M rows per cluster headroom ×1000).
     */
-  def kmeansTrainK(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
+  /** The Lloyd loop proper, shared by [[kmeansTrainK]] and
+    * [[clusterSample]]: smallest-id seeds, `iters` exact-integer
+    * update rounds, k·d longs of driver traffic per round. */
+  private def lloydCentroids(quant: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
+    val spark = quant.sparkSession
     import spark.implicits._
-    val quant = quantized(spark, dir).persist()
     var cent: Array[Array[Long]] = quant.orderBy($"vec_id").limit(k)
       .select($"vq").collect().map(_.getSeq[Long](0).toArray)
-
     for (_ <- 1 to iters) {
       val sums = assign(quant, cent)
         .select($"cluster", posexplode($"vq").as(Seq("dim", "v")))
@@ -109,7 +111,13 @@ object Training {
         Array.tabulate(cv.length)(d => upd.getOrElse((j, d), cv(d)))
       }
     }
+    cent
+  }
 
+  def kmeansTrainK(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
+    import spark.implicits._
+    val quant = quantized(spark, dir).persist()
+    val cent = lloydCentroids(quant, k, iters)
     val fin = assign(quant, cent)
       .groupBy($"cluster")
       .agg(count(lit(1)).as("n"), sum(fdiv($"d2", lit(1000L))).as("inertia_kilo"))
@@ -128,7 +136,9 @@ object Training {
   def kmeansTrain(spark: SparkSession, dir: String): DataFrame =
     kmeansTrainK(spark, dir, k = 4, iters = 3)
 
-  val kmeansTrainSql: String = {
+  /** Oracle CTE chain through the final assignment (asgF), shared by
+    * [[kmeansTrainSql]] and [[clusterSampleSql]]. */
+  private val kmeansCtes: String = {
     val k = 4; val iters = 3
     val sb = new StringBuilder
     sb ++= s"""WITH comp AS (
@@ -166,7 +176,12 @@ object Training {
       |  SELECT vec_id, cluster, d2 FROM (
       |    SELECT vec_id, cluster, d2,
       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
-      |    FROM distF) WHERE rk = 1),
+      |    FROM distF) WHERE rk = 1)""".stripMargin
+    sb.toString
+  }
+
+  val kmeansTrainSql: String =
+    kmeansCtes + s""",
       |sizes AS (
       |  SELECT cluster, count(*) AS n,
       |    CAST(sum(${fdivSql("d2", "1000")}) AS BIGINT) AS inertia_kilo
@@ -174,10 +189,48 @@ object Training {
       |SELECT k.cluster, COALESCE(s.n, 0) AS n,
       |  COALESCE(s.inertia_kilo, 0) AS inertia_kilo,
       |  k.dim, k.cq AS centroid_micro
-      |FROM cent$iters k LEFT JOIN sizes s USING (cluster)
+      |FROM cent3 k LEFT JOIN sizes s USING (cluster)
       |ORDER BY k.cluster, k.dim""".stripMargin
-    sb.toString
+
+  /** Cluster-balanced deterministic sampling — the diversity-selection
+    * pass of a curation pipeline: train the same k-means model, assign
+    * every vector, then keep the top ⌈25%⌉ of EACH cluster by content
+    * hash (the library's md5 sampling doctrine: engine-portable,
+    * append-stable, no RNG). Balanced-by-cluster beats uniform
+    * sampling when a few dense modes dominate the corpus — every mode
+    * keeps its ⌈n/4⌉ representatives.
+    *
+    * Plan: assignment fused into the cached scan; the k-row size table
+    * broadcasts back; the per-cluster rank is a cluster-partitioned
+    * window (never unpartitioned); ceil(n/4) selection is the pure
+    * integer predicate 4·rk ≤ n+3 — exact in both engines.
+    */
+  def clusterSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val quant = quantized(spark, dir).persist()
+    val cent = lloydCentroids(quant, 4, 3)
+    val asg = assign(quant, cent).select($"vec_id", $"cluster")
+    val sizes = asg.groupBy($"cluster").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster").orderBy($"h", $"vec_id")
+    asg.join(sizes, "cluster")
+      .withColumn("h", md5(concat(lit("cs:"), $"vec_id".cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" * 4L <= $"n" + 3L)
+      .select($"cluster", $"rk", $"vec_id", $"n".as("cluster_n"))
+      .orderBy($"cluster", $"rk")
   }
+
+  val clusterSampleSql: String =
+    kmeansCtes + """,
+      |sizes AS (SELECT cluster, count(*) AS n FROM asgF GROUP BY 1),
+      |ranked AS (
+      |  SELECT a.cluster, a.vec_id, s.n,
+      |    CAST(row_number() OVER (PARTITION BY a.cluster
+      |      ORDER BY md5('cs:' || CAST(a.vec_id AS VARCHAR)), a.vec_id) AS INT) AS rk
+      |  FROM asgF a JOIN sizes s USING (cluster))
+      |SELECT cluster, rk, vec_id, n AS cluster_n
+      |FROM ranked WHERE rk * 4 <= n + 3 ORDER BY cluster, rk""".stripMargin
 
   // ------------------------------------------------------------------
   // quality_classifier — hard-sigmoid logistic GD on weak labels

@@ -64,6 +64,24 @@ class TrainingSpec extends SparkSpec {
       "training moved the weights")
   }
 
+  test("cluster_sample: exactly ceil(n/4) per cluster, deterministic, a real subset") {
+    val out = Training.clusterSample(spark, sf).cache()
+    val km = Training.kmeansTrain(spark, sf).filter($"dim" === 0)
+      .select($"cluster", $"n")
+    val taken = out.groupBy($"cluster").agg(count(lit(1)).as("k"), max($"cluster_n").as("cn"))
+    // per-cluster quota: k == ceil(n/4), and the reported size matches kmeans
+    val j = taken.join(km, "cluster")
+    assert(j.filter($"k" =!= (($"n" + 3L) / 4L).cast("long")).count() === 0,
+      "per-cluster sample size must be exactly ceil(n/4)")
+    assert(j.filter($"cn" =!= $"n").count() === 0,
+      "reported cluster_n must match the kmeans cluster size")
+    // the sample is a subset of the corpus vec_ids
+    val ids = graft.sources.Tables.embeddings(spark, sf).select($"vec_id")
+    assert(out.join(ids, "vec_id", "left_anti").count() === 0)
+    assert(out.collect().toSeq === Training.clusterSample(spark, sf).collect().toSeq)
+    out.unpersist()
+  }
+
   test("embedding_classifier: the linear probe actually learns the label split") {
     val out = Training.embeddingClassifier(spark, sf).cache()
     assert(out.count() === 65, "64 dims + bias")
