@@ -72,28 +72,17 @@ object Training {
       .select($"vec_id", $"vq", $"best.cluster".as("cluster"), $"best.d2".as("d2"))
   }
 
-  /** Exact-integer Lloyd's k-means, `iters` full update rounds then a
-    * final assignment against the post-update centroids. Seeds: the k
-    * smallest vec_ids (deterministic under any partitioning; spread
-    * quality matters less than replayability — the oracle must agree
-    * on every centroid at every round).
-    *
-    * Per iteration: one job — assignment fused into the scan of the
-    * persisted quantized table, then a (cluster, dim)-keyed exchange of
-    * N·d component rows for the mean update (the same linear pass shape
-    * as embedding_centroids), k·d sums collected. Update is exact:
-    * floorDiv(Σvq, n) driver-side (Math.floorDiv ≡ the oracle's pmod
-    * division); empty clusters carry the previous centroid.
-    *
-    * Output (k·d rows): cluster, n, inertia_kilo, dim, centroid_micro.
-    * Inertia is summed in kilo-units (floorDiv(d2, 1000) per row before
-    * the sum — exact in both engines) so the total stays far from long
-    * overflow even at 10^9-vector corpora (d2 ≤ ~10^15 ⇒ kilo-summand
-    * ≤ 10^12; 9.2·10^18 / 10^12 ≈ 9M rows per cluster headroom ×1000).
-    */
   /** The Lloyd loop proper, shared by [[kmeansTrainK]] and
-    * [[clusterSample]]: smallest-id seeds, `iters` exact-integer
-    * update rounds, k·d longs of driver traffic per round. */
+    * [[clusterSample]]: smallest-id seeds (deterministic under any
+    * partitioning; spread quality matters less than replayability —
+    * the oracle must agree on every centroid at every round), `iters`
+    * exact-integer update rounds. Per iteration: one job — assignment
+    * fused into the scan of the persisted quantized table, then a
+    * (cluster, dim)-keyed exchange of N·d component rows for the mean
+    * update (the same linear pass shape as embedding_centroids), k·d
+    * longs collected. Update is exact: floorDiv(Σvq, n) driver-side
+    * (Math.floorDiv ≡ the oracle's pmod division); empty clusters
+    * carry the previous centroid. */
   private def lloydCentroids(quant: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
     val spark = quant.sparkSession
     import spark.implicits._
@@ -114,6 +103,15 @@ object Training {
     cent
   }
 
+  /** Exact-integer Lloyd's k-means: `iters` full update rounds then a
+    * final assignment against the post-update centroids.
+    *
+    * Output (k·d rows): cluster, n, inertia_kilo, dim, centroid_micro.
+    * Inertia is summed in kilo-units (floorDiv(d2, 1000) per row before
+    * the sum — exact in both engines) so the total stays far from long
+    * overflow even at 10^9-vector corpora (d2 ≤ ~10^15 ⇒ kilo-summand
+    * ≤ 10^12; 9.2·10^18 / 10^12 ≈ 9M rows per cluster headroom ×1000).
+    */
   def kmeansTrainK(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
     import spark.implicits._
     val quant = quantized(spark, dir).persist()
@@ -249,13 +247,14 @@ object Training {
     *   human labels exist. Pure per-row map over the scan: zero
     *   shuffles, array functions only (no explode — token counting
     *   stays inside codegen). */
-  private def features(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def docFeatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val toks = split($"text", " ")
     val ntok = greatest(size(toks), lit(1)).cast("long")
     val nstop = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
     val letters = length($"text").cast("long") - (size(toks).cast("long") - 1L)
-    Tables.documents(spark, dir)
+    docs
       .select($"doc_id",
         when($"lang" === "en", 1L).otherwise(0L).as("y"),
         lit(M).as("x0"),
@@ -269,7 +268,7 @@ object Training {
     * (piecewise-linear, the quantized-net standard) replaces exp so
     * the whole forward pass is exact integer — the one substitution
     * that makes a logistic training loop oracle-replayable. */
-  private def scoreCol(w: Array[Long]): Column = {
+  private[graft] def scoreCol(w: Array[Long]): Column = {
     val margin = fdiv(
       col("x0") * lit(w(0)) + col("x1") * lit(w(1)) +
         col("x2") * lit(w(2)) + col("x3") * lit(w(3)), lit(M))
@@ -282,7 +281,7 @@ object Training {
     * shuffle carries partitions·d rows); the weight update is O(d)
     * driver arithmetic, Math.floorDiv matching the oracle's pmod
     * division exactly. */
-  private def trainWeights(feats: DataFrame): Array[Long] = {
+  private[graft] def trainWeights(feats: DataFrame): Array[Long] = {
     var w = Array(0L, 0L, 0L, 0L)
     for (_ <- 1 to Iters) {
       val err = col("y") * lit(M) - scoreCol(w)
@@ -305,7 +304,7 @@ object Training {
     * trained micro-weights, and training accuracy (pred = s ≥ 0.5). */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val feats = features(spark, dir).persist()
+    val feats = docFeatures(Tables.documents(spark, dir)).persist()
     val w = trainWeights(feats)
     feats.agg(
       count(lit(1)).as("n"),
@@ -322,7 +321,7 @@ object Training {
     * top-k twice — no global sort, no unpartitioned window. */
   def qualityClassifierScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val feats = features(spark, dir).persist()
+    val feats = docFeatures(Tables.documents(spark, dir)).persist()
     val w = trainWeights(feats)
     val scored = feats.select($"doc_id", $"y".as("label_en"),
       scoreCol(w).as("score_micro"))
@@ -335,7 +334,7 @@ object Training {
 
   /** Oracle CTE chain shared by both classifier queries: feats, then
     * unrolled per-iteration (score → gradient → weights) CTEs. */
-  private def classifierCtes: String = {
+  private[graft] def classifierCtes: String = {
     val sb = new StringBuilder
     sb ++= s"""WITH toks AS (
       |  SELECT doc_id, lang, str_split(text, ' ') AS tk, CAST(length(text) AS BIGINT) AS nch
@@ -514,4 +513,14 @@ object Training {
       |  FROM scoredF ORDER BY s ASC, doc_id LIMIT 20
       |)
       |ORDER BY side, doc_id""".stripMargin
+
+  /** Oracle for the STREAMING admission gate
+    * (StreamQueries.streamClassifierGate): every document scored with
+    * the batch-trained weights. Shares the unrolled training chain —
+    * proving the stream's per-row scoring map is the batch pass. */
+  val classifierGateSql: String =
+    classifierCtes + """
+      |SELECT doc_id, y AS label_en, s AS score_micro,
+      |  s >= 500000 AS admitted
+      |FROM scoredF ORDER BY doc_id""".stripMargin
 }

@@ -321,6 +321,43 @@ object StreamQueries {
 
   val streamQualityFilterSql: String = graft.operators.Filters.gopherRulesSql
 
+  /** The trained quality classifier run as a STREAMING admission gate —
+    * the model-based sibling of [[streamQualityFilter]]'s rule gate,
+    * and the classifier counterpart of [[streamDedupGate]]'s index
+    * gate: the model is TRAINED in batch (4 GD rounds over the static
+    * snapshot, O(d) weights collected once), then every arriving
+    * document is scored by the literal-weight hard-sigmoid expression —
+    * a pure per-row map, zero state, zero watermark, so the identical
+    * scoring column serves batch and stream and the append-mode output
+    * hash-matches the batch oracle (which replays the training loop in
+    * unrolled CTEs). At scale the weights are a broadcast-free O(d)
+    * literal; admission never touches another row.
+    */
+  def streamClassifierGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Training
+    val inDir = tmp("graft_sq_clsgate")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$inDir/documents.parquet"))
+    val name = uniqueName("sq_clsgate")
+    val static = spark.read.parquet(inDir)
+    val feats = Training.docFeatures(static).persist()
+    val w = Training.trainWeights(feats)
+    feats.unpersist(false)
+    val stream = spark.readStream.schema(static.schema).parquet(inDir)
+    val q = Training.docFeatures(stream)
+      .select($"doc_id", $"y".as("label_en"),
+        Training.scoreCol(w).as("score_micro"))
+      .withColumn("admitted", $"score_micro" >= 500000L)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name).orderBy($"doc_id")
+  }
+
+  val streamClassifierGateSql: String =
+    graft.operators.Training.classifierGateSql
+
   /** Stream × snapshot ENRICHMENT — the reference-data join every CDC
     * deployment runs: a dimension table maintained as a
     * [[graft.sinks.SnapshotTable]] (here: latest-wins user state from
