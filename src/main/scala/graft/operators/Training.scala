@@ -44,13 +44,16 @@ object Training {
 
   /** Quantized embedding components: micro-unit longs, the validated
     * round(x·1e6)→long pair (same as Embeddings.embeddingOutliers). */
-  private def quantized(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def quantizedOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
     import spark.implicits._
-    Tables.embeddings(spark, dir)
-      .select($"vec_id",
-        transform($"embedding",
-          x => round(x.cast("double") * 1000000d, 0).cast("long")).as("vq"))
+    emb.select($"vec_id",
+      transform($"embedding",
+        x => round(x.cast("double") * 1000000d, 0).cast("long")).as("vq"))
   }
+
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    quantizedOf(Tables.embeddings(spark, dir))
 
   /** One nearest-centroid assignment pass. The k centroids ride in as
     * LITERAL arrays (collected driver-side, O(k·d)); per row the k
@@ -58,7 +61,7 @@ object Training {
     * codegen via zip_with/aggregate — no explode, no shuffle, the scan
     * is the whole stage. Tie-break: smaller cluster id (struct
     * ordering of (d2, cluster)). */
-  private def assign(quant: DataFrame, cent: Array[Array[Long]]): DataFrame = {
+  private[graft] def assign(quant: DataFrame, cent: Array[Array[Long]]): DataFrame = {
     val spark = quant.sparkSession
     import spark.implicits._
     val scored = cent.zipWithIndex.map { case (cv, j) =>
@@ -83,7 +86,7 @@ object Training {
     * longs collected. Update is exact: floorDiv(Σvq, n) driver-side
     * (Math.floorDiv ≡ the oracle's pmod division); empty clusters
     * carry the previous centroid. */
-  private def lloydCentroids(quant: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
+  private[graft] def lloydCentroids(quant: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
     val spark = quant.sparkSession
     import spark.implicits._
     var cent: Array[Array[Long]] = quant.orderBy($"vec_id").limit(k)
@@ -189,6 +192,16 @@ object Training {
       |  k.dim, k.cq AS centroid_micro
       |FROM cent3 k LEFT JOIN sizes s USING (cluster)
       |ORDER BY k.cluster, k.dim""".stripMargin
+
+  /** Oracle for the STREAMING cluster router
+    * (StreamQueries.streamClusterRoute): every vector's final
+    * assignment against the batch-trained centroids — the asgF CTE
+    * verbatim, proving the stream's per-row argmin IS the batch
+    * assignment. */
+  val clusterRouteSql: String =
+    kmeansCtes + """
+      |SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2
+      |FROM asgF ORDER BY vec_id""".stripMargin
 
   /** Cluster-balanced deterministic sampling — the diversity-selection
     * pass of a curation pipeline: train the same k-means model, assign

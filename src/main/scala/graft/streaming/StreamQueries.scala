@@ -358,6 +358,39 @@ object StreamQueries {
   val streamClassifierGateSql: String =
     graft.operators.Training.classifierGateSql
 
+  /** Streaming vector ingest routed to the batch-trained k-means
+    * clusters — the partition-routing step of a live embedding
+    * pipeline (each arriving vector is tagged with the cluster whose
+    * IVF-style partition it belongs in). The model trains in batch
+    * (3 exact-integer Lloyd rounds over the static snapshot); the
+    * stream side is the literal-centroid argmin expression — a pure
+    * per-row map, zero state, so assignment in-flight is bit-identical
+    * to the batch final assignment, which the shared oracle (the
+    * unrolled k-means CTE chain) hash-checks.
+    */
+  def streamClusterRoute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Training
+    val inDir = tmp("graft_sq_clroute")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
+      java.nio.file.Paths.get(s"$inDir/embeddings.parquet"))
+    val name = uniqueName("sq_clroute")
+    val static = spark.read.parquet(inDir)
+    val quant = Training.quantizedOf(static).persist()
+    val cent = Training.lloydCentroids(quant, 4, 3)
+    quant.unpersist(false)
+    val stream = spark.readStream.schema(static.schema).parquet(inDir)
+    val q = Training.assign(Training.quantizedOf(stream), cent)
+      .select($"vec_id", $"cluster", $"d2")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name).orderBy($"vec_id")
+  }
+
+  val streamClusterRouteSql: String =
+    graft.operators.Training.clusterRouteSql
+
   /** Stream × snapshot ENRICHMENT — the reference-data join every CDC
     * deployment runs: a dimension table maintained as a
     * [[graft.sinks.SnapshotTable]] (here: latest-wins user state from
