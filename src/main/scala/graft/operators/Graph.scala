@@ -933,29 +933,39 @@ object Graph {
     * DAG shallow enough that no lineage cut is needed (contrast the
     * 5-round pagerank loop, which checkpoints).
     */
-  def graphLpa(spark: SparkSession, dir: String): DataFrame = {
+  /** The synchronous weighted-LPA loop over a DIRECTED (src, dst, w)
+    * edge frame (callers pass both directions for undirected graphs) —
+    * shared by [[graphLpa]] and Training.embeddingCommunities. Caches
+    * the edges PRE-PARTITIONED on dst (the per-round join key): the
+    * InMemoryRelation preserves the hash partitioning, so each vote
+    * round shuffles only the |V|-row label table onto the edges; the
+    * |E|-row side never rides the wire again after the build. Returns
+    * (node, lbl) after `rounds` min-tie-break mode votes. */
+  private[graft] def lpaLabels(edgesIn: DataFrame, rounds: Int): DataFrame = {
+    val spark = edgesIn.sparkSession
     import spark.implicits._
-    val pairs = coPairCounts(spark, dir)
-    // cached PRE-PARTITIONED on dst — the per-round join key. The
-    // InMemoryRelation preserves the hash partitioning, so each vote
-    // round shuffles only the |V|-row label table onto the edges; the
-    // |E|-row side never rides the wire again after the build.
-    val edges = pairs
-      .select($"pa".as("src"), $"pb".as("dst"), $"n_orders".as("w"))
-      .unionByName(pairs.select($"pb".as("src"), $"pa".as("dst"), $"n_orders".as("w")))
-      .repartition($"dst")
-      .persist()
+    val edges = edgesIn.repartition($"dst").persist()
     edges.count() // materialize the iteration state once (family doctrine)
     var labels = edges.select($"src".as("node")).distinct()
       .select($"node", $"node".as("lbl"))
-    for (_ <- 1 to LpaRounds) {
+    for (_ <- 1 to rounds) {
       labels = edges.join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy($"src", $"lbl").agg(sum($"w").as("votes"))
         .groupBy($"src")
         .agg(max(struct($"votes", (-$"lbl").as("neg"))).as("best"))
         .select($"src".as("node"), (-$"best.neg").as("lbl"))
     }
-    labels.groupBy($"lbl".as("community"))
+    labels
+  }
+
+  def graphLpa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = coPairCounts(spark, dir)
+    val edges = pairs
+      .select($"pa".as("src"), $"pb".as("dst"), $"n_orders".as("w"))
+      .unionByName(pairs.select($"pb".as("src"), $"pa".as("dst"), $"n_orders".as("w")))
+    lpaLabels(edges, LpaRounds)
+      .groupBy($"lbl".as("community"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy($"community")
   }

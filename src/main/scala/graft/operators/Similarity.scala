@@ -181,15 +181,21 @@ object Similarity {
     * are then plain SQL. Bucket bits OR to a sum because the powers of
     * two are distinct.
     */
+  /** The plane vectors as literal SQL VALUES rows — shared by every
+    * oracle that replays the LSH bucketing (annLshSql, Training's
+    * embedding_communities). float→double is exact and Double.toString
+    * round-trips. */
+  private[operators] val lshPlaneRowsSql: String = (for {
+    t <- 0 until NumTables
+    p <- 0 until PlanesPerTable
+  } yield {
+    val vec = planeVector(t * PlanesPerTable + p)
+      .map(v => v.toDouble.toString).mkString("[", ", ", "]")
+    s"($t, $p, CAST($vec AS DOUBLE[]))"
+  }).mkString(",\n      ")
+
   val annLshSql: String = {
-    val planeRows = (for {
-      t <- 0 until NumTables
-      p <- 0 until PlanesPerTable
-    } yield {
-      val vec = planeVector(t * PlanesPerTable + p)
-        .map(v => v.toDouble.toString).mkString("[", ", ", "]")
-      s"($t, $p, CAST($vec AS DOUBLE[]))"
-    }).mkString(",\n      ")
+    val planeRows = lshPlaneRowsSql
     s"""WITH planes(tbl, p, pv) AS (VALUES
       |      $planeRows),
       |corpus_b AS (

@@ -404,6 +404,95 @@ object Training {
       |FROM w$Iters w""".stripMargin
 
   // ------------------------------------------------------------------
+  // embedding_communities — LSH similarity graph + label propagation
+  // ------------------------------------------------------------------
+
+  private val CommunityTau = 0.25 // cosine edge threshold (on round(cos, 6))
+
+  /** SemDeDup-style semantic cluster detection, composed entirely from
+    * the library's validated scale primitives: multi-table LSH
+    * bucketing proposes candidate pairs (never all-pairs — candidates
+    * are bounded by bucket occupancy), exact cosine keeps pairs with
+    * round(cos, 6) ≥ 0.25 as micro-unit-weighted edges, and 3 rounds
+    * of weighted label propagation (Graph.lpaLabels — the same loop as
+    * graph_lpa, dst-pre-partitioned edge cache) merge them into
+    * communities. Output: (community, n_members) for every non-isolated
+    * vector; isolated vectors (no bucket collision above threshold)
+    * form no community by definition.
+    *
+    * Scale shape: only (i, j) id pairs ride the candidate distinct;
+    * vectors are re-joined BY ID for the cosine check (the ann_lsh
+    * discipline), so no embedding array ever crosses a pair-keyed
+    * shuffle. The oracle replays the literal planes, the bucket join,
+    * the cosine edges, and all three LPA rounds in one CTE chain.
+    */
+  def embeddingCommunities(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val idx = e.select($"vec_id",
+        explode(Similarity.lshIndexEntries($"embedding")).as("k"))
+      .select($"vec_id", $"k.tbl".as("tbl"), $"k.bucket".as("bucket"))
+    val cand = idx.as("a").join(idx.as("b"), Seq("tbl", "bucket"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("i"), $"b.vec_id".as("j")).distinct()
+    val vecs = e.select($"vec_id", $"embedding", Dedup.norm($"embedding").as("nrm"))
+    val edge0 = cand
+      .join(vecs.select($"vec_id".as("i"), $"embedding".as("ea"), $"nrm".as("na")), "i")
+      .join(vecs.select($"vec_id".as("j"), $"embedding".as("eb"), $"nrm".as("nb")), "j")
+      .withColumn("cos", round(Dedup.cosinePre($"ea", $"eb", $"na", $"nb"), 6))
+      .filter($"cos" >= CommunityTau)
+      .select($"i", $"j", round($"cos" * 1000000d, 0).cast("long").as("w"))
+    val edges = edge0.select($"i".as("src"), $"j".as("dst"), $"w")
+      .unionByName(edge0.select($"j".as("src"), $"i".as("dst"), $"w"))
+    Graph.lpaLabels(edges, 3)
+      .groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy($"community")
+  }
+
+  val embeddingCommunitiesSql: String =
+    s"""WITH planes(tbl, p, pv) AS (VALUES
+      |      ${Similarity.lshPlaneRowsSql}),
+      |all_b AS (
+      |  SELECT e.vec_id, pl.tbl,
+      |    CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.pv) > 0
+      |      THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM embeddings e, planes pl
+      |  GROUP BY e.vec_id, pl.tbl),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      |  FROM all_b a JOIN all_b b
+      |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |edge0 AS (
+      |  SELECT i, j,
+      |    CAST(round(round(list_cosine_similarity(
+      |      CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) * 1000000, 0) AS BIGINT) AS w
+      |  FROM cand JOIN embeddings x ON x.vec_id = i JOIN embeddings y ON y.vec_id = j
+      |  WHERE round(list_cosine_similarity(
+      |      CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= $CommunityTau),
+      |edges AS MATERIALIZED (
+      |  SELECT i AS src, j AS dst, w FROM edge0
+      |  UNION ALL SELECT j, i, w FROM edge0),
+      |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+      |v1 AS (SELECT e.src, l.lbl, CAST(sum(e.w) AS BIGINT) AS votes
+      |       FROM edges e JOIN l0 l ON e.dst = l.node GROUP BY 1, 2),
+      |l1 AS MATERIALIZED (SELECT src AS node, lbl FROM (
+      |  SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY votes DESC, lbl) AS rk
+      |  FROM v1) WHERE rk = 1),
+      |v2 AS (SELECT e.src, l.lbl, CAST(sum(e.w) AS BIGINT) AS votes
+      |       FROM edges e JOIN l1 l ON e.dst = l.node GROUP BY 1, 2),
+      |l2 AS MATERIALIZED (SELECT src AS node, lbl FROM (
+      |  SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY votes DESC, lbl) AS rk
+      |  FROM v2) WHERE rk = 1),
+      |v3 AS (SELECT e.src, l.lbl, CAST(sum(e.w) AS BIGINT) AS votes
+      |       FROM edges e JOIN l2 l ON e.dst = l.node GROUP BY 1, 2),
+      |l3 AS MATERIALIZED (SELECT src AS node, lbl FROM (
+      |  SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY votes DESC, lbl) AS rk
+      |  FROM v3) WHERE rk = 1)
+      |SELECT lbl AS community, count(*) AS n_members
+      |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
   // embedding_classifier — supervised GD on the embedding table
   // ------------------------------------------------------------------
 

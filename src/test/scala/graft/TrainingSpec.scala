@@ -100,6 +100,20 @@ class TrainingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("embedding_communities: LSH+LPA partitions the similarity graph and merges") {
+    val out = Training.embeddingCommunities(spark, sf).cache()
+    val members = out.agg(sum($"n_members")).head.getLong(0)
+    val communities = out.count()
+    val largest = out.agg(max($"n_members")).head.getLong(0)
+    info(s"communities=$communities members=$members largest=$largest")
+    // every node of the similarity graph lands in exactly one community
+    assert(members > 0 && communities > 1)
+    assert(largest >= 3, "3 LPA rounds must merge beyond pairs somewhere")
+    assert(communities < members, "propagation must merge SOME labels")
+    assert(out.collect().toSeq === Training.embeddingCommunities(spark, sf).collect().toSeq)
+    out.unpersist()
+  }
+
   test("quality_classifier_score: 20+20 audit sample, top scores dominate bottom") {
     val out = Training.qualityClassifierScore(spark, sf).cache()
     assert(out.filter($"side" === "top").count() === 20)
