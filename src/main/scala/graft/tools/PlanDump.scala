@@ -64,7 +64,13 @@ object PlanDump {
     "cdc_replay_asof" ->
       "point-in-time replay: the offset cutoff (1-row broadcast) filters BEFORE the per-key window, so only the replayed prefix rides the shuffle",
     "anomaly_mad" ->
-      "two-phase robust stats: per-group exact percentile aggregates (value-histogram state), group-stat frames broadcast back over the scan, integer-only outlier comparisons")
+      "two-phase robust stats: per-group exact percentile aggregates (value-histogram state), group-stat frames broadcast back over the scan, integer-only outlier comparisons",
+    "kmeans_train" ->
+      "exact-integer Lloyd output: literal-centroid argmin fused into the cached scan (no explode for assignment), ONE cluster-keyed partial agg, model-sized centroid frame joined back",
+    "graph_lpa" ->
+      "weighted label propagation: dst-pre-partitioned edge cache — at scale each vote round shuffles only the node-cardinality label table (at this toy SF AQE instead broadcasts the 7 MiB cached edges, the size-based call); argmax is a map-side struct-max, no window",
+    "embedding_communities" ->
+      "LSH similarity graph + LPA: candidate pairs are ids-only through the bucket join and distinct; vectors re-join BY ID for the cosine edge; the propagation rounds read the edge cache")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.get(4)
