@@ -451,4 +451,43 @@ object Sampling {
       |    AS chi2_term
       |FROM c JOIN lt ON c.lang = lt.lang JOIN st ON c.split = st.split, t
       |ORDER BY c.lang, c.split""".stripMargin
+
+  /** Deterministic GLOBAL shuffle of the corpus — the "shuffle the
+    * training data" step every epoch pipeline needs, WITHOUT a single
+    * global sort: the md5 order is realized as a two-level rank.
+    * Bucket = first 2 hash hex chars (256 buckets, ~uniform); rank
+    * within bucket is a PARTITIONED window; the 256-row bucket-count
+    * table turns into cumulative offsets (grid-cardinality serial
+    * window — exempted like mixture_waterfill's plan table) that
+    * broadcast back; ordinal = offset + in-bucket rank. Because the
+    * bucket is a PREFIX of the sort hash, (bucket, hash) order IS
+    * global hash order — the oracle proves it with one flat
+    * row_number over the full order. Deterministic, engine-portable,
+    * and append-stable in distribution (the md5 doctrine); at 100 TB
+    * the only serial state is the 256-row offset table.
+    */
+  def globalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = md5(concat(lit("gs:"), $"doc_id".cast("string")))
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", h.as("h"), substring(h, 1, 2).as("bucket"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bucket").orderBy($"h", $"doc_id")
+    val ranked = docs.withColumn("rk", row_number().over(wIn).cast("long"))
+    val counts = docs.groupBy($"bucket").agg(count(lit(1)).as("bn"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy($"bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = counts.withColumn("off",
+      coalesce(sum($"bn").over(wOff), lit(0L)))
+    ranked.join(broadcast(offsets.select($"bucket", $"off")), "bucket")
+      .select($"doc_id", ($"off" + $"rk").as("ord"))
+      .orderBy($"ord")
+  }
+
+  val globalShuffleSql: String =
+    """SELECT doc_id,
+      |  CAST(row_number() OVER (
+      |    ORDER BY md5('gs:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS ord
+      |FROM documents ORDER BY ord""".stripMargin
 }

@@ -514,6 +514,7 @@ class PlanSpec extends SparkSpec {
       "fulfillment_latency" -> "date grid: one row per day",
       "survival_retention" -> "day grid survival curve",
       "mixture_waterfill" -> "|sources|-row plan table",
+      "global_shuffle" -> "256-row bucket-offset cumsum (bucket = 2 hash hex chars)",
       "join_size_estimate" -> "per-key stats capped by heavy-hitter k")
     // exactness-gate sites: the window deliberately reads a
     // corpus-cardinality input because the ORACLE semantics (exact

@@ -30,6 +30,25 @@ class TextPipelineSpec extends SparkSpec {
       .filter($"n_emails" > 0 || $"n_phones" > 0).count() == 0)
   }
 
+  test("global_shuffle: ord is an exact permutation matching the flat hash order") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Sampling.globalShuffle(spark, sf).cache()
+    val n = out.count()
+    // exact permutation 1..N
+    assert(out.agg(min($"ord"), max($"ord"), countDistinct($"ord")).head.toSeq
+      === Seq(1L, n, n))
+    // the two-level (bucket, rank) construction equals one flat global
+    // rank over the md5 order — provable here because sf0.001 is small
+    val flat = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id",
+        md5(concat(lit("gs:"), $"doc_id".cast("string"))).as("h"))
+      .withColumn("ord2", row_number().over(Window.orderBy($"h", $"doc_id")).cast("long"))
+    assert(out.join(flat, "doc_id").filter($"ord" =!= $"ord2").count() === 0,
+      "bucketed two-level rank must equal the flat global hash order")
+    assert(out.collect().toSeq === Sampling.globalShuffle(spark, sf).collect().toSeq)
+    out.unpersist()
+  }
+
   test("sample_split is deterministic and within 3pp of 80/10/10") {
     val a = Sampling.sampleSplit(spark, sf).collect()
     val b = Sampling.sampleSplit(spark, sf).collect()
