@@ -458,4 +458,63 @@ object Curation {
         sum($"n_tokens").cast("long").as("total_tokens"))
       .orderBy($"bucket")
   }
+
+  /** Quality-threshold sweep: for each cutoff t ∈ {0.1 … 0.9}, the doc
+    * count and token mass that SURVIVE `quality_score ≥ t` — the
+    * "how much corpus does each bar cost" dial a pipeline reads before
+    * committing to a filter (the quality twin of contamination_sweep /
+    * dedup_threshold_curve). Scores land on an exact micro grid
+    * (round(q·10⁶) of the 6dp score — identical longs in both engines),
+    * so every comparison is integer.
+    *
+    * Scale: ONE corpus scan aggregates into ≤ 11 decile buckets
+    * (map-side combine to 11 rows/partition); the sweep is a ≤ 9×11
+    * grid join over those buckets — the cumulative table never touches
+    * corpus rows again. Shares are exact micro-unit floor divisions.
+    */
+  def qualitySweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perBucket = TextAnalysis.textQuality(spark, dir)
+      .select($"n_tokens".cast("long").as("n_tok"),
+        round($"quality_score" * 1000000d, 0).cast("long").as("sm"))
+      // bucket = floor(score_micro/10⁵): score ≥ t·10⁵ ⇔ bucket ≥ t
+      .groupBy((($"sm" - ($"sm" % 100000L)) / 100000L).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("docs"), sum($"n_tok").as("toks"))
+    val tot = perBucket.agg(sum($"docs").as("nd"), sum($"toks").as("nt"))
+    val thr = spark.range(1, 10).select($"id".as("t"))
+    thr.join(perBucket, perBucket("bucket") >= thr("t"), "left")
+      .groupBy($"t")
+      .agg(coalesce(sum($"docs"), lit(0L)).as("n_docs_kept"),
+        coalesce(sum($"toks"), lit(0L)).as("tokens_kept"))
+      .crossJoin(broadcast(tot))
+      .select(($"t" * 100000L).as("threshold_micro"),
+        $"n_docs_kept", $"tokens_kept",
+        ((($"n_docs_kept" * 1000000L) - (($"n_docs_kept" * 1000000L) % $"nd"))
+          / $"nd").cast("long").as("doc_share_micro"),
+        ((($"tokens_kept" * 1000000L) - (($"tokens_kept" * 1000000L) % $"nt"))
+          / $"nt").cast("long").as("token_share_micro"))
+      .orderBy($"threshold_micro")
+  }
+
+  val qualitySweepSql: String =
+    s"""WITH q AS (${TextAnalysis.textQualitySql}),
+      |b AS (
+      |  SELECT CAST(round(quality_score * 1000000, 0) AS BIGINT) // 100000
+      |      AS bucket,
+      |    count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS toks
+      |  FROM q GROUP BY 1),
+      |tot AS (SELECT CAST(sum(docs) AS BIGINT) AS nd,
+      |               CAST(sum(toks) AS BIGINT) AS nt FROM b),
+      |thr AS (SELECT CAST(t AS BIGINT) AS t FROM generate_series(1, 9) AS gs(t)),
+      |cum AS (
+      |  SELECT thr.t,
+      |    CAST(coalesce(sum(b.docs), 0) AS BIGINT) AS n_docs_kept,
+      |    CAST(coalesce(sum(b.toks), 0) AS BIGINT) AS tokens_kept
+      |  FROM thr LEFT JOIN b ON b.bucket >= thr.t GROUP BY thr.t)
+      |SELECT t * 100000 AS threshold_micro, n_docs_kept, tokens_kept,
+      |  (n_docs_kept * 1000000 - (n_docs_kept * 1000000) % nd) // nd
+      |    AS doc_share_micro,
+      |  (tokens_kept * 1000000 - (tokens_kept * 1000000) % nt) // nt
+      |    AS token_share_micro
+      |FROM cum CROSS JOIN tot ORDER BY threshold_micro""".stripMargin
 }

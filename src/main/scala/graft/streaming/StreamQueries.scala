@@ -842,4 +842,91 @@ object StreamQueries {
       |JOIN mad ON x.event_type = mad.event_type
       |WHERE abs(xc * 2 - m2) * 1349 > mad4 * 3500
       |ORDER BY event_id""".stripMargin
+
+  /** The mixture PLAN as a live admission gate: per-source keep rates
+    * are computed once in batch (the [[graft.operators.Sampling
+    * .mixturePlan]] water-line — equal token shares at a half-corpus
+    * budget), frozen, and broadcast against the document stream; each
+    * arriving doc is kept by the deterministic content-hash Bernoulli
+    * (16-bit md5 bucket < ⌊rate·65536⌋, the sampleWeighted convention;
+    * a rate of 1.0 short-circuits to keep-all). The complete-mode
+    * per-source aggregate converges to the batch decision on a finite
+    * input, so the oracle replays plan + gate + aggregate in SQL.
+    *
+    * Scale: the plan is |sources| rows (broadcast); the gate is a pure
+    * stateless per-row map over the stream — the same shape as
+    * stream_quality_filter, with the plan as the only static state.
+    */
+  def streamMixtureGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = tmp("graft_sq_docs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$d/documents.parquet"))
+    val name = uniqueName("sq_mixgate")
+    val toks = filter(split($"text", "\\s+"), t => t =!= "")
+    val static = spark.read.parquet(d)
+    val perSource = static
+      .select($"source", size(toks).cast("long").as("n_tok"))
+      .groupBy($"source")
+      .agg(sum($"n_tok").as("src_tokens"))
+    val totals = perSource.agg(
+      sum($"src_tokens").as("total_tokens"), count(lit(1)).as("n_sources"))
+    val plan = perSource.crossJoin(broadcast(totals))
+      .select($"source", $"src_tokens",
+        round(least(lit(1.0),
+          (lit(0.5) * $"total_tokens".cast("double") / $"n_sources".cast("double"))
+            / $"src_tokens".cast("double")), 6).as("keep_rate"))
+      .withColumn("cut_hex",
+        when($"keep_rate" >= 1.0, lit("zzzz"))
+          .otherwise(lower(lpad(hex(floor($"keep_rate" * 65536d).cast("long")), 4, "0"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    plan.count() // freeze the plan before the stream starts
+    val stream = spark.readStream.schema(static.schema).parquet(d)
+    val q = stream
+      .select($"doc_id", $"source", size(toks).cast("long").as("n_tok"),
+        substring(md5(concat(lit("mix:"), $"doc_id".cast("string"), lit(":"), $"text")), 1, 4)
+          .as("bucket"))
+      .join(broadcast(plan), "source")
+      .filter($"bucket" < $"cut_hex")
+      .groupBy($"source", $"keep_rate")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_tok").as("kept_tokens"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+      .select($"source", $"keep_rate", $"n_kept", $"kept_tokens")
+      .orderBy($"source")
+  }
+
+  val streamMixtureGateSql: String =
+    """WITH per AS (
+      |  SELECT source,
+      |    CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT)
+      |      AS src_tokens
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+      |             count(*) AS n_sources FROM per),
+      |plan AS (
+      |  SELECT source,
+      |    round(least(CAST(1.0 AS DOUBLE),
+      |      (0.5 * CAST(total_tokens AS DOUBLE) / CAST(n_sources AS DOUBLE))
+      |        / CAST(src_tokens AS DOUBLE)), 6) AS keep_rate
+      |  FROM per CROSS JOIN t),
+      |g AS (
+      |  SELECT source, keep_rate,
+      |    CASE WHEN keep_rate >= 1.0 THEN 'zzzz'
+      |         ELSE lower(lpad(hex(CAST(floor(keep_rate * 65536) AS BIGINT)), 4, '0'))
+      |    END AS cut_hex
+      |  FROM plan),
+      |d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+      |      AS BIGINT) AS n_tok,
+      |    substr(md5('mix:' || CAST(doc_id AS VARCHAR) || ':' || text), 1, 4) AS bucket
+      |  FROM documents)
+      |SELECT d.source, g.keep_rate, count(*) AS n_kept,
+      |  CAST(sum(d.n_tok) AS BIGINT) AS kept_tokens
+      |FROM d JOIN g ON d.source = g.source
+      |WHERE d.bucket < g.cut_hex
+      |GROUP BY d.source, g.keep_rate ORDER BY d.source""".stripMargin
 }

@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.{Sharding, Stats, Curation}
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the round-7 association/sharding/sweep batch
+  * beyond the DuckDB hash gate: chi² replayed exactly driver-side in
+  * BigInt, residual/contribution conservation, serpentine shard
+  * balance, sweep monotonicity, and the streaming mixture gate's
+  * batch equivalence.
+  */
+class ChiShardSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chi2_independence: exact BigInt replay of the statistic and dof") {
+    val row = Stats.chi2Independence(spark, sf).collect().head
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val langs = docs.keys.map(_._1).toSeq.distinct.sorted
+    val srcs = docs.keys.map(_._2).toSeq.distinct.sorted
+    val rt = langs.map(l => l -> docs.collect { case ((`l`, _), o) => o }.sum).toMap
+    val ct = srcs.map(s => s -> docs.collect { case ((_, `s`), o) => o }.sum).toMap
+    val n = docs.values.sum
+    var chi2Micro = BigInt(0)
+    for (l <- langs; s <- srcs) {
+      val o = docs.getOrElse((l, s), 0L)
+      val a = BigInt(o) * n - BigInt(rt(l)) * ct(s)
+      chi2Micro += (a * a * 1000000) / (BigInt(rt(l)) * ct(s) * n)
+    }
+    assert(row.getAs[Long]("n") === n)
+    assert(row.getAs[Int]("dof") === (langs.size - 1) * (srcs.size - 1))
+    assert(math.abs(row.getAs[Double]("chi2") - chi2Micro.toDouble / 1e6) < 1e-6)
+    val v = row.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+    // dof 76 ⇒ the Wilson–Hilferty critical value is near the true
+    // 97.35; sanity-pin the ballpark so a formula regression is loud
+    assert(math.abs(row.getAs[Double]("chi2_crit_95") -
+      97.35) < 1.0, s"WH crit: ${row.getAs[Double]("chi2_crit_95")}")
+  }
+
+  test("contingency_residuals: contributions sum to the statistic; expected mass ≈ N") {
+    val cells = Stats.contingencyResiduals(spark, sf).collect()
+    val stat = Stats.chi2Independence(spark, sf).collect().head
+    val chi2Micro = math.round(stat.getAs[Double]("chi2") * 1e6)
+    assert(cells.map(_.getAs[Long]("contrib_micro")).sum === chi2Micro)
+    // Σ expected = N exactly in rationals; micro floor loses < 1 micro
+    // per cell
+    val n = stat.getAs[Long]("n")
+    val expSum = cells.map(_.getAs[Long]("expected_micro")).sum
+    assert(expSum <= n * 1000000L && expSum > n * 1000000L - cells.length)
+    // observed marginal conservation
+    assert(cells.map(_.getAs[Long]("observed")).sum === n)
+  }
+
+  test("shard_plan/shard_balance: partition of the corpus, serpentine balance") {
+    val plan = Sharding.shardPlan(spark, sf).cache()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(plan.count() === nDocs, "every doc sharded exactly once")
+    val shards = plan.select($"shard").distinct().collect().map(_.getInt(0)).sorted
+    assert(shards.toSeq === (0 until Sharding.NumShards))
+    val bal = Sharding.shardBalance(spark, sf).collect()
+    assert(bal.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    val totalTok = plan.agg(sum($"n_tokens")).collect().head.getLong(0)
+    assert(bal.map(_.getAs[Long]("tokens")).sum === totalTok)
+    // serpentine LPT on descending sizes: worst-shard deviation stays
+    // within one max-doc of ideal (loose practical bound, exact for
+    // the classic folded dealing on sorted input)
+    val maxDoc = plan.agg(max($"n_tokens")).collect().head.getLong(0)
+    val ideal = totalTok.toDouble / Sharding.NumShards
+    bal.foreach { r =>
+      assert(math.abs(r.getAs[Long]("tokens") - ideal) <= maxDoc.toDouble,
+        s"shard ${r.getAs[Int]("shard")} off ideal by more than one max doc")
+    }
+    // dev_micro is the micro-unit rendering of the same deviation
+    bal.foreach { r =>
+      val expect = math.floor(
+        r.getAs[Long]("tokens").toDouble * Sharding.NumShards * 1e6 / totalTok).toLong - 1000000L
+      assert(r.getAs[Long]("dev_micro") === expect)
+    }
+    plan.unpersist()
+  }
+
+  test("quality_sweep: monotone non-increasing, shares exact, grid complete") {
+    val sweep = Curation.qualitySweep(spark, sf).collect()
+    assert(sweep.map(_.getAs[Long]("threshold_micro")).toSeq ===
+      (1 to 9).map(_ * 100000L))
+    val docs = sweep.map(_.getAs[Long]("n_docs_kept"))
+    val toks = sweep.map(_.getAs[Long]("tokens_kept"))
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b },
+      "doc survival must not increase with a higher bar")
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b })
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    sweep.foreach { r =>
+      assert(r.getAs[Long]("doc_share_micro") ===
+        r.getAs[Long]("n_docs_kept") * 1000000L / nDocs)
+    }
+  }
+
+  test("stream_mixture_gate equals the batch plan+gate decision") {
+    val streamed = graft.streaming.StreamQueries.streamMixtureGate(spark, sf)
+      .collect().map(r => (r.getString(0),
+        (r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    // batch replay of the same plan + hash gate
+    val toks = filter(split($"text", "\\s+"), t => t =!= "")
+    val d = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text", size(toks).cast("long").as("n_tok"))
+    val per = d.groupBy($"source").agg(sum($"n_tok").as("src_tokens"))
+    val tot = per.agg(sum($"src_tokens").as("t"), count(lit(1)).as("k")).collect().head
+    val rates = per.collect().map { r =>
+      r.getString(0) -> math.min(1.0,
+        BigDecimal(0.5 * tot.getLong(0) / tot.getLong(1) / r.getLong(1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val batch = d.collect().groupBy(_.getString(1)).map { case (src, rows) =>
+      val rate = rates(src)
+      val cut = if (rate >= 1.0) "zzzz"
+        else f"${math.floor(rate * 65536).toLong}%04x"
+      val kept = rows.filter { r =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"mix:${r.getLong(0)}:${r.getString(2)}".getBytes("UTF-8"))
+        md.take(2).map(b => f"$b%02x").mkString < cut
+      }
+      src -> (rate, kept.length.toLong, kept.map(_.getLong(3)).sum)
+    }
+    val batchKept = batch.filter(_._2._2 > 0)
+    assert(streamed === batchKept,
+      s"stream/batch mixture gate mismatch")
+  }
+}
