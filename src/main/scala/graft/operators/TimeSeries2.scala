@@ -182,6 +182,79 @@ object TimeSeries2 {
       |ORDER BY event_type, lag""".stripMargin
   }
 
+  /** Lagged CROSS-correlation between every ordered pair of event-type
+    * daily series at lags 0..7 — the lead/lag detector [[acfLags]]
+    * can't see ("do clicks lead purchases by two days?"): r_{AB}(ℓ) =
+    * Σ(x_t−x̄_A)(y_{t+ℓ}−x̄_B) / √(Σ(x−x̄_A)²·Σ(y−x̄_B)²). Deviations
+    * are the same n-scaled integer grid as ACF (the n_A·n_B factors
+    * cancel in the ratio); numerator over the day-aligned overlap,
+    * denominators over each full series (the standard full-variance
+    * normalization); one double division + sqrt at the end.
+    *
+    * Scale: the lag alignment is an EQUI-join — the A side explodes
+    * ×8 into (day+ℓ, ℓ) keys rather than a banded theta-join, so the
+    * plan is a hash join on day over |types|·|days|·8 rows (calendar-
+    * bounded, independent of event volume). |types|²·8 output rows.
+    */
+  def xcorrLags(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type")
+    val d38 = "decimal(38,0)"
+    val base = dailySeries(spark, dir)
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("s", sum($"x_u").over(wAll))
+      .select($"event_type", $"day_n",
+        ($"n".cast(d38) * $"x_u".cast(d38) - $"s".cast(d38)).cast(d38).as("d"))
+      .persist() // read three ways: A side, B side, denominators
+    val den = base.groupBy($"event_type")
+      .agg(sum(($"d" * $"d").cast(d38)).as("den2"))
+    val aSide = base
+      .select($"event_type".as("type_a"), $"day_n", $"d".as("dd_a"))
+      .withColumn("lag", explode(sequence(lit(0), lit(AcfMaxLag))))
+      .select($"type_a", $"lag", ($"day_n" + $"lag").as("k"), $"dd_a")
+    val bSide = base.select(
+      $"event_type".as("type_b"), $"day_n".as("k"), $"d".as("dd_b"))
+    aSide.join(bSide, "k")
+      .filter($"type_a" =!= $"type_b")
+      .groupBy($"type_a", $"type_b", $"lag")
+      .agg(sum(($"dd_a" * $"dd_b").cast(d38)).as("num"),
+        count(lit(1)).as("n_overlap"))
+      .join(broadcast(den.select($"event_type".as("type_a"), $"den2".as("den_a"))), "type_a")
+      .join(broadcast(den.select($"event_type".as("type_b"), $"den2".as("den_b"))), "type_b")
+      .select($"type_a", $"type_b", $"lag".cast("int").as("lag"), $"n_overlap",
+        round($"num".cast("double")
+          / sqrt($"den_a".cast("double") * $"den_b".cast("double")), 6).as("xcorr"))
+      .orderBy($"type_a", $"type_b", $"lag")
+  }
+
+  val xcorrLagsSql: String =
+    s"""WITH daily AS ($dailySeriesSql),
+      |base AS MATERIALIZED (
+      |  SELECT event_type, day_n,
+      |    CAST(CAST(count(*) OVER (PARTITION BY event_type) AS DECIMAL(38,0))
+      |        * x_u - CAST(sum(x_u) OVER (PARTITION BY event_type)
+      |        AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS d
+      |  FROM daily),
+      |den AS (
+      |  SELECT event_type, sum(CAST(d * d AS DECIMAL(38,0))) AS den2
+      |  FROM base GROUP BY event_type),
+      |ax AS (
+      |  SELECT a.event_type AS type_a, l.lag, a.day_n + l.lag AS k, a.d AS dd_a
+      |  FROM base a CROSS JOIN (SELECT unnest(range(0, ${AcfMaxLag + 1})) AS lag) l),
+      |num AS (
+      |  SELECT ax.type_a, b.event_type AS type_b, ax.lag,
+      |    sum(CAST(ax.dd_a * b.d AS DECIMAL(38,0))) AS num, count(*) AS n_overlap
+      |  FROM ax JOIN base b ON b.day_n = ax.k AND b.event_type <> ax.type_a
+      |  GROUP BY 1, 2, 3)
+      |SELECT n.type_a, n.type_b, CAST(n.lag AS INT) AS lag, n.n_overlap,
+      |  round(CAST(n.num AS DOUBLE)
+      |    / sqrt(CAST(da.den2 AS DOUBLE) * CAST(db.den2 AS DOUBLE)), 6) AS xcorr
+      |FROM num n
+      |JOIN den da ON da.event_type = n.type_a
+      |JOIN den db ON db.event_type = n.type_b
+      |ORDER BY n.type_a, n.type_b, n.lag""".stripMargin
+
   /** Theil–Sen robust trend per part brand over MONTHLY revenue: the
     * (lower) median of all pairwise month-to-month slopes — the
     * outlier-immune answer to [[Profile.trendFit]]'s least-squares

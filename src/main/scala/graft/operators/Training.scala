@@ -403,6 +403,55 @@ object Training {
         "count(*)")} FROM scoredF) AS acc_micro
       |FROM w$Iters w""".stripMargin
 
+  /** Reliability table for the trained classifier — the calibration
+    * audit that decides whether its scores can be used as sampling
+    * WEIGHTS rather than a hard gate: scores bucketed into 10
+    * equal-width bins of the OBSERVED score range (the hard-sigmoid
+    * compresses margins into a narrow band, so absolute-grid deciles
+    * would all collapse into one bin), per bin the mean predicted
+    * score vs the empirical positive rate (their gap IS the
+    * calibration error), plus the per-bin Brier contribution. Binning
+    * and all three statistics are exact-integer micro floors over the
+    * scoredF table, so the oracle replays the full training loop AND
+    * the calibration readout bit-identically.
+    *
+    * Scale: one 2-long extremes aggregate broadcast back, then one
+    * pass over the persisted feature table into ≤ 10 bins (map-side
+    * combine); everything after is arithmetic on bin rows.
+    */
+  def classifierCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = docFeatures(Tables.documents(spark, dir)).persist()
+    val w = trainWeights(feats)
+    val scored = feats.select($"y", scoreCol(w).as("s"))
+    val ext = scored.agg(min($"s").as("smin"), max($"s").as("smax"))
+    scored.crossJoin(broadcast(ext))
+      .groupBy(fdiv(($"s" - $"smin") * 10L, $"smax" - $"smin" + 1L)
+        .cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        fdiv(sum($"s"), count(lit(1))).as("mean_score_micro"),
+        fdiv(sum($"y") * M, count(lit(1))).as("pos_rate_micro"),
+        fdiv(sum(fdiv(($"s" - $"y" * M) * ($"s" - $"y" * M), lit(M))),
+          count(lit(1))).as("brier_micro"))
+      .withColumn("gap_micro", $"mean_score_micro" - $"pos_rate_micro")
+      .orderBy($"bin")
+  }
+
+  val classifierCalibrationSql: String =
+    classifierCtes + s""",
+      |ext AS (SELECT min(s) AS smin, max(s) AS smax FROM scoredF),
+      |binned AS (
+      |  SELECT ${fdivSql("(s - smin) * 10", "smax - smin + 1")} AS bin, y, s,
+      |    ${fdivSql("(s - y * 1000000) * (s - y * 1000000)", "1000000")} AS sq
+      |  FROM scoredF CROSS JOIN ext)
+      |SELECT CAST(bin AS INT) AS bin, count(*) AS n,
+      |  ${fdivSql("sum(s)", "count(*)")} AS mean_score_micro,
+      |  ${fdivSql("sum(y) * 1000000", "count(*)")} AS pos_rate_micro,
+      |  ${fdivSql("sum(sq)", "count(*)")} AS brier_micro,
+      |  ${fdivSql("sum(s)", "count(*)")} - ${fdivSql("sum(y) * 1000000", "count(*)")}
+      |    AS gap_micro
+      |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+
   // ------------------------------------------------------------------
   // embedding_communities — LSH similarity graph + label propagation
   // ------------------------------------------------------------------

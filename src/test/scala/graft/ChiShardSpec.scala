@@ -97,6 +97,50 @@ class ChiShardSpec extends SparkSpec {
     }
   }
 
+  test("xcorr_lags: bounded, lag-0 symmetric, ACF-consistent normalization") {
+    val x = graft.operators.TimeSeries2.xcorrLags(spark, sf).collect()
+    assert(x.nonEmpty)
+    // correlation bound (floor/rounding slack only)
+    assert(x.forall(r => math.abs(r.getAs[Double]("xcorr")) <= 1.000001))
+    // at lag 0 the overlap is the full common support, so r_AB(0) =
+    // r_BA(0) exactly (same products, same denominators)
+    val lag0 = x.filter(_.getAs[Int]("lag") == 0)
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("xcorr")).toMap
+    lag0.foreach { case ((a, b), v) =>
+      assert(lag0((b, a)) === v, s"lag-0 asymmetry for ($a,$b)")
+    }
+    // every ordered pair of the event types appears at lag 0
+    val types = graft.sources.Tables.events(spark, sf)
+      .select($"event_type").distinct().count()
+    assert(lag0.size === (types * (types - 1)).toInt)
+  }
+
+  test("classifier_calibration: mass conservation and bin-consistent means") {
+    val cal = graft.operators.Training.classifierCalibration(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(cal.map(_.getAs[Long]("n")).sum === nDocs)
+    cal.foreach { r =>
+      val bin = r.getAs[Int]("bin"); val n = r.getAs[Long]("n")
+      val ms = r.getAs[Long]("mean_score_micro")
+      val pr = r.getAs[Long]("pos_rate_micro")
+      assert(bin >= 0 && bin <= 9)
+      assert(pr >= 0L && pr <= 1000000L)
+      assert(r.getAs[Long]("gap_micro") === ms - pr)
+      assert(r.getAs[Long]("brier_micro") >= 0L && n > 0L)
+    }
+    // range-relative binning must actually spread the compressed
+    // scores, and bin means must rise with the bin (bins partition
+    // the score axis)
+    assert(cal.length >= 3, s"only ${cal.length} non-empty bins")
+    val means = cal.sortBy(_.getAs[Int]("bin")).map(_.getAs[Long]("mean_score_micro"))
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b })
+    // Σ n·pos_rate recovers the positive count within per-bin floor loss
+    val posApprox = cal.map(r => r.getAs[Long]("n") * r.getAs[Long]("pos_rate_micro")).sum
+    val nPos = graft.sources.Tables.documents(spark, sf)
+      .filter($"lang" === "en").count()
+    assert(math.abs(posApprox - nPos * 1000000L) <= cal.map(_.getAs[Long]("n")).sum)
+  }
+
   test("stream_mixture_gate equals the batch plan+gate decision") {
     val streamed = graft.streaming.StreamQueries.streamMixtureGate(spark, sf)
       .collect().map(r => (r.getString(0),
