@@ -330,6 +330,77 @@ object Graph {
       |  UNION ALL SELECT node, CAST(3 AS INT) FROM h3)
       |ORDER BY hop, part_id""".stripMargin
 
+  /** Per-seed reach profile — the hop histogram of a PER-SOURCE BFS
+    * ([[graphBfs]] merges all its seeds into one frontier; this keeps
+    * the seed identity, so each seed's neighborhood growth curve and
+    * its eccentricity-within-k are visible — the "how central is this
+    * product" question). Seeds: the `nSeeds` smallest node ids (the
+    * only driver traffic, O(nSeeds)); the frontier/visited state is
+    * keyed (seed, node), so one loop serves all seeds — hop h is ONE
+    * distinct + ONE anti-join regardless of seed count, and only
+    * (seed, node) long pairs ride the shuffles. Output:
+    * (seed, hop, n_nodes) — ≤ nSeeds·(maxHops+1) rows.
+    */
+  def graphReachProfile(spark: SparkSession, dir: String,
+                        maxHops: Int = 3, nSeeds: Int = 4): DataFrame = {
+    import spark.implicits._
+    val pairs = coPairCounts(spark, dir)
+      .filter($"n_orders" >= 2).select($"pa", $"pb")
+    val edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
+      .union(pairs.select($"pb".as("src"), $"pa".as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seeds = edges.select($"src".as("node")).distinct()
+      .orderBy($"node").limit(nSeeds)
+      .select($"node".as("seed"), $"node")
+    var reached = seeds.withColumn("hop", lit(0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = seeds
+    for (h <- 1 to maxHops) {
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select($"seed", $"dst".as("node")).distinct()
+        .join(reached.select($"seed", $"node"), Seq("seed", "node"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      reached = reached.union(next.withColumn("hop", lit(h)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      frontier = next
+    }
+    reached.groupBy($"seed", $"hop").agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"seed", $"hop")
+  }
+
+  val graphReachProfileSql: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH li AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |p AS MATERIALIZED (
+      |  SELECT a.pk AS pa, b.pk AS pb
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+      |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM p
+      |      UNION ALL SELECT pb, pa FROM p),
+      |seeds AS (SELECT node AS seed, node FROM (
+      |  SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT 4)),
+      |r0 AS (SELECT seed, node, CAST(0 AS INT) AS hop FROM seeds)""".stripMargin
+    for (h <- 1 to 3) {
+      sb ++= s""",
+      |f$h AS (
+      |  SELECT DISTINCT f.seed, e.dst AS node
+      |  FROM r${h - 1} f JOIN e ON e.src = f.node
+      |  WHERE f.hop = ${h - 1}),
+      |r$h AS (
+      |  SELECT seed, node, hop FROM r${h - 1}
+      |  UNION ALL
+      |  SELECT f.seed, f.node, CAST($h AS INT) AS hop
+      |  FROM f$h f LEFT JOIN r${h - 1} p
+      |    ON p.seed = f.seed AND p.node = f.node
+      |  WHERE p.node IS NULL)""".stripMargin
+    }
+    sb ++= """
+      |SELECT seed, hop, count(*) AS n_nodes
+      |FROM r3 GROUP BY seed, hop ORDER BY seed, hop""".stripMargin
+    sb.toString
+  }
+
   /** Triangle count over the FREQUENT co-purchase graph (pair support
     * ≥ 2 orders — random single co-occurrences pruned before any
     * quadratic step). Classic degree-ordered orientation: every edge

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -490,4 +490,112 @@ object Sampling {
       |  CAST(row_number() OVER (
       |    ORDER BY md5('gs:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS ord
       |FROM documents ORDER BY ord""".stripMargin
+
+  // ------------------------------------------------------------------
+  // domain_reweight — multiplicative-weights domain mixing
+  // ------------------------------------------------------------------
+
+  private val RwEta = 500000L  // MW step, micro (0.5)
+  private val RwRounds = 4
+
+  /** Exact floor division on (possibly signed) long columns: identical
+    * pmod expansion in both engines (Training.fdiv doctrine). */
+  private def rwFdiv(a: Column, b: Column): Column =
+    ((a - ((a % b + b) % b)) / b).cast("long")
+  private def rwFdivSql(a: String, b: String): String =
+    s"CAST((($a) - ((($a) % ($b) + ($b)) % ($b))) / ($b) AS BIGINT)"
+
+  /** DoReMi-style learned domain mixture: multiplicative-weights
+    * (Hedge) over sources, where each round re-weights every source by
+    * its quality loss relative to the CURRENT weighted-average loss —
+    * sources better than the mix grow, worse shrink, and the dynamics
+    * genuinely iterate because the average moves with the weights
+    * (unlike a static closed-form reweight). Loss proxy: 10⁶ − mean
+    * quality score (micro). Update per round, all micro-exact:
+    * L̄ = ⌊Σ wₛ·Lₛ/10⁶⌋, mₛ = 10⁶ + ⌊η(L̄−Lₛ)/10⁶⌋,
+    * rawₛ = ⌊wₛ·mₛ/10⁶⌋, wₛ' = ⌊rawₛ·10⁶/Σraw⌋ — so the DuckDB oracle
+    * replays all four rounds bit-identically (floor renormalization may
+    * leave Σw ≤ 10⁶ by < |S| micro; documented, deterministic).
+    *
+    * Scale: ONE corpus scan for the per-source quality aggregate
+    * (decimal-exact 6dp sums); the MW loop is |sources|-row arithmetic
+    * with two grid-sized scalar aggregates per round — the model is the
+    * only thing iterating, the corpus is read once.
+    */
+  def domainReweight(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = TextAnalysis.textQuality(spark, dir)
+      .join(Tables.documents(spark, dir).select($"doc_id", $"source"), "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens".cast("long")).as("src_tokens"),
+        (sum($"quality_score".cast("decimal(12,6)")) * 1000000)
+          .cast("decimal(38,0)").cast("long").as("qsum_micro"))
+      .withColumn("loss_micro", lit(M) - rwFdiv($"qsum_micro", $"n_docs"))
+      .persist()
+    val nS = base.select(count(lit(1)).as("k"))
+    var w = base.crossJoin(broadcast(nS))
+      .select($"source", $"n_docs", $"src_tokens", $"loss_micro",
+        rwFdiv(lit(M), $"k").as("w"))
+    for (_ <- 1 to RwRounds) {
+      val lbar = w.agg(rwFdiv(sum($"w" * $"loss_micro"), lit(M)).as("lbar"))
+      val raw = w.crossJoin(broadcast(lbar))
+        .withColumn("m", lit(M) + rwFdiv(lit(RwEta) * ($"lbar" - $"loss_micro"), lit(M)))
+        .withColumn("raw", rwFdiv($"w" * $"m", lit(M)))
+      val tot = raw.agg(sum($"raw").as("tot"))
+      w = raw.crossJoin(broadcast(tot))
+        .select($"source", $"n_docs", $"src_tokens", $"loss_micro",
+          rwFdiv($"raw" * M, $"tot").as("w"))
+    }
+    val tokTot = base.agg(sum($"src_tokens").as("tt"))
+    w.crossJoin(broadcast(tokTot))
+      .select($"source", $"n_docs", $"src_tokens", $"loss_micro",
+        $"w".as("weight_micro"),
+        rwFdiv($"src_tokens" * M, $"tt").as("token_share_micro"))
+      .orderBy($"source")
+  }
+
+  private val M = 1000000L
+
+  val domainReweightSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH q AS (${TextAnalysis.textQualitySql}),
+      |per AS (
+      |  SELECT d.source, count(*) AS n_docs,
+      |    CAST(sum(CAST(q.n_tokens AS BIGINT)) AS BIGINT) AS src_tokens,
+      |    CAST(sum(CAST(q.quality_score AS DECIMAL(12,6))) * 1000000 AS BIGINT)
+      |      AS qsum_micro
+      |  FROM q JOIN documents d USING (doc_id) GROUP BY d.source),
+      |base AS (
+      |  SELECT source, n_docs, src_tokens,
+      |    1000000 - ${rwFdivSql("qsum_micro", "n_docs")} AS loss_micro
+      |  FROM per),
+      |k AS (SELECT count(*) AS k FROM base),
+      |w0 AS (
+      |  SELECT source, loss_micro, ${rwFdivSql("1000000", "k.k")} AS w
+      |  FROM base CROSS JOIN k)""".stripMargin
+    for (t <- 1 to RwRounds) {
+      sb ++= s""",
+      |lb$t AS (SELECT ${rwFdivSql("sum(w * loss_micro)", "1000000")} AS lbar
+      |        FROM w${t - 1}),
+      |raw$t AS (
+      |  SELECT source, loss_micro,
+      |    ${rwFdivSql(
+          s"w * (1000000 + ${rwFdivSql(s"$RwEta * (lbar - loss_micro)", "1000000")})",
+          "1000000")} AS raw
+      |  FROM w${t - 1} CROSS JOIN lb$t),
+      |tot$t AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM raw$t),
+      |w$t AS (
+      |  SELECT source, loss_micro, ${rwFdivSql("raw * 1000000", "tot")} AS w
+      |  FROM raw$t CROSS JOIN tot$t)""".stripMargin
+    }
+    sb ++= s""",
+      |tt AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS tt FROM base)
+      |SELECT b.source, b.n_docs, b.src_tokens, b.loss_micro,
+      |  w.w AS weight_micro,
+      |  ${rwFdivSql("b.src_tokens * 1000000", "tt.tt")} AS token_share_micro
+      |FROM base b JOIN w$RwRounds w USING (source) CROSS JOIN tt
+      |ORDER BY b.source""".stripMargin
+    sb.toString
+  }
 }

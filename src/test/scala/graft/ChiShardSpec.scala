@@ -141,6 +141,37 @@ class ChiShardSpec extends SparkSpec {
     assert(math.abs(posApprox - nPos * 1000000L) <= cal.map(_.getAs[Long]("n")).sum)
   }
 
+  test("domain_reweight: weights sum to ~1, order tracks quality inversely, dynamics moved") {
+    val w = graft.operators.Sampling.domainReweight(spark, sf).collect()
+    val k = w.length
+    val tot = w.map(_.getAs[Long]("weight_micro")).sum
+    // floor renormalization loses < 1 micro per source per round
+    assert(tot <= 1000000L && tot >= 1000000L - 8L * k)
+    // multiplicative weights preserve the initial (uniform) order:
+    // strictly lower loss ⇒ weight no smaller
+    val byLoss = w.sortBy(r => (r.getAs[Long]("loss_micro"), r.getString(0)))
+    byLoss.sliding(2).foreach { case Array(a, b) =>
+      if (a.getAs[Long]("loss_micro") < b.getAs[Long]("loss_micro"))
+        assert(a.getAs[Long]("weight_micro") >= b.getAs[Long]("weight_micro"))
+      case _ => ()
+    }
+    // the loop actually reweighted: not everything is still uniform
+    assert(w.map(_.getAs[Long]("weight_micro")).distinct.length > 1)
+  }
+
+  test("graph_reach_profile: one root per seed, bounded hops, positive frontiers") {
+    val r = graft.operators.Graph.graphReachProfile(spark, sf).collect()
+    val seeds = r.map(_.getAs[Long]("seed")).distinct
+    assert(seeds.length === 4)
+    seeds.foreach { s =>
+      val hops = r.filter(_.getAs[Long]("seed") == s)
+        .map(x => x.getAs[Int]("hop") -> x.getAs[Long]("n_nodes")).toMap
+      assert(hops(0) === 1L, s"seed $s must be its own hop-0 set")
+      assert(hops.keys.forall(h => h >= 0 && h <= 3))
+      assert(hops.values.forall(_ > 0L))
+    }
+  }
+
   test("stream_mixture_gate equals the batch plan+gate decision") {
     val streamed = graft.streaming.StreamQueries.streamMixtureGate(spark, sf)
       .collect().map(r => (r.getString(0),
