@@ -525,7 +525,13 @@ class PlanSpec extends SparkSpec {
       "rfm_segments", // Behavior.rfmSegments scaladoc: quintile cutoff scale path
       "rfm_migration", // shares rfmSegments' scoring shape
       "quality_buckets", // Curation.qualityBuckets scaladoc + _approx twin
-      "pareto_skyline") // Relational2 skyline: exact dominance rank gate
+      "pareto_skyline", // Relational2 skyline: exact dominance rank gate
+      // serpentine-LPT shard assignment: exact global token-mass rank by
+      // construction; only 16-byte (doc_id, n_tokens) rows ride the sort
+      // and the Sharding.scala scaladoc documents the two-level
+      // grid-rank path at extreme scale (rfm_segments convention)
+      "shard_plan",
+      "shard_balance") // same window via shardPlan
     val offenders = scala.collection.mutable.Map[String, Seq[LogicalPlan]]()
     val errors = scala.collection.mutable.Map[String, String]()
     for ((name, fn) <- SparkEntry.queries if !name.startsWith("stream_")) {
