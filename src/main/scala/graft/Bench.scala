@@ -46,7 +46,9 @@ object Bench {
     "bpe_train", "bpe_tokenize", "rfm_segments_approx",
     // round-7 second batch: the exact-integer training loops + LPA
     "kmeans_train", "quality_classifier", "embedding_classifier",
-    "graph_lpa", "embedding_communities")
+    "graph_lpa", "embedding_communities",
+    // round-7 third batch: mining operators
+    "coreset_kcenter", "bitext_mine", "seq_patterns")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

@@ -955,4 +955,77 @@ object Behavior {
       |          / (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))))
       |    > 1.96 AS significant_95
       |FROM agg""".stripMargin
+
+  // ------------------------------------------------------------------
+  // seq_patterns — ordered event-type sequential pattern support
+  // ------------------------------------------------------------------
+
+  /** Sequential pattern support over the event stream: for every
+    * ordered pair of event types (a, b), the number of users who did a
+    * STRICTLY before b (existentially — some a-event precedes some
+    * b-event), plus each type's user reach and the pair's lift vs
+    * independence in exact micro-units. The 2-item core of sequence
+    * mining (SPADE/PrefixSpan's first level), and the "which action
+    * leads to which" matrix funnels are built from.
+    *
+    * Shape: NO per-user pairwise event join — "some a before b" ≡
+    * min_ts(a) < max_ts(b), so one (user, type) aggregate (min/max ts)
+    * reduces the corpus to user×|types| rows, and the per-user
+    * type-pair join is bounded by the TYPE VOCABULARY squared, never
+    * by event counts. One corpus-row shuffle total (the user-keyed
+    * aggregate; the self-join reuses its partitioning), |types|² output.
+    * Lift in DECIMAL(38,0) floor-division (support·N·1e6 overflows a
+    * long at ~10⁹ users).
+    */
+  def seqPatterns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val per = Tables.events(spark, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+      // cache PRE-PARTITIONED on the self-join key: both sides of the
+      // type-pair join then read co-located partitions (no exchange),
+      // the same discipline as the LPA edge cache
+      .repartition($"user_id")
+      .persist()
+    val sup = per.select($"user_id", $"event_type".as("type_a"), $"first_ts")
+      .join(per.select($"user_id", $"event_type".as("type_b"), $"last_ts"),
+        "user_id")
+      .filter($"type_a" =!= $"type_b" && $"first_ts" < $"last_ts")
+      .groupBy($"type_a", $"type_b").agg(count(lit(1)).as("n_users"))
+    val reach = per.groupBy($"event_type").agg(count(lit(1)).as("reach"))
+    val n = per.agg(countDistinct($"user_id").as("n_total"))
+    val liftNum = dec($"n_users") * dec($"n_total") * lit(1000000L).cast("decimal(38,0)")
+    val liftDen = dec($"reach_a") * dec($"reach_b")
+    sup
+      .join(broadcast(reach.select($"event_type".as("type_a"), $"reach".as("reach_a"))), "type_a")
+      .join(broadcast(reach.select($"event_type".as("type_b"), $"reach".as("reach_b"))), "type_b")
+      .crossJoin(broadcast(n))
+      .select($"type_a", $"type_b", $"n_users", $"reach_a", $"reach_b",
+        ((liftNum - (liftNum % liftDen)) / liftDen).cast("long").as("lift_micro"))
+      .orderBy($"n_users".desc, $"type_a", $"type_b")
+  }
+
+  val seqPatternsSql: String =
+    """WITH per AS (
+      |  SELECT user_id, event_type, min(ts) AS first_ts, max(ts) AS last_ts
+      |  FROM events GROUP BY 1, 2),
+      |reach AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS reach
+      |  FROM per GROUP BY 1),
+      |t AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_total FROM per),
+      |sup AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(count(*) AS BIGINT) AS n_users
+      |  FROM per a JOIN per b ON a.user_id = b.user_id
+      |    AND a.event_type <> b.event_type AND a.first_ts < b.last_ts
+      |  GROUP BY 1, 2)
+      |SELECT s.type_a, s.type_b, s.n_users, x.reach AS reach_a, y.reach AS reach_b,
+      |  CAST((CAST(s.n_users AS HUGEINT) * t.n_total * 1000000)
+      |    // (CAST(x.reach AS HUGEINT) * y.reach) AS BIGINT) AS lift_micro
+      |FROM sup s
+      |JOIN reach x ON x.event_type = s.type_a
+      |JOIN reach y ON y.event_type = s.type_b
+      |CROSS JOIN t
+      |ORDER BY n_users DESC, type_a, type_b""".stripMargin
 }

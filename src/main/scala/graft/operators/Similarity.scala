@@ -439,4 +439,140 @@ object Similarity {
       |  FROM rer)
       |SELECT q_id, CAST(rk AS INT) AS rk, n_id, rp_dist_u, d_u
       |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  // ------------------------------------------------------------------
+  // bitext_mine — margin-based cross-corpus pair mining
+  // ------------------------------------------------------------------
+
+  val BitextBatch = 64
+  val BitextNbrK = 4
+  val BitextTopPairs = 40
+
+  /** Margin-criterion parallel-pair mining (the LASER/CCMatrix ratio
+    * margin re-expressed in exact integers): mine high-confidence
+    * aligned pairs between two halves of the embedding space (labels
+    * 0-4 = "source side", 5-9 = "target side" — stand-ins for two
+    * languages or two modalities). A pair scores by its similarity
+    * RELATIVE to each endpoint's neighborhood:
+    * margin = sim(x,y) / mean(top-k sims of x, top-k sims of y) —
+    * global-threshold mining drowns in hubness; the margin is the
+    * published fix.
+    *
+    * Exactness: components kilo-quantized; sim is squared cosine in
+    * micro-units via DECIMAL(38,0) floor-division (dot² ≤ n2x·n2y by
+    * Cauchy–Schwarz, so every intermediate is exact and the margin
+    * numerator cos2·2e6 ≤ 2e12 stays a long). Only dot > 0 pairs
+    * compete (squared cosine would otherwise rank anti-parallel pairs
+    * high). Top-k neighborhood sums are tie-insensitive (equal scores
+    * at the boundary contribute equally), so the bounded-state
+    * `top_k_by` aggregate and the oracle's window rank agree exactly.
+    *
+    * Scale: the source side rides as a BROADCAST batch (BitextBatch
+    * lowest vec_ids — production mines in batches); the corpus side is
+    * scanned once, pairs are 3-long rows (batch×corpus, linear in the
+    * corpus), per-target neighborhoods come from the map-side-partial
+    * top_k_by aggregate (no corpus-keyed window sort), and the final
+    * cut is a TakeOrdered. At full-corpus×corpus scale the batch loop
+    * is embarrassingly parallel across batches, or the pair generation
+    * swaps to the persisted LSH band index (ann_lsh) — the margin math
+    * is unchanged either way.
+    */
+  def bitextMine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val kq = transform($"embedding", x => round(x.cast("double") * 1000d, 0).cast("long"))
+    val e = Tables.embeddings(spark, dir).withColumn("kq", kq)
+    val batch = e.filter($"label" <= 4)
+      .select($"vec_id".as("src_id"), $"kq".as("s_kq"))
+      .orderBy($"src_id").limit(BitextBatch)
+      .withColumn("s_n2", n2_of($"s_kq"))
+    val corpus = e.filter($"label" >= 5)
+      .select($"vec_id".as("tgt_id"), $"kq".as("t_kq"))
+      .withColumn("t_n2", n2_of($"t_kq"))
+    val dot = aggregate(zip_with($"s_kq", $"t_kq", (a, b) => a * b),
+      lit(0L), (a, x) => a + x)
+    val cos2 = {
+      val num = dec($"dot") * dec($"dot") * lit(1000000L).cast("decimal(38,0)")
+      val den = dec($"s_n2") * dec($"t_n2")
+      ((num - (num % den)) / den).cast("long")
+    }
+    val pairs = corpus.crossJoin(broadcast(batch))
+      .withColumn("dot", dot).filter($"dot" > 0)
+      .withColumn("cos2_micro", cos2)
+      .select($"src_id", $"tgt_id", $"cos2_micro")
+      .persist()
+    def nbrOf(df: DataFrame, key: String, payload: String): DataFrame = {
+      val sumTop = aggregate($"top", lit(0L), (a, s) => a + s.getField("score").cast("long"))
+      df.groupBy(col(key))
+        .agg(graft.functions.AggFunctions
+          .top_k_by($"cos2_micro".cast("double"), col(payload), BitextNbrK).as("top"))
+        .select(col(key), fdivL(sumTop, size($"top").cast("long")).as(s"nbr_$key"))
+    }
+    val nq = nbrOf(pairs, "src_id", "tgt_id")
+    val nc = nbrOf(pairs, "tgt_id", "src_id")
+    val out = pairs
+      .join(broadcast(nq), "src_id")
+      .join(nc, "tgt_id")
+      .filter($"nbr_src_id" + $"nbr_tgt_id" > 0)
+      .withColumn("margin_micro",
+        fdivL($"cos2_micro" * lit(2000000L), $"nbr_src_id" + $"nbr_tgt_id"))
+      .select($"src_id", $"tgt_id", $"cos2_micro", $"margin_micro")
+      .orderBy($"margin_micro".desc, $"src_id", $"tgt_id")
+      .limit(BitextTopPairs)
+    out
+  }
+
+  /** Σ kq² of a kilo-quantized component array. */
+  private def n2_of(kqCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(transform(kqCol, x => x * x), lit(0L), (a, x) => a + x)
+
+  /** Exact long floor division, non-negative operands (Dedup/Training
+    * convention): a − a%b is an exact multiple of b. */
+  private def fdivL(a: org.apache.spark.sql.Column,
+                    b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((a - (a % b)) / b).cast("long")
+
+  val bitextMineSql: String =
+    s"""WITH comp AS (
+      |  SELECT e.vec_id, e.label, CAST(i AS INT) AS dim,
+      |    CAST(round(CAST(e.embedding[i + 1] AS DOUBLE) * 1000, 0) AS BIGINT) AS kq
+      |  FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+      |n2 AS (SELECT vec_id, CAST(sum(kq * kq) AS BIGINT) AS n2 FROM comp GROUP BY 1),
+      |batch AS (SELECT vec_id FROM embeddings WHERE label <= 4
+      |  ORDER BY vec_id LIMIT $BitextBatch),
+      |dots AS (
+      |  SELECT q.vec_id AS src_id, c.vec_id AS tgt_id,
+      |    CAST(sum(q.kq * c.kq) AS BIGINT) AS dot
+      |  FROM comp q JOIN batch b ON q.vec_id = b.vec_id
+      |  JOIN comp c ON c.dim = q.dim AND c.label >= 5
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d.src_id, d.tgt_id,
+      |    CAST((CAST(d.dot AS HUGEINT) * d.dot * 1000000)
+      |      // (CAST(nq.n2 AS HUGEINT) * nc.n2) AS BIGINT) AS cos2_micro
+      |  FROM dots d
+      |  JOIN n2 nq ON nq.vec_id = d.src_id
+      |  JOIN n2 nc ON nc.vec_id = d.tgt_id
+      |  WHERE d.dot > 0),
+      |nbrq AS (
+      |  SELECT src_id,
+      |    CAST(sum(cos2_micro) - sum(cos2_micro) % count(*) AS BIGINT) // count(*) AS nbr
+      |  FROM (SELECT src_id, cos2_micro, row_number() OVER (
+      |          PARTITION BY src_id ORDER BY cos2_micro DESC, tgt_id) AS rk
+      |        FROM pairs) t WHERE rk <= $BitextNbrK GROUP BY src_id),
+      |nbrc AS (
+      |  SELECT tgt_id,
+      |    CAST(sum(cos2_micro) - sum(cos2_micro) % count(*) AS BIGINT) // count(*) AS nbr
+      |  FROM (SELECT tgt_id, cos2_micro, row_number() OVER (
+      |          PARTITION BY tgt_id ORDER BY cos2_micro DESC, src_id) AS rk
+      |        FROM pairs) t WHERE rk <= $BitextNbrK GROUP BY tgt_id)
+      |SELECT p.src_id, p.tgt_id, p.cos2_micro,
+      |  CAST((p.cos2_micro * 2000000 - (p.cos2_micro * 2000000) % (q.nbr + c.nbr))
+      |    // (q.nbr + c.nbr) AS BIGINT) AS margin_micro
+      |FROM pairs p
+      |JOIN nbrq q ON q.src_id = p.src_id
+      |JOIN nbrc c ON c.tgt_id = p.tgt_id
+      |WHERE q.nbr + c.nbr > 0
+      |ORDER BY margin_micro DESC, p.src_id, p.tgt_id
+      |LIMIT $BitextTopPairs""".stripMargin
 }

@@ -674,4 +674,94 @@ object Training {
       |SELECT doc_id, y AS label_en, s AS score_micro,
       |  s >= 500000 AS admitted
       |FROM scoredF ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // coreset_kcenter — farthest-point (Gonzalez) coreset selection
+  // ------------------------------------------------------------------
+
+  val CoresetK = 8
+
+  /** Exact integer squared L2 from the row's `vq` to a LITERAL center
+    * vector — same codegen shape as [[assign]]'s per-centroid term. */
+  private def d2To(cv: Array[Long]): Column =
+    aggregate(zip_with(col("vq"), typedlit(cv.toSeq), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Farthest-point (Gonzalez greedy k-center) coreset over the
+    * embeddings: seed at the smallest vec_id, then repeatedly add the
+    * vector farthest (exact integer micro-quantized L2²) from the
+    * selected set, ties to the smaller vec_id. The canonical
+    * diversity-maximizing selection pass of a curation pipeline — the
+    * 2-approximation whose selection gaps (`gap_d2`, the chosen
+    * point's distance to the prior set) are provably nonincreasing,
+    * which CoresetSpec asserts.
+    *
+    * Scale/shape doctrine (the k-means loop's): one job per round over
+    * the persisted quantized table; the k−1 rounds each evaluate the
+    * running min-distance as `array_min` over literal-center codegen
+    * terms (no shuffle — the scan IS the stage, the pick is a
+    * TakeOrdered of one row); only O(k·d) center components ever cross
+    * the driver. Recomputing all t distances per round costs k²/2
+    * total center terms — at selection-budget k (≤ dozens) that beats
+    * carrying a persisted running-min table through k lineage cuts; a
+    * running-min cache is the documented alternative if k grows.
+    * Output: the k selections (rank, vec_id, gap_d2), seed gap 0.
+    */
+  def coresetKcenter(spark: SparkSession, dir: String, k: Int = CoresetK): DataFrame = {
+    import spark.implicits._
+    val quant = quantized(spark, dir).persist()
+    val seed = quant.select($"vec_id", $"vq").orderBy($"vec_id").limit(1).collect()(0)
+    var centers = Vector(seed.getSeq[Long](1).toArray)
+    val sel = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)](
+      (1, seed.getLong(0), 0L))
+    for (t <- 2 to k) {
+      val md = array_min(array(centers.map(d2To): _*))
+      val pick = quant.select($"vec_id", $"vq", md.as("md"))
+        .orderBy($"md".desc, $"vec_id").limit(1).collect()(0)
+      sel += ((t, pick.getLong(0), pick.getLong(2)))
+      centers = centers :+ pick.getSeq[Long](1).toArray
+    }
+    quant.unpersist()
+    spark.createDataFrame(sel.toSeq).toDF("rank", "vec_id", "gap_d2")
+      .select($"rank".cast("int").as("rank"), $"vec_id", $"gap_d2")
+      .orderBy($"rank")
+  }
+
+  /** Oracle: the greedy loop unrolled — after each pick p_t, d_t is
+    * every vector's distance to it and m_t the running min; the next
+    * pick is m_t's (md DESC, vec_id) head. LEAST-chain on exact ints ≡
+    * the Spark side's array_min over all centers. */
+  val coresetKcenterSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH comp AS (
+      |  SELECT vec_id, CAST(i AS INT) AS dim,
+      |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000, 0) AS BIGINT) AS vq
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+      |p1 AS (SELECT min(vec_id) AS vid, CAST(0 AS BIGINT) AS gap FROM comp)""".stripMargin
+    for (t <- 2 to CoresetK) {
+      val prev = t - 1
+      sb ++= s""",
+      |d$prev AS (
+      |  SELECT c.vec_id, CAST(sum((c.vq - p.vq) * (c.vq - p.vq)) AS BIGINT) AS d
+      |  FROM comp c CROSS JOIN p$prev pk
+      |  JOIN comp p ON p.vec_id = pk.vid AND p.dim = c.dim
+      |  GROUP BY c.vec_id),""".stripMargin
+      if (prev == 1)
+        sb ++= s"""
+      |m$prev AS (SELECT vec_id, d AS md FROM d$prev),""".stripMargin
+      else
+        sb ++= s"""
+      |m$prev AS (
+      |  SELECT m.vec_id, CASE WHEN d.d < m.md THEN d.d ELSE m.md END AS md
+      |  FROM m${prev - 1} m JOIN d$prev d USING (vec_id)),""".stripMargin
+      sb ++= s"""
+      |p$t AS (SELECT vec_id AS vid, md AS gap FROM m$prev
+      |  ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+    }
+    sb ++= (1 to CoresetK).map(t =>
+      s"""
+      |SELECT CAST($t AS INT) AS rank, vid AS vec_id, CAST(gap AS BIGINT) AS gap_d2
+      |FROM p$t""".stripMargin).mkString("", "\nUNION ALL", "\nORDER BY rank")
+    sb.toString
+  }
 }

@@ -471,7 +471,16 @@ class PlanSpec extends SparkSpec {
         // subtree at every reference, so a textual exchange count
         // over-states the executed shuffles — it is pinned by the
         // cache-discipline test below instead
-        ("embedding_classifier", operators.Training.embeddingClassifier(spark, sf), 3))) {
+        ("embedding_classifier", operators.Training.embeddingClassifier(spark, sf), 3),
+        // coreset: the returned frame is the driver-built k-row list
+        ("coreset_kcenter", operators.Training.coresetKcenter(spark, sf), 1),
+        // bitext: batch broadcasts; two top_k_by aggs + one pair join
+        ("bitext_mine", operators.Similarity.bitextMine(spark, sf), 5),
+        // seq_patterns: the cached user×type table is referenced 5×
+        // (two join sides, reach, total) and the TEXTUAL count re-prints
+        // its agg+repartition exchanges at every reference; executed
+        // shuffles ≈ 7 (cache built once, join sides co-partitioned)
+        ("seq_patterns", operators.Behavior.seqPatterns(spark, sf), 15))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
