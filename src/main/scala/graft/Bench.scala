@@ -47,8 +47,9 @@ object Bench {
     // round-7 second batch: the exact-integer training loops + LPA
     "kmeans_train", "quality_classifier", "embedding_classifier",
     "graph_lpa", "embedding_communities",
-    // round-7 third batch: mining operators
-    "coreset_kcenter", "bitext_mine", "seq_patterns")
+    // round-7 third batch: mining + corpus-profile operators
+    "coreset_kcenter", "bitext_mine", "seq_patterns",
+    "burst_detect", "vocab_growth")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

@@ -894,4 +894,96 @@ object TextModel {
       |  round(CAST(covered AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS share,
       |  vocab_size
       |FROM ladder CROSS JOIN t ORDER BY k""".stripMargin
+
+  // ------------------------------------------------------------------
+  // vocab_growth — Heaps-law vocabulary growth at ingestion checkpoints
+  // ------------------------------------------------------------------
+
+  private val GrowthCheckpoints = 10
+
+  /** Vocabulary growth per source at 10 ingestion checkpoints: cutting
+    * the corpus at doc_id < k·(max_id+1)/10, each (source, k) cell
+    * reports cumulative docs, token mass, distinct vocabulary, and the
+    * marginal new-vocab-per-token rate since the previous checkpoint —
+    * the Heaps-law saturation curve that answers "is this source still
+    * contributing new language, or just more of the same?" (the
+    * diversity complement to `ngram_novelty`'s per-doc score).
+    *
+    * Shape: NO running windows over docs — each token's contribution
+    * to every checkpoint is determined by its FIRST document
+    * (min doc_id per (source, token), one vocab-cardinality
+    * aggregate), so cumulative vocab is a grid join: first-occurrence
+    * table × broadcast 10-row checkpoint grid, then a (source, k)
+    * aggregate. Docs/token mass come from a doc-cardinality table ×
+    * the same grid. Both sides scale linearly (×10 constant); the
+    * only corpus-row pass is the token explode feeding the
+    * first-occurrence aggregate. The marginal-rate lag runs on the
+    * |sources|×10 result grid.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val mx = docs.agg((max($"doc_id") + 1).as("m"))
+    val grid = spark.range(1, GrowthCheckpoints + 1).toDF("k")
+      .crossJoin(mx)
+      .select($"k".cast("int").as("k"),
+        (($"k" * $"m" - ($"k" * $"m") % GrowthCheckpoints)
+          / GrowthCheckpoints).cast("long").as("cut"))
+    val dt = docs.select($"source", $"doc_id",
+      size(tokens($"text")).cast("long").as("n_tokens"))
+    val fv = docs.select($"source", explode(tokens($"text")).as("tok"), $"doc_id")
+      .groupBy($"source", $"tok").agg(min($"doc_id").as("first_doc"))
+    val mass = dt.crossJoin(broadcast(grid)).filter($"doc_id" < $"cut")
+      .groupBy($"source", $"k", $"cut")
+      .agg(count(lit(1)).as("cum_docs"), sum($"n_tokens").as("cum_tokens"))
+    val vocab = fv.crossJoin(broadcast(grid)).filter($"first_doc" < $"cut")
+      .groupBy($"source", $"k").agg(count(lit(1)).as("cum_vocab"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"k")
+    val dv = $"cum_vocab" - coalesce(lag($"cum_vocab", 1).over(w), lit(0L))
+    val dtk = $"cum_tokens" - coalesce(lag($"cum_tokens", 1).over(w), lit(0L))
+    mass.join(vocab, Seq("source", "k"))
+      .withColumn("rate_micro",
+        when(dtk > 0,
+          ((dv * 1000000L - (dv * 1000000L) % dtk) / dtk).cast("long"))
+          .otherwise(lit(0L)))
+      .select($"source", $"k", $"cut", $"cum_docs", $"cum_tokens",
+        $"cum_vocab", $"rate_micro")
+      .orderBy($"source", $"k")
+  }
+
+  val vocabGrowthSql: String =
+    s"""WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+      |grid AS (
+      |  SELECT CAST(k AS INT) AS k,
+      |    (k * m - (k * m) % $GrowthCheckpoints) // $GrowthCheckpoints AS cut
+      |  FROM (SELECT unnest(range(1, ${GrowthCheckpoints + 1})) AS k) CROSS JOIN mx),
+      |dt AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |fv AS (
+      |  SELECT source, tok, min(doc_id) AS first_doc FROM (
+      |    SELECT source, doc_id,
+      |      unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+      |    FROM documents) GROUP BY 1, 2),
+      |mass AS (
+      |  SELECT source, k, cut, CAST(count(*) AS BIGINT) AS cum_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS cum_tokens
+      |  FROM dt CROSS JOIN grid WHERE doc_id < cut GROUP BY 1, 2, 3),
+      |voc AS (
+      |  SELECT source, k, CAST(count(*) AS BIGINT) AS cum_vocab
+      |  FROM fv CROSS JOIN grid WHERE first_doc < cut GROUP BY 1, 2),
+      |j AS (
+      |  SELECT m.source, m.k, m.cut, m.cum_docs, m.cum_tokens, v.cum_vocab,
+      |    m.cum_tokens - COALESCE(lag(m.cum_tokens) OVER (
+      |      PARTITION BY m.source ORDER BY m.k), 0) AS dtk,
+      |    v.cum_vocab - COALESCE(lag(v.cum_vocab) OVER (
+      |      PARTITION BY m.source ORDER BY m.k), 0) AS dv
+      |  FROM mass m JOIN voc v ON v.source = m.source AND v.k = m.k)
+      |SELECT source, k, CAST(cut AS BIGINT) AS cut, cum_docs, cum_tokens, cum_vocab,
+      |  CASE WHEN dtk > 0
+      |    THEN (dv * 1000000 - (dv * 1000000) % dtk) // dtk ELSE 0 END AS rate_micro
+      |FROM j ORDER BY source, k""".stripMargin
 }

@@ -473,4 +473,69 @@ object TimeSeries2 {
       |SELECT brand, CAST(k AS BIGINT) AS n_pairs,
       |  round(CAST(slope_u AS DOUBLE) / 10000, 4) AS sen_slope
       |FROM r WHERE rk = (k + 1) // 2 ORDER BY brand""".stripMargin
+
+  // ------------------------------------------------------------------
+  // burst_detect — trailing-baseline burst scoring on the event grid
+  // ------------------------------------------------------------------
+
+  private val BurstTopK = 20
+
+  /** Burst detection per event type: each hour's event count scored
+    * against its OWN trailing 24-hour baseline — the rate-anomaly
+    * primitive behind "which activity just spiked" (Kleinberg's burst
+    * model reduced to its ratio test on a fixed window). Score =
+    * cnt·24·10⁶ / Σ(baseline counts), exact integer floor; hours whose
+    * full 24-hour history precedes the series start are excluded (a
+    * partial baseline under-sums and fakes a burst), as are hours with
+    * a silent baseline. Top-20 bursts by (score, type, hour).
+    *
+    * Gap handling without densification: the baseline is a RANGE frame
+    * over hour-epoch seconds [−86400, −3600], so missing hours
+    * contribute exactly their true count (zero) while the denominator
+    * stays the fixed 24-slot mass — no spine join, no zero-fill rows.
+    *
+    * Scale: the grid is (type, hour) — cardinality ∝ time; one partial
+    * agg over the scan, one type-keyed window shuffle, TakeOrdered 20.
+    */
+  def burstDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"he")
+    val base = w.rangeBetween(-86400L, -3600L)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+    Tables.events(spark, dir)
+      .select($"event_type", date_trunc("hour", $"ts").as("h"))
+      .withColumn("he", unix_timestamp($"h"))
+      .groupBy($"event_type", $"h", $"he").agg(count(lit(1)).as("cnt"))
+      .withColumn("base_cnt", coalesce(sum($"cnt").over(base), lit(0L)))
+      .withColumn("start_he", min($"he").over(wAll))
+      .filter($"he" >= $"start_he" + 86400L && $"base_cnt" > 0)
+      .select($"event_type",
+        date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"cnt", $"base_cnt",
+        (($"cnt" * 24000000L - ($"cnt" * 24000000L) % $"base_cnt") / $"base_cnt")
+          .cast("long").as("burst_micro"))
+      .orderBy($"burst_micro".desc, $"event_type", $"hour")
+      .limit(BurstTopK)
+  }
+
+  val burstDetectSql: String =
+    s"""WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h,
+      |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS he,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT event_type, h, he, cnt,
+      |    COALESCE(CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY he
+      |      RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING) AS BIGINT), 0)
+      |      AS base_cnt,
+      |    min(he) OVER (PARTITION BY event_type) AS start_he
+      |  FROM hourly)
+      |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, cnt, base_cnt,
+      |  (cnt * 24000000 - (cnt * 24000000) % base_cnt) // base_cnt AS burst_micro
+      |FROM scored
+      |WHERE he >= start_he + 86400 AND base_cnt > 0
+      |ORDER BY burst_micro DESC, event_type, hour
+      |LIMIT $BurstTopK""".stripMargin
 }

@@ -480,7 +480,12 @@ class PlanSpec extends SparkSpec {
         // (two join sides, reach, total) and the TEXTUAL count re-prints
         // its agg+repartition exchanges at every reference; executed
         // shuffles ≈ 7 (cache built once, join sides co-partitioned)
-        ("seq_patterns", operators.Behavior.seqPatterns(spark, sf), 15))) {
+        ("seq_patterns", operators.Behavior.seqPatterns(spark, sf), 15),
+        // burst: one grid agg + one type-keyed window; TakeOrdered cut
+        ("burst_detect", operators.TimeSeries2.burstDetect(spark, sf), 3),
+        // vocab_growth: first-occurrence + two grid-join aggs + result
+        // join + grid lag window + output sort
+        ("vocab_growth", operators.TextModel.vocabGrowth(spark, sf), 8))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")

@@ -171,4 +171,39 @@ class TextModelSpec extends SparkSpec {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"$q scores descend")
     }
   }
+
+  test("vocab_growth: monotone curves, final checkpoint equals direct totals") {
+    import org.apache.spark.sql.functions._
+    val out = TextModel.vocabGrowth(spark, sf).collect()
+    val bySrc = out.groupBy(_.getString(0))
+    for ((src, rows) <- bySrc) {
+      val ordered = rows.sortBy(_.getInt(1))
+      for (c <- Seq(3, 4, 5)) { // cum_docs, cum_tokens, cum_vocab
+        val vals = ordered.map(_.getLong(c))
+        assert(vals.zip(vals.tail).forall { case (a, b) => a <= b },
+          s"$src col $c not monotone: ${vals.mkString(",")}")
+      }
+      ordered.foreach(r => assert(r.getLong(6) >= 0 && r.getLong(6) <= 1000000L,
+        "marginal new-vocab rate is a fraction of new tokens"))
+    }
+    // the k=10 cut is max(doc_id)+1: the curve must END at direct totals
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val direct = docs
+      .select($"source", $"doc_id",
+        filter(split($"text", "\\s+"), t => t =!= "").as("toks"))
+      .select($"source", $"doc_id", size($"toks").cast("long").as("n"), $"toks")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("d"), sum($"n").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val vocabDirect = docs
+      .select($"source", explode(filter(split($"text", "\\s+"), t => t =!= "")).as("tok"))
+      .groupBy($"source").agg(countDistinct($"tok").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, rows) <- bySrc) {
+      val fin = rows.maxBy(_.getInt(1))
+      assert(fin.getLong(3) === direct(src)._1, s"$src final cum_docs")
+      assert(fin.getLong(4) === direct(src)._2, s"$src final cum_tokens")
+      assert(fin.getLong(5) === vocabDirect(src), s"$src final cum_vocab")
+    }
+  }
 }

@@ -91,4 +91,26 @@ class TimeSeriesSpec extends SparkSpec {
     // every hourly bucket appears as the hour-aligned sliding window
     for ((k, v) <- hourly) assert(onHour.get(k).contains(v), s"bucket $k: ${onHour.get(k)} != $v")
   }
+
+  test("burst_detect: top row's count and trailing baseline recompute from raw events") {
+    val out = graft.operators.TimeSeries2.burstDetect(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val scores = out.map(_.getLong(4))
+    assert(scores.sameElements(scores.sortBy(-identity[Long](_))), "sorted by burst desc")
+    out.foreach(r => assert(r.getLong(4) > 0))
+    // independent recomputation of the top row from raw events
+    val top = out.head
+    val (typ, hourStr, cnt, baseCnt) =
+      (top.getString(0), top.getString(1), top.getLong(2), top.getLong(3))
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type" === typ)
+      .select(unix_timestamp(date_trunc("hour", $"ts")).as("he"))
+    val he = ev.sparkSession.sql(
+      s"SELECT unix_timestamp(timestamp'$hourStr')").head.getLong(0)
+    val directCnt = ev.filter($"he" === he).count()
+    val directBase = ev.filter($"he" >= he - 86400L && $"he" <= he - 3600L).count()
+    assert(directCnt === cnt, "hour count")
+    assert(directBase === baseCnt, "trailing 24h baseline")
+    assert(top.getLong(4) === cnt * 24000000L / baseCnt, "burst ratio formula")
+  }
 }
