@@ -49,7 +49,7 @@ object Bench {
     "graph_lpa", "embedding_communities",
     // round-7 third batch: mining + corpus-profile operators
     "coreset_kcenter", "bitext_mine", "seq_patterns",
-    "burst_detect", "vocab_growth")
+    "burst_detect", "vocab_growth", "label_noise_detect")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

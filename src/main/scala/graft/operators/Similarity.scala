@@ -575,4 +575,110 @@ object Similarity {
       |WHERE q.nbr + c.nbr > 0
       |ORDER BY margin_micro DESC, p.src_id, p.tgt_id
       |LIMIT $BitextTopPairs""".stripMargin
+
+  // ------------------------------------------------------------------
+  // label_noise_detect — kNN-disagreement label-error detection
+  // ------------------------------------------------------------------
+
+  val NoiseK = 5
+  val NoiseMinVotes = 4
+
+  /** Label-noise detection by k-NN disagreement (the confident-learning
+    * screen a labeled training set gets before the labels are trusted):
+    * every vector is checked against its NoiseK nearest LSH-candidate
+    * neighbors; a vector whose neighborhood votes ≥ NoiseMinVotes for a
+    * DIFFERENT label than its own is flagged with the suggested
+    * relabel. Full-corpus coverage without a corpus² scan: candidates
+    * come from the multi-table LSH band index (bucket-bounded — the
+    * embedding_communities discipline), only (id, id, w) rows ride the
+    * pair shuffles, and the per-vector top-k is the bounded-state
+    * top_k_by aggregate (map-side partial, no corpus-keyed window
+    * sort). Majority vote ties break to the smaller label id; cosine
+    * rounds to 6dp before micro-quantization so both engines rank
+    * identically.
+    */
+  def labelNoiseDetect(spark: SparkSession, dir: String): DataFrame =
+    labelNoiseDetectOf(Tables.embeddings(spark, dir))
+
+  /** Core on any (vec_id, embedding, label) frame — factored so specs
+    * can plant label noise and assert recovery. */
+  private[graft] def labelNoiseDetectOf(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    labelNoiseVotesOf(e)
+      .filter($"suggested_label" =!= $"label" && $"n_votes" >= NoiseMinVotes)
+      .select($"vec_id", $"label", $"suggested_label", $"n_votes")
+      .orderBy($"vec_id")
+  }
+
+  /** Every vector's neighborhood-majority verdict (the table the
+    * detector filters): vec_id, label, suggested_label (majority of
+    * the NoiseK nearest LSH candidates, ties to smaller label),
+    * n_votes. */
+  private[graft] def labelNoiseVotesOf(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val idx = e.select($"vec_id", explode(lshIndexEntries($"embedding")).as("k"))
+      .select($"vec_id", $"k.tbl".as("tbl"), $"k.bucket".as("bucket"))
+    val cand = idx.as("a").join(idx.as("b"), Seq("tbl", "bucket"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("i"), $"b.vec_id".as("j")).distinct()
+    val vecs = e.select($"vec_id", $"embedding", Dedup.norm($"embedding").as("nrm"))
+    val sim = cand
+      .join(vecs.select($"vec_id".as("i"), $"embedding".as("ea"), $"nrm".as("na")), "i")
+      .join(vecs.select($"vec_id".as("j"), $"embedding".as("eb"), $"nrm".as("nb")), "j")
+      .select($"i", $"j",
+        round(round(Dedup.cosinePre($"ea", $"eb", $"na", $"nb"), 6) * 1000000d, 0)
+          .cast("long").as("w"))
+    val nbr = sim.select($"i".as("v"), $"j".as("n"), $"w")
+      .unionByName(sim.select($"j".as("v"), $"i".as("n"), $"w"))
+    val top = nbr.groupBy($"v")
+      .agg(graft.functions.AggFunctions.top_k_by($"w".cast("double"), $"n", NoiseK).as("top"))
+      .select($"v", explode($"top").as("t"))
+      .select($"v", $"t.payload".as("n"))
+    val wV = Window.partitionBy($"v").orderBy($"n_votes".desc, $"cand_label")
+    top.join(e.select($"vec_id".as("n"), $"label".as("cand_label")), "n")
+      .groupBy($"v", $"cand_label").agg(count(lit(1)).as("n_votes"))
+      .withColumn("vrk", row_number().over(wV)).filter($"vrk" === 1)
+      .join(e.select($"vec_id".as("v"), $"label"), "v")
+      .select($"v".as("vec_id"), $"label", $"cand_label".as("suggested_label"),
+        $"n_votes")
+  }
+
+  val labelNoiseDetectSql: String =
+    s"""WITH planes(tbl, p, pv) AS (VALUES
+      |      $lshPlaneRowsSql),
+      |all_b AS (
+      |  SELECT e.vec_id, pl.tbl,
+      |    CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.pv) > 0
+      |      THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM embeddings e, planes pl
+      |  GROUP BY e.vec_id, pl.tbl),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      |  FROM all_b a JOIN all_b b
+      |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |sim AS (
+      |  SELECT i, j,
+      |    CAST(round(round(list_cosine_similarity(
+      |      CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6)
+      |      * 1000000, 0) AS BIGINT) AS w
+      |  FROM cand JOIN embeddings x ON x.vec_id = i
+      |  JOIN embeddings y ON y.vec_id = j),
+      |nbr AS (SELECT i AS v, j AS n, w FROM sim UNION ALL SELECT j, i, w FROM sim),
+      |top AS (
+      |  SELECT v, n FROM (
+      |    SELECT v, n, row_number() OVER (PARTITION BY v ORDER BY w DESC, n) AS rk
+      |    FROM nbr) t WHERE rk <= $NoiseK),
+      |votes AS (
+      |  SELECT t.v, e.label AS cand_label, CAST(count(*) AS BIGINT) AS n_votes
+      |  FROM top t JOIN embeddings e ON e.vec_id = t.n GROUP BY 1, 2),
+      |best AS (
+      |  SELECT votes.*, row_number() OVER (PARTITION BY v
+      |    ORDER BY n_votes DESC, cand_label) AS vrk FROM votes)
+      |SELECT b.v AS vec_id, e.label AS label, b.cand_label AS suggested_label,
+      |  b.n_votes
+      |FROM best b JOIN embeddings e ON e.vec_id = b.v
+      |WHERE b.vrk = 1 AND b.cand_label <> e.label AND b.n_votes >= $NoiseMinVotes
+      |ORDER BY vec_id""".stripMargin
 }

@@ -126,4 +126,43 @@ class MiningSpec extends SparkSpec {
     }
     assert(reach.nonEmpty)
   }
+
+  // ----------------------------------------------------------------
+  // label_noise_detect
+  // ----------------------------------------------------------------
+
+  test("label_noise_detect: near-silent on clean labels, recovers planted flips") {
+    import graft.operators.Similarity
+    // 1) clean-corpus specificity: the testdata labels carry no
+    //    neighborhood geometry (exact kNN label agreement ~= chance),
+    //    so a high-precision detector must stay near-silent on them
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val n = e.count()
+    val clean = Similarity.labelNoiseDetect(spark, sf).collect()
+    assert(clean.length <= n / 50,
+      s"clean labels must yield <=2% flags, got ${clean.length} of $n")
+    // 2) planted-noise recovery on a clustered fixture (the IvfSpec
+    //    convention): 3 tight clusters around orthogonal centers,
+    //    labels = cluster id, 5 labels flipped — the detector must flag
+    //    exactly the flipped vectors and suggest their true cluster
+    val dim = Similarity.EmbeddingDim
+    val rows = for (i <- 0 until 60) yield {
+      val c = i % 3
+      val v = Array.tabulate(dim) { d =>
+        val jitter = (((i * 31 + d * 7) % 11) - 5) * 0.002f
+        (if (d == c) 1.0f else 0.0f) + jitter
+      }
+      val flipped = i < 5 // vec_ids 0-4 carry a wrong label
+      (i.toLong, v, if (flipped) (c + 1) % 3 else c)
+    }
+    val fixture = spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelNoiseDetectOf(fixture).collect()
+    val flagged = out.map(r => r.getLong(0) -> r.getInt(2)).toMap
+    info(s"fixture flags: ${out.map(_.getLong(0)).mkString(",")}")
+    for (i <- 0L until 5L)
+      assert(flagged.get(i).contains((i % 3).toInt),
+        s"flipped vector $i must be flagged with its true cluster suggested")
+    assert(out.length === 5,
+      s"no false positives on the cohesive fixture, got ${out.length}")
+  }
 }

@@ -485,7 +485,10 @@ class PlanSpec extends SparkSpec {
         ("burst_detect", operators.TimeSeries2.burstDetect(spark, sf), 3),
         // vocab_growth: first-occurrence + two grid-join aggs + result
         // join + grid lag window + output sort
-        ("vocab_growth", operators.TextModel.vocabGrowth(spark, sf), 8))) {
+        ("vocab_growth", operators.TextModel.vocabGrowth(spark, sf), 8),
+        // label-noise: LSH index self-join + candidate distinct +
+        // top_k_by + vote/majority/labels joins (ids-only shuffles)
+        ("label_noise_detect", operators.Similarity.labelNoiseDetect(spark, sf), 6))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
