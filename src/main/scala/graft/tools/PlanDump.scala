@@ -70,7 +70,13 @@ object PlanDump {
     "graph_lpa" ->
       "weighted label propagation: dst-pre-partitioned edge cache — at scale each vote round shuffles only the node-cardinality label table (at this toy SF AQE instead broadcasts the 7 MiB cached edges, the size-based call); argmax is a map-side struct-max, no window",
     "embedding_communities" ->
-      "LSH similarity graph + LPA: candidate pairs are ids-only through the bucket join and distinct; vectors re-join BY ID for the cosine edge; the propagation rounds read the edge cache")
+      "LSH similarity graph + LPA: candidate pairs are ids-only through the bucket join and distinct; vectors re-join BY ID for the cosine edge; the propagation rounds read the edge cache",
+    "bitext_mine" ->
+      "margin mining: the source batch broadcasts against one corpus scan; per-endpoint neighborhoods via bounded-state top_k_by partials (no corpus-keyed window sort); 3-long pair rows in every exchange; TakeOrdered final cut",
+    "seq_patterns" ->
+      "sequential-pattern support: the user×type min/max aggregate is cached PRE-PARTITIONED on user_id, so both self-join sides read co-located partitions — the pair join is type-vocab² per user, never event-quadratic",
+    "label_noise_detect" ->
+      "kNN label voting: bucket-bounded LSH candidates (ids-only), bounded-state top_k_by per-vector top-k, label joins by id — full-corpus coverage with no corpus² stage")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.get(4)
