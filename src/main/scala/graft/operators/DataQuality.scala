@@ -257,4 +257,85 @@ object DataQuality {
       |  round(CAST(dim_rows - unreferenced AS DOUBLE)
       |    / CAST(dim_rows AS DOUBLE), 6) AS coverage
       |FROM rels ORDER BY relationship""".stripMargin
+
+  // ------------------------------------------------------------------
+  // k_anonymity — re-identification audit over quasi-identifiers
+  // ------------------------------------------------------------------
+
+  /** Minimum class size before a row counts as protected. Standard
+    * privacy-audit convention (HIPAA-style small-cell suppression uses
+    * 10-20; k=10 is the common reporting floor). */
+  private val KThreshold = 10L
+
+  /** k-anonymity / l-diversity audit of the customer table before it
+    * may be released or joined into training data: rows sharing a
+    * quasi-identifier tuple (nation, market segment — the attributes an
+    * adversary can link from public context) form an equivalence class;
+    * k-anonymity is the SMALLEST class size, and per-class l-diversity
+    * counts distinct sensitive values (account balance in $1000 bands)
+    * — a class can be large yet still leak if every member shares one
+    * sensitive value. One row per class: size, l, the k<10 risk flag,
+    * plus the corpus-level readout (global k, share of rows in risky
+    * classes) carried on every row so the report is self-contained.
+    *
+    * Exactness: counts and the micro-unit risk share are integers;
+    * balance bands are pmod floor division on exact cents (both
+    * engines' `%` has C semantics, so the shared (x−pmod)/d formula is
+    * identical — the Training.fdiv convention).
+    *
+    * Scale: one customer scan → QI-keyed partial aggregate whose
+    * output is GRID-cardinality (|nations|·|segments| ≤ 125 classes,
+    * bounded by the attribute domains, not rows); the global stats
+    * re-aggregate the class table and broadcast back. The sensitive
+    * dimension rides the same pass as a distinct-count on band — no
+    * second scan, no corpus-cardinality shuffle (the groupBy exchange
+    * carries pre-combined class partials). */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = round($"c_acctbal" * 100, 0).cast("long")
+    val band = ((cents - ((cents % 100000L + 100000L) % 100000L)) / 100000L)
+      .cast("long")
+    val classes = Tables.customer(spark, dir)
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(band).as("l_diversity"))
+    val global = classes.agg(
+      min($"class_size").as("k_anonymity"),
+      sum($"class_size").as("total_rows"),
+      sum(when($"class_size" < KThreshold, $"class_size").otherwise(0L))
+        .as("risky_rows"))
+    classes.crossJoin(broadcast(global))
+      .select($"c_nationkey", $"c_mktsegment",
+        $"class_size", $"l_diversity".cast("int").as("l_diversity"),
+        ($"class_size" < KThreshold).as("is_risky"),
+        $"k_anonymity",
+        (($"risky_rows" * 1000000L - (($"risky_rows" * 1000000L % $"total_rows"
+          + $"total_rows") % $"total_rows")) / $"total_rows").cast("long")
+          .as("risky_share_micro"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
+  val kAnonymitySql: String =
+    """WITH classes AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(count(*) AS BIGINT) AS class_size,
+      |    CAST(count(DISTINCT
+      |      CAST((b - ((b % 100000 + 100000) % 100000)) / 100000 AS BIGINT))
+      |      AS INT) AS l_diversity
+      |  FROM (SELECT *, CAST(round(c_acctbal * 100, 0) AS BIGINT) AS b
+      |        FROM customer)
+      |  GROUP BY c_nationkey, c_mktsegment),
+      |g AS (
+      |  SELECT min(class_size) AS k_anonymity,
+      |    sum(class_size) AS total_rows,
+      |    sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END) AS risky_rows
+      |  FROM classes)
+      |SELECT c_nationkey, c_mktsegment, class_size, l_diversity,
+      |  class_size < 10 AS is_risky,
+      |  CAST(k_anonymity AS BIGINT) AS k_anonymity,
+      |  CAST((risky_rows * 1000000 - ((risky_rows * 1000000 % total_rows
+      |    + total_rows) % total_rows)) / total_rows AS BIGINT)
+      |    AS risky_share_micro
+      |FROM classes CROSS JOIN g
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 }

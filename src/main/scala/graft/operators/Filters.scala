@@ -306,6 +306,116 @@ object Filters {
       |ORDER BY tk.doc_id""".stripMargin
   }
 
+  /** Sliding-window length for [[dedupSubstring]]; matches [[SpanW]]
+    * so the two operators' duplicated-mass numbers are comparable. */
+  private val SubW = 8
+
+  /** Exact SUBSTRING-level duplication audit — the sliding-window
+    * analog of the suffix-array substring dedup of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better"):
+    * every length-8 token window (stride 1, vs [[spanDedup]]'s
+    * disjoint stride-8 grid) is fingerprinted corpus-wide, every
+    * occurrence after the corpus-global first (smallest packed
+    * (doc_id, offset)) is a duplicate, and each document's duplicate
+    * windows are merged into maximal overlapping-or-adjacent runs so
+    * the reported `dup_token_mass` counts each duplicated token ONCE.
+    * This catches SHIFTED boilerplate that the disjoint grid misses
+    * (a copied sentence starting at offset 3 straddles two grid spans
+    * and can evade both) at 8× the window rows — the precision/cost
+    * dial between the two is deliberate. Docs shorter than the window
+    * emit zero windows but still report (left join), so output is
+    * one row per document.
+    *
+    * Scale: the only corpus-cardinality shuffles carry (16-byte md5,
+    * packed long) pairs — never window text; the keeper table is a
+    * min-aggregate with map-side partials; the run merge is a
+    * doc_id-keyed window over ONLY that doc's duplicate offsets
+    * (≤ n_tokens rows per key, document- not corpus-bounded, same
+    * discipline as [[spanExcise]]'s interval merge). Packing requires
+    * n_tokens < 16384 per document — the doc_chunks contract shared
+    * by the span family. */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("t"))
+      .select($"doc_id", size($"t").as("n"), $"t")
+    val wins = docs.filter($"n" >= SubW)
+      .select($"doc_id", $"n", posexplode(expr(
+        s"transform(sequence(0, size(t) - $SubW)," +
+          s" k -> array_join(slice(t, k + 1, $SubW), ' '))")).as(Seq("k", "w")))
+      .select($"doc_id", $"n", $"k", md5($"w").as("fp"),
+        ($"doc_id" * 16384 + $"k").as("pos_key"))
+    val keep = wins.groupBy($"fp").agg(min($"pos_key").as("keep_key"))
+    val dups = wins.join(keep, "fp").filter($"pos_key" > $"keep_key")
+      .select($"doc_id", $"k")
+    // merge overlapping/adjacent windows into runs: ordered by offset,
+    // a window starts a new run iff it clears the previous window's
+    // coverage (equal lengths ⇒ lag(k) is the running coverage max)
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"k")
+    val runs = dups
+      .withColumn("newrun",
+        when(lag($"k", 1).over(byDoc).isNull
+          || $"k" > lag($"k", 1).over(byDoc) + SubW, 1L).otherwise(0L))
+      .withColumn("run", sum($"newrun").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"run")
+      .agg((max($"k") - min($"k") + SubW).as("mass"))
+    val perDoc = dups.groupBy($"doc_id").agg(count(lit(1)).as("ndw"))
+      .join(runs.groupBy($"doc_id").agg(sum($"mass").as("dup_mass")), "doc_id")
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n".as("n_tokens"),
+        greatest($"n" - (SubW - 1), lit(0)).cast("int").as("n_windows"),
+        coalesce($"ndw", lit(0L)).as("n_dup_windows"),
+        coalesce($"dup_mass", lit(0L)).as("dup_token_mass"),
+        round(coalesce($"dup_mass", lit(0L)).cast("double")
+          / $"n".cast("double"), 6).as("dup_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupSubstringSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH t AS (
+      |  SELECT doc_id, $toks AS toks, len($toks) AS n FROM documents),
+      |wins AS (
+      |  SELECT doc_id, n, CAST(k AS INT) AS k,
+      |    md5(array_to_string(toks[k + 1 : k + $SubW], ' ')) AS fp,
+      |    doc_id * 16384 + k AS pos_key
+      |  FROM t, unnest(range(0, n - ${SubW - 1})) r(k)
+      |  WHERE n >= $SubW),
+      |kp AS (SELECT fp, min(pos_key) AS keep_key FROM wins GROUP BY fp),
+      |dup AS (
+      |  SELECT wins.doc_id, k FROM wins JOIN kp ON wins.fp = kp.fp
+      |  WHERE pos_key > keep_key),
+      |fl AS (
+      |  SELECT doc_id, k,
+      |    CASE WHEN lag(k) OVER (PARTITION BY doc_id ORDER BY k) IS NULL
+      |      OR k > lag(k) OVER (PARTITION BY doc_id ORDER BY k) + $SubW
+      |      THEN 1 ELSE 0 END AS newrun
+      |  FROM dup),
+      |rn AS (
+      |  SELECT doc_id, k,
+      |    sum(newrun) OVER (PARTITION BY doc_id ORDER BY k
+      |      ROWS UNBOUNDED PRECEDING) AS run
+      |  FROM fl),
+      |runs AS (
+      |  SELECT doc_id, run, max(k) - min(k) + $SubW AS mass
+      |  FROM rn GROUP BY doc_id, run),
+      |pd AS (
+      |  SELECT d.doc_id, count(*) AS ndw, m.dup_mass
+      |  FROM dup d JOIN (SELECT doc_id, sum(mass) AS dup_mass
+      |                   FROM runs GROUP BY doc_id) m USING (doc_id)
+      |  GROUP BY d.doc_id, m.dup_mass)
+      |SELECT t.doc_id, CAST(t.n AS INT) AS n_tokens,
+      |  CAST(greatest(t.n - ${SubW - 1}, 0) AS INT) AS n_windows,
+      |  CAST(coalesce(pd.ndw, 0) AS BIGINT) AS n_dup_windows,
+      |  CAST(coalesce(pd.dup_mass, 0) AS BIGINT) AS dup_token_mass,
+      |  round(CAST(coalesce(pd.dup_mass, 0) AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+      |    AS dup_ratio
+      |FROM t LEFT JOIN pd USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+  }
+
   val spanDedupSql: String = {
     val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
     s"""WITH t AS (

@@ -598,4 +598,104 @@ object Sampling {
       |ORDER BY b.source""".stripMargin
     sb.toString
   }
+
+  // ------------------------------------------------------------------
+  // dsir_weights — hashed-ngram importance weights (DSIR)
+  // ------------------------------------------------------------------
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much more likely its hashed-ngram features are under a
+    * TARGET distribution (here the English sub-corpus — the domain we
+    * want more of) than under the RAW corpus distribution. The
+    * per-document importance weight is the log-likelihood ratio
+    * log p_target(doc)/p_raw(doc) under bag-of-hashed-unigram models:
+    * w_d = Σ_b count_d(b)·(ln p_t(b) − ln p_r(b)) with Laplace +1
+    * smoothing over the 256-bucket hashed feature space. Selection
+    * keeps documents whose PER-TOKEN ratio is positive (more
+    * target-like than raw — the importance-ratio > 1 criterion; the
+    * full resampling variant would draw ∝ exp(w), this is its
+    * deterministic top-ratio analog).
+    *
+    * Feature hashing is the md5 hex-prefix convention (two chars →
+    * 256 buckets) — reproducible in any engine, no murmur seed drift.
+    * Exactness: both distributions are exact integer counts; each
+    * bucket's ln ratio is ONE fixed double tree over exact longs,
+    * quantized to micro (the pmi_collocations ln idiom); per-doc
+    * weights are then exact integer sums of count·lnr_micro.
+    *
+    * Scale: one corpus pass explodes tokens into (doc_id, bucket)
+    * partial counts — the only corpus-cardinality shuffle, ≤ 256
+    * rows/doc with map-side combine. Both bucket distributions are
+    * 256-row aggregates OF that table (no second scan); the scored
+    * model (256 lnr rows) broadcasts back. Nothing about the plan
+    * changes with corpus size except the one pass. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val docBucket = docs
+      .select($"doc_id", $"lang",
+        explode(filter(split($"text", "\\s+"), t => t =!= "")).as("tok"))
+      .select($"doc_id", $"lang", substring(md5($"tok"), 1, 2).as("bucket"))
+      .groupBy($"doc_id", $"lang", $"bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val raw = docBucket.groupBy($"bucket").agg(sum($"cnt").as("r"))
+    val tgt = docBucket.filter($"lang" === "en")
+      .groupBy($"bucket").agg(sum($"cnt").as("t"))
+    val totals = docBucket.agg(
+      sum($"cnt").as("rtot"),
+      sum(when($"lang" === "en", $"cnt").otherwise(0L)).as("ttot"))
+    val model = raw.join(tgt, Seq("bucket"), "left")
+      .withColumn("t", coalesce($"t", lit(0L)))
+      .crossJoin(broadcast(totals))
+      // each factor casts to double BEFORE the multiply: the longs stay
+      // exact, the IEEE products are deterministic, and no integer
+      // product can overflow at any corpus size
+      .select($"bucket",
+        round(log((($"t" + 1L).cast("double") * ($"rtot" + 256L).cast("double"))
+          / (($"r" + 1L).cast("double") * ($"ttot" + 256L).cast("double"))) * 1e6, 0)
+          .cast("long").as("lnr_micro"))
+    docBucket.join(broadcast(model), "bucket")
+      .groupBy($"doc_id")
+      .agg(first($"lang").as("lang"),
+        sum($"cnt").as("n_tokens"),
+        sum($"cnt" * $"lnr_micro").as("dsir_micro"))
+      .select($"doc_id", $"lang", $"n_tokens", $"dsir_micro",
+        rwFdiv($"dsir_micro", $"n_tokens").as("dsir_per_token_micro"),
+        (rwFdiv($"dsir_micro", $"n_tokens") > 0L).as("selected"))
+      .orderBy($"doc_id")
+  }
+
+  val dsirWeightsSql: String =
+    """WITH db AS (
+      |  SELECT doc_id, lang, substr(md5(tok), 1, 2) AS bucket,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT doc_id, lang, unnest(list_filter(
+      |          string_split_regex(text, '\s+'), t -> t <> '')) AS tok
+      |        FROM documents)
+      |  GROUP BY doc_id, lang, bucket),
+      |raw AS (SELECT bucket, sum(cnt) AS r FROM db GROUP BY bucket),
+      |tgt AS (SELECT bucket, sum(cnt) AS t FROM db
+      |        WHERE lang = 'en' GROUP BY bucket),
+      |tot AS (SELECT sum(cnt) AS rtot,
+      |          sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS ttot
+      |        FROM db),
+      |model AS (
+      |  SELECT raw.bucket,
+      |    CAST(round(ln((CAST(COALESCE(t, 0) + 1 AS DOUBLE) * CAST(rtot + 256 AS DOUBLE))
+      |      / (CAST(r + 1 AS DOUBLE) * CAST(ttot + 256 AS DOUBLE))) * 1e6, 0) AS BIGINT)
+      |      AS lnr_micro
+      |  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot),
+      |scored AS (
+      |  SELECT doc_id, min(lang) AS lang,
+      |    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+      |    CAST(sum(cnt * lnr_micro) AS BIGINT) AS dsir_micro
+      |  FROM db JOIN model USING (bucket)
+      |  GROUP BY doc_id)
+      |SELECT doc_id, lang, n_tokens, dsir_micro,
+      |  CAST((dsir_micro - ((dsir_micro % n_tokens + n_tokens) % n_tokens))
+      |    / n_tokens AS BIGINT) AS dsir_per_token_micro,
+      |  CAST((dsir_micro - ((dsir_micro % n_tokens + n_tokens) % n_tokens))
+      |    / n_tokens AS BIGINT) > 0 AS selected
+      |FROM scored ORDER BY doc_id""".stripMargin
 }

@@ -167,6 +167,231 @@ object Stats {
       .orderBy($"lang", $"source")
   }
 
+  // ------------------------------------------------------------------
+  // anova_oneway — one-way ANOVA F-test over event_type groups
+  // ------------------------------------------------------------------
+
+  /** The event-type vocabulary, pinned in alphabetical order. Explicit
+    * like [[Sampling.sampleStratified]]'s per-stratum cut map: the
+    * per-group moment columns must be a FIXED expression tree so the
+    * cross-group double arithmetic has one deterministic evaluation
+    * order in both engines (the [[Behavior.abTtest]] convention,
+    * generalized from 2 pivoted groups to k). */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** One-way ANOVA of event value across the k event types — the
+    * "does this metric differ by segment at all" omnibus test that
+    * precedes pairwise t-tests (abTtest is the k=2 special case).
+    *
+    * Exactness: per-group n/Σv/Σv² are conditional aggregates over
+    * 4dp-quantized DECIMAL values (exact, order-free in both engines);
+    * the grand moments aggregate unconditionally in the same pass. The
+    * F statistic is then ONE fixed-order scalar double tree over those
+    * 3k+3 exact inputs — between-groups mass as Σ s_g²/n_g − S²/N in
+    * the pinned alphabetical group order. The α=0.05 decision uses
+    * F_crit(k−1, ∞) = χ²_crit(k−1)/(k−1) via the same Wilson–Hilferty
+    * closed form as [[chi2Independence]] — documented approximation,
+    * exact to ~0.4% at dof 4 and valid because dof_within ≫ 10³ at
+    * every SF (the asymptotic denominator regime).
+    *
+    * Scale: one map-side-partial aggregate over the events scan into a
+    * single row; everything after is scalar arithmetic. Nothing
+    * changes at 10⁹ rows but the scan. */
+  def anovaOneway(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = round($"value", 4).cast("decimal(14,4)")
+    val perGroup = EventTypes.flatMap { g =>
+      Seq(
+        sum(when($"event_type" === g, 1L).otherwise(0L)).as(s"n_$g"),
+        sum(when($"event_type" === g, v)).as(s"s_$g"),
+        sum(when($"event_type" === g, v * v)).as(s"ss_$g"))
+    }
+    val grand = Seq(
+      count(lit(1)).as("n"), sum(v).as("s"), sum(v * v).as("ss"))
+    val m = Tables.events(spark, dir).agg(grand.head, (grand.tail ++ perGroup): _*)
+    val k = EventTypes.size
+    val nD = col("n").cast("double")
+    val sD = col("s").cast("double")
+    val ssD = col("ss").cast("double")
+    // fixed-order Σ s_g²/n_g: alphabetical, left-assoc — one tree
+    val sumSq = EventTypes
+      .map(g => col(s"s_$g").cast("double") * col(s"s_$g").cast("double")
+        / col(s"n_$g").cast("double"))
+      .reduceLeft(_ + _)
+    m.select(
+      col("n").cast("long").as("n"), lit(k).as("k"),
+      lit(k - 1).as("dof_between"), (col("n") - k).cast("long").as("dof_within"),
+      round(sD / nD, 6).as("grand_mean"),
+      round(sumSq - sD * sD / nD, 6).as("ss_between"),
+      round(ssD - sumSq, 6).as("ss_within"),
+      round(((sumSq - sD * sD / nD) / lit((k - 1).toDouble))
+        / ((ssD - sumSq) / (nD - lit(k.toDouble))), 6).as("f_stat"),
+      round((sumSq - sD * sD / nD) / (ssD - sD * sD / nD), 6).as("eta_sq"),
+      lit(math.rint(whCrit(k - 1) / (k - 1).toDouble * 1e6) / 1e6).as("f_crit_95"),
+      (((sumSq - sD * sD / nD) / lit((k - 1).toDouble))
+        / ((ssD - sumSq) / (nD - lit(k.toDouble)))
+        > whCrit(k - 1) / (k - 1).toDouble).as("significant_95"))
+  }
+
+  /** Wilson–Hilferty χ² 95th-percentile critical value for integer dof
+    * as a Scala-side double literal (both engines then compare against
+    * the SAME constant — no cross-engine libm exposure at all). */
+  private def whCrit(dof: Int): Double = {
+    val z95 = 1.6448536269514722
+    val d = dof.toDouble
+    val x = 1.0 - 2.0 / (9.0 * d) + z95 * math.sqrt(2.0 / (9.0 * d))
+    d * x * x * x
+  }
+
+  val anovaOnewaySql: String = {
+    val groups = EventTypes.map { g =>
+      s"""    sum(CASE WHEN event_type = '$g' THEN 1 ELSE 0 END) AS n_$g,
+         |    sum(CASE WHEN event_type = '$g' THEN CAST(round(value, 4) AS DECIMAL(14,4)) END) AS s_$g,
+         |    sum(CASE WHEN event_type = '$g' THEN CAST(round(value, 4) AS DECIMAL(14,4))
+         |        * CAST(round(value, 4) AS DECIMAL(14,4)) END) AS ss_$g""".stripMargin
+    }.mkString(",\n")
+    val k = EventTypes.size
+    val sumSq = EventTypes
+      .map(g => s"CAST(s_$g AS DOUBLE) * CAST(s_$g AS DOUBLE) / CAST(n_$g AS DOUBLE)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    val crit = whCrit(k - 1) / (k - 1).toDouble
+    s"""WITH m AS (
+       |  SELECT count(*) AS n,
+       |    sum(CAST(round(value, 4) AS DECIMAL(14,4))) AS s,
+       |    sum(CAST(round(value, 4) AS DECIMAL(14,4))
+       |      * CAST(round(value, 4) AS DECIMAL(14,4))) AS ss,
+       |$groups
+       |  FROM events)
+       |SELECT CAST(n AS BIGINT) AS n, $k AS k,
+       |  ${k - 1} AS dof_between, CAST(n - $k AS BIGINT) AS dof_within,
+       |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS grand_mean,
+       |  round($sumSq - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ss_between,
+       |  round(CAST(ss AS DOUBLE) - $sumSq, 6) AS ss_within,
+       |  round((($sumSq - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / ${(k - 1).toDouble})
+       |    / ((CAST(ss AS DOUBLE) - $sumSq) / (CAST(n AS DOUBLE) - ${k.toDouble})), 6) AS f_stat,
+       |  round(($sumSq - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       |    / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS eta_sq,
+       |  round($crit, 6) AS f_crit_95,
+       |  (($sumSq - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / ${(k - 1).toDouble})
+       |    / ((CAST(ss AS DOUBLE) - $sumSq) / (CAST(n AS DOUBLE) - ${k.toDouble})) > $crit AS significant_95
+       |FROM m""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // spearman_corr — rank correlation via the joint value grid
+  // ------------------------------------------------------------------
+
+  /** Spearman rank correlation (with the Pearson raw-value coefficient
+    * alongside) between l_quantity and l_discount — the monotone-
+    * association readout that survives outliers and nonlinearity,
+    * over two GRID-valued columns (50 quantities × 11 discount steps).
+    *
+    * The trick that makes it exact AND scale-safe: Spearman needs a
+    * global rank, but ranks of a grid-valued column depend only on the
+    * per-value counts. So: one corpus pass → joint (xq, yq, cnt) cells
+    * (≤ 550 rows); marginal cumulative counts over the ≤ 50-row value
+    * grids give each value its midrank as the exact INTEGER doubled
+    * rank 2R = 2·cnt_below + cnt_eq + 1 (ties share the midrank, the
+    * textbook tie treatment — doubling keeps the ½ exact); then every
+    * sum Pearson needs (Σ cnt·2Rx·2Ry …) is exact DECIMAL(38,0)
+    * integer arithmetic over the cell table. ρ is one fixed scalar
+    * double tree over those exact sums (headroom: 4N³ < 10³⁸ holds to
+    * N ≈ 10¹² rows). The cumulative windows are unpartitioned but read
+    * value-grid inputs — the mann_whitney/ks_test pattern, registered
+    * in PlanSpec's grid sweep.
+    *
+    * Scale: one partial-agg scan → grid cells; the corpus never rides
+    * a shuffle wider than (xq, yq) pairs, and nothing downstream grows
+    * with rows. */
+  def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.lineitem(spark, dir)
+      .select(round($"l_quantity", 0).cast("int").as("xq"),
+        round($"l_discount" * 100, 0).cast("int").as("yq"))
+      .groupBy($"xq", $"yq").agg(count(lit(1)).as("cnt"))
+    def midranks(key: String): DataFrame = {
+      val w = Window.orderBy(col(key))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cells.groupBy(col(key)).agg(sum($"cnt").as("ceq"))
+        .withColumn("cb", coalesce(sum($"ceq").over(w), lit(0L)))
+        .select(col(key), (lit(2L) * $"cb" + $"ceq" + 1L).as(s"r2_$key"))
+    }
+    val joined = cells
+      .join(broadcast(midranks("xq")), "xq")
+      .join(broadcast(midranks("yq")), "yq")
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val agg = joined.agg(
+      sum($"cnt").as("n"),
+      countDistinct($"xq").as("ndx"), countDistinct($"yq").as("ndy"),
+      sum(d($"cnt") * d($"r2_xq")).as("sx"),
+      sum(d($"cnt") * d($"r2_yq")).as("sy"),
+      sum(d($"cnt") * d($"r2_xq") * d($"r2_xq")).as("sxx"),
+      sum(d($"cnt") * d($"r2_yq") * d($"r2_yq")).as("syy"),
+      sum(d($"cnt") * d($"r2_xq") * d($"r2_yq")).as("sxy"),
+      sum(d($"cnt") * d($"xq")).as("px"),
+      sum(d($"cnt") * d($"yq")).as("py"),
+      sum(d($"cnt") * d($"xq") * d($"xq")).as("pxx"),
+      sum(d($"cnt") * d($"yq") * d($"yq")).as("pyy"),
+      sum(d($"cnt") * d($"xq") * d($"yq")).as("pxy"))
+    def corr(n: Column, sx: Column, sy: Column,
+             sxx: Column, syy: Column, sxy: Column): Column = {
+      val (nD, sxD, syD) = (n.cast("double"), sx.cast("double"), sy.cast("double"))
+      val (sxxD, syyD, sxyD) = (sxx.cast("double"), syy.cast("double"), sxy.cast("double"))
+      (nD * sxyD - sxD * syD) /
+        sqrt((nD * sxxD - sxD * sxD) * (nD * syyD - syD * syD))
+    }
+    agg.select(
+      $"n".cast("long").as("n"),
+      $"ndx".cast("int").as("n_distinct_x"), $"ndy".cast("int").as("n_distinct_y"),
+      round(corr($"n", $"sx", $"sy", $"sxx", $"syy", $"sxy"), 6).as("spearman_rho"),
+      round(corr($"n", $"px", $"py", $"pxx", $"pyy", $"pxy"), 6).as("pearson_r"))
+  }
+
+  val spearmanCorrSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(round(l_quantity, 0) AS INT) AS xq,
+      |    CAST(round(l_discount * 100, 0) AS INT) AS yq,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |xm AS (
+      |  SELECT xq, 2 * COALESCE(sum(ceq) OVER (ORDER BY xq
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + ceq + 1 AS r2x
+      |  FROM (SELECT xq, sum(cnt) AS ceq FROM cells GROUP BY xq)),
+      |ym AS (
+      |  SELECT yq, 2 * COALESCE(sum(ceq) OVER (ORDER BY yq
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + ceq + 1 AS r2y
+      |  FROM (SELECT yq, sum(cnt) AS ceq FROM cells GROUP BY yq)),
+      |j AS (
+      |  SELECT cells.*, xm.r2x, ym.r2y FROM cells
+      |  JOIN xm USING (xq) JOIN ym USING (yq)),
+      |s AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+      |    count(DISTINCT xq) AS ndx, count(DISTINCT yq) AS ndy,
+      |    sum(CAST(cnt AS HUGEINT) * CAST(r2x AS HUGEINT)) AS sx,
+      |    sum(CAST(cnt AS HUGEINT) * CAST(r2y AS HUGEINT)) AS sy,
+      |    sum(CAST(cnt AS HUGEINT) * CAST(r2x AS HUGEINT) * CAST(r2x AS HUGEINT)) AS sxx,
+      |    sum(CAST(cnt AS HUGEINT) * CAST(r2y AS HUGEINT) * CAST(r2y AS HUGEINT)) AS syy,
+      |    sum(CAST(cnt AS HUGEINT) * CAST(r2x AS HUGEINT) * CAST(r2y AS HUGEINT)) AS sxy,
+      |    sum(CAST(cnt AS HUGEINT) * CAST(xq AS HUGEINT)) AS px,
+      |    sum(CAST(cnt AS HUGEINT) * CAST(yq AS HUGEINT)) AS py,
+      |    sum(CAST(cnt AS HUGEINT) * CAST(xq AS HUGEINT) * CAST(xq AS HUGEINT)) AS pxx,
+      |    sum(CAST(cnt AS HUGEINT) * CAST(yq AS HUGEINT) * CAST(yq AS HUGEINT)) AS pyy,
+      |    sum(CAST(cnt AS HUGEINT) * CAST(xq AS HUGEINT) * CAST(yq AS HUGEINT)) AS pxy
+      |  FROM j)
+      |SELECT n, CAST(ndx AS INT) AS n_distinct_x, CAST(ndy AS INT) AS n_distinct_y,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |    AS spearman_rho,
+      |  round((CAST(n AS DOUBLE) * CAST(pxy AS DOUBLE) - CAST(px AS DOUBLE) * CAST(py AS DOUBLE))
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(pxx AS DOUBLE) - CAST(px AS DOUBLE) * CAST(px AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * CAST(pyy AS DOUBLE) - CAST(py AS DOUBLE) * CAST(py AS DOUBLE))), 6)
+      |    AS pearson_r
+      |FROM s""".stripMargin
+
   val contingencyResidualsSql: String =
     """WITH obs AS (
       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o

@@ -202,4 +202,67 @@ class ChiShardSpec extends SparkSpec {
     assert(streamed === batchKept,
       s"stream/batch mixture gate mismatch")
   }
+
+  test("anova_oneway: brute-force replay of F and the sum-of-squares identity") {
+    val row = Stats.anovaOneway(spark, sf).collect().head
+    val vals = graft.sources.Tables.events(spark, sf)
+      .select($"event_type", round($"value", 4)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val n = vals.length
+    val groups = vals.groupBy(_._1)
+    assert(row.getAs[Long]("n") === n)
+    assert(row.getAs[Int]("k") === groups.size)
+    // brute force with exact BigDecimal moments → double tree
+    val s = BigDecimal(vals.map(v => BigDecimal(v._2)).sum.toString).toDouble
+    val ss = vals.map(v => BigDecimal(v._2) * BigDecimal(v._2)).sum.toDouble
+    val sumSq = groups.toSeq.sortBy(_._1).map { case (_, rows) =>
+      val sg = rows.map(v => BigDecimal(v._2)).sum.toDouble
+      sg * sg / rows.length
+    }.sum
+    val ssb = sumSq - s * s / n
+    val ssw = ss - sumSq
+    val f = (ssb / (groups.size - 1)) / (ssw / (n - groups.size))
+    assert(math.abs(row.getAs[Double]("f_stat") - f) < 1e-4, s"F: $f vs ${row.getAs[Double]("f_stat")}")
+    // partition identity: SSB + SSW = SST (within display rounding)
+    val sst = ss - s * s / n
+    assert(math.abs(row.getAs[Double]("ss_between") + row.getAs[Double]("ss_within") - sst) < 1e-3)
+    val eta = row.getAs[Double]("eta_sq")
+    assert(eta >= 0.0 && eta <= 1.0)
+    assert(math.abs(row.getAs[Double]("f_crit_95") - 2.372) < 0.02,
+      "WH F_crit(4, inf) should be near the true 2.372")
+  }
+
+  test("spearman_corr: exact midrank brute force and range bounds") {
+    val row = Stats.spearmanCorr(spark, sf).collect().head
+    val pts = graft.sources.Tables.lineitem(spark, sf)
+      .select(round($"l_quantity", 0).cast("int"),
+        round($"l_discount" * 100, 0).cast("int")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val n = pts.length
+    assert(row.getAs[Long]("n") === n)
+    def midranks(xs: Seq[Int]): Map[Int, Double] = {
+      val cnt = xs.groupBy(identity).view.mapValues(_.size).toMap
+      cnt.keys.toSeq.sorted.foldLeft((0L, Map.empty[Int, Double])) {
+        case ((below, acc), v) =>
+          (below + cnt(v), acc + (v -> (below + (cnt(v) + 1) / 2.0)))
+      }._2
+    }
+    val rx = midranks(pts.map(_._1).toIndexedSeq)
+    val ry = midranks(pts.map(_._2).toIndexedSeq)
+    def pearson(xs: Seq[Double], ys: Seq[Double]): Double = {
+      val nD = xs.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(x => x * x).sum
+      val syy = ys.map(y => y * y).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      (nD * sxy - sx * sy) / math.sqrt((nD * sxx - sx * sx) * (nD * syy - sy * sy))
+    }
+    val rho = pearson(pts.map(p => rx(p._1)).toIndexedSeq, pts.map(p => ry(p._2)).toIndexedSeq)
+    assert(math.abs(row.getAs[Double]("spearman_rho") - rho) < 1e-4,
+      s"rho: $rho vs ${row.getAs[Double]("spearman_rho")}")
+    assert(math.abs(row.getAs[Double]("spearman_rho")) <= 1.0)
+    assert(math.abs(row.getAs[Double]("pearson_r")) <= 1.0)
+    assert(row.getAs[Int]("n_distinct_x") === pts.map(_._1).distinct.length)
+    assert(row.getAs[Int]("n_distinct_y") === pts.map(_._2).distinct.length)
+  }
 }

@@ -488,7 +488,21 @@ class PlanSpec extends SparkSpec {
         ("vocab_growth", operators.TextModel.vocabGrowth(spark, sf), 8),
         // label-noise: LSH index self-join + candidate distinct +
         // top_k_by + vote/majority/labels joins (ids-only shuffles)
-        ("label_noise_detect", operators.Similarity.labelNoiseDetect(spark, sf), 6))) {
+        ("label_noise_detect", operators.Similarity.labelNoiseDetect(spark, sf), 6),
+        // anova: ONE map-side-partial aggregate into a single row
+        ("anova_oneway", operators.Stats.anovaOneway(spark, sf), 1),
+        // spearman: joint-cell agg + two grid cumsum windows (single-
+        // partition exchanges over ≤50-row grids) + final one-row agg;
+        // the cell subtree re-prints under both marginals
+        ("spearman_corr", operators.Stats.spearmanCorr(spark, sf), 9),
+        // k_anonymity: QI grid agg + grid re-agg + output sort
+        ("k_anonymity", operators.DataQuality.kAnonymity(spark, sf), 5),
+        // dsir: ONE (doc_id,bucket) partial-count exchange feeds
+        // everything; the 256-row model aggs re-print that subtree
+        ("dsir_weights", operators.Sampling.dsirWeights(spark, sf), 10),
+        // substring dedup: fp keeper agg + fp join + per-doc run
+        // window + per-doc aggs + report join + sort (ids/md5 only)
+        ("dedup_substring", operators.Filters.dedupSubstring(spark, sf), 7))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
@@ -515,6 +529,7 @@ class PlanSpec extends SparkSpec {
     // input is counted below and must stay under the grid bound.
     val gridBounded = Map(
       "mann_whitney_u" -> "tie-group table: one row per distinct rounded value",
+      "spearman_corr" -> "midrank cumsum: one row per distinct quantity/discount value",
       "ks_test" -> "tie-group table: one row per distinct rounded value",
       "token_coverage" -> "vocabulary rank: one row per distinct token",
       "zipf_fit" -> "vocabulary rank: one row per distinct token",

