@@ -51,7 +51,8 @@ object Bench {
     "coreset_kcenter", "bitext_mine", "seq_patterns",
     "burst_detect", "vocab_growth", "label_noise_detect",
     // round-7 fourth batch: omnibus/rank statistics + selection/dedup
-    "anova_oneway", "spearman_corr", "dsir_weights", "dedup_substring")
+    "anova_oneway", "spearman_corr", "kendall_tau",
+    "dsir_weights", "dedup_substring")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

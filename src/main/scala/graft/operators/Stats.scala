@@ -303,13 +303,21 @@ object Stats {
     * Scale: one partial-agg scan → grid cells; the corpus never rides
     * a shuffle wider than (xq, yq) pairs, and nothing downstream grows
     * with rows. */
-  def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared joint value grid for the rank-statistics pair
+    * ([[spearmanCorr]], [[kendallTau]]): quantity × discount cell
+    * counts, ≤ 50·11 rows at any corpus size. */
+  private def qdCells(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val cells = Tables.lineitem(spark, dir)
+    Tables.lineitem(spark, dir)
       .select(round($"l_quantity", 0).cast("int").as("xq"),
         round($"l_discount" * 100, 0).cast("int").as("yq"))
       .groupBy($"xq", $"yq").agg(count(lit(1)).as("cnt"))
+  }
+
+  def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cells = qdCells(spark, dir)
     def midranks(key: String): DataFrame = {
       val w = Window.orderBy(col(key))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -391,6 +399,100 @@ object Stats {
       |      * (CAST(n AS DOUBLE) * CAST(pyy AS DOUBLE) - CAST(py AS DOUBLE) * CAST(py AS DOUBLE))), 6)
       |    AS pearson_r
       |FROM s""".stripMargin
+
+  // ------------------------------------------------------------------
+  // kendall_tau — tau-b from the joint grid's cell-pair table
+  // ------------------------------------------------------------------
+
+  /** Kendall's τ-b between l_quantity and l_discount — the
+    * concordant-vs-discordant pair view of the same monotone
+    * association [[spearmanCorr]] measures through ranks (τ is the
+    * probability-of-agreement scale statisticians prefer for heavily
+    * tied data; reporting both is standard practice).
+    *
+    * Naively τ is an O(n²) pair statistic; over grid-valued columns
+    * every pair count is a product of CELL counts, so the whole
+    * statistic collapses to a ≤550² cell-pair join — grid², corpus-
+    * independent. Concordant mass C = Σ_{x₁<x₂, y₁<y₂} c₁·c₂,
+    * discordant D likewise with y₁>y₂ (each unordered pair counted
+    * once via the x₁<x₂ guard); tie masses n₁/n₂ come from the
+    * marginal counts, n₀ = n(n−1)/2. τ-b = (C−D)/√((n₀−n₁)(n₀−n₂)).
+    * All masses are exact DECIMAL(38,0)/HUGEINT integer sums (c₁·c₂
+    * products cast before multiply); τ is one fixed double tree.
+    *
+    * Scale: one partial-agg scan → cells; the pair join is a
+    * broadcast nested loop over TWO grid-sized sides (bounded by the
+    * value domains); marginal/tie aggregates re-read the cell table.
+    * Nothing downstream of the scan grows with rows. */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = qdCells(spark, dir)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val a = cells.select($"xq".as("x1"), $"yq".as("y1"), $"cnt".as("c1"))
+    val b = cells.select($"xq".as("x2"), $"yq".as("y2"), $"cnt".as("c2"))
+    val pairs = a.join(broadcast(b), $"x1" < $"x2")
+      .agg(
+        sum(when($"y1" < $"y2", d($"c1") * d($"c2")).otherwise(d(lit(0))))
+          .as("conc"),
+        sum(when($"y1" > $"y2", d($"c1") * d($"c2")).otherwise(d(lit(0))))
+          .as("disc"))
+    val marg = cells.agg(
+      sum($"cnt").as("n"),
+      // n1/n2 need marginal counts: Σ_x (Σ_y cnt)·(Σ_y cnt − 1)/2 —
+      // computed from per-x/per-y re-aggregates below
+      countDistinct($"xq").as("ndx"), countDistinct($"yq").as("ndy"))
+    val tiesX = cells.groupBy($"xq").agg(sum($"cnt").as("cx"))
+      .agg(sum(d($"cx") * d($"cx" - 1) / 2).cast("decimal(38,0)").as("n1"))
+    val tiesY = cells.groupBy($"yq").agg(sum($"cnt").as("cy"))
+      .agg(sum(d($"cy") * d($"cy" - 1) / 2).cast("decimal(38,0)").as("n2"))
+    pairs.crossJoin(broadcast(marg)).crossJoin(broadcast(tiesX))
+      .crossJoin(broadcast(tiesY))
+      .select(
+        $"n".cast("long").as("n"),
+        $"ndx".cast("int").as("n_distinct_x"), $"ndy".cast("int").as("n_distinct_y"),
+        $"conc".cast("long").as("concordant"),
+        $"disc".cast("long").as("discordant"),
+        $"n1".cast("long").as("ties_x"), $"n2".cast("long").as("ties_y"),
+        round(($"conc".cast("double") - $"disc".cast("double"))
+          / sqrt((d($"n") * d($"n" - 1) / 2).cast("double") - $"n1".cast("double"))
+          / sqrt((d($"n") * d($"n" - 1) / 2).cast("double") - $"n2".cast("double")), 6)
+          .as("tau_b"))
+  }
+
+  val kendallTauSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(round(l_quantity, 0) AS INT) AS xq,
+      |    CAST(round(l_discount * 100, 0) AS INT) AS yq,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT
+      |    sum(CASE WHEN a.yq < b.yq
+      |      THEN CAST(a.cnt AS HUGEINT) * CAST(b.cnt AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS conc,
+      |    sum(CASE WHEN a.yq > b.yq
+      |      THEN CAST(a.cnt AS HUGEINT) * CAST(b.cnt AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS disc
+      |  FROM cells a JOIN cells b ON a.xq < b.xq),
+      |marg AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+      |    count(DISTINCT xq) AS ndx, count(DISTINCT yq) AS ndy
+      |  FROM cells),
+      |tx AS (
+      |  SELECT sum(CAST(cx AS HUGEINT) * CAST(cx - 1 AS HUGEINT) // 2) AS n1
+      |  FROM (SELECT sum(cnt) AS cx FROM cells GROUP BY xq)),
+      |ty AS (
+      |  SELECT sum(CAST(cy AS HUGEINT) * CAST(cy - 1 AS HUGEINT) // 2) AS n2
+      |  FROM (SELECT sum(cnt) AS cy FROM cells GROUP BY yq))
+      |SELECT n, CAST(ndx AS INT) AS n_distinct_x, CAST(ndy AS INT) AS n_distinct_y,
+      |  CAST(conc AS BIGINT) AS concordant, CAST(disc AS BIGINT) AS discordant,
+      |  CAST(n1 AS BIGINT) AS ties_x, CAST(n2 AS BIGINT) AS ties_y,
+      |  round((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+      |    / sqrt(CAST(CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT) // 2 AS DOUBLE)
+      |      - CAST(n1 AS DOUBLE))
+      |    / sqrt(CAST(CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT) // 2 AS DOUBLE)
+      |      - CAST(n2 AS DOUBLE)), 6) AS tau_b
+      |FROM pairs CROSS JOIN marg CROSS JOIN tx CROSS JOIN ty""".stripMargin
 
   val contingencyResidualsSql: String =
     """WITH obs AS (

@@ -232,6 +232,31 @@ class ChiShardSpec extends SparkSpec {
       "WH F_crit(4, inf) should be near the true 2.372")
   }
 
+  test("kendall_tau: exact O(n²) pair brute force") {
+    val row = Stats.kendallTau(spark, sf).collect().head
+    val pts = graft.sources.Tables.lineitem(spark, sf)
+      .select(round($"l_quantity", 0).cast("int"),
+        round($"l_discount" * 100, 0).cast("int")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    var conc = 0L; var disc = 0L
+    for (i <- pts.indices; j <- (i + 1) until pts.length) {
+      val dx = pts(i)._1.compareTo(pts(j)._1)
+      val dy = pts(i)._2.compareTo(pts(j)._2)
+      if (dx != 0 && dy != 0) { if (dx == dy) conc += 1 else disc += 1 }
+    }
+    assert(row.getAs[Long]("concordant") === conc)
+    assert(row.getAs[Long]("discordant") === disc)
+    val n = pts.length.toLong
+    val n0 = n * (n - 1) / 2
+    val n1 = pts.groupBy(_._1).values.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    val n2 = pts.groupBy(_._2).values.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    assert(row.getAs[Long]("ties_x") === n1)
+    assert(row.getAs[Long]("ties_y") === n2)
+    val tau = (conc - disc).toDouble / math.sqrt((n0 - n1).toDouble) / math.sqrt((n0 - n2).toDouble)
+    assert(math.abs(row.getAs[Double]("tau_b") - tau) < 1e-5)
+    assert(math.abs(row.getAs[Double]("tau_b")) <= 1.0)
+  }
+
   test("spearman_corr: exact midrank brute force and range bounds") {
     val row = Stats.spearmanCorr(spark, sf).collect().head
     val pts = graft.sources.Tables.lineitem(spark, sf)

@@ -495,6 +495,9 @@ class PlanSpec extends SparkSpec {
         // partition exchanges over ≤50-row grids) + final one-row agg;
         // the cell subtree re-prints under both marginals
         ("spearman_corr", operators.Stats.spearmanCorr(spark, sf), 9),
+        // kendall: cell agg re-printed under the pair join + the two
+        // tie re-aggs + marginal agg — all grid-sized exchanges
+        ("kendall_tau", operators.Stats.kendallTau(spark, sf), 10),
         // k_anonymity: QI grid agg + grid re-agg + output sort
         ("k_anonymity", operators.DataQuality.kAnonymity(spark, sf), 5),
         // dsir: ONE (doc_id,bucket) partial-count exchange feeds
