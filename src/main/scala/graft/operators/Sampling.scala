@@ -603,6 +603,76 @@ object Sampling {
   // dsir_weights — hashed-ngram importance weights (DSIR)
   // ------------------------------------------------------------------
 
+  /** (doc_id, lang, bucket, cnt) hashed-feature counts — the shared
+    * input of the DSIR model and the per-doc scoring join. */
+  private def dsirBuckets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select($"doc_id", $"lang",
+        explode(filter(split($"text", "\\s+"), t => t =!= "")).as("tok"))
+      .select($"doc_id", $"lang", substring(md5($"tok"), 1, 2).as("bucket"))
+      .groupBy($"doc_id", $"lang", $"bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The 256-row DSIR bucket model (bucket → micro ln ratio) as a
+    * frame, built from one pass over `docs`. */
+  private def dsirModelDf(docBucket: DataFrame): DataFrame = {
+    val spark = docBucket.sparkSession
+    import spark.implicits._
+    val raw = docBucket.groupBy($"bucket").agg(sum($"cnt").as("r"))
+    val tgt = docBucket.filter($"lang" === "en")
+      .groupBy($"bucket").agg(sum($"cnt").as("t"))
+    val totals = docBucket.agg(
+      sum($"cnt").as("rtot"),
+      sum(when($"lang" === "en", $"cnt").otherwise(0L)).as("ttot"))
+    raw.join(tgt, Seq("bucket"), "left")
+      .withColumn("t", coalesce($"t", lit(0L)))
+      .crossJoin(broadcast(totals))
+      // each factor casts to double BEFORE the multiply: the longs stay
+      // exact, the IEEE products are deterministic, and no integer
+      // product can overflow at any corpus size
+      .select($"bucket",
+        round(log((($"t" + 1L).cast("double") * ($"rtot" + 256L).cast("double"))
+          / (($"r" + 1L).cast("double") * ($"ttot" + 256L).cast("double"))) * 1e6, 0)
+          .cast("long").as("lnr_micro"))
+  }
+
+  /** The trained model collected as a literal bucket → lnr_micro map —
+    * O(256) driver traffic, the streaming gate's scoring constant. */
+  private[graft] def dsirModelOf(docs: DataFrame): Map[String, Long] =
+    dsirModelDf(dsirBuckets(docs)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Literal-model DSIR scoring: a PURE PER-ROW map (fold of map
+    * lookups over the token array — no explode, no shuffle, no state),
+    * so the identical projection serves batch re-scoring and the
+    * streaming admission gate, bit-identical to [[dsirWeights]]'
+    * distributed groupBy path (Σ over occurrences ≡ Σ over buckets of
+    * cnt·lnr; spec-asserted). Buckets are total over the md5 hex
+    * space by construction of the model ONLY when the model saw every
+    * bucket the scored text produces — true when scoring the training
+    * corpus itself (the gate's contract: the snapshot trains, the
+    * stream replays the same corpus); a genuinely novel bucket would
+    * surface as a null sum, loudly, not as a silent wrong score. */
+  private[graft] def dsirScore(docs: DataFrame, model: Map[String, Long]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = filter(split($"text", "\\s+"), t => t =!= "")
+    docs
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("dsir_micro",
+        aggregate(
+          transform($"toks",
+            t => element_at(typedlit(model), substring(md5(t), 1, 2))),
+          lit(0L), (acc, x) => acc + x))
+      .select($"doc_id", $"lang", $"n_tokens", $"dsir_micro",
+        rwFdiv($"dsir_micro", $"n_tokens").as("dsir_per_token_micro"),
+        (rwFdiv($"dsir_micro", $"n_tokens") > 0L).as("selected"))
+  }
+
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document
     * by how much more likely its hashed-ngram features are under a
@@ -632,29 +702,8 @@ object Sampling {
     * changes with corpus size except the one pass. */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    val docBucket = docs
-      .select($"doc_id", $"lang",
-        explode(filter(split($"text", "\\s+"), t => t =!= "")).as("tok"))
-      .select($"doc_id", $"lang", substring(md5($"tok"), 1, 2).as("bucket"))
-      .groupBy($"doc_id", $"lang", $"bucket")
-      .agg(count(lit(1)).as("cnt"))
-    val raw = docBucket.groupBy($"bucket").agg(sum($"cnt").as("r"))
-    val tgt = docBucket.filter($"lang" === "en")
-      .groupBy($"bucket").agg(sum($"cnt").as("t"))
-    val totals = docBucket.agg(
-      sum($"cnt").as("rtot"),
-      sum(when($"lang" === "en", $"cnt").otherwise(0L)).as("ttot"))
-    val model = raw.join(tgt, Seq("bucket"), "left")
-      .withColumn("t", coalesce($"t", lit(0L)))
-      .crossJoin(broadcast(totals))
-      // each factor casts to double BEFORE the multiply: the longs stay
-      // exact, the IEEE products are deterministic, and no integer
-      // product can overflow at any corpus size
-      .select($"bucket",
-        round(log((($"t" + 1L).cast("double") * ($"rtot" + 256L).cast("double"))
-          / (($"r" + 1L).cast("double") * ($"ttot" + 256L).cast("double"))) * 1e6, 0)
-          .cast("long").as("lnr_micro"))
+    val docBucket = dsirBuckets(Tables.documents(spark, dir))
+    val model = dsirModelDf(docBucket)
     docBucket.join(broadcast(model), "bucket")
       .groupBy($"doc_id")
       .agg(first($"lang").as("lang"),

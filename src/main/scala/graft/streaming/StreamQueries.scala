@@ -391,6 +391,39 @@ object StreamQueries {
   val streamClusterRouteSql: String =
     graft.operators.Training.clusterRouteSql
 
+  /** The DSIR importance model run as a STREAMING admission gate — the
+    * distribution-matching sibling of [[streamClassifierGate]] (that
+    * gate learns a discriminative boundary; this one admits by
+    * target/raw likelihood ratio): the 256-bucket hashed-ngram model
+    * trains in batch over the static snapshot (O(256) collected once),
+    * then every arriving document is scored by a literal-map fold over
+    * its tokens — a pure per-row map, zero state, zero watermark, so
+    * the identical scoring projection serves batch and stream
+    * (Σ over token occurrences ≡ Σ over buckets of cnt·lnr — the
+    * grouped and folded forms are the same exact integer) and the
+    * append-mode output hash-matches [[Sampling.dsirWeights]]' batch
+    * oracle. At scale admission never touches another row; the model
+    * is a broadcast-free 256-entry literal.
+    */
+  def streamDsirGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val inDir = tmp("graft_sq_dsirgate")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$inDir/documents.parquet"))
+    val name = uniqueName("sq_dsirgate")
+    val static = spark.read.parquet(inDir)
+    val model = Sampling.dsirModelOf(static)
+    val stream = spark.readStream.schema(static.schema).parquet(inDir)
+    val q = Sampling.dsirScore(stream, model)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name).orderBy($"doc_id")
+  }
+
+  val streamDsirGateSql: String = graft.operators.Sampling.dsirWeightsSql
+
   /** Stream × snapshot ENRICHMENT — the reference-data join every CDC
     * deployment runs: a dimension table maintained as a
     * [[graft.sinks.SnapshotTable]] (here: latest-wins user state from

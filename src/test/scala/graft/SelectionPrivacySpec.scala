@@ -57,6 +57,18 @@ class SelectionPrivacySpec extends SparkSpec {
     assert(en.exists(_.getAs[Boolean]("selected")), "some en doc selected")
   }
 
+  test("dsir literal-model fold equals the distributed groupBy path bit-for-bit") {
+    // operator interchangeability: the per-row scoring map the
+    // streaming gate uses must equal the batch explode+groupBy result
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val model = Sampling.dsirModelOf(docs)
+    assert(model.nonEmpty && model.size <= 256)
+    val folded = Sampling.dsirScore(docs, model)
+      .orderBy($"doc_id").collect().map(_.toSeq)
+    val grouped = Sampling.dsirWeights(spark, sf).collect().map(_.toSeq)
+    assert(folded.toSeq === grouped.toSeq)
+  }
+
   test("k_anonymity: class partition invariants and the global readout") {
     val rows = DataQuality.kAnonymity(spark, sf).collect()
     val cust = graft.sources.Tables.customer(spark, sf)
