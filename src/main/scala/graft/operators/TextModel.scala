@@ -473,6 +473,60 @@ object TextModel {
       .orderBy($"doc_id")
   }
 
+  /** Tokenizer FERTILITY by language — the per-language cost of a
+    * shared tokenizer (tokens emitted per word, and chars per token):
+    * the standard multilingual-tokenizer bias readout. A BPE vocabulary
+    * trained on a mixed corpus learns the dominant language's merges,
+    * so under-represented languages fragment into more tokens per word
+    * — they pay more sequence length for the same text, which skews
+    * both training cost and effective context. This runs the SAME
+    * trained word table as [[bpeTokenize]] but aggregates per lang:
+    * n_docs·words·chars·bpe-token masses, fertility = tokens/word,
+    * compression = chars/token.
+    *
+    * Scale: identical shape to bpeTokenize (vocabulary-sized build
+    * side broadcast into one corpus scan), with a |langs|-row output
+    * aggregate instead of per-doc. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = bpeTrainCore(spark, dir)._2
+    val wlen = words.select($"w", size($"syms").cast("long").as("n_syms"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("w"))
+      .join(wlen, "w")
+      .groupBy($"lang")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(length($"w").cast("long")).as("n_chars"),
+        sum($"n_syms").as("n_bpe_tokens"))
+      .select($"lang", $"n_docs", $"n_words", $"n_chars", $"n_bpe_tokens",
+        round($"n_bpe_tokens".cast("double") / $"n_words".cast("double"), 6)
+          .as("fertility"),
+        round($"n_chars".cast("double") / $"n_bpe_tokens".cast("double"), 6)
+          .as("chars_per_token"))
+      .orderBy($"lang")
+  }
+
+  val tokenizerFertilitySql: String =
+    bpeTrainChainSql +
+      s""",
+         |wl AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_syms FROM wd$BpeMerges),
+         |dw AS (
+         |  SELECT doc_id, lang,
+         |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+         |  FROM documents)
+         |SELECT lang,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(length(dw.w)) AS BIGINT) AS n_chars,
+         |  CAST(sum(wl.n_syms) AS BIGINT) AS n_bpe_tokens,
+         |  round(CAST(sum(wl.n_syms) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |    AS fertility,
+         |  round(CAST(sum(length(dw.w)) AS DOUBLE)
+         |    / CAST(sum(wl.n_syms) AS DOUBLE), 6) AS chars_per_token
+         |FROM dw JOIN wl ON dw.w = wl.w
+         |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Replay: the training chain's final word table joined back to the
     * per-document word explode.
     */

@@ -206,4 +206,20 @@ class TextModelSpec extends SparkSpec {
       assert(fin.getLong(5) === vocabDirect(src), s"$src final cum_vocab")
     }
   }
+
+  test("tokenizer_fertility: per-lang masses reconcile with per-doc bpe_tokenize") {
+    val byLang = TextModel.tokenizerFertility(spark, sf).collect()
+    val perDoc = TextModel.bpeTokenize(spark, sf).collect()
+    // same trained word table ⇒ identical corpus-wide token masses
+    assert(byLang.map(_.getAs[Long]("n_bpe_tokens")).sum ===
+      perDoc.map(_.getAs[Long]("n_bpe_tokens")).sum)
+    assert(byLang.map(_.getAs[Long]("n_words")).sum ===
+      perDoc.map(_.getAs[Long]("n_words")).sum)
+    assert(byLang.map(_.getAs[Long]("n_docs")).sum === perDoc.length)
+    byLang.foreach { r =>
+      assert(r.getAs[Double]("fertility") >= 1.0,
+        s"${r.getAs[String]("lang")}: a word is at least one BPE token")
+      assert(r.getAs[Double]("chars_per_token") >= 1.0)
+    }
+  }
 }
