@@ -52,7 +52,8 @@ object Bench {
     "burst_detect", "vocab_growth", "label_noise_detect",
     // round-7 fourth batch: omnibus/rank statistics + selection/dedup
     "anova_oneway", "spearman_corr", "kendall_tau",
-    "dsir_weights", "dedup_substring", "tokenizer_fertility")
+    "dsir_weights", "dedup_substring", "tokenizer_fertility",
+    "multimodal_ahash_dedup")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

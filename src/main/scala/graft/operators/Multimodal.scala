@@ -248,4 +248,182 @@ object Multimodal {
       |  CAST(max(fmax) AS BIGINT) AS max_byte,
       |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes
       |FROM f GROUP BY media_format ORDER BY media_format""".stripMargin
+
+  // ------------------------------------------------------------------
+  // multimodal_ahash_dedup — average-hash near-dup over binary payloads
+  // ------------------------------------------------------------------
+
+  private val AhashBits = 64
+  private val AhashBands = 4 // 4 × 16-bit segments, hamming ≤ 3 pigeonholes
+  private val HamMax = 3
+
+  val ahashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media_format", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("b0", IntegerType), StructField("b1", IntegerType),
+    StructField("b2", IntegerType), StructField("b3", IntegerType)))
+
+  /** 64-bit AVERAGE HASH of each payload's DECODED content, emitted as
+    * 4 × 16-bit band ints: the stub decode strips the container header
+    * (`MEDIA:fmt:` — a real decoder discards container framing the
+    * same way, which is what makes perceptual hashing robust to
+    * re-encodes), then the content byte range splits into 64 equal
+    * blocks (boundaries ⌊b·n/64⌋) and bit b is set iff that block's
+    * byte mean exceeds the global mean (integer cross-multiply — no
+    * division). This is exactly the aHash fingerprint algorithm with
+    * pixels stubbed by content bytes per the [[decodeStub]] contract;
+    * the banding/dedup plumbing around it is the real, scale-relevant
+    * part. Runs as the same batch iterator→iterator byte kernel as
+    * [[decodeStub]].
+    */
+  private def ahashSigs(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(ahashSchema)
+    media.select("doc_id", "media_format", "media_bytes")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val raw = r.getAs[Array[Byte]]("media_bytes")
+          // stub decode: skip the 'MEDIA:' + fmt + ':' container header
+          val skip = 7 + r.getAs[String]("media_format").length
+          val bytes = java.util.Arrays.copyOfRange(raw, skip, raw.length)
+          val n = bytes.length
+          var total = 0L
+          var i = 0
+          while (i < n) { total += bytes(i) & 0xFF; i += 1 }
+          val bands = new Array[Int](AhashBands)
+          var b = 0
+          while (b < AhashBits) {
+            val s = b * n / AhashBits
+            val e = (b + 1) * n / AhashBits
+            var bs = 0L
+            var j = s
+            while (j < e) { bs += bytes(j) & 0xFF; j += 1 }
+            // block mean > global mean ⇔ bs·n > total·len (exact ints)
+            if (bs * n > total * (e - s))
+              bands(b / 16) |= 1 << (b % 16)
+            b += 1
+          }
+          Row(r.getAs[Long]("doc_id"), r.getAs[String]("media_format"),
+            n, bands(0), bands(1), bands(2), bands(3))
+        }
+      }(enc)
+  }
+
+  /** Near-duplicate media by perceptual-hash banding — the multimodal
+    * analog of [[Dedup.dedupSimhash]] (same pigeonhole: hamming ≤ 3
+    * over 64 bits ⇒ at least one of 4 16-bit bands equal): candidate
+    * pairs from band-equality buckets (skew-capped at 256 like the
+    * simhash segments — a degenerate all-alike corpus can't go
+    * quadratic), exact hamming over the 4 band xors settles each pair.
+    * Catches the same asset re-encoded under a different container
+    * (here: the same text payload under a different format prefix
+    * shifts every block boundary slightly — a few bits flip, the pair
+    * survives at distance ≤ 3), which byte-exact hashing misses.
+    *
+    * Scale: signatures are 4 ints/doc; buckets/pairs carry ids and
+    * band ints only — the payload never leaves its scan. One
+    * signature pass, one banded self-join, one distinct. */
+  def multimodalAhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // plant the two failure modes the operator exists to catch, so the
+    // detection paths run at every SF (the dq_report planted-corruption
+    // convention): the smallest doc RE-ENCODED under a rotated format
+    // (decoded content identical ⇒ hamming 0) and the second-smallest
+    // with a one-byte content edit (near, not equal ⇒ 0 < hamming ≤ 3)
+    val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val reenc = base.orderBy($"doc_id").limit(1)
+      .select(($"doc_id" + 1000000000L).as("doc_id"), $"text")
+    val edited = base.orderBy($"doc_id").limit(2).offset(1)
+      .select(($"doc_id" + 2000000000L).as("doc_id"),
+        concat(lit("X"), substring($"text", 2, 1 << 24)).as("text"))
+    val sigs = ahashSigs(withMedia(base.unionByName(reenc).unionByName(edited)))
+      .select($"doc_id", $"media_format", $"b0", $"b1", $"b2", $"b3",
+        explode(array((0 until AhashBands).map { s =>
+          struct(lit(s).as("seg"), col(s"b$s").as("seg_val"))
+        }: _*)).as("sk"))
+      .select($"doc_id", $"media_format", $"b0", $"b1", $"b2", $"b3",
+        $"sk.seg".as("seg"), $"sk.seg_val".as("seg_val"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = sigs
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"seg", $"seg_val")))
+      .filter($"bucket_n" <= 256)
+    val ham = (0 until AhashBands)
+      .map(s => bit_count(col(s"a.b$s").bitwiseXOR(col(s"b.b$s"))))
+      .reduce(_ + _)
+    capped.as("a")
+      .join(capped.as("b"),
+        $"a.seg" === $"b.seg" && $"a.seg_val" === $"b.seg_val"
+          && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"),
+        $"a.media_format".as("format_i"), $"b.media_format".as("format_j"),
+        ham.cast("int").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= HamMax)
+      .orderBy($"i", $"j")
+  }
+
+  val multimodalAhashDedupSql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |pl AS (
+      |  SELECT doc_id + 1000000000 AS doc_id, text
+      |  FROM base ORDER BY doc_id LIMIT 1),
+      |pe AS (
+      |  SELECT doc_id + 2000000000 AS doc_id, 'X' || substr(text, 2) AS text
+      |  FROM base ORDER BY doc_id LIMIT 1 OFFSET 1),
+      |p AS (
+      |  SELECT doc_id,
+      |    ['png','jpeg','wav'][CAST(doc_id % 3 + 1 AS INT)] AS fmt,
+      |    text AS s
+      |  FROM (SELECT * FROM base
+      |        UNION ALL SELECT * FROM pl
+      |        UNION ALL SELECT * FROM pe)),
+      |codes AS (
+      |  SELECT doc_id, fmt, length(s) AS n,
+      |    list_transform(split(s, ''), c -> CAST(unicode(c) AS BIGINT)) AS cs
+      |  FROM p),
+      |tot AS (
+      |  SELECT doc_id, fmt, n, cs,
+      |    list_reduce(cs, (a, b) -> a + b) AS total
+      |  FROM codes),
+      |bits AS (
+      |  SELECT doc_id, fmt,
+      |    list_transform(range(0, 64), b ->
+      |      CASE WHEN (CASE WHEN ((b + 1) * n) // 64 > (b * n) // 64
+      |          THEN list_reduce(
+      |            cs[(b * n) // 64 + 1 : ((b + 1) * n) // 64], (a, c) -> a + c)
+      |          ELSE 0 END)
+      |          * n > total * (((b + 1) * n) // 64 - (b * n) // 64)
+      |        THEN 1 ELSE 0 END) AS bv
+      |  FROM tot),
+      |bands AS (
+      |  SELECT doc_id, fmt,
+      |    CAST(list_reduce(list_transform(range(0, 16),
+      |      i -> bv[CAST(i AS INT) + 1] << CAST(i AS INT)), (a, b) -> a + b) AS INT) AS b0,
+      |    CAST(list_reduce(list_transform(range(0, 16),
+      |      i -> bv[CAST(i AS INT) + 17] << CAST(i AS INT)), (a, b) -> a + b) AS INT) AS b1,
+      |    CAST(list_reduce(list_transform(range(0, 16),
+      |      i -> bv[CAST(i AS INT) + 33] << CAST(i AS INT)), (a, b) -> a + b) AS INT) AS b2,
+      |    CAST(list_reduce(list_transform(range(0, 16),
+      |      i -> bv[CAST(i AS INT) + 49] << CAST(i AS INT)), (a, b) -> a + b) AS INT) AS b3
+      |  FROM bits),
+      |segs AS (
+      |  SELECT doc_id, fmt, b0, b1, b2, b3, s.seg,
+      |    CASE s.seg WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS seg_val
+      |  FROM bands, (SELECT unnest(range(0, 4)) AS seg) s),
+      |capped AS (
+      |  SELECT * FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY seg, seg_val) AS bucket_n
+      |    FROM segs)
+      |  WHERE bucket_n <= 256),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+      |    a.fmt AS format_i, b.fmt AS format_j,
+      |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      |      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS INT)
+      |      AS hamming
+      |  FROM capped a JOIN capped b
+      |    ON a.seg = b.seg AND a.seg_val = b.seg_val AND a.doc_id < b.doc_id)
+      |SELECT i, j, format_i, format_j, hamming
+      |FROM pairs WHERE hamming <= 3 ORDER BY i, j""".stripMargin
 }

@@ -81,4 +81,21 @@ class MultimodalSpec extends SparkSpec {
       $"peak" > 255).count() == 0)
     wins.unpersist()
   }
+
+  test("ahash dedup: planted re-encode at distance 0, planted edit within 3") {
+    val pairs = Multimodal.multimodalAhashDedup(spark, sf).collect()
+    // the rotated-format re-encode of the smallest doc decodes to
+    // identical content — distance exactly 0, formats differ
+    val reenc = pairs.find(_.getAs[Long]("j") >= 1000000000L)
+    assert(reenc.isDefined, "planted re-encode pair must be detected")
+    assert(reenc.get.getAs[Int]("hamming") === 0)
+    assert(reenc.get.getAs[String]("format_i") !== reenc.get.getAs[String]("format_j"))
+    // the one-byte edit is near but NOT byte-identical: 0 < d <= 3,
+    // which exercises the banded-hamming (not just exact-equality) path
+    val edited = pairs.find(_.getAs[Long]("j") >= 2000000000L)
+    assert(edited.isDefined, "planted edited pair must be detected")
+    assert(edited.get.getAs[Int]("hamming") <= 3)
+    pairs.foreach(p => assert(p.getAs[Int]("hamming") <= 3
+      && p.getAs[Long]("i") < p.getAs[Long]("j")))
+  }
 }
