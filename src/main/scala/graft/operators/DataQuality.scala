@@ -338,4 +338,73 @@ object DataQuality {
       |    AS risky_share_micro
       |FROM classes CROSS JOIN g
       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
+  // ------------------------------------------------------------------
+  // dp_release — ε-DP noisy counts with deterministic seeded noise
+  // ------------------------------------------------------------------
+
+  /** Differentially-private release of the [[kAnonymity]] class counts
+    * (the Laplace mechanism, ε = 1, sensitivity 1 for counting
+    * queries) — the privacy-preserving aggregate a pipeline publishes
+    * when even suppressed small cells leak. The twist that makes it
+    * oracle-checkable AND reproducible across engines: the Laplace
+    * draw is DETERMINISTIC, seeded by the class key — first 12 md5
+    * hex chars → integer h < 16¹², u = (h+0.5)/16¹² (exact: a 48-bit
+    * integer over a power of two, both representable in doubles), then
+    * the inverse CDF noise = −sign(u−½)·ln(1−2|u−½|)/ε. Deterministic
+    * seeding is standard practice for replayable DP pipelines (the
+    * seed must be secret in production — documented, not a secrecy
+    * claim here). The ln argument is an exact dyadic rational, and the
+    * ln output is micro-quantized (the pmi idiom), so the released
+    * micro counts are exact integers in both engines.
+    *
+    * Scale: the QI aggregate is the only corpus pass
+    * (grid-cardinality out); noise is a per-row codegen'd map on the
+    * class table. */
+  def dpRelease(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val classes = Tables.customer(spark, dir)
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("true_count"))
+    val h = conv(substring(md5(concat($"c_nationkey".cast("string"),
+      lit(":"), $"c_mktsegment")), 1, 12), 16, 10).cast("long")
+    val u = (h.cast("double") + 0.5) / lit(4096.0 * 4096 * 4096 * 4096)
+    val a = lit(1.0) - lit(2.0) * abs(u - lit(0.5)) // exact dyadic
+    val lnMicro = round(log(a) * 1e6, 0).cast("long")
+    val noiseMicro = when(u >= 0.5, -lnMicro).otherwise(lnMicro)
+    classes
+      .withColumn("noise_micro", noiseMicro)
+      .select($"c_nationkey", $"c_mktsegment",
+        $"true_count",
+        $"noise_micro",
+        ($"true_count" * 1000000L + $"noise_micro").as("released_micro"),
+        round(($"true_count" * 1000000L + $"noise_micro").cast("double") / 1e6, 6)
+          .as("released"),
+        lit(1.0).as("epsilon"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
+  val dpReleaseSql: String =
+    """WITH classes AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(count(*) AS BIGINT) AS true_count
+      |  FROM customer GROUP BY c_nationkey, c_mktsegment),
+      |seeded AS (
+      |  SELECT *,
+      |    list_reduce(list_transform(
+      |      split(substr(md5(CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment), 1, 12), ''),
+      |      c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+      |      (a, c) -> a * 16 + c) AS h
+      |  FROM classes),
+      |noise AS (
+      |  SELECT *,
+      |    (CAST(h AS DOUBLE) + 0.5) / 281474976710656.0 AS u,
+      |    CAST(round(ln(1.0 - 2.0 * abs(u - 0.5)) * 1e6, 0) AS BIGINT) AS ln_micro,
+      |    CASE WHEN u >= 0.5 THEN -ln_micro ELSE ln_micro END AS noise_micro
+      |  FROM seeded)
+      |SELECT c_nationkey, c_mktsegment, true_count, noise_micro,
+      |  true_count * 1000000 + noise_micro AS released_micro,
+      |  round(CAST(true_count * 1000000 + noise_micro AS DOUBLE) / 1e6, 6) AS released,
+      |  1.0 AS epsilon
+      |FROM noise ORDER BY c_nationkey, c_mktsegment""".stripMargin
 }

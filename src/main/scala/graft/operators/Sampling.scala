@@ -600,6 +600,61 @@ object Sampling {
   }
 
   // ------------------------------------------------------------------
+  // curriculum_order — length-curriculum training schedule
+  // ------------------------------------------------------------------
+
+  /** Deterministic curriculum schedule: the materialized training
+    * ORDER a shard writer consumes — short documents first (the
+    * standard LM warmup curriculum: easy/short sequences before
+    * long ones), deterministic shuffle WITHIN each stage so no
+    * within-stage ordering bias survives. Stages are fixed token
+    * thresholds (48/96/144 — inside the corpus's SF-invariant length
+    * distribution so every stage is populated at every scale); the
+    * within-stage key is the [[sampleSplit]] content hash, stable
+    * across runs/engines/appends. Each row carries its stage's doc
+    * and token budget (4-row aggregate broadcast back) so a trainer
+    * can cut stage boundaries without a second pass.
+    *
+    * Scale: stage and key are per-row codegen'd maps over the scan;
+    * the stage budget is a 4-row aggregate; the only corpus-wide move
+    * is the presentation sort BY (stage, key) — which at 100 TB is
+    * exactly the shard-writing range partition the schedule exists to
+    * feed (a trainer consumes it as the write order, not a collected
+    * list). */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = size(filter(split($"text", "\\s+"), t => t =!= "")).cast("long")
+    val staged = Tables.documents(spark, dir)
+      .select($"doc_id", n.as("n_tokens"),
+        least(lit(3L), rwFdiv(n, lit(48L))).cast("int").as("stage"),
+        substring(md5(concat($"doc_id".cast("string"), lit(":"), $"text")), 1, 16)
+          .as("order_key"))
+    val budgets = staged.groupBy($"stage")
+      .agg(count(lit(1)).as("stage_docs"), sum($"n_tokens").as("stage_tokens"))
+    staged.join(broadcast(budgets), "stage")
+      .select($"doc_id", $"n_tokens", $"stage", $"order_key",
+        $"stage_docs", $"stage_tokens")
+      .orderBy($"stage", $"order_key", $"doc_id")
+  }
+
+  val curriculumOrderSql: String =
+    """WITH staged AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)
+      |      AS n_tokens,
+      |    CAST(least(3, CAST((n_tokens - ((n_tokens % 48 + 48) % 48)) / 48 AS BIGINT))
+      |      AS INT) AS stage,
+      |    substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 16) AS order_key
+      |  FROM documents),
+      |b AS (
+      |  SELECT stage, CAST(count(*) AS BIGINT) AS stage_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS stage_tokens
+      |  FROM staged GROUP BY stage)
+      |SELECT doc_id, n_tokens, stage, order_key, stage_docs, stage_tokens
+      |FROM staged JOIN b USING (stage)
+      |ORDER BY stage, order_key, doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // dsir_weights — hashed-ngram importance weights (DSIR)
   // ------------------------------------------------------------------
 

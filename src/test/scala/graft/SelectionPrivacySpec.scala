@@ -95,6 +95,56 @@ class SelectionPrivacySpec extends SparkSpec {
     }
   }
 
+  test("dp_release: deterministic Laplace replay and exact released counts") {
+    val rows = DataQuality.dpRelease(spark, sf).collect()
+    val trueCounts = graft.sources.Tables.customer(spark, sf)
+      .groupBy($"c_nationkey", $"c_mktsegment").count().collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val key = s"${r.getAs[Int]("c_nationkey")}:${r.getAs[String]("c_mktsegment")}"
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+      val h = java.lang.Long.parseLong(hex, 16)
+      val u = (h.toDouble + 0.5) / math.pow(2, 48)
+      val lnMicro = math.rint(math.log(1.0 - 2.0 * math.abs(u - 0.5)) * 1e6).toLong
+      val noise = if (u >= 0.5) -lnMicro else lnMicro
+      assert(r.getAs[Long]("noise_micro") === noise, s"class $key")
+      val t = trueCounts((r.getAs[Int]("c_nationkey"), r.getAs[String]("c_mktsegment")))
+      assert(r.getAs[Long]("true_count") === t)
+      assert(r.getAs[Long]("released_micro") === t * 1000000L + noise)
+    }
+    // Laplace(1) noise: essentially all mass within ±14 micro-millions
+    assert(rows.forall(r => math.abs(r.getAs[Long]("noise_micro")) < 14000000L))
+    // both signs must occur or the mechanism is degenerate
+    assert(rows.exists(_.getAs[Long]("noise_micro") > 0)
+      && rows.exists(_.getAs[Long]("noise_micro") < 0))
+  }
+
+  test("curriculum_order: stage thresholds, budgets, and schedule monotonicity") {
+    val rows = Sampling.curriculumOrder(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length === nDocs)
+    rows.foreach { r =>
+      val st = r.getAs[Int]("stage")
+      val n = r.getAs[Long]("n_tokens")
+      assert(st === math.min(3L, n / 48).toInt, s"doc ${r.getLong(0)}")
+    }
+    // stage budgets are the exact per-stage sums
+    val byStage = rows.groupBy(_.getAs[Int]("stage"))
+    byStage.foreach { case (_, g) =>
+      assert(g.forall(_.getAs[Long]("stage_docs") === g.length))
+      assert(g.forall(_.getAs[Long]("stage_tokens") === g.map(_.getAs[Long]("n_tokens")).sum))
+    }
+    assert(byStage.size >= 2, "curriculum must have more than one populated stage")
+    // the emitted order IS the schedule: stages ascend, keys ascend within
+    val stages = rows.map(_.getAs[Int]("stage"))
+    assert(stages.sameElements(stages.sorted))
+    byStage.foreach { case (_, g) =>
+      val keys = g.map(_.getAs[String]("order_key"))
+      assert(keys.sameElements(keys.sorted))
+    }
+  }
+
   test("dedup_substring: brute-force sliding-window replay with interval merge") {
     val rows = Filters.dedupSubstring(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
