@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.sources.Tables
@@ -1067,4 +1067,91 @@ object Graph {
          |SELECT lbl AS community, count(*) AS n_members
          |FROM l$LpaRounds GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // graph_assortativity — degree–degree correlation (Newman's r)
+  // ------------------------------------------------------------------
+
+  /** Degree assortativity of the co-purchase graph (Newman 2002): the
+    * Pearson correlation of endpoint degrees over edges — do hubs
+    * attach to hubs (r > 0, social-network-like) or to leaves (r < 0,
+    * hub-and-spoke/technological)? The single scalar that
+    * characterizes a graph's mixing pattern, read before trusting
+    * degree-targeted sampling or k-core thresholds.
+    *
+    * Exactness: each undirected edge contributes BOTH ordered endpoint
+    * pairs (the standard symmetric treatment, which makes Σx = Σy and
+    * the formula unambiguous); every moment (Σd, Σd², Σd_u·d_v) is an
+    * exact DECIMAL(38,0)/HUGEINT integer sum over the directed edge
+    * list; r is one fixed double tree.
+    *
+    * Scale: shares [[coPairCounts]]' support-filtered edges and the
+    * triangle family's degree table; the moment pass is two id-keyed
+    * hash joins (degrees onto edge endpoints — ids and longs only)
+    * into one map-side-partial aggregate. One row out. */
+  def graphAssortativity(spark: SparkSession, dir: String, minSupport: Int = 2): DataFrame = {
+    import spark.implicits._
+    val edges = coPairCounts(spark, dir)
+      .filter($"n_orders" >= minSupport)
+      .select($"pa".as("u"), $"pb".as("v"))
+    val deg = edges.select($"u".as("node")).unionAll(edges.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val directed = edges.unionAll(edges.select($"v".as("u"), $"u".as("v")))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val m = directed
+      .join(deg.select($"node".as("u"), $"deg".as("du")), "u")
+      .join(deg.select($"node".as("v"), $"deg".as("dv")), "v")
+      .agg(
+        count(lit(1)).as("n2"),
+        sum(d($"du")).as("sx"),
+        sum(d($"du") * d($"du")).as("sxx"),
+        sum(d($"du") * d($"dv")).as("sxy"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      sum($"deg").as("deg_sum"))
+    m.crossJoin(broadcast(nodes))
+      .select(
+        $"n_nodes".cast("long").as("n_nodes"),
+        ($"n2" / 2).cast("long").as("n_edges"),
+        round($"deg_sum".cast("double") / $"n_nodes".cast("double"), 6)
+          .as("avg_degree"),
+        // symmetric pairs ⇒ Sy = Sx, Syy = Sxx: r = (nΣxy − Sx²)/(nΣx² − Sx²)
+        round(($"n2".cast("double") * $"sxy".cast("double")
+          - $"sx".cast("double") * $"sx".cast("double"))
+          / ($"n2".cast("double") * $"sxx".cast("double")
+            - $"sx".cast("double") * $"sx".cast("double")), 6)
+          .as("assortativity"))
+  }
+
+  val graphAssortativitySql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |edges AS (
+      |  SELECT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+      |deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+      |  GROUP BY node),
+      |de AS (
+      |  SELECT u, v FROM edges
+      |  UNION ALL SELECT v AS u, u AS v FROM edges),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n2,
+      |    sum(CAST(du.deg AS HUGEINT)) AS sx,
+      |    sum(CAST(du.deg AS HUGEINT) * CAST(du.deg AS HUGEINT)) AS sxx,
+      |    sum(CAST(du.deg AS HUGEINT) * CAST(dv.deg AS HUGEINT)) AS sxy
+      |  FROM de
+      |  JOIN deg du ON du.node = de.u
+      |  JOIN deg dv ON dv.node = de.v),
+      |nn AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |    CAST(sum(deg) AS BIGINT) AS deg_sum
+      |  FROM deg)
+      |SELECT n_nodes, CAST(n2 // 2 AS BIGINT) AS n_edges,
+      |  round(CAST(deg_sum AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6) AS avg_degree,
+      |  round((CAST(n2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    / (CAST(n2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS assortativity
+      |FROM m CROSS JOIN nn""".stripMargin
 }

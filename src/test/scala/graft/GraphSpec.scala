@@ -123,4 +123,29 @@ class GraphSpec extends SparkSpec {
     assert(out.collect().toSeq === Graph.graphLpa(spark, sf).collect().toSeq)
     out.unpersist()
   }
+
+  test("graph_assortativity: exact brute-force replay of Newman's r") {
+    val row = Graph.graphAssortativity(spark, sf).collect().head
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }
+    val edges = pairs.toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(row.getAs[Long]("n_nodes") === deg.size)
+    assert(row.getAs[Long]("n_edges") === edges.length)
+    val dir2 = edges.flatMap(e => Seq((e._1, e._2), (e._2, e._1)))
+    val n2 = dir2.length.toDouble
+    val sx = dir2.map(e => deg(e._1)).sum.toDouble
+    val sxx = dir2.map(e => deg(e._1) * deg(e._1)).sum.toDouble
+    val sxy = dir2.map(e => deg(e._1) * deg(e._2)).sum.toDouble
+    val r = (n2 * sxy - sx * sx) / (n2 * sxx - sx * sx)
+    assert(math.abs(row.getAs[Double]("assortativity") - r) < 1e-5,
+      s"r: $r vs ${row.getAs[Double]("assortativity")}")
+    assert(math.abs(row.getAs[Double]("assortativity")) <= 1.0)
+  }
 }
