@@ -416,6 +416,110 @@ object Filters {
       |ORDER BY t.doc_id""".stripMargin
   }
 
+  /** The substring family's SHIP step ([[spanExcise]]'s stride-1
+    * sibling): rewrite every document with its duplicated SUBSTRING
+    * runs excised — [[dedupSubstring]]'s corpus-global duplicate
+    * windows become token intervals [k+1, k+8], merged per document
+    * (overlap/adjacent coalesce, the spanExcise window), kept tokens
+    * rebuilt into `clean_text`. Because the intervals ARE
+    * dedupSubstring's merged runs, the conservation invariant is
+    * cross-operator: tokens_removed here equals that report's
+    * dup_token_mass per document (FiltersSpec pins it), and
+    * n_tokens_clean + tokens_removed = n_tokens.
+    *
+    * Scale: inherits dedupSubstring's ids-only shuffles and
+    * spanExcise's one-pass rebuild join (interval side is (doc_id,
+    * int-pair array) rows for affected docs only — AQE broadcasts
+    * while it fits; the corpus never leaves its scan). */
+  def substringExcise(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("t"))
+      .withColumn("n", size($"t"))
+    val wins = docs.filter($"n" >= SubW)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, size(t) - $SubW)," +
+          s" k -> array_join(slice(t, k + 1, $SubW), ' '))")).as(Seq("k", "w")))
+      .select($"doc_id", $"k", md5($"w").as("fp"),
+        ($"doc_id" * 16384 + $"k").as("pos_key"))
+    val keepers = wins.groupBy($"fp").agg(min($"pos_key").as("keep_key"))
+    val dupIv = wins.join(keepers, "fp")
+      .filter($"pos_key" > $"keep_key")
+      .select($"doc_id", ($"k" + 1).as("s"), ($"k" + SubW).as("e"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"s", $"e")
+    val merged = dupIv
+      .withColumn("maxe", max($"e").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("ng", when($"maxe".isNull || $"s" > $"maxe" + 1, 1L).otherwise(0L))
+      .withColumn("grp", sum($"ng").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"s").as("s"), max($"e").as("e"))
+    val perDoc = merged.groupBy($"doc_id")
+      .agg(collect_list(struct($"s", $"e")).as("ivs0"),
+        count(lit(1)).cast("int").as("n_excised"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("ivs", coalesce($"ivs0", expr("cast(array() as array<struct<s:int,e:int>>)")))
+      .withColumn("kept", filter($"t", (tok, i0) =>
+        !exists($"ivs", iv => i0 + 1 >= iv("s") && i0 + 1 <= iv("e"))))
+      .select($"doc_id",
+        $"n".as("n_tokens"),
+        coalesce($"n_excised", lit(0)).as("n_runs_excised"),
+        ($"n" - size($"kept")).cast("long").as("tokens_removed"),
+        size($"kept").cast("long").as("n_tokens_clean"),
+        array_join($"kept", " ").as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  val substringExciseSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH tk AS (
+      |  SELECT doc_id, $toks AS t, len($toks) AS n FROM documents),
+      |wins AS (
+      |  SELECT doc_id, CAST(k AS INT) AS k,
+      |    md5(array_to_string(t[k + 1 : k + $SubW], ' ')) AS fp,
+      |    doc_id * 16384 + k AS pos_key
+      |  FROM tk, unnest(range(0, n - ${SubW - 1})) r(k)
+      |  WHERE n >= $SubW),
+      |kp AS (SELECT fp, min(pos_key) AS keep_key FROM wins GROUP BY fp),
+      |iv AS (
+      |  SELECT wins.doc_id, k + 1 AS s, k + $SubW AS e
+      |  FROM wins JOIN kp ON wins.fp = kp.fp
+      |  WHERE pos_key > keep_key),
+      |ord AS (
+      |  SELECT doc_id, s, e,
+      |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+      |  FROM iv),
+      |gi AS (
+      |  SELECT doc_id, s, e,
+      |    sum(CASE WHEN maxe IS NULL OR s > maxe + 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY s, e
+      |        ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM ord),
+      |merged AS (
+      |  SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM gi GROUP BY doc_id, grp),
+      |perdoc AS (SELECT doc_id, count(*) AS n_excised FROM merged GROUP BY doc_id),
+      |kept AS (
+      |  SELECT tk.doc_id, i, t[i] AS tok
+      |  FROM tk, unnest(range(1, n + 1)) r(i)
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM merged m
+      |    WHERE m.doc_id = tk.doc_id AND i >= m.s AND i <= m.e)),
+      |ka AS (
+      |  SELECT doc_id, count(*) AS n_clean,
+      |    string_agg(tok, ' ' ORDER BY i) AS ctext
+      |  FROM kept GROUP BY doc_id)
+      |SELECT tk.doc_id, CAST(tk.n AS INT) AS n_tokens,
+      |  CAST(coalesce(p.n_excised, 0) AS INT) AS n_runs_excised,
+      |  CAST(tk.n - coalesce(ka.n_clean, 0) AS BIGINT) AS tokens_removed,
+      |  CAST(coalesce(ka.n_clean, 0) AS BIGINT) AS n_tokens_clean,
+      |  coalesce(ka.ctext, '') AS clean_text
+      |FROM tk LEFT JOIN perdoc p USING (doc_id) LEFT JOIN ka USING (doc_id)
+      |ORDER BY tk.doc_id""".stripMargin
+  }
+
   val spanDedupSql: String = {
     val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
     s"""WITH t AS (

@@ -618,20 +618,51 @@ object Similarity {
   private[graft] def labelNoiseVotesOf(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val idx = e.select($"vec_id", explode(lshIndexEntries($"embedding")).as("k"))
+    // EXACT-DUPLICATE COLLAPSE (the dedup_jaccard_full lesson applied
+    // to kNN): cosine and LSH buckets depend only on the vector VALUES,
+    // so identical embeddings form one class — candidates, bucket
+    // joins, and the d-dimensional cosine kernel all run on class
+    // REPRESENTATIVES (work ∝ distinct vectors, immune to clone-heavy
+    // corpora), and members re-enter only as bounded id lists. Bit-
+    // exactness of the expansion: all members of a neighbor class
+    // share one weight, and top_k_by breaks ties by payload ASC, so
+    // only a class's k smallest member ids can ever reach any top-k —
+    // the slice below drops provably-unreachable rows only. Intra-
+    // class neighbors carry w = 10⁶ exactly: cosine(x, x) errs from 1
+    // by ≪ 5e-7, so the 6dp round pins it in both engines (the oracle
+    // keeps computing per-pair cosines and lands on the same values).
+    val classes = e.groupBy($"embedding").agg(
+      min($"vec_id").as("rep"),
+      sort_array(collect_list($"vec_id")).as("members"))
+      .withColumn("nn", slice($"members", 1, NoiseK + 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repVecs = classes.select($"rep".as("vec_id"), $"embedding")
+    val idx = repVecs
+      .select($"vec_id", explode(lshIndexEntries($"embedding")).as("k"))
       .select($"vec_id", $"k.tbl".as("tbl"), $"k.bucket".as("bucket"))
     val cand = idx.as("a").join(idx.as("b"), Seq("tbl", "bucket"))
       .filter($"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("i"), $"b.vec_id".as("j")).distinct()
-    val vecs = e.select($"vec_id", $"embedding", Dedup.norm($"embedding").as("nrm"))
+    val vecs = repVecs.select($"vec_id", $"embedding", Dedup.norm($"embedding").as("nrm"))
     val sim = cand
       .join(vecs.select($"vec_id".as("i"), $"embedding".as("ea"), $"nrm".as("na")), "i")
       .join(vecs.select($"vec_id".as("j"), $"embedding".as("eb"), $"nrm".as("nb")), "j")
       .select($"i", $"j",
         round(round(Dedup.cosinePre($"ea", $"eb", $"na", $"nb"), 6) * 1000000d, 0)
           .cast("long").as("w"))
-    val nbr = sim.select($"i".as("v"), $"j".as("n"), $"w")
-      .unionByName(sim.select($"j".as("v"), $"i".as("n"), $"w"))
+    val mi = classes.select($"rep".as("i"), $"members".as("mi"), $"nn".as("ni"))
+    val mj = classes.select($"rep".as("j"), $"members".as("mj"), $"nn".as("nj"))
+    val simM = sim.join(mi, "i").join(mj, "j")
+    val nbrIJ = simM.select(explode($"mi").as("v"), $"nj".as("ns"), $"w")
+      .select($"v", explode($"ns").as("n"), $"w")
+    val nbrJI = simM.select(explode($"mj").as("v"), $"ni".as("ns"), $"w")
+      .select($"v", explode($"ns").as("n"), $"w")
+    val intra = classes.filter(size($"members") >= 2)
+      .select(explode($"members").as("v"), $"nn")
+      .select($"v", explode($"nn").as("n"))
+      .filter($"n" =!= $"v")
+      .withColumn("w", lit(1000000L))
+    val nbr = nbrIJ.unionByName(nbrJI).unionByName(intra)
     val top = nbr.groupBy($"v")
       .agg(graft.functions.AggFunctions.top_k_by($"w".cast("double"), $"n", NoiseK).as("top"))
       .select($"v", explode($"top").as("t"))

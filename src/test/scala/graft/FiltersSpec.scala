@@ -102,4 +102,26 @@ class FiltersSpec extends SparkSpec {
       s"excised mass $removed must cover span_dedup's duplicate mass $lost")
     ex.unpersist()
   }
+
+  test("substring_excise: conservation, rebuild fidelity, and cross-op mass equality") {
+    val ex = Filters.substringExcise(spark, sf).cache()
+    // conservation: kept + removed = original token mass, per doc
+    assert(ex.filter($"n_tokens_clean" + $"tokens_removed" =!= $"n_tokens")
+      .count() === 0)
+    // rebuild fidelity: clean_text re-tokenizes to exactly n_tokens_clean
+    val bad = ex.withColumn("rt",
+      size(filter(split($"clean_text", "\\s+"), t => t =!= "")))
+      .filter(when($"clean_text" === "", lit(0)).otherwise($"rt")
+        =!= $"n_tokens_clean")
+    assert(bad.count() === 0)
+    // the excised intervals ARE dedup_substring's merged runs, so the
+    // removed mass equals that report's dup_token_mass document-wise
+    val report = graft.operators.Filters.dedupSubstring(spark, sf)
+      .select($"doc_id", $"dup_token_mass").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ex.select($"doc_id", $"tokens_removed").collect().foreach { r =>
+      assert(r.getLong(1) === report(r.getLong(0)), s"doc ${r.getLong(0)}")
+    }
+    ex.unpersist()
+  }
 }

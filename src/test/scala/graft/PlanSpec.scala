@@ -486,9 +486,19 @@ class PlanSpec extends SparkSpec {
         // vocab_growth: first-occurrence + two grid-join aggs + result
         // join + grid lag window + output sort
         ("vocab_growth", operators.TextModel.vocabGrowth(spark, sf), 8),
-        // label-noise: LSH index self-join + candidate distinct +
-        // top_k_by + vote/majority/labels joins (ids-only shuffles)
-        ("label_noise_detect", operators.Similarity.labelNoiseDetect(spark, sf), 6),
+        // label-noise: class collapse (one vector-keyed groupBy) + LSH
+        // self-join on representatives + candidate distinct + member
+        // expansion joins + top_k_by + vote/majority/labels joins; the
+        // persisted class subtree re-prints under its references
+        // (the cached class table is referenced 5× — rep vectors, both
+        // member-expansion sides, intra, labels — and the TEXTUAL count
+        // re-prints its groupBy exchange at every reference, the
+        // seq_patterns situation; executed shuffles ≈ 8, cache built
+        // once)
+        ("label_noise_detect", operators.Similarity.labelNoiseDetect(spark, sf), 17),
+        // substring excise: dedup_substring's keeper/join budget + the
+        // per-doc interval merge window + the rebuild join + sort
+        ("substring_excise", operators.Filters.substringExcise(spark, sf), 5),
         // anova: ONE map-side-partial aggregate into a single row
         ("anova_oneway", operators.Stats.anovaOneway(spark, sf), 1),
         // spearman: joint-cell agg + two grid cumsum windows (single-
