@@ -53,7 +53,8 @@ object Bench {
     // round-7 fourth batch: omnibus/rank statistics + selection/dedup
     "anova_oneway", "spearman_corr", "kendall_tau",
     "dsir_weights", "dedup_substring", "tokenizer_fertility",
-    "multimodal_ahash_dedup", "graph_assortativity", "curriculum_order")
+    "multimodal_ahash_dedup", "graph_assortativity", "curriculum_order",
+    "ann_eval")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

@@ -712,4 +712,65 @@ object Similarity {
       |FROM best b JOIN embeddings e ON e.vec_id = b.v
       |WHERE b.vrk = 1 AND b.cand_label <> e.label AND b.n_votes >= $NoiseMinVotes
       |ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ann_eval — recall@k of the LSH index vs exact brute force
+  // ------------------------------------------------------------------
+
+  /** Recall@5 of [[annLsh]] against [[annBruteforce]] as a DRIVER-
+    * VISIBLE oracled query (the recall evidence previously lived only
+    * in specs): per query the top-5 set intersection over the exact
+    * ground truth, as an exact micro fraction, plus the query-macro
+    * mean carried on every row — the accept/reject readout an ANN
+    * index gets before it replaces the exact path in a pipeline.
+    * Both inputs are themselves fully oracled operators, so the eval
+    * composes their SQL verbatim and stays hash-exact end to end —
+    * unlike the IVF/PQ rows-only bounds, this recall number is
+    * bit-checked in both engines.
+    *
+    * Scale: inherits the two parents' shapes; the eval itself joins
+    * two (queries×5)-row frames — query-batch cardinality, nothing
+    * corpus-sized. */
+  def annEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bf = annBruteforce(spark, dir).select($"q_id", $"n_id")
+    val lsh = annLsh(spark, dir).select($"q_id", $"n_id")
+    val base = bf.groupBy($"q_id").agg(count(lit(1)).as("k"))
+    val hits = bf.join(lsh, Seq("q_id", "n_id"))
+      .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+    def fdiv(a: org.apache.spark.sql.Column,
+             b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ((a - ((a % b + b) % b)) / b).cast("long")
+    val perQ = base.join(hits, Seq("q_id"), "left")
+      .withColumn("n_hits", coalesce($"n_hits", lit(0L)))
+      .withColumn("recall_micro", fdiv($"n_hits" * 1000000L, $"k"))
+    val overall = perQ.agg(
+      fdiv(sum($"recall_micro"), count(lit(1))).as("mean_recall_micro"))
+    perQ.crossJoin(broadcast(overall))
+      .select($"q_id", $"k".cast("int").as("k"), $"n_hits",
+        $"recall_micro", $"mean_recall_micro")
+      .orderBy($"q_id")
+  }
+
+  val annEvalSql: String =
+    s"""WITH bf AS ($annBruteforceSql),
+      |lsh AS ($annLshSql),
+      |base AS (SELECT q_id, CAST(count(*) AS BIGINT) AS k FROM bf GROUP BY q_id),
+      |hits AS (
+      |  SELECT bf.q_id, CAST(count(*) AS BIGINT) AS n_hits
+      |  FROM bf JOIN lsh ON bf.q_id = lsh.q_id AND bf.n_id = lsh.n_id
+      |  GROUP BY bf.q_id),
+      |perq AS (
+      |  SELECT base.q_id, base.k, COALESCE(hits.n_hits, 0) AS n_hits,
+      |    CAST((COALESCE(hits.n_hits, 0) * 1000000
+      |      - ((COALESCE(hits.n_hits, 0) * 1000000 % base.k + base.k) % base.k))
+      |      / base.k AS BIGINT) AS recall_micro
+      |  FROM base LEFT JOIN hits ON base.q_id = hits.q_id),
+      |o AS (
+      |  SELECT CAST((sum(recall_micro)
+      |    - ((sum(recall_micro) % count(*) + count(*)) % count(*)))
+      |    / count(*) AS BIGINT) AS mean_recall_micro
+      |  FROM perq)
+      |SELECT q_id, CAST(k AS INT) AS k, n_hits, recall_micro, mean_recall_micro
+      |FROM perq CROSS JOIN o ORDER BY q_id""".stripMargin
 }
