@@ -452,6 +452,92 @@ object Training {
       |    AS gap_micro
       |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** Exact AUC of the trained classifier — the threshold-free ranking
+    * quality number that complements [[classifierCalibration]]'s
+    * probability audit (a classifier can rank perfectly yet be
+    * miscalibrated, and vice versa). AUC = P(score⁺ > score⁻) with the
+    * ½-credit tie convention, computed EXACTLY on the micro-score
+    * grid: per distinct score (n⁺, n⁻), and the doubled rank-sum
+    * Σ_v n⁺(v)·(2·cum⁻(<v) + n⁻(v)) makes every term an integer (the
+    * spearman doubling trick). The cumulative runs over a grid
+    * bounded by the SCORE DOMAIN — ≤ 10⁶+1 micro values whatever the
+    * corpus size, in practice far fewer (the hard-sigmoid compresses
+    * margins; 573 distinct at sf0.1) — registered in PlanSpec's
+    * unpartitioned-window sweep; products ride DECIMAL(38,0)/HUGEINT.
+    *
+    * Finding this operator exists to surface: on this corpus the
+    * weak-label classifier measures AUC ≈ 0.494 — accuracy looks
+    * acceptable only via the majority class; the ranking signal is
+    * chance. That is a true property of the length/stopword features
+    * vs the language label, and exactly what a threshold-free metric
+    * is for.
+    *
+    * Scale: training is the [[trainWeights]] loop (one scan per
+    * round); the AUC readout is one partial agg onto the score grid
+    * + grid arithmetic. One row out. */
+  def classifierAuc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val feats = docFeatures(Tables.documents(spark, dir)).persist()
+    val w = trainWeights(feats)
+    val grid = feats
+      .select($"y", scoreCol(w).as("sm"))
+      .groupBy($"sm")
+      .agg(sum($"y").as("n1"), sum(lit(1L) - $"y").as("n0"))
+    val cw = Window.orderBy($"sm")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val agg = grid
+      .withColumn("cum0", coalesce(sum($"n0").over(cw), lit(0L)))
+      .agg(
+        sum($"n1").as("npos"), sum($"n0").as("nneg"),
+        sum(d($"n1") * (d($"cum0") * 2 + d($"n0"))).as("numer2"))
+    agg.select(
+      ($"npos" + $"nneg").cast("long").as("n"),
+      $"npos".cast("long").as("n_pos"), $"nneg".cast("long").as("n_neg"),
+      fdivDec38($"numer2" * d(lit(1000000L)),
+        d($"npos") * d($"nneg") * 2).as("auc_micro"),
+      round(fdivDec38($"numer2" * d(lit(1000000L)),
+        d($"npos") * d($"nneg") * 2).cast("double") / 1e6, 6).as("auc"),
+      (fdivDec38($"numer2" * d(lit(1000000L)),
+        d($"npos") * d($"nneg") * 2) * 2 - 1000000L).as("gini_micro"))
+  }
+
+  /** Exact floor division on non-negative DECIMAL(38,0) columns (the
+    * Stats.fdivDec convention). */
+  private def fdivDec38(x: Column, dv: Column): Column =
+    ((x - (x % dv)) / dv).cast("long")
+
+  val classifierAucSql: String =
+    classifierCtes + s""",
+      |grid AS (
+      |  SELECT s AS sm,
+      |    CAST(sum(y) AS BIGINT) AS n1, CAST(sum(1 - y) AS BIGINT) AS n0
+      |  FROM scoredF GROUP BY 1),
+      |cum AS (
+      |  SELECT sm, n1, n0,
+      |    COALESCE(sum(n0) OVER (ORDER BY sm
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+      |  FROM grid),
+      |a AS (
+      |  SELECT CAST(sum(n1) AS BIGINT) AS npos, CAST(sum(n0) AS BIGINT) AS nneg,
+      |    sum(CAST(n1 AS HUGEINT) * (CAST(cum0 AS HUGEINT) * 2 + CAST(n0 AS HUGEINT)))
+      |      AS numer2
+      |  FROM cum)
+      |SELECT CAST(npos + nneg AS BIGINT) AS n, npos AS n_pos, nneg AS n_neg,
+      |  CAST((numer2 * 1000000 - (numer2 * 1000000
+      |    % (CAST(npos AS HUGEINT) * CAST(nneg AS HUGEINT) * 2)))
+      |    // (CAST(npos AS HUGEINT) * CAST(nneg AS HUGEINT) * 2) AS BIGINT) AS auc_micro,
+      |  round(CAST(CAST((numer2 * 1000000 - (numer2 * 1000000
+      |    % (CAST(npos AS HUGEINT) * CAST(nneg AS HUGEINT) * 2)))
+      |    // (CAST(npos AS HUGEINT) * CAST(nneg AS HUGEINT) * 2) AS BIGINT) AS DOUBLE)
+      |    / 1e6, 6) AS auc,
+      |  CAST((numer2 * 1000000 - (numer2 * 1000000
+      |    % (CAST(npos AS HUGEINT) * CAST(nneg AS HUGEINT) * 2)))
+      |    // (CAST(npos AS HUGEINT) * CAST(nneg AS HUGEINT) * 2) AS BIGINT) * 2
+      |    - 1000000 AS gini_micro
+      |FROM a""".stripMargin
+
   // ------------------------------------------------------------------
   // embedding_communities — LSH similarity graph + label propagation
   // ------------------------------------------------------------------

@@ -125,4 +125,25 @@ class TrainingSpec extends SparkSpec {
     assert(minTop >= maxBottom, "every top-side score >= every bottom-side score")
     out.unpersist()
   }
+
+  test("classifier_auc: exact O(n²) pairwise brute force and identities") {
+    val row = Training.classifierAuc(spark, sf).collect().head
+    val feats = Training.docFeatures(graft.sources.Tables.documents(spark, sf))
+    val w = Training.trainWeights(feats)
+    val scored = feats.select(col("y"), Training.scoreCol(w).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pos = scored.filter(_._1 == 1L).map(_._2)
+    val neg = scored.filter(_._1 == 0L).map(_._2)
+    assert(row.getAs[Long]("n_pos") === pos.length)
+    assert(row.getAs[Long]("n_neg") === neg.length)
+    var numer2 = BigInt(0)
+    for (p <- pos; n <- neg)
+      numer2 += (if (p > n) 2 else if (p == n) 1 else 0)
+    val aucMicro = (numer2 * 1000000 /
+      (BigInt(2) * pos.length * neg.length)).toLong
+    assert(row.getAs[Long]("auc_micro") === aucMicro)
+    assert(row.getAs[Long]("gini_micro") === 2 * aucMicro - 1000000L)
+    val auc = row.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0)
+  }
 }
