@@ -76,13 +76,17 @@ object PlanDump {
     "seq_patterns" ->
       "sequential-pattern support: the user×type min/max aggregate is cached PRE-PARTITIONED on user_id, so both self-join sides read co-located partitions — the pair join is type-vocab² per user, never event-quadratic",
     "label_noise_detect" ->
-      "kNN label voting: bucket-bounded LSH candidates (ids-only), bounded-state top_k_by per-vector top-k, label joins by id — full-corpus coverage with no corpus² stage",
+      "kNN label voting on distinct-embedding class representatives: buckets/candidates/cosines ∝ distinct vectors (clone-corpus quadratic structurally gone), members re-enter as k+1-id slices, bounded-state top_k_by, label joins by id",
     "spearman_corr" ->
       "rank correlation from the joint value grid: the corpus shuffles only (xq, yq) cell pairs; midrank cumsums read ≤50-row grids; every rank sum is exact DECIMAL(38,0) integer arithmetic",
     "dsir_weights" ->
       "hashed-ngram importance model: ONE (doc_id, bucket) partial-count exchange feeds both distributions (reused exchange) and the 256-row ln-ratio model broadcasts back over it — the corpus text never leaves its scan",
     "dedup_substring" ->
-      "stride-1 window dedup: only (md5, packed-pos) pairs ride the keeper agg and fp join; the run merge is a doc_id-keyed window over that doc's duplicate offsets")
+      "stride-1 window dedup: only (md5, packed-pos) pairs ride the keeper agg and fp join; the run merge is a doc_id-keyed window over that doc's duplicate offsets",
+    "ann_eval" ->
+      "oracle-exact recall@5: composes the LSH and brute-force parents, then joins only query-batch-sized top-5 frames",
+    "classifier_auc" ->
+      "exact AUC: one partial agg onto the score-domain grid, grid cumsum, integer rank-sum — the corpus contributes one scan per training round plus one scoring pass")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.get(4)
