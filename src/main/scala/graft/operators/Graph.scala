@@ -1069,6 +1069,140 @@ object Graph {
   }
 
   // ------------------------------------------------------------------
+  // graph_clustering — transitivity + local clustering coefficients
+  // ------------------------------------------------------------------
+
+  /** Global transitivity and the average local clustering coefficient
+    * of the co-purchase graph — the "how clique-like is this graph"
+    * pair that, with [[graphAssortativity]]'s mixing scalar, completes
+    * the standard one-row topology profile. Transitivity =
+    * 3·triangles / wedges (wedges = Σ_v d_v(d_v−1)/2); the local
+    * coefficient of v is 2·t_v/(d_v(d_v−1)) with t_v the triangles
+    * through v, averaged over nodes with degree ≥ 2 (the defined
+    * domain). The two disagree exactly when triangle mass concentrates
+    * on hubs — which is why both are reported.
+    *
+    * Exactness: per-node triangle counts come from projecting each
+    * oriented triangle onto its 3 corners (one extra grid... node-
+    * cardinality aggregate over the SAME triangle join
+    * [[triangleCount]] runs — no new join shape); coefficients are
+    * exact micro floors; sums/products ride DECIMAL(38,0)/HUGEINT.
+    *
+    * Scale: inherits the degree-ordered oriented-edge discipline (the
+    * triangle join's fan-out is bounded by orientation); everything
+    * after the join is node-cardinality aggregation. One row out. */
+  def graphClustering(spark: SparkSession, dir: String, minSupport: Int = 2): DataFrame = {
+    import spark.implicits._
+    val edges = coPairCounts(spark, dir)
+      .filter($"n_orders" >= minSupport)
+      .select($"pa".as("u"), $"pb".as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.select($"u".as("node")).unionAll(edges.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val ranked = edges
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), Seq("v"))
+      .select($"u", $"v",
+        ($"du" * 1000000000L + $"u").as("ru"),
+        ($"dv" * 1000000000L + $"v").as("rv"))
+    val oe = ranked
+      .select(when($"ru" < $"rv", $"u").otherwise($"v").as("src"),
+        when($"ru" < $"rv", $"v").otherwise($"u").as("dst"),
+        when($"ru" < $"rv", $"rv").otherwise($"ru").as("dst_rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    oe.count()
+    val triCorners = oe.as("e1")
+      .join(oe.as("e2"), $"e1.src" === $"e2.src" && $"e1.dst_rank" < $"e2.dst_rank")
+      .join(oe.as("e3"), $"e1.dst" === $"e3.src" && $"e2.dst" === $"e3.dst")
+      .select($"e1.src".as("a"), $"e1.dst".as("b"), $"e2.dst".as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tv = triCorners.select($"a".as("node"))
+      .unionAll(triCorners.select($"b".as("node")))
+      .unionAll(triCorners.select($"c".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("t"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val perNode = deg.join(tv, Seq("node"), "left")
+      .withColumn("t", coalesce($"t", lit(0L)))
+      .filter($"deg" >= 2)
+      .select($"node", $"t", $"deg",
+        // c_v = 2·t_v / (d_v(d_v−1)) in exact micro floor
+        (($"t" * 2000000L - (($"t" * 2000000L) % ($"deg" * ($"deg" - 1))))
+          / ($"deg" * ($"deg" - 1))).cast("long").as("c_micro"))
+    val agg = perNode.agg(
+      count(lit(1)).as("n_deg2"),
+      sum(when($"t" > 0, 1L).otherwise(0L)).as("n_closed"),
+      sum(d($"deg") * d($"deg" - 1) / 2).cast("decimal(38,0)").as("wedges"),
+      sum($"c_micro").as("c_sum"))
+    val nTri = triCorners.agg(count(lit(1)).as("n_triangles"))
+    val base = deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+    base.crossJoin(broadcast(nTri)).crossJoin(broadcast(agg))
+      .select($"n_nodes", $"n_edges", $"n_triangles",
+        $"wedges".cast("long").as("n_wedges"),
+        $"n_deg2", $"n_closed",
+        ((d($"n_triangles") * 3000000L
+          - ((d($"n_triangles") * 3000000L) % d($"wedges"))) / d($"wedges"))
+          .cast("long").as("transitivity_micro"),
+        (($"c_sum" - ($"c_sum" % $"n_deg2")) / $"n_deg2").cast("long")
+          .as("avg_local_micro"))
+  }
+
+  val graphClusteringSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |edges AS (
+      |  SELECT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+      |deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+      |  GROUP BY node),
+      |oe AS (
+      |  SELECT CASE WHEN ru < rv THEN u ELSE v END AS src,
+      |         CASE WHEN ru < rv THEN v ELSE u END AS dst,
+      |         CASE WHEN ru < rv THEN rv ELSE ru END AS dst_rank
+      |  FROM (SELECT e.u, e.v, du.deg * 1000000000 + e.u AS ru,
+      |               dv.deg * 1000000000 + e.v AS rv
+      |        FROM edges e
+      |        JOIN deg du ON du.node = e.u
+      |        JOIN deg dv ON dv.node = e.v)),
+      |tric AS (
+      |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM oe e1
+      |  JOIN oe e2 ON e1.src = e2.src AND e1.dst_rank < e2.dst_rank
+      |  JOIN oe e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+      |tv AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+      |    SELECT a AS node FROM tric UNION ALL SELECT b FROM tric
+      |    UNION ALL SELECT c FROM tric)
+      |  GROUP BY node),
+      |pn AS (
+      |  SELECT deg.node, COALESCE(tv.t, 0) AS t, deg.deg,
+      |    CAST((COALESCE(tv.t, 0) * 2000000
+      |      - (COALESCE(tv.t, 0) * 2000000 % (deg.deg * (deg.deg - 1))))
+      |      / (deg.deg * (deg.deg - 1)) AS BIGINT) AS c_micro
+      |  FROM deg LEFT JOIN tv ON tv.node = deg.node
+      |  WHERE deg.deg >= 2),
+      |ag AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_deg2,
+      |    CAST(sum(CASE WHEN t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+      |    sum(CAST(deg AS HUGEINT) * CAST(deg - 1 AS HUGEINT) // 2) AS wedges,
+      |    CAST(sum(c_micro) AS BIGINT) AS c_sum
+      |  FROM pn),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tric),
+      |base AS (
+      |  SELECT (SELECT count(*) FROM deg) AS n_nodes,
+      |         (SELECT count(*) FROM edges) AS n_edges)
+      |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+      |  CAST(n_edges AS BIGINT) AS n_edges, n_triangles,
+      |  CAST(wedges AS BIGINT) AS n_wedges, n_deg2, n_closed,
+      |  CAST((CAST(n_triangles AS HUGEINT) * 3000000
+      |    - (CAST(n_triangles AS HUGEINT) * 3000000 % wedges))
+      |    // wedges AS BIGINT) AS transitivity_micro,
+      |  CAST((c_sum - (c_sum % n_deg2)) / n_deg2 AS BIGINT) AS avg_local_micro
+      |FROM base CROSS JOIN nt CROSS JOIN ag""".stripMargin
+
+  // ------------------------------------------------------------------
   // graph_assortativity — degree–degree correlation (Newman's r)
   // ------------------------------------------------------------------
 

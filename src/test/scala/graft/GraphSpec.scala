@@ -124,6 +124,44 @@ class GraphSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("graph_clustering: exact brute-force replay and triangle-count agreement") {
+    val row = Graph.graphClustering(spark, sf).collect().head
+    val tri = Graph.triangleCount(spark, sf).collect().head
+    assert(row.getAs[Long]("n_triangles") === tri.getAs[Long]("n_triangles"))
+    assert(row.getAs[Long]("n_nodes") === tri.getAs[Long]("n_nodes"))
+    assert(row.getAs[Long]("n_edges") === tri.getAs[Long]("n_edges"))
+    // brute force on the reconstructed support-filtered graph
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }
+    val edges = pairs.toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSet
+    val adj = (edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val tv = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    var nTri = 0L
+    for ((u, v) <- edges; w <- adj(u) intersect adj(v); if u < v && v < w) {
+      nTri += 1; tv(u) += 1; tv(v) += 1; tv(w) += 1
+    }
+    assert(row.getAs[Long]("n_triangles") === nTri)
+    val deg2 = adj.filter(_._2.size >= 2)
+    val wedges = deg2.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    assert(row.getAs[Long]("n_wedges") === wedges)
+    assert(row.getAs[Long]("n_deg2") === deg2.size)
+    assert(row.getAs[Long]("n_closed") === deg2.keys.count(tv(_) > 0))
+    val cSum = deg2.map { case (n, s) =>
+      Math.floorDiv(tv(n) * 2000000L, s.size.toLong * (s.size - 1))
+    }.sum
+    assert(row.getAs[Long]("avg_local_micro") === Math.floorDiv(cSum, deg2.size.toLong))
+    assert(row.getAs[Long]("transitivity_micro") ===
+      (if (wedges == 0) 0L else Math.floorDiv(nTri * 3000000L, wedges)))
+    assert(row.getAs[Long]("transitivity_micro") <= 1000000L)
+    assert(row.getAs[Long]("avg_local_micro") <= 1000000L)
+  }
+
   test("graph_assortativity: exact brute-force replay of Newman's r") {
     val row = Graph.graphAssortativity(spark, sf).collect().head
     val li = graft.sources.Tables.lineitem(spark, sf)
