@@ -54,7 +54,7 @@ object Bench {
     "anova_oneway", "spearman_corr", "kendall_tau",
     "dsir_weights", "dedup_substring", "tokenizer_fertility",
     "multimodal_ahash_dedup", "graph_assortativity", "curriculum_order",
-    "ann_eval")
+    "ann_eval", "substring_excise", "classifier_auc", "graph_clustering")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).
