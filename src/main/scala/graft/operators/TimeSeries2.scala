@@ -538,4 +538,94 @@ object TimeSeries2 {
       |WHERE he >= start_he + 86400 AND base_cnt > 0
       |ORDER BY burst_micro DESC, event_type, hour
       |LIMIT $BurstTopK""".stripMargin
+
+  // ------------------------------------------------------------------
+  // gap_histogram — inter-event idle-gap distribution
+  // ------------------------------------------------------------------
+
+  /** Log-decade histogram of per-user inter-event gaps — the evidence
+    * behind [[Windows.sessionize]]'s 30-minute timeout: a session cut
+    * should sit in the valley between the within-session gap mode and
+    * the between-visit mode, and this is the query that shows whether
+    * it does (with the 30-min boundary bracketed by the 10m–1h
+    * buckets). Gaps are exact nanosecond longs from a user-keyed lag
+    * (same deterministic (ts_ns, event_id) order as sessionize);
+    * bucketing is a fixed integer threshold chain (<1s, <10s, <1m,
+    * <10m, <1h, <6h, <24h, ≥24h — no float log); per-bucket count,
+    * exact micro share, and the cumulative share over the 8-row
+    * bucket grid.
+    *
+    * Scale: one user-keyed window pass over the scan (high-cardinality
+    * partitions), then an 8-bucket partial aggregate; the cumulative
+    * runs on the 8-row grid (registered in PlanSpec's sweep). */
+  def gapHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+    val gaps = Tables.events(spark, dir)
+      .select($"user_id", $"ts_ns", $"event_id")
+      .withColumn("prev", lag($"ts_ns", 1).over(w))
+      .filter($"prev".isNotNull)
+      // exact floor to seconds: (d − d % 1e9)/1e9 — DuckDB CAST rounds,
+      // so a plain divide-and-cast would disagree on e.g. a 90.7s gap
+      .select(((($"ts_ns" - $"prev") - (($"ts_ns" - $"prev") % 1000000000L))
+        / 1000000000L).cast("long").as("gap_s"))
+    val sec = 1L; val min = 60L; val hour = 3600L
+    val bucket = when($"gap_s" < sec, 0)
+      .when($"gap_s" < 10 * sec, 1)
+      .when($"gap_s" < min, 2)
+      .when($"gap_s" < 10 * min, 3)
+      .when($"gap_s" < hour, 4)
+      .when($"gap_s" < 6 * hour, 5)
+      .when($"gap_s" < 24 * hour, 6)
+      .otherwise(7)
+    val labels = typedLit(Seq("<1s", "<10s", "<1m", "<10m", "<1h", "<6h", "<24h", ">=24h"))
+    val counts = gaps.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n_gaps"))
+    val tot = counts.agg(sum($"n_gaps").as("total"))
+    val cw = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("cum", sum($"n_gaps").over(cw))
+      .select($"bucket",
+        element_at(labels, $"bucket" + 1).as("gap_range"),
+        $"n_gaps",
+        (($"n_gaps" * 1000000L - (($"n_gaps" * 1000000L) % $"total")) / $"total")
+          .cast("long").as("share_micro"),
+        (($"cum" * 1000000L - (($"cum" * 1000000L) % $"total")) / $"total")
+          .cast("long").as("cum_share_micro"))
+      .orderBy($"bucket")
+  }
+
+  val gapHistogramSql: String =
+    """WITH g AS (
+      |  SELECT CAST(((epoch_ns(ts) - prev) - ((epoch_ns(ts) - prev) % 1000000000))
+      |    / 1000000000 AS BIGINT) AS gap_s
+      |  FROM (
+      |    SELECT ts, lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts), event_id) AS prev
+      |    FROM events)
+      |  WHERE prev IS NOT NULL),
+      |b AS (
+      |  SELECT CASE WHEN gap_s < 1 THEN 0 WHEN gap_s < 10 THEN 1
+      |    WHEN gap_s < 60 THEN 2 WHEN gap_s < 600 THEN 3
+      |    WHEN gap_s < 3600 THEN 4 WHEN gap_s < 21600 THEN 5
+      |    WHEN gap_s < 86400 THEN 6 ELSE 7 END AS bucket
+      |  FROM g),
+      |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_gaps
+      |      FROM b GROUP BY bucket),
+      |t AS (SELECT CAST(sum(n_gaps) AS BIGINT) AS total FROM c),
+      |cc AS (
+      |  SELECT bucket, n_gaps, total,
+      |    CAST(sum(n_gaps) OVER (ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM c CROSS JOIN t)
+      |SELECT bucket,
+      |  ['<1s','<10s','<1m','<10m','<1h','<6h','<24h','>=24h'][bucket + 1]
+      |    AS gap_range,
+      |  n_gaps,
+      |  CAST((n_gaps * 1000000 - (n_gaps * 1000000 % total)) / total AS BIGINT)
+      |    AS share_micro,
+      |  CAST((cum * 1000000 - (cum * 1000000 % total)) / total AS BIGINT)
+      |    AS cum_share_micro
+      |FROM cc ORDER BY bucket""".stripMargin
 }

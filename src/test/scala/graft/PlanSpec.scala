@@ -544,6 +544,7 @@ class PlanSpec extends SparkSpec {
       "mann_whitney_u" -> "tie-group table: one row per distinct rounded value",
       "spearman_corr" -> "midrank cumsum: one row per distinct quantity/discount value",
       "classifier_auc" -> "score-domain grid: one row per distinct micro score (≤ 1e6+1 by domain)",
+      "gap_histogram" -> "8-row log-decade bucket grid cumsum",
       "ks_test" -> "tie-group table: one row per distinct rounded value",
       "token_coverage" -> "vocabulary rank: one row per distinct token",
       "zipf_fit" -> "vocabulary rank: one row per distinct token",

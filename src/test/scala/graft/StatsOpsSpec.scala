@@ -10,6 +10,34 @@ import org.apache.spark.sql.functions._
 class StatsOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("gap_histogram: brute-force gap replay and share conservation") {
+    import graft.operators.TimeSeries2
+    val rows = TimeSeries2.gapHistogram(spark, sf).collect()
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"ts_ns", $"event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps = evs.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(e => (e._2, e._3))
+      s.sliding(2).collect { case Array(a, b) =>
+        Math.floorDiv(b._2 - a._2, 1000000000L)
+      }
+    }.toSeq
+    def bucket(g: Long): Int =
+      if (g < 1) 0 else if (g < 10) 1 else if (g < 60) 2 else if (g < 600) 3
+      else if (g < 3600) 4 else if (g < 21600) 5 else if (g < 86400) 6 else 7
+    val expect = gaps.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(_.getAs[Long]("n_gaps")).sum === gaps.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_gaps") === expect(r.getAs[Int]("bucket")),
+        s"bucket ${r.getAs[Int]("bucket")}")
+    }
+    // cumulative share is monotone and ends at exactly 1 (floor of
+    // total*1e6/total)
+    val cums = rows.sortBy(_.getAs[Int]("bucket")).map(_.getAs[Long]("cum_share_micro"))
+    assert(cums.toSeq === cums.sorted.toSeq)
+    assert(cums.last === 1000000L)
+  }
+
   test("changepoint_detect: argmax matches a driver-side brute force per series") {
     val cp = TimeSeries2.changepointDetect(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
