@@ -1225,11 +1225,16 @@ object Graph {
     * into one map-side-partial aggregate. One row out. */
   def graphAssortativity(spark: SparkSession, dir: String, minSupport: Int = 2): DataFrame = {
     import spark.implicits._
+    // persisted like triangleCount's edge set: edges are read by the
+    // degree union (2×) and both directed projections — uncached, each
+    // reference would re-run the coPairCounts aggregation
     val edges = coPairCounts(spark, dir)
       .filter($"n_orders" >= minSupport)
       .select($"pa".as("u"), $"pb".as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.select($"u".as("node")).unionAll(edges.select($"v".as("node")))
       .groupBy($"node").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val directed = edges.unionAll(edges.select($"v".as("u"), $"u".as("v")))
     val d = (c: Column) => c.cast("decimal(38,0)")
     val m = directed

@@ -515,7 +515,21 @@ class PlanSpec extends SparkSpec {
         ("dsir_weights", operators.Sampling.dsirWeights(spark, sf), 10),
         // substring dedup: fp keeper agg + fp join + per-doc run
         // window + per-doc aggs + report join + sort (ids/md5 only)
-        ("dedup_substring", operators.Filters.dedupSubstring(spark, sf), 7))) {
+        ("dedup_substring", operators.Filters.dedupSubstring(spark, sf), 7),
+        ("multimodal_ahash_dedup", operators.Multimodal.multimodalAhashDedup(spark, sf), 14),
+        ("dp_release", operators.DataQuality.dpRelease(spark, sf), 4),
+        ("curriculum_order", operators.Sampling.curriculumOrder(spark, sf), 5),
+        // graph_assortativity / graph_clustering are budget-exempt like
+        // the other persisted-edge graph ops (graph_lpa comment above):
+        // the string-rendered plan re-prints the cached edge/degree
+        // subtrees at every reference, so a textual exchange count
+        // over-states executed shuffles several-fold
+        // ann_eval composes both ANN parents; the brute-force window
+        // and LSH candidate exchanges re-print under the two eval sides
+        ("ann_eval", operators.Similarity.annEval(spark, sf), 16),
+        ("classifier_auc", operators.Training.classifierAuc(spark, sf), 6),
+        ("tokenizer_fertility", operators.TextModel.tokenizerFertility(spark, sf), 6),
+        ("gap_histogram", operators.TimeSeries2.gapHistogram(spark, sf), 5))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
