@@ -232,6 +232,61 @@ object TimeSeries {
       |  count(*) AS n, CAST(sum(${sqlDec("value")}) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Hourly OHLC resample of the event value series — the
+    * `resample('1h').ohlc()` every time-series store ships: per hour
+    * the FIRST and LAST observed value in exact event order (open /
+    * close), the extremes (high / low), the row count, and the exact
+    * decimal mean. Open/close need a total order within the bucket:
+    * the (ts_ns, event_id) pair is unique and identical in both
+    * engines, so the row_number picks are deterministic; high/low/mean
+    * are order-free (max/min, decimal sum).
+    *
+    * Scale: two row_number windows PARTITIONED by the hour bucket
+    * (key-partitioned, never a global sort) feeding one hour-keyed
+    * partial aggregate; output is time-axis cardinality. At 100 TB
+    * the windows and the aggregate share the hour exchange. */
+  def resampleOhlc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"value", $"ts_ns", $"event_id")
+    val wa = Window.partitionBy($"hour").orderBy($"ts_ns", $"event_id")
+    val wd = Window.partitionBy($"hour").orderBy($"ts_ns".desc, $"event_id".desc)
+    ev.withColumn("ra", row_number().over(wa))
+      .withColumn("rd", row_number().over(wd))
+      .groupBy($"hour")
+      .agg(count(lit(1)).as("n"),
+        max(when($"ra" === 1, $"value")).as("open0"),
+        max($"value").as("high0"),
+        min($"value").as("low0"),
+        max(when($"rd" === 1, $"value")).as("close0"),
+        sum(dec($"value")).as("sv"))
+      .select($"hour", $"n",
+        round($"open0", 6).as("open"), round($"high0", 6).as("high"),
+        round($"low0", 6).as("low"), round($"close0", 6).as("close"),
+        round($"sv".cast("double") / $"n".cast("double"), 6).as("mean_value"))
+      .orderBy($"hour")
+  }
+
+  val resampleOhlcSql: String =
+    s"""WITH e AS (
+      |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |    value,
+      |    row_number() OVER (PARTITION BY date_trunc('hour', ts)
+      |      ORDER BY epoch_ns(ts), event_id) AS ra,
+      |    row_number() OVER (PARTITION BY date_trunc('hour', ts)
+      |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rd
+      |  FROM events)
+      |SELECT hour, CAST(count(*) AS BIGINT) AS n,
+      |  round(max(CASE WHEN ra = 1 THEN value END), 6) AS open,
+      |  round(max(value), 6) AS high,
+      |  round(min(value), 6) AS low,
+      |  round(max(CASE WHEN rd = 1 THEN value END), 6) AS close,
+      |  round(CAST(sum(${sqlDec("value")}) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+      |    AS mean_value
+      |FROM e GROUP BY hour ORDER BY hour""".stripMargin
+
   /** Classical seasonal decomposition of the hourly event-count series
     * per type: value = trend + seasonal + residual. The series is
     * DENSIFIED first (hour spine per type, zero-filled — a moving

@@ -113,4 +113,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(directBase === baseCnt, "trailing 24h baseline")
     assert(top.getLong(4) === cnt * 24000000L / baseCnt, "burst ratio formula")
   }
+
+  test("resample_ohlc: brute-force hourly replay, ordering and extremes invariants") {
+    import graft.operators.TimeSeries
+    val rows = TimeSeries.resampleOhlc(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss"),
+        $"value", $"ts_ns", $"event_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    val byHour = evs.groupBy(_._1)
+    assert(rows.keySet === byHour.keySet)
+    byHour.foreach { case (h, g) =>
+      val s = g.sortBy(e => (e._3, e._4))
+      val r = rows(h)
+      assert(r.getAs[Long]("n") === g.length)
+      assert(r.getAs[Double]("open") === math.rint(s.head._2 * 1e6) / 1e6, s"$h open")
+      assert(r.getAs[Double]("close") === math.rint(s.last._2 * 1e6) / 1e6, s"$h close")
+      assert(r.getAs[Double]("high") === math.rint(g.map(_._2).max * 1e6) / 1e6)
+      assert(r.getAs[Double]("low") === math.rint(g.map(_._2).min * 1e6) / 1e6)
+      assert(r.getAs[Double]("low") <= r.getAs[Double]("open")
+        && r.getAs[Double]("open") <= r.getAs[Double]("high"))
+      assert(r.getAs[Double]("low") <= r.getAs[Double]("mean_value")
+        && r.getAs[Double]("mean_value") <= r.getAs[Double]("high"))
+    }
+  }
 }
