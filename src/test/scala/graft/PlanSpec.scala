@@ -529,7 +529,9 @@ class PlanSpec extends SparkSpec {
         ("ann_eval", operators.Similarity.annEval(spark, sf), 16),
         ("classifier_auc", operators.Training.classifierAuc(spark, sf), 6),
         ("tokenizer_fertility", operators.TextModel.tokenizerFertility(spark, sf), 6),
-        ("gap_histogram", operators.TimeSeries2.gapHistogram(spark, sf), 5))) {
+        ("gap_histogram", operators.TimeSeries2.gapHistogram(spark, sf), 5),
+        // ohlc: the two hour-partitioned windows + agg share exchanges
+        ("resample_ohlc", operators.TimeSeries.resampleOhlc(spark, sf), 5))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
