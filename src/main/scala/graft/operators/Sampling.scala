@@ -518,9 +518,16 @@ object Sampling {
     * leave Σw ≤ 10⁶ by < |S| micro; documented, deterministic).
     *
     * Scale: ONE corpus scan for the per-source quality aggregate
-    * (decimal-exact 6dp sums); the MW loop is |sources|-row arithmetic
-    * with two grid-sized scalar aggregates per round — the model is the
-    * only thing iterating, the corpus is read once.
+    * (decimal-exact 6dp sums) collapses the corpus to the |sources|-row
+    * model (~20 rows); the MW rounds then run on the collected model in
+    * the driver with the same Long floor-division arithmetic (the IVF
+    * centroid precedent — driver traffic is O(model), the corpus is
+    * read once). r7 shipped the rounds as nested crossJoin(broadcast)
+    * plans instead; each round referenced the previous one ~3×, so the
+    * final tree re-expanded the base subtree ~3⁴ times and fired a
+    * broadcast-job cascade at write time — the r8 rewrite keeps the
+    * output bit-identical (Math.floorDiv ≡ the pmod expansion for
+    * positive divisors) with a single-scan plan.
     */
   def domainReweight(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -531,27 +538,31 @@ object Sampling {
         sum($"n_tokens".cast("long")).as("src_tokens"),
         (sum($"quality_score".cast("decimal(12,6)")) * 1000000)
           .cast("decimal(38,0)").cast("long").as("qsum_micro"))
-      .withColumn("loss_micro", lit(M) - rwFdiv($"qsum_micro", $"n_docs"))
-      .persist()
-    val nS = base.select(count(lit(1)).as("k"))
-    var w = base.crossJoin(broadcast(nS))
-      .select($"source", $"n_docs", $"src_tokens", $"loss_micro",
-        rwFdiv(lit(M), $"k").as("w"))
+    // model collapse: (source, n_docs, src_tokens, loss_micro) — one row
+    // per source. All divisors below are positive, so Math.floorDiv
+    // reproduces rwFdiv's pmod expansion exactly.
+    val rows = base.collect().map { r =>
+      val nDocs = r.getLong(1)
+      (r.getString(0), nDocs, r.getLong(2),
+        M - Math.floorDiv(r.getLong(3), nDocs))
+    }.sortBy(_._1)
+    val k = rows.length.toLong
+    var w = rows.map(_ => Math.floorDiv(M, k))
     for (_ <- 1 to RwRounds) {
-      val lbar = w.agg(rwFdiv(sum($"w" * $"loss_micro"), lit(M)).as("lbar"))
-      val raw = w.crossJoin(broadcast(lbar))
-        .withColumn("m", lit(M) + rwFdiv(lit(RwEta) * ($"lbar" - $"loss_micro"), lit(M)))
-        .withColumn("raw", rwFdiv($"w" * $"m", lit(M)))
-      val tot = raw.agg(sum($"raw").as("tot"))
-      w = raw.crossJoin(broadcast(tot))
-        .select($"source", $"n_docs", $"src_tokens", $"loss_micro",
-          rwFdiv($"raw" * M, $"tot").as("w"))
+      val lbar = Math.floorDiv(
+        w.iterator.zip(rows.iterator).map { case (wi, r) => wi * r._4 }.sum, M)
+      val raw = w.zip(rows).map { case (wi, r) =>
+        val m = M + Math.floorDiv(RwEta * (lbar - r._4), M)
+        Math.floorDiv(wi * m, M)
+      }
+      val tot = raw.sum
+      w = raw.map(ri => Math.floorDiv(ri * M, tot))
     }
-    val tokTot = base.agg(sum($"src_tokens").as("tt"))
-    w.crossJoin(broadcast(tokTot))
-      .select($"source", $"n_docs", $"src_tokens", $"loss_micro",
-        $"w".as("weight_micro"),
-        rwFdiv($"src_tokens" * M, $"tt").as("token_share_micro"))
+    val tt = rows.map(_._3).sum
+    spark.createDataFrame(rows.zip(w).map { case ((src, nDocs, tok, loss), wi) =>
+      (src, nDocs, tok, loss, wi, Math.floorDiv(tok * M, tt))
+    }.toSeq).toDF("source", "n_docs", "src_tokens", "loss_micro",
+      "weight_micro", "token_share_micro")
       .orderBy($"source")
   }
 
