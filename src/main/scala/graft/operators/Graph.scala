@@ -412,8 +412,10 @@ object Graph {
     * a power-law co-purchase graph at scale. Three hash joins on id
     * keys; only (src, dst, rank) longs ride the shuffles.
     *
-    * The orientation rank packs (degree, id) into one long
-    * (deg·10⁹ + id) — a total order both engines reproduce exactly.
+    * The orientation rank is a lexicographic (degree, id) STRUCT
+    * comparison (Spark struct ordering ≡ DuckDB ROW ordering) — a
+    * strict total order at ANY id magnitude; the earlier deg·10⁹+id
+    * arithmetic pack silently collided once node ids crossed 10⁹.
     */
   def triangleCount(spark: SparkSession, dir: String, minSupport: Int = 2): DataFrame = {
     import spark.implicits._
@@ -428,8 +430,8 @@ object Graph {
       .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), Seq("u"))
       .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), Seq("v"))
       .select($"u", $"v",
-        ($"du" * 1000000000L + $"u").as("ru"),
-        ($"dv" * 1000000000L + $"v").as("rv"))
+        struct($"du".as("d"), $"u".as("i")).as("ru"),
+        struct($"dv".as("d"), $"v".as("i")).as("rv"))
     // orient low-rank → high-rank; EAGERLY persisted — the triangle
     // join reads this frame three times in one job, and without a
     // materialized cache the three readers race the same in-flight
@@ -462,8 +464,8 @@ object Graph {
       |  SELECT CASE WHEN ru < rv THEN u ELSE v END AS src,
       |         CASE WHEN ru < rv THEN v ELSE u END AS dst,
       |         CASE WHEN ru < rv THEN rv ELSE ru END AS dst_rank
-      |  FROM (SELECT e.u, e.v, du.deg * 1000000000 + e.u AS ru,
-      |               dv.deg * 1000000000 + e.v AS rv
+      |  FROM (SELECT e.u, e.v, ROW(du.deg, e.u) AS ru,
+      |               ROW(dv.deg, e.v) AS rv
       |        FROM edges e
       |        JOIN deg du ON du.node = e.u
       |        JOIN deg dv ON dv.node = e.v)),
@@ -1103,8 +1105,8 @@ object Graph {
       .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), Seq("u"))
       .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), Seq("v"))
       .select($"u", $"v",
-        ($"du" * 1000000000L + $"u").as("ru"),
-        ($"dv" * 1000000000L + $"v").as("rv"))
+        struct($"du".as("d"), $"u".as("i")).as("ru"),
+        struct($"dv".as("d"), $"v".as("i")).as("rv"))
     val oe = ranked
       .select(when($"ru" < $"rv", $"u").otherwise($"v").as("src"),
         when($"ru" < $"rv", $"v").otherwise($"u").as("dst"),
@@ -1161,8 +1163,8 @@ object Graph {
       |  SELECT CASE WHEN ru < rv THEN u ELSE v END AS src,
       |         CASE WHEN ru < rv THEN v ELSE u END AS dst,
       |         CASE WHEN ru < rv THEN rv ELSE ru END AS dst_rank
-      |  FROM (SELECT e.u, e.v, du.deg * 1000000000 + e.u AS ru,
-      |               dv.deg * 1000000000 + e.v AS rv
+      |  FROM (SELECT e.u, e.v, ROW(du.deg, e.u) AS ru,
+      |               ROW(dv.deg, e.v) AS rv
       |        FROM edges e
       |        JOIN deg du ON du.node = e.u
       |        JOIN deg dv ON dv.node = e.v)),

@@ -208,7 +208,20 @@ object Stats {
     }
     val grand = Seq(
       count(lit(1)).as("n"), sum(v).as("s"), sum(v * v).as("ss"))
-    val m = Tables.events(spark, dir).agg(grand.head, (grand.tail ++ perGroup): _*)
+    val m0 = Tables.events(spark, dir).agg(grand.head, (grand.tail ++ perGroup): _*)
+    // vocabulary guard: the pinned EventTypes list must PARTITION the
+    // corpus — an event_type outside it would silently inflate
+    // ss_within (its mass enters grand moments but no group) and a
+    // missing type would null F via n_g = 0. assert_true returns NULL
+    // when the invariant holds (coalesce keeps the row, output
+    // unchanged) and THROWS on vocabulary drift instead of producing a
+    // plausible-but-wrong statistic.
+    val groupTotal = EventTypes.map(g => col(s"n_$g")).reduceLeft(_ + _)
+    val minGroup = EventTypes.map(g => col(s"n_$g")).reduce(least(_, _))
+    val m = m0.where(coalesce(
+      assert_true(groupTotal === col("n") && minGroup > 0,
+        lit("anova_oneway: event_type vocabulary drift — pinned groups no longer partition the corpus")),
+      lit(true)))
     val k = EventTypes.size
     val nD = col("n").cast("double")
     val sD = col("s").cast("double")
@@ -423,7 +436,16 @@ object Stats {
     * Scale: one partial-agg scan → cells; the pair join is a
     * broadcast nested loop over TWO grid-sized sides (bounded by the
     * value domains); marginal/tie aggregates re-read the cell table.
-    * Nothing downstream of the scan grows with rows. */
+    * Nothing downstream of the scan grows with rows.
+    *
+    * Output-range contract: the RAW pair-mass columns (concordant /
+    * discordant / ties_x / ties_y) are reported as BIGINT and are
+    * O(n²) quantities — they stay in Long range only for n ≲ 4.3×10⁹
+    * rows (beyond that Spark's non-ANSI cast nulls while DuckDB's CAST
+    * errors). τ-b itself is computed from the DECIMAL(38,0)/HUGEINT
+    * masses BEFORE the display cast and is exact to n ≈ 10¹⁸; past
+    * 4e9 rows drop the raw-mass display columns or widen them to
+    * DECIMAL — the statistic needs no change. */
   def kendallTau(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cells = qdCells(spark, dir)

@@ -184,6 +184,6 @@ class SelectionPrivacySpec extends SparkSpec {
     // duplicated mass can only grow
     val grid = Filters.spanDedup(spark, sf).agg(sum($"tokens_lost")).collect().head.getLong(0)
     val slide = rows.values.map(_.getAs[Long]("dup_token_mass")).sum
-    assert(slide >= 0 && grid >= 0)
+    assert(slide >= grid, s"sliding dup mass $slide must dominate grid tokens_lost $grid")
   }
 }
