@@ -19,12 +19,23 @@ import org.apache.spark.sql.functions._
   * The events table is read and written RAW (no ts normalization):
   * whatever encoding the source carries is what the clone carries, and
   * readers go through Tables.events / eventStream as always.
+  *
+  * MUTATE mode (4th arg "mutate"): verbatim clones let the exact-
+  * duplicate representative collapse absorb most of the near-dup
+  * family's true sf1 work (the r7 probe's honesty gap) — so each
+  * replica i>0 gets its text perturbed (append a per-replica tag
+  * token; n_chars updated to stay length-consistent) and one
+  * embedding component bumped by an exactly-representable +0.25f.
+  * Clone groups then survive as NEAR duplicates (one-token /
+  * one-component deltas), which is the workload MinHash / containment
+  * / kNN actually face on a scaled web corpus.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
     val k = if (args.length > 2) args(2).toInt else 10
+    val mutate = args.length > 3 && args(3) == "mutate"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.builder(cpus.toInt).appName("graft-scaleup").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -46,12 +57,39 @@ object ScaleUp {
     /** K offset replicas: cross join with the replica index, shift the
       * named key columns by stride·i, keep everything else verbatim.
       */
-    def replicate(df: DataFrame, shifts: (String, Long)*): DataFrame = {
+    def replicateKeep(df: DataFrame, shifts: (String, Long)*): DataFrame = {
       val rep = spark.range(k).select($"id".as("__rep"))
       shifts.foldLeft(df.crossJoin(rep)) { case (d, (c, s)) =>
         d.withColumn(c, col(c) + $"__rep" * s)
-      }.drop("__rep")
+      }
     }
+    def replicate(df: DataFrame, shifts: (String, Long)*): DataFrame =
+      replicateKeep(df, shifts: _*).drop("__rep")
+
+    /** mutate-mode documents: replica 0 verbatim; replica i appends the
+      * tag token " xq<i>" so every clone pair is a one-token near-dup
+      * (Jaccard just under 1 for realistic doc lengths) instead of an
+      * exact dup; n_chars recomputed so dq_report's length-consistency
+      * contract still holds on the probe corpus. */
+    def mutateDocs(df: DataFrame): DataFrame =
+      df.withColumn("text",
+          when($"__rep" > 0, concat($"text", lit(" xq"), $"__rep"))
+            .otherwise($"text"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .drop("__rep")
+
+    /** mutate-mode embeddings: replica i>0 bumps component
+      * (i−1) mod dim by +0.25f (exactly representable — the perturbed
+      * corpus stays bit-deterministic), so clone groups are near- but
+      * not exact-duplicate vectors. */
+    def mutateVecs(df: DataFrame): DataFrame =
+      df.withColumn("embedding",
+          when($"__rep" > 0,
+            transform($"embedding", (v, i) =>
+              when(i === pmod($"__rep" - 1, size($"embedding")).cast("int"),
+                v + lit(0.25f)).otherwise(v)))
+            .otherwise($"embedding"))
+        .drop("__rep")
 
     val tables: Seq[(String, DataFrame)] = Seq(
       "region" -> load("region"),
