@@ -103,8 +103,14 @@ object ScaleUp {
         "l_orderkey" -> orderS, "l_partkey" -> partS, "l_suppkey" -> suppS),
       "events" -> replicate(load("events"),
         "event_id" -> eventS, "user_id" -> userS),
-      "documents" -> replicate(load("documents"), "doc_id" -> docS),
-      "embeddings" -> replicate(load("embeddings"), "vec_id" -> vecS))
+      "documents" -> {
+        val rep = replicateKeep(load("documents"), "doc_id" -> docS)
+        if (mutate) mutateDocs(rep) else rep.drop("__rep")
+      },
+      "embeddings" -> {
+        val rep = replicateKeep(load("embeddings"), "vec_id" -> vecS)
+        if (mutate) mutateVecs(rep) else rep.drop("__rep")
+      })
     // Fact tables must be written SPLIT: the replicate cross join
     // inherits the source's (single-file) partitioning, and a
     // one-file-per-table layout caps every scan at one task — the

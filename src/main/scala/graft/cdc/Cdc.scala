@@ -598,6 +598,75 @@ object Cdc {
       .write.mode("overwrite").parquet(baseDir)
   }
 
+  /** Compaction acceptance audit — the check a table maintainer runs
+    * after [[compactChangelog]] (the reference's Iceberg
+    * rewrite-data-files analog): replay the changelog's latest-wins /
+    * tombstone contract and emit the row-disposition accounting plus an
+    * ORDER-FREE integer checksum of the surviving base, the portable
+    * number a compacted table must reproduce regardless of file layout,
+    * partitioning, or write order. n_log = n_superseded + n_tombstoned
+    * + n_base by construction, so a drifted compaction fails on
+    * arithmetic before anyone diffs rows.
+    *
+    * Engine-exactness: the checksum folds md5("key:valueμ:offset") hex
+    * prefixes to 48-bit ints (the [[graft.operators.DataQuality]]
+    * dpRelease idiom; value on the 4dp grid so its string render is
+    * engine-stable) and SUMS them in DECIMAL(38,0) mod 2⁴⁸ — exact and
+    * commutative, no ordering assumption at any corpus size.
+    *
+    * Scale: one key-partitioned window (the materialize shape) + one
+    * single-row aggregate; the checksum is map-side partial-summed.
+    */
+  def cdcCompactAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"key").orderBy($"offset".desc)
+    val last = changelog(spark, dir).withColumn("rn", row_number().over(w))
+    val totals = last.agg(count(lit(1)).as("n_log"))
+    val perKey = last.filter($"rn" === 1)
+      .withColumn("vu", round($"value" * 10000, 0).cast("long"))
+      .withColumn("h", conv(substring(md5(concat(
+        $"key".cast("string"), lit(":"), $"vu".cast("string"),
+        lit(":"), $"offset".cast("string"))), 1, 12), 16, 10).cast("long"))
+    val agg = perKey.agg(
+      count(lit(1)).as("n_keys"),
+      sum(when($"op" === "d", 1L).otherwise(0L)).as("n_tombstoned"),
+      sum(when($"op" =!= "d", 1L).otherwise(0L)).as("n_base"),
+      (sum(when($"op" =!= "d", $"h").otherwise(lit(0L)).cast("decimal(38,0)"))
+        % lit(281474976710656L)).cast("long").as("base_checksum"))
+    agg.crossJoin(broadcast(totals))
+      .select($"n_log", $"n_keys", ($"n_log" - $"n_keys").as("n_superseded"),
+        $"n_tombstoned", $"n_base", $"base_checksum")
+  }
+
+  val cdcCompactAuditSql: String =
+    s"""WITH log AS (
+      |  SELECT user_id AS key, $sqlOp AS op, value, event_id AS ofs,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_log FROM log),
+      |perkey AS (
+      |  SELECT key, op, ofs,
+      |    CAST(round(value * 10000, 0) AS BIGINT) AS vu
+      |  FROM log WHERE rn = 1),
+      |hashed AS (
+      |  SELECT op,
+      |    list_reduce(list_transform(
+      |      split(substr(md5(CAST(key AS VARCHAR) || ':' || CAST(vu AS VARCHAR)
+      |        || ':' || CAST(ofs AS VARCHAR)), 1, 12), ''),
+      |      c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+      |      (a, c) -> a * 16 + c) AS h
+      |  FROM perkey),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstoned,
+      |    CAST(sum(CASE WHEN op <> 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+      |    CAST(CAST(sum(CASE WHEN op <> 'd' THEN h ELSE 0 END) AS HUGEINT)
+      |      % 281474976710656 AS BIGINT) AS base_checksum
+      |  FROM hashed)
+      |SELECT n_log, n_keys, n_log - n_keys AS n_superseded,
+      |  n_tombstoned, n_base, base_checksum
+      |FROM agg CROSS JOIN t""".stripMargin
+
   /** JSON property extraction from the events.props payload column —
     * schema-on-read like the reference's get_json_object usage, but via
     * typed from_json.

@@ -773,4 +773,91 @@ object Similarity {
       |  FROM perq)
       |SELECT q_id, CAST(k AS INT) AS k, n_hits, recall_micro, mean_recall_micro
       |FROM perq CROSS JOIN o ORDER BY q_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // contrastive_triplets — (anchor, positive, hard-negative) mining
+  // ------------------------------------------------------------------
+
+  /** Contrastive-training triplet mining over the labeled embedding
+    * corpus: for each anchor (query vector), the POSITIVE is its
+    * nearest same-label corpus neighbor and the HARD NEGATIVE its
+    * nearest other-label neighbor — the "hardest negative" that
+    * dominates contrastive-loss gradients (the standard triplet-mining
+    * recipe for embedding/bi-encoder training; [[knnHardNegatives]]
+    * mines the negative pool, this emits ready training triplets with
+    * their margin pos_cos − neg_cos, the curriculum-ordering signal).
+    *
+    * Engine-exactness: the AnnExact doctrine — components on the micro
+    * integer grid, exact Long dots/norms via the vec_dot_l kernel, the
+    * cosine one fixed double tree, margins a difference of those
+    * identical doubles, rounded 6dp for display only (ranking uses the
+    * unrounded values, bit-equal across engines; ties break on n_id).
+    *
+    * Scale: anchors broadcast; the corpus is SCANNED once and never
+    * shuffled — the positive and the negative are CONDITIONAL
+    * struct-maxes of the SAME aggregation (max over (cos, −n_id)
+    * structs guarded by the label predicate), so one anchor-keyed
+    * exchange carries 2 partial structs per anchor per task, there is
+    * no pos/neg self-join, and the whole triplet emerges from a single
+    * pass. At 100 TB this is the annTopkAgg aggregate shape with k=1
+    * and the class split folded into the aggregate expressions.
+    */
+  def contrastiveTriplets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.PqFunctions.vec_dot_l
+    val q = Tables.embeddings(spark, dir).select($"vec_id", $"label",
+      transform($"embedding",
+        x => round(x.cast("double") * 1000000d, 0).cast("long")).as("vq"))
+    val anchors = q.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"), $"vq".as("qv"),
+        vec_dot_l($"vq", $"vq").as("qq"))
+    val corpus = q.filter($"vec_id" >= 8)
+      .select($"vec_id".as("n_id"), $"label".as("n_label"), $"vq".as("nv"),
+        vec_dot_l($"vq", $"vq").as("nn"))
+    corpus.crossJoin(broadcast(anchors))
+      .withColumn("cos", vec_dot_l($"qv", $"nv").cast("double")
+        / (sqrt($"qq".cast("double")) * sqrt($"nn".cast("double"))))
+      .groupBy($"q_id", $"q_label")
+      .agg(
+        max(when($"n_label" === $"q_label",
+          struct($"cos", (-$"n_id").as("negid")))).as("p"),
+        max(when($"n_label" =!= $"q_label",
+          struct($"cos", (-$"n_id").as("negid")))).as("ng"))
+      .select($"q_id", $"q_label".as("anchor_label"),
+        (-$"p.negid").as("pos_id"), round($"p.cos", 6).as("pos_cos"),
+        (-$"ng.negid").as("neg_id"), round($"ng.cos", 6).as("neg_cos"),
+        round($"p.cos" - $"ng.cos", 6).as("margin"))
+      .orderBy($"q_id")
+  }
+
+  val contrastiveTripletsSql: String =
+    """WITH comp AS MATERIALIZED (
+      |  SELECT vec_id, CAST(i AS INT) AS dim,
+      |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000, 0) AS BIGINT) AS vq
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+      |nrm AS MATERIALIZED (
+      |  SELECT vec_id, CAST(sum(vq * vq) AS BIGINT) AS s2 FROM comp GROUP BY 1),
+      |lab AS (SELECT vec_id, label FROM embeddings),
+      |dots AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, CAST(sum(q.vq * c.vq) AS BIGINT) AS dot
+      |  FROM comp q JOIN comp c ON q.dim = c.dim AND q.vec_id < 8 AND c.vec_id >= 8
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.q_id, d.n_id, lq.label AS q_label,
+      |    (lc.label = lq.label) AS same,
+      |    CAST(d.dot AS DOUBLE)
+      |      / (sqrt(CAST(nq.s2 AS DOUBLE)) * sqrt(CAST(nc.s2 AS DOUBLE))) AS cos
+      |  FROM dots d
+      |  JOIN nrm nq ON nq.vec_id = d.q_id JOIN nrm nc ON nc.vec_id = d.n_id
+      |  JOIN lab lq ON lq.vec_id = d.q_id JOIN lab lc ON lc.vec_id = d.n_id),
+      |best AS (
+      |  SELECT q_id, q_label, n_id, cos, same,
+      |    row_number() OVER (PARTITION BY q_id, same ORDER BY cos DESC, n_id) AS rk
+      |  FROM scored)
+      |SELECT p.q_id, p.q_label AS anchor_label, p.n_id AS pos_id,
+      |  round(p.cos, 6) AS pos_cos, n.n_id AS neg_id, round(n.cos, 6) AS neg_cos,
+      |  round(p.cos - n.cos, 6) AS margin
+      |FROM best p JOIN best n
+      |  ON p.q_id = n.q_id AND p.same AND NOT n.same AND p.rk = 1 AND n.rk = 1
+      |ORDER BY p.q_id""".stripMargin
 }

@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.Similarity
+import graft.cdc.Cdc
+
+/** Round-8 operator batch: contrastive triplet mining and the CDC
+  * compaction acceptance audit — each with a full driver-side
+  * brute-force replay plus shuffle budgets.
+  */
+class Round8OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contrastive_triplets: pos/neg are the true per-class argmax, margins replay") {
+    val out = Similarity.contrastiveTriplets(spark, sf).collect()
+    assert(out.length == 8)
+    // exact replay: integer-grid cosine over the collected corpus
+    val all = sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x => BigDecimal(x.toDouble * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray))
+    val corpus = all.filter(_._1 >= 8)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    for (row <- out) {
+      val qid = row.getLong(0)
+      val (_, qLabel, qv) = all.find(_._1 == qid).get
+      def top(same: Boolean): (Long, Double) =
+        corpus.filter(c => (c._2 == qLabel) == same)
+          .map(c => (c._1, cos(qv, c._3)))
+          .minBy { case (id, c) => (-c, id) }
+      val (posId, posCos) = top(same = true)
+      val (negId, negCos) = top(same = false)
+      assert(row.getInt(1) == qLabel, s"q$qid anchor_label")
+      assert(row.getLong(2) == posId, s"q$qid pos_id")
+      assert(row.getLong(4) == negId, s"q$qid neg_id")
+      def r6(x: Double): Double = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(row.getDouble(3) - r6(posCos)) < 1e-9)
+      assert(math.abs(row.getDouble(5) - r6(negCos)) < 1e-9)
+      assert(math.abs(row.getDouble(6) - r6(posCos - negCos)) < 1e-9)
+    }
+  }
+
+  test("cdc_compact_audit: disposition accounting and checksum replay") {
+    val row = Cdc.cdcCompactAudit(spark, sf).collect()
+    assert(row.length == 1)
+    val r = row.head
+    val (nLog, nKeys, nSup, nTomb, nBase, checksum) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    // the audit's own arithmetic contract
+    assert(nLog == nSup + nTomb + nBase)
+    assert(nKeys == nTomb + nBase)
+    // full driver-side replay from the raw events
+    val ev = sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"event_type", $"value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(nLog == ev.length)
+    def opOf(t: String) = t match {
+      case "signup" => "c"; case "purchase" => "u"; case "error" => "d"; case _ => "r"
+    }
+    val lastPerKey = ev.groupBy(_._1).map { case (k, rows) =>
+      val last = rows.maxBy(_._2)
+      (k, last._2, opOf(last._3), last._4)
+    }
+    assert(nKeys == lastPerKey.size)
+    assert(nTomb == lastPerKey.count(_._3 == "d"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    }
+    val want = lastPerKey.filter(_._3 != "d").toSeq
+      .map { case (k, ofs, _, v) =>
+        BigInt(h(s"$k:${BigDecimal(v * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong}:$ofs"))
+      }.sum % BigInt(281474976710656L)
+    assert(BigInt(checksum) == want, "base checksum replay")
+  }
+
+  test("shuffle budgets for the round-8 operator batch") {
+    for ((name, df, budget) <- Seq(
+        // corpus scan + one anchor-keyed agg exchange + presentation
+        // sort; textual count doubles under AQE re-prints (executed: 2)
+        ("contrastive_triplets", Similarity.contrastiveTriplets(spark, sf), 4),
+        // one key window + one-row aggregate
+        ("cdc_compact_audit", Cdc.cdcCompactAudit(spark, sf), 4))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val n = "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
+        .findAllIn(plan).length
+      info(s"$name shuffles = $n (budget $budget)")
+      assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
+    }
+  }
+}
