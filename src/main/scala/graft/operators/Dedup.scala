@@ -182,20 +182,49 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
           .orderBy($"dfh", $"h")))
       .filter($"rn" <= $"n" - ceil(lit(tau) * $"n").cast("int") + 1)
-      .select($"doc_id", $"n", $"h")
+      // gk: the global rarity key (df, h) packed into one Long — the
+      // exact order the prefixes were ranked by, comparable ACROSS
+      // docs; each doc's prefix BOUNDARY is its largest prefix gk and
+      // every suffix shingle of that doc sits strictly above it
+      .select($"doc_id", $"n", $"h",
+        ($"dfh" * lit(4294967296L) + $"h").as("gk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // candidate ids only through the shuffle; length filter kills pairs
-    // whose size ratio alone caps Jaccard under τ
+    val bnd = prefix.groupBy($"doc_id").agg(max($"gk").as("bk"))
+    // candidates AGGREGATED, not distinct'd: cp = |prefix(A)∩prefix(B)|
+    // rides the shuffle as one count per pair (map-side combined), and
+    // the PPJoin count/boundary filter prunes BEFORE any shingle array
+    // moves: an unmatched common shingle must rank above min(bA,bB), so
+    // it lies in the smaller-boundary doc's SUFFIX, giving the exact
+    // bound |A∩B| ≤ cp + (⌈τ·n⌉−1 of that doc); J ≥ τ needs |A∩B| ≥
+    // ⌈τ/(1+τ)·(na+nb)⌉. On a clone-heavy corpus (the mutated sf1
+    // probe) this kills the accidental cross-group candidates — which
+    // share only a handful of prefix shingles — without ever joining
+    // their arrays; true near-dup pairs share ~the whole prefix and
+    // pass. Exact: the bound over-approximates the overlap, so no
+    // false negatives (α is floored by an ε to keep float ceil from
+    // over-tightening at integer boundaries — pruning LESS is the safe
+    // direction, verification rejects any extra survivor).
     val cand = prefix.as("a")
       .join(prefix.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
         least($"a.n", $"b.n").cast("double") >= lit(tau) * greatest($"a.n", $"b.n"))
-      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
-      .distinct()
+      .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"),
+        $"a.n".as("pna"), $"b.n".as("pnb"))
+      .agg(count(lit(1)).as("cp"))
+    val candF = cand
+      .join(bnd.select($"doc_id".as("i"), $"bk".as("bi")), "i")
+      .join(bnd.select($"doc_id".as("j"), $"bk".as("bj")), "j")
+      .withColumn("alpha",
+        ceil(lit(tau / (1 + tau)) * ($"pna" + $"pnb") - lit(1e-9)).cast("long"))
+      .withColumn("sufcap", when($"bi" <= $"bj",
+          ceil(lit(tau) * $"pna").cast("long") - 1L)
+        .otherwise(ceil(lit(tau) * $"pnb").cast("long") - 1L))
+      .filter($"cp" + $"sufcap" >= $"alpha")
+      .select($"i", $"j")
     // per-pair verification against the two shingle arrays: one row per
-    // candidate, never |cand|×|shingles per doc| exploded rows
+    // SURVIVING candidate, never |cand|×|shingles per doc| exploded rows
     val shI = shR.select($"doc_id".as("i"), $"fp".as("fpa"), $"shs".as("sa"), $"n".as("na"))
     val shJ = shR.select($"doc_id".as("j"), $"fp".as("fpb"), $"shs".as("sb"), $"n".as("nb"))
-    val repPairs = cand.join(shI, "i").join(shJ, "j")
+    val repPairs = candF.join(shI, "i").join(shJ, "j")
       .withColumn("c", size(array_intersect($"sa", $"sb")))
       .withColumn("jaccard", $"c".cast("double") / ($"na" + $"nb" - $"c").cast("double"))
       .filter($"jaccard" >= tau)

@@ -637,12 +637,35 @@ object Similarity {
       .withColumn("nn", slice($"members", 1, NoiseK + 1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repVecs = classes.select($"rep".as("vec_id"), $"embedding")
+    // FIRST-COLLISION EMISSION (the mutated-sf1 probe's refinement):
+    // the bucket self-join stays NARROW (ids + one packed signature —
+    // wide rows through a high-fanout join materialize every emission,
+    // which is exactly backwards when emissions ≫ survivors), but each
+    // pair is emitted ONLY from the first LSH table the two vectors
+    // collide in, so the per-emission `.distinct()` agg over the ~T×
+    // duplicated candidate stream disappears. sig packs all NumTables
+    // bucket ids (PlanesPerTable bits each) into one long; "already
+    // collided in an earlier table" is a branch-free zero-nibble probe
+    // on (sigA ^ sigB) with the nibbles ≥ tbl forced nonzero — no
+    // arrays, no allocations on the emission path. Same candidate set
+    // as distinct-of-all-collisions, by construction.
+    // sig is FOLDED from the entry array, not recomputed from the
+    // planes: a second bank of literal plane dots doubles the
+    // generated code past the JIT method limit and silently drops the
+    // whole join stage out of whole-stage codegen (measured 3×)
     val idx = repVecs
-      .select($"vec_id", explode(lshIndexEntries($"embedding")).as("k"))
-      .select($"vec_id", $"k.tbl".as("tbl"), $"k.bucket".as("bucket"))
+      .withColumn("ks", lshIndexEntries($"embedding"))
+      .select($"vec_id",
+        expr(s"aggregate(ks, CAST(0 AS BIGINT), (acc, x) -> acc | shiftleft(x.bucket, x.tbl * $PlanesPerTable))").as("sig"),
+        explode($"ks").as("k"))
+      .select($"vec_id", $"sig", $"k.tbl".as("tbl"), $"k.bucket".as("bucket"))
+    val mask = expr(s"shiftleft(CAST(1 AS BIGINT), tbl * $PlanesPerTable)") - 1L
+    val y = ($"a.sig".bitwiseXOR($"b.sig")).bitwiseOR(bitwise_not(mask))
+    val zeroNibble = ((y - lit(0x1111111111111111L))
+      .bitwiseAND(bitwise_not(y)).bitwiseAND(lit(-8608480567731124088L))) =!= 0L
     val cand = idx.as("a").join(idx.as("b"), Seq("tbl", "bucket"))
-      .filter($"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("i"), $"b.vec_id".as("j")).distinct()
+      .filter($"a.vec_id" < $"b.vec_id" && !zeroNibble)
+      .select($"a.vec_id".as("i"), $"b.vec_id".as("j"))
     val vecs = repVecs.select($"vec_id", $"embedding", Dedup.norm($"embedding").as("nrm"))
     val sim = cand
       .join(vecs.select($"vec_id".as("i"), $"embedding".as("ea"), $"nrm".as("na")), "i")
