@@ -538,6 +538,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("shuffle budgets for the round-8 additions") {
+    for ((name, df, budget) <- Seq(
+        // triplets: query side is an 8-row broadcast against the
+        // corpus scan, so the whole mine is ONE (query,label-side)
+        // top-1 aggregate exchange + the output sort
+        ("contrastive_triplets",
+          operators.Similarity.contrastiveTriplets(spark, sf), 3),
+        // compact audit: both the windowed last-per-key reduction and
+        // the compacted compare co-partition on the SAME key hash, so
+        // one exchange serves the whole reconciliation
+        ("cdc_compact_audit", cdc.Cdc.cdcCompactAudit(spark, sf), 2))) {
+      val n = shuffleCount(df)
+      info(s"$name shuffles = $n (budget $budget)")
+      assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
+    }
+  }
+
   test("unpartitioned windows only ever read grid/model-cardinality inputs") {
     // The library-wide discipline behind the Spark "No Partition
     // Defined" WARNs: a Window with an empty partitionSpec serializes
