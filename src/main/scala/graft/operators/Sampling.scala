@@ -813,4 +813,101 @@ object Sampling {
       |  CAST((dsir_micro - ((dsir_micro % n_tokens + n_tokens) % n_tokens))
       |    / n_tokens AS BIGINT) > 0 AS selected
       |FROM scored ORDER BY doc_id""".stripMargin
+
+  /** Leave-one-source-out corpus impact: for every source, the corpus
+    * health metrics a mixture designer reads before dropping that
+    * source — remaining doc count, remaining mean length, and the
+    * remaining EXACT-duplICATE mass — computed for all k sources in
+    * ONE pass over sufficient statistics, never k corpus re-scans.
+    *
+    * The duplicate mass is the algebraic part: with per-class sizes
+    * n_c and per-(class, source) counts n_cs, the duplicated-doc count
+    * after removing source s is
+    *   Σ_c f(n_c − n_cs)  =  G − Σ_{c: n_cs>0} [f(n_c) − f(n_c − n_cs)]
+    * with f(n) = n·[n ≥ 2] and G the full-corpus mass — so each source
+    * only pays for the classes it actually touches. Cross-source
+    * redeliveries are planted (doc_id < 30 re-ingested under the next
+    * source id) so the correction term is non-vacuous on the synthetic
+    * corpus, the same convention as `dedup_exact`.
+    *
+    * Scale (100 TB): ONE corpus pass builds the (fp, source)
+    * sufficient-statistic table (16-byte md5 fingerprints only — text
+    * never shuffles); class sizes, per-source stats, totals, and the
+    * correction all re-aggregate from that persisted table. The naive
+    * formulation is k full corpus passes. Totals ride a 1-row
+    * broadcast.
+    */
+  def looSourceImpact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", $"text", $"source", $"n_chars")
+    val planted = base.filter($"doc_id" < 30)
+      .select(($"doc_id" + 3000000L).as("doc_id"), $"text",
+        concat(lit("src"), pmod($"doc_id" + 1, lit(20))).as("source"),
+        $"n_chars")
+    val docs = base.unionByName(planted)
+      .select($"doc_id", md5($"text").as("fp"), $"source", $"n_chars")
+    def f(n: Column): Column = when(n >= 2, n).otherwise(lit(0L))
+    // the ONE corpus pass: everything below derives from this
+    // (fp, source) sufficient-statistic table by re-aggregation —
+    // long sums reassociate exactly, so no precision is at stake
+    val clsSrc = docs.groupBy($"fp", $"source")
+      .agg(count(lit(1)).as("n_cs"), sum($"n_chars").as("chars_cs"))
+      .persist()
+    val cls = clsSrc.groupBy($"fp").agg(sum($"n_cs").as("n_c"))
+    val corr = clsSrc.join(cls, Seq("fp"))
+      .groupBy($"source")
+      .agg(sum(f($"n_c") - f($"n_c" - $"n_cs")).as("dup_correction"))
+    val perSrc = clsSrc.groupBy($"source")
+      .agg(sum($"n_cs").as("n_docs"), sum($"chars_cs").as("chars_s"))
+    val totals = perSrc.agg(sum($"n_docs").as("n_total"),
+      sum($"chars_s").as("chars_total")).crossJoin(
+      cls.agg(sum(f($"n_c")).as("dup_total")))
+    perSrc.join(corr, Seq("source"))
+      .crossJoin(broadcast(totals))
+      .select($"source", $"n_docs",
+        ($"n_total" - $"n_docs").as("remaining_docs"),
+        round(($"chars_total" - $"chars_s").cast("double")
+          / ($"n_total" - $"n_docs"), 6).as("remaining_mean_chars"),
+        ($"dup_total" - $"dup_correction").as("remaining_dup_docs"),
+        round(($"dup_total" - $"dup_correction").cast("double")
+          / ($"n_total" - $"n_docs"), 6).as("remaining_dup_rate"),
+        $"dup_total")
+      .orderBy($"source")
+  }
+
+  val looSourceImpactSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, md5(text) AS fp, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, md5(text),
+      |    'src' || CAST(((doc_id + 1) % 20 + 20) % 20 AS VARCHAR), n_chars
+      |  FROM documents WHERE doc_id < 30),
+      |cls AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_c FROM docs GROUP BY fp),
+      |cls_src AS (SELECT fp, source, CAST(count(*) AS BIGINT) AS n_cs
+      |            FROM docs GROUP BY fp, source),
+      |corr AS (
+      |  SELECT source,
+      |    sum((CASE WHEN n_c >= 2 THEN n_c ELSE 0 END)
+      |      - (CASE WHEN n_c - n_cs >= 2 THEN n_c - n_cs ELSE 0 END))
+      |      AS dup_correction
+      |  FROM cls_src JOIN cls USING (fp) GROUP BY source),
+      |per_src AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    sum(n_chars) AS chars_s
+      |  FROM docs GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_total, sum(n_chars) AS chars_total,
+      |    (SELECT sum(CASE WHEN n_c >= 2 THEN n_c ELSE 0 END) FROM cls) AS dup_total
+      |  FROM docs)
+      |SELECT source, n_docs,
+      |  n_total - n_docs AS remaining_docs,
+      |  round(CAST(chars_total - chars_s AS DOUBLE) / (n_total - n_docs), 6)
+      |    AS remaining_mean_chars,
+      |  CAST(dup_total - dup_correction AS BIGINT) AS remaining_dup_docs,
+      |  round(CAST(dup_total - dup_correction AS DOUBLE) / (n_total - n_docs), 6)
+      |    AS remaining_dup_rate,
+      |  CAST(dup_total AS BIGINT) AS dup_total
+      |FROM per_src JOIN corr USING (source) CROSS JOIN tot
+      |ORDER BY source""".stripMargin
 }

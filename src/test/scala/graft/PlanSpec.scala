@@ -548,7 +548,11 @@ class PlanSpec extends SparkSpec {
         // compact audit: both the windowed last-per-key reduction and
         // the compacted compare co-partition on the SAME key hash, so
         // one exchange serves the whole reconciliation
-        ("cdc_compact_audit", cdc.Cdc.cdcCompactAudit(spark, sf), 2))) {
+        ("cdc_compact_audit", cdc.Cdc.cdcCompactAudit(spark, sf), 2),
+        // loo: ONE corpus (fp,source) agg; the persisted table's build
+        // plan prints under each of its 4 references pre-execution
+        ("loo_source_impact",
+          operators.Sampling.looSourceImpact(spark, sf), 12))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")

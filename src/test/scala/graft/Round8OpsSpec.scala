@@ -80,13 +80,51 @@ class Round8OpsSpec extends SparkSpec {
     assert(BigInt(checksum) == want, "base checksum replay")
   }
 
+  test("loo_source_impact: per-source ablation replays a literal k-pass removal") {
+    import graft.operators.Sampling
+    val out = Sampling.looSourceImpact(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(6))).toSeq
+    // literal replay: materialize the planted corpus, then for each
+    // source actually REMOVE it and recount — the k-pass computation
+    // the operator's one-pass algebra must equal
+    val base = sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"source", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val corpus = base ++ base.filter(_._1 < 30)
+      .map(d => (d._1 + 3000000L, d._2, s"src${(d._1 + 1) % 20}", d._4))
+    def dupMass(docs: Seq[(Long, String, String, Long)]): Long =
+      docs.groupBy(_._2).valuesIterator.map(_.size.toLong).filter(_ >= 2).sum
+    val fullDup = dupMass(corpus)
+    assert(out.nonEmpty && out.forall(_._6 == fullDup))
+    for ((src, nDocs, remDocs, remMean, remDup, _) <- out) {
+      val kept = corpus.filterNot(_._3 == src)
+      assert(nDocs == corpus.count(_._3 == src), s"$src n_docs")
+      assert(remDocs == kept.size, s"$src remaining_docs")
+      assert(remDup == dupMass(kept), s"$src remaining_dup_docs")
+      val mean = BigDecimal(kept.map(_._4).sum.toDouble / kept.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(remMean - mean) < 1e-9, s"$src remaining_mean_chars")
+    }
+    // the planted redeliveries must make the correction term non-vacuous:
+    // at least one source's ablation changes the duplicate mass
+    assert(out.exists(_._5 != fullDup), "LOO dup correction is vacuous")
+  }
+
   test("shuffle budgets for the round-8 operator batch") {
     for ((name, df, budget) <- Seq(
         // corpus scan + one anchor-keyed agg exchange + presentation
         // sort; textual count doubles under AQE re-prints (executed: 2)
         ("contrastive_triplets", Similarity.contrastiveTriplets(spark, sf), 4),
         // one key window + one-row aggregate
-        ("cdc_compact_audit", Cdc.cdcCompactAudit(spark, sf), 4))) {
+        ("cdc_compact_audit", Cdc.cdcCompactAudit(spark, sf), 4),
+        // one corpus (fp,source) agg feeds everything; the PERSISTED
+        // sufficient-statistic table is referenced 4× (cls, corr,
+        // perSrc, totals) and the post-collect textual plan re-prints
+        // its build exchanges under every InMemoryTableScan (the
+        // seq_patterns precedent) — executed shuffles ≈ 8
+        ("loo_source_impact",
+          graft.operators.Sampling.looSourceImpact(spark, sf), 33))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       val n = "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
