@@ -860,4 +860,66 @@ object Cdc {
       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
       |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
       |FROM state GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Replication-lag report per routed CDC target: the freshness SLO a
+    * CDC operator publishes for every sink table. The apply time of a
+    * change is modeled as its micro-batch boundary (300 s trigger, the
+    * file-bus cadence used across graft's streaming suite), so
+    * lag = next-300s-boundary − commit time, and the report is exact
+    * integer percentiles (nearest-rank), max, and mean per target.
+    *
+    * Exactness + scale share one trick: lag has ≤ 300 distinct values,
+    * so ONE corpus partial-agg to the (target, lag_s) count grid
+    * replaces any per-row percentile buffering — percentiles read off
+    * the grid's cumulative counts (the value-grid rank idiom), windows
+    * partition by target over ≤ 300 rows, and nothing downstream of
+    * the first aggregate is corpus-sized at any SF. Commit seconds come
+    * from ts_ns integer division (never raw-ts arithmetic — the
+    * events encoding contract in sources/Tables.scala).
+    */
+  def cdcLagReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lag = Tables.events(spark, dir)
+      .select(concat(lit("cdc.commerce_"), $"event_type").as("target"),
+        expr("ts_ns div 1000000000").as("commit_s"))
+      .select($"target",
+        ((expr("commit_s div 300") + 1L) * 300L - $"commit_s").as("lag_s"))
+    val cells = lag.groupBy($"target", $"lag_s").agg(count(lit(1)).as("cnt"))
+    val byT = Window.partitionBy($"target")
+    val cum = cells
+      .withColumn("cum", sum($"cnt").over(byT.orderBy($"lag_s")))
+      .withColumn("n", sum($"cnt").over(byT))
+      .withColumn("sum_lag", sum($"lag_s" * $"cnt").over(byT))
+    def pct(p: Double): Column =
+      min(when($"cum" >= ceil(lit(p) * $"n"), $"lag_s"))
+    cum.groupBy($"target")
+      .agg(max($"n").as("n_records"),
+        pct(0.5).as("p50_lag_s"), pct(0.95).as("p95_lag_s"),
+        pct(0.99).as("p99_lag_s"), max($"lag_s").as("max_lag_s"),
+        round(max($"sum_lag").cast("double") / max($"n"), 6).as("mean_lag_s"))
+      .orderBy($"target")
+  }
+
+  val cdcLagReportSql: String =
+    """WITH lagv AS (
+      |  SELECT 'cdc.commerce_' || event_type AS target,
+      |    ((epoch_ns(ts) // 1000000000) // 300 + 1) * 300
+      |      - (epoch_ns(ts) // 1000000000) AS lag_s
+      |  FROM events),
+      |cells AS (
+      |  SELECT target, lag_s, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM lagv GROUP BY target, lag_s),
+      |cum AS (
+      |  SELECT target, lag_s, cnt,
+      |    sum(cnt) OVER (PARTITION BY target ORDER BY lag_s) AS cum,
+      |    sum(cnt) OVER (PARTITION BY target) AS n,
+      |    sum(lag_s * cnt) OVER (PARTITION BY target) AS sum_lag
+      |  FROM cells)
+      |SELECT target, CAST(max(n) AS BIGINT) AS n_records,
+      |  min(CASE WHEN cum >= ceil(0.5 * n) THEN lag_s END) AS p50_lag_s,
+      |  min(CASE WHEN cum >= ceil(0.95 * n) THEN lag_s END) AS p95_lag_s,
+      |  min(CASE WHEN cum >= ceil(0.99 * n) THEN lag_s END) AS p99_lag_s,
+      |  max(lag_s) AS max_lag_s,
+      |  round(CAST(max(sum_lag) AS DOUBLE) / max(n), 6) AS mean_lag_s
+      |FROM cum GROUP BY target ORDER BY target""".stripMargin
 }

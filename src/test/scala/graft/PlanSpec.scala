@@ -552,7 +552,10 @@ class PlanSpec extends SparkSpec {
         // loo: ONE corpus (fp,source) agg; the persisted table's build
         // plan prints under each of its 4 references pre-execution
         ("loo_source_impact",
-          operators.Sampling.looSourceImpact(spark, sf), 12))) {
+          operators.Sampling.looSourceImpact(spark, sf), 12),
+        // one corpus agg to the ≤300-value lag grid; window + final
+        // agg co-partition on target
+        ("cdc_lag_report", cdc.Cdc.cdcLagReport(spark, sf), 5))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")

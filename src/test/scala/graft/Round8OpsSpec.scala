@@ -111,6 +111,34 @@ class Round8OpsSpec extends SparkSpec {
     assert(out.exists(_._5 != fullDup), "LOO dup correction is vacuous")
   }
 
+  test("cdc_lag_report: nearest-rank percentiles replay from raw event times") {
+    val out = Cdc.cdcLagReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(out.nonEmpty)
+    val ev = sources.Tables.events(spark, sf)
+      .select($"event_type", $"ts_ns").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byTarget = ev.groupBy { case (t, _) => s"cdc.commerce_$t" }
+    assert(out.length == byTarget.size)
+    for ((target, n, p50, p95, p99, mx, mean) <- out) {
+      val lags = byTarget(target).map { case (_, ns) =>
+        val cs = Math.floorDiv(ns, 1000000000L)
+        (Math.floorDiv(cs, 300L) + 1L) * 300L - cs
+      }.sorted
+      assert(n == lags.length, s"$target n")
+      def nr(p: Double): Long = lags(math.ceil(p * lags.length).toInt - 1)
+      assert(p50 == nr(0.5), s"$target p50")
+      assert(p95 == nr(0.95), s"$target p95")
+      assert(p99 == nr(0.99), s"$target p99")
+      assert(mx == lags.last, s"$target max")
+      val m = BigDecimal(lags.sum.toDouble / lags.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(mean - m) < 1e-9, s"$target mean")
+      assert(lags.forall(l => l >= 1 && l <= 300), s"$target lag range")
+    }
+  }
+
   test("shuffle budgets for the round-8 operator batch") {
     for ((name, df, budget) <- Seq(
         // corpus scan + one anchor-keyed agg exchange + presentation
@@ -124,7 +152,10 @@ class Round8OpsSpec extends SparkSpec {
         // its build exchanges under every InMemoryTableScan (the
         // seq_patterns precedent) — executed shuffles ≈ 8
         ("loo_source_impact",
-          graft.operators.Sampling.looSourceImpact(spark, sf), 33))) {
+          graft.operators.Sampling.looSourceImpact(spark, sf), 33),
+        // one corpus agg to the ≤300-value lag grid + target-keyed
+        // window/agg + output sort (AQE re-prints inflate post-collect)
+        ("cdc_lag_report", Cdc.cdcLagReport(spark, sf), 6))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       val n = "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
