@@ -1028,4 +1028,200 @@ object Behavior {
       |JOIN reach y ON y.event_type = s.type_b
       |CROSS JOIN t
       |ORDER BY n_users DESC, type_a, type_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ab_cuped — CUPED variance-reduced A/B readout
+  // ------------------------------------------------------------------
+
+  /** CUPED variance-reduced A/B readout (Deng et al. 2013, "Improving
+    * the sensitivity of online controlled experiments"): per-user
+    * pre-period purchase revenue X (covariate) and post-period revenue
+    * Y (metric), arm assigned by a deterministic salted-md5 parity of
+    * user_id (the standard hash-bucketing an experimentation platform
+    * uses), θ = cov(X,Y)/var(X) pooled over all units, and the
+    * adjusted lift Δ_cuped = Δ_raw − θ·(X̄_t − X̄_c). ρ² reports the
+    * theoretical variance reduction CUPED buys.
+    *
+    * Exactness: per-user X/Y are 4dp-decimal sums; user→global moments
+    * (ΣX, ΣY, ΣXY, ΣX², ΣY², per-arm ΣX/ΣY) are decimal sums of
+    * decimal products — order-free — cast to double ONCE, and θ is
+    * rounded to 6 before it feeds the adjusted diff so both engines
+    * multiply the identical double. Arm parity tests the md5 hex
+    * prefix against the even-digit set (no hex→int conversion to
+    * diverge on). Scale: one user_id-keyed aggregate (map-side
+    * partials) collapses events to user cardinality, then one global
+    * aggregate to a single row — no further shuffle, nothing
+    * corpus-sized crosses the wire.
+    */
+  def abCuped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val splitNs = 1705363200000000000L // 2024-01-16T00:00:00Z
+    val even = Seq("0", "2", "4", "6", "8", "a", "c", "e")
+    val dec = round($"value", 4).cast("decimal(14,4)")
+    val perUser = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(
+        coalesce(sum(when($"ts_ns" < splitNs, dec)), lit(0))
+          .cast("decimal(14,4)").as("x"),
+        coalesce(sum(when($"ts_ns" >= splitNs, dec)), lit(0))
+          .cast("decimal(14,4)").as("y"))
+      .withColumn("treat",
+        substring(md5(concat(lit("arm:"), $"user_id".cast("string"))), 1, 1)
+          .isin(even: _*))
+    val m = perUser.agg(
+      count(when($"treat", lit(1))).as("n_t"),
+      count(when(!$"treat", lit(1))).as("n_c"),
+      sum(when($"treat", $"x")).as("sx_t"),
+      sum(when(!$"treat", $"x")).as("sx_c"),
+      sum(when($"treat", $"y")).as("sy_t"),
+      sum(when(!$"treat", $"y")).as("sy_c"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"),
+      sum($"y" * $"y").as("syy"))
+      .select($"n_t", $"n_c",
+        $"sx_t".cast("double").as("sx_t"), $"sx_c".cast("double").as("sx_c"),
+        $"sy_t".cast("double").as("sy_t"), $"sy_c".cast("double").as("sy_c"),
+        $"sx".cast("double").as("sx"), $"sy".cast("double").as("sy"),
+        $"sxx".cast("double").as("sxx"), $"sxy".cast("double").as("sxy"),
+        $"syy".cast("double").as("syy"))
+      .withColumn("nd", ($"n_t" + $"n_c").cast("double"))
+      .withColumn("theta", round(($"nd" * $"sxy" - $"sx" * $"sy")
+        / ($"nd" * $"sxx" - $"sx" * $"sx"), 6))
+    m.select(
+      $"n_t".as("n_treat"), $"n_c".as("n_ctrl"),
+      round($"sy_t" / $"n_t", 6).as("mean_y_treat"),
+      round($"sy_c" / $"n_c", 6).as("mean_y_ctrl"),
+      round($"sy_t" / $"n_t" - $"sy_c" / $"n_c", 6).as("diff_raw"),
+      $"theta",
+      round($"sy_t" / $"n_t" - $"sy_c" / $"n_c"
+        - $"theta" * ($"sx_t" / $"n_t" - $"sx_c" / $"n_c"), 6).as("diff_cuped"),
+      round(($"nd" * $"sxy" - $"sx" * $"sy") * ($"nd" * $"sxy" - $"sx" * $"sy")
+        / (($"nd" * $"sxx" - $"sx" * $"sx") * ($"nd" * $"syy" - $"sy" * $"sy")),
+        6).as("rho2"))
+  }
+
+  val abCupedSql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    CAST(coalesce(sum(CASE WHEN epoch_ns(ts) < 1705363200000000000
+      |      THEN CAST(round(value, 4) AS DECIMAL(14,4)) END), 0)
+      |      AS DECIMAL(14,4)) AS x,
+      |    CAST(coalesce(sum(CASE WHEN epoch_ns(ts) >= 1705363200000000000
+      |      THEN CAST(round(value, 4) AS DECIMAL(14,4)) END), 0)
+      |      AS DECIMAL(14,4)) AS y,
+      |    substr(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 1)
+      |      IN ('0','2','4','6','8','a','c','e') AS treat
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |m AS (
+      |  SELECT
+      |    CAST(count(CASE WHEN treat THEN 1 END) AS BIGINT) AS n_t,
+      |    CAST(count(CASE WHEN NOT treat THEN 1 END) AS BIGINT) AS n_c,
+      |    CAST(sum(CASE WHEN treat THEN x END) AS DOUBLE) AS sx_t,
+      |    CAST(sum(CASE WHEN NOT treat THEN x END) AS DOUBLE) AS sx_c,
+      |    CAST(sum(CASE WHEN treat THEN y END) AS DOUBLE) AS sy_t,
+      |    CAST(sum(CASE WHEN NOT treat THEN y END) AS DOUBLE) AS sy_c,
+      |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+      |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+      |    CAST(sum(y * y) AS DOUBLE) AS syy
+      |  FROM pu),
+      |t AS (
+      |  SELECT *, CAST(n_t + n_c AS DOUBLE) AS nd,
+      |    round((CAST(n_t + n_c AS DOUBLE) * sxy - sx * sy)
+      |      / (CAST(n_t + n_c AS DOUBLE) * sxx - sx * sx), 6) AS theta
+      |  FROM m)
+      |SELECT n_t AS n_treat, n_c AS n_ctrl,
+      |  round(sy_t / n_t, 6) AS mean_y_treat,
+      |  round(sy_c / n_c, 6) AS mean_y_ctrl,
+      |  round(sy_t / n_t - sy_c / n_c, 6) AS diff_raw,
+      |  theta,
+      |  round(sy_t / n_t - sy_c / n_c
+      |    - theta * (sx_t / n_t - sx_c / n_c), 6) AS diff_cuped,
+      |  round((nd * sxy - sx * sy) * (nd * sxy - sx * sy)
+      |    / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) AS rho2
+      |FROM t""".stripMargin
+
+  // ------------------------------------------------------------------
+  // diff_in_diff — 2×2 difference-in-differences estimator
+  // ------------------------------------------------------------------
+
+  /** Two-period, two-group difference-in-differences: the canonical
+    * 2×2 causal readout (Card & Krueger 1994 design) over event-level
+    * purchase values — arm by deterministic salted-md5 parity of
+    * user_id, period split at a fixed timestamp, estimate
+    * DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre). The four cell
+    * means ship alongside the estimate so the parallel-trends reader
+    * can see the raw levels.
+    *
+    * Exactness: cell sums are 4dp-decimal conditional aggregates in
+    * ONE global aggregate (fixed column set — the anova/abTtest pivot
+    * pattern, never a variable number of double group rows), cast to
+    * double once, one fixed scalar tree. Scale: a single map-side-
+    * partial aggregate over the scan; one row out at any corpus size.
+    */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val splitNs = 1705363200000000000L // 2024-01-16T00:00:00Z
+    val even = Seq("0", "2", "4", "6", "8", "a", "c", "e")
+    val dec = round($"value", 4).cast("decimal(14,4)")
+    val cells = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"value",
+        substring(md5(concat(lit("did:"), $"user_id".cast("string"))), 1, 1)
+          .isin(even: _*).as("treat"),
+        ($"ts_ns" >= splitNs).as("post"))
+    val m = cells.agg(
+      count(when($"treat" && $"post", lit(1))).as("n_tp"),
+      count(when($"treat" && !$"post", lit(1))).as("n_t0"),
+      count(when(!$"treat" && $"post", lit(1))).as("n_cp"),
+      count(when(!$"treat" && !$"post", lit(1))).as("n_c0"),
+      sum(when($"treat" && $"post", dec)).as("s_tp"),
+      sum(when($"treat" && !$"post", dec)).as("s_t0"),
+      sum(when(!$"treat" && $"post", dec)).as("s_cp"),
+      sum(when(!$"treat" && !$"post", dec)).as("s_c0"))
+      .select($"n_tp", $"n_t0", $"n_cp", $"n_c0",
+        ($"s_tp".cast("double") / $"n_tp").as("m_tp"),
+        ($"s_t0".cast("double") / $"n_t0").as("m_t0"),
+        ($"s_cp".cast("double") / $"n_cp").as("m_cp"),
+        ($"s_c0".cast("double") / $"n_c0").as("m_c0"))
+    m.select($"n_tp", $"n_t0", $"n_cp", $"n_c0",
+      round($"m_tp", 6).as("mean_treat_post"),
+      round($"m_t0", 6).as("mean_treat_pre"),
+      round($"m_cp", 6).as("mean_ctrl_post"),
+      round($"m_c0", 6).as("mean_ctrl_pre"),
+      round(($"m_tp" - $"m_t0") - ($"m_cp" - $"m_c0"), 6).as("did"))
+  }
+
+  val diffInDiffSql: String =
+    """WITH c AS (
+      |  SELECT value,
+      |    substr(md5('did:' || CAST(user_id AS VARCHAR)), 1, 1)
+      |      IN ('0','2','4','6','8','a','c','e') AS treat,
+      |    epoch_ns(ts) >= 1705363200000000000 AS post
+      |  FROM events WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT
+      |    CAST(count(CASE WHEN treat AND post THEN 1 END) AS BIGINT) AS n_tp,
+      |    CAST(count(CASE WHEN treat AND NOT post THEN 1 END) AS BIGINT) AS n_t0,
+      |    CAST(count(CASE WHEN NOT treat AND post THEN 1 END) AS BIGINT) AS n_cp,
+      |    CAST(count(CASE WHEN NOT treat AND NOT post THEN 1 END) AS BIGINT) AS n_c0,
+      |    CAST(sum(CASE WHEN treat AND post
+      |      THEN CAST(round(value, 4) AS DECIMAL(14,4)) END) AS DOUBLE)
+      |      / count(CASE WHEN treat AND post THEN 1 END) AS m_tp,
+      |    CAST(sum(CASE WHEN treat AND NOT post
+      |      THEN CAST(round(value, 4) AS DECIMAL(14,4)) END) AS DOUBLE)
+      |      / count(CASE WHEN treat AND NOT post THEN 1 END) AS m_t0,
+      |    CAST(sum(CASE WHEN NOT treat AND post
+      |      THEN CAST(round(value, 4) AS DECIMAL(14,4)) END) AS DOUBLE)
+      |      / count(CASE WHEN NOT treat AND post THEN 1 END) AS m_cp,
+      |    CAST(sum(CASE WHEN NOT treat AND NOT post
+      |      THEN CAST(round(value, 4) AS DECIMAL(14,4)) END) AS DOUBLE)
+      |      / count(CASE WHEN NOT treat AND NOT post THEN 1 END) AS m_c0
+      |  FROM c)
+      |SELECT n_tp, n_t0, n_cp, n_c0,
+      |  round(m_tp, 6) AS mean_treat_post, round(m_t0, 6) AS mean_treat_pre,
+      |  round(m_cp, 6) AS mean_ctrl_post, round(m_c0, 6) AS mean_ctrl_pre,
+      |  round((m_tp - m_t0) - (m_cp - m_c0), 6) AS did
+      |FROM m""".stripMargin
 }

@@ -1295,4 +1295,89 @@ object Graph {
       |    / (CAST(n2 AS DOUBLE) * CAST(sxx AS DOUBLE)
       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS assortativity
       |FROM m CROSS JOIN nn""".stripMargin
+
+  /** Power-law fit of the co-purchase degree distribution — the
+    * scale-free check run before trusting sampled-neighborhood
+    * algorithms on a product graph. Continuous-approximation MLE per
+    * Clauset, Shalizi & Newman 2009 ("Power-law distributions in
+    * empirical data"): over the degree tail d ≥ dmin = 2,
+    *   α = 1 + n / Σ ln(d_i / (dmin − ½)),
+    * plus the KS distance between the empirical CCDF and the fitted
+    * (d / (dmin − ½))^(1−α).
+    *
+    * Exactness: the ln sum uses the pmi micro idiom per DISTINCT
+    * degree (Σ cnt·ln_micro — exact integer mass), α is rounded to 6
+    * before it feeds pow so both engines exponentiate the identical
+    * double, and CCDFs are rounded before the |diff| max. Scale: one
+    * edge pass to node degrees, one degree-grid aggregate; the KS
+    * window is UNPARTITIONED but reads only the degree-value grid
+    * (≲ max-degree rows, registered in PlanSpec's gridBounded), and
+    * the α/n totals ride a 1-row broadcast.
+    */
+  def graphPowerlawFit(spark: SparkSession, dir: String, minSupport: Int = 2): DataFrame = {
+    import spark.implicits._
+    val pairs = coPairCounts(spark, dir).filter($"n_orders" >= minSupport)
+    val deg = pairs.select($"pa".as("node")).unionAll(pairs.select($"pb".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    // persisted: the grid (≲ max-degree rows) feeds both the α totals
+    // and the KS branch — without the cache each branch re-runs the
+    // full edge pass
+    val grid = deg.filter($"deg" >= 2)
+      .groupBy($"deg").agg(count(lit(1)).as("cnt"))
+      .withColumn("ln_micro",
+        round(log($"deg".cast("double") / 1.5) * 1e6, 0).cast("long"))
+      .persist()
+    val tot = grid.agg(sum($"cnt").as("n_tail"),
+      sum($"cnt" * $"ln_micro").as("s_micro"))
+      .select($"n_tail", $"s_micro",
+        round(lit(1.0) + $"n_tail".cast("double") * 1e6
+          / $"s_micro".cast("double"), 6).as("alpha"))
+    val w = org.apache.spark.sql.expressions.Window
+    val cum = grid.withColumn("cnt_ge",
+      sum($"cnt").over(w.orderBy($"deg")
+        .rowsBetween(w.currentRow, w.unboundedFollowing)))
+    cum.crossJoin(broadcast(tot))
+      .select($"deg", $"n_tail", $"alpha",
+        abs(round($"cnt_ge".cast("double") / $"n_tail", 6)
+          - round(pow($"deg".cast("double") / 1.5, lit(1.0) - $"alpha"), 6))
+          .as("ks_d"))
+      .groupBy($"n_tail", $"alpha")
+      .agg(max(lit(2L)).as("dmin"), max($"ks_d").as("ks_stat"),
+        count(lit(1)).as("n_distinct_deg"))
+      .select($"n_tail", $"dmin", $"alpha", round($"ks_stat", 6).as("ks_stat"),
+        $"n_distinct_deg")
+  }
+
+  val graphPowerlawFitSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |edges AS (
+      |  SELECT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+      |deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+      |  GROUP BY node),
+      |grid AS (
+      |  SELECT deg, CAST(count(*) AS BIGINT) AS cnt,
+      |    CAST(round(ln(CAST(deg AS DOUBLE) / 1.5) * 1e6, 0) AS BIGINT) AS ln_micro
+      |  FROM deg WHERE deg >= 2 GROUP BY deg),
+      |tot AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS n_tail,
+      |    CAST(sum(cnt * ln_micro) AS BIGINT) AS s_micro,
+      |    round(1.0 + CAST(sum(cnt) AS DOUBLE) * 1e6
+      |      / CAST(sum(cnt * ln_micro) AS DOUBLE), 6) AS alpha
+      |  FROM grid),
+      |cum AS (
+      |  SELECT deg, cnt,
+      |    sum(cnt) OVER (ORDER BY deg ROWS BETWEEN CURRENT ROW
+      |      AND UNBOUNDED FOLLOWING) AS cnt_ge
+      |  FROM grid)
+      |SELECT max(n_tail) AS n_tail, CAST(2 AS BIGINT) AS dmin,
+      |  max(alpha) AS alpha,
+      |  round(max(abs(round(CAST(cnt_ge AS DOUBLE) / n_tail, 6)
+      |    - round(pow(CAST(deg AS DOUBLE) / 1.5, 1.0 - alpha), 6))), 6)
+      |    AS ks_stat,
+      |  CAST(count(*) AS BIGINT) AS n_distinct_deg
+      |FROM cum CROSS JOIN tot""".stripMargin
 }

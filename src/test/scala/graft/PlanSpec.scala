@@ -555,7 +555,16 @@ class PlanSpec extends SparkSpec {
           operators.Sampling.looSourceImpact(spark, sf), 12),
         // one corpus agg to the ≤300-value lag grid; window + final
         // agg co-partition on target
-        ("cdc_lag_report", cdc.Cdc.cdcLagReport(spark, sf), 5))) {
+        ("cdc_lag_report", cdc.Cdc.cdcLagReport(spark, sf), 5),
+        // one edge pass → node degrees → degree grid; KS window and
+        // totals are grid/1-row-sized; the persisted grid's build
+        // prints under both of its references pre-execution
+        ("graph_powerlaw_fit",
+          operators.Graph.graphPowerlawFit(spark, sf), 12),
+        // events → user-level agg → 1-row global agg
+        ("ab_cuped", operators.Behavior.abCuped(spark, sf), 3),
+        // one conditional-pivot aggregate, 1 row out
+        ("diff_in_diff", operators.Behavior.diffInDiff(spark, sf), 2))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
@@ -602,7 +611,8 @@ class PlanSpec extends SparkSpec {
       "survival_retention" -> "day grid survival curve",
       "mixture_waterfill" -> "|sources|-row plan table",
       "global_shuffle" -> "256-row bucket-offset cumsum (bucket = 2 hash hex chars)",
-      "join_size_estimate" -> "per-key stats capped by heavy-hitter k")
+      "join_size_estimate" -> "per-key stats capped by heavy-hitter k",
+      "graph_powerlaw_fit" -> "degree-value grid: one row per distinct node degree")
     // exactness-gate sites: the window deliberately reads a
     // corpus-cardinality input because the ORACLE semantics (exact
     // global ntile) demand a total order; each documents its 100 TB

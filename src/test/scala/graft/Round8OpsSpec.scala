@@ -139,6 +139,131 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("graph_powerlaw_fit: CSN alpha and KS replay from the collected degree list") {
+    import graft.operators.Graph
+    val r = Graph.graphPowerlawFit(spark, sf).collect()
+    assert(r.length == 1)
+    val (nTail, dmin, alpha, ks, nDeg) =
+      (r.head.getLong(0), r.head.getLong(1), r.head.getDouble(2),
+        r.head.getDouble(3), r.head.getLong(4))
+    assert(dmin == 2L)
+    // rebuild degrees from first principles: distinct (order, part)
+    // incidence → co-purchase pairs with support >= 2 → node degrees
+    val li = sources.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.groupBy(_._1).valuesIterator.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val degs = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).map(_._2.size.toLong).filter(_ >= 2).toSeq
+    assert(nTail == degs.length, "tail size")
+    assert(nDeg == degs.distinct.length, "distinct degrees")
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sMicro = degs.groupBy(identity).map { case (d, g) =>
+      g.size * math.round(math.log(d.toDouble / 1.5) * 1e6)
+    }.sum
+    val wantAlpha = r6(1.0 + degs.length.toDouble * 1e6 / sMicro.toDouble)
+    assert(math.abs(alpha - wantAlpha) < 1e-9, "alpha")
+    val n = degs.length.toDouble
+    val wantKs = r6(degs.distinct.map { d =>
+      math.abs(r6(degs.count(_ >= d) / n)
+        - r6(math.pow(d.toDouble / 1.5, 1.0 - wantAlpha)))
+    }.max)
+    assert(math.abs(ks - wantKs) < 1e-9, "ks")
+    assert(alpha > 1.0 && ks >= 0.0 && ks <= 1.0)
+  }
+
+  test("ab_cuped: theta, adjusted lift, and rho2 replay from per-user moments") {
+    import graft.operators.Behavior
+    val r = Behavior.abCuped(spark, sf).collect()
+    assert(r.length == 1)
+    val splitNs = 1705363200000000000L
+    def hexEven(salt: String, uid: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt$uid".getBytes("UTF-8"))
+      "0123456789abcdef".charAt((d(0) >> 4) & 0xf) match {
+        case c => "02468ace".contains(c)
+      }
+    }
+    def q4(x: Double): BigDecimal =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ev = sources.Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_ns", $"value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val perUser = ev.groupBy(_._1).map { case (uid, rows) =>
+      val x = rows.filter(_._2 < splitNs).map(e => q4(e._3)).sum
+      val y = rows.filter(_._2 >= splitNs).map(e => q4(e._3)).sum
+      (uid, x, y, hexEven("arm:", uid))
+    }.toSeq
+    val (nT, nC) = (perUser.count(_._4).toLong, perUser.count(!_._4).toLong)
+    def d(b: BigDecimal): Double = b.toDouble
+    val sxT = d(perUser.filter(_._4).map(_._2).sum)
+    val sxC = d(perUser.filter(!_._4).map(_._2).sum)
+    val syT = d(perUser.filter(_._4).map(_._3).sum)
+    val syC = d(perUser.filter(!_._4).map(_._3).sum)
+    val sx = d(perUser.map(_._2).sum); val sy = d(perUser.map(_._3).sum)
+    val sxx = d(perUser.map(u => u._2 * u._2).sum)
+    val sxy = d(perUser.map(u => u._2 * u._3).sum)
+    val syy = d(perUser.map(u => u._3 * u._3).sum)
+    val nd = (nT + nC).toDouble
+    val theta = r6((nd * sxy - sx * sy) / (nd * sxx - sx * sx))
+    val row = r.head
+    assert(row.getLong(0) == nT && row.getLong(1) == nC, "arm sizes")
+    assert(math.abs(row.getDouble(2) - r6(syT / nT)) < 1e-9, "mean_y_treat")
+    assert(math.abs(row.getDouble(4) - r6(syT / nT - syC / nC)) < 1e-9, "diff_raw")
+    assert(math.abs(row.getDouble(5) - theta) < 1e-9, "theta")
+    assert(math.abs(row.getDouble(6)
+      - r6(syT / nT - syC / nC - theta * (sxT / nT - sxC / nC))) < 1e-9,
+      "diff_cuped")
+    val rho2 = r6((nd * sxy - sx * sy) * (nd * sxy - sx * sy)
+      / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)))
+    assert(math.abs(row.getDouble(7) - rho2) < 1e-9, "rho2")
+    assert(rho2 > 0.0 && rho2 <= 1.0)
+  }
+
+  test("diff_in_diff: the 2x2 cell means and DiD estimate replay exactly") {
+    import graft.operators.Behavior
+    val r = Behavior.diffInDiff(spark, sf).collect()
+    assert(r.length == 1)
+    val splitNs = 1705363200000000000L
+    def hexEven(uid: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"did:$uid".getBytes("UTF-8"))
+      "02468ace".contains("0123456789abcdef".charAt((d(0) >> 4) & 0xf))
+    }
+    def q4(x: Double): BigDecimal =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ev = sources.Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_ns", $"value").collect()
+      .map(r => (hexEven(r.getLong(0)), r.getLong(1) >= splitNs, r.getDouble(2)))
+    def cell(t: Boolean, p: Boolean): (Long, Double) = {
+      val vs = ev.filter(e => e._1 == t && e._2 == p).map(_._3)
+      (vs.length.toLong, vs.map(q4).sum.toDouble / vs.length)
+    }
+    val (nTp, mTp) = cell(t = true, p = true)
+    val (nT0, mT0) = cell(t = true, p = false)
+    val (nCp, mCp) = cell(t = false, p = true)
+    val (nC0, mC0) = cell(t = false, p = false)
+    val row = r.head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      == ((nTp, nT0, nCp, nC0)), "cell sizes")
+    assert(math.abs(row.getDouble(4) - r6(mTp)) < 1e-9, "mean_treat_post")
+    assert(math.abs(row.getDouble(5) - r6(mT0)) < 1e-9, "mean_treat_pre")
+    assert(math.abs(row.getDouble(6) - r6(mCp)) < 1e-9, "mean_ctrl_post")
+    assert(math.abs(row.getDouble(7) - r6(mC0)) < 1e-9, "mean_ctrl_pre")
+    assert(math.abs(row.getDouble(8) - r6((mTp - mT0) - (mCp - mC0))) < 1e-9,
+      "did")
+  }
+
   test("shuffle budgets for the round-8 operator batch") {
     for ((name, df, budget) <- Seq(
         // corpus scan + one anchor-keyed agg exchange + presentation
@@ -155,7 +280,18 @@ class Round8OpsSpec extends SparkSpec {
           graft.operators.Sampling.looSourceImpact(spark, sf), 33),
         // one corpus agg to the ≤300-value lag grid + target-keyed
         // window/agg + output sort (AQE re-prints inflate post-collect)
-        ("cdc_lag_report", Cdc.cdcLagReport(spark, sf), 6))) {
+        ("cdc_lag_report", Cdc.cdcLagReport(spark, sf), 6),
+        // edge pass + degree agg + grid window/agg; the PERSISTED grid
+        // is referenced by both the α-totals and KS branches and the
+        // post-collect textual plan re-prints its whole build (edge
+        // pass included) under every InMemoryTableScan — executed
+        // shuffles ≈ 8 (seq_patterns precedent)
+        ("graph_powerlaw_fit",
+          graft.operators.Graph.graphPowerlawFit(spark, sf), 45),
+        // one user-keyed agg + one global 1-row agg
+        ("ab_cuped", graft.operators.Behavior.abCuped(spark, sf), 3),
+        // single conditional-pivot global agg: one partial/final pair
+        ("diff_in_diff", graft.operators.Behavior.diffInDiff(spark, sf), 2))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       val n = "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
