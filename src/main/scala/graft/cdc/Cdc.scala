@@ -922,4 +922,68 @@ object Cdc {
       |  max(lag_s) AS max_lag_s,
       |  round(CAST(max(sum_lag) AS DOUBLE) / max(n), 6) AS mean_lag_s
       |FROM cum GROUP BY target ORDER BY target""".stripMargin
+
+  /** Per-key change-frequency audit of the changelog — the hot-key /
+    * skew readout an upsert sink reads before sizing compaction: keys
+    * binned by the power-of-2 bucket of their change count, with each
+    * bucket's key count, change mass, delete (tombstone) mass, and the
+    * cumulative share of all changes. A heavy top bucket means a few
+    * keys dominate merge cost (salting / dedicated compaction); heavy
+    * delete mass means tombstone GC pressure.
+    *
+    * Exactness: the log2 bucket is `length(bin(cnt)) − 1` — a string
+    * length, identical in both engines (no floating log at power
+    * boundaries). Scale: one key-keyed aggregate (map-side partials)
+    * collapses the changelog to key cardinality, one grid aggregate to
+    * ≤64 buckets; the cumulative window runs on that grid only.
+    */
+  def cdcKeyChurn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perKey = changelog(spark, dir)
+      .groupBy($"key")
+      .agg(count(lit(1)).as("cnt"),
+        count(when($"op" === "d", lit(1))).as("dels"))
+    val buckets = perKey
+      .withColumn("bucket_log2", (length(bin($"cnt")) - 1).cast("long"))
+      .groupBy($"bucket_log2")
+      .agg(count(lit(1)).as("n_keys"), sum($"cnt").as("changes"),
+        sum($"dels").as("deletes"))
+    val w = Window.orderBy($"bucket_log2")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    buckets
+      .withColumn("cum_changes", sum($"changes").over(w))
+      .withColumn("total", sum($"changes").over(tot))
+      .select($"bucket_log2",
+        expr("shiftleft(1L, CAST(bucket_log2 AS INT))").as("min_changes"),
+        $"n_keys", $"changes", $"deletes",
+        round($"changes".cast("double") / $"total", 6).as("pct_changes"),
+        round($"cum_changes".cast("double") / $"total", 6).as("cum_pct"))
+      .orderBy($"bucket_log2")
+  }
+
+  val cdcKeyChurnSql: String =
+    s"""WITH ch AS (
+      |  SELECT user_id AS key, $sqlOp AS op FROM events),
+      |pk AS (
+      |  SELECT key, CAST(count(*) AS BIGINT) AS cnt,
+      |    CAST(count(CASE WHEN op = 'd' THEN 1 END) AS BIGINT) AS dels
+      |  FROM ch GROUP BY key),
+      |b AS (
+      |  SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS bucket_log2,
+      |    CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(cnt) AS BIGINT) AS changes,
+      |    CAST(sum(dels) AS BIGINT) AS deletes
+      |  FROM pk GROUP BY 1),
+      |c AS (
+      |  SELECT *, sum(changes) OVER (ORDER BY bucket_log2) AS cum_changes,
+      |    sum(changes) OVER () AS total
+      |  FROM b)
+      |SELECT bucket_log2,
+      |  CAST(1 AS BIGINT) << CAST(bucket_log2 AS INTEGER) AS min_changes,
+      |  n_keys, changes, deletes,
+      |  round(CAST(changes AS DOUBLE) / total, 6) AS pct_changes,
+      |  round(CAST(cum_changes AS DOUBLE) / total, 6) AS cum_pct
+      |FROM c ORDER BY bucket_log2""".stripMargin
 }

@@ -564,7 +564,9 @@ class PlanSpec extends SparkSpec {
         // events → user-level agg → 1-row global agg
         ("ab_cuped", operators.Behavior.abCuped(spark, sf), 3),
         // one conditional-pivot aggregate, 1 row out
-        ("diff_in_diff", operators.Behavior.diffInDiff(spark, sf), 2))) {
+        ("diff_in_diff", operators.Behavior.diffInDiff(spark, sf), 2),
+        // key agg → ≤64-bucket grid agg → grid window → sort
+        ("cdc_key_churn", cdc.Cdc.cdcKeyChurn(spark, sf), 5))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
@@ -612,7 +614,8 @@ class PlanSpec extends SparkSpec {
       "mixture_waterfill" -> "|sources|-row plan table",
       "global_shuffle" -> "256-row bucket-offset cumsum (bucket = 2 hash hex chars)",
       "join_size_estimate" -> "per-key stats capped by heavy-hitter k",
-      "graph_powerlaw_fit" -> "degree-value grid: one row per distinct node degree")
+      "graph_powerlaw_fit" -> "degree-value grid: one row per distinct node degree",
+      "cdc_key_churn" -> "log2 change-count bucket grid (<= 64 rows)")
     // exactness-gate sites: the window deliberately reads a
     // corpus-cardinality input because the ORACLE semantics (exact
     // global ntile) demand a total order; each documents its 100 TB

@@ -264,6 +264,38 @@ class Round8OpsSpec extends SparkSpec {
       "did")
   }
 
+  test("cdc_key_churn: log2 buckets, masses, and cumulative shares replay") {
+    val out = Cdc.cdcKeyChurn(spark, sf).collect()
+    assert(out.nonEmpty)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ev = sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1) == "error"))
+    // toSeq BEFORE mapping to (cnt, dels): mapping a Map to pair
+    // tuples would collapse users with identical counts
+    val perKey = ev.groupBy(_._1).toSeq.map { case (_, rows) =>
+      (rows.length.toLong, rows.count(_._2).toLong)
+    }
+    val buckets = perKey.groupBy { case (cnt, _) =>
+      63 - java.lang.Long.numberOfLeadingZeros(cnt)
+    }.map { case (b, g) =>
+      (b.toLong, g.size.toLong, g.map(_._1).sum, g.map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    val total = buckets.map(_._3).sum.toDouble
+    assert(out.length == buckets.length, "bucket count")
+    var cum = 0L
+    for ((row, (b, nk, ch, dl)) <- out.zip(buckets)) {
+      cum += ch
+      assert(row.getLong(0) == b && row.getLong(1) == 1L << b, s"bucket $b bounds")
+      assert(row.getLong(2) == nk && row.getLong(3) == ch
+        && row.getLong(4) == dl, s"bucket $b masses")
+      assert(math.abs(row.getDouble(5) - r6(ch / total)) < 1e-9, s"bucket $b pct")
+      assert(math.abs(row.getDouble(6) - r6(cum / total)) < 1e-9, s"bucket $b cum")
+    }
+    assert(math.abs(out.last.getDouble(6) - 1.0) < 1e-9, "cum ends at 1")
+  }
+
   test("shuffle budgets for the round-8 operator batch") {
     for ((name, df, budget) <- Seq(
         // corpus scan + one anchor-keyed agg exchange + presentation
@@ -291,7 +323,9 @@ class Round8OpsSpec extends SparkSpec {
         // one user-keyed agg + one global 1-row agg
         ("ab_cuped", graft.operators.Behavior.abCuped(spark, sf), 3),
         // single conditional-pivot global agg: one partial/final pair
-        ("diff_in_diff", graft.operators.Behavior.diffInDiff(spark, sf), 2))) {
+        ("diff_in_diff", graft.operators.Behavior.diffInDiff(spark, sf), 2),
+        // key agg + bucket-grid agg + grid window + output sort
+        ("cdc_key_churn", Cdc.cdcKeyChurn(spark, sf), 5))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       val n = "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
