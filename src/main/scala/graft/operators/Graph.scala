@@ -1380,4 +1380,80 @@ object Graph {
       |    AS ks_stat,
       |  CAST(count(*) AS BIGINT) AS n_distinct_deg
       |FROM cum CROSS JOIN tot""".stripMargin
+
+  /** Rich-club connectivity of the co-purchase graph (Zhou & Mondragón
+    * 2004): for every degree threshold k, the density
+    * φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1)) among the nodes whose
+    * degree exceeds k — do the highest-degree products preferentially
+    * co-occur with each other (hub cartel) or spread across the
+    * catalog? Read together with graph_powerlaw_fit/assortativity when
+    * deciding whether hub-targeted sampling will bias a corpus.
+    *
+    * Exactness: all counts integer; φ is one double division rounded
+    * to 6. An edge with endpoint degrees (du, dv) is "inside the club
+    * at k" iff min(du,dv) > k, and min(du,dv) is itself a degree
+    * value, so the edge mass aligns onto the degree grid and both
+    * E_{>k} and N_{>k} are suffix sums over that ONE grid. Scale: one
+    * edge pass → degrees; two id-keyed joins decorate each edge with
+    * endpoint degrees (the same key the degree agg just used, so AQE
+    * co-partitions); everything after is distinct-degree-grid
+    * cardinality, with the suffix-sum windows reading only the grid
+    * (registered grid-bounded).
+    */
+  def graphRichclub(spark: SparkSession, dir: String, minSupport: Int = 2): DataFrame = {
+    import spark.implicits._
+    val edges = coPairCounts(spark, dir).filter($"n_orders" >= minSupport)
+      .select($"pa", $"pb").persist()
+    val deg = edges.select($"pa".as("node")).unionAll(edges.select($"pb".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val edgeMin = edges
+      .join(deg.withColumnRenamed("node", "pa").withColumnRenamed("deg", "da"), "pa")
+      .join(deg.withColumnRenamed("node", "pb").withColumnRenamed("deg", "db"), "pb")
+      .select(least($"da", $"db").as("m"))
+      .groupBy($"m").agg(count(lit(1)).as("e_at"))
+    val degGrid = deg.groupBy($"deg".as("k")).agg(count(lit(1)).as("n_at"))
+    val grid = degGrid.join(edgeMin, $"k" === $"m", "left")
+      .select($"k", $"n_at", coalesce($"e_at", lit(0L)).as("e_at"))
+    val suffix = org.apache.spark.sql.expressions.Window.orderBy($"k")
+      .rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    grid
+      .withColumn("n_gt", coalesce(sum($"n_at").over(suffix), lit(0L)))
+      .withColumn("e_gt", coalesce(sum($"e_at").over(suffix), lit(0L)))
+      .filter($"n_gt" >= 2)
+      .select($"k", $"n_gt".as("n_nodes"), $"e_gt".as("n_edges"),
+        round(lit(2.0) * $"e_gt".cast("double")
+          / ($"n_gt".cast("double") * ($"n_gt" - 1L).cast("double")), 6).as("phi"))
+      .orderBy($"k")
+  }
+
+  val graphRichclubSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |edges AS (
+      |  SELECT a.pk AS pa, b.pk AS pb
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+      |deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT pa AS node FROM edges UNION ALL SELECT pb AS node FROM edges)
+      |  GROUP BY node),
+      |em AS (
+      |  SELECT least(da.deg, db.deg) AS m, CAST(count(*) AS BIGINT) AS e_at
+      |  FROM edges e
+      |  JOIN deg da ON da.node = e.pa JOIN deg db ON db.node = e.pb
+      |  GROUP BY 1),
+      |dg AS (SELECT deg AS k, CAST(count(*) AS BIGINT) AS n_at FROM deg GROUP BY 1),
+      |grid AS (
+      |  SELECT dg.k, dg.n_at, coalesce(em.e_at, 0) AS e_at
+      |  FROM dg LEFT JOIN em ON em.m = dg.k),
+      |suf AS (
+      |  SELECT k,
+      |    coalesce(sum(n_at) OVER (ORDER BY k ROWS BETWEEN 1 FOLLOWING
+      |      AND UNBOUNDED FOLLOWING), 0) AS n_gt,
+      |    coalesce(sum(e_at) OVER (ORDER BY k ROWS BETWEEN 1 FOLLOWING
+      |      AND UNBOUNDED FOLLOWING), 0) AS e_gt
+      |  FROM grid)
+      |SELECT k, CAST(n_gt AS BIGINT) AS n_nodes, CAST(e_gt AS BIGINT) AS n_edges,
+      |  round(2.0 * CAST(e_gt AS DOUBLE)
+      |    / (CAST(n_gt AS DOUBLE) * CAST(n_gt - 1 AS DOUBLE)), 6) AS phi
+      |FROM suf WHERE n_gt >= 2 ORDER BY k""".stripMargin
 }

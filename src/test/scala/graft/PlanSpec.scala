@@ -539,6 +539,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("shuffle budgets for the round-8 additions") {
+    // textual counts are cache-state-dependent (an InMemoryTableScan
+    // re-prints its stored build plan): drop frames persisted by
+    // earlier suites so the budgets measure THIS plan, not residue
+    spark.sharedState.cacheManager.clearCache()
     for ((name, df, budget) <- Seq(
         // triplets: query side is an 8-row broadcast against the
         // corpus scan, so the whole mine is ONE (query,label-side)
@@ -566,7 +570,10 @@ class PlanSpec extends SparkSpec {
         // one conditional-pivot aggregate, 1 row out
         ("diff_in_diff", operators.Behavior.diffInDiff(spark, sf), 2),
         // key agg → ≤64-bucket grid agg → grid window → sort
-        ("cdc_key_churn", cdc.Cdc.cdcKeyChurn(spark, sf), 5))) {
+        ("cdc_key_churn", cdc.Cdc.cdcKeyChurn(spark, sf), 5),
+        // edge pass + degree agg + 2 decorate joins + grid suffix work;
+        // the persisted edge subtree prints under all 3 references
+        ("graph_richclub", operators.Graph.graphRichclub(spark, sf), 20))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
@@ -615,7 +622,8 @@ class PlanSpec extends SparkSpec {
       "global_shuffle" -> "256-row bucket-offset cumsum (bucket = 2 hash hex chars)",
       "join_size_estimate" -> "per-key stats capped by heavy-hitter k",
       "graph_powerlaw_fit" -> "degree-value grid: one row per distinct node degree",
-      "cdc_key_churn" -> "log2 change-count bucket grid (<= 64 rows)")
+      "cdc_key_churn" -> "log2 change-count bucket grid (<= 64 rows)",
+      "graph_richclub" -> "distinct-degree grid: suffix sums over degree values")
     // exactness-gate sites: the window deliberately reads a
     // corpus-cardinality input because the ORACLE semantics (exact
     // global ntile) demand a total order; each documents its 100 TB

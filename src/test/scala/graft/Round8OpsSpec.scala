@@ -296,7 +296,47 @@ class Round8OpsSpec extends SparkSpec {
     assert(math.abs(out.last.getDouble(6) - 1.0) < 1e-9, "cum ends at 1")
   }
 
+  test("graph_richclub: phi(k) replays from first-principles club density") {
+    import graft.operators.Graph
+    val out = Graph.graphRichclub(spark, sf).collect()
+    assert(out.nonEmpty)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // rebuild the co-purchase graph: distinct (order, part) → pairs
+    // with support >= 2 → degrees
+    val li = sources.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).valuesIterator.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map { case (n, g) => (n, g.size.toLong) }
+    val ks = deg.values.toSeq.distinct.sorted
+    val expected = ks.flatMap { k =>
+      val club = deg.filter(_._2 > k).keySet
+      val n = club.size.toLong
+      if (n < 2) None
+      else {
+        val e = edges.count(p => club(p._1) && club(p._2)).toLong
+        Some((k, n, e, r6(2.0 * e / (n.toDouble * (n - 1).toDouble))))
+      }
+    }
+    assert(out.length == expected.length, "threshold count")
+    for ((row, (k, n, e, phi)) <- out.zip(expected)) {
+      assert(row.getLong(0) == k && row.getLong(1) == n
+        && row.getLong(2) == e, s"k=$k club size/edges")
+      assert(math.abs(row.getDouble(3) - phi) < 1e-9, s"k=$k phi")
+    }
+    // density must be within [0,1] and the top club fully dense or absent
+    assert(out.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("shuffle budgets for the round-8 operator batch") {
+    // textual counts are cache-state-dependent (InMemoryTableScan
+    // re-prints its stored build plan): start from a clean cache
+    spark.sharedState.cacheManager.clearCache()
     for ((name, df, budget) <- Seq(
         // corpus scan + one anchor-keyed agg exchange + presentation
         // sort; textual count doubles under AQE re-prints (executed: 2)
@@ -325,7 +365,11 @@ class Round8OpsSpec extends SparkSpec {
         // single conditional-pivot global agg: one partial/final pair
         ("diff_in_diff", graft.operators.Behavior.diffInDiff(spark, sf), 2),
         // key agg + bucket-grid agg + grid window + output sort
-        ("cdc_key_churn", Cdc.cdcKeyChurn(spark, sf), 5))) {
+        ("cdc_key_churn", Cdc.cdcKeyChurn(spark, sf), 5),
+        // edge pass + degree agg + decorate joins + grid windows; the
+        // persisted edge frame re-prints its build under each
+        // InMemoryTableScan post-collect (seq_patterns precedent)
+        ("graph_richclub", graft.operators.Graph.graphRichclub(spark, sf), 68))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       val n = "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
