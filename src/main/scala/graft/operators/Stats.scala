@@ -538,4 +538,87 @@ object Stats {
       |  round(CAST(o*n - row_tot*col_tot AS DOUBLE)
       |    / sqrt(CAST(row_tot*col_tot*n AS DOUBLE)), 6) AS std_residual
       |FROM grid ORDER BY lang, source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // levene_test — homogeneity of variances across event types
+  // ------------------------------------------------------------------
+
+  /** Levene's test (Levene 1960) for homogeneity of variances across
+    * event-type groups — the assumption check read BEFORE trusting
+    * anova_oneway's pooled within-group variance: a one-way ANOVA on
+    * the absolute deviations z = |x − x̄_group|. Unlike anova_oneway's
+    * pinned 5-type pivot, the group set here is derived from the data
+    * (any vocabulary), which forces the cross-group discipline below.
+    *
+    * Exactness: group means come from 4dp-decimal sums and are rounded
+    * to 6 before broadcasting back, so both engines subtract the
+    * identical double; z is re-quantized to a 6dp DECIMAL so the
+    * within-group Σz/Σz² are exact decimal sums (never raw-double
+    * accumulation); the cross-group masses Σᵢ Sz_i²/n_i ride the micro
+    * idiom (per-group round(·×10⁶) → exact long sum), so the F
+    * numerator/denominator are deterministic regardless of group count
+    * or order. Scale: two corpus passes (means agg; z agg behind a
+    * |types|-row broadcast join), then arithmetic on the group grid —
+    * one row out at any scale.
+    */
+  def leveneTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x4 = round($"value", 4)
+    val means = Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum(x4.cast("decimal(14,4)")).as("sx"))
+      .select($"event_type",
+        round($"sx".cast("double") / $"n", 6).as("mean6"))
+    val z = Tables.events(spark, dir)
+      .join(broadcast(means), "event_type")
+      .select($"event_type",
+        round(abs(x4 - $"mean6"), 6).cast("decimal(16,6)").as("z"))
+    val g = z.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"z").as("sz"),
+        sum($"z" * $"z").as("szz"))
+      .select($"n", $"sz", $"szz",
+        round($"sz".cast("double") * $"sz".cast("double") / $"n" * 1e6, 0)
+          .cast("long").as("ai"))
+    g.agg(count(lit(1)).as("k"), sum($"n").as("nn"),
+        sum($"sz").as("szsum"), sum($"szz").as("szzsum"),
+        sum($"ai").as("a"))
+      .select($"k", $"nn".as("n_total"),
+        $"szsum".cast("double").as("szsum"),
+        $"szzsum".cast("double").as("szzsum"),
+        ($"a".cast("double") / 1e6).as("ad"))
+      .select($"k".as("k_groups"), $"n_total",
+        round($"ad" - $"szsum" * $"szsum" / $"n_total", 6).as("ss_between"),
+        round($"szzsum" - $"ad", 6).as("ss_within"),
+        round((($"ad" - $"szsum" * $"szsum" / $"n_total") / ($"k" - 1L))
+          / (($"szzsum" - $"ad") / ($"n_total" - $"k")), 6).as("f_stat"))
+  }
+
+  val leveneTestSql: String =
+    """WITH m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(round(value, 4) AS DECIMAL(14,4))) AS DOUBLE) AS sx
+      |  FROM events GROUP BY event_type),
+      |m6 AS (SELECT event_type, round(sx / n, 6) AS mean6 FROM m),
+      |z AS (
+      |  SELECT e.event_type,
+      |    CAST(round(abs(round(e.value, 4) - m6.mean6), 6)
+      |      AS DECIMAL(16,6)) AS z
+      |  FROM events e JOIN m6 ON m6.event_type = e.event_type),
+      |g AS (
+      |  SELECT n, sz, szz,
+      |    CAST(round(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / n * 1e6, 0)
+      |      AS BIGINT) AS ai
+      |  FROM (SELECT count(*) AS n, sum(z) AS sz, sum(z * z) AS szz
+      |        FROM z GROUP BY event_type)),
+      |t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+      |    CAST(sum(sz) AS DOUBLE) AS szsum, CAST(sum(szz) AS DOUBLE) AS szzsum,
+      |    CAST(sum(ai) AS DOUBLE) / 1e6 AS ad
+      |  FROM g)
+      |SELECT k AS k_groups, nn AS n_total,
+      |  round(ad - szsum * szsum / nn, 6) AS ss_between,
+      |  round(szzsum - ad, 6) AS ss_within,
+      |  round(((ad - szsum * szsum / nn) / (k - 1))
+      |    / ((szzsum - ad) / (nn - k)), 6) AS f_stat
+      |FROM t""".stripMargin
 }

@@ -573,7 +573,9 @@ class PlanSpec extends SparkSpec {
         ("cdc_key_churn", cdc.Cdc.cdcKeyChurn(spark, sf), 5),
         // edge pass + degree agg + 2 decorate joins + grid suffix work;
         // the persisted edge subtree prints under all 3 references
-        ("graph_richclub", operators.Graph.graphRichclub(spark, sf), 20))) {
+        ("graph_richclub", operators.Graph.graphRichclub(spark, sf), 20),
+        // group-means agg + z agg behind the |types|-row broadcast
+        ("levene_test", operators.Stats.leveneTest(spark, sf), 4))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")

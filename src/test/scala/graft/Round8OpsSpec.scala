@@ -333,6 +333,44 @@ class Round8OpsSpec extends SparkSpec {
     assert(out.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
   }
 
+  test("levene_test: F on absolute deviations replays from collected groups") {
+    import graft.operators.Stats
+    val r = Stats.leveneTest(spark, sf).collect()
+    assert(r.length == 1)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q(x: Double, s: Int): BigDecimal =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val ev = sources.Tables.events(spark, sf)
+      .select($"event_type", $"value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val byType = ev.groupBy(_._1)
+    val groups = byType.toSeq.map { case (_, rows) =>
+      val n = rows.length.toLong
+      val mean6 = r6(rows.map(e => q(e._2, 4)).sum.toDouble / n)
+      val zs = rows.map(e => q(math.abs(q(e._2, 4).toDouble - mean6), 6))
+      val sz = zs.sum // exact decimal, like the engine's DECIMAL sum
+      val szz = zs.map(z => z * z).sum
+      val szd = sz.toDouble
+      val ai = math.round(szd * szd / n * 1e6)
+      (n, sz, szz, ai)
+    }
+    val k = groups.length.toLong
+    val nn = groups.map(_._1).sum
+    val szsum = groups.map(_._2).sum.toDouble
+    val szzsum = groups.map(_._3).sum.toDouble
+    val ad = groups.map(_._4).sum.toDouble / 1e6
+    val ssb = ad - szsum * szsum / nn
+    val ssw = szzsum - ad
+    val row = r.head
+    assert(row.getLong(0) == k && row.getLong(1) == nn, "k/n")
+    assert(math.abs(row.getDouble(2) - r6(ssb)) < 1e-6, "ss_between")
+    assert(math.abs(row.getDouble(3) - r6(ssw)) < 1e-6, "ss_within")
+    assert(math.abs(row.getDouble(4)
+      - r6((ssb / (k - 1)) / (ssw / (nn - k)))) < 1e-6, "f_stat")
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(3) > 0.0)
+  }
+
   test("shuffle budgets for the round-8 operator batch") {
     // textual counts are cache-state-dependent (InMemoryTableScan
     // re-prints its stored build plan): start from a clean cache
@@ -369,7 +407,9 @@ class Round8OpsSpec extends SparkSpec {
         // edge pass + degree agg + decorate joins + grid windows; the
         // persisted edge frame re-prints its build under each
         // InMemoryTableScan post-collect (seq_patterns precedent)
-        ("graph_richclub", graft.operators.Graph.graphRichclub(spark, sf), 68))) {
+        ("graph_richclub", graft.operators.Graph.graphRichclub(spark, sf), 68),
+        // means agg + broadcast-joined z agg + 1-row global agg
+        ("levene_test", graft.operators.Stats.leveneTest(spark, sf), 4))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       val n = "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
