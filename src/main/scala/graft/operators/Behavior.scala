@@ -233,6 +233,115 @@ object Behavior {
       |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
       |FROM trans ORDER BY from_type, to_type""".stripMargin
 
+  private val MkIters = 25
+  private val MkNano = 1000000000L
+
+  /** Stationary distribution + entropy rate of the event-type Markov
+    * chain (Cover & Thomas ch. 4): 25 power-iteration steps of
+    * π' = πP from uniform, then H = −Σᵢ πᵢ Σⱼ pᵢⱼ ln pᵢⱼ — the
+    * long-run state occupancy and per-step information content of the
+    * behavioral process, read next to markov_transitions when deciding
+    * whether journey sampling needs burn-in.
+    *
+    * Exactness: probabilities are nano-scaled integers
+    * (pᵢⱼ = ⌊n·10⁹/rowtotᵢ⌋, HUGEINT product in the oracle), every
+    * iteration step is Σᵢ ⌊πᵢ·pᵢⱼ/10⁹⌋ in pure longs (products ≤ 10¹⁸),
+    * and ln rides the micro idiom per cell — the DuckDB oracle unrolls
+    * all 25 steps as MATERIALIZED CTEs and replays bit-identically.
+    * Floor division leaks ≤ |S| nano per step (deterministic, shared);
+    * zero-nano cells are skipped in the entropy sum (they carry < 1e-9
+    * mass). The ci product bounds k ≲ 20 states (documented next to
+    * the doc_chunks contract style).
+    *
+    * Scale: ONE user-keyed window pass builds the transition counts;
+    * the chain then lives on the |types|² grid (≤ ~100 rows) collected
+    * to the driver, where the 25 steps run in Long arithmetic (the
+    * domain_reweight model-iteration precedent — driver traffic is
+    * O(model), never corpus).
+    */
+  def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val cells = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rowTot = cells.groupBy(_._1).map { case (f, g) => (f, g.map(_._3).sum) }
+    val states = rowTot.keys.toSeq.sorted
+    val p = cells.map { case (f, t, n) =>
+      ((f, t), (BigInt(n) * MkNano / rowTot(f)).toLong)
+    }.toMap
+    var pi = states.map(s => (s, MkNano / states.length)).toMap
+    for (_ <- 1 to MkIters) {
+      val next = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for (((f, t), pn) <- p)
+        next(t) += Math.floorDiv(pi.getOrElse(f, 0L) * pn, MkNano)
+      pi = states.map(s => (s, next(s))).toMap
+    }
+    val ha = states.map { s =>
+      (s, cells.filter(c => c._1 == s && p((c._1, c._2)) > 0L).map { c =>
+        val pn = p((c._1, c._2))
+        val negLn = math.round(-math.log(pn.toDouble / MkNano) * 1e6)
+        Math.floorDiv(pn * negLn, 1000000L)
+      }.sum)
+    }.toMap
+    val hMicro = states.map(s => Math.floorDiv(pi(s) * ha(s), MkNano)).sum
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    spark.createDataFrame(states.map { s =>
+      (s, r6(pi(s).toDouble / 1e9), r6(ha(s).toDouble / 1e9),
+        r6(hMicro.toDouble / 1e9))
+    }).toDF("state", "pi", "h_state", "entropy_rate")
+      .orderBy($"state")
+  }
+
+  val markovStationarySql: String = {
+    val steps = (1 to MkIters).map { i =>
+      s"""it$i AS MATERIALIZED (
+         |  SELECT p.to_type AS state,
+         |    CAST(sum((i.pi * p.p_nano) // 1000000000) AS BIGINT) AS pi
+         |  FROM it${i - 1} i JOIN p ON p.from_type = i.state GROUP BY 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS next_type
+       |  FROM events),
+       |cnt AS MATERIALIZED (
+       |  SELECT event_type AS from_type, next_type AS to_type,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+       |rt AS MATERIALIZED (
+       |  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+       |p AS MATERIALIZED (
+       |  SELECT c.from_type, c.to_type,
+       |    CAST(CAST(c.n AS HUGEINT) * 1000000000 // r.tot AS BIGINT) AS p_nano
+       |  FROM cnt c JOIN rt r USING (from_type)),
+       |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM rt),
+       |it0 AS MATERIALIZED (
+       |  SELECT from_type AS state, CAST(1000000000 // k.k AS BIGINT) AS pi
+       |  FROM rt CROSS JOIN k),
+       |$steps,
+       |h AS MATERIALIZED (
+       |  SELECT from_type AS state,
+       |    CAST(sum((p_nano * CAST(round(-ln(CAST(p_nano AS DOUBLE) / 1e9)
+       |      * 1e6, 0) AS BIGINT)) // 1000000) AS BIGINT) AS ha
+       |  FROM p WHERE p_nano > 0 GROUP BY 1),
+       |fin AS (
+       |  SELECT h.state, coalesce(it$MkIters.pi, 0) AS pi, h.ha,
+       |    (coalesce(it$MkIters.pi, 0) * h.ha) // 1000000000 AS ci
+       |  FROM h LEFT JOIN it$MkIters ON it$MkIters.state = h.state),
+       |tot AS (SELECT CAST(sum(ci) AS BIGINT) AS hm FROM fin)
+       |SELECT state, round(CAST(pi AS DOUBLE) / 1e9, 6) AS pi,
+       |  round(CAST(ha AS DOUBLE) / 1e9, 6) AS h_state,
+       |  round(CAST(hm AS DOUBLE) / 1e9, 6) AS entropy_rate
+       |FROM fin CROSS JOIN tot ORDER BY state""".stripMargin
+  }
+
   /** RFM customer segmentation: recency (days since last order at the
     * corpus horizon), frequency (order count), monetary (exact decimal
     * spend), each quintile-scored 1–5 with fully deterministic

@@ -371,6 +371,44 @@ class Round8OpsSpec extends SparkSpec {
     assert(row.getDouble(2) >= 0.0 && row.getDouble(3) > 0.0)
   }
 
+  test("markov_stationary: nano-quantized fixpoint tracks the double-precision chain") {
+    import graft.operators.Behavior
+    val out = Behavior.markovStationary(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // rebuild the chain in doubles and power-iterate far past 25 steps
+    val ev = sources.Tables.events(spark, sf)
+      .select($"user_id", $"ts_ns", $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).valuesIterator.flatMap { rows =>
+      val s = rows.sortBy(e => (e._2, e._3)).map(_._4)
+      s.zip(s.drop(1))
+    }.toSeq
+    val counts = trans.groupBy(identity).map { case (k, g) => (k, g.size.toLong) }
+    val states = counts.keys.map(_._1).toSeq.distinct.sorted
+    val tot = counts.groupBy(_._1._1).map { case (f, g) => (f, g.values.sum) }
+    def pOf(f: String, t: String): Double =
+      counts.getOrElse((f, t), 0L).toDouble / tot(f)
+    var pi = states.map(_ => 1.0 / states.length)
+    for (_ <- 1 to 300)
+      pi = states.map(t => states.zip(pi).map { case (f, w) => w * pOf(f, t) }.sum)
+    val piRef = states.zip(pi).toMap
+    val hRef = states.map { f =>
+      (f, states.map { t =>
+        val p = pOf(f, t); if (p > 0) -p * math.log(p) else 0.0
+      }.sum)
+    }.toMap
+    val entRef = states.map(s => piRef(s) * hRef(s)).sum
+    assert(out.map(_._1).toSeq == states, "state set")
+    for ((s, p, h, e) <- out) {
+      assert(math.abs(p - piRef(s)) < 1e-4, s"pi($s): $p vs ${piRef(s)}")
+      assert(math.abs(h - hRef(s)) < 1e-4, s"h_state($s)")
+      assert(math.abs(e - entRef) < 1e-3, "entropy_rate")
+    }
+    val mass = out.map(_._2).sum
+    assert(mass > 0.999 && mass <= 1.0 + 1e-9, s"pi mass $mass")
+  }
+
   test("shuffle budgets for the round-8 operator batch") {
     // textual counts are cache-state-dependent (InMemoryTableScan
     // re-prints its stored build plan): start from a clean cache
