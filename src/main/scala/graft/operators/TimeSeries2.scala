@@ -628,4 +628,125 @@ object TimeSeries2 {
       |  CAST((cum * 1000000 - (cum * 1000000 % total)) / total AS BIGINT)
       |    AS cum_share_micro
       |FROM cc ORDER BY bucket""".stripMargin
+
+  // ------------------------------------------------------------------
+  // holt_winters — additive triple exponential smoothing (m = 7)
+  // ------------------------------------------------------------------
+
+  /** Additive Holt–Winters (Winters 1960) per event type over its
+    * daily value series, weekly season m = 7 (α=0.3, β=0.2, γ=0.1):
+    * level + trend + 7 seasonal states folded through the series, and
+    * the 1/2/3-day-ahead forecasts ℓ + h·b + s[(n+h−1) mod 7 + 1] —
+    * the seasonal upgrade of holt_forecast for series with a weekly
+    * pulse.
+    *
+    * Exactness: daily inputs are exact 4dp-decimal sums cast to double
+    * once; the coupled (ℓ, b, s[7]) recurrence runs as ONE codegen'd
+    * HOF fold with a struct+array accumulator, and the oracle replays
+    * the identical float-operation order through a recursive CTE whose
+    * seasonal list is rebuilt per step by a list comprehension (newL
+    * recomputed textually wherever referenced, exactly as the fold's
+    * expression tree does) — bit-identical. Series with < 15 days
+    * (two seasons + 1) are excluded (init needs two season means).
+    *
+    * Scale: one (type, day) partial agg collapses the corpus to a
+    * |types|×days grid; the folds then run per type on ≤ days-length
+    * arrays — grid work, no corpus-cardinality state anywhere.
+    */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (a, ca, b, cb, g, cg) = (0.3, 0.7, 0.2, 0.8, 0.1, 0.9)
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", expr("ts_ns div 86400000000000").as("day"))
+      .agg(sum(round($"value", 4).cast("decimal(14,4)")).as("v"))
+      .groupBy($"event_type")
+      .agg(array_sort(collect_list(struct($"day", $"v".cast("double").as("x"))))
+        .as("evs"))
+      .select($"event_type",
+        transform($"evs", e => e.getField("x")).as("vals"))
+      .filter(size($"vals") >= 15)
+    def el(v: Column, i: Int): Column = element_at(v, i)
+    val l0 = (el($"vals", 1) + el($"vals", 2) + el($"vals", 3) + el($"vals", 4)
+      + el($"vals", 5) + el($"vals", 6) + el($"vals", 7)) / lit(7.0)
+    val m2 = (el($"vals", 8) + el($"vals", 9) + el($"vals", 10) + el($"vals", 11)
+      + el($"vals", 12) + el($"vals", 13) + el($"vals", 14)) / lit(7.0)
+    def newL(acc: Column, x: Column, sj: Column): Column =
+      lit(a) * (x - sj) + lit(ca) * (acc.getField("l") + acc.getField("b"))
+    val folded = daily.select($"event_type", size($"vals").cast("long").as("n_days"),
+      aggregate(
+        sequence(lit(8), size($"vals")),
+        struct(l0.as("l"), ((m2 - l0) / lit(7.0)).as("b"),
+          transform(slice($"vals", 1, 7), v => v - l0).as("s")),
+        (acc, i) => {
+          val x = element_at($"vals", i)
+          val j = (i - 1) % 7 + 1
+          val sj = element_at(acc.getField("s"), j)
+          struct(
+            newL(acc, x, sj).as("l"),
+            (lit(b) * (newL(acc, x, sj) - acc.getField("l"))
+              + lit(cb) * acc.getField("b")).as("b"),
+            transform(acc.getField("s"), (v, k0) =>
+              when(k0 + 1 === j,
+                lit(g) * (x - newL(acc, x, sj)) + lit(cg) * v)
+                .otherwise(v)).as("s"))
+        }).as("st"))
+    def fc(h: Int): Column =
+      $"st.l" + lit(h.toDouble) * $"st.b" +
+        element_at($"st.s", (($"n_days" + h - 1) % 7 + 1).cast("int"))
+    folded.select($"event_type", $"n_days",
+        round($"st.l", 6).as("level"),
+        round($"st.b", 6).as("trend"),
+        round(fc(1), 6).as("forecast_1"),
+        round(fc(2), 6).as("forecast_2"),
+        round(fc(3), 6).as("forecast_3"))
+      .orderBy($"event_type")
+  }
+
+  val holtWintersSql: String = {
+    // newL spelled out verbatim everywhere it appears, matching the
+    // fold's expression tree
+    val nl = "0.3 * (s.vals[h.i + 1] - h.s[(h.i % 7) + 1]) + 0.7 * (h.l + h.b)"
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+       |    CAST(sum(CAST(round(value, 4) AS DECIMAL(14,4))) AS DOUBLE) AS x
+       |  FROM events GROUP BY 1, 2),
+       |ser AS (
+       |  SELECT event_type, list(x ORDER BY day) AS vals
+       |  FROM daily GROUP BY 1),
+       |s2 AS (SELECT event_type, vals, len(vals) AS n FROM ser
+       |       WHERE len(vals) >= 15),
+       |rec AS (
+       |  WITH RECURSIVE h(event_type, i, l, b, s) AS (
+       |    SELECT event_type, 7,
+       |      (vals[1] + vals[2] + vals[3] + vals[4] + vals[5] + vals[6]
+       |        + vals[7]) / 7.0,
+       |      ((vals[8] + vals[9] + vals[10] + vals[11] + vals[12] + vals[13]
+       |        + vals[14]) / 7.0
+       |       - (vals[1] + vals[2] + vals[3] + vals[4] + vals[5] + vals[6]
+       |        + vals[7]) / 7.0) / 7.0,
+       |      [vals[k] - (vals[1] + vals[2] + vals[3] + vals[4] + vals[5]
+       |        + vals[6] + vals[7]) / 7.0 FOR k IN [1,2,3,4,5,6,7]]
+       |    FROM s2
+       |    UNION ALL
+       |    SELECT h.event_type, h.i + 1,
+       |      $nl,
+       |      0.2 * (($nl) - h.l) + 0.8 * h.b,
+       |      [CASE WHEN k = (h.i % 7) + 1
+       |         THEN 0.1 * (s.vals[h.i + 1] - ($nl)) + 0.9 * h.s[k]
+       |         ELSE h.s[k] END FOR k IN [1,2,3,4,5,6,7]]
+       |    FROM h JOIN s2 s ON h.event_type = s.event_type
+       |    WHERE h.i < s.n)
+       |  SELECT h.event_type, h.l, h.b, h.s FROM h JOIN s2 s
+       |  ON h.event_type = s.event_type WHERE h.i = s.n)
+       |SELECT s2.event_type, CAST(s2.n AS BIGINT) AS n_days,
+       |  round(rec.l, 6) AS level, round(rec.b, 6) AS trend,
+       |  round(rec.l + 1.0 * rec.b
+       |    + rec.s[((s2.n + 0) % 7) + 1], 6) AS forecast_1,
+       |  round(rec.l + 2.0 * rec.b
+       |    + rec.s[((s2.n + 1) % 7) + 1], 6) AS forecast_2,
+       |  round(rec.l + 3.0 * rec.b
+       |    + rec.s[((s2.n + 2) % 7) + 1], 6) AS forecast_3
+       |FROM s2 JOIN rec ON s2.event_type = rec.event_type
+       |ORDER BY s2.event_type""".stripMargin
+  }
 }

@@ -575,7 +575,9 @@ class PlanSpec extends SparkSpec {
         // the persisted edge subtree prints under all 3 references
         ("graph_richclub", operators.Graph.graphRichclub(spark, sf), 20),
         // group-means agg + z agg behind the |types|-row broadcast
-        ("levene_test", operators.Stats.leveneTest(spark, sf), 4))) {
+        ("levene_test", operators.Stats.leveneTest(spark, sf), 4),
+        // (type, day) partial agg → |types|-row series agg → sort
+        ("holt_winters", operators.TimeSeries2.holtWinters(spark, sf), 4))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")

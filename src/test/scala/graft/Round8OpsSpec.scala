@@ -409,6 +409,48 @@ class Round8OpsSpec extends SparkSpec {
     assert(mass > 0.999 && mass <= 1.0 + 1e-9, s"pi mass $mass")
   }
 
+  test("holt_winters: the (l, b, s[7]) fold replays step-for-step in driver doubles") {
+    import graft.operators.TimeSeries2
+    val out = TimeSeries2.holtWinters(spark, sf).collect()
+    assert(out.nonEmpty)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q4(x: Double): BigDecimal =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val ev = sources.Tables.events(spark, sf)
+      .select($"event_type", $"ts_ns", $"value").collect()
+      .map(r => (r.getString(0), Math.floorDiv(r.getLong(1), 86400000000000L),
+        r.getDouble(2)))
+    val series = ev.groupBy(_._1).map { case (t, rows) =>
+      (t, rows.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (_, g) => g.map(e => q4(e._3)).sum.toDouble })
+    }.filter(_._2.length >= 15)
+    for (row <- out) {
+      val t = row.getString(0)
+      val v = series(t).toArray
+      val n = v.length
+      def at(i: Int): Double = v(i - 1)
+      val l0 = (at(1) + at(2) + at(3) + at(4) + at(5) + at(6) + at(7)) / 7.0
+      val m2 = (at(8) + at(9) + at(10) + at(11) + at(12) + at(13) + at(14)) / 7.0
+      var l = l0; var b = (m2 - l0) / 7.0
+      val s = Array.tabulate(7)(k => at(k + 1) - l0)
+      for (i <- 8 to n) {
+        val x = at(i); val j = (i - 1) % 7 // 0-based
+        val nl = 0.3 * (x - s(j)) + 0.7 * (l + b)
+        val nb = 0.2 * (nl - l) + 0.8 * b
+        s(j) = 0.1 * (x - nl) + 0.9 * s(j)
+        l = nl; b = nb
+      }
+      assert(row.getLong(1) == n, s"$t n_days")
+      assert(math.abs(row.getDouble(2) - r6(l)) < 1e-9, s"$t level")
+      assert(math.abs(row.getDouble(3) - r6(b)) < 1e-9, s"$t trend")
+      for (h <- 1 to 3) {
+        val f = l + h.toDouble * b + s((n + h - 1) % 7)
+        assert(math.abs(row.getDouble(3 + h) - r6(f)) < 1e-9, s"$t forecast_$h")
+      }
+    }
+  }
+
   test("shuffle budgets for the round-8 operator batch") {
     // textual counts are cache-state-dependent (InMemoryTableScan
     // re-prints its stored build plan): start from a clean cache
@@ -447,7 +489,10 @@ class Round8OpsSpec extends SparkSpec {
         // InMemoryTableScan post-collect (seq_patterns precedent)
         ("graph_richclub", graft.operators.Graph.graphRichclub(spark, sf), 68),
         // means agg + broadcast-joined z agg + 1-row global agg
-        ("levene_test", graft.operators.Stats.leveneTest(spark, sf), 4))) {
+        ("levene_test", graft.operators.Stats.leveneTest(spark, sf), 4),
+        // (type, day) agg + per-type series agg + output sort (AQE
+        // re-prints post-collect)
+        ("holt_winters", graft.operators.TimeSeries2.holtWinters(spark, sf), 6))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       val n = "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
