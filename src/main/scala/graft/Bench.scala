@@ -54,7 +54,13 @@ object Bench {
     "anova_oneway", "spearman_corr", "kendall_tau",
     "dsir_weights", "dedup_substring", "tokenizer_fertility",
     "multimodal_ahash_dedup", "graph_assortativity", "curriculum_order",
-    "ann_eval", "substring_excise", "classifier_auc", "graph_clustering")
+    "ann_eval", "substring_excise", "classifier_auc", "graph_clustering",
+    // round-8 batch: mining/audit additions + causal-experiment and
+    // chain/seasonal statistics + graph topology profiles
+    "contrastive_triplets", "cdc_compact_audit", "loo_source_impact",
+    "cdc_lag_report", "cdc_key_churn", "graph_powerlaw_fit",
+    "graph_richclub", "levene_test", "holt_winters", "ab_cuped",
+    "markov_stationary", "diff_in_diff", "bootstrap_ci")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

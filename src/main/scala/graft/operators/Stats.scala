@@ -593,6 +593,105 @@ object Stats {
           / (($"szzsum" - $"ad") / ($"n_total" - $"k")), 6).as("f_stat"))
   }
 
+  // ------------------------------------------------------------------
+  // bootstrap_ci — Poisson bootstrap for the purchase-value mean
+  // ------------------------------------------------------------------
+
+  private val BootB = 40
+
+  /** Poisson bootstrap (Chamandy et al. 2012, "Estimating uncertainty
+    * for massive data streams"): B = 40 deterministic replicates of
+    * the purchase-value mean, each event re-weighted by a
+    * Poisson(1)-distributed integer derived from a salted md5 — the
+    * resample-without-materializing trick that makes bootstrap CIs
+    * computable in one aggregation pass over a corpus too large to
+    * sample row-by-row. Output: point mean, nearest-rank 95 % CI over
+    * the replicate means, and the bootstrap SE.
+    *
+    * Exactness: the Poisson draw is a CASE ladder on a 2-hex-char md5
+    * value (0..255 against ⌊256·F(k)⌋ thresholds — integer compare,
+    * engine-identical); replicate means are decimal-ratio rounds cast
+    * back to 6dp DECIMAL so the cross-replicate Σm/Σm² are exact
+    * decimal sums; order statistics come from a row_number over the
+    * 40-row replicate grid (registered grid-bounded). Scale: the ×B
+    * fan-out happens INSIDE the map-side partial aggregate (explode →
+    * combine to B·partitions rows), so shuffle traffic is B rows per
+    * partition, never B× the corpus.
+    */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x4 = round($"value", 4).cast("decimal(14,4)")
+    val base = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", x4.as("x"))
+    val h2 = conv(substring(md5(concat(lit("bs:"), $"b".cast("string"),
+      lit(":"), $"event_id".cast("string"))), 1, 2), 16, 10).cast("long")
+    val w = when(h2 <= 93, 0L).when(h2 <= 187, 1L).when(h2 <= 234, 2L)
+      .when(h2 <= 250, 3L).when(h2 <= 254, 4L).otherwise(5L)
+    val reps = base
+      .select($"event_id", $"x",
+        explode(sequence(lit(1), lit(BootB))).as("b"))
+      .withColumn("w", w)
+      .groupBy($"b")
+      .agg(sum($"w").as("sw"), sum($"w" * $"x").as("swx"))
+      .select($"b",
+        round($"swx".cast("double") / $"sw", 6).cast("decimal(16,6)").as("m"))
+    val ranked = reps.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy($"m", $"b")))
+    val stats = reps.agg(sum($"m").as("sm"), sum($"m" * $"m").as("smm"),
+      count(lit(1)).as("bn"))
+    Tables.events(spark, dir).filter($"event_type" === "purchase")
+      .agg(count(lit(1)).as("n_events"), sum(x4).as("sx"))
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(ranked.filter($"rk" === 1).select($"m".as("lo"))))
+      .crossJoin(broadcast(ranked.filter($"rk" === 39).select($"m".as("hi"))))
+      .select($"n_events",
+        round($"sx".cast("double") / $"n_events", 6).as("mean"),
+        $"lo".cast("double").as("ci_lo"), $"hi".cast("double").as("ci_hi"),
+        round(sqrt(($"smm".cast("double")
+          - $"sm".cast("double") * $"sm".cast("double") / $"bn")
+          / ($"bn" - 1L)), 6).as("se_boot"),
+        $"bn".as("b_replicates"))
+  }
+
+  val bootstrapCiSql: String =
+    """WITH base AS (
+      |  SELECT event_id, CAST(round(value, 4) AS DECIMAL(14,4)) AS x
+      |  FROM events WHERE event_type = 'purchase'),
+      |rep AS (
+      |  SELECT event_id, x, b
+      |  FROM base CROSS JOIN (SELECT unnest(range(1, 41)) AS b)),
+      |wgt AS (
+      |  SELECT b, x,
+      |    CASE WHEN h2 <= 93 THEN 0 WHEN h2 <= 187 THEN 1
+      |      WHEN h2 <= 234 THEN 2 WHEN h2 <= 250 THEN 3
+      |      WHEN h2 <= 254 THEN 4 ELSE 5 END AS w
+      |  FROM (SELECT b, x,
+      |    list_reduce(list_transform(
+      |      split(substr(md5('bs:' || CAST(b AS VARCHAR) || ':'
+      |        || CAST(event_id AS VARCHAR)), 1, 2), ''),
+      |      c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+      |      (a, c) -> a * 16 + c) AS h2
+      |  FROM rep)),
+      |reps AS MATERIALIZED (
+      |  SELECT b, CAST(round(CAST(sum(w * x) AS DOUBLE) / sum(w), 6)
+      |    AS DECIMAL(16,6)) AS m
+      |  FROM wgt GROUP BY b),
+      |ranked AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM reps),
+      |st AS (
+      |  SELECT CAST(sum(m) AS DOUBLE) AS sm, CAST(sum(m * m) AS DOUBLE) AS smm,
+      |    CAST(count(*) AS BIGINT) AS bn
+      |  FROM reps),
+      |pt AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_events, CAST(sum(x) AS DOUBLE) AS sx
+      |  FROM base)
+      |SELECT n_events, round(sx / n_events, 6) AS mean,
+      |  CAST((SELECT m FROM ranked WHERE rk = 1) AS DOUBLE) AS ci_lo,
+      |  CAST((SELECT m FROM ranked WHERE rk = 39) AS DOUBLE) AS ci_hi,
+      |  round(sqrt((smm - sm * sm / bn) / (bn - 1)), 6) AS se_boot,
+      |  bn AS b_replicates
+      |FROM pt CROSS JOIN st""".stripMargin
+
   val leveneTestSql: String =
     """WITH m AS (
       |  SELECT event_type, count(*) AS n,

@@ -86,7 +86,13 @@ object PlanDump {
     "ann_eval" ->
       "oracle-exact recall@5: composes the LSH and brute-force parents, then joins only query-batch-sized top-5 frames",
     "classifier_auc" ->
-      "exact AUC: one partial agg onto the score-domain grid, grid cumsum, integer rank-sum — the corpus contributes one scan per training round plus one scoring pass")
+      "exact AUC: one partial agg onto the score-domain grid, grid cumsum, integer rank-sum — the corpus contributes one scan per training round plus one scoring pass",
+    "graph_powerlaw_fit" ->
+      "CSN power-law MLE: one edge pass to node degrees, one distinct-degree grid agg; the KS window and the alpha totals both read the PERSISTED grid (InMemoryTableScan), so the edge pass runs once",
+    "bootstrap_ci" ->
+      "Poisson bootstrap: the x40 replicate fan-out explodes INSIDE the map-side partial aggregate — the exchange carries 40 rows per partition, never 40x the corpus; order stats and SE run on the 40-row replicate grid",
+    "cdc_key_churn" ->
+      "hot-key audit: one key-keyed partial agg collapses the changelog to key cardinality, the log2 bucketing re-aggregates to a <=64-row grid; cumulative shares are grid windows")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.get(4)

@@ -577,7 +577,10 @@ class PlanSpec extends SparkSpec {
         // group-means agg + z agg behind the |types|-row broadcast
         ("levene_test", operators.Stats.leveneTest(spark, sf), 4),
         // (type, day) partial agg → |types|-row series agg → sort
-        ("holt_winters", operators.TimeSeries2.holtWinters(spark, sf), 4))) {
+        ("holt_winters", operators.TimeSeries2.holtWinters(spark, sf), 4),
+        // replicate agg (fan-out inside the partial) + point agg +
+        // 40-row grid windows/aggs
+        ("bootstrap_ci", operators.Stats.bootstrapCi(spark, sf), 8))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
@@ -627,7 +630,8 @@ class PlanSpec extends SparkSpec {
       "join_size_estimate" -> "per-key stats capped by heavy-hitter k",
       "graph_powerlaw_fit" -> "degree-value grid: one row per distinct node degree",
       "cdc_key_churn" -> "log2 change-count bucket grid (<= 64 rows)",
-      "graph_richclub" -> "distinct-degree grid: suffix sums over degree values")
+      "graph_richclub" -> "distinct-degree grid: suffix sums over degree values",
+      "bootstrap_ci" -> "B=40 replicate-mean grid")
     // exactness-gate sites: the window deliberately reads a
     // corpus-cardinality input because the ORACLE semantics (exact
     // global ntile) demand a total order; each documents its 100 TB

@@ -451,6 +451,49 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("bootstrap_ci: replicate means, CI order stats, and SE replay exactly") {
+    import graft.operators.Stats
+    val r = Stats.bootstrapCi(spark, sf).collect()
+    assert(r.length == 1)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q(x: Double, s: Int): BigDecimal =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def pois(h2: Int): Long =
+      if (h2 <= 93) 0L else if (h2 <= 187) 1L else if (h2 <= 234) 2L
+      else if (h2 <= 250) 3L else if (h2 <= 254) 4L else 5L
+    val ev = sources.Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"value").collect()
+      .map(r => (r.getLong(0), q(r.getDouble(1), 4)))
+    val ms = (1 to 40).map { b =>
+      var sw = 0L; var swx = BigDecimal(0)
+      for ((id, x) <- ev) {
+        val h2 = Integer.parseInt(md5hex(s"bs:$b:$id").substring(0, 2), 16)
+        val w = pois(h2); sw += w; swx += x * w
+      }
+      (b, q(swx.toDouble / sw, 6))
+    }
+    val sorted = ms.sortBy { case (b, m) => (m, b) }.map(_._2)
+    val sm = ms.map(_._2).sum.toDouble
+    val smm = ms.map(m => m._2 * m._2).sum.toDouble
+    val bn = 40L
+    val row = r.head
+    assert(row.getLong(0) == ev.length.toLong, "n_events")
+    assert(math.abs(row.getDouble(1)
+      - r6(ev.map(_._2).sum.toDouble / ev.length)) < 1e-9, "mean")
+    assert(math.abs(row.getDouble(2) - sorted.head.toDouble) < 1e-9, "ci_lo")
+    assert(math.abs(row.getDouble(3) - sorted(38).toDouble) < 1e-9, "ci_hi")
+    assert(math.abs(row.getDouble(4)
+      - r6(math.sqrt((smm - sm * sm / bn) / (bn - 1)))) < 1e-9, "se_boot")
+    assert(row.getLong(5) == 40L)
+    assert(row.getDouble(2) <= row.getDouble(1) + 1e-6
+      && row.getDouble(1) <= row.getDouble(3) + 1e-6, "CI brackets the mean")
+  }
+
   test("shuffle budgets for the round-8 operator batch") {
     // textual counts are cache-state-dependent (InMemoryTableScan
     // re-prints its stored build plan): start from a clean cache
@@ -492,7 +535,9 @@ class Round8OpsSpec extends SparkSpec {
         ("levene_test", graft.operators.Stats.leveneTest(spark, sf), 4),
         // (type, day) agg + per-type series agg + output sort (AQE
         // re-prints post-collect)
-        ("holt_winters", graft.operators.TimeSeries2.holtWinters(spark, sf), 6))) {
+        ("holt_winters", graft.operators.TimeSeries2.holtWinters(spark, sf), 6),
+        // replicate agg + point agg + 40-row grid windows/aggs
+        ("bootstrap_ci", graft.operators.Stats.bootstrapCi(spark, sf), 10))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       val n = "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
