@@ -712,7 +712,9 @@ object Dedup {
     * ([[dedupParagraph]]) pipelines; emitted WITHOUT the leading WITH
     * so callers can prepend their own CTEs.
     */
-  private def minhashEstChainOver(source: String): String =
+  /** The tokens→shingles→64-minhash chain alone — shared by the full
+    * pair-estimation chain below and the band-config sweep. */
+  private def minhashSigChainOver(source: String): String =
     s"""toks AS (
       |  SELECT doc_id, $duckTokens32 AS th
       |  FROM $source),
@@ -732,8 +734,11 @@ object Dedup {
       |      list_min(list_transform(hs, h ->
       |        (h * (((s * 2654435761 + 1) & 1073741823) | 1)
       |         + ((s * 2654435769) & 4294967295)) & 4294967295))) AS sig
-      |  FROM sh),
-      |bands AS (SELECT doc_id, unnest(range(0, 16)) AS band, sig FROM sig),
+      |  FROM sh)""".stripMargin
+
+  private def minhashEstChainOver(source: String): String =
+    minhashSigChainOver(source) + ",\n" +
+    s"""bands AS (SELECT doc_id, unnest(range(0, 16)) AS band, sig FROM sig),
       |bk AS (
       |  SELECT doc_id, band,
       |    list_reduce(list_concat([CAST(band + 11 AS BIGINT)], sig[(4*band+1):(4*band+4)]),
@@ -1022,6 +1027,74 @@ object Dedup {
         |    / CAST(count(e.i) * 64 AS DOUBLE), 6) AS avg_est
         |FROM th LEFT JOIN est e ON e.est_jaccard >= th.threshold
         |GROUP BY threshold ORDER BY threshold""".stripMargin
+
+  /** The (bands × rows) configurations swept: all factorizations of
+    * the 64-hash signature with power-of-two rows (1/r stays exactly
+    * dyadic, so the S-curve threshold pow is bit-stable to 6dp). */
+  private val BandConfigs: Seq[(Int, Int)] =
+    Seq((64, 1), (32, 2), (16, 4), (8, 8), (4, 16))
+
+  /** LSH band-configuration sweep — the MEASURED planning table for
+    * minhash dedup (Leskovec/Rajaraman/Ullman ch. 3's S-curve, priced
+    * on the real corpus instead of assumed): for every (b, r)
+    * factorization of the 64-hash signature, the bucket-join workload
+    * Σ C(n,2) the config would pay, the paired-bucket count, the worst
+    * bucket, and the theoretical threshold (1/b)^(1/r). Read before
+    * re-banding an index: the sweep says what candidate mass each
+    * sensitivity step costs on THIS corpus.
+    *
+    * Exactness: bucket keys are the signature SLICES themselves
+    * (array group keys — no re-hashing to diverge on); counts are
+    * integers, C(n,2) = n(n−1) div 2 exact; the S-curve pow takes
+    * exactly-dyadic args (1/b, 1/r both powers of two) so a 6dp round
+    * is stable. Scale: the sigs compute ONCE (persisted) and each
+    * config contributes b (band, r-slice) rows per doc into ONE
+    * map-side-combined count aggregate — Σb = 124 rows/doc, counts
+    * only, and NO pair is ever materialized: the workload integral
+    * comes from bucket sizes alone.
+    */
+  def minhashBandSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = minhashSigs(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = BandConfigs.map { case (b, r) =>
+      sigs.select(
+        lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+        posexplode(transform(sequence(lit(0), lit(b - 1)),
+          g => slice($"sig", g * lit(r) + 1, lit(r)))).as(Seq("band", "key")))
+    }.reduce(_.unionByName(_))
+    val buckets = exploded
+      .groupBy($"bands", $"rows_per_band", $"band", $"key")
+      .agg(count(lit(1)).as("n"))
+    buckets.groupBy($"bands", $"rows_per_band")
+      .agg(count(when($"n" >= 2, lit(1))).as("n_buckets_paired"),
+        max($"n").as("max_bucket"),
+        sum(expr("n * (n - 1) div 2")).as("candidate_pairs"))
+      .select($"bands", $"rows_per_band", $"n_buckets_paired",
+        $"max_bucket", $"candidate_pairs",
+        round(pow(lit(1.0) / $"bands", lit(1.0) / $"rows_per_band"), 6)
+          .as("est_threshold"))
+      .orderBy($"bands".desc)
+  }
+
+  val minhashBandSweepSql: String =
+    "WITH " + minhashSigChainOver("documents") +
+      """,
+        |cfg AS (SELECT * FROM (VALUES (CAST(64 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (32, 2), (16, 4), (8, 8), (4, 16)) AS t(bands, rows_per_band)),
+        |expl AS (
+        |  SELECT c.bands, c.rows_per_band, g.g AS band,
+        |    sig[(c.rows_per_band * g.g + 1):(c.rows_per_band * g.g + c.rows_per_band)] AS key
+        |  FROM sig CROSS JOIN cfg c CROSS JOIN LATERAL unnest(range(0, c.bands)) AS g(g)),
+        |buckets AS (
+        |  SELECT bands, rows_per_band, band, key, CAST(count(*) AS BIGINT) AS n
+        |  FROM expl GROUP BY bands, rows_per_band, band, key)
+        |SELECT bands, rows_per_band,
+        |  CAST(count(CASE WHEN n >= 2 THEN 1 END) AS BIGINT) AS n_buckets_paired,
+        |  max(n) AS max_bucket,
+        |  CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS candidate_pairs,
+        |  round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS est_threshold
+        |FROM buckets GROUP BY bands, rows_per_band ORDER BY bands DESC""".stripMargin
 
   // ---- SimHash ----------------------------------------------------------
 

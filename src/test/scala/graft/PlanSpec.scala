@@ -580,7 +580,11 @@ class PlanSpec extends SparkSpec {
         ("holt_winters", operators.TimeSeries2.holtWinters(spark, sf), 4),
         // replicate agg (fan-out inside the partial) + point agg +
         // 40-row grid windows/aggs
-        ("bootstrap_ci", operators.Stats.bootstrapCi(spark, sf), 8))) {
+        ("bootstrap_ci", operators.Stats.bootstrapCi(spark, sf), 8),
+        // bucket-count agg (union of 5 configs over persisted sigs,
+        // whose build prints under each reference) + grid agg + sort
+        ("minhash_band_sweep",
+          operators.Dedup.minhashBandSweep(spark, sf), 14))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")

@@ -494,6 +494,34 @@ class Round8OpsSpec extends SparkSpec {
       && row.getDouble(1) <= row.getDouble(3) + 1e-6, "CI brackets the mean")
   }
 
+  test("minhash_band_sweep: every config's bucket workload replays from the sigs") {
+    import graft.operators.Dedup
+    val out = Dedup.minhashBandSweep(spark, sf).collect()
+    assert(out.length == 5)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sigs = Dedup.minhashSigs(spark, sf).collect()
+      .map(r => r.getSeq[Long](1).toVector)
+    for (row <- out) {
+      val (b, r) = (row.getLong(0).toInt, row.getLong(1).toInt)
+      assert(b * r == 64, s"($b,$r) factorization")
+      val buckets = scala.collection.mutable.Map[(Int, Vector[Long]), Long]()
+        .withDefaultValue(0L)
+      for (sig <- sigs; g <- 0 until b)
+        buckets((g, sig.slice(g * r, g * r + r))) += 1L
+      val ns = buckets.values.toSeq
+      assert(row.getLong(2) == ns.count(_ >= 2).toLong, s"($b,$r) paired buckets")
+      assert(row.getLong(3) == ns.max, s"($b,$r) max bucket")
+      assert(row.getLong(4) == ns.map(n => n * (n - 1) / 2).sum,
+        s"($b,$r) candidate pairs")
+      assert(math.abs(row.getDouble(5)
+        - r6(math.pow(1.0 / b, 1.0 / r))) < 1e-9, s"($b,$r) threshold")
+    }
+    // sanity: single-row bands admit everything more than 16-row bands
+    val byRows = out.map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(byRows(1L) >= byRows(16L), "workload falls with precision")
+  }
+
   test("shuffle budgets for the round-8 operator batch") {
     // textual counts are cache-state-dependent (InMemoryTableScan
     // re-prints its stored build plan): start from a clean cache
@@ -537,7 +565,11 @@ class Round8OpsSpec extends SparkSpec {
         // re-prints post-collect)
         ("holt_winters", graft.operators.TimeSeries2.holtWinters(spark, sf), 6),
         // replicate agg + point agg + 40-row grid windows/aggs
-        ("bootstrap_ci", graft.operators.Stats.bootstrapCi(spark, sf), 10))) {
+        ("bootstrap_ci", graft.operators.Stats.bootstrapCi(spark, sf), 10),
+        // ONE bucket-count agg over the persisted sigs (5 configs
+        // union) + config-grid agg + sort; persisted-sig re-prints
+        ("minhash_band_sweep",
+          graft.operators.Dedup.minhashBandSweep(spark, sf), 14))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       val n = "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
