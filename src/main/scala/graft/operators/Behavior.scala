@@ -1252,6 +1252,117 @@ object Behavior {
       |FROM t""".stripMargin
 
   // ------------------------------------------------------------------
+  // cem_att — coarsened exact matching ATT
+  // ------------------------------------------------------------------
+
+  /** Coarsened Exact Matching ATT (Iacus, King & Porro 2012): users
+    * are coarsened into pre-period-revenue strata (50-dollar bins of
+    * the exact decimal X), strata containing BOTH arms are matched,
+    * and the average treatment effect on the treated is the
+    * treated-weighted mean of per-stratum outcome differences —
+    * the matching complement to ab_cuped (regression adjustment) and
+    * diff_in_diff (parallel trends): it prunes off-support treated
+    * units instead of extrapolating over them.
+    *
+    * Exactness: X rides exact cents (decimal·100 → long), the stratum
+    * is a pmod floor-division by 500, per-stratum outcome sums are
+    * decimal, each stratum's (ȳ_t − ȳ_c) quantizes to micro BEFORE the
+    * cross-stratum weighted sum (Σ n_t·d_micro is an exact long over
+    * any stratum count — never a variable-order double sum). Scale:
+    * one user-keyed aggregate → stratum grid (≤ X-range/5 rows) → one
+    * row; nothing corpus-sized past the first exchange.
+    */
+  def cemAtt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val splitNs = 1705363200000000000L // 2024-01-16T00:00:00Z
+    val even = Seq("0", "2", "4", "6", "8", "a", "c", "e")
+    val dec = round($"value", 4).cast("decimal(14,4)")
+    val perUser = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(
+        coalesce(sum(when($"ts_ns" < splitNs, dec)), lit(0))
+          .cast("decimal(14,4)").as("x"),
+        coalesce(sum(when($"ts_ns" >= splitNs, dec)), lit(0))
+          .cast("decimal(14,4)").as("y"))
+      .withColumn("treat",
+        substring(md5(concat(lit("cem:"), $"user_id".cast("string"))), 1, 1)
+          .isin(even: _*))
+      // exact ten-thousandths (x has scale 4, so x·10⁴ is integral —
+      // cast is exact in both engines), then a pmod floor-div into
+      // 50-dollar (= 5·10⁵ tenk) strata
+      .withColumn("tenk", ($"x" * 10000).cast("long"))
+      .withColumn("stratum",
+        expr("CAST((tenk - ((tenk % 500000 + 500000) % 500000)) / 500000 AS BIGINT)"))
+    val strata = perUser.groupBy($"stratum")
+      .agg(count(when($"treat", lit(1))).as("n_t"),
+        count(when(!$"treat", lit(1))).as("n_c"),
+        sum(when($"treat", $"y")).as("sy_t"),
+        sum(when(!$"treat", $"y")).as("sy_c"))
+    val matched = strata.filter($"n_t" > 0 && $"n_c" > 0)
+      .withColumn("d_micro",
+        round(($"sy_t".cast("double") / $"n_t"
+          - $"sy_c".cast("double") / $"n_c") * 1e6, 0).cast("long"))
+    val unmatchedT = strata.filter($"n_c" === 0)
+      .agg(coalesce(sum($"n_t"), lit(0L)).as("n_treated_unmatched"))
+    matched.agg(count(lit(1)).as("n_strata_matched"),
+        sum($"n_t").as("n_treated_matched"),
+        sum($"n_t" * $"d_micro").as("wsum"))
+      .crossJoin(broadcast(unmatchedT))
+      .select($"n_strata_matched", $"n_treated_matched",
+        $"n_treated_unmatched",
+        round($"n_treated_matched".cast("double")
+          / ($"n_treated_matched" + $"n_treated_unmatched"), 6)
+          .as("treated_match_rate"),
+        round($"wsum".cast("double") / $"n_treated_matched" / 1e6, 6)
+          .as("att"))
+  }
+
+  val cemAttSql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    CAST(coalesce(sum(CASE WHEN epoch_ns(ts) < 1705363200000000000
+      |      THEN CAST(round(value, 4) AS DECIMAL(14,4)) END), 0)
+      |      AS DECIMAL(14,4)) AS x,
+      |    CAST(coalesce(sum(CASE WHEN epoch_ns(ts) >= 1705363200000000000
+      |      THEN CAST(round(value, 4) AS DECIMAL(14,4)) END), 0)
+      |      AS DECIMAL(14,4)) AS y,
+      |    substr(md5('cem:' || CAST(user_id AS VARCHAR)), 1, 1)
+      |      IN ('0','2','4','6','8','a','c','e') AS treat
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |binned AS (
+      |  SELECT *, CAST((CAST(x * 10000 AS BIGINT)
+      |      - ((CAST(x * 10000 AS BIGINT) % 500000 + 500000) % 500000))
+      |      / 500000 AS BIGINT) AS stratum
+      |  FROM pu),
+      |strata AS (
+      |  SELECT stratum,
+      |    CAST(count(CASE WHEN treat THEN 1 END) AS BIGINT) AS n_t,
+      |    CAST(count(CASE WHEN NOT treat THEN 1 END) AS BIGINT) AS n_c,
+      |    sum(CASE WHEN treat THEN y END) AS sy_t,
+      |    sum(CASE WHEN NOT treat THEN y END) AS sy_c
+      |  FROM binned GROUP BY stratum),
+      |m AS (
+      |  SELECT n_t,
+      |    CAST(round((CAST(sy_t AS DOUBLE) / n_t
+      |      - CAST(sy_c AS DOUBLE) / n_c) * 1e6, 0) AS BIGINT) AS d_micro
+      |  FROM strata WHERE n_t > 0 AND n_c > 0),
+      |um AS (
+      |  SELECT CAST(coalesce(sum(n_t), 0) AS BIGINT) AS n_treated_unmatched
+      |  FROM strata WHERE n_c = 0),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_strata_matched,
+      |    CAST(sum(n_t) AS BIGINT) AS n_treated_matched,
+      |    CAST(sum(n_t * d_micro) AS BIGINT) AS wsum
+      |  FROM m)
+      |SELECT n_strata_matched, n_treated_matched, n_treated_unmatched,
+      |  round(CAST(n_treated_matched AS DOUBLE)
+      |    / (n_treated_matched + n_treated_unmatched), 6)
+      |    AS treated_match_rate,
+      |  round(CAST(wsum AS DOUBLE) / n_treated_matched / 1e6, 6) AS att
+      |FROM agg CROSS JOIN um""".stripMargin
+
+  // ------------------------------------------------------------------
   // diff_in_diff — 2×2 difference-in-differences estimator
   // ------------------------------------------------------------------
 

@@ -584,7 +584,9 @@ class PlanSpec extends SparkSpec {
         // bucket-count agg (union of 5 configs over persisted sigs,
         // whose build prints under each reference) + grid agg + sort
         ("minhash_band_sweep",
-          operators.Dedup.minhashBandSweep(spark, sf), 14))) {
+          operators.Dedup.minhashBandSweep(spark, sf), 14),
+        // user agg → stratum grid → two 1-row branch aggs
+        ("cem_att", operators.Behavior.cemAtt(spark, sf), 8))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")

@@ -522,6 +522,50 @@ class Round8OpsSpec extends SparkSpec {
     assert(byRows(1L) >= byRows(16L), "workload falls with precision")
   }
 
+  test("cem_att: stratum matching, pruning, and the weighted ATT replay") {
+    import graft.operators.Behavior
+    val r = Behavior.cemAtt(spark, sf).collect()
+    assert(r.length == 1)
+    val splitNs = 1705363200000000000L
+    def hexEven(uid: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cem:$uid".getBytes("UTF-8"))
+      "02468ace".contains("0123456789abcdef".charAt((d(0) >> 4) & 0xf))
+    }
+    def q4(x: Double): BigDecimal =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ev = sources.Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_ns", $"value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val users = ev.groupBy(_._1).toSeq.map { case (uid, rows) =>
+      val x = rows.filter(_._2 < splitNs).map(e => q4(e._3)).sum
+      val y = rows.filter(_._2 >= splitNs).map(e => q4(e._3)).sum
+      val tenk = (x * 10000).toLongExact
+      (Math.floorDiv(tenk, 500000L), hexEven(uid), y)
+    }
+    val strata = users.groupBy(_._1).map { case (s, g) =>
+      val t = g.filter(_._2); val c = g.filterNot(_._2)
+      (s, t.size.toLong, c.size.toLong, t.map(_._3).sum, c.map(_._3).sum)
+    }.toSeq
+    val matched = strata.filter(s => s._2 > 0 && s._3 > 0)
+    val unmatchedT = strata.filter(_._3 == 0).map(_._2).sum
+    val wsum = matched.map { case (_, nt, nc, syt, syc) =>
+      nt * math.round((syt.toDouble / nt - syc.toDouble / nc) * 1e6)
+    }.sum
+    val ntm = matched.map(_._2).sum
+    val row = r.head
+    assert(row.getLong(0) == matched.size.toLong, "n_strata_matched")
+    assert(row.getLong(1) == ntm, "n_treated_matched")
+    assert(row.getLong(2) == unmatchedT, "n_treated_unmatched")
+    assert(math.abs(row.getDouble(3)
+      - r6(ntm.toDouble / (ntm + unmatchedT))) < 1e-9, "match rate")
+    assert(math.abs(row.getDouble(4)
+      - r6(wsum.toDouble / ntm / 1e6)) < 1e-9, "att")
+  }
+
   test("shuffle budgets for the round-8 operator batch") {
     // textual counts are cache-state-dependent (InMemoryTableScan
     // re-prints its stored build plan): start from a clean cache
@@ -569,7 +613,9 @@ class Round8OpsSpec extends SparkSpec {
         // ONE bucket-count agg over the persisted sigs (5 configs
         // union) + config-grid agg + sort; persisted-sig re-prints
         ("minhash_band_sweep",
-          graft.operators.Dedup.minhashBandSweep(spark, sf), 14))) {
+          graft.operators.Dedup.minhashBandSweep(spark, sf), 14),
+        // user agg → stratum grid aggs (matched + unmatched branches)
+        ("cem_att", graft.operators.Behavior.cemAtt(spark, sf), 8))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       val n = "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
