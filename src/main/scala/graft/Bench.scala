@@ -60,7 +60,8 @@ object Bench {
     "contrastive_triplets", "cdc_compact_audit", "loo_source_impact",
     "cdc_lag_report", "cdc_key_churn", "graph_powerlaw_fit",
     "graph_richclub", "levene_test", "holt_winters", "ab_cuped",
-    "markov_stationary", "diff_in_diff", "bootstrap_ci")
+    "markov_stationary", "diff_in_diff", "bootstrap_ci",
+    "minhash_band_sweep", "cem_att")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).
