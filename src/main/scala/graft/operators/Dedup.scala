@@ -1488,6 +1488,134 @@ object Dedup {
       |FROM closure GROUP BY a ORDER BY doc_id""".stripMargin
   }
 
+  /** Blocking-key sweep for entity resolution — the MEASURED planning
+    * table behind er_clusters' dual-key blocking (the ER analog of
+    * minhash_band_sweep, per the blocking survey in Christen 2012):
+    * for each candidate key scheme — first token, first-3 tokens,
+    * last-3 tokens, 20-char length band — the block-join workload
+    * Σ C(n,2) the scheme would pay, the worst block, and its RECALL
+    * against the verified match set (the dist/sim-gated pairs
+    * er_clusters links). Read before re-keying an ER index: the sweep
+    * says what candidate mass each recall point costs on THIS corpus.
+    *
+    * Exactness: keys are deterministic string/integer projections,
+    * workload is integer block math (no pair ever materialized), and
+    * recall joins the SMALL verified-pair set back to per-doc keys —
+    * a per-truth-pair key-equality test, never a scheme-candidate
+    * enumeration. Scale: docs keyed once (persisted), one map-side
+    * count aggregate per scheme union, truth is the (tiny) verified
+    * set joined twice by id.
+    */
+  def erBlockingSweep(spark: SparkSession, dir: String,
+                      maxDist: Int = 60, minSim: Double = 0.93): DataFrame = {
+    import spark.implicits._
+    val toks = filter(split($"text", "\\s+"), t => t =!= "")
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"text",
+        element_at(toks, 1).as("pre1"),
+        concat_ws(" ", slice(toks, 1, 3)).as("pre3"),
+        concat_ws(" ", slice(toks, -3, 3)).as("suf3"),
+        expr("CAST(length(text) div 20 AS STRING)").as("len20"))
+      .persist()
+    val schemes = Seq("pre1", "pre3", "suf3", "len20")
+    val keyed = schemes.map(s =>
+      docs.select(lit(s).as("scheme"), col(s).as("key"))).reduce(_.unionByName(_))
+    val work = keyed.groupBy($"scheme", $"key").agg(count(lit(1)).as("n"))
+      .groupBy($"scheme")
+      .agg(count(when($"n" >= 2, lit(1))).as("n_blocks_paired"),
+        max($"n").as("max_block"),
+        sum(expr("n * (n - 1) div 2")).as("candidate_pairs"))
+    def pairsOn(key: String): DataFrame =
+      docs.as("a").join(docs.as("b"),
+          col(s"a.$key") === col(s"b.$key") && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("i"), $"b.doc_id".as("j"),
+          levenshtein($"a.text", $"b.text", maxDist).as("dist"),
+          round(graft.functions.StringFunctions.jaro_winkler($"a.text", $"b.text"), 6)
+            .as("sim"),
+          greatest(length($"a.text"), length($"b.text")).as("maxlen"))
+    val truth = pairsOn("pre3").unionByName(pairsOn("suf3"))
+      .filter(($"dist" >= 0 &&
+          $"dist".cast("double") <= lit(0.1) * $"maxlen".cast("double")) ||
+        $"sim" >= minSim)
+      .select($"i", $"j").distinct()
+    val tk = truth
+      .join(docs.select($"doc_id".as("i"), $"pre1".as("p1i"), $"pre3".as("p3i"),
+        $"suf3".as("s3i"), $"len20".as("l2i")), "i")
+      .join(docs.select($"doc_id".as("j"), $"pre1".as("p1j"), $"pre3".as("p3j"),
+        $"suf3".as("s3j"), $"len20".as("l2j")), "j")
+    val caught = Seq(
+      ("pre1", $"p1i" === $"p1j"), ("pre3", $"p3i" === $"p3j"),
+      ("suf3", $"s3i" === $"s3j"), ("len20", $"l2i" === $"l2j")).map {
+      case (s, eq) => tk.agg(count(lit(1)).as("truth_pairs"),
+        count(when(eq, lit(1))).as("caught_pairs"))
+        .select(lit(s).as("scheme"), $"truth_pairs", $"caught_pairs")
+    }.reduce(_.unionByName(_))
+    work.join(caught, "scheme")
+      .select($"scheme", $"n_blocks_paired", $"max_block", $"candidate_pairs",
+        $"truth_pairs", $"caught_pairs",
+        round($"caught_pairs".cast("double") / $"truth_pairs", 6).as("recall"))
+      .orderBy($"scheme")
+  }
+
+  lazy val erBlockingSweepSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH d AS (
+      |  SELECT doc_id, text,
+      |    ($toks)[1] AS pre1,
+      |    array_to_string(($toks)[1:3], ' ') AS pre3,
+      |    array_to_string(($toks)[-3:], ' ') AS suf3,
+      |    CAST(length(text) // 20 AS VARCHAR) AS len20
+      |  FROM documents),
+      |keyed AS (
+      |  SELECT 'pre1' AS scheme, pre1 AS key FROM d
+      |  UNION ALL SELECT 'pre3', pre3 FROM d
+      |  UNION ALL SELECT 'suf3', suf3 FROM d
+      |  UNION ALL SELECT 'len20', len20 FROM d),
+      |blocks AS (
+      |  SELECT scheme, key, CAST(count(*) AS BIGINT) AS n
+      |  FROM keyed GROUP BY scheme, key),
+      |work AS (
+      |  SELECT scheme,
+      |    CAST(count(CASE WHEN n >= 2 THEN 1 END) AS BIGINT) AS n_blocks_paired,
+      |    max(n) AS max_block,
+      |    CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS candidate_pairs
+      |  FROM blocks GROUP BY scheme),
+      |cand AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j,
+      |    levenshtein(a.text, b.text) AS dist,
+      |    round(jaro_winkler_similarity(a.text, b.text), 6) AS sim,
+      |    greatest(length(a.text), length(b.text)) AS maxlen
+      |  FROM d a JOIN d b ON a.pre3 = b.pre3 AND a.doc_id < b.doc_id
+      |  UNION ALL
+      |  SELECT a.doc_id, b.doc_id, levenshtein(a.text, b.text),
+      |    round(jaro_winkler_similarity(a.text, b.text), 6),
+      |    greatest(length(a.text), length(b.text))
+      |  FROM d a JOIN d b ON a.suf3 = b.suf3 AND a.doc_id < b.doc_id),
+      |truth AS (
+      |  SELECT DISTINCT i, j FROM cand
+      |  WHERE (dist <= 60 AND CAST(dist AS DOUBLE) <= 0.1 * CAST(maxlen AS DOUBLE))
+      |     OR sim >= 0.93),
+      |tk AS (
+      |  SELECT a.pre1 AS p1i, a.pre3 AS p3i, a.suf3 AS s3i, a.len20 AS l2i,
+      |         b.pre1 AS p1j, b.pre3 AS p3j, b.suf3 AS s3j, b.len20 AS l2j
+      |  FROM truth t JOIN d a ON a.doc_id = t.i JOIN d b ON b.doc_id = t.j),
+      |caught AS (
+      |  SELECT 'pre1' AS scheme, CAST(count(*) AS BIGINT) AS truth_pairs,
+      |    CAST(count(CASE WHEN p1i = p1j THEN 1 END) AS BIGINT) AS caught_pairs
+      |  FROM tk
+      |  UNION ALL SELECT 'pre3', CAST(count(*) AS BIGINT),
+      |    CAST(count(CASE WHEN p3i = p3j THEN 1 END) AS BIGINT) FROM tk
+      |  UNION ALL SELECT 'suf3', CAST(count(*) AS BIGINT),
+      |    CAST(count(CASE WHEN s3i = s3j THEN 1 END) AS BIGINT) FROM tk
+      |  UNION ALL SELECT 'len20', CAST(count(*) AS BIGINT),
+      |    CAST(count(CASE WHEN l2i = l2j THEN 1 END) AS BIGINT) FROM tk)
+      |SELECT w.scheme, w.n_blocks_paired, w.max_block, w.candidate_pairs,
+      |  c.truth_pairs, c.caught_pairs,
+      |  round(CAST(c.caught_pairs AS DOUBLE) / c.truth_pairs, 6) AS recall
+      |FROM work w JOIN caught c ON c.scheme = w.scheme
+      |ORDER BY w.scheme""".stripMargin
+  }
+
   /** Near-dup pairs by bounded edit distance — the character-level
     * verifier for texts whose token sets barely differ (typo-level
     * mutations that Jaccard over-accepts and simhash under-blocks).

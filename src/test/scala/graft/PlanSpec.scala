@@ -586,7 +586,11 @@ class PlanSpec extends SparkSpec {
         ("minhash_band_sweep",
           operators.Dedup.minhashBandSweep(spark, sf), 14),
         // user agg → stratum grid → two 1-row branch aggs
-        ("cem_att", operators.Behavior.cemAtt(spark, sf), 8))) {
+        ("cem_att", operators.Behavior.cemAtt(spark, sf), 8),
+        // scheme-union count agg + truth-pair verify joins over the
+        // persisted keyed docs (subtree re-prints per reference)
+        ("er_blocking_sweep",
+          operators.Dedup.erBlockingSweep(spark, sf), 30))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")

@@ -566,6 +566,38 @@ class Round8OpsSpec extends SparkSpec {
       - r6(wsum.toDouble / ntm / 1e6)) < 1e-9, "att")
   }
 
+  test("er_blocking_sweep: block workloads replay; truth coverage identities hold") {
+    import graft.operators.Dedup
+    val out = Dedup.erBlockingSweep(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq("len20", "pre1", "pre3", "suf3"))
+    // workload replay from collected docs
+    val docs = sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def keys(text: String): Map[String, String] = {
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      Map("pre1" -> t.headOption.orNull,
+        "pre3" -> t.take(3).mkString(" "),
+        "suf3" -> t.takeRight(3).mkString(" "),
+        "len20" -> (text.length / 20).toString)
+    }
+    val keyed = docs.map(d => keys(d._2))
+    for ((scheme, nbp, maxB, cand, truthN, caught, recall) <- out) {
+      val blocks = keyed.map(_(scheme)).groupBy(identity).map(_._2.size.toLong)
+      assert(nbp == blocks.count(_ >= 2).toLong, s"$scheme paired blocks")
+      assert(maxB == blocks.max, s"$scheme max block")
+      assert(cand == blocks.map(n => n * (n - 1) / 2).sum, s"$scheme workload")
+      assert(recall >= 0.0 && recall <= 1.0 && caught <= truthN)
+    }
+    // every verified pair agrees on pre3 OR suf3 by construction
+    val byScheme = out.map(o => o._1 -> o).toMap
+    assert(byScheme("pre3")._6 + byScheme("suf3")._6 >= byScheme("pre3")._5,
+      "pre3/suf3 union covers the truth set")
+    assert(out.map(_._5).distinct.length == 1, "one truth set across schemes")
+  }
+
   test("shuffle budgets for the round-8 operator batch") {
     // textual counts are cache-state-dependent (InMemoryTableScan
     // re-prints its stored build plan): start from a clean cache
@@ -615,7 +647,11 @@ class Round8OpsSpec extends SparkSpec {
         ("minhash_band_sweep",
           graft.operators.Dedup.minhashBandSweep(spark, sf), 14),
         // user agg → stratum grid aggs (matched + unmatched branches)
-        ("cem_att", graft.operators.Behavior.cemAtt(spark, sf), 8))) {
+        ("cem_att", graft.operators.Behavior.cemAtt(spark, sf), 8),
+        // keyed-docs persist + scheme-union count agg + truth joins;
+        // persisted doc subtree re-prints under its references
+        ("er_blocking_sweep",
+          graft.operators.Dedup.erBlockingSweep(spark, sf), 40))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       val n = "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
