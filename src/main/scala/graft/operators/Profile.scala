@@ -837,4 +837,73 @@ object Profile {
       |            / CAST(tail_keys AS DOUBLE) ELSE 0.0 END
       |      - CAST(true_sq AS DOUBLE)) / CAST(true_sq AS DOUBLE), 6) AS rel_err
       |FROM a""".stripMargin
+
+  // ------------------------------------------------------------------
+  // anomaly_seasonal — z-scores on seasonal-profile residuals
+  // ------------------------------------------------------------------
+
+  /** Seasonality-aware anomaly detection: events are scored by the
+    * z-score of their residual against the (event_type × hour-of-day)
+    * profile mean — the upgrade of [[anomalyZscore]] for series with a
+    * daily pulse, where a raw z flags every nightly trough and misses
+    * a genuinely anomalous 3 am spike. Emits events with |z| ≥ 3.
+    *
+    * Exactness: profile means are decimal-sum ratios rounded to 6
+    * BEFORE the subtract; residuals re-quantize to 6dp DECIMAL so the
+    * global moment sums are exact; μ and σ round to 6 before the final
+    * z. Scale: the profile is a ≤24·|types| grid broadcast over the
+    * scan; one moments aggregate; output is anomaly-sparse. Two corpus
+    * passes, nothing corpus-sized shuffles.
+    */
+  def anomalySeasonal(spark: SparkSession, dir: String, zCut: Double = 3.0): DataFrame = {
+    import spark.implicits._
+    val x4 = round($"value", 4)
+    val prof = Tables.events(spark, dir)
+      .groupBy($"event_type", hour($"ts").as("how"))
+      .agg(count(lit(1)).as("n"), sum(x4.cast("decimal(14,4)")).as("sx"))
+      .select($"event_type", $"how",
+        round($"sx".cast("double") / $"n", 6).as("expected"))
+    val resid = Tables.events(spark, dir)
+      .select($"event_id", $"event_type", hour($"ts").as("how"), $"value")
+      .join(broadcast(prof), Seq("event_type", "how"))
+      .withColumn("r", round(x4 - $"expected", 6).cast("decimal(16,6)"))
+    val m = resid
+      .agg(count(lit(1)).as("n"), sum($"r").as("sr"), sum($"r" * $"r").as("srr"))
+      .select(
+        round($"sr".cast("double") / $"n", 6).as("mu"),
+        round(sqrt(($"srr".cast("double")
+          - $"sr".cast("double") * $"sr".cast("double") / $"n")
+          / ($"n" - 1L)), 6).as("sd"))
+    resid.crossJoin(broadcast(m))
+      .withColumn("z", round(($"r".cast("double") - $"mu") / $"sd", 6))
+      .filter(abs($"z") >= zCut)
+      .select($"event_id", $"event_type", $"how".as("hour_of_day"),
+        round($"value", 4).as("value"), $"expected", $"z")
+      .orderBy($"event_id")
+  }
+
+  val anomalySeasonalSql: String =
+    """WITH prof AS (
+      |  SELECT event_type, CAST(hour(ts) AS INT) AS how,
+      |    round(CAST(sum(CAST(round(value, 4) AS DECIMAL(14,4))) AS DOUBLE)
+      |      / count(*), 6) AS expected
+      |  FROM events GROUP BY 1, 2),
+      |resid AS (
+      |  SELECT e.event_id, e.event_type, CAST(hour(e.ts) AS INT) AS how,
+      |    e.value, p.expected,
+      |    CAST(round(round(e.value, 4) - p.expected, 6) AS DECIMAL(16,6)) AS r
+      |  FROM events e JOIN prof p
+      |    ON p.event_type = e.event_type AND p.how = CAST(hour(e.ts) AS INT)),
+      |m AS (
+      |  SELECT round(CAST(sum(r) AS DOUBLE) / count(*), 6) AS mu,
+      |    round(sqrt((CAST(sum(r * r) AS DOUBLE)
+      |      - CAST(sum(r) AS DOUBLE) * CAST(sum(r) AS DOUBLE) / count(*))
+      |      / (count(*) - 1)), 6) AS sd
+      |  FROM resid)
+      |SELECT event_id, event_type, how AS hour_of_day,
+      |  round(value, 4) AS value, expected,
+      |  round((CAST(r AS DOUBLE) - mu) / sd, 6) AS z
+      |FROM resid CROSS JOIN m
+      |WHERE abs(round((CAST(r AS DOUBLE) - mu) / sd, 6)) >= 3.0
+      |ORDER BY event_id""".stripMargin
 }

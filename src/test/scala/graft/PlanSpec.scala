@@ -590,7 +590,10 @@ class PlanSpec extends SparkSpec {
         // scheme-union count agg + truth-pair verify joins over the
         // persisted keyed docs (subtree re-prints per reference)
         ("er_blocking_sweep",
-          operators.Dedup.erBlockingSweep(spark, sf), 30))) {
+          operators.Dedup.erBlockingSweep(spark, sf), 30),
+        // profile grid agg + moments agg + scored scan + output sort
+        ("anomaly_seasonal",
+          operators.Profile.anomalySeasonal(spark, sf), 8))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")

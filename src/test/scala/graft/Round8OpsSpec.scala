@@ -598,6 +598,38 @@ class Round8OpsSpec extends SparkSpec {
     assert(out.map(_._5).distinct.length == 1, "one truth set across schemes")
   }
 
+  test("anomaly_seasonal: profile residual z-scores replay exactly") {
+    import graft.operators.Profile
+    val out = Profile.anomalySeasonal(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(5)))
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q(x: Double, s: Int): BigDecimal =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val ev = sources.Tables.events(spark, sf)
+      .select($"event_id", $"event_type",
+        org.apache.spark.sql.functions.hour($"ts").as("how"), $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    val prof = ev.groupBy(e => (e._2, e._3)).map { case (k, g) =>
+      (k, r6(g.map(e => q(e._4, 4)).sum.toDouble / g.length))
+    }
+    val resid = ev.map(e => (e._1, q(q(e._4, 4).toDouble - prof((e._2, e._3)), 6)))
+    val n = resid.length.toLong
+    val sr = resid.map(_._2).sum.toDouble
+    val srr = resid.map(e => e._2 * e._2).sum.toDouble
+    val mu = r6(sr / n)
+    val sd = r6(math.sqrt((srr - sr * sr / n) / (n - 1)))
+    val expected = resid.map { case (id, r) => (id, r6((r.toDouble - mu) / sd)) }
+      .filter(e => math.abs(e._2) >= 3.0).sortBy(_._1)
+    assert(out.length == expected.length, s"${out.length} vs ${expected.length}")
+    for (((idO, zO), (idE, zE)) <- out.zip(expected)) {
+      assert(idO == idE, "anomaly id")
+      assert(math.abs(zO - zE) < 1e-9, s"z for $idO")
+    }
+    assert(out.nonEmpty, "detector fires on this corpus")
+  }
+
   test("shuffle budgets for the round-8 operator batch") {
     // textual counts are cache-state-dependent (InMemoryTableScan
     // re-prints its stored build plan): start from a clean cache
@@ -651,7 +683,10 @@ class Round8OpsSpec extends SparkSpec {
         // keyed-docs persist + scheme-union count agg + truth joins;
         // persisted doc subtree re-prints under its references
         ("er_blocking_sweep",
-          graft.operators.Dedup.erBlockingSweep(spark, sf), 40))) {
+          graft.operators.Dedup.erBlockingSweep(spark, sf), 40),
+        // profile agg + moments agg + broadcast-scored scan + sort
+        ("anomaly_seasonal",
+          graft.operators.Profile.anomalySeasonal(spark, sf), 8))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       val n = "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
