@@ -910,4 +910,95 @@ object Sampling {
       |  CAST(dup_total AS BIGINT) AS dup_total
       |FROM per_src JOIN corr USING (source) CROSS JOIN tot
       |ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // neyman_allocation — optimal stratified sampling allocation
+  // ------------------------------------------------------------------
+
+  private val NeymanBudget = 10000L
+
+  /** Neyman optimal allocation (Neyman 1934) of a 10,000-doc sampling
+    * budget across sources: stratum h gets n·N_h·S_h / Σ N·S, where
+    * S_h is the within-source stddev of document length — the
+    * allocation that minimizes the variance of the estimated corpus
+    * mean under a fixed budget, vs the proportional allocation
+    * sample_stratified uses. Ships both so the delta is visible.
+    *
+    * Exactness: n_chars is integer, so per-source moments are exact
+    * integer sums and S_h is one fixed double tree rounded to 6; the
+    * cross-stratum weight mass m_h = round(N_h·S_h6·10³) is an exact
+    * long, floors ride the pmod idiom on DECIMAL(38,0) products
+    * (HUGEINT `//` in the oracle), and the leftover budget distributes
+    * by largest remainder with a deterministic (remainder, source)
+    * rank over the |sources|-row grid (registered grid-bounded).
+    * Scale: one corpus aggregate to the source grid; everything after
+    * is grid arithmetic.
+    */
+  def neymanAllocation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sx"),
+        sum($"n_chars" * $"n_chars").as("sxx"))
+      .select($"source", $"n_docs",
+        round(sqrt(($"sxx".cast("double")
+          - $"sx".cast("double") * $"sx".cast("double") / $"n_docs")
+          / ($"n_docs" - 1L)), 6).as("sd_chars"))
+      .withColumn("m", round($"n_docs" * $"sd_chars" * 1e3, 0).cast("long"))
+    val tot = g.agg(sum($"m").as("mm"), sum($"n_docs").as("nn"))
+    val dec = g.crossJoin(broadcast(tot))
+      .withColumn("nm", $"m".cast("decimal(38,0)") * lit(NeymanBudget))
+      .withColumn("alloc_floor",
+        expr(s"CAST((nm - ((nm % mm + mm) % mm)) / mm AS BIGINT)"))
+      .withColumn("rem", expr("(nm % mm + mm) % mm"))
+      .withColumn("prop_alloc", expr(
+        s"CAST((n_docs * ${NeymanBudget}L - ((n_docs * ${NeymanBudget}L % nn + nn) % nn)) / nn AS BIGINT)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"rem".desc, $"source")
+    val wTot = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    dec
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("deficit", lit(NeymanBudget) - sum($"alloc_floor").over(wTot))
+      .select($"source", $"n_docs", $"sd_chars", $"prop_alloc",
+        ($"alloc_floor" + when($"rk" <= $"deficit", 1L).otherwise(0L))
+          .as("neyman_alloc"),
+        round($"m".cast("double")
+          / $"mm".cast("double"), 6).as("neyman_weight"))
+      .orderBy($"source")
+  }
+
+  val neymanAllocationSql: String =
+    s"""WITH g AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    round(sqrt((CAST(sum(n_chars * n_chars) AS DOUBLE)
+      |      - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE)
+      |        / count(*))
+      |      / (count(*) - 1)), 6) AS sd_chars
+      |  FROM documents GROUP BY source),
+      |m AS (
+      |  SELECT *, CAST(round(n_docs * sd_chars * 1e3, 0) AS BIGINT) AS m
+      |  FROM g),
+      |tot AS (
+      |  SELECT CAST(sum(m) AS HUGEINT) AS mm, CAST(sum(n_docs) AS BIGINT) AS nn
+      |  FROM m),
+      |dec AS (
+      |  SELECT *, CAST(m AS HUGEINT) * ${NeymanBudget} AS nm,
+      |    CAST((CAST(m AS HUGEINT) * ${NeymanBudget}) // mm AS BIGINT)
+      |      AS alloc_floor,
+      |    (CAST(m AS HUGEINT) * ${NeymanBudget}) % mm AS rem,
+      |    CAST((n_docs * ${NeymanBudget}) // nn AS BIGINT) AS prop_alloc
+      |  FROM m CROSS JOIN tot),
+      |rk AS (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source)
+      |      AS BIGINT) AS rk,
+      |    ${NeymanBudget} - sum(alloc_floor) OVER () AS deficit
+      |  FROM dec)
+      |SELECT source, n_docs, sd_chars, prop_alloc,
+      |  alloc_floor + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+      |    AS neyman_alloc,
+      |  round(CAST(m AS DOUBLE) / CAST(mm AS DOUBLE), 6) AS neyman_weight
+      |FROM rk ORDER BY source""".stripMargin
 }

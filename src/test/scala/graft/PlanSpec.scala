@@ -593,7 +593,10 @@ class PlanSpec extends SparkSpec {
           operators.Dedup.erBlockingSweep(spark, sf), 30),
         // profile grid agg + moments agg + scored scan + output sort
         ("anomaly_seasonal",
-          operators.Profile.anomalySeasonal(spark, sf), 8))) {
+          operators.Profile.anomalySeasonal(spark, sf), 8),
+        // one corpus agg to the source grid + grid windows + sort
+        ("neyman_allocation",
+          operators.Sampling.neymanAllocation(spark, sf), 8))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
@@ -644,7 +647,8 @@ class PlanSpec extends SparkSpec {
       "graph_powerlaw_fit" -> "degree-value grid: one row per distinct node degree",
       "cdc_key_churn" -> "log2 change-count bucket grid (<= 64 rows)",
       "graph_richclub" -> "distinct-degree grid: suffix sums over degree values",
-      "bootstrap_ci" -> "B=40 replicate-mean grid")
+      "bootstrap_ci" -> "B=40 replicate-mean grid",
+      "neyman_allocation" -> "|sources|-row allocation grid")
     // exactness-gate sites: the window deliberately reads a
     // corpus-cardinality input because the ORACLE semantics (exact
     // global ntile) demand a total order; each documents its 100 TB

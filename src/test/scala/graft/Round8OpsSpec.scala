@@ -630,6 +630,48 @@ class Round8OpsSpec extends SparkSpec {
     assert(out.nonEmpty, "detector fires on this corpus")
   }
 
+  test("neyman_allocation: optimal allocation replays; budget identity holds") {
+    import graft.operators.Sampling
+    val out = Sampling.neymanAllocation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = sources.Tables.documents(spark, sf)
+      .select($"source", $"n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val strata = docs.groupBy(_._1).toSeq.map { case (src, g) =>
+      val n = g.length.toLong
+      val sx = g.map(_._2).sum; val sxx = g.map(d => d._2 * d._2).sum
+      val sd = r6(math.sqrt((sxx.toDouble - sx.toDouble * sx.toDouble / n)
+        / (n - 1)))
+      (src, n, sd, math.round(n * sd * 1e3))
+    }.sortBy(_._1)
+    val mm = strata.map(_._4).sum
+    val nn = strata.map(_._2).sum
+    val floors = strata.map { case (src, n, sd, m) =>
+      val nm = BigInt(m) * 10000
+      (src, n, sd, (nm / mm).toLong, (nm % mm).toLong,
+        n * 10000L / nn)
+    }
+    val deficit = 10000L - floors.map(_._4).sum
+    val bump = floors.sortBy(f => (-f._5, f._1)).take(deficit.toInt)
+      .map(_._1).toSet
+    assert(out.length == strata.length)
+    for (((src, n, sd, prop, ney, w), f) <- out.zip(floors)) {
+      assert(src == f._1 && n == f._2, s"$src stratum")
+      assert(math.abs(sd - f._3) < 1e-9, s"$src sd")
+      assert(prop == f._6, s"$src proportional")
+      assert(ney == f._4 + (if (bump(src)) 1L else 0L), s"$src neyman")
+      val m = strata.find(_._1 == src).get._4
+      assert(math.abs(w - r6(m.toDouble / mm)) < 1e-9, s"$src weight")
+    }
+    assert(out.map(_._5).sum == 10000L, "budget exactly spent")
+    // the optimal allocation must differ from proportional somewhere
+    assert(out.exists(o => o._4 != o._5), "neyman vs proportional non-trivial")
+  }
+
   test("shuffle budgets for the round-8 operator batch") {
     // textual counts are cache-state-dependent (InMemoryTableScan
     // re-prints its stored build plan): start from a clean cache
@@ -686,7 +728,10 @@ class Round8OpsSpec extends SparkSpec {
           graft.operators.Dedup.erBlockingSweep(spark, sf), 40),
         // profile agg + moments agg + broadcast-scored scan + sort
         ("anomaly_seasonal",
-          graft.operators.Profile.anomalySeasonal(spark, sf), 8))) {
+          graft.operators.Profile.anomalySeasonal(spark, sf), 8),
+        // one corpus agg to the source grid + grid windows + sort
+        ("neyman_allocation",
+          graft.operators.Sampling.neymanAllocation(spark, sf), 8))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       val n = "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
