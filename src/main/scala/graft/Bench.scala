@@ -61,7 +61,8 @@ object Bench {
     "cdc_lag_report", "cdc_key_churn", "graph_powerlaw_fit",
     "graph_richclub", "levene_test", "holt_winters", "ab_cuped",
     "markov_stationary", "diff_in_diff", "bootstrap_ci",
-    "minhash_band_sweep", "cem_att")
+    "minhash_band_sweep", "cem_att", "er_blocking_sweep",
+    "anomaly_seasonal", "neyman_allocation")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

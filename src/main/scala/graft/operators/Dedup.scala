@@ -1500,24 +1500,30 @@ object Dedup {
     *
     * Exactness: keys are deterministic string/integer projections,
     * workload is integer block math (no pair ever materialized), and
-    * recall joins the SMALL verified-pair set back to per-doc keys —
-    * a per-truth-pair key-equality test, never a scheme-candidate
-    * enumeration. Scale: docs keyed once (persisted), one map-side
-    * count aggregate per scheme union, truth is the (tiny) verified
-    * set joined twice by id.
+    * recall is pure pair COUNTING — since every scheme key is a
+    * function of the text alone, the expensive dist/sim verification
+    * runs once per DISTINCT-TEXT class pair (the exact-duplicate
+    * representative collapse, dedup_jaccard_full doctrine) and pair
+    * masses expand back algebraically: cross-class truth mass is
+    * cA·cB with the classes' shared key-equality outcome, intra-class
+    * mass C(c,2) is always truth (dist 0) and always caught (same
+    * text ⇒ same key, provided the key is non-null). Bit-identical to
+    * the naive per-doc enumeration the oracle replays, but verify
+    * work ∝ distinct texts at any clone multiplicity. Scale: docs
+    * keyed once, one map-side count aggregate per scheme union, the
+    * verify join runs over distinct-text representatives.
     */
   def erBlockingSweep(spark: SparkSession, dir: String,
                       maxDist: Int = 60, minSim: Double = 0.93): DataFrame = {
     import spark.implicits._
     val toks = filter(split($"text", "\\s+"), t => t =!= "")
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id", $"text",
-        element_at(toks, 1).as("pre1"),
-        concat_ws(" ", slice(toks, 1, 3)).as("pre3"),
-        concat_ws(" ", slice(toks, -3, 3)).as("suf3"),
-        expr("CAST(length(text) div 20 AS STRING)").as("len20"))
-      .persist()
+    def keyCols(src: DataFrame): DataFrame = src
+      .withColumn("pre1", element_at(toks, 1))
+      .withColumn("pre3", concat_ws(" ", slice(toks, 1, 3)))
+      .withColumn("suf3", concat_ws(" ", slice(toks, -3, 3)))
+      .withColumn("len20", expr("CAST(length(text) div 20 AS STRING)"))
     val schemes = Seq("pre1", "pre3", "suf3", "len20")
+    val docs = keyCols(Tables.documents(spark, dir).select($"text")).persist()
     val keyed = schemes.map(s =>
       docs.select(lit(s).as("scheme"), col(s).as("key"))).reduce(_.unionByName(_))
     val work = keyed.groupBy($"scheme", $"key").agg(count(lit(1)).as("n"))
@@ -1525,31 +1531,52 @@ object Dedup {
       .agg(count(when($"n" >= 2, lit(1))).as("n_blocks_paired"),
         max($"n").as("max_block"),
         sum(expr("n * (n - 1) div 2")).as("candidate_pairs"))
+    // distinct-text classes: rep id = min doc_id, c = class size
+    val classes = keyCols(Tables.documents(spark, dir)
+      .groupBy($"text").agg(min($"doc_id").as("rid"), count(lit(1)).as("c")))
+      .persist()
     def pairsOn(key: String): DataFrame =
-      docs.as("a").join(docs.as("b"),
-          col(s"a.$key") === col(s"b.$key") && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("i"), $"b.doc_id".as("j"),
+      classes.as("a").join(classes.as("b"),
+          col(s"a.$key") === col(s"b.$key") && $"a.rid" < $"b.rid")
+        .select($"a.rid".as("i"), $"b.rid".as("j"),
+          ($"a.c" * $"b.c").as("mass"),
           levenshtein($"a.text", $"b.text", maxDist).as("dist"),
           round(graft.functions.StringFunctions.jaro_winkler($"a.text", $"b.text"), 6)
             .as("sim"),
-          greatest(length($"a.text"), length($"b.text")).as("maxlen"))
-    val truth = pairsOn("pre3").unionByName(pairsOn("suf3"))
+          greatest(length($"a.text"), length($"b.text")).as("maxlen"),
+          $"a.pre1".as("p1i"), $"a.pre3".as("p3i"), $"a.suf3".as("s3i"),
+          $"a.len20".as("l2i"),
+          $"b.pre1".as("p1j"), $"b.pre3".as("p3j"), $"b.suf3".as("s3j"),
+          $"b.len20".as("l2j"))
+    // persisted: all 4 scheme branches aggregate this frame — without
+    // the cache each branch would re-run the dist/sim verify join
+    val cross = pairsOn("pre3").unionByName(pairsOn("suf3"))
       .filter(($"dist" >= 0 &&
           $"dist".cast("double") <= lit(0.1) * $"maxlen".cast("double")) ||
         $"sim" >= minSim)
-      .select($"i", $"j").distinct()
-    val tk = truth
-      .join(docs.select($"doc_id".as("i"), $"pre1".as("p1i"), $"pre3".as("p3i"),
-        $"suf3".as("s3i"), $"len20".as("l2i")), "i")
-      .join(docs.select($"doc_id".as("j"), $"pre1".as("p1j"), $"pre3".as("p3j"),
-        $"suf3".as("s3j"), $"len20".as("l2j")), "j")
+      .dropDuplicates("i", "j")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // intra-class mass: C(c,2) per clone class, caught iff the key is
+    // non-null (identical texts always share each key when defined)
+    val intra = classes.filter($"c" >= 2)
+      .select(expr("c * (c - 1) div 2").as("m"),
+        $"pre1".isNotNull.as("k1"), $"pre3".isNotNull.as("k3"),
+        $"suf3".isNotNull.as("ks"), $"len20".isNotNull.as("kl"))
+      .agg(coalesce(sum($"m"), lit(0L)).as("t"),
+        coalesce(sum(when($"k1", $"m")), lit(0L)).as("c1"),
+        coalesce(sum(when($"k3", $"m")), lit(0L)).as("c3"),
+        coalesce(sum(when($"ks", $"m")), lit(0L)).as("cs"),
+        coalesce(sum(when($"kl", $"m")), lit(0L)).as("cl"))
     val caught = Seq(
-      ("pre1", $"p1i" === $"p1j"), ("pre3", $"p3i" === $"p3j"),
-      ("suf3", $"s3i" === $"s3j"), ("len20", $"l2i" === $"l2j")).map {
-      case (s, eq) => tk.agg(count(lit(1)).as("truth_pairs"),
-        count(when(eq, lit(1))).as("caught_pairs"))
-        .select(lit(s).as("scheme"), $"truth_pairs", $"caught_pairs")
-    }.reduce(_.unionByName(_))
+      ("pre1", $"p1i" === $"p1j", $"c1"), ("pre3", $"p3i" === $"p3j", $"c3"),
+      ("suf3", $"s3i" === $"s3j", $"cs"), ("len20", $"l2i" === $"l2j", $"cl"))
+      .map { case (s, eq, ic) =>
+        cross.agg(coalesce(sum($"mass"), lit(0L)).as("xt"),
+          coalesce(sum(when(eq, $"mass")), lit(0L)).as("xc"))
+          .crossJoin(broadcast(intra))
+          .select(lit(s).as("scheme"),
+            ($"xt" + $"t").as("truth_pairs"), ($"xc" + ic).as("caught_pairs"))
+      }.reduce(_.unionByName(_))
     work.join(caught, "scheme")
       .select($"scheme", $"n_blocks_paired", $"max_block", $"candidate_pairs",
         $"truth_pairs", $"caught_pairs",

@@ -630,6 +630,123 @@ object TimeSeries2 {
       |FROM cc ORDER BY bucket""".stripMargin
 
   // ------------------------------------------------------------------
+  // downsample_lttb — Largest-Triangle-Three-Buckets downsampling
+  // ------------------------------------------------------------------
+
+  private val LttbBuckets = 28
+
+  /** LTTB downsampling (Steinarsson 2013) of the hourly value series
+    * to ~30 visually-representative points: first and last points
+    * kept, the middle split into 28 buckets, and each bucket
+    * contributes the point maximizing the triangle area against the
+    * PREVIOUSLY selected point and the next bucket's centroid — the
+    * standard dashboard-rendering reduction that preserves spikes a
+    * plain resample averages away.
+    *
+    * Exactness: points are (hour, Σvalue) with the y-mass in exact
+    * tenk longs; the doubled triangle area is computed with the next
+    * centroid CLEARED OF ITS DIVISION (multiply through by the next
+    * bucket's count), so every comparison is between exact integers —
+    * ties break to the smaller x identically in both engines. The
+    * oracle carries the sequential selection through a recursive CTE
+    * whose per-bucket argmax is a scalar list_reduce over the
+    * pre-aggregated candidate list. Scale: the hourly grid is
+    * time-axis cardinality (≤ hours in the corpus horizon), so the
+    * selection runs on a collected model-sized grid (driver traffic
+    * O(hours), the domain bound — the markov_stationary precedent);
+    * the corpus contributes ONE partial aggregate.
+    */
+  def downsampleLttb(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = Tables.events(spark, dir)
+      .groupBy(expr("ts_ns div 3600000000000").as("hb"))
+      .agg((sum(round($"value", 4).cast("decimal(14,4)")) * 10000)
+        .cast("long").as("v"))
+      .orderBy($"hb")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = grid.length
+    require(n >= LttbBuckets + 2, s"series too short for LTTB: $n")
+    val mid = grid.slice(1, n - 1)
+    val m = mid.length
+    val byBucket = mid.zipWithIndex
+      .groupBy { case (_, k) => k.toLong * LttbBuckets / m }
+    var prev = grid.head
+    val picks = (0 until LttbBuckets).map { b =>
+      val cand = byBucket(b.toLong).map(_._1)
+      val next: (Long, Long, Long) =
+        if (b + 1 < LttbBuckets) {
+          val nb = byBucket((b + 1).toLong).map(_._1)
+          (nb.map(_._1).sum, nb.map(_._2).sum, nb.length.toLong)
+        } else (grid.last._1, grid.last._2, 1L)
+      def area2(c: (Long, Long)): Long =
+        math.abs((prev._1 * next._3 - next._1) * (c._2 - prev._2)
+          - (prev._1 - c._1) * (next._2 - prev._2 * next._3))
+      val best = cand.maxBy(c => (area2(c), -c._1))
+      prev = best
+      best
+    }
+    def r4(x: Double): Double = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    spark.createDataFrame((grid.head +: picks) :+ grid.last)
+      .toDF("bucket_hour", "v")
+      .select($"bucket_hour", round($"v".cast("double") / 10000.0, 4)
+        .as("total_value"))
+      .orderBy($"bucket_hour")
+  }
+
+  val downsampleLttbSql: String =
+    s"""WITH hourly AS (
+      |  SELECT epoch_ns(ts) // 3600000000000 AS hb,
+      |    CAST(sum(CAST(round(value, 4) AS DECIMAL(14,4))) * 10000 AS BIGINT) AS v
+      |  FROM events GROUP BY 1),
+      |idx AS (
+      |  SELECT hb, v, CAST(row_number() OVER (ORDER BY hb) AS BIGINT) AS i,
+      |    CAST(count(*) OVER () AS BIGINT) AS n
+      |  FROM hourly),
+      |mid AS (
+      |  SELECT hb, v, ((i - 2) * $LttbBuckets) // (n - 2) AS b
+      |  FROM idx WHERE i >= 2 AND i <= n - 1),
+      |bstat AS (
+      |  SELECT b, list(struct_pack(x := hb, y := v) ORDER BY hb) AS cand,
+      |    CAST(sum(hb) AS BIGINT) AS xs, CAST(sum(v) AS BIGINT) AS ys,
+      |    CAST(count(*) AS BIGINT) AS nc
+      |  FROM mid GROUP BY b),
+      |fp AS (SELECT hb, v FROM idx WHERE i = 1),
+      |lp AS (SELECT hb, v FROM idx WHERE i = n),
+      |nxt AS (
+      |  SELECT b.b, b.cand,
+      |    coalesce(n2.xs, (SELECT hb FROM lp)) AS nxs,
+      |    coalesce(n2.ys, (SELECT v FROM lp)) AS nys,
+      |    coalesce(n2.nc, 1) AS nnc
+      |  FROM bstat b LEFT JOIN bstat n2 ON n2.b = b.b + 1),
+      |rec AS (
+      |  WITH RECURSIVE s(b, sx, sy) AS (
+      |    SELECT CAST(-1 AS BIGINT), hb, v FROM fp
+      |    UNION ALL
+      |    SELECT n.b,
+      |      (list_reduce(n.cand, (acc, c) -> CASE
+      |        WHEN abs((s.sx * n.nnc - n.nxs) * (c.y - s.sy)
+      |              - (s.sx - c.x) * (n.nys - s.sy * n.nnc))
+      |           > abs((s.sx * n.nnc - n.nxs) * (acc.y - s.sy)
+      |              - (s.sx - acc.x) * (n.nys - s.sy * n.nnc))
+      |        THEN c ELSE acc END)).x,
+      |      (list_reduce(n.cand, (acc, c) -> CASE
+      |        WHEN abs((s.sx * n.nnc - n.nxs) * (c.y - s.sy)
+      |              - (s.sx - c.x) * (n.nys - s.sy * n.nnc))
+      |           > abs((s.sx * n.nnc - n.nxs) * (acc.y - s.sy)
+      |              - (s.sx - acc.x) * (n.nys - s.sy * n.nnc))
+      |        THEN c ELSE acc END)).y
+      |    FROM s JOIN nxt n ON n.b = s.b + 1)
+      |  SELECT b, sx, sy FROM s WHERE b >= 0),
+      |pts AS (
+      |  SELECT hb, v FROM fp
+      |  UNION ALL SELECT sx, sy FROM rec
+      |  UNION ALL SELECT hb, v FROM lp)
+      |SELECT hb AS bucket_hour,
+      |  round(CAST(v AS DOUBLE) / 10000.0, 4) AS total_value
+      |FROM pts ORDER BY bucket_hour""".stripMargin
+
+  // ------------------------------------------------------------------
   // holt_winters — additive triple exponential smoothing (m = 7)
   // ------------------------------------------------------------------
 
