@@ -630,6 +630,90 @@ object TimeSeries2 {
       |FROM cc ORDER BY bucket""".stripMargin
 
   // ------------------------------------------------------------------
+  // periodogram_topk — exact-integer DFT periodogram, top cycles
+  // ------------------------------------------------------------------
+
+  /** Periodogram of the hourly value series (Schuster 1898; the
+    * classical DFT power spectrum): for every frequency f = 1..⌊n/2⌋,
+    * P(f) = SC² + SS² with SC = Σ_t y_t·cos(2πft/n), SS the sine sum,
+    * over the MEAN-CLEARED series — the spectral scan that surfaces
+    * the dominant cycles (this corpus: the 24 h pulse) before fitting
+    * seasonal models like holt_winters. Emits the top-10 frequencies
+    * by power with their periods in hours.
+    *
+    * Exactness: the series is cleared of its mean WITHOUT division
+    * (y_t = n·x_t − Σx, exact tenk-longs), the trig kernel rides the
+    * micro idiom on an angle computed from the INTEGER f·t mod n (so
+    * both engines evaluate cos/sin on the identical double), products
+    * y·cos_micro sum in DECIMAL(38,0)/HUGEINT, and the power is one
+    * fixed double tree rounded to 4. Scale: the corpus contributes one
+    * (hour) partial aggregate; the DFT itself is grid×freq work
+    * (≤ 720·360 terms), one f-keyed grid aggregate, top-k by
+    * TakeOrdered. The rank/index windows read the hour grid only
+    * (registered grid-bounded).
+    */
+  def periodogramTopk(spark: SparkSession, dir: String, topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"hb")
+    val grid = Tables.events(spark, dir)
+      .groupBy(expr("ts_ns div 3600000000000").as("hb"))
+      .agg((sum(round($"value", 4).cast("decimal(14,4)")) * 10000)
+        .cast("long").as("x"))
+      .withColumn("t", row_number().over(w).cast("long") - 1L)
+    val tot = grid.agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+    val y = grid.crossJoin(broadcast(tot))
+      .select($"t", $"n", ($"n" * $"x" - $"sx").as("y"))
+    val freqs = y.select($"n").limit(1)
+      .select(explode(sequence(lit(1L), expr("n div 2"))).as("f"), $"n")
+    val terms = y.crossJoin(broadcast(freqs.select($"f")))
+      .withColumn("ang",
+        lit(2.0 * math.Pi) * (($"f" * $"t") % $"n").cast("double") / $"n")
+      // y is cast to DECIMAL(38,0) BEFORE the kernel multiply so the
+      // product never rides a (overflowable) long at extreme scale
+      .select($"f",
+        ($"y".cast("decimal(38,0)")
+          * round(cos($"ang") * 1e6, 0).cast("long")).as("c"),
+        ($"y".cast("decimal(38,0)")
+          * round(sin($"ang") * 1e6, 0).cast("long")).as("s"))
+    terms.groupBy($"f")
+      .agg(sum($"c").as("sc"), sum($"s").as("ss"))
+      .crossJoin(broadcast(tot.select($"n")))
+      .select($"f",
+        round($"n".cast("double") / $"f", 4).as("period_hours"),
+        round(($"sc".cast("double") * $"sc".cast("double")
+          + $"ss".cast("double") * $"ss".cast("double")) / 1e30, 4).as("power"))
+      .orderBy($"power".desc, $"f")
+      .limit(topK)
+  }
+
+  val periodogramTopkSql: String =
+    """WITH hourly AS (
+      |  SELECT epoch_ns(ts) // 3600000000000 AS hb,
+      |    CAST(sum(CAST(round(value, 4) AS DECIMAL(14,4))) * 10000 AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |grid AS (
+      |  SELECT x, CAST(row_number() OVER (ORDER BY hb) AS BIGINT) - 1 AS t
+      |  FROM hourly),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+      |  FROM grid),
+      |y AS (SELECT t, n, n * x - sx AS y FROM grid CROSS JOIN tot),
+      |freqs AS (SELECT unnest(range(1, (SELECT n FROM tot) // 2 + 1)) AS f),
+      |terms AS (
+      |  SELECT f,
+      |    CAST(y AS HUGEINT) * CAST(round(cos(6.283185307179586
+      |      * CAST((f * t) % n AS DOUBLE) / n) * 1e6, 0) AS BIGINT) AS c,
+      |    CAST(y AS HUGEINT) * CAST(round(sin(6.283185307179586
+      |      * CAST((f * t) % n AS DOUBLE) / n) * 1e6, 0) AS BIGINT) AS s
+      |  FROM y CROSS JOIN freqs),
+      |p AS (
+      |  SELECT f, sum(c) AS sc, sum(s) AS ss FROM terms GROUP BY f)
+      |SELECT f, round(CAST((SELECT n FROM tot) AS DOUBLE) / f, 4) AS period_hours,
+      |  round((CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+      |    + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) / 1e30, 4) AS power
+      |FROM p ORDER BY power DESC, f LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------------
   // downsample_lttb — Largest-Triangle-Three-Buckets downsampling
   // ------------------------------------------------------------------
 

@@ -596,7 +596,10 @@ class PlanSpec extends SparkSpec {
           operators.Profile.anomalySeasonal(spark, sf), 8),
         // one corpus agg to the source grid + grid windows + sort
         ("neyman_allocation",
-          operators.Sampling.neymanAllocation(spark, sf), 8))) {
+          operators.Sampling.neymanAllocation(spark, sf), 8),
+        // hour-grid agg + grid×freq aggregate + TakeOrdered cut
+        ("periodogram_topk",
+          operators.TimeSeries2.periodogramTopk(spark, sf), 12))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
@@ -648,7 +651,8 @@ class PlanSpec extends SparkSpec {
       "cdc_key_churn" -> "log2 change-count bucket grid (<= 64 rows)",
       "graph_richclub" -> "distinct-degree grid: suffix sums over degree values",
       "bootstrap_ci" -> "B=40 replicate-mean grid",
-      "neyman_allocation" -> "|sources|-row allocation grid")
+      "neyman_allocation" -> "|sources|-row allocation grid",
+      "periodogram_topk" -> "hour grid: one row per hour bucket")
     // exactness-gate sites: the window deliberately reads a
     // corpus-cardinality input because the ORACLE semantics (exact
     // global ntile) demand a total order; each documents its 100 TB

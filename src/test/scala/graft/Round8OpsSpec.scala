@@ -717,6 +717,46 @@ class Round8OpsSpec extends SparkSpec {
     assert(out.map(_._1).sliding(2).forall(p => p(0) < p(1)))
   }
 
+  test("periodogram_topk: exact DFT powers and the spectral ranking replay") {
+    import graft.operators.TimeSeries2
+    val out = TimeSeries2.periodogramTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.length == 10)
+    def r4(x: Double): Double = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q4(x: Double): BigDecimal =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val ev = sources.Tables.events(spark, sf)
+      .select($"ts_ns", $"value").collect()
+      .map(r => (Math.floorDiv(r.getLong(0), 3600000000000L), q4(r.getDouble(1))))
+    val xs = ev.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, g) => (g.map(_._2).sum * 10000).toLongExact }
+    val n = xs.length.toLong
+    val sx = xs.sum
+    val ys = xs.map(x => BigInt(n * x - sx))
+    val powers = (1L to n / 2).map { f =>
+      var sc = BigInt(0); var ss = BigInt(0)
+      for ((y, t) <- ys.zipWithIndex) {
+        val ang = 2.0 * math.Pi * ((f * t) % n).toDouble / n
+        sc += y * math.round(math.cos(ang) * 1e6)
+        ss += y * math.round(math.sin(ang) * 1e6)
+      }
+      val p = (sc.toDouble * sc.toDouble + ss.toDouble * ss.toDouble) / 1e30
+      (f, r4(p))
+    }
+    val top = powers.sortBy { case (f, p) => (-p, f) }.take(10)
+    for (((fO, perO, pO), (fE, pE)) <- out.zip(top)) {
+      assert(fO == fE, s"freq rank: $fO vs $fE")
+      assert(math.abs(pO - pE) < 1e-6, s"power at f=$fO")
+      assert(math.abs(perO - r4(n.toDouble / fO)) < 1e-9, s"period at f=$fO")
+    }
+    // the spectrum is non-flat: a genuine peak separates rank 1 from
+    // rank 10 (the synthetic value series' dominant cycle is ~3.6h at
+    // this SF, not the count series' daily pulse — the replay above
+    // pins the exact ranking either way)
+    assert(out.head._3 > out.last._3, "spectral peak exists")
+  }
+
   test("shuffle budgets for the round-8 operator batch") {
     // textual counts are cache-state-dependent (InMemoryTableScan
     // re-prints its stored build plan): start from a clean cache
@@ -782,7 +822,10 @@ class Round8OpsSpec extends SparkSpec {
           graft.operators.Profile.anomalySeasonal(spark, sf), 8),
         // one corpus agg to the source grid + grid windows + sort
         ("neyman_allocation",
-          graft.operators.Sampling.neymanAllocation(spark, sf), 8))) {
+          graft.operators.Sampling.neymanAllocation(spark, sf), 8),
+        // hour-grid agg + grid×freq term agg + TakeOrdered
+        ("periodogram_topk",
+          graft.operators.TimeSeries2.periodogramTopk(spark, sf), 12))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       val n = "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
