@@ -1040,4 +1040,66 @@ object TextModel {
       |  CASE WHEN dtk > 0
       |    THEN (dv * 1000000 - (dv * 1000000) % dtk) // dtk ELSE 0 END AS rate_micro
       |FROM j ORDER BY source, k""".stripMargin
+
+  // ------------------------------------------------------------------
+  // token_burstiness — Church–Gale burstiness of the top vocabulary
+  // ------------------------------------------------------------------
+
+  /** Token burstiness (Church & Gale 1995): for the 50 most frequent
+    * tokens, the variance-to-mean ratio of their PER-DOCUMENT counts —
+    * the "does this word cluster in few documents or spread evenly"
+    * statistic that separates topical content words (bursty, VMR ≫ 1)
+    * from function words (Poisson-like, VMR ≈ 1), read when choosing
+    * stopword lists or tf saturation parameters.
+    *
+    * Exactness: per-(token, doc) counts are integers, so per-token
+    * Σc/Σc² are exact longs over the n_docs population (documents
+    * without the token contribute exact zeros via the document total
+    * from a 1-row broadcast); mean/VMR are one fixed double tree
+    * rounded to 6. Scale: one token explode → (tok, doc) partial agg →
+    * token-grid agg; the top-50 cut is a TakeOrdered on the
+    * vocabulary grid, never a corpus sort.
+    */
+  def tokenBurstiness(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    import spark.implicits._
+    val perDoc = Tables.documents(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"tok", $"doc_id").agg(count(lit(1)).as("c"))
+    val perTok = perDoc.groupBy($"tok")
+      .agg(count(lit(1)).as("docs_with"), sum($"c").as("sc"),
+        sum($"c" * $"c").as("scc"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    perTok.crossJoin(broadcast(nDocs))
+      // moments over ALL documents: absent docs contribute zero to
+      // both Σc and Σc², so only the denominator changes
+      .select($"tok", $"docs_with", $"sc".as("occurrences"), $"n_docs",
+        round($"sc".cast("double") / $"n_docs", 6).as("mean_per_doc"),
+        round((($"scc".cast("double")
+          - $"sc".cast("double") * $"sc".cast("double") / $"n_docs")
+          / ($"n_docs" - 1L))
+          / ($"sc".cast("double") / $"n_docs"), 6).as("vmr"))
+      .orderBy($"occurrences".desc, $"tok")
+      .limit(topK)
+  }
+
+  val tokenBurstinessSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+      |pd AS (
+      |  SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+      |  FROM t GROUP BY tok, doc_id),
+      |pt AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS docs_with,
+      |    CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c * c) AS BIGINT) AS scc
+      |  FROM pd GROUP BY tok),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+      |SELECT tok, docs_with, sc AS occurrences, n_docs,
+      |  round(CAST(sc AS DOUBLE) / n_docs, 6) AS mean_per_doc,
+      |  round(((CAST(scc AS DOUBLE)
+      |    - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n_docs)
+      |    / (n_docs - 1))
+      |    / (CAST(sc AS DOUBLE) / n_docs), 6) AS vmr
+      |FROM pt CROSS JOIN nd
+      |ORDER BY occurrences DESC, tok LIMIT 50""".stripMargin
+  }
 }

@@ -599,7 +599,10 @@ class PlanSpec extends SparkSpec {
           operators.Sampling.neymanAllocation(spark, sf), 8),
         // hour-grid agg + grid×freq aggregate + TakeOrdered cut
         ("periodogram_topk",
-          operators.TimeSeries2.periodogramTopk(spark, sf), 12))) {
+          operators.TimeSeries2.periodogramTopk(spark, sf), 12),
+        // token explode → (tok,doc) agg → vocab agg → TakeOrdered
+        ("token_burstiness",
+          operators.TextModel.tokenBurstiness(spark, sf), 6))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")

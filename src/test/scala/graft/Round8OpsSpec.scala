@@ -757,6 +757,39 @@ class Round8OpsSpec extends SparkSpec {
     assert(out.head._3 > out.last._3, "spectral peak exists")
   }
 
+  test("token_burstiness: per-doc variance-to-mean ratios replay exactly") {
+    import graft.operators.TextModel
+    val out = TextModel.tokenBurstiness(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nDocs = docs.length.toLong
+    val perTok = docs.flatMap { case (id, text) =>
+      text.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (tok, g) => (tok, id, g.length.toLong) }
+    }.groupBy(_._1).map { case (tok, g) =>
+      val sc = g.map(_._3).sum; val scc = g.map(e => e._3 * e._3).sum
+      (tok, g.length.toLong, sc, scc)
+    }
+    val expected = perTok.toSeq.sortBy { case (tok, _, sc, _) => (-sc, tok) }
+      .take(50)
+    assert(out.length == expected.length, "top-k size (vocab-capped)")
+    for (((tok, dw, occ, nd, mean, vmr), (tokE, dwE, scE, sccE))
+         <- out.zip(expected)) {
+      assert(tok == tokE && dw == dwE && occ == scE && nd == nDocs, s"$tok row")
+      assert(math.abs(mean - r6(scE.toDouble / nDocs)) < 1e-9, s"$tok mean")
+      val want = r6(((sccE.toDouble - scE.toDouble * scE.toDouble / nDocs)
+        / (nDocs - 1)) / (scE.toDouble / nDocs))
+      assert(math.abs(vmr - want) < 1e-9, s"$tok vmr")
+    }
+    // over-dispersion exists: some token clusters beyond Poisson
+    assert(out.exists(_._6 > 1.2), "some token is bursty")
+  }
+
   test("shuffle budgets for the round-8 operator batch") {
     // textual counts are cache-state-dependent (InMemoryTableScan
     // re-prints its stored build plan): start from a clean cache
@@ -825,7 +858,10 @@ class Round8OpsSpec extends SparkSpec {
           graft.operators.Sampling.neymanAllocation(spark, sf), 8),
         // hour-grid agg + grid×freq term agg + TakeOrdered
         ("periodogram_topk",
-          graft.operators.TimeSeries2.periodogramTopk(spark, sf), 12))) {
+          graft.operators.TimeSeries2.periodogramTopk(spark, sf), 12),
+        // token explode → (tok,doc) agg → vocab agg → TakeOrdered
+        ("token_burstiness",
+          graft.operators.TextModel.tokenBurstiness(spark, sf), 6))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       val n = "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
