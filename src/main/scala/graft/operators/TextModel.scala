@@ -1042,6 +1042,106 @@ object TextModel {
       |FROM j ORDER BY source, k""".stripMargin
 
   // ------------------------------------------------------------------
+  // source_jsd_matrix — pairwise Jensen–Shannon divergence of sources
+  // ------------------------------------------------------------------
+
+  private val Ln2Micro = 693147L // round(ln(2)·1e6) — shared constant
+
+  /** Pairwise Jensen–Shannon divergence (Lin 1991) between the token
+    * distributions of every source pair — the symmetric, bounded
+    * [0, ln 2] comparability matrix read before merging or reweighting
+    * sources (token_kl_drift's two-corpus KL, generalized to all
+    * pairs). Missing-token mass is handled EXACTLY: a token present
+    * only in source A contributes p·ln 2, so the off-support total is
+    * (Σp_A − shared Σp_A)·ln 2 — no per-token outer join needed.
+    *
+    * Exactness: per-source probabilities are nano-integers
+    * (n·10⁹ // tot, HUGEINT products), the shared-token log ratio
+    * rides the micro idiom on doubles built from identical integers,
+    * ln 2 is the shared literal 693147 (no libm call to diverge), and
+    * every contribution is an exact long before the single display
+    * division. Scale: one token pass → (source, tok) grid; the pair
+    * join is (vocab × |S|²/2) grid work aggregated map-side; output is
+    * the |S|² matrix.
+    */
+  def sourceJsdMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select($"source", explode(tokens($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("n"))
+    val tots = counts.groupBy($"source").agg(sum($"n").as("tot"))
+    val probs = counts.join(broadcast(tots), "source")
+      .select($"source", $"tok",
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000000 - " +
+          "((CAST(n AS DECIMAL(38,0)) * 1000000000) % tot)) / tot AS BIGINT)")
+          .as("p"))
+      .persist()
+    val sp = probs.groupBy($"source").agg(sum($"p").as("sp"))
+    val shared = probs.as("a").join(probs.as("b"),
+        $"a.tok" === $"b.tok" && $"a.source" < $"b.source")
+      .select($"a.source".as("src_a"), $"b.source".as("src_b"),
+        $"a.p".as("pa"), $"b.p".as("pb"))
+      .withColumn("la", round(log(lit(2.0) * $"pa".cast("double")
+        / ($"pa" + $"pb").cast("double")) * 1e6, 0).cast("long"))
+      .withColumn("lb", round(log(lit(2.0) * $"pb".cast("double")
+        / ($"pa" + $"pb").cast("double")) * 1e6, 0).cast("long"))
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("shared_tokens"),
+        sum($"pa").as("shpa"), sum($"pb").as("shpb"),
+        sum(expr("(pa * la - ((pa * la) % 1000000 + 1000000) % 1000000) div 1000000")
+          + expr("(pb * lb - ((pb * lb) % 1000000 + 1000000) % 1000000) div 1000000"))
+          .as("sh_sum"))
+    shared
+      .join(broadcast(sp.select($"source".as("src_a"), $"sp".as("spa"))), "src_a")
+      .join(broadcast(sp.select($"source".as("src_b"), $"sp".as("spb"))), "src_b")
+      .select($"src_a", $"src_b", $"shared_tokens",
+        round(($"sh_sum"
+          + expr(s"(spa - shpa) * $Ln2Micro div 1000000")
+          + expr(s"(spb - shpb) * $Ln2Micro div 1000000")).cast("double")
+          / 2e9, 6).as("jsd_nats"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val sourceJsdMatrixSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH t AS (SELECT source, unnest($toks) AS tok FROM documents),
+      |counts AS (
+      |  SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+      |  FROM t GROUP BY source, tok),
+      |tots AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot
+      |         FROM counts GROUP BY source),
+      |probs AS (
+      |  SELECT c.source, c.tok,
+      |    CAST(CAST(c.n AS HUGEINT) * 1000000000 // t.tot AS BIGINT) AS p
+      |  FROM counts c JOIN tots t USING (source)),
+      |sp AS (SELECT source, CAST(sum(p) AS BIGINT) AS sp
+      |       FROM probs GROUP BY source),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, a.p AS pa, b.p AS pb,
+      |    CAST(round(ln(2.0 * CAST(a.p AS DOUBLE)
+      |      / CAST(a.p + b.p AS DOUBLE)) * 1e6, 0) AS BIGINT) AS la,
+      |    CAST(round(ln(2.0 * CAST(b.p AS DOUBLE)
+      |      / CAST(a.p + b.p AS DOUBLE)) * 1e6, 0) AS BIGINT) AS lb
+      |  FROM probs a JOIN probs b ON a.tok = b.tok AND a.source < b.source),
+      |shared AS (
+      |  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS shared_tokens,
+      |    CAST(sum(pa) AS BIGINT) AS shpa, CAST(sum(pb) AS BIGINT) AS shpb,
+      |    CAST(sum((pa * la - ((pa * la) % 1000000 + 1000000) % 1000000)
+      |        // 1000000
+      |      + (pb * lb - ((pb * lb) % 1000000 + 1000000) % 1000000)
+      |        // 1000000) AS BIGINT) AS sh_sum
+      |  FROM pairs GROUP BY src_a, src_b)
+      |SELECT src_a, src_b, shared_tokens,
+      |  round(CAST(sh_sum
+      |    + (sa.sp - shpa) * 693147 // 1000000
+      |    + (sb.sp - shpb) * 693147 // 1000000 AS DOUBLE) / 2e9, 6) AS jsd_nats
+      |FROM shared
+      |JOIN sp sa ON sa.source = shared.src_a
+      |JOIN sp sb ON sb.source = shared.src_b
+      |ORDER BY src_a, src_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // token_burstiness — Church–Gale burstiness of the top vocabulary
   // ------------------------------------------------------------------
 

@@ -602,7 +602,10 @@ class PlanSpec extends SparkSpec {
           operators.TimeSeries2.periodogramTopk(spark, sf), 12),
         // token explode → (tok,doc) agg → vocab agg → TakeOrdered
         ("token_burstiness",
-          operators.TextModel.tokenBurstiness(spark, sf), 6))) {
+          operators.TextModel.tokenBurstiness(spark, sf), 6),
+        // (source,tok) agg → persisted probs → pair join + grid aggs
+        ("source_jsd_matrix",
+          operators.TextModel.sourceJsdMatrix(spark, sf), 14))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")

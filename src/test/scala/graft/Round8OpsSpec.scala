@@ -790,6 +790,53 @@ class Round8OpsSpec extends SparkSpec {
     assert(out.exists(_._6 > 1.2), "some token is bursty")
   }
 
+  test("source_jsd_matrix: the integer JSD composition replays; bounds hold") {
+    import graft.operators.TextModel
+    val out = TextModel.sourceJsdMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = sources.Tables.documents(spark, sf)
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts = docs.flatMap { case (s, t) =>
+      t.split("\\s+").filter(_.nonEmpty).map(tok => (s, tok))
+    }.groupBy(identity).map { case ((s, tok), g) => (s, tok, g.size.toLong) }
+    val tots = counts.groupBy(_._1).map { case (s, g) => (s, g.map(_._3).sum) }
+    val probs = counts.map { case (s, tok, n) =>
+      ((s, tok), (BigInt(n) * 1000000000L / tots(s)).toLong)
+    }.toMap
+    val sp = probs.toSeq.groupBy(_._1._1).map { case (s, g) =>
+      (s, g.map(_._2).sum)
+    }
+    val sources_ = tots.keys.toSeq.sorted
+    val expected = (for {
+      a <- sources_; b <- sources_ if a < b
+    } yield {
+      val toksA = probs.keySet.filter(_._1 == a).map(_._2)
+      val toksB = probs.keySet.filter(_._1 == b).map(_._2)
+      val sharedT = (toksA & toksB).toSeq
+      var shSum = 0L; var shpa = 0L; var shpb = 0L
+      for (tok <- sharedT) {
+        val pa = probs((a, tok)); val pb = probs((b, tok))
+        val la = math.round(math.log(2.0 * pa / (pa + pb).toDouble) * 1e6)
+        val lb = math.round(math.log(2.0 * pb / (pa + pb).toDouble) * 1e6)
+        shSum += Math.floorDiv(pa * la, 1000000L) + Math.floorDiv(pb * lb, 1000000L)
+        shpa += pa; shpb += pb
+      }
+      val x = shSum + Math.floorDiv((sp(a) - shpa) * 693147L, 1000000L) +
+        Math.floorDiv((sp(b) - shpb) * 693147L, 1000000L)
+      (a, b, sharedT.length.toLong, r6(x.toDouble / 2e9))
+    }).sortBy(e => (e._1, e._2))
+    assert(out.length == expected.length, "pair count")
+    for (((a, b, st, j), (aE, bE, stE, jE)) <- out.zip(expected)) {
+      assert(a == aE && b == bE && st == stE, s"pair $a-$b")
+      assert(math.abs(j - jE) < 1e-9, s"jsd $a-$b")
+      assert(j >= -1e-9 && j <= 0.693148, s"jsd bounds $a-$b")
+    }
+  }
+
   test("shuffle budgets for the round-8 operator batch") {
     // textual counts are cache-state-dependent (InMemoryTableScan
     // re-prints its stored build plan): start from a clean cache
@@ -861,7 +908,11 @@ class Round8OpsSpec extends SparkSpec {
           graft.operators.TimeSeries2.periodogramTopk(spark, sf), 12),
         // token explode → (tok,doc) agg → vocab agg → TakeOrdered
         ("token_burstiness",
-          graft.operators.TextModel.tokenBurstiness(spark, sf), 6))) {
+          graft.operators.TextModel.tokenBurstiness(spark, sf), 6),
+        // (source,tok) agg → persisted probs → pair join + grid aggs;
+        // persisted subtree re-prints per reference
+        ("source_jsd_matrix",
+          graft.operators.TextModel.sourceJsdMatrix(spark, sf), 22))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       val n = "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
