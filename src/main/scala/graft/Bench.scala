@@ -62,7 +62,9 @@ object Bench {
     "graph_richclub", "levene_test", "holt_winters", "ab_cuped",
     "markov_stationary", "diff_in_diff", "bootstrap_ci",
     "minhash_band_sweep", "cem_att", "er_blocking_sweep",
-    "anomaly_seasonal", "neyman_allocation", "downsample_lttb")
+    "anomaly_seasonal", "neyman_allocation", "downsample_lttb",
+    // round-9 batch: the two r8 stragglers + the landed JSD matrix
+    "periodogram_topk", "token_burstiness", "source_jsd_matrix")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

@@ -1426,8 +1426,13 @@ object Dedup {
     * that a relative-distance cap rejects on short strings, and edit
     * distance catches mid-string rewrites that depress JW.
     */
+  // shared ER match thresholds — interpolated into the oracle SQL so a
+  // non-default invocation cannot silently diverge from the oracle
+  private val ErMaxDist = 60
+  private val ErMinSim = 0.93
+
   def erClusters(spark: SparkSession, dir: String,
-                 maxDist: Int = 60, minSim: Double = 0.93): DataFrame = {
+                 maxDist: Int = ErMaxDist, minSim: Double = ErMinSim): DataFrame = {
     import spark.implicits._
     val toks = filter(split($"text", "\\s+"), t => t =!= "")
     val docs = Tables.documents(spark, dir)
@@ -1470,8 +1475,9 @@ object Dedup {
       |  FROM d a JOIN d b ON a.suf = b.suf AND a.doc_id < b.doc_id),
       |pairs AS (
       |  SELECT DISTINCT i, j FROM cand
-      |  WHERE (dist <= 60 AND CAST(dist AS DOUBLE) <= 0.1 * CAST(maxlen AS DOUBLE))
-      |     OR sim >= 0.93),
+      |  WHERE (dist <= $ErMaxDist
+      |         AND CAST(dist AS DOUBLE) <= 0.1 * CAST(maxlen AS DOUBLE))
+      |     OR sim >= $ErMinSim),
       |edges AS (
       |  SELECT i AS a, j AS b FROM pairs
       |  UNION SELECT j, i FROM pairs
@@ -1514,7 +1520,7 @@ object Dedup {
     * verify join runs over distinct-text representatives.
     */
   def erBlockingSweep(spark: SparkSession, dir: String,
-                      maxDist: Int = 60, minSim: Double = 0.93): DataFrame = {
+                      maxDist: Int = ErMaxDist, minSim: Double = ErMinSim): DataFrame = {
     import spark.implicits._
     val toks = filter(split($"text", "\\s+"), t => t =!= "")
     def keyCols(src: DataFrame): DataFrame = src
@@ -1620,8 +1626,9 @@ object Dedup {
       |  FROM d a JOIN d b ON a.suf3 = b.suf3 AND a.doc_id < b.doc_id),
       |truth AS (
       |  SELECT DISTINCT i, j FROM cand
-      |  WHERE (dist <= 60 AND CAST(dist AS DOUBLE) <= 0.1 * CAST(maxlen AS DOUBLE))
-      |     OR sim >= 0.93),
+      |  WHERE (dist <= $ErMaxDist
+      |         AND CAST(dist AS DOUBLE) <= 0.1 * CAST(maxlen AS DOUBLE))
+      |     OR sim >= $ErMinSim),
       |tk AS (
       |  SELECT a.pre1 AS p1i, a.pre3 AS p3i, a.suf3 AS s3i, a.len20 AS l2i,
       |         b.pre1 AS p1j, b.pre3 AS p3j, b.suf3 AS s3j, b.len20 AS l2j
@@ -1657,13 +1664,13 @@ object Dedup {
     * arg ⇒ O(n·maxDist) not O(n²)), and a pair survives at relative
     * distance ≤ 10% of the longer text.
     */
-  def dedupEditDistance(spark: SparkSession, dir: String, maxDist: Int = 60): DataFrame =
+  def dedupEditDistance(spark: SparkSession, dir: String, maxDist: Int = ErMaxDist): DataFrame =
     dedupEditDistanceOn(spark, Tables.documents(spark, dir), maxDist)
 
   /** Same operator over an arbitrary (doc_id, text) frame — the unit
     * tests plant synthetic typo pairs through this entry point.
     */
-  def dedupEditDistanceOn(spark: SparkSession, input: DataFrame, maxDist: Int = 60): DataFrame = {
+  def dedupEditDistanceOn(spark: SparkSession, input: DataFrame, maxDist: Int = ErMaxDist): DataFrame = {
     import spark.implicits._
     val toks = filter(split($"text", "\\s+"), t => t =!= "")
     val docs = input
@@ -1692,7 +1699,7 @@ object Dedup {
     * DuckDB's jaro_winkler_similarity, so the score column is oracled
     * without tolerance.
     */
-  def dedupJaro(spark: SparkSession, dir: String, minSim: Double = 0.93): DataFrame = {
+  def dedupJaro(spark: SparkSession, dir: String, minSim: Double = ErMinSim): DataFrame = {
     import spark.implicits._
     val toks = filter(split($"text", "\\s+"), t => t =!= "")
     val docs = Tables.documents(spark, dir)
@@ -1726,7 +1733,7 @@ object Dedup {
       |  SELECT a.doc_id, b.doc_id, round(jaro_winkler_similarity(a.text, b.text), 6)
       |  FROM d a JOIN d b ON a.suf = b.suf AND a.doc_id < b.doc_id)
       |SELECT DISTINCT i, j, sim FROM cand
-      |WHERE sim >= 0.93 ORDER BY i, j""".stripMargin
+      |WHERE sim >= $ErMinSim ORDER BY i, j""".stripMargin
   }
 
   val dedupEditDistanceSql: String = {
@@ -1746,7 +1753,8 @@ object Dedup {
       |    greatest(length(a.text), length(b.text))
       |  FROM d a JOIN d b ON a.suf = b.suf AND a.doc_id < b.doc_id)
       |SELECT DISTINCT i, j, CAST(dist AS INT) AS dist FROM cand
-      |WHERE dist <= 60 AND CAST(dist AS DOUBLE) <= 0.1 * CAST(maxlen AS DOUBLE)
+      |WHERE dist <= $ErMaxDist
+      |  AND CAST(dist AS DOUBLE) <= 0.1 * CAST(maxlen AS DOUBLE)
       |ORDER BY i, j""".stripMargin
   }
 

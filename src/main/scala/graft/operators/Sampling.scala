@@ -941,6 +941,11 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_chars").as("sx"),
         sum($"n_chars" * $"n_chars").as("sxx"))
+      // a 1-doc stratum has no within-stratum variance: drop it in
+      // BOTH engines (Spark's non-ANSI /0 yields NULL, DuckDB's IEEE
+      // division yields inf and errors on the BIGINT cast — the same
+      // asymmetric-failure pattern guarded in anomaly_seasonal)
+      .filter($"n_docs" >= 2L)
       .select($"source", $"n_docs",
         round(sqrt(($"sxx".cast("double")
           - $"sx".cast("double") * $"sx".cast("double") / $"n_docs")
@@ -977,7 +982,7 @@ object Sampling {
       |      - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE)
       |        / count(*))
       |      / (count(*) - 1)), 6) AS sd_chars
-      |  FROM documents GROUP BY source),
+      |  FROM documents GROUP BY source HAVING count(*) >= 2),
       |m AS (
       |  SELECT *, CAST(round(n_docs * sd_chars * 1e3, 0) AS BIGINT) AS m
       |  FROM g),

@@ -846,6 +846,10 @@ object Similarity {
           struct($"cos", (-$"n_id").as("negid")))).as("p"),
         max(when($"n_label" =!= $"q_label",
           struct($"cos", (-$"n_id").as("negid")))).as("ng"))
+      // degenerate label splits: an anchor with no same-label (or no
+      // other-label) corpus neighbor has no triplet — drop it, matching
+      // the oracle's inner rk=1 joins on both sides
+      .filter($"p".isNotNull && $"ng".isNotNull)
       .select($"q_id", $"q_label".as("anchor_label"),
         (-$"p.negid").as("pos_id"), round($"p.cos", 6).as("pos_cos"),
         (-$"ng.negid").as("neg_id"), round($"ng.cos", 6).as("neg_cos"),

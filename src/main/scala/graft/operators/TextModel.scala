@@ -1060,9 +1060,18 @@ object TextModel {
     * rides the micro idiom on doubles built from identical integers,
     * ln 2 is the shared literal 693147 (no libm call to diverge), and
     * every contribution is an exact long before the single display
-    * division. Scale: one token pass → (source, tok) grid; the pair
-    * join is (vocab × |S|²/2) grid work aggregated map-side; output is
-    * the |S|² matrix.
+    * division. A probability that floors to 0 (a source past 10⁹
+    * tokens) is guarded out of the log in BOTH engines — its exact
+    * contribution is 0·ln(·) = 0 either way, and DuckDB would
+    * otherwise raise on CAST(-inf AS BIGINT). Scale: one token pass →
+    * (source, tok) grid; the pair join is (vocab × |S|²/2) grid work
+    * aggregated map-side; output is the |S|² matrix. Cache contract:
+    * the prob table is persisted EAGERLY before the four-way fan-out
+    * (sp aggregate + both self-join sides + assembly) — lazy persist
+    * lets concurrently-scheduled stages each rebuild the
+    * explode→groupBy chain — and, because the result is |S|² rows at
+    * ANY corpus scale, the matrix is materialized here so the cache
+    * can be released instead of leaking into the caller's executors.
     */
   def sourceJsdMatrix(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1075,23 +1084,28 @@ object TextModel {
         expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000000 - " +
           "((CAST(n AS DECIMAL(38,0)) * 1000000000) % tot)) / tot AS BIGINT)")
           .as("p"))
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    probs.count() // populate ONCE before the fan-out reads it
     val sp = probs.groupBy($"source").agg(sum($"p").as("sp"))
     val shared = probs.as("a").join(probs.as("b"),
         $"a.tok" === $"b.tok" && $"a.source" < $"b.source")
       .select($"a.source".as("src_a"), $"b.source".as("src_b"),
         $"a.p".as("pa"), $"b.p".as("pb"))
-      .withColumn("la", round(log(lit(2.0) * $"pa".cast("double")
-        / ($"pa" + $"pb").cast("double")) * 1e6, 0).cast("long"))
-      .withColumn("lb", round(log(lit(2.0) * $"pb".cast("double")
-        / ($"pa" + $"pb").cast("double")) * 1e6, 0).cast("long"))
+      .withColumn("la", when($"pa" > 0L && $"pb" > 0L,
+        round(log(lit(2.0) * $"pa".cast("double")
+          / ($"pa" + $"pb").cast("double")) * 1e6, 0).cast("long"))
+        .otherwise(lit(0L)))
+      .withColumn("lb", when($"pa" > 0L && $"pb" > 0L,
+        round(log(lit(2.0) * $"pb".cast("double")
+          / ($"pa" + $"pb").cast("double")) * 1e6, 0).cast("long"))
+        .otherwise(lit(0L)))
       .groupBy($"src_a", $"src_b")
       .agg(count(lit(1)).as("shared_tokens"),
         sum($"pa").as("shpa"), sum($"pb").as("shpb"),
         sum(expr("(pa * la - ((pa * la) % 1000000 + 1000000) % 1000000) div 1000000")
           + expr("(pb * lb - ((pb * lb) % 1000000 + 1000000) % 1000000) div 1000000"))
           .as("sh_sum"))
-    shared
+    val out = shared
       .join(broadcast(sp.select($"source".as("src_a"), $"sp".as("spa"))), "src_a")
       .join(broadcast(sp.select($"source".as("src_b"), $"sp".as("spb"))), "src_b")
       .select($"src_a", $"src_b", $"shared_tokens",
@@ -1100,6 +1114,9 @@ object TextModel {
           + expr(s"(spb - shpb) * $Ln2Micro div 1000000")).cast("double")
           / 2e9, 6).as("jsd_nats"))
       .orderBy($"src_a", $"src_b")
+    val rows = out.collect().toSeq
+    probs.unpersist()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
   }
 
   val sourceJsdMatrixSql: String = {
@@ -1118,10 +1135,14 @@ object TextModel {
       |       FROM probs GROUP BY source),
       |pairs AS (
       |  SELECT a.source AS src_a, b.source AS src_b, a.p AS pa, b.p AS pb,
-      |    CAST(round(ln(2.0 * CAST(a.p AS DOUBLE)
-      |      / CAST(a.p + b.p AS DOUBLE)) * 1e6, 0) AS BIGINT) AS la,
-      |    CAST(round(ln(2.0 * CAST(b.p AS DOUBLE)
-      |      / CAST(a.p + b.p AS DOUBLE)) * 1e6, 0) AS BIGINT) AS lb
+      |    CASE WHEN a.p > 0 AND b.p > 0 THEN
+      |      CAST(round(ln(2.0 * CAST(a.p AS DOUBLE)
+      |        / CAST(a.p + b.p AS DOUBLE)) * 1e6, 0) AS BIGINT)
+      |    ELSE 0 END AS la,
+      |    CASE WHEN a.p > 0 AND b.p > 0 THEN
+      |      CAST(round(ln(2.0 * CAST(b.p AS DOUBLE)
+      |        / CAST(a.p + b.p AS DOUBLE)) * 1e6, 0) AS BIGINT)
+      |    ELSE 0 END AS lb
       |  FROM probs a JOIN probs b ON a.tok = b.tok AND a.source < b.source),
       |shared AS (
       |  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS shared_tokens,
@@ -1160,7 +1181,12 @@ object TextModel {
     * token-grid agg; the top-50 cut is a TakeOrdered on the
     * vocabulary grid, never a corpus sort.
     */
-  def tokenBurstiness(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+  // interpolated into the oracle SQL so a non-default topK cannot
+  // silently diverge from the oracle
+  private val BurstTopK = 50
+
+  def tokenBurstiness(spark: SparkSession, dir: String,
+                      topK: Int = BurstTopK): DataFrame = {
     import spark.implicits._
     val perDoc = Tables.documents(spark, dir)
       .select($"doc_id", explode(tokens($"text")).as("tok"))
@@ -1200,6 +1226,6 @@ object TextModel {
       |    / (n_docs - 1))
       |    / (CAST(sc AS DOUBLE) / n_docs), 6) AS vmr
       |FROM pt CROSS JOIN nd
-      |ORDER BY occurrences DESC, tok LIMIT 50""".stripMargin
+      |ORDER BY occurrences DESC, tok LIMIT $BurstTopK""".stripMargin
   }
 }

@@ -795,7 +795,10 @@ object TimeSeries2 {
       |    CAST(sum(hb) AS BIGINT) AS xs, CAST(sum(v) AS BIGINT) AS ys,
       |    CAST(count(*) AS BIGINT) AS nc
       |  FROM mid GROUP BY b),
-      |fp AS (SELECT hb, v FROM idx WHERE i = 1),
+      |fp AS (
+      |  SELECT hb, v FROM idx WHERE i = 1
+      |    AND CASE WHEN (SELECT max(n) FROM idx) >= ${LttbBuckets + 2}
+      |      THEN TRUE ELSE error('series too short for LTTB') END),
       |lp AS (SELECT hb, v FROM idx WHERE i = n),
       |nxt AS (
       |  SELECT b.b, b.cand,

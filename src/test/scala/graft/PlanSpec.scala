@@ -603,9 +603,10 @@ class PlanSpec extends SparkSpec {
         // token explode → (tok,doc) agg → vocab agg → TakeOrdered
         ("token_burstiness",
           operators.TextModel.tokenBurstiness(spark, sf), 6),
-        // (source,tok) agg → persisted probs → pair join + grid aggs
+        // eager op: probs persist+fan-out run inside the call; the
+        // returned frame is the materialized |S|² matrix
         ("source_jsd_matrix",
-          operators.TextModel.sourceJsdMatrix(spark, sf), 14))) {
+          operators.TextModel.sourceJsdMatrix(spark, sf), 0))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")

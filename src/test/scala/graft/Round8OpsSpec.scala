@@ -909,10 +909,11 @@ class Round8OpsSpec extends SparkSpec {
         // token explode → (tok,doc) agg → vocab agg → TakeOrdered
         ("token_burstiness",
           graft.operators.TextModel.tokenBurstiness(spark, sf), 6),
-        // (source,tok) agg → persisted probs → pair join + grid aggs;
-        // persisted subtree re-prints per reference
+        // eager op: the (source,tok) prob table persists once, the
+        // pair join + grid aggs run inside the call, and the returned
+        // frame is the materialized |S|² matrix (cache released)
         ("source_jsd_matrix",
-          graft.operators.TextModel.sourceJsdMatrix(spark, sf), 22))) {
+          graft.operators.TextModel.sourceJsdMatrix(spark, sf), 0))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       val n = "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
