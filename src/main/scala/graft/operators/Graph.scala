@@ -1031,9 +1031,18 @@ object Graph {
     labels
   }
 
-  def graphLpa(spark: SparkSession, dir: String): DataFrame = {
+  // LPA runs on the support-filtered graph like the rest of the
+  // co-purchase family (triangle/clustering/assortativity): a pair
+  // that co-occurred once is not affinity evidence, and UNfiltered
+  // co-pair mass is the one graph input that grows with every
+  // co-occurrence — at sf1 the full-pair edge table is 335× the
+  // support-≥2 table and the per-round join becomes the job
+  private val LpaMinSupport = 2
+
+  def graphLpa(spark: SparkSession, dir: String,
+               minSupport: Int = LpaMinSupport): DataFrame = {
     import spark.implicits._
-    val pairs = coPairCounts(spark, dir)
+    val pairs = coPairCounts(spark, dir).filter($"n_orders" >= minSupport)
     val edges = pairs
       .select($"pa".as("src"), $"pb".as("dst"), $"n_orders".as("w"))
       .unionByName(pairs.select($"pb".as("src"), $"pa".as("dst"), $"n_orders".as("w")))
@@ -1048,7 +1057,8 @@ object Graph {
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |cp AS MATERIALIZED (
         |  SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS w
-        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= MINSUPPORT),
         |edges AS MATERIALIZED (
         |  SELECT pa AS src, pb AS dst, w FROM cp
         |  UNION ALL SELECT pb, pa, w FROM cp),
@@ -1064,7 +1074,7 @@ object Graph {
          |      row_number() OVER (PARTITION BY src ORDER BY votes DESC, lbl) AS rk
          |    FROM v$i) WHERE rk = 1)""".stripMargin
     }.mkString
-    base + its +
+    base.replace("MINSUPPORT", LpaMinSupport.toString) + its +
       s"""
          |SELECT lbl AS community, count(*) AS n_members
          |FROM l$LpaRounds GROUP BY 1 ORDER BY 1""".stripMargin

@@ -107,11 +107,16 @@ class GraphSpec extends SparkSpec {
 
   test("graph_lpa: communities partition the nodes and propagation merges them") {
     val out = Graph.graphLpa(spark, sf).cache()
+    // node set = parts in at least one support->=2 co-pair (LPA runs on
+    // the support-filtered graph like the rest of the family)
     val li = graft.sources.Tables.lineitem(spark, sf)
       .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-    val nodes = li.join(
-        li.groupBy($"ok").agg(countDistinct($"pk").as("np")).filter($"np" >= 2), "ok")
-      .select($"pk").distinct().count()
+    val cp = li.as("a").join(li.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("pa"), $"b.pk".as("pb"))
+      .agg(count(lit(1)).as("w")).filter($"w" >= 2)
+    val nodes = cp.select($"pa".as("pk")).unionByName(cp.select($"pb".as("pk")))
+      .distinct().count()
     val members = out.agg(sum($"n_members")).head.getLong(0)
     val communities = out.count()
     info(s"nodes=$nodes communities=$communities")
