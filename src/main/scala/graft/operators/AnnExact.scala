@@ -541,4 +541,144 @@ object AnnExact {
       |  SELECT q_id, n_id, d2,
       |    row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rk
       |  FROM refine) t WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin)
+
+  // ------------------------------------------------------------------
+  // ann_pq_auto — cost-based shortlist-factor dial, oracle-exact
+  // ------------------------------------------------------------------
+
+  private val AutoFactors = Seq(1, 2, 4, 8, 16, 32)
+  private val AutoTargetPct = 90 // recall target as an integer percent
+
+  /** COST-BASED shortlist-factor chooser, ORACLE-EXACT end to end: the
+    * [[annPq]] recall/cost dial measured on the calibration query
+    * sample, picking the smallest shortlist factor meeting the recall
+    * target (deepest if none does) — the tuning answer ("how deep must
+    * the ADC shortlist go HERE?") promoted to a first-class operator,
+    * because the right factor is a property of the dataset (codebook
+    * distortion vs corpus geometry), not a universal constant.
+    *
+    * One exact-integer codebook training ([[pqLloydL]]) + ONE
+    * deepest-factor ADC pass serve every measured factor: candidates
+    * are exact-d2-scored once and each shallower factor is a filter
+    * over the same ranked table (never a retrain, never a rescan); the
+    * exact ground truth costs one brute-force pass over the
+    * calibration sample only. The met-target test is the integer
+    * comparison hits·100 ≥ pct·nq·topK (no 0.9·40 float ceil trap),
+    * and recall's display division k/(nq·topK) terminates within 6
+    * decimals for the 2³·5-shaped denominators here, so the single
+    * rounded double matches DuckDB bit for bit. The |factors|-row
+    * report is assembled on the driver (model-sized, the
+    * contamination_sweep precedent) and the candidate cache released.
+    */
+  def annPqAuto(spark: SparkSession, dir: String, topK: Int = TopK,
+                targetPct: Int = AutoTargetPct): DataFrame = {
+    import spark.implicits._
+    val (corpus0, queries) = quantSplit(spark, dir)
+    val corpus = corpus0.persist()
+    val books = pqLloydL(corpus, "vq", PqK, PqIters)
+    val codeTable = corpus.select($"vec_id".as("n_id"), $"vq".as("nv"),
+      pq_encode_l($"vq", books).as("codes"))
+    val qTab = queries.select($"vec_id".as("q_id"), $"vq".as("qv"),
+      pq_dist_table_l($"vq", books).as("dtab"))
+    val maxF = AutoFactors.max
+    // deepest-factor shortlist, exact-rescored ONCE; every factor
+    // below reads this cache
+    val cands = codeTable.crossJoin(broadcast(qTab))
+      .withColumn("adc", adcL)
+      .withColumn("ark", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"adc", $"n_id")))
+      .filter($"ark" <= topK * maxF)
+      .withColumn("d2", d2Cols($"qv", $"nv"))
+      .select($"q_id", $"n_id", $"ark", $"d2")
+      .persist()
+    cands.count()
+    val truth = corpus.select($"vec_id".as("n_id"), $"vq".as("nv"))
+      .crossJoin(broadcast(queries.select($"vec_id".as("q_id"), $"vq".as("qv"))))
+      .withColumn("d2", d2Cols($"qv", $"nv"))
+      .withColumn("trk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"d2", $"n_id")))
+      .filter($"trk" <= topK).select($"q_id", $"n_id")
+    val nq = queries.count()
+    val perFactor = AutoFactors.map { f =>
+      cands.filter($"ark" <= topK * f)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"d2", $"n_id")))
+        .filter($"rk" <= topK)
+        .join(truth, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(f).as("factor"), $"hits")
+    }.reduce(_.unionByName(_))
+    val rows = perFactor.collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    cands.unpersist(); corpus.unpersist()
+    val chosen = rows
+      .find { case (_, h) => h * 100L >= targetPct.toLong * nq * topK }
+      .map(_._1).getOrElse(maxF)
+    val out = rows.map { case (f, h) =>
+      (f, nq,
+        BigDecimal(h.toDouble / (nq * topK).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        f * topK, f == chosen)
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq, 1))
+      .toDF("factor", "n_queries", "recall", "shortlist_rows", "chosen")
+      .orderBy($"factor")
+  }
+
+  val annPqAutoSql: String = mat(
+    baseCtes + pqChainSql("pq", "corp", "vq", PqK, PqIters) +
+      pqEncodeSql("pq", "corp", "vq", PqIters, "") +
+      s""",
+      |qtab AS (
+      |  SELECT q.vec_id AS q_id, k.sub, k.code, sum((q.vq - k.cq) * (q.vq - k.cq)) AS d2
+      |  FROM qry q JOIN pqcent$PqIters k ON k.dim = q.dim GROUP BY 1, 2, 3),
+      |adc AS (
+      |  SELECT t.q_id, e.n_id, CAST(sum(t.d2) AS BIGINT) AS adc
+      |  FROM pqenc e JOIN qtab t ON t.sub = e.sub AND t.code = e.code
+      |  GROUP BY 1, 2),
+      |shortq AS (
+      |  SELECT q_id, n_id, ark FROM (
+      |    SELECT q_id, n_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS ark
+      |    FROM adc) t WHERE ark <= ${TopK * AutoFactors.max}),
+      |refine AS (
+      |  SELECT s.q_id, s.n_id, s.ark,
+      |    CAST(sum((q.vq - c.vq) * (q.vq - c.vq)) AS BIGINT) AS d2
+      |  FROM shortq s JOIN qry q ON q.vec_id = s.q_id
+      |    JOIN corp c ON c.vec_id = s.n_id AND c.dim = q.dim
+      |  GROUP BY 1, 2, 3),
+      |truthd AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    sum((q.vq - c.vq) * (q.vq - c.vq)) AS d2
+      |  FROM qry q JOIN corp c ON c.dim = q.dim GROUP BY 1, 2),
+      |truth AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q_id, n_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS trk
+      |    FROM truthd) t WHERE trk <= $TopK),
+      |fac AS (SELECT CAST(unnest([${AutoFactors.mkString(", ")}]) AS INT) AS factor),
+      |nqv AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS nq FROM qry),
+      |ranked AS (
+      |  SELECT f.factor, r.q_id, r.n_id,
+      |    row_number() OVER (PARTITION BY f.factor, r.q_id
+      |      ORDER BY r.d2, r.n_id) AS rk
+      |  FROM fac f JOIN refine r ON r.ark <= f.factor * $TopK),
+      |hitsf AS (
+      |  SELECT f.factor, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits
+      |  FROM fac f LEFT JOIN (
+      |    SELECT factor, count(*) AS hits
+      |    FROM ranked JOIN truth USING (q_id, n_id)
+      |    WHERE rk <= $TopK GROUP BY 1) h ON h.factor = f.factor),
+      |chos AS (
+      |  SELECT coalesce(
+      |    min(CASE WHEN h.hits * 100 >= $AutoTargetPct * nqv.nq * $TopK
+      |      THEN h.factor END), ${AutoFactors.max}) AS cf
+      |  FROM hitsf h CROSS JOIN nqv)
+      |SELECT h.factor, nqv.nq AS n_queries,
+      |  round(CAST(h.hits AS DOUBLE) / (nqv.nq * $TopK), 6) AS recall,
+      |  h.factor * $TopK AS shortlist_rows,
+      |  (h.factor = chos.cf) AS chosen
+      |FROM hitsf h CROSS JOIN nqv CROSS JOIN chos
+      |ORDER BY factor""".stripMargin)
 }

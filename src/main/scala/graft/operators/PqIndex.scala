@@ -224,83 +224,4 @@ object PqIndex {
       .select($"q_id", $"rk", $"n_id", round($"d", 6).as("l2_dist"))
       .orderBy($"q_id", $"rk")
   }
-
-  private val AutoFactors = Seq(1, 2, 4, 8, 16, 32)
-
-  /** COST-BASED shortlist-factor chooser: measure the [[annPq]]
-    * recall/cost dial ON A CALIBRATION QUERY SAMPLE and pick the
-    * smallest shortlist factor meeting the recall target — the tuning
-    * answer ("how deep must the ADC shortlist go HERE?") promoted from
-    * spec telemetry to a first-class operator, because the right factor
-    * is a property of the dataset (codebook distortion vs corpus
-    * geometry), not a universal constant.
-    *
-    * One codebook training + ONE deepest-factor ADC pass serve every
-    * measured factor: candidates are exact-scored once and each
-    * shallower factor is a filter over the same ranked table (never a
-    * retrain, never a rescan). The exact ground truth costs one
-    * brute-force pass over the calibration sample only.
-    *
-    * Output: one row per factor — recall@topK, shortlist rows scanned
-    * per query — with the chosen minimal factor flagged (deepest factor
-    * if none meets target). Report is |factors| rows; the final chosen
-    * flag is computed on the driver over that model-sized report.
-    * No oracle (iterative k-means upstream); AnnAutoSpec bounds
-    * monotonicity, minimality, and the met target.
-    */
-  def annPqAuto(spark: SparkSession, dir: String, topK: Int = 5,
-                targetRecall: Double = 0.9, iters: Int = 5): DataFrame = {
-    import spark.implicits._
-    val e = graft.sources.Tables.embeddings(spark, dir)
-    val corpus = e.filter($"vec_id" >= 8)
-      .select($"vec_id".as("n_id"), $"embedding".as("n_vec"))
-    val queries = e.filter($"vec_id" < 8)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
-    val books = trainCodebooks(corpus, "n_id", "n_vec", iters)
-    val codeTable = encode(corpus, "n_vec", books)
-      .select($"n_id", $"__codes".as("codes"))
-    val qTab = queries.select($"q_id", distanceTable($"q_vec", books).as("dtab"))
-    val maxF = AutoFactors.max
-    val exactD = aggregate(zip_with($"q_vec", $"n_vec",
-      (a, b) => (a - b).cast("double") * (a - b)), lit(0.0d), (acc, x) => acc + x)
-    val truth = corpus.crossJoin(broadcast(queries))
-      .withColumn("d", exactD)
-      .withColumn("trk", row_number().over(
-        Window.partitionBy($"q_id").orderBy($"d".asc, $"n_id")))
-      .filter($"trk" <= topK).select($"q_id", $"n_id")
-    val cands = codeTable.crossJoin(broadcast(qTab))
-      .withColumn("adc", adcScore)
-      .withColumn("ark", row_number().over(
-        Window.partitionBy($"q_id").orderBy($"adc".asc, $"n_id")))
-      .filter($"ark" <= topK * maxF)
-      .select($"q_id", $"n_id", $"ark")
-      .join(corpus, "n_id").join(broadcast(queries), "q_id")
-      .withColumn("d", exactD)
-      .select($"q_id", $"n_id", $"ark", $"d")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nq = queries.count()
-    val perFactor = AutoFactors.map { f =>
-      cands.filter($"ark" <= topK * f)
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"q_id").orderBy($"d".asc, $"n_id")))
-        .filter($"rk" <= topK)
-        .join(truth, Seq("q_id", "n_id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-        .select(lit(f).as("factor"), $"hits")
-    }.reduce(_.unionByName(_))
-    val rows = perFactor.collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    cands.unpersist()
-    val recalls = rows.map { case (f, hits) =>
-      (f, math.rint(hits.toDouble / (nq * topK).toDouble * 1e6) / 1e6)
-    }
-    val chosen = recalls.find(_._2 >= targetRecall).map(_._1).getOrElse(maxF)
-    val out = recalls.map { case (f, r) =>
-      (f, nq, r, topK * f, f == chosen)
-    }
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(out.toIndexedSeq, 1))
-      .toDF("factor", "n_queries", "recall", "shortlist_rows", "chosen")
-      .orderBy($"factor")
-  }
 }

@@ -1,16 +1,16 @@
 package graft
 
-import graft.operators.PqIndex
+import graft.operators.AnnExact
 
-/** Bounds for the cost-based PQ shortlist chooser (no oracle — k-means
-  * upstream): dial monotonicity, chosen-factor minimality, and the
-  * recall target actually met on this corpus.
+/** Bounds for the cost-based PQ shortlist chooser (oracle-exact since
+  * r9): dial monotonicity, chosen-factor minimality, and the recall
+  * target actually met on this corpus.
   */
 class AnnAutoSpec extends SparkSpec {
   import spark.implicits._
 
   test("ann_pq_auto: dial is monotone, chosen factor is the minimal one meeting target") {
-    val rep = PqIndex.annPqAuto(spark, sf).orderBy($"factor").collect()
+    val rep = AnnExact.annPqAuto(spark, sf).orderBy($"factor").collect()
     assert(rep.length === 6)
     val recalls = rep.map(_.getDouble(2))
     recalls.sliding(2).foreach { case Array(a, b) =>
