@@ -2003,4 +2003,109 @@ object Dedup {
       |SELECT canonical_url, count(DISTINCT raw_url) AS n_variants,
       |  count(*) AS n_docs, min(doc_id) AS keep_doc
       |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
+
+  // ------------------------------------------------------------------
+  // winnowing_fingerprint — MOSS local fingerprints + shared-fp pairs
+  // ------------------------------------------------------------------
+
+  private val WinK = 8         // char k-gram length
+  private val WinW = 4         // winnowing window (guarantee: k+w-1)
+  private val WinCap = 20      // stop-fingerprint cap (docs per fp)
+  private val WinMinShared = 5 // pair report threshold
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): each char [[WinK]]-gram is
+    * hashed, every [[WinW]]-window of consecutive hashes contributes
+    * its minimum, and the distinct selected hashes are the doc's
+    * fingerprint set — any shared substring of ≥ k+w−1 chars is
+    * GUARANTEED to share a fingerprint, which whole-doc digests
+    * ([[dedupExact]]) and gram sampling (minhash) cannot promise.
+    * Pairs sharing ≥ [[WinMinShared]] retained fingerprints are
+    * reported with containment sim = shared/min(|fp_i|,|fp_j|).
+    *
+    * Exactness: gram hashes are the portable md5-hex-prefix integers
+    * (conv on Spark, the instr-fold on DuckDB), window minima are a
+    * codegen'd trailing-ROWS min over gram positions, counts are exact
+    * longs, sim is one double division. The gram/window stage is
+    * deliberately RELATIONAL (posexplode + window), not an in-row
+    * array HOF: Slice/ElementAt inside an interpreted lambda box the
+    * whole hash array per call, turning the per-doc pass quadratic
+    * (measured 92 s for 500 docs vs ~2 s relational). Scale: the
+    * window shuffle carries (doc_id, pos, hash) longs only;
+    * fingerprints occurring in more than [[WinCap]] docs are dropped
+    * before the pair join (the MOSS stop-fingerprint practice —
+    * ubiquitous grams carry no match evidence), so the ids-only fp
+    * join is bucket-capped exactly like the minhash band join and
+    * pair mass is bounded by cap²/2 per fingerprint at any corpus
+    * size.
+    */
+  def winnowingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w4 = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos").rowsBetween(-(WinW - 1), 0)
+    val fps = Tables.documents(spark, dir)
+      .filter(length($"text") >= WinK + WinW - 1)
+      .select($"doc_id", $"text",
+        explode(sequence(lit(1), length($"text") - (WinK - 1))).as("pos"))
+      .select($"doc_id", $"pos",
+        expr(s"CAST(conv(substr(md5(substring(text, pos, $WinK)), 1, 8), 16, 10)" +
+          " AS BIGINT)").as("h"))
+      .withColumn("fp", min($"h").over(w4))
+      .filter($"pos" >= WinW) // first complete window
+      .select($"doc_id", $"fp").distinct()
+    val kept = fps.join(
+        fps.groupBy($"fp").agg(count(lit(1)).as("nd"))
+          .filter($"nd" <= WinCap).select($"fp"),
+        "fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nfp = kept.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
+    // cache contract: `kept` stays persisted — the pair output is
+    // corpus-growing (never driver-collected), and the returned lazy
+    // frame reads the cached table three ways (a/b join sides + nfp);
+    // unpersisting here would triple-recompute the fingerprints (the
+    // dedupMinhash signature-table convention)
+    kept.as("a").join(kept.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter($"shared_fps" >= WinMinShared)
+      .join(nfp.select($"doc_id".as("i"), $"nf".as("ni")), "i")
+      .join(nfp.select($"doc_id".as("j"), $"nf".as("nj")), "j")
+      .select($"i", $"j", $"shared_fps",
+        round($"shared_fps".cast("double")
+          / least($"ni", $"nj").cast("double"), 6).as("sim"))
+      .orderBy($"i", $"j")
+  }
+
+  val winnowingFingerprintSql: String =
+    s"""WITH hs AS (
+      |  SELECT doc_id,
+      |    [list_reduce(list_transform(
+      |        split(substr(md5(text[i:i+${WinK - 1}]), 1, 8), ''),
+      |        c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+      |      (a, c) -> a * 16 + c)
+      |     for i in range(1, len(text) - ${WinK - 2})] AS hs
+      |  FROM documents WHERE len(text) >= ${WinK + WinW - 1}),
+      |f AS (
+      |  SELECT doc_id, list_distinct(
+      |    [list_min(hs[j:j+${WinW - 1}]) for j in range(1, len(hs) - ${WinW - 2})]) AS fps
+      |  FROM hs),
+      |fpx AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+      |cnt AS (SELECT fp, count(*) AS nd FROM fpx GROUP BY 1),
+      |keep AS (
+      |  SELECT x.doc_id, x.fp FROM fpx x JOIN cnt c USING (fp)
+      |  WHERE c.nd <= $WinCap),
+      |nfp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+      |        FROM keep GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, CAST(count(*) AS BIGINT) AS shared_fps
+      |  FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i, j, shared_fps,
+      |  round(CAST(shared_fps AS DOUBLE) / CAST(least(ni.nf, nj.nf) AS DOUBLE), 6)
+      |    AS sim
+      |FROM pairs
+      |JOIN nfp ni ON ni.doc_id = pairs.i JOIN nfp nj ON nj.doc_id = pairs.j
+      |WHERE shared_fps >= $WinMinShared
+      |ORDER BY i, j""".stripMargin
 }

@@ -447,6 +447,145 @@ object TextAnalysis {
       |FROM bgs JOIN tris ON bgs.doc_id = tris.doc_id
       |ORDER BY bgs.doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // text_compressibility — distinct-4-gram compression proxy
+  // ------------------------------------------------------------------
+
+  /** Per-source compressibility proxy: the distinct/total ratio of
+    * token 4-grams — the cheap stand-in for the gzip-ratio quality
+    * signal the large corpus filters use (a Gopher-family
+    * repetitiveness screen; Rae et al. 2021 §A1): templated or
+    * stuttering text re-uses its own 4-grams, so its ratio collapses
+    * while natural text stays near 1. Complements [[textRepetition]]
+    * (per-doc TOP-gram mass) with the corpus-level DISTINCT-mass view
+    * plus the share of docs that a 0.5-ratio screen would drop.
+    *
+    * Exactness: per-doc gram totals/distincts are exact ints computed
+    * INSIDE the row (array transform + array_distinct — no per-gram
+    * shuffle), source sums are exact longs, and the two display ratios
+    * are single double divisions. The repetitive test is the integer
+    * comparison d·2 < g. Docs under 4 tokens have no 4-gram and are
+    * excluded (the textRepetition degenerate-doc convention). Scale:
+    * map-only per-doc work + ONE source-grid aggregate.
+    */
+  def textCompressibility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"source", tokens($"text").as("t"))
+      .filter(size($"t") >= 4)
+      .select($"source",
+        expr("transform(sequence(1, size(t) - 3)," +
+          " i -> array_join(slice(t, i, 4), ' '))").as("grams"))
+      .select($"source", size($"grams").cast("long").as("g"),
+        size(array_distinct($"grams")).cast("long").as("d"))
+      .groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum($"g").as("grams_total"),
+        sum($"d").as("grams_distinct"),
+        sum(when($"d" * 2 < $"g", 1L).otherwise(0L)).as("repetitive_docs"))
+      .select($"source", $"n_docs", $"grams_total", $"grams_distinct",
+        round($"grams_distinct".cast("double") / $"grams_total", 6)
+          .as("compress_proxy"),
+        $"repetitive_docs",
+        round($"repetitive_docs".cast("double") / $"n_docs", 6)
+          .as("repetitive_share"))
+      .orderBy($"source")
+  }
+
+  val textCompressibilitySql: String =
+    """WITH toks AS (
+      |  SELECT source, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT source,
+      |    [array_to_string(t[i:i+3], ' ') for i in range(1, len(t) - 2)] AS grams
+      |  FROM toks WHERE len(t) >= 4),
+      |s AS (
+      |  SELECT source, CAST(len(grams) AS BIGINT) AS g,
+      |    CAST(len(list_distinct(grams)) AS BIGINT) AS d
+      |  FROM g)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(g) AS BIGINT) AS grams_total,
+      |  CAST(sum(d) AS BIGINT) AS grams_distinct,
+      |  round(CAST(sum(d) AS DOUBLE) / sum(g), 6) AS compress_proxy,
+      |  CAST(sum(CASE WHEN d * 2 < g THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS repetitive_docs,
+      |  round(CAST(sum(CASE WHEN d * 2 < g THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS repetitive_share
+      |FROM s GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // lexicon_screen — blocklist hit-rate audit per source
+  // ------------------------------------------------------------------
+
+  // the demo blocklist, shared between engine and oracle (a real
+  // pipeline swaps in its toxicity/PII term list — the machinery is
+  // exact token matching against a literal lexicon, in-row)
+  private val ScreenLexicon = Seq("slow", "dup", "merge")
+
+  /** Blocklist lexicon audit — the content-filter PLANNING report run
+    * before enforcing a term screen (the C4/Gopher "bad words list"
+    * stage): per source, how many documents the lexicon would flag,
+    * what fraction of the token stream the flagged terms are, and the
+    * worst per-doc hit count. Read next to [[textPiiScrub]] (regex
+    * screens) and `gopher_rules` (statistical screens) when composing
+    * the cleaning pipeline; the flagged share is the data-loss price
+    * of enforcement.
+    *
+    * Exactness: hits are exact in-row counts (array filter against the
+    * literal lexicon — no UDF, no shuffle per token), source sums are
+    * exact longs, display ratios are single double divisions. Scale:
+    * map-only per-doc work + ONE source-grid aggregate; the lexicon is
+    * a literal in the plan (at 100 TB a large term list becomes a
+    * broadcast map-side join — same shape, still no extra exchange of
+    * corpus rows).
+    */
+  def lexiconScreen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lexArr = ScreenLexicon.map(t => s"'$t'").mkString(", ")
+    Tables.documents(spark, dir)
+      .select($"source", tokens($"text").as("t"))
+      .select($"source", size($"t").cast("long").as("n_toks"),
+        expr(s"CAST(size(filter(t, x -> array_contains(array($lexArr), x))) AS BIGINT)")
+          .as("hits"))
+      .groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("tokens_total"),
+        sum($"hits").as("hit_tokens"),
+        sum(when($"hits" > 0, 1L).otherwise(0L)).as("docs_flagged"),
+        max($"hits").as("max_doc_hits"))
+      .select($"source", $"n_docs", $"tokens_total", $"hit_tokens",
+        $"docs_flagged", $"max_doc_hits",
+        round($"hit_tokens".cast("double") / $"tokens_total", 6)
+          .as("hit_rate"),
+        round($"docs_flagged".cast("double") / $"n_docs", 6)
+          .as("flagged_share"))
+      .orderBy($"source")
+  }
+
+  val lexiconScreenSql: String = {
+    val lexArr = ScreenLexicon.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+      |  SELECT source, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, CAST(len(t) AS BIGINT) AS n_toks,
+      |    CAST(len(list_filter(t, x -> list_contains([$lexArr], x))) AS BIGINT)
+      |      AS hits
+      |  FROM toks)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+      |  CAST(sum(hits) AS BIGINT) AS hit_tokens,
+      |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
+      |  CAST(max(hits) AS BIGINT) AS max_doc_hits,
+      |  round(CAST(sum(hits) AS DOUBLE) / sum(n_toks), 6) AS hit_rate,
+      |  round(CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS flagged_share
+      |FROM s GROUP BY source
+      |ORDER BY source""".stripMargin
+  }
+
   /** The composed cleaning decision a training-data pipeline actually
     * ships: per-doc flags from the individual filters — token-count
     * bounds, stopword-ratio floor (gibberish guard), top-bigram

@@ -1181,6 +1181,109 @@ object TextModel {
     * token-grid agg; the top-50 cut is a TakeOrdered on the
     * vocabulary grid, never a corpus sort.
     */
+  // ------------------------------------------------------------------
+  // ngram_entropy — per-source unigram + bigram-conditional entropy
+  // ------------------------------------------------------------------
+
+  /** Per-source unigram entropy H(T) and bigram conditional entropy
+    * H(T₂|T₁) in nats (Cover & Thomas ch. 2) — the corpus-health pair
+    * read before LM training: low H(T) flags degenerate vocabularies,
+    * a small H(T)−H(T₂|T₁) gap flags token streams with no sequential
+    * structure (shuffled or boilerplate text), and sources are
+    * comparable because both numbers are distribution-, not
+    * volume-, scaled.
+    *
+    * Exactness: the unigram term rides the markov_stationary idiom —
+    * nano-integer probabilities (n·10⁹ // N, HUGEINT products),
+    * −ln·10⁶ micro-rounded per cell, (p·L)//10⁶ exact-long partial
+    * sums, zero-nano cells skipped in BOTH engines. The conditional
+    * term needs no probability floor at all: H(V|U) = (Σ c·L(c/cu))/C
+    * with c, cu, C exact counts and one micro-ln per (u,v) cell, so
+    * the only doubles are the per-cell ln and the single display
+    * division. Scale: one token explode → (source, tok) grid, one
+    * in-array bigram transform → (source, u, v) grid (vocab² cells);
+    * everything after is grid joins broadcast by AQE.
+    */
+  def ngramEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"source", tokens($"text").as("t"))
+    val uc = docs.select($"source", explode($"t").as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("n"))
+    val tots = uc.groupBy($"source")
+      .agg(sum($"n").as("n_tokens"), count(lit(1)).as("vocab"))
+    val h1 = uc.join(broadcast(tots), "source")
+      .select($"source",
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000000 - " +
+          "((CAST(n AS DECIMAL(38,0)) * 1000000000) % n_tokens)) / n_tokens AS BIGINT)")
+          .as("pn"))
+      .filter($"pn" > 0L)
+      .select($"source",
+        expr("(pn * CAST(round(-ln(CAST(pn AS DOUBLE) / 1e9) * 1e6, 0) AS BIGINT))" +
+          " div 1000000").as("ci"))
+      .groupBy($"source").agg(sum($"ci").as("s1"))
+    val bgc = docs.filter(size($"t") >= 2)
+      .select($"source", explode(expr(
+        "transform(sequence(1, size(t) - 1)," +
+          " i -> struct(element_at(t, i) AS u, element_at(t, i + 1) AS v))"))
+        .as("b"))
+      .groupBy($"source", $"b.u".as("u"), $"b.v".as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cu = bgc.groupBy($"source", $"u").agg(sum($"c").as("cu"))
+    val cb = bgc.groupBy($"source").agg(sum($"c").as("n_bigrams"))
+    val h2 = bgc.join(cu, Seq("source", "u"))
+      .select($"source", ($"c" * round(-log($"c".cast("double")
+        / $"cu".cast("double")) * 1e6, 0).cast("long")).as("ci"))
+      .groupBy($"source").agg(sum($"ci").as("s2"))
+    tots.join(h1, "source").join(broadcast(cb), "source").join(h2, "source")
+      .select($"source", $"n_tokens", $"vocab", $"n_bigrams",
+        round($"s1".cast("double") / 1e9, 6).as("h_unigram"),
+        round($"s2".cast("double") / $"n_bigrams" / 1e6, 6).as("h_bigram_cond"))
+      .orderBy($"source")
+  }
+
+  val ngramEntropySql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH t AS (SELECT source, $toks AS t FROM documents),
+      |uni AS (SELECT source, unnest(t) AS tok FROM t),
+      |uc AS (
+      |  SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+      |  FROM uni GROUP BY 1, 2),
+      |tots AS (
+      |  SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS vocab
+      |  FROM uc GROUP BY 1),
+      |p1 AS (
+      |  SELECT u.source,
+      |    CAST(CAST(u.n AS HUGEINT) * 1000000000 // t.n_tokens AS BIGINT) AS pn
+      |  FROM uc u JOIN tots t USING (source)),
+      |h1 AS (
+      |  SELECT source, CAST(sum((pn * CAST(round(-ln(CAST(pn AS DOUBLE) / 1e9)
+      |      * 1e6, 0) AS BIGINT)) // 1000000) AS BIGINT) AS s1
+      |  FROM p1 WHERE pn > 0 GROUP BY 1),
+      |bg AS (
+      |  SELECT source,
+      |    unnest([{'u': t[i], 'v': t[i + 1]} for i in range(1, len(t))]) AS b
+      |  FROM t WHERE len(t) >= 2),
+      |bgc AS (
+      |  SELECT source, b.u AS u, b.v AS v, CAST(count(*) AS BIGINT) AS c
+      |  FROM bg GROUP BY 1, 2, 3),
+      |cu AS (SELECT source, u, CAST(sum(c) AS BIGINT) AS cu
+      |       FROM bgc GROUP BY 1, 2),
+      |cb AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_bigrams
+      |       FROM bgc GROUP BY 1),
+      |h2 AS (
+      |  SELECT b.source, CAST(sum(b.c * CAST(round(-ln(CAST(b.c AS DOUBLE)
+      |      / CAST(k.cu AS DOUBLE)) * 1e6, 0) AS BIGINT)) AS BIGINT) AS s2
+      |  FROM bgc b JOIN cu k ON k.source = b.source AND k.u = b.u GROUP BY 1)
+      |SELECT t.source, t.n_tokens, t.vocab, cb.n_bigrams,
+      |  round(CAST(h1.s1 AS DOUBLE) / 1e9, 6) AS h_unigram,
+      |  round(CAST(h2.s2 AS DOUBLE) / cb.n_bigrams / 1e6, 6) AS h_bigram_cond
+      |FROM tots t JOIN h1 USING (source) JOIN cb USING (source)
+      |  JOIN h2 USING (source)
+      |ORDER BY source""".stripMargin
+  }
+
   // interpolated into the oracle SQL so a non-default topK cannot
   // silently diverge from the oracle
   private val BurstTopK = 50

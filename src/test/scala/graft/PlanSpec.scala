@@ -613,6 +613,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("shuffle budgets for the round-9 additions") {
+    for ((name, df, budget) <- Seq(
+        // (source,tok) agg + (source,u,v) agg + grid aggs/joins + sort
+        ("ngram_entropy",
+          operators.TextModel.ngramEntropy(spark, sf), 13),
+        // one map-only pass + one source-grid agg + sort
+        ("text_compressibility",
+          operators.TextAnalysis.textCompressibility(spark, sf), 2),
+        // one map-only pass + one source-grid agg + sort
+        ("lexicon_screen",
+          operators.TextAnalysis.lexiconScreen(spark, sf), 2),
+        // gram window shuffle + distinct + df-cap join over the
+        // persisted fp table (subtree re-prints per reference) +
+        // pair agg + two nf joins + sort
+        ("winnowing_fingerprint",
+          operators.Dedup.winnowingFingerprint(spark, sf), 16))) {
+      val n = shuffleCount(df)
+      info(s"$name shuffles = $n (budget $budget)")
+      assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
+    }
+  }
+
   test("unpartitioned windows only ever read grid/model-cardinality inputs") {
     // The library-wide discipline behind the Spark "No Partition
     // Defined" WARNs: a Window with an empty partitionSpec serializes
