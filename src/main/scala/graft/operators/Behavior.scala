@@ -1444,4 +1444,113 @@ object Behavior {
       |  round(m_cp, 6) AS mean_ctrl_post, round(m_c0, 6) AS mean_ctrl_pre,
       |  round((m_tp - m_t0) - (m_cp - m_c0), 6) AS did
       |FROM m""".stripMargin
+
+  // ------------------------------------------------------------------
+  // propensity_ipw — inverse-propensity-weighted ATE
+  // ------------------------------------------------------------------
+
+  /** Inverse-propensity-weighted average treatment effect (Horvitz &
+    * Thompson 1952; Rosenbaum & Rubin 1983) with STRATIFIED empirical
+    * propensities: treatment assignment is deterministically BIASED by
+    * market segment (md5-percentile under a per-segment threshold —
+    * the confounded-assignment fixture), outcome is the customer's
+    * total order spend, and the estimated propensity of each segment
+    * cell is its exact empirical treatment rate n_t/n. The report
+    * shows the naive treated-vs-control difference AND the
+    * IPW-corrected ATE — the gap is the confounding the weights
+    * remove. Completes the causal family: cem_att matches strata and
+    * answers ATT on common support; IPW reweights every both-arm cell
+    * and answers ATE.
+    *
+    * Exactness: spend rides the decimal-sum contract (4dp decimal →
+    * exact cents-scale longs), cell weights are exact floor-divided
+    * micro-integers (sy·n·10⁶ // n_t on DECIMAL(38,0)/HUGEINT — with
+    * cell propensities, Hájek normalization Σ T/e = Σ_cells n = N is
+    * exact, so HT ≡ Hájek and one estimator suffices), and the two
+    * display means are single double trees. Cells missing an arm have
+    * undefined weights and are excluded in BOTH engines (the
+    * cem_att common-support discipline). Scale: one orders aggregate
+    * to customers, one customer aggregate to the |segments| cell grid;
+    * everything after is grid arithmetic. One row out.
+    */
+  def propensityIpw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val thr = expr("""CASE c_mktsegment
+      WHEN 'AUTOMOBILE' THEN 20 WHEN 'BUILDING' THEN 32
+      WHEN 'FURNITURE' THEN 44 WHEN 'HOUSEHOLD' THEN 56
+      WHEN 'MACHINERY' THEN 68 ELSE 50 END""")
+    val y = Tables.orders(spark, dir).groupBy($"o_custkey")
+      .agg((sum(round($"o_totalprice", 4).cast("decimal(14,4)")) * 10000)
+        .cast("long").as("y4"))
+    val units = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment")
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10)" +
+          " AS BIGINT) % 100"))
+      .withColumn("t", ($"h" < thr).cast("int"))
+      .join(y, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_mktsegment", $"t", coalesce($"y4", lit(0L)).as("y4"))
+    val cells = units.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum($"t".cast("long")).as("nt"),
+        sum(when($"t" === 1, $"y4").otherwise(0L)).as("syt"),
+        sum(when($"t" === 0, $"y4").otherwise(0L)).as("syc"))
+      .filter($"nt" > 0L && $"nt" < $"n") // both arms required
+      .withColumn("wt", expr(
+        "CAST((CAST(syt AS DECIMAL(38,0)) * n * 1000000 - " +
+          "((CAST(syt AS DECIMAL(38,0)) * n * 1000000) % nt)) / nt AS DECIMAL(38,0))"))
+      .withColumn("wc", expr(
+        "CAST((CAST(syc AS DECIMAL(38,0)) * n * 1000000 - " +
+          "((CAST(syc AS DECIMAL(38,0)) * n * 1000000) % (n - nt))) / (n - nt)" +
+          " AS DECIMAL(38,0))"))
+    cells.agg(
+        sum($"n").as("n_units"), sum($"nt").as("n_treated"),
+        sum($"syt").as("st"), sum($"syc").as("sc"),
+        sum($"wt").as("swt"), sum($"wc").as("swc"))
+      .select($"n_units", $"n_treated",
+        round(($"st".cast("double") / 1e4 / $"n_treated")
+          - ($"sc".cast("double") / 1e4 / ($"n_units" - $"n_treated")), 6)
+          .as("naive_diff"),
+        round(($"swt" - $"swc").cast("double")
+          / $"n_units" / 1e10, 6).as("ipw_ate"))
+  }
+
+  val propensityIpwSql: String =
+    """WITH y AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice, 4) AS DECIMAL(14,4))) * 10000
+      |      AS BIGINT) AS y4
+      |  FROM orders GROUP BY 1),
+      |units AS (
+      |  SELECT c.c_mktsegment,
+      |    CASE WHEN list_reduce(list_transform(
+      |        split(substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8), ''),
+      |        ch -> CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT)),
+      |        (a, ch) -> a * 16 + ch) % 100
+      |      < CASE c_mktsegment
+      |          WHEN 'AUTOMOBILE' THEN 20 WHEN 'BUILDING' THEN 32
+      |          WHEN 'FURNITURE' THEN 44 WHEN 'HOUSEHOLD' THEN 56
+      |          WHEN 'MACHINERY' THEN 68 ELSE 50 END
+      |      THEN 1 ELSE 0 END AS t,
+      |    coalesce(y.y4, 0) AS y4
+      |  FROM customer c LEFT JOIN y ON y.o_custkey = c.c_custkey),
+      |cells AS (
+      |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(t) AS BIGINT) AS nt,
+      |    CAST(sum(CASE WHEN t = 1 THEN y4 ELSE 0 END) AS BIGINT) AS syt,
+      |    CAST(sum(CASE WHEN t = 0 THEN y4 ELSE 0 END) AS BIGINT) AS syc
+      |  FROM units GROUP BY 1
+      |  HAVING sum(t) > 0 AND sum(t) < count(*)),
+      |w AS (
+      |  SELECT *,
+      |    CAST(CAST(syt AS HUGEINT) * n * 1000000 // nt AS HUGEINT) AS wt,
+      |    CAST(CAST(syc AS HUGEINT) * n * 1000000 // (n - nt) AS HUGEINT) AS wc
+      |  FROM cells)
+      |SELECT CAST(sum(n) AS BIGINT) AS n_units,
+      |  CAST(sum(nt) AS BIGINT) AS n_treated,
+      |  round(CAST(sum(syt) AS DOUBLE) / 1e4 / sum(nt)
+      |    - CAST(sum(syc) AS DOUBLE) / 1e4 / (sum(n) - sum(nt)), 6)
+      |    AS naive_diff,
+      |  round(CAST(sum(wt) - sum(wc) AS DOUBLE) / sum(n) / 1e10, 6) AS ipw_ate
+      |FROM w""".stripMargin
 }

@@ -887,4 +887,232 @@ object Similarity {
       |FROM best p JOIN best n
       |  ON p.q_id = n.q_id AND p.same AND NOT n.same AND p.rk = 1 AND n.rk = 1
       |ORDER BY p.q_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // rp_band_sweep — measured random-hyperplane LSH planning table
+  // ------------------------------------------------------------------
+
+  private val RpBandConfigs = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+
+  /** MEASURED banded random-hyperplane (SimHash-for-cosine) LSH
+    * planning table over the embedding corpus — the [[minhash_band_
+    * sweep]] twin for vectors (Charikar, STOC 2002): 16 hash-derived
+    * hyperplane sign bits per vector, every (bands × bits) split of
+    * the signature bucketed, and per config the ACTUAL paired-bucket
+    * count, worst bucket, and candidate-pair mass this corpus would
+    * generate — read next to the analytic 50%-collision angle
+    * (1 − (1 − 2^(−1/b))^(1/r) of π) before sizing an [[annLsh]]
+    * deployment. The sweep answers "what does each dial position cost
+    * HERE" with measurements, not curves.
+    *
+    * Exactness: projections are exact integer dot products against the
+    * ±1 hash-derived planes ([[annRp]]'s matrix), sign bits pack into
+    * ONE long signature (no array keys cross any exchange — band keys
+    * are shift/mask integers), bucket math is exact counts; only the
+    * analytic threshold column touches doubles (two pows, the minhash
+    * sweep precedent). Scale: the signature table computes once
+    * (persisted), each config adds one (config, band, key)-grid
+    * aggregate over packed longs; candidate mass is counted from
+    * bucket sizes — no pair is ever materialized.
+    */
+  def rpBandSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val proj = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        graft.functions.VectorFunctions.rp_project($"embedding", 16).as("p"))
+    val sig = proj.select($"vec_id",
+        (0 until 16).map(j =>
+          when(element_at($"p", j + 1) >= 0L, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = RpBandConfigs.map { case (b, r) =>
+      sig.select(
+        lit(b.toLong).as("bands"), lit(r.toLong).as("bits_per_band"),
+        explode(expr(s"transform(sequence(0, ${b - 1}), g -> named_struct(" +
+          s"'band', g, 'key', shiftright(sig, g * $r) & ${(1L << r) - 1}L))"))
+          .as("bk"))
+        .select($"bands", $"bits_per_band", $"bk.band".as("band"),
+          $"bk.key".as("key"))
+    }.reduce(_.unionByName(_))
+    val out = exploded
+      .groupBy($"bands", $"bits_per_band", $"band", $"key")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"bands", $"bits_per_band")
+      .agg(count(when($"n" >= 2, lit(1))).as("n_buckets_paired"),
+        max($"n").as("max_bucket"),
+        sum(expr("n * (n - 1) div 2")).as("candidate_pairs"))
+      .select($"bands", $"bits_per_band", $"n_buckets_paired",
+        $"max_bucket", $"candidate_pairs",
+        round(lit(1.0) - pow(lit(1.0) - pow(lit(0.5), lit(1.0) / $"bands"),
+          lit(1.0) / $"bits_per_band"), 6).as("est_angle_frac"))
+      .orderBy($"bands".desc)
+    // |configs| rows at any corpus scale: materialize and release the
+    // signature cache (the source_jsd_matrix eager-grid convention)
+    val rows = out.collect().toSeq
+    sig.unpersist()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+  }
+
+  val rpBandSweepSql: String =
+    """WITH cells AS (
+      |  SELECT e.vec_id, CAST(j AS INT) AS rp_dim,
+      |    CAST(sum(CAST(round(CAST(e.embedding[i + 1] AS DOUBLE) * 1000000, 0)
+      |        AS BIGINT)
+      |      * (CASE WHEN (CAST(i AS BIGINT) * 16 + CAST(j AS BIGINT) + 17)
+      |             * (CAST(i AS BIGINT) * 16 + CAST(j AS BIGINT) + 17)
+      |             * (CAST(i AS BIGINT) * 16 + CAST(j AS BIGINT) + 17)
+      |             % 1000003 % 2 = 0
+      |         THEN 1 ELSE -1 END)) AS BIGINT) AS proj_u
+      |  FROM embeddings e
+      |  CROSS JOIN (SELECT unnest(range(0, 16)) AS j)
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+      |  GROUP BY e.vec_id, j),
+      |sig AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN proj_u >= 0
+      |      THEN CAST(1 AS BIGINT) << rp_dim ELSE 0 END) AS BIGINT) AS sig
+      |  FROM cells GROUP BY vec_id),
+      |cfg AS (SELECT * FROM (VALUES (CAST(16 AS BIGINT), CAST(1 AS BIGINT)),
+      |  (8, 2), (4, 4), (2, 8)) AS t(bands, bits_per_band)),
+      |expl AS (
+      |  SELECT c.bands, c.bits_per_band, g.g AS band,
+      |    (sig >> (g.g * c.bits_per_band))
+      |      & ((CAST(1 AS BIGINT) << c.bits_per_band) - 1) AS key
+      |  FROM sig CROSS JOIN cfg c
+      |  CROSS JOIN LATERAL unnest(range(0, c.bands)) AS g(g)),
+      |buckets AS (
+      |  SELECT bands, bits_per_band, band, key, CAST(count(*) AS BIGINT) AS n
+      |  FROM expl GROUP BY bands, bits_per_band, band, key)
+      |SELECT bands, bits_per_band,
+      |  CAST(count(CASE WHEN n >= 2 THEN 1 END) AS BIGINT) AS n_buckets_paired,
+      |  max(n) AS max_bucket,
+      |  CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS candidate_pairs,
+      |  round(1.0 - pow(1.0 - pow(0.5, 1.0 / bands), 1.0 / bits_per_band), 6)
+      |    AS est_angle_frac
+      |FROM buckets GROUP BY bands, bits_per_band ORDER BY bands DESC""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ann_rptree — random-projection tree ANN (annoy-style), oracle-exact
+  // ------------------------------------------------------------------
+
+  /** Random-projection TREE ANN (the Annoy/Dasgupta–Freund family):
+    * a depth-3 binary tree whose internal node k splits on the sign of
+    * the hash-derived hyperplane p_k — note each PATH sees different
+    * planes (node 2 and node 3 split differently), which is what makes
+    * it a tree and not 3-bit hashing — routing every vector to one of
+    * 8 leaves; a query probes its own leaf plus the three
+    * one-bit-backtrack leaves (flip the level-ℓ decision, re-route
+    * below it — defeatist search with single-step spill), and the
+    * probed candidates are exact-integer re-ranked. Completes the ANN
+    * family's fourth index shape: partition (IVF), hash (LSH/RP),
+    * compression (PQ), and now tree.
+    *
+    * Exactness: projections are the exact ±1 integer dots of
+    * [[annRp]], every routing decision is an integer sign test, and
+    * the re-rank is the micro-grid integer L2² — the DuckDB oracle
+    * replays routing AND backtracking bit-for-bit. Scale: leaf
+    * assignment is map-only over a write-once 7-plane model; queries
+    * broadcast (4 probe rows each); candidates come from a leaf
+    * equi-join — the corpus is never crossed or shuffled; at real
+    * scale the forest grows more trees (independent plane banks), each
+    * an independent leaf column on the same index table.
+    */
+  def annRptree(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    def quant(v: org.apache.spark.sql.Column) = transform(v,
+      x => round(x.cast("double") * 1000000d, 0).cast("long"))
+    def withLeafBits(df: DataFrame): DataFrame = {
+      val p = graft.functions.VectorFunctions.rp_project($"vec", 16)
+      def s(j: org.apache.spark.sql.Column) = when(element_at($"p", j + 1) >= 0L, 1L).otherwise(0L)
+      df.withColumn("p", p)
+        .withColumn("b0", s(lit(0)))
+        .withColumn("b1", s(lit(1) + $"b0".cast("int")))
+        .withColumn("b2", s(lit(3) + (lit(2) * $"b0" + $"b1").cast("int")))
+    }
+    val corpus = withLeafBits(
+        e.filter($"vec_id" >= 8).select($"vec_id".as("n_id"), $"embedding".as("vec")))
+      .select($"n_id", quant($"vec").as("nv"),
+        ($"b0" * 4 + $"b1" * 2 + $"b2").as("leaf"))
+    // query probes: own leaf + one-bit backtracks at each level
+    // (flipping level 0/1 re-routes the levels BELOW with their planes)
+    val qb = withLeafBits(
+      e.filter($"vec_id" < 8).select($"vec_id".as("q_id"), $"embedding".as("vec")))
+    def sq(j: org.apache.spark.sql.Column) = when(element_at($"p", j + 1) >= 0L, 1L).otherwise(0L)
+    val probes = qb
+      .withColumn("f0b1", sq(lit(1) + (lit(1) - $"b0").cast("int")))
+      .withColumn("f0b2",
+        sq(lit(3) + (lit(2) * (lit(1) - $"b0") + $"f0b1").cast("int")))
+      .withColumn("f1b2", sq(lit(3) + (lit(2) * $"b0" + (lit(1) - $"b1")).cast("int")))
+      .select($"q_id", quant($"vec").as("qv"),
+        array(
+          ($"b0" * 4 + $"b1" * 2 + $"b2").as("own"),
+          ($"b0" * 4 + $"b1" * 2 + (lit(1L) - $"b2")),
+          ($"b0" * 4 + (lit(1L) - $"b1") * 2 + $"f1b2"),
+          ((lit(1L) - $"b0") * 4 + $"f0b1" * 2 + $"f0b2")).as("pl"))
+      .select($"q_id", $"qv", explode(array_distinct($"pl")).as("leaf"))
+    val w = Window.partitionBy($"q_id").orderBy($"d2", $"n_id")
+    corpus.join(broadcast(probes), "leaf")
+      .withColumn("d2", expr(
+        "aggregate(zip_with(qv, nv, (a, b) -> (a - b) * (a - b)), " +
+          "cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= topK)
+      .select($"q_id", $"rk", $"n_id",
+        round($"d2".cast("double") / 1e12, 6).as("l2_dist"))
+      .orderBy($"q_id", $"rk")
+  }
+
+  val annRptreeSql: String =
+    """WITH cells AS (
+      |  SELECT e.vec_id, CAST(j AS INT) AS rp_dim,
+      |    CAST(sum(CAST(round(CAST(e.embedding[i + 1] AS DOUBLE) * 1000000, 0)
+      |        AS BIGINT)
+      |      * (CASE WHEN (CAST(i AS BIGINT) * 16 + CAST(j AS BIGINT) + 17)
+      |             * (CAST(i AS BIGINT) * 16 + CAST(j AS BIGINT) + 17)
+      |             * (CAST(i AS BIGINT) * 16 + CAST(j AS BIGINT) + 17)
+      |             % 1000003 % 2 = 0
+      |         THEN 1 ELSE -1 END)) AS BIGINT) AS proj_u
+      |  FROM embeddings e
+      |  CROSS JOIN (SELECT unnest(range(0, 16)) AS j)
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+      |  GROUP BY e.vec_id, j),
+      |s AS (
+      |  SELECT vec_id,
+      |    list(CASE WHEN proj_u >= 0 THEN 1 ELSE 0 END ORDER BY rp_dim) AS sb
+      |  FROM cells GROUP BY vec_id),
+      |bits AS (
+      |  SELECT vec_id, sb,
+      |    CAST(sb[1] AS BIGINT) AS b0,
+      |    CAST(sb[2 + sb[1]] AS BIGINT) AS b1,
+      |    CAST(sb[4 + 2 * sb[1] + sb[2 + sb[1]]] AS BIGINT) AS b2
+      |  FROM s),
+      |corp AS (
+      |  SELECT vec_id AS n_id, b0 * 4 + b1 * 2 + b2 AS leaf
+      |  FROM bits WHERE vec_id >= 8),
+      |qprobe AS (
+      |  SELECT vec_id AS q_id, unnest(list_distinct([
+      |    b0 * 4 + b1 * 2 + b2,
+      |    b0 * 4 + b1 * 2 + (1 - b2),
+      |    b0 * 4 + (1 - b1) * 2 + CAST(sb[4 + 2 * b0 + (1 - b1)] AS BIGINT),
+      |    (1 - b0) * 4 + CAST(sb[2 + (1 - b0)] AS BIGINT) * 2
+      |      + CAST(sb[4 + 2 * (1 - b0) + sb[2 + (1 - b0)]] AS BIGINT)
+      |  ])) AS leaf
+      |  FROM bits WHERE vec_id < 8),
+      |comp AS (
+      |  SELECT vec_id, CAST(i AS INT) AS dim,
+      |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000, 0) AS BIGINT) AS vq
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+      |cand AS (
+      |  SELECT q.q_id, c.n_id,
+      |    CAST(sum((qc.vq - cc.vq) * (qc.vq - cc.vq)) AS BIGINT) AS d2
+      |  FROM qprobe q JOIN corp c ON c.leaf = q.leaf
+      |  JOIN comp qc ON qc.vec_id = q.q_id
+      |  JOIN comp cc ON cc.vec_id = c.n_id AND cc.dim = qc.dim
+      |  GROUP BY 1, 2)
+      |SELECT q_id, rk, n_id,
+      |  round(CAST(d2 AS DOUBLE) / 1000000000000, 6) AS l2_dist FROM (
+      |  SELECT q_id, n_id, d2,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rk
+      |  FROM cand) t WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 }

@@ -850,4 +850,114 @@ object Training {
       |FROM p$t""".stripMargin).mkString("", "\nUNION ALL", "\nORDER BY rank")
     sb.toString
   }
+
+  // ------------------------------------------------------------------
+  // mmr_select — maximal-marginal-relevance diverse selection
+  // ------------------------------------------------------------------
+
+  val MmrK = 8
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    * SIGIR 1998) over the corpus embeddings, λ = ½: greedily pick the
+    * vector maximizing (min distance to the already-selected set) −
+    * (distance to the query centroid) — the relevance-AND-diversity
+    * twin of [[coresetKcenter]] (pure diversity): k-center ignores
+    * what you asked for, MMR balances "near the query" against "far
+    * from what's already picked", the selection rule of few-shot
+    * example curation and dedup-aware retrieval.
+    *
+    * Exactness: the query centroid is the per-dim floorDiv mean of the
+    * calibration queries (exact longs), both distance terms are exact
+    * integer micro-grid L2², the λ = ½ objective is the pure integer
+    * difference minSel − dq, ties to the smaller vec_id. Scale: the
+    * [[coresetKcenter]] loop doctrine — one job per round over the
+    * persisted quantized corpus, literal-center codegen distance
+    * terms, TakeOrdered(1) per round, O(k·d) driver traffic.
+    */
+  def mmrSelect(spark: SparkSession, dir: String, k: Int = MmrK): DataFrame = {
+    import spark.implicits._
+    val q = quantized(spark, dir)
+    val corpus = q.filter($"vec_id" >= 8).persist()
+    val qvecs = q.filter($"vec_id" < 8).select($"vq").collect()
+      .map(_.getSeq[Long](0).toArray)
+    val cent = Array.tabulate(qvecs.head.length) { d =>
+      Math.floorDiv(qvecs.map(_(d)).sum, qvecs.length.toLong)
+    }
+    val dq = d2To(cent)
+    // seed: most relevant (min dq), ties to smaller vec_id
+    val seed = corpus.select($"vec_id", $"vq", dq.as("dq"))
+      .orderBy($"dq", $"vec_id").limit(1).collect()(0)
+    var picks = Vector(seed.getSeq[Long](1).toArray)
+    val sel = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)](
+      (1, seed.getLong(0), seed.getLong(2), 0L))
+    val chosen = scala.collection.mutable.Set(seed.getLong(0))
+    for (t <- 2 to k) {
+      val md = array_min(array(picks.map(d2To): _*))
+      val pick = corpus
+        .filter(!$"vec_id".isInCollection(chosen))
+        .select($"vec_id", $"vq", dq.as("dq"), md.as("md"))
+        .orderBy(($"md" - $"dq").desc, $"vec_id").limit(1).collect()(0)
+      sel += ((t, pick.getLong(0), pick.getLong(2), pick.getLong(3)))
+      picks = picks :+ pick.getSeq[Long](1).toArray
+      chosen += pick.getLong(0)
+    }
+    corpus.unpersist()
+    spark.createDataFrame(sel.toSeq).toDF("rank", "vec_id", "rel_d2", "div_d2")
+      .select($"rank".cast("int").as("rank"), $"vec_id", $"rel_d2", $"div_d2")
+      .orderBy($"rank")
+  }
+
+  /** Oracle: the greedy MMR loop unrolled — dq is every corpus
+    * vector's distance to the floorDiv query centroid, m_t the running
+    * min-distance-to-picks; pick t+1 maximizes (m_t − dq) outside the
+    * already-picked set. */
+  val mmrSelectSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH comp AS (
+      |  SELECT vec_id, CAST(i AS INT) AS dim,
+      |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000, 0) AS BIGINT) AS vq
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+      |corp AS (SELECT * FROM comp WHERE vec_id >= 8),
+      |cent AS (
+      |  SELECT dim, ${fdivSql("sum(vq)", "count(*)")} AS cq
+      |  FROM comp WHERE vec_id < 8 GROUP BY dim),
+      |dq AS (
+      |  SELECT c.vec_id, CAST(sum((c.vq - k.cq) * (c.vq - k.cq)) AS BIGINT) AS dq
+      |  FROM corp c JOIN cent k USING (dim) GROUP BY 1),
+      |p1 AS (SELECT vec_id AS vid, dq AS rel, CAST(0 AS BIGINT) AS div
+      |       FROM dq ORDER BY dq, vec_id LIMIT 1)""".stripMargin
+    for (t <- 2 to MmrK) {
+      val prev = t - 1
+      sb ++= s""",
+      |d$prev AS (
+      |  SELECT c.vec_id, CAST(sum((c.vq - p.vq) * (c.vq - p.vq)) AS BIGINT) AS d
+      |  FROM corp c CROSS JOIN p$prev pk
+      |  JOIN corp p ON p.vec_id = pk.vid AND p.dim = c.dim
+      |  GROUP BY c.vec_id),""".stripMargin
+      if (prev == 1)
+        sb ++= s"""
+      |m$prev AS (SELECT vec_id, d AS md FROM d$prev),""".stripMargin
+      else
+        sb ++= s"""
+      |m$prev AS (
+      |  SELECT m.vec_id, CASE WHEN d.d < m.md THEN d.d ELSE m.md END AS md
+      |  FROM m${prev - 1} m JOIN d$prev d USING (vec_id)),""".stripMargin
+      val prior = (1 to prev).map(i => s"SELECT vid FROM p$i").mkString(" UNION ALL ")
+      sb ++= s"""
+      |p$t AS (
+      |  SELECT m.vec_id AS vid, q.dq AS rel, m.md AS div
+      |  FROM m$prev m JOIN dq q ON q.vec_id = m.vec_id
+      |  WHERE m.vec_id NOT IN ($prior)
+      |  ORDER BY m.md - q.dq DESC, m.vec_id LIMIT 1)""".stripMargin
+    }
+    sb ++= (1 to MmrK).map(t =>
+      s"""
+      |SELECT CAST($t AS INT) AS rank, vid AS vec_id,
+      |  CAST(rel AS BIGINT) AS rel_d2, CAST(div AS BIGINT) AS div_d2
+      |FROM p$t""".stripMargin).mkString("", "\nUNION ALL", "\nORDER BY rank")
+    // force every CTE MATERIALIZED: each p_t's NOT IN re-references all
+    // prior picks, and DuckDB's default inlining re-derives the whole
+    // chain per reference (the AnnExact.mat lesson — exponential blowup)
+    sb.toString.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
+  }
 }

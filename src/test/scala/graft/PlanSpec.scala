@@ -628,7 +628,15 @@ class PlanSpec extends SparkSpec {
         // persisted fp table (subtree re-prints per reference) +
         // pair agg + two nf joins + sort
         ("winnowing_fingerprint",
-          operators.Dedup.winnowingFingerprint(spark, sf), 16))) {
+          operators.Dedup.winnowingFingerprint(spark, sf), 16),
+        // eager grid op: loop/aggregation runs inside the call, the
+        // returned frame is the driver-assembled model-sized report
+        ("mmr_select", operators.Training.mmrSelect(spark, sf), 1),
+        ("rp_band_sweep", operators.Similarity.rpBandSweep(spark, sf), 0),
+        // customers agg + cell grid + 1-row summary (dims broadcast)
+        ("propensity_ipw", operators.Behavior.propensityIpw(spark, sf), 2),
+        // leaf equi-join (queries broadcast) + per-query rank + sort
+        ("ann_rptree", operators.Similarity.annRptree(spark, sf), 2))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")

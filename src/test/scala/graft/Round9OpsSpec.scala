@@ -139,4 +139,166 @@ class Round9OpsSpec extends SparkSpec {
           s"exact-duplicate pair ($a,$b) missing from the winnowing report")
     }
   }
+
+  // ---- embedding-selection / causal / ANN additions ------------------
+
+  private def quantVecs(): Map[Long, Array[Long]] =
+    graft.sources.Tables.embeddings(spark, sf).collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray
+        .map(x => math.round(x.toDouble * 1000000d))
+    }.toMap
+
+  private def d2(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  test("mmr_select: brute-force greedy MMR replay") {
+    val vq = quantVecs()
+    val qs = vq.filter(_._1 < 8).values.toArray
+    val corpus = vq.filter(_._1 >= 8)
+    val cent = Array.tabulate(64)(d =>
+      Math.floorDiv(qs.map(_(d)).sum, qs.length.toLong))
+    val dq = corpus.map { case (id, v) => id -> d2(v, cent) }
+    var picks = Vector.empty[(Int, Long, Long, Long)]
+    var chosen = Set.empty[Long]
+    for (t <- 1 to 8) {
+      val cand = corpus.filter(c => !chosen.contains(c._1))
+      val best =
+        if (t == 1) { val s = cand.minBy(c => (dq(c._1), c._1)); (s._1, dq(s._1), 0L) }
+        else {
+          val scored = cand.map { case (id, v) =>
+            val md = picks.map(p => d2(v, corpus(p._2))).min
+            (id, dq(id), md)
+          }
+          scored.maxBy { case (id, rel, md) => (md - rel, -id) }
+        }
+      picks = picks :+ ((t, best._1, best._2, best._3))
+      chosen += best._1
+    }
+    val got = graft.operators.Training.mmrSelect(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toVector
+    assert(got === picks)
+    // selections are distinct and the seed is the most query-relevant
+    assert(got.map(_._2).distinct.length === 8)
+  }
+
+  test("propensity_ipw: brute-force stratified IPW replay") {
+    val custs = graft.sources.Tables.customer(spark, sf)
+      .select($"c_custkey", $"c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val spend = graft.sources.Tables.orders(spark, sf)
+      .groupBy($"o_custkey")
+      .agg((sum(round($"o_totalprice", 4).cast("decimal(14,4)")) * 10000)
+        .cast("long").as("y4")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val thrMap = Map("AUTOMOBILE" -> 20, "BUILDING" -> 32, "FURNITURE" -> 44,
+      "HOUSEHOLD" -> 56, "MACHINERY" -> 68)
+    def h100(k: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val units = custs.map { case (k, seg) =>
+      (seg, if (h100(k) < thrMap.getOrElse(seg, 50)) 1 else 0,
+        spend.getOrElse(k, 0L))
+    }
+    val cells = units.groupBy(_._1).map { case (_, g) =>
+      val n = g.length.toLong
+      val nt = g.count(_._2 == 1).toLong
+      val syt = g.filter(_._2 == 1).map(_._3).sum
+      val syc = g.filter(_._2 == 0).map(_._3).sum
+      (n, nt, syt, syc)
+    }.filter(c => c._2 > 0 && c._2 < c._1).toSeq
+    val nAll = cells.map(_._1).sum
+    val ntAll = cells.map(_._2).sum
+    val st = cells.map(_._3).sum
+    val sc = cells.map(_._4).sum
+    val swt = cells.map(c => (BigInt(c._3) * c._1 * 1000000 / c._2)).sum
+    val swc = cells.map(c => (BigInt(c._4) * c._1 * 1000000 / (c._1 - c._2))).sum
+    val row = graft.operators.Behavior.propensityIpw(spark, sf).collect().head
+    assert(row.getAs[Long]("n_units") === nAll)
+    assert(row.getAs[Long]("n_treated") === ntAll)
+    assert(row.getAs[Double]("naive_diff") ===
+      r6(st.toDouble / 1e4 / ntAll - sc.toDouble / 1e4 / (nAll - ntAll)))
+    assert(row.getAs[Double]("ipw_ate") ===
+      r6((swt - swc).toDouble / nAll / 1e10))
+  }
+
+  test("rp_band_sweep: brute-force bucket replay and analytic threshold") {
+    val vq = quantVecs()
+    def sign(i: Int, j: Int): Long = {
+      val k = BigInt(i.toLong * 16 + j + 17)
+      if ((k * k * k) % 1000003 % 2 == 0) 1L else -1L
+    }
+    val sigs = vq.values.map { v =>
+      (0 until 16).map { j =>
+        val proj = (0 until 64).map(i => v(i) * sign(i, j)).sum
+        if (proj >= 0) 1L << j else 0L
+      }.reduce(_ | _)
+    }.toSeq
+    val out = graft.operators.Similarity.rpBandSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    for ((b, rr) <- Seq((16, 1), (8, 2), (4, 4), (2, 8))) {
+      val buckets = sigs.flatMap(s => (0 until b).map(g =>
+        (g, (s >> (g * rr)) & ((1L << rr) - 1))))
+        .groupBy(identity).map(_._2.size.toLong)
+      val row = out((b.toLong, rr.toLong))
+      assert(row.getAs[Long]("n_buckets_paired") === buckets.count(_ >= 2).toLong)
+      assert(row.getAs[Long]("max_bucket") === buckets.max)
+      assert(row.getAs[Long]("candidate_pairs") ===
+        buckets.map(n => n * (n - 1) / 2).sum)
+      assert(row.getAs[Double]("est_angle_frac") === r6(
+        1.0 - math.pow(1.0 - math.pow(0.5, 1.0 / b), 1.0 / rr)))
+    }
+  }
+
+  test("ann_rptree: exact routing replay and recall vs brute force") {
+    val vq = quantVecs()
+    def sign(i: Int, j: Int): Long = {
+      val k = BigInt(i.toLong * 16 + j + 17)
+      if ((k * k * k) % 1000003 % 2 == 0) 1L else -1L
+    }
+    def bitsOf(v: Array[Long]): Array[Long] = (0 until 16).map { j =>
+      val proj = (0 until 64).map(i => v(i) * sign(i, j)).sum
+      if (proj >= 0) 1L else 0L
+    }.toArray
+    def route(sb: Array[Long]): (Long, Long, Long) = {
+      val b0 = sb(0)
+      val b1 = sb(1 + b0.toInt)
+      val b2 = sb(3 + 2 * b0.toInt + b1.toInt)
+      (b0, b1, b2)
+    }
+    val corpusLeaf = vq.filter(_._1 >= 8).map { case (id, v) =>
+      val (b0, b1, b2) = route(bitsOf(v)); id -> (b0 * 4 + b1 * 2 + b2)
+    }
+    val expected = vq.filter(_._1 < 8).toSeq.sortBy(_._1).flatMap { case (qid, qv) =>
+      val sb = bitsOf(qv)
+      val (b0, b1, b2) = route(sb)
+      val probes = Set(
+        b0 * 4 + b1 * 2 + b2,
+        b0 * 4 + b1 * 2 + (1 - b2),
+        b0 * 4 + (1 - b1) * 2 + sb(3 + 2 * b0.toInt + (1 - b1).toInt),
+        (1 - b0) * 4 + sb(1 + (1 - b0).toInt) * 2
+          + sb(3 + 2 * (1 - b0).toInt + sb(1 + (1 - b0).toInt).toInt))
+      val cands = corpusLeaf.filter(c => probes.contains(c._2)).keys
+      cands.map(n => (qid, n, d2(qv, vq(n)))).toSeq
+        .sortBy { case (_, n, d) => (d, n) }.take(5).zipWithIndex
+        .map { case ((q, n, d), i) => (q, i + 1, n,
+          BigDecimal(d.toDouble / 1e12)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }
+    val got = graft.operators.Similarity.annRptree(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+    // recall@5 vs exact L2 truth — this corpus is near-isotropic, where
+    // every sign-split tier is contrast-bound (the annRp caveat), so the
+    // 4-probe spill's floor is modest; measured 0.375 at sf0.001
+    val truth = vq.filter(_._1 < 8).flatMap { case (qid, qv) =>
+      vq.filter(_._1 >= 8).toSeq.map { case (n, nv) => (qid, n, d2(qv, nv)) }
+        .sortBy { case (_, n, d) => (d, n) }.take(5).map(t => (qid, t._2))
+    }.toSet
+    val hit = got.count(g => truth.contains((g._1, g._3)))
+    info(s"ann_rptree recall@5 = ${hit.toDouble / truth.size}")
+    assert(hit.toDouble / truth.size >= 0.3)
+  }
 }
