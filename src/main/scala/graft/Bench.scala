@@ -63,8 +63,12 @@ object Bench {
     "markov_stationary", "diff_in_diff", "bootstrap_ci",
     "minhash_band_sweep", "cem_att", "er_blocking_sweep",
     "anomaly_seasonal", "neyman_allocation", "downsample_lttb",
-    // round-9 batch: the two r8 stragglers + the landed JSD matrix
-    "periodogram_topk", "token_burstiness", "source_jsd_matrix")
+    // round-9 batch: the two r8 stragglers + the landed JSD matrix,
+    // then the r9 additions
+    "periodogram_topk", "token_burstiness", "source_jsd_matrix",
+    "ngram_entropy", "text_compressibility", "lexicon_screen",
+    "winnowing_fingerprint", "mmr_select", "propensity_ipw",
+    "rp_band_sweep", "ann_rptree")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).
