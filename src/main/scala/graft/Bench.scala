@@ -68,7 +68,8 @@ object Bench {
     "periodogram_topk", "token_burstiness", "source_jsd_matrix",
     "ngram_entropy", "text_compressibility", "lexicon_screen",
     "winnowing_fingerprint", "mmr_select", "propensity_ipw",
-    "rp_band_sweep", "ann_rptree")
+    "rp_band_sweep", "ann_rptree",
+    "coverage_curve", "shard_mix_audit", "class_weights")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

@@ -517,4 +517,75 @@ object Curation {
       |  (tokens_kept * 1000000 - (tokens_kept * 1000000) % nt) // nt
       |    AS token_share_micro
       |FROM cum CROSS JOIN tot ORDER BY threshold_micro""".stripMargin
+
+  // ------------------------------------------------------------------
+  // coverage_curve — distinct-gram coverage vs deterministic sample size
+  // ------------------------------------------------------------------
+
+  private val CoveragePcts = Seq(1, 2, 5, 10, 25, 50, 100)
+
+  /** Distinct-3-gram coverage curve over deterministic document
+    * samples: for each sample rate p%, what fraction of the corpus'
+    * distinct grams does the md5-percentile-p sample already contain —
+    * the subsampling diagnostic read before dataset pruning ("how much
+    * of the corpus' phrase diversity survives a 10% cut?"), the
+    * empirical counterpart of Heaps-law extrapolation over the same
+    * corpus [[graft.operators.TextModel.vocabGrowth]] charts by time.
+    *
+    * Exactness and the ONE-PASS trick: each gram's coverage status at
+    * every rate is determined by the SMALLEST doc-percentile it occurs
+    * under, so one (gram → min percentile) aggregate answers every
+    * rate — grams are never re-exploded per rate; the curve is 7
+    * conditional counts over the gram grid stacked into rows, shares
+    * are single double divisions. Scale: one explode + one gram-keyed
+    * aggregate (map-side partial min) regardless of |rates|.
+    */
+  def coverageCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gmin = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size($"t") >= GramN)
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)" +
+          " AS BIGINT) % 100"))
+      .select($"h", explode(expr(
+        s"transform(sequence(1, size(t) - ${GramN - 1})," +
+          s" i -> array_join(slice(t, i, $GramN), ' '))")).as("g"))
+      .groupBy($"g").agg(min($"h").as("hmin"))
+    val agg = gmin.agg(count(lit(1)).as("total"),
+      CoveragePcts.map(p => count(when($"hmin" < p, lit(1))).as(s"c$p")): _*)
+    agg.select(explode(array(CoveragePcts.map(p => struct(
+        lit(p.toLong).as("sample_pct"),
+        col(s"c$p").as("grams_covered"),
+        $"total".as("grams_total"))): _*)).as("r"))
+      .select($"r.sample_pct", $"r.grams_covered", $"r.grams_total",
+        round($"r.grams_covered".cast("double") / $"r.grams_total", 6)
+          .as("coverage"))
+      .orderBy($"sample_pct")
+  }
+
+  val coverageCurveSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    val branches = CoveragePcts.map(p =>
+      s"""SELECT CAST($p AS BIGINT) AS sample_pct,
+         |  CAST(count(CASE WHEN hmin < $p THEN 1 END) AS BIGINT) AS grams_covered,
+         |  CAST(count(*) AS BIGINT) AS grams_total
+         |FROM gmin""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH t AS (
+      |  SELECT doc_id, $toks AS t FROM documents),
+      |g AS (
+      |  SELECT list_reduce(list_transform(
+      |      split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+      |      c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+      |      (a, c) -> a * 16 + c) % 100 AS h,
+      |    unnest([array_to_string(t[i:i+${GramN - 1}], ' ')
+      |            for i in range(1, len(t) - ${GramN - 2})]) AS g
+      |  FROM t WHERE len(t) >= $GramN),
+      |gmin AS MATERIALIZED (SELECT g, CAST(min(h) AS BIGINT) AS hmin
+      |                      FROM g GROUP BY g)
+      |SELECT sample_pct, grams_covered, grams_total,
+      |  round(CAST(grams_covered AS DOUBLE) / grams_total, 6) AS coverage
+      |FROM ($branches)
+      |ORDER BY sample_pct""".stripMargin
+  }
 }

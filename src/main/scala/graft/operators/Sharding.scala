@@ -113,4 +113,108 @@ object Sharding {
       |    - (tokens * $NumShards * 1000000) % total_tokens) // total_tokens
       |    - 1000000 AS dev_micro
       |FROM per CROSS JOIN t ORDER BY shard""".stripMargin
+
+  // ------------------------------------------------------------------
+  // shard_mix_audit — did the shuffle actually mix the sources?
+  // ------------------------------------------------------------------
+
+  private val MixShards = 16
+  private val Ln2Micro = 693147L
+
+  /** Source-mix audit of a sharded corpus: per md5-hash shard, the
+    * Jensen–Shannon divergence between the shard's source distribution
+    * and the GLOBAL one — the "did my shuffle actually mix" check run
+    * after `global_shuffle`/`shard_plan` before training reads shards
+    * sequentially (a shard whose JSD spikes feeds the model a source
+    * burst; hash sharding should keep every shard's JSD near 0). The
+    * per-shard twin of [[graft.operators.TextModel.sourceJsdMatrix]]'s
+    * pairwise matrix.
+    *
+    * Exactness: the source_jsd_matrix integer idiom — nano-integer
+    * probabilities per side, micro-ln log ratios over identical
+    * integer-built doubles, the shared 693147 ln 2 literal for
+    * one-sided mass (a source absent from a shard contributes q·ln 2
+    * exactly); all sums exact longs, one display division. Scale: ONE
+    * (shard, source) count aggregate; the JSD runs on the
+    * |shards|×|sources| grid with the global side broadcast.
+    */
+  def shardMixAudit(spark: SparkSession, dir: String,
+                    shards: Int = MixShards): DataFrame = {
+    import spark.implicits._
+    val assigned = Tables.documents(spark, dir)
+      .select($"source", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)" +
+          s" AS BIGINT) % $shards").as("shard"))
+    val cells = assigned.groupBy($"shard", $"source")
+      .agg(count(lit(1)).as("n"))
+    val shardTot = cells.groupBy($"shard").agg(sum($"n").as("ns"))
+    val global = cells.groupBy($"source").agg(sum($"n").as("ng"))
+    val tot = global.agg(sum($"ng").as("nt"))
+    // full shard×source grid so absent sources contribute their q·ln2
+    val grid = shardTot.crossJoin(
+        broadcast(global.crossJoin(tot)
+          .select($"source",
+            expr("CAST((CAST(ng AS DECIMAL(38,0)) * 1000000000 - " +
+              "((CAST(ng AS DECIMAL(38,0)) * 1000000000) % nt)) / nt AS BIGINT)")
+              .as("q"))))
+      .join(cells, Seq("shard", "source"), "left")
+      .select($"shard", $"ns", $"q",
+        expr("CAST((CAST(coalesce(n, 0) AS DECIMAL(38,0)) * 1000000000 - " +
+          "((CAST(coalesce(n, 0) AS DECIMAL(38,0)) * 1000000000) % ns)) / ns" +
+          " AS BIGINT)").as("p"))
+    grid
+      .withColumn("la", when($"p" > 0L,
+        round(log(lit(2.0) * $"p".cast("double")
+          / ($"p" + $"q").cast("double")) * 1e6, 0).cast("long"))
+        .otherwise(lit(0L)))
+      .withColumn("lb", when($"p" > 0L && $"q" > 0L,
+        round(log(lit(2.0) * $"q".cast("double")
+          / ($"p" + $"q").cast("double")) * 1e6, 0).cast("long"))
+        .when($"p" === 0L, lit(Ln2Micro)).otherwise(lit(0L)))
+      .groupBy($"shard")
+      .agg(max($"ns").as("n_docs"),
+        sum(expr("(p * la - ((p * la) % 1000000 + 1000000) % 1000000) div 1000000")
+          + expr("(q * lb - ((q * lb) % 1000000 + 1000000) % 1000000) div 1000000"))
+          .as("s"))
+      .select($"shard", $"n_docs",
+        round($"s".cast("double") / 2e9, 6).as("jsd_nats"))
+      .orderBy($"shard")
+  }
+
+  val shardMixAuditSql: String =
+    s"""WITH a AS (
+      |  SELECT source,
+      |    list_reduce(list_transform(
+      |      split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+      |      c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+      |      (x, c) -> x * 16 + c) % $MixShards AS shard
+      |  FROM documents),
+      |cells AS (
+      |  SELECT shard, source, CAST(count(*) AS BIGINT) AS n
+      |  FROM a GROUP BY 1, 2),
+      |st AS (SELECT shard, CAST(sum(n) AS BIGINT) AS ns FROM cells GROUP BY 1),
+      |g AS (SELECT source, CAST(sum(n) AS BIGINT) AS ng FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(sum(ng) AS BIGINT) AS nt FROM g),
+      |grid AS (
+      |  SELECT s.shard, s.ns,
+      |    CAST(CAST(g.ng AS HUGEINT) * 1000000000 // t.nt AS BIGINT) AS q,
+      |    CAST(CAST(coalesce(c.n, 0) AS HUGEINT) * 1000000000 // s.ns AS BIGINT)
+      |      AS p
+      |  FROM st s CROSS JOIN g CROSS JOIN t
+      |  LEFT JOIN cells c ON c.shard = s.shard AND c.source = g.source),
+      |terms AS (
+      |  SELECT shard, ns, p, q,
+      |    CASE WHEN p > 0 THEN CAST(round(ln(2.0 * CAST(p AS DOUBLE)
+      |      / CAST(p + q AS DOUBLE)) * 1e6, 0) AS BIGINT) ELSE 0 END AS la,
+      |    CASE WHEN p > 0 AND q > 0 THEN CAST(round(ln(2.0 * CAST(q AS DOUBLE)
+      |      / CAST(p + q AS DOUBLE)) * 1e6, 0) AS BIGINT)
+      |      WHEN p = 0 THEN $Ln2Micro ELSE 0 END AS lb
+      |  FROM grid)
+      |SELECT shard, max(ns) AS n_docs,
+      |  round(CAST(sum((p * la - ((p * la) % 1000000 + 1000000) % 1000000)
+      |      // 1000000
+      |    + (q * lb - ((q * lb) % 1000000 + 1000000) % 1000000) // 1000000)
+      |    AS DOUBLE) / 2e9, 6) AS jsd_nats
+      |FROM terms GROUP BY shard
+      |ORDER BY shard""".stripMargin
 }

@@ -522,7 +522,7 @@ object TextAnalysis {
   // the demo blocklist, shared between engine and oracle (a real
   // pipeline swaps in its toxicity/PII term list — the machinery is
   // exact token matching against a literal lexicon, in-row)
-  private val ScreenLexicon = Seq("slow", "dup", "merge")
+  private[graft] val ScreenLexicon = Seq("slow", "dup", "merge")
 
   /** Blocklist lexicon audit — the content-filter PLANNING report run
     * before enforcing a term screen (the C4/Gopher "bad words list"
@@ -541,14 +541,24 @@ object TextAnalysis {
     * broadcast map-side join — same shape, still no extra exchange of
     * corpus rows).
     */
-  def lexiconScreen(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** Per-doc lexicon flags from any (doc_id, source, text) frame —
+    * narrow expressions only, so the identical column set serves the
+    * batch report and the streaming gate (the gramTable convention).
+    */
+  private[graft] def lexiconFlags(docs: DataFrame): DataFrame = {
     val lexArr = ScreenLexicon.map(t => s"'$t'").mkString(", ")
-    Tables.documents(spark, dir)
-      .select($"source", tokens($"text").as("t"))
-      .select($"source", size($"t").cast("long").as("n_toks"),
+    docs
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("source"),
+        size(col("t")).cast("long").as("n_toks"),
         expr(s"CAST(size(filter(t, x -> array_contains(array($lexArr), x))) AS BIGINT)")
           .as("hits"))
+      .withColumn("blocked", col("hits") > 0L)
+  }
+
+  def lexiconScreen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lexiconFlags(Tables.documents(spark, dir))
       .groupBy($"source").agg(
         count(lit(1)).as("n_docs"),
         sum($"n_toks").as("tokens_total"),

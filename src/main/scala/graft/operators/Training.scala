@@ -960,4 +960,51 @@ object Training {
     // chain per reference (the AnnExact.mat lesson — exponential blowup)
     sb.toString.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
   }
+
+  // ------------------------------------------------------------------
+  // class_weights — inverse-frequency training weights per label
+  // ------------------------------------------------------------------
+
+  /** Inverse-frequency class weights over the labeled embeddings —
+    * the w_c = N/(k·n_c) reweighting every imbalanced-label training
+    * run starts from (the sklearn `balanced` convention): a class at
+    * parity weighs 1.0, rare classes weigh up proportionally, and the
+    * weighted class masses are equal by construction. Read with the
+    * label shares when deciding between reweighting and resampling
+    * ([[clusterSample]]).
+    *
+    * Exactness: counts are exact longs, the weight is the micro-floored
+    * integer N·10⁶ // (k·n_c) (pmod/HUGEINT), shares are one double
+    * division. Scale: ONE label-grid aggregate; everything after is
+    * |labels|-row arithmetic.
+    */
+  def classWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.embeddings(spark, dir)
+      .groupBy($"label").agg(count(lit(1)).as("n_vectors"))
+    val tot = counts.agg(sum($"n_vectors").as("n_total"),
+      count(lit(1)).as("k"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("w_micro", expr(
+        "CAST((CAST(n_total AS DECIMAL(38,0)) * 1000000 - " +
+          "((CAST(n_total AS DECIMAL(38,0)) * 1000000) % (k * n_vectors)))" +
+          " / (k * n_vectors) AS BIGINT)"))
+      .select($"label", $"n_vectors", $"n_total",
+        round($"n_vectors".cast("double") / $"n_total", 6).as("share"),
+        round($"w_micro".cast("double") / 1e6, 6).as("weight"))
+      .orderBy($"label")
+  }
+
+  val classWeightsSql: String =
+    """WITH c AS (
+      |  SELECT label, CAST(count(*) AS BIGINT) AS n_vectors
+      |  FROM embeddings GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS n_total,
+      |             CAST(count(*) AS BIGINT) AS k FROM c)
+      |SELECT label, n_vectors, n_total,
+      |  round(CAST(n_vectors AS DOUBLE) / n_total, 6) AS share,
+      |  round(CAST(CAST(n_total AS HUGEINT) * 1000000 // (k * n_vectors)
+      |    AS DOUBLE) / 1e6, 6) AS weight
+      |FROM c CROSS JOIN t
+      |ORDER BY label""".stripMargin
 }

@@ -321,6 +321,44 @@ object StreamQueries {
 
   val streamQualityFilterSql: String = graft.operators.Filters.gopherRulesSql
 
+  /** The blocklist lexicon screen run as a STREAMING admission gate —
+    * the term-list sibling of [[streamQualityFilter]]'s statistical
+    * rules: per-doc hit counts against the literal lexicon are a pure
+    * per-row map (zero state, zero watermark), so the identical
+    * [[graft.operators.TextAnalysis.lexiconFlags]] column set serves
+    * batch and stream and the append-mode output hash-matches the
+    * per-doc batch oracle. At scale a large term list becomes a
+    * broadcast map-side join — still no state, no shuffle.
+    */
+  def streamLexiconGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inDir = tmp("graft_sq_lexgate")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$inDir/documents.parquet"))
+    val name = uniqueName("sq_lexgate")
+    val static = spark.read.parquet(inDir)
+    val stream = spark.readStream.schema(static.schema).parquet(inDir)
+    val q = graft.operators.TextAnalysis.lexiconFlags(stream)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name).orderBy($"doc_id")
+  }
+
+  val streamLexiconGateSql: String = {
+    val lexArr = graft.operators.TextAnalysis.ScreenLexicon
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+      |  FROM documents)
+      |SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_toks,
+      |  CAST(len(list_filter(t, x -> list_contains([$lexArr], x))) AS BIGINT)
+      |    AS hits,
+      |  len(list_filter(t, x -> list_contains([$lexArr], x))) > 0 AS blocked
+      |FROM toks ORDER BY doc_id""".stripMargin
+  }
+
   /** The trained quality classifier run as a STREAMING admission gate —
     * the model-based sibling of [[streamQualityFilter]]'s rule gate,
     * and the classifier counterpart of [[streamDedupGate]]'s index

@@ -636,7 +636,13 @@ class PlanSpec extends SparkSpec {
         // customers agg + cell grid + 1-row summary (dims broadcast)
         ("propensity_ipw", operators.Behavior.propensityIpw(spark, sf), 2),
         // leaf equi-join (queries broadcast) + per-query rank + sort
-        ("ann_rptree", operators.Similarity.annRptree(spark, sf), 2))) {
+        ("ann_rptree", operators.Similarity.annRptree(spark, sf), 2),
+        // one gram-keyed min aggregate + the 7-row stacked grid
+        ("coverage_curve", operators.Curation.coverageCurve(spark, sf), 1),
+        // one label-grid aggregate + broadcast totals + sort
+        ("class_weights", operators.Training.classWeights(spark, sf), 3),
+        // one (shard,source) agg + grid joins (global side broadcast)
+        ("shard_mix_audit", operators.Sharding.shardMixAudit(spark, sf), 8))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")

@@ -301,4 +301,102 @@ class Round9OpsSpec extends SparkSpec {
     info(s"ann_rptree recall@5 = ${hit.toDouble / truth.size}")
     assert(hit.toDouble / truth.size >= 0.3)
   }
+
+  // ---- sharding / curation / training-prep additions ------------------
+
+  private def md5h(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("coverage_curve: brute-force gram-first-percentile replay") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), toks(r.getString(1))))
+      .filter(_._2.length >= 3)
+    val gmin = docs.flatMap { case (id, t) =>
+      val h = md5h(id.toString) % 100
+      t.sliding(3).map(g => (g.mkString(" "), h))
+    }.groupBy(_._1).map { case (_, g) => g.map(_._2).min }
+    val total = gmin.size.toLong
+    val out = graft.operators.Curation.coverageCurve(spark, sf).collect()
+    assert(out.length === 7)
+    for (r <- out) {
+      val p = r.getLong(0)
+      assert(r.getAs[Long]("grams_total") === total)
+      assert(r.getAs[Long]("grams_covered") === gmin.count(_ < p).toLong)
+    }
+    // the curve is monotone and complete at 100%
+    val cov = out.map(_.getAs[Double]("coverage"))
+    cov.sliding(2).foreach { case Array(a, b) => assert(b >= a) }
+    assert(cov.last === 1.0)
+  }
+
+  test("class_weights: exact replay and balanced-mass property") {
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select($"label").collect().map(_.getInt(0))
+    val byLabel = labels.groupBy(identity).map { case (l, g) => (l, g.length.toLong) }
+    val n = labels.length.toLong
+    val k = byLabel.size.toLong
+    val out = graft.operators.Training.classWeights(spark, sf).collect()
+    assert(out.length === k.toInt)
+    for (r <- out) {
+      val nc = byLabel(r.getInt(0))
+      assert(r.getAs[Long]("n_vectors") === nc)
+      val wMicro = (BigInt(n) * 1000000 / (k * nc)).toLong
+      assert(r.getAs[Double]("weight") === r6(wMicro.toDouble / 1e6))
+    }
+    // balanced by construction: every class' weighted mass n_c·w_c ≈ N/k
+    for (r <- out) {
+      val mass = r.getAs[Long]("n_vectors") * r.getAs[Double]("weight")
+      assert(math.abs(mass - n.toDouble / k) <= n.toDouble / k * 0.001)
+    }
+  }
+
+  test("shard_mix_audit: exact per-shard JSD replay, near-zero for hash shards") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"source").collect()
+      .map(r => (md5h(r.getLong(0).toString) % 16, r.getString(1)))
+    val cells = docs.groupBy(identity).map { case ((sh, src), g) =>
+      ((sh, src), g.length.toLong) }
+    val shardTot = cells.groupBy(_._1._1).map { case (sh, g) => (sh, g.values.sum) }
+    val global = cells.groupBy(_._1._2).map { case (src, g) => (src, g.values.sum) }
+    val nt = global.values.sum
+    val out = graft.operators.Sharding.shardMixAudit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for ((sh, ns) <- shardTot) {
+      var s = 0L
+      for ((src, ng) <- global) {
+        val q = (BigInt(ng) * 1000000000L / nt).toLong
+        val p = (BigInt(cells.getOrElse((sh, src), 0L)) * 1000000000L / ns).toLong
+        val la = if (p > 0) math.round(math.log(2.0 * p / (p + q).toDouble) * 1e6) else 0L
+        val lb =
+          if (p > 0 && q > 0) math.round(math.log(2.0 * q / (p + q).toDouble) * 1e6)
+          else if (p == 0) 693147L else 0L
+        s += Math.floorDiv(p * la, 1000000L) + Math.floorDiv(q * lb, 1000000L)
+      }
+      val row = out(sh)
+      assert(row.getAs[Long]("n_docs") === ns)
+      assert(row.getAs[Double]("jsd_nats") === r6(s.toDouble / 2e9))
+      // hash sharding mixes: every shard stays well under the ln 2 ≈
+      // 0.693 single-source ceiling (at sf0.001 a shard holds only ~31
+      // docs over 20 sources, so sampling noise alone reaches ~0.21 —
+      // the bound is a burst detector, not a tightness claim)
+      assert(row.getAs[Double]("jsd_nats") >= 0.0)
+      assert(row.getAs[Double]("jsd_nats") < 0.35,
+        s"shard $sh diverges from the global mix: ${row.getAs[Double]("jsd_nats")}")
+    }
+  }
+
+  test("stream_lexicon_gate: streaming output equals the batch flags") {
+    val stream = graft.streaming.StreamQueries.streamLexiconGate(spark, sf)
+      .collect().toSeq
+    val batch = graft.operators.TextAnalysis
+      .lexiconFlags(graft.sources.Tables.documents(spark, sf))
+      .orderBy($"doc_id").collect().toSeq
+    assert(stream === batch)
+    assert(stream.exists(_.getAs[Boolean]("blocked")),
+      "fixture must exercise the blocked path")
+  }
 }
