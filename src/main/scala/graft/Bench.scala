@@ -69,7 +69,7 @@ object Bench {
     "ngram_entropy", "text_compressibility", "lexicon_screen",
     "winnowing_fingerprint", "mmr_select", "propensity_ipw",
     "rp_band_sweep", "ann_rptree",
-    "coverage_curve", "shard_mix_audit", "class_weights")
+    "coverage_curve", "shard_mix_audit", "class_weights", "ann_hubness")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

@@ -681,4 +681,79 @@ object AnnExact {
       |  (h.factor = chos.cf) AS chosen
       |FROM hitsf h CROSS JOIN nqv CROSS JOIN chos
       |ORDER BY factor""".stripMargin)
+
+  // ------------------------------------------------------------------
+  // ann_hubness — k-occurrence distribution of the vector space
+  // ------------------------------------------------------------------
+
+  private val HubProbeMod = 29 // deterministic probe sample: id % 29 == 0
+
+  /** k-occurrence hubness audit (Radovanović, Nanopoulos & Ivanović,
+    * JMLR 2010): over a deterministic probe sample of the corpus, how
+    * many probes retrieve each corpus vector into their exact top-k —
+    * the N_k(x) distribution whose right tail ("hubs": N_k ≫ k) is THE
+    * high-dimensional pathology that silently degrades every ANN
+    * index and kNN classifier built on the space. Read before trusting
+    * [[annIvf]]/[[annPq]] recall numbers: a hubby space concentrates
+    * retrievals on few vectors, so average recall hides per-query
+    * variance. Output: the k-occurrence histogram (k_occurrences →
+    * n_vectors), including the never-retrieved 0 row.
+    *
+    * Exactness: distances are exact integer micro-grid L2², ranks are
+    * deterministic (d2, id) row_numbers, the histogram is exact
+    * counts. Scale: probes are a modulus sample (fixed-RATE here; at
+    * real scale a fixed-COUNT hash-top sample — same plan shape) and
+    * broadcast; the corpus is scanned once against them and never
+    * shuffled; everything after the rank lives on the probe×k grid.
+    */
+  def annHubness(spark: SparkSession, dir: String, topK: Int = TopK): DataFrame = {
+    import spark.implicits._
+    val (corpus, _) = quantSplit(spark, dir)
+    val probes = corpus.filter($"vec_id" % HubProbeMod === 0)
+      .select($"vec_id".as("q_id"), $"vq".as("qv"))
+    val nCorpus = corpus.count()
+    val occ = corpus.select($"vec_id".as("n_id"), $"vq".as("nv"))
+      .crossJoin(broadcast(probes))
+      .filter($"n_id" =!= $"q_id") // a probe is not its own neighbor
+      .withColumn("d2", d2Cols($"qv", $"nv"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"d2", $"n_id")))
+      .filter($"rk" <= topK)
+      .groupBy($"n_id").agg(count(lit(1)).as("k_occ"))
+    val hist = occ.groupBy($"k_occ".as("k_occurrences"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val retrieved = occ.agg(count(lit(1)).as("r"))
+    hist.unionByName(
+        retrieved.select(lit(0L).as("k_occurrences"),
+          (lit(nCorpus) - $"r").as("n_vectors")))
+      .orderBy($"k_occurrences")
+  }
+
+  val annHubnessSql: String = mat(
+    baseCtes +
+      s""",
+      |pr AS (SELECT vec_id AS q_id FROM corp WHERE vec_id % $HubProbeMod = 0
+      |       GROUP BY 1),
+      |d AS (
+      |  SELECT p.q_id, c.vec_id AS n_id,
+      |    CAST(sum((q.vq - c.vq) * (q.vq - c.vq)) AS BIGINT) AS d2
+      |  FROM pr p JOIN corp q ON q.vec_id = p.q_id
+      |  JOIN corp c ON c.dim = q.dim AND c.vec_id <> p.q_id
+      |  GROUP BY 1, 2),
+      |top AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q_id, n_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rk
+      |    FROM d) t WHERE rk <= $TopK),
+      |occ AS (SELECT n_id, CAST(count(*) AS BIGINT) AS k_occ
+      |        FROM top GROUP BY 1),
+      |nc AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM corp),
+      |hist AS (
+      |  SELECT k_occ AS k_occurrences, CAST(count(*) AS BIGINT) AS n_vectors
+      |  FROM occ GROUP BY 1
+      |  UNION ALL
+      |  SELECT CAST(0 AS BIGINT), nc.n - (SELECT count(*) FROM occ)
+      |  FROM nc)
+      |SELECT k_occurrences, n_vectors FROM hist
+      |ORDER BY k_occurrences""".stripMargin)
 }

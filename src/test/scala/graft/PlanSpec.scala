@@ -642,7 +642,9 @@ class PlanSpec extends SparkSpec {
         // one label-grid aggregate + broadcast totals + sort
         ("class_weights", operators.Training.classWeights(spark, sf), 3),
         // one (shard,source) agg + grid joins (global side broadcast)
-        ("shard_mix_audit", operators.Sharding.shardMixAudit(spark, sf), 8))) {
+        ("shard_mix_audit", operators.Sharding.shardMixAudit(spark, sf), 8),
+        // probes broadcast, corpus scanned once + occ/hist aggs + union
+        ("ann_hubness", operators.AnnExact.annHubness(spark, sf), 6))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")

@@ -389,6 +389,28 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("ann_hubness: brute-force k-occurrence replay and conservation") {
+    val vq = quantVecs()
+    val corpus = vq.filter(_._1 >= 8)
+    val probes = corpus.keys.filter(_ % 29 == 0).toSeq
+    val occ = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for (q <- probes) {
+      val top = corpus.toSeq.filter(_._1 != q)
+        .map { case (n, v) => (n, d2(vq(q), v)) }
+        .sortBy { case (n, d) => (d, n) }.take(5)
+      top.foreach { case (n, _) => occ(n) += 1 }
+    }
+    val expected = (occ.values.groupBy(identity)
+      .map { case (k, g) => (k, g.size.toLong) }
+      + (0L -> (corpus.size - occ.size).toLong)).toSeq.sorted
+    val got = graft.operators.AnnExact.annHubness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got === expected)
+    // conservation: retrieval slots and vector mass both add up
+    assert(got.map { case (k, n) => k * n }.sum === probes.size * 5L)
+    assert(got.map(_._2).sum === corpus.size.toLong)
+  }
+
   test("stream_lexicon_gate: streaming output equals the batch flags") {
     val stream = graft.streaming.StreamQueries.streamLexiconGate(spark, sf)
       .collect().toSeq
