@@ -92,7 +92,15 @@ object PlanDump {
     "bootstrap_ci" ->
       "Poisson bootstrap: the x40 replicate fan-out explodes INSIDE the map-side partial aggregate — the exchange carries 40 rows per partition, never 40x the corpus; order stats and SE run on the 40-row replicate grid",
     "cdc_key_churn" ->
-      "hot-key audit: one key-keyed partial agg collapses the changelog to key cardinality, the log2 bucketing re-aggregates to a <=64-row grid; cumulative shares are grid windows")
+      "hot-key audit: one key-keyed partial agg collapses the changelog to key cardinality, the log2 bucketing re-aggregates to a <=64-row grid; cumulative shares are grid windows",
+    "winnowing_fingerprint" ->
+      "MOSS winnowing: the gram/window-min stage is RELATIONAL (posexplode + trailing-ROWS min — in-row array HOFs box the whole hash array per element and measured quadratic); the stop-fingerprint df-cap bounds the ids-only pair join to cap^2/2 per fingerprint",
+    "ann_rptree" ->
+      "RP-tree ANN: leaf routing is a map-only sign cascade over the write-once 7-plane model; the 4 probe rows per query broadcast into a leaf equi-join — the corpus is never crossed or shuffled; exact integer re-rank on the shortlist",
+    "coverage_curve" ->
+      "one-pass subsample coverage: each gram's SMALLEST occurrence percentile answers every sample rate, so one gram-keyed min aggregate (map-side partial) serves the whole 7-point curve — grams never re-explode per rate",
+    "propensity_ipw" ->
+      "stratified IPW: one orders aggregate to customers, one customer aggregate to the |segments| cell grid; weights are exact floor-divided DECIMAL(38,0) integers; one row out")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.get(4)
