@@ -599,6 +599,19 @@ object AnnExact {
         Window.partitionBy($"q_id").orderBy($"d2", $"n_id")))
       .filter($"trk" <= topK).select($"q_id", $"n_id")
     val nq = queries.count()
+    // recall's display division h/(nq·topK) must TERMINATE within 6
+    // decimals for Spark's BigDecimal HALF_UP and DuckDB's round() to
+    // agree on the last digit — guaranteed iff the denominator has only
+    // 2/5 prime factors (currently 8·5 = 40 = 2³·5). Fail loudly if a
+    // calibration-split or topK change silently breaks that.
+    locally {
+      val den0 = nq * topK
+      var den = den0
+      for (p <- Seq(2L, 5L)) while (den % p == 0) den /= p
+      require(den == 1L,
+        s"ann_pq_auto: nq*topK = $den0 has a prime factor other than 2/5 — " +
+          "the recall division would not terminate and the oracle hash would flake")
+    }
     val perFactor = AutoFactors.map { f =>
       cands.filter($"ark" <= topK * f)
         .withColumn("rk", row_number().over(
@@ -686,7 +699,7 @@ object AnnExact {
   // ann_hubness — k-occurrence distribution of the vector space
   // ------------------------------------------------------------------
 
-  private val HubProbeMod = 29 // deterministic probe sample: id % 29 == 0
+  private val HubProbes = 32 // fixed-COUNT probe sample (SF-independent)
 
   /** k-occurrence hubness audit (Radovanović, Nanopoulos & Ivanović,
     * JMLR 2010): over a deterministic probe sample of the corpus, how
@@ -701,16 +714,20 @@ object AnnExact {
     *
     * Exactness: distances are exact integer micro-grid L2², ranks are
     * deterministic (d2, id) row_numbers, the histogram is exact
-    * counts. Scale: probes are a modulus sample (fixed-RATE here; at
-    * real scale a fixed-COUNT hash-top sample — same plan shape) and
-    * broadcast; the corpus is scanned once against them and never
+    * counts. Scale: probes are a fixed-COUNT md5-smallest sample (the
+    * sample_per_group idiom compiled to TakeOrderedAndProject —
+    * per-partition top-k, no global sort, probe count CONSTANT in SF)
+    * and broadcast; the corpus is scanned once against them and never
     * shuffled; everything after the rank lives on the probe×k grid.
     */
   def annHubness(spark: SparkSession, dir: String, topK: Int = TopK): DataFrame = {
     import spark.implicits._
     val (corpus, _) = quantSplit(spark, dir)
-    val probes = corpus.filter($"vec_id" % HubProbeMod === 0)
-      .select($"vec_id".as("q_id"), $"vq".as("qv"))
+    val probes = corpus
+      .select($"vec_id".as("q_id"), $"vq".as("qv"),
+        md5(concat(lit("hub:"), $"vec_id".cast("string"))).as("h"))
+      .orderBy($"h", $"q_id").limit(HubProbes)
+      .select($"q_id", $"qv")
     val nCorpus = corpus.count()
     val occ = corpus.select($"vec_id".as("n_id"), $"vq".as("nv"))
       .crossJoin(broadcast(probes))
@@ -732,8 +749,9 @@ object AnnExact {
   val annHubnessSql: String = mat(
     baseCtes +
       s""",
-      |pr AS (SELECT vec_id AS q_id FROM corp WHERE vec_id % $HubProbeMod = 0
-      |       GROUP BY 1),
+      |pr AS (SELECT vec_id AS q_id FROM corp GROUP BY 1
+      |       ORDER BY md5('hub:' || CAST(vec_id AS VARCHAR)), q_id
+      |       LIMIT $HubProbes),
       |d AS (
       |  SELECT p.q_id, c.vec_id AS n_id,
       |    CAST(sum((q.vq - c.vq) * (q.vq - c.vq)) AS BIGINT) AS d2

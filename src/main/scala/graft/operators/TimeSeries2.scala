@@ -795,10 +795,11 @@ object TimeSeries2 {
       |    CAST(sum(hb) AS BIGINT) AS xs, CAST(sum(v) AS BIGINT) AS ys,
       |    CAST(count(*) AS BIGINT) AS nc
       |  FROM mid GROUP BY b),
-      |fp AS (
-      |  SELECT hb, v FROM idx WHERE i = 1
-      |    AND CASE WHEN (SELECT max(n) FROM idx) >= ${LttbBuckets + 2}
-      |      THEN TRUE ELSE error('series too short for LTTB') END),
+      |fp AS (SELECT hb, v FROM idx WHERE i = 1),
+      |chk AS (
+      |  SELECT CASE WHEN (SELECT coalesce(max(n), 0) FROM idx)
+      |      >= ${LttbBuckets + 2}
+      |    THEN TRUE ELSE error('series too short for LTTB') END AS ok),
       |lp AS (SELECT hb, v FROM idx WHERE i = n),
       |nxt AS (
       |  SELECT b.b, b.cand,
@@ -831,7 +832,7 @@ object TimeSeries2 {
       |  UNION ALL SELECT hb, v FROM lp)
       |SELECT hb AS bucket_hour,
       |  round(CAST(v AS DOUBLE) / 10000.0, 4) AS total_value
-      |FROM pts ORDER BY bucket_hour""".stripMargin
+      |FROM pts CROSS JOIN chk ORDER BY bucket_hour""".stripMargin
 
   // ------------------------------------------------------------------
   // holt_winters — additive triple exponential smoothing (m = 7)

@@ -549,7 +549,7 @@ object Training {
     * bucketing proposes candidate pairs (never all-pairs — candidates
     * are bounded by bucket occupancy), exact cosine keeps pairs with
     * round(cos, 6) ≥ 0.25 as micro-unit-weighted edges, and 3 rounds
-    * of weighted label propagation (Graph.lpaLabels — the same loop as
+    * of weighted label propagation (Graph.lpaCommunities — the same loop as
     * graph_lpa, dst-pre-partitioned edge cache) merge them into
     * communities. Output: (community, n_members) for every non-isolated
     * vector; isolated vectors (no bucket collision above threshold)
@@ -579,10 +579,7 @@ object Training {
       .select($"i", $"j", round($"cos" * 1000000d, 0).cast("long").as("w"))
     val edges = edge0.select($"i".as("src"), $"j".as("dst"), $"w")
       .unionByName(edge0.select($"j".as("src"), $"i".as("dst"), $"w"))
-    Graph.lpaLabels(edges, 3)
-      .groupBy($"lbl".as("community"))
-      .agg(count(lit(1)).as("n_members"))
-      .orderBy($"community")
+    Graph.lpaCommunities(edges, 3)
   }
 
   val embeddingCommunitiesSql: String =

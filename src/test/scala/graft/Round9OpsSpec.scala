@@ -392,7 +392,12 @@ class Round9OpsSpec extends SparkSpec {
   test("ann_hubness: brute-force k-occurrence replay and conservation") {
     val vq = quantVecs()
     val corpus = vq.filter(_._1 >= 8)
-    val probes = corpus.keys.filter(_ % 29 == 0).toSeq
+    // fixed-COUNT md5-smallest probe sample (matches the operator)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val probes = corpus.keys.toSeq
+      .sortBy(id => (md5hex(s"hub:$id"), id)).take(32)
     val occ = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
     for (q <- probes) {
       val top = corpus.toSeq.filter(_._1 != q)

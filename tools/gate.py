@@ -8,11 +8,18 @@ Asserts, from the committed sources alone (no Spark session):
      INFRA items have no query name and are skipped)
   2. Bench.headline                   is a subset of  SparkEntry.queries
   3. SparkEntry.oracleSql keys        is a subset of  SparkEntry.queries
+  4. Artifact freshness (round 10, the r9 judge's ask #5):
+     BENCH_DETAIL.json / BENCH_sf1.json must not differ from HEAD, and
+     no tracked-artifact-class file (BENCH_*.json, CORRECTNESS_*.json,
+     LEAKCHECK.json, STREAM_BENCH.json, SCALE_PROBE.md) may sit
+     untracked or modified in the working tree at snapshot time.
 
 Run before every end-of-round snapshot commit:
     python3 tools/gate.py            # exits non-zero on any drift
+    python3 tools/gate.py --no-git   # registration checks only
 """
 import re
+import subprocess
 import sys
 import os
 
@@ -32,9 +39,9 @@ def survey_names():
             continue
         # an entry may name several queries: `a` / `b` — take every
         # backticked name before the first em-dash separator
-        m = re.match(r"((?:`[a-z0-9_]+`(?:\s*/\s*)?)+)", head)
+        m = re.match(r"((?:`[^`]+`(?:\s*/\s*)?)+)", head)
         if m:
-            names.update(re.findall(r"`([a-z0-9_]+)`", m.group(1)))
+            names.update(re.findall(r"`([^`]+)`", m.group(1)))
     return names
 
 
@@ -54,7 +61,46 @@ def scala_keys(path, anchor):
             if depth == 0:
                 end = i
                 break
-    return set(re.findall(r'"([a-z0-9_]+)"\s*(?:->|,|\))', body[:end] + ")"))
+    body = body[:end] + ")"
+    # any string literal in key position (followed by -> , or the
+    # closing paren) — NOT just [a-z0-9_]+, so an unconventional key
+    # can't silently vanish from both sides of every comparison
+    keys = set(re.findall(r'"((?:[^"\\]|\\.)+)"\s*(?:->|,|\))', body))
+    # parse-shortfall guard: every key-position literal must have been
+    # captured; a shortfall means the regex missed something — fail
+    # loudly instead of comparing incomplete sets
+    n_key_pos = len(re.findall(r'"(?:[^"\\]|\\.)+"\s*(?:->|,|\))', body))
+    if n_key_pos != len(keys):
+        print(f"GATE FAIL: {path} {anchor}: extracted {len(keys)} distinct "
+              f"keys from {n_key_pos} key-position literals — duplicate or "
+              f"unparseable key in the map body")
+        sys.exit(1)
+    return keys
+
+
+def git(*args):
+    return subprocess.run(["git", *args], cwd=ROOT, capture_output=True,
+                          text=True).stdout
+
+
+ARTIFACT_RE = re.compile(
+    r"^(BENCH_[A-Za-z0-9_.]+\.json|CORRECTNESS_r\d+\.json|LEAKCHECK\.json|"
+    r"STREAM_BENCH\.json|SCALE_PROBE\.md)$")
+
+
+def artifact_freshness():
+    """The r9 'uncommitted artifact drift' class: fail when a bench or
+    correctness artifact differs from HEAD or sits untracked."""
+    bad = False
+    status = git("status", "--porcelain")
+    for line in status.splitlines():
+        st, path = line[:2], line[3:].strip()
+        if ARTIFACT_RE.match(os.path.basename(path)) and "/" not in path:
+            kind = "untracked" if st == "??" else "modified vs HEAD"
+            print(f"GATE FAIL: artifact drift — {path} is {kind}; "
+                  f"commit the refreshed artifact with the snapshot")
+            bad = True
+    return bad
 
 
 def main():
@@ -83,10 +129,13 @@ def main():
     if d4:
         print(f"GATE FAIL: oracleSql key without a queries entry: {sorted(d4)}")
         bad = True
+    if "--no-git" not in sys.argv:
+        bad = artifact_freshness() or bad
     if bad:
         sys.exit(1)
     print(f"GATE OK: {len(queries)} queries == {len(survey)} section-2 names; "
-          f"headline {len(headline)} and oracles {len(oracles)} all registered")
+          f"headline {len(headline)} and oracles {len(oracles)} all registered; "
+          f"artifacts clean")
 
 
 if __name__ == "__main__":
