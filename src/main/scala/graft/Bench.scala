@@ -82,14 +82,14 @@ object Bench {
     * This sandbox exhibits multi-minute steal bursts that have inflated
     * individual queries 10-70× (r1: dedup_minhash 145s vs 2.1s idle).
     */
-  private def procStat(): Option[Array[Long]] =
+  private[graft] def procStat(): Option[Array[Long]] =
     try {
       val line = scala.io.Source.fromFile("/proc/stat").getLines()
         .find(_.startsWith("cpu ")).get
       Some(line.split("\\s+").drop(1).map(_.toLong))
     } catch { case _: Throwable => None }
 
-  private def stealPct(before: Option[Array[Long]], after: Option[Array[Long]]): Double =
+  private[graft] def stealPct(before: Option[Array[Long]], after: Option[Array[Long]]): Double =
     (before, after) match {
       case (Some(b), Some(a)) =>
         val d = a.zip(b).map { case (x, y) => x - y }

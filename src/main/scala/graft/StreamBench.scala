@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener.{
+  QueryProgressEvent, QueryStartedEvent, QueryTerminatedEvent}
+
+/** Streaming micro-bench: wall-time + throughput + state-size evidence
+  * for every `stream_*` operator (the batch headline excludes them by
+  * convention, so until round 10 the streaming surface had correctness
+  * proof but NO timing proof — the reference's whole identity is a
+  * streaming consumer, so the engine replacing it must prove streaming
+  * throughput, not only finite-input equivalence).
+  *
+  * Each query runs end-to-end exactly as Verify runs it (staging, the
+  * real Structured Streaming pipeline via `processAllAvailable`, sink
+  * readback), timed around the whole call. A [[StreamingQueryListener]]
+  * captures, per micro-batch, `numInputRows` and the state operators'
+  * `numRowsTotal`; the reported per-query metrics are
+  *
+  *   - `sec`            end-to-end wall seconds (min of two passes,
+  *                      each behind a leveling System.gc())
+  *   - `input_rows`     rows ingested through the stream in that pass
+  *   - `rows_per_sec`   input_rows / sec (end-to-end throughput — the
+  *                      honest number: staging + planning + state
+  *                      maintenance + sink readback all included)
+  *   - `batches`        completed micro-batches
+  *   - `max_state_rows` max over batches of Σ stateOperators
+  *                      .numRowsTotal — the bound that must stay flat
+  *                      or sublinear in SF for watermark/state GC to be
+  *                      believed at 100 TB
+  *   - `out_rows`       sink-readback row count (result-size evidence)
+  *
+  * Output: one compact JSON line on stdout; full detail to
+  * STREAM_BENCH.json in cwd (full runs only, the BENCH_DETAIL
+  * convention — sf1 runs get stashed to STREAM_BENCH_sf1.json by the
+  * refresh workflow).
+  */
+object StreamBench {
+
+  /** All registered streaming queries; stable order for the artifact. */
+  val streamNames: Seq[String] =
+    SparkEntry.queries.keys.filter(_.startsWith("stream_")).toSeq.sorted
+
+  /** Accumulates listener events; reset per measured pass. Listener
+    * callbacks arrive on the streaming bus thread — all mutation is
+    * synchronized on the instance.
+    */
+  private final class Metrics extends StreamingQueryListener {
+    var inputRows = 0L
+    var batches = 0L
+    var maxStateRows = 0L
+    private var started = Set.empty[java.util.UUID]
+    private var terminated = Set.empty[java.util.UUID]
+
+    def reset(): Unit = synchronized {
+      inputRows = 0L; batches = 0L; maxStateRows = 0L
+      started = Set.empty; terminated = Set.empty
+    }
+    override def onQueryStarted(e: QueryStartedEvent): Unit = synchronized {
+      started += e.id
+    }
+    override def onQueryProgress(e: QueryProgressEvent): Unit = synchronized {
+      inputRows += e.progress.numInputRows
+      batches += 1
+      val st = e.progress.stateOperators.map(_.numRowsTotal).sum
+      if (st > maxStateRows) maxStateRows = st
+    }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = synchronized {
+      terminated += e.id
+    }
+    /** Listener events are asynchronous: block until every started
+      * query has delivered its termination event (so the progress sums
+      * are complete) or the deadline passes.
+      */
+    def drain(deadlineMs: Long): Unit = {
+      val until = System.currentTimeMillis() + deadlineMs
+      while (System.currentTimeMillis() < until &&
+          synchronized(!(started.nonEmpty && started.subsetOf(terminated)))) {
+        Thread.sleep(25)
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val selected = if (args.isEmpty) streamNames else streamNames.filter(args.contains)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val metrics = new Metrics
+    spark.streams.addListener(metrics)
+
+    // warmup at the smallest SF: JIT + codegen + state-store init out
+    // of the timed passes
+    selected.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        try fn(spark, "/root/testdata/sf0.001").write
+          .format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
+    spark.sharedState.cacheManager.clearCache()
+
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT_SEC", "600").toLong
+    val statBefore = Bench.procStat()
+
+    final case class QResult(sec: Double, inputRows: Long, batches: Long,
+                             maxStateRows: Long, outRows: Long)
+    val results = selected.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        def onePass(): QResult = {
+          System.gc() // heap leveling, the Bench per-pass discipline
+          metrics.reset()
+          val t0 = System.nanoTime()
+          val df = fn(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          metrics.drain(10000)
+          val out = df.count() // untimed result-size evidence
+          QResult(sec, metrics.inputRows, metrics.batches,
+            metrics.maxStateRows, out)
+        }
+        val worker = new java.util.concurrent.atomic.AtomicReference[QResult]()
+        val t = new Thread(() => {
+          try {
+            val a = onePass(); val b = onePass()
+            worker.set(if (a.sec <= b.sec) a else b)
+            spark.sharedState.cacheManager.clearCache()
+          } catch {
+            case e: Throwable =>
+              System.err.println(
+                s"STREAM BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+              errors.synchronized { errors(name) = e.getClass.getSimpleName }
+          }
+        })
+        t.setDaemon(true)
+        t.start()
+        t.join(timeoutSec * 1000)
+        if (t.isAlive) {
+          System.err.println(s"STREAM BENCH TIMEOUT $name after ${timeoutSec}s")
+          spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+          t.join(30000)
+          errors.synchronized { errors(name) = "Timeout" }
+        }
+        name -> Option(worker.get())
+      }
+    }
+
+    val steal = Bench.stealPct(statBefore, Bench.procStat())
+    def fmt(r: QResult): String = {
+      val rps = if (r.sec > 0) r.inputRows / r.sec else 0.0
+      f"""{"sec":${r.sec}%.3f,"input_rows":${r.inputRows},""" +
+        f""""rows_per_sec":$rps%.0f,"batches":${r.batches},""" +
+        f""""max_state_rows":${r.maxStateRows},"out_rows":${r.outRows}}"""
+    }
+    val qs = results.collect { case (k, Some(r)) => "\"" + k + "\":" + fmt(r) }
+      .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.flatMap(_._2).map(_.sec).sum
+    val line =
+      f"""{"metric":"stream_total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"steal_pct":$steal%.1f,"sf":"$sfDir"}"""
+    if (args.isEmpty) try {
+      val w = new java.io.PrintWriter("STREAM_BENCH.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
+    println(line)
+    spark.stop()
+    if (errors.nonEmpty) sys.exit(2)
+  }
+}

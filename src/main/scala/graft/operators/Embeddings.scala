@@ -316,56 +316,137 @@ object Embeddings {
       |    AS drift_l2
       |FROM d GROUP BY label ORDER BY label""".stripMargin
 
-  /** Top principal component of the embedding corpus by power iteration
-    * over the [[embeddingCovariance]] matrix. The distributed part is
-    * the one-pass covariance; the iteration itself runs on the d×d
-    * matrix — O(d²) driver traffic and compute (d=64), the same
-    * bounded "model-sized" exception as IVF centroid training, never
-    * O(corpus). Deterministic: fixed uniform start, a fixed iteration
-    * count of y=Av with ascending-index accumulation, L2 normalization
-    * each step; the sign convention fixes component 0 ≥ 0. The count is
-    * high (1000) because a near-isotropic spectrum converges at
-    * (λ₂/λ₁)^iters — iterations on a d×d matrix are microseconds.
+  /** Top principal component of the embedding corpus by INTEGER power
+    * iteration over the exact second-moment matrix M_ij = n·Σqᵢqⱼ −
+    * Σqᵢ·Σqⱼ (the [[embeddingCovariance]] sufficient statistics — a
+    * positive scalar multiple of the covariance, so same eigenvectors).
+    * The distributed part is the one-pass [[graft.functions.VecCovSum]]
+    * aggregate; the iteration runs on the d×d matrix — O(d²) driver
+    * traffic, the bounded "model-sized" exception, never O(corpus).
     *
-    * Output: one row per dimension with the eigenvector component, plus
-    * the eigenvalue and its share of total variance (trace). Rows-only
-    * (the iteration is float-recursive; the covariance INPUT is the
-    * oracled part) + spec asserting the eigenpair residual.
+    * ORACLE-EXACT (round 10, promoted from rows-only): instead of 1000
+    * float y=Av steps, K=12 REPEATED SQUARINGS compute M^(2¹²) — 4096
+    * effective power steps in 12 integer matmuls, each renormalized to
+    * the 10⁹ grid by truncated division (Scala BigInt `/` ≡ DuckDB `//`,
+    * both toward zero), so DuckDB replays the whole iteration as 12
+    * MATERIALIZED matmul CTEs. The projected vector y = M^(2ᴷ)·1 is
+    * quantized to the 10⁷ grid (Σv² < 2⁵³, so every int→double cast is
+    * EXACT — DuckDB's HUGEINT→DOUBLE cast is not correctly rounded
+    * above 2⁵³, measured 2.2% off-by-one-ulp, so no big integer may
+    * reach a double). λ and λ/trace derive from the integer Rayleigh
+    * quotient vᵀMv/vᵀv via staged truncated divisions onto nano/micro
+    * grids. Sign convention: y₀ < 0 flips the vector BEFORE the grid
+    * quantization, identically in both engines. Convergence: sf0.01
+    * measured max-component error 2·10⁻⁸ vs a 5000-step float
+    * reference; (λ₂/λ₁)^4096 buries the near-isotropic tail.
+    *
+    * Output: one row per dimension with the eigenvector component
+    * (unit-L2, 6dp), the covariance-scale eigenvalue (nano grid) and
+    * its share of total variance (micro grid).
     */
-  def pcaPower(spark: SparkSession, dir: String, iters: Int = 1000): DataFrame = {
+  def pcaPower(spark: SparkSession, dir: String, squarings: Int = PcaSquarings): DataFrame = {
     import spark.implicits._
-    val cov = embeddingCovariance(spark, dir)
-      .select($"i", $"j", $"cov").collect() // d(d+1)/2 rows — model-sized
-    val d = cov.map(_.getInt(1)).max + 1
-    val a = Array.ofDim[Double](d, d)
-    cov.foreach { r =>
-      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
-      a(i)(j) = c; a(j)(i) = c
+    val mom = Tables.embeddings(spark, dir)
+      .agg(graft.functions.AggFunctions.vec_cov_sum(qvec($"embedding")).as("cov"))
+      .select(explode($"cov").as("e"))
+      .select($"e.i".as("i"), $"e.j".as("j"), $"e.n".as("n"),
+        ($"e.n" * $"e.s_ij" - $"e.s_i" * $"e.s_j").as("m"))
+      .collect() // d(d+1)/2 rows — model-sized
+    val d = mom.map(_.getInt(1)).max + 1
+    val n = mom.head.getLong(2)
+    val mm = Array.ofDim[BigInt](d, d)
+    mom.foreach { r =>
+      val (i, j, m) = (r.getInt(0), r.getInt(1), BigInt(r.getLong(3)))
+      mm(i)(j) = m; mm(j)(i) = m
     }
-    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
-    var lambda = 0.0
-    var it = 0
-    while (it < iters) {
-      val y = new Array[Double](d)
-      var i = 0
-      while (i < d) {
-        var s = 0.0; var j = 0
-        while (j < d) { s += a(i)(j) * v(j); j += 1 }
-        y(i) = s; i += 1
+    val sc = BigInt(1000000000L)
+    def renorm(b: Array[Array[BigInt]]): Array[Array[BigInt]] = {
+      val mx = b.iterator.flatten.map(_.abs).max
+      b.map(_.map(x => x * sc / mx)) // BigInt / truncates ≡ DuckDB //
+    }
+    var b = renorm(mm)
+    for (_ <- 1 to squarings) {
+      val c = Array.tabulate(d, d) { (i, j) =>
+        var s = BigInt(0); var k = 0
+        while (k < d) { s += b(i)(k) * b(k)(j); k += 1 }
+        s
       }
-      val norm = math.sqrt(y.map(x => x * x).sum)
-      lambda = norm
-      v = y.map(_ / norm)
-      it += 1
+      b = renorm(c)
     }
-    if (v(0) < 0) v = v.map(-_)
-    val trace = (0 until d).map(i => a(i)(i)).sum
-    val rows = v.zipWithIndex.map { case (c, i) =>
-      (i, c, lambda, lambda / trace)
+    var y = b.map(_.sum) // M^(2^K) · 1⃗ — the converged direction
+    if (y(0) < 0) y = y.map(-_)
+    val my = y.map(_.abs).max
+    val v7 = y.map(x => x * BigInt(10000000L) / my)
+    val den = v7.map(x => x * x).sum // ≤ 64·10¹⁴ < 2⁵³: double-exact
+    var num = BigInt(0)
+    for (i <- 0 until d; j <- 0 until d) num += v7(i) * mm(i)(j) * v7(j)
+    val tr = (0 until d).map(i => mm(i)(i)).sum
+    val t = num * 100 / den // λ_M·100, staged to keep later products small
+    val lamNano = (t * 10 / (BigInt(n) * BigInt(n) * 100)).toLong
+    val fracMicro = (t * 1000000 / (tr * 100)).toLong
+    val denD = den.toDouble // exact (< 2⁵³)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = v7.zipWithIndex.map { case (c, i) =>
+      (i, r6(c.toDouble / math.sqrt(denD)),
+        lamNano.toDouble / 1e9, fracMicro.toDouble / 1e6)
     }
     spark.createDataFrame(rows.toIndexedSeq)
       .toDF("dim", "component", "eigenvalue", "explained_frac")
       .orderBy($"dim")
+  }
+
+  private val PcaSquarings = 12
+
+  val pcaPowerSql: String = {
+    val sq = (1 to PcaSquarings).map { k =>
+      s""",
+        |c$k AS MATERIALIZED (
+        |  SELECT a.i, b.j, CAST(sum(a.v * b.v) AS HUGEINT) AS w
+        |  FROM b${k - 1} a JOIN b${k - 1} b ON a.j = b.i GROUP BY 1, 2),
+        |b$k AS MATERIALIZED (
+        |  SELECT i, j, w * 1000000000 // (SELECT max(abs(w)) FROM c$k) AS v
+        |  FROM c$k)""".stripMargin
+    }.mkString
+    s"""WITH q AS (
+      |  SELECT vec_id, CAST(i AS INT) AS i,
+      |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 10000, 0) AS BIGINT) AS qv
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+      |mom AS MATERIALIZED (
+      |  SELECT a.i AS i, b.i AS j, CAST(count(*) AS HUGEINT) AS n,
+      |    count(*) * CAST(sum(a.qv * b.qv) AS HUGEINT)
+      |      - CAST(sum(a.qv) AS HUGEINT) * CAST(sum(b.qv) AS HUGEINT) AS m
+      |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY 1, 2),
+      |mfull AS MATERIALIZED (
+      |  SELECT i, j, m FROM mom
+      |  UNION ALL SELECT j, i, m FROM mom WHERE i < j),
+      |b0 AS MATERIALIZED (
+      |  SELECT i, j, m * 1000000000 // (SELECT max(abs(m)) FROM mfull) AS v
+      |  FROM mfull)$sq,
+      |yr AS MATERIALIZED (
+      |  SELECT i, CAST(sum(v) AS HUGEINT) AS y FROM b$PcaSquarings GROUP BY 1),
+      |ys AS MATERIALIZED (
+      |  SELECT i, CASE WHEN (SELECT y FROM yr WHERE i = 0) < 0
+      |    THEN -y ELSE y END AS y FROM yr),
+      |v7 AS MATERIALIZED (
+      |  SELECT i, y * 10000000 // (SELECT max(abs(y)) FROM ys) AS v FROM ys),
+      |den AS (SELECT CAST(sum(v * v) AS HUGEINT) AS den FROM v7),
+      |num AS (
+      |  SELECT CAST(sum(a.v * m.m * b.v) AS HUGEINT) AS num
+      |  FROM mfull m JOIN v7 a ON a.i = m.i JOIN v7 b ON b.i = m.j),
+      |tr AS (SELECT CAST(sum(m) AS HUGEINT) AS tr FROM mom WHERE i = j),
+      |nn AS (SELECT max(n) AS n FROM mom),
+      |tq AS (SELECT (num.num * 100) // den.den AS t FROM num, den),
+      |sc AS (
+      |  SELECT CAST((tq.t * 10) // (nn.n * nn.n * 100) AS BIGINT) AS lam_nano,
+      |    CAST((tq.t * 1000000) // (tr.tr * 100) AS BIGINT) AS frac_micro
+      |  FROM tq, nn, tr)
+      |SELECT v.i AS dim,
+      |  round(CAST(v.v AS DOUBLE) / sqrt(CAST(den.den AS DOUBLE)), 6) AS component,
+      |  CAST(sc.lam_nano AS DOUBLE) / 1e9 AS eigenvalue,
+      |  CAST(sc.frac_micro AS DOUBLE) / 1e6 AS explained_frac
+      |FROM v7 v, den, sc ORDER BY dim""".stripMargin
   }
 
   private val RpDims = 16

@@ -85,7 +85,7 @@ def git(*args):
 
 ARTIFACT_RE = re.compile(
     r"^(BENCH_[A-Za-z0-9_.]+\.json|CORRECTNESS_r\d+\.json|LEAKCHECK\.json|"
-    r"STREAM_BENCH\.json|SCALE_PROBE\.md)$")
+    r"STREAM_BENCH[A-Za-z0-9_]*\.json|SCALE_PROBE\.md)$")
 
 
 def artifact_freshness():
