@@ -38,16 +38,32 @@ object StreamQueries {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
-  /** Stage the single-file events table into a directory (file-stream
-    * sources list directories).
+  /** Stage a parquet table into a directory (file-stream sources list
+    * directories). The driver testdata ships each table as ONE file,
+    * but ScaleUp writes fact tables as multi-part DIRECTORIES — stage
+    * both layouts: a file is copied whole, a directory contributes its
+    * part files (zero-transform either way, so the staged bytes are
+    * the source bytes).
     */
-  private def stageEvents(dir: String): String = {
+  private def stageTable(dir: String, table: String): String = {
     val d = tmp("graft_sq_in")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      java.nio.file.Paths.get(s"$d/events.parquet"))
+    val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
+    if (java.nio.file.Files.isDirectory(src)) {
+      val it = java.nio.file.Files.list(src).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(p,
+            java.nio.file.Paths.get(d).resolve(p.getFileName))
+      }
+    } else {
+      java.nio.file.Files.copy(src,
+        java.nio.file.Paths.get(s"$d/$table.parquet"))
+    }
     d
   }
+
+  private def stageEvents(dir: String): String = stageTable(dir, "events")
 
   private def uniqueName(base: String): String =
     base + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
@@ -268,10 +284,7 @@ object StreamQueries {
     */
   def streamDecontam(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val inDir = tmp("graft_sq_docs")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/documents.parquet"),
-      java.nio.file.Paths.get(s"$inDir/documents.parquet"))
+    val inDir = stageTable(dir, "documents")
     val name = uniqueName("sq_decontam")
     val static = spark.read.parquet(inDir)
     val bench = graft.operators.Curation.gramTable(static)
@@ -306,10 +319,7 @@ object StreamQueries {
     */
   def streamQualityFilter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val inDir = tmp("graft_sq_gopher")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/documents.parquet"),
-      java.nio.file.Paths.get(s"$inDir/documents.parquet"))
+    val inDir = stageTable(dir, "documents")
     val name = uniqueName("sq_gopher")
     val static = spark.read.parquet(inDir)
     val stream = spark.readStream.schema(static.schema).parquet(inDir)
@@ -332,10 +342,7 @@ object StreamQueries {
     */
   def streamLexiconGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val inDir = tmp("graft_sq_lexgate")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/documents.parquet"),
-      java.nio.file.Paths.get(s"$inDir/documents.parquet"))
+    val inDir = stageTable(dir, "documents")
     val name = uniqueName("sq_lexgate")
     val static = spark.read.parquet(inDir)
     val stream = spark.readStream.schema(static.schema).parquet(inDir)
@@ -374,10 +381,7 @@ object StreamQueries {
   def streamClassifierGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.Training
-    val inDir = tmp("graft_sq_clsgate")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/documents.parquet"),
-      java.nio.file.Paths.get(s"$inDir/documents.parquet"))
+    val inDir = stageTable(dir, "documents")
     val name = uniqueName("sq_clsgate")
     val static = spark.read.parquet(inDir)
     val feats = Training.docFeatures(static).persist()
@@ -409,10 +413,7 @@ object StreamQueries {
   def streamClusterRoute(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.Training
-    val inDir = tmp("graft_sq_clroute")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
-      java.nio.file.Paths.get(s"$inDir/embeddings.parquet"))
+    val inDir = stageTable(dir, "embeddings")
     val name = uniqueName("sq_clroute")
     val static = spark.read.parquet(inDir)
     val quant = Training.quantizedOf(static).persist()
@@ -446,10 +447,7 @@ object StreamQueries {
   def streamDsirGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.Sampling
-    val inDir = tmp("graft_sq_dsirgate")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/documents.parquet"),
-      java.nio.file.Paths.get(s"$inDir/documents.parquet"))
+    val inDir = stageTable(dir, "documents")
     val name = uniqueName("sq_dsirgate")
     val static = spark.read.parquet(inDir)
     val model = Sampling.dsirModelOf(static)
@@ -813,10 +811,7 @@ object StreamQueries {
     */
   def streamDedupGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = tmp("graft_sq_docs")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/documents.parquet"),
-      java.nio.file.Paths.get(s"$d/documents.parquet"))
+    val d = stageTable(dir, "documents")
     val name = uniqueName("sq_dedupgate")
     val docs = spark.read.parquet(d)
     val cut = docs.agg(expr("max(doc_id) div 2")).first().getLong(0)
@@ -930,10 +925,7 @@ object StreamQueries {
     */
   def streamMixtureGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = tmp("graft_sq_docs")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/documents.parquet"),
-      java.nio.file.Paths.get(s"$d/documents.parquet"))
+    val d = stageTable(dir, "documents")
     val name = uniqueName("sq_mixgate")
     val toks = filter(split($"text", "\\s+"), t => t =!= "")
     val static = spark.read.parquet(d)
