@@ -69,7 +69,11 @@ object Bench {
     "ngram_entropy", "text_compressibility", "lexicon_screen",
     "winnowing_fingerprint", "mmr_select", "propensity_ipw",
     "rp_band_sweep", "ann_rptree",
-    "coverage_curve", "shard_mix_audit", "class_weights", "ann_hubness")
+    "coverage_curve", "shard_mix_audit", "class_weights", "ann_hubness",
+    // round-10 batch: PCA projection + decomposition/calibration/
+    // sampling/sketch/privacy additions
+    "pca_projection", "stl_decompose", "conformal_calibration",
+    "gumbel_sample", "countmin_topk", "bloom_fp_audit", "pii_scrub")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

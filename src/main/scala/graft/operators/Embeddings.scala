@@ -344,20 +344,34 @@ object Embeddings {
     * (unit-L2, 6dp), the covariance-scale eigenvalue (nano grid) and
     * its share of total variance (micro grid).
     */
-  def pcaPower(spark: SparkSession, dir: String, squarings: Int = PcaSquarings): DataFrame = {
+  /** The integer PCA model shared by [[pcaPower]] and [[pcaProjection]]:
+    * v7 (the 10⁷-grid top eigenvector), den = Σv7², λ·10⁹ and
+    * (λ/trace)·10⁶, plus the per-dim sums sJ and row count n the
+    * projection needs for exact centering. All driver math is BigInt;
+    * every value later cast to double is < 2⁵³.
+    */
+  private[graft] final case class PcaModel(
+      v7: Array[BigInt], den: BigInt, lamNano: Long, fracMicro: Long,
+      n: Long, sJ: Array[Long])
+
+  private[graft] def pcaModel(spark: SparkSession, dir: String,
+                              squarings: Int = PcaSquarings): PcaModel = {
     import spark.implicits._
     val mom = Tables.embeddings(spark, dir)
       .agg(graft.functions.AggFunctions.vec_cov_sum(qvec($"embedding")).as("cov"))
       .select(explode($"cov").as("e"))
       .select($"e.i".as("i"), $"e.j".as("j"), $"e.n".as("n"),
-        ($"e.n" * $"e.s_ij" - $"e.s_i" * $"e.s_j").as("m"))
+        ($"e.n" * $"e.s_ij" - $"e.s_i" * $"e.s_j").as("m"),
+        $"e.s_i".as("s_i"))
       .collect() // d(d+1)/2 rows — model-sized
     val d = mom.map(_.getInt(1)).max + 1
     val n = mom.head.getLong(2)
     val mm = Array.ofDim[BigInt](d, d)
+    val sJ = new Array[Long](d)
     mom.foreach { r =>
       val (i, j, m) = (r.getInt(0), r.getInt(1), BigInt(r.getLong(3)))
       mm(i)(j) = m; mm(j)(i) = m
+      if (i == j) sJ(i) = r.getLong(4)
     }
     val sc = BigInt(1000000000L)
     def renorm(b: Array[Array[BigInt]]): Array[Array[BigInt]] = {
@@ -384,12 +398,18 @@ object Embeddings {
     val t = num * 100 / den // λ_M·100, staged to keep later products small
     val lamNano = (t * 10 / (BigInt(n) * BigInt(n) * 100)).toLong
     val fracMicro = (t * 1000000 / (tr * 100)).toLong
-    val denD = den.toDouble // exact (< 2⁵³)
+    PcaModel(v7, den, lamNano, fracMicro, n, sJ)
+  }
+
+  def pcaPower(spark: SparkSession, dir: String, squarings: Int = PcaSquarings): DataFrame = {
+    import spark.implicits._
+    val m = pcaModel(spark, dir, squarings)
+    val denD = m.den.toDouble // exact (< 2⁵³)
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val rows = v7.zipWithIndex.map { case (c, i) =>
+    val rows = m.v7.zipWithIndex.map { case (c, i) =>
       (i, r6(c.toDouble / math.sqrt(denD)),
-        lamNano.toDouble / 1e9, fracMicro.toDouble / 1e6)
+        m.lamNano.toDouble / 1e9, m.fracMicro.toDouble / 1e6)
     }
     spark.createDataFrame(rows.toIndexedSeq)
       .toDF("dim", "component", "eigenvalue", "explained_frac")
@@ -398,7 +418,10 @@ object Embeddings {
 
   private val PcaSquarings = 12
 
-  val pcaPowerSql: String = {
+  /** The CTE chain shared by the [[pcaPower]] and [[pcaProjection]]
+    * oracles: moments → 12 renormalized matmul squarings → v7 + den.
+    */
+  private val pcaCtes: String = {
     val sq = (1 to PcaSquarings).map { k =>
       s""",
         |c$k AS MATERIALIZED (
@@ -431,7 +454,11 @@ object Embeddings {
       |    THEN -y ELSE y END AS y FROM yr),
       |v7 AS MATERIALIZED (
       |  SELECT i, y * 10000000 // (SELECT max(abs(y)) FROM ys) AS v FROM ys),
-      |den AS (SELECT CAST(sum(v * v) AS HUGEINT) AS den FROM v7),
+      |den AS (SELECT CAST(sum(v * v) AS HUGEINT) AS den FROM v7)""".stripMargin
+  }
+
+  val pcaPowerSql: String =
+    s"""$pcaCtes,
       |num AS (
       |  SELECT CAST(sum(a.v * m.m * b.v) AS HUGEINT) AS num
       |  FROM mfull m JOIN v7 a ON a.i = m.i JOIN v7 b ON b.i = m.j),
@@ -447,7 +474,69 @@ object Embeddings {
       |  CAST(sc.lam_nano AS DOUBLE) / 1e9 AS eigenvalue,
       |  CAST(sc.frac_micro AS DOUBLE) / 1e6 AS explained_frac
       |FROM v7 v, den, sc ORDER BY dim""".stripMargin
+
+  private val PcaProjTopK = 50
+
+  /** Corpus projection onto the top principal component — the
+    * distributed companion of [[pcaPower]]: every embedding's centered
+    * PC1 score, top-|score| extremes reported (the vectors PCA calls
+    * most atypical along the dominant axis — outlier triage, ordering
+    * for visualization, coreset seeds). Centered score without ever
+    * materializing the mean: (x−μ)ᵀv ∝ n·(qᵀv7) − Σⱼsⱼ·v7ⱼ, both
+    * exact integers (the constant is one driver BigInt fold).
+    *
+    * Scale: the 64-value integer eigenvector broadcasts as a LITERAL
+    * into a codegen'd [[graft.functions.VectorFunctions.vec_dot]] over
+    * the scan — ZERO shuffles before the top-k, which is
+    * TakeOrderedAndProject (per-partition top-k, no global sort).
+    * Every dot-product partial is an integer < 2⁵³, so the double
+    * accumulation is exact and order-independent, and the long cast is
+    * lossless — the oracle replays bit-for-bit via list_inner_product.
+    */
+  def pcaProjection(spark: SparkSession, dir: String,
+                    topK: Int = PcaProjTopK): DataFrame = {
+    import spark.implicits._
+    val m = pcaModel(spark, dir)
+    val d = m.v7.length
+    val s0 = (0 until d).map(j => BigInt(m.sJ(j)) * m.v7(j)).sum.toLong
+    // both dot inputs are integers < 2²⁴ (|qv| ≤ 10⁴, |v7ⱼ| ≤ 10⁷), so
+    // the float elements, their double products, and every partial sum
+    // (≤ 6.4·10¹²) are EXACT — vec_dot's double accumulation is
+    // order-free here
+    val v7f = m.v7.map(_.toFloat)
+    val dot = graft.functions.VectorFunctions.vec_dot(
+      transform($"embedding", v => round(v.cast("double") * 10000d, 0))
+        .cast("array<float>"),
+      typedLit(v7f.toSeq))
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label",
+        (lit(m.n) * dot.cast("long") - lit(s0)).as("score_c"))
+      .select($"vec_id", $"label", $"score_c",
+        round($"score_c".cast("double") / lit(m.n.toDouble) / lit(10000.0)
+          / sqrt(lit(m.den.toDouble)), 6).as("score"))
+      .orderBy(abs($"score_c").desc, $"vec_id")
+      .limit(topK)
   }
+
+  val pcaProjectionSql: String =
+    s"""$pcaCtes,
+      |sums AS (SELECT i, CAST(sum(qv) AS BIGINT) AS s FROM q GROUP BY i),
+      |nn AS (SELECT CAST(max(n) AS BIGINT) AS n FROM mom),
+      |cons AS (
+      |  SELECT CAST(sum(s.s * v.v) AS BIGINT) AS s0
+      |  FROM sums s JOIN v7 v ON v.i = s.i),
+      |vl AS (SELECT list(CAST(v AS DOUBLE) ORDER BY i) AS vl FROM v7),
+      |proj AS (
+      |  SELECT e.vec_id, e.label,
+      |    nn.n * CAST(list_inner_product(
+      |        list_transform(CAST(e.embedding AS DOUBLE[]), x -> round(x * 10000, 0)),
+      |        (SELECT vl FROM vl)) AS BIGINT) - cons.s0 AS score_c
+      |  FROM embeddings e, nn, cons)
+      |SELECT vec_id, label, score_c,
+      |  round(CAST(score_c AS DOUBLE) / CAST(nn.n AS DOUBLE) / 10000.0
+      |    / sqrt(CAST(den.den AS DOUBLE)), 6) AS score
+      |FROM proj, nn, den
+      |ORDER BY abs(score_c) DESC, vec_id LIMIT $PcaProjTopK""".stripMargin
 
   private val RpDims = 16
 

@@ -906,4 +906,85 @@ object Profile {
       |FROM resid CROSS JOIN m
       |WHERE abs(round((CAST(r AS DOUBLE) - mu) / sd, 6)) >= 3.0
       |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // countmin_topk — Count-Min sketch with an exact overestimate audit
+  // ------------------------------------------------------------------
+
+  private val CmDepth = 4
+  private val CmTopK = 20
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) over lineitem's
+    * part-key frequencies — depth 4 × width 256, md5-salted rows —
+    * with the sketch's point estimates AUDITED against exact counts
+    * for the top-k true heavy hitters: est = min over rows of the
+    * key's counter, overestimate = est − true ≥ 0 (CM never
+    * undercounts). The companion to [[heavyHittersSketch]]'s
+    * Misra–Gries: MG answers "who is heavy", CM answers "how often is
+    * X" for ANY x in O(depth) — this op ships both the sketch table
+    * and the audit that says how much its answers overshoot at this
+    * key cardinality (2000 keys / 256 buckets ⇒ ~8 colliders per
+    * counter, so overshoot is visible and measured, not theoretical).
+    *
+    * Exactness: counters are exact integer sums over md5-bucketed
+    * groups (the portable-hash discipline — never murmur); estimates
+    * are exact mins; the audit is integer subtraction. Hash-replayable
+    * end to end.
+    *
+    * Scale: ONE key-collapse agg over the fact table (|keys| ≤ corpus),
+    * then the 4×|keys| bucket fan-out aggregates to the FIXED 1024-cell
+    * sketch (map-side partial — this is the merge-anywhere sketch
+    * property), and the audit joins the broadcast top-k against the
+    * 1024-row sketch. Nothing downstream of the first agg is
+    * corpus-cardinality.
+    */
+  def countminTopk(spark: SparkSession, dir: String, topK: Int = CmTopK): DataFrame = {
+    import spark.implicits._
+    def bucket(dep: Column, key: Column): Column =
+      conv(substring(md5(concat(lit("cm"), dep.cast("string"), lit(":"),
+        key.cast("string"))), 1, 2), 16, 10).cast("long")
+    val tc = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey".as("pk")).agg(count(lit(1)).as("n"))
+    val deps = spark.range(0, CmDepth).select($"id".cast("int").as("dep"))
+    val counters = tc.crossJoin(broadcast(deps))
+      .groupBy($"dep", bucket($"dep", $"pk").as("bucket"))
+      .agg(sum($"n").as("cnt"))
+    val top = tc.orderBy($"n".desc, $"pk").limit(topK)
+    broadcast(top).crossJoin(broadcast(deps))
+      .withColumn("bucket", bucket($"dep", $"pk"))
+      .join(counters, Seq("dep", "bucket"))
+      .groupBy($"pk".as("part_id"), $"n".as("true_count"))
+      .agg(min($"cnt").as("cm_estimate"))
+      .select($"part_id", $"true_count", $"cm_estimate",
+        ($"cm_estimate" - $"true_count").as("overestimate"))
+      .orderBy($"true_count".desc, $"part_id")
+  }
+
+  val countminTopkSql: String = {
+    def h(d: Int, col: String): String = {
+      val m = s"md5('cm$d:' || CAST($col AS VARCHAR))"
+      s"""(instr('0123456789abcdef', substr($m, 1, 1)) * 16
+         | + instr('0123456789abcdef', substr($m, 2, 1)) - 17)""".stripMargin
+    }
+    def caseOf(col: String): String =
+      s"""CASE d.d WHEN 0 THEN ${h(0, col)} WHEN 1 THEN ${h(1, col)}
+         |  WHEN 2 THEN ${h(2, col)} ELSE ${h(3, col)} END""".stripMargin
+    s"""WITH tc AS (
+      |  SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY 1),
+      |counters AS (
+      |  SELECT d.d AS dep, ${caseOf("pk")} AS bucket,
+      |    CAST(sum(n) AS BIGINT) AS cnt
+      |  FROM tc CROSS JOIN (SELECT unnest(range(0, $CmDepth)) AS d) d
+      |  GROUP BY 1, 2),
+      |top AS (SELECT pk, n FROM tc ORDER BY n DESC, pk LIMIT $CmTopK),
+      |est AS (
+      |  SELECT t.pk, t.n, min(c.cnt) AS est
+      |  FROM top t CROSS JOIN (SELECT unnest(range(0, $CmDepth)) AS d) d
+      |  JOIN counters c ON c.dep = d.d AND c.bucket = ${caseOf("t.pk")}
+      |  GROUP BY 1, 2)
+      |SELECT pk AS part_id, n AS true_count, est AS cm_estimate,
+      |  est - n AS overestimate
+      |FROM est ORDER BY true_count DESC, part_id""".stripMargin
+  }
 }

@@ -1006,4 +1006,171 @@ object Sampling {
       |    AS neyman_alloc,
       |  round(CAST(m AS DOUBLE) / CAST(mm AS DOUBLE), 6) AS neyman_weight
       |FROM rk ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // conformal_calibration — split-conformal quality-gate thresholds
+  // ------------------------------------------------------------------
+
+  private val ConformalAlphas = Seq(5L, 10L, 20L)
+
+  /** Split-conformal calibration (Vovk et al. 2005; the Papadopoulos
+    * 2002 inductive split form) of the deterministic quality score: a
+    * held-out calibration set (md5 split, ~25%) picks, per miscoverage
+    * level α, the k-th smallest calibration score with k = ⌊α(n+1)⌋ —
+    * the distribution-free threshold τ with P(score ≥ τ) ≥ 1−α for
+    * exchangeable data. The achieved coverage on the disjoint eval set
+    * is reported next to the target: THE honest way to turn a quality
+    * score into a keep/drop gate with a guarantee, instead of
+    * eyeballing a histogram.
+    *
+    * Exactness: scores live on the 10⁻⁶ integer grid (quality_score is
+    * already 6dp), k and coverage are integer truncated divisions, and
+    * the order statistic is computed from per-VALUE counts — no global
+    * sort: the cumulative count runs on the score VALUE GRID, whose
+    * cardinality is ≤ 10⁶+1 BY CONSTRUCTION at any corpus size
+    * (constant in SF, the ranks-with-ties doctrine).
+    *
+    * Scale: ONE (score, split) partial agg collapses the corpus; the
+    * threshold non-equi join (3 αs × grid) and the coverage sum are
+    * grid work. The md5 split reuses the engine's stable-assignment
+    * discipline — adding data never reassigns a doc.
+    */
+  def conformalCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flags = Tables.documents(spark, dir).select($"doc_id",
+      (substring(md5(concat(lit("conf:"), $"doc_id".cast("string"),
+        lit(":"), $"text")), 1, 1) < "4").as("cal"))
+    val sc = TextAnalysis.textQuality(spark, dir)
+      .select($"doc_id", round($"quality_score" * 1000000d, 0).cast("long").as("s"))
+      .join(flags, "doc_id")
+    val grid = sc.groupBy($"s", $"cal").agg(count(lit(1)).as("c"))
+    val calCum = grid.filter($"cal")
+      .withColumn("cc", sum($"c").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"s")))
+    val counts = grid.groupBy($"cal").agg(sum($"c").as("n"))
+    val alphas = ConformalAlphas.toDF("alpha_pct")
+    val th = alphas
+      .crossJoin(broadcast(counts.filter($"cal").select($"n".as("n_cal"))))
+      .withColumn("k", greatest(expr("alpha_pct * (n_cal + 1) div 100"), lit(1L)))
+    val tau = broadcast(th).join(calCum, calCum("cc") >= th("k"))
+      .groupBy($"alpha_pct", $"k", $"n_cal").agg(min($"s").as("tau"))
+    broadcast(tau)
+      .join(grid.filter(!$"cal").select($"s", $"c"), $"s" >= $"tau", "left")
+      .groupBy($"alpha_pct", $"k", $"n_cal", $"tau")
+      .agg(coalesce(sum($"c"), lit(0L)).as("covered"))
+      .crossJoin(broadcast(counts.filter(!$"cal").select($"n".as("n_eval"))))
+      .select($"alpha_pct", $"k", $"n_cal",
+        round($"tau".cast("double") / 1000000d, 6).as("threshold"),
+        $"n_eval", $"covered",
+        round(expr("covered * 1000000 div n_eval").cast("double") / 1000000d, 6)
+          .as("coverage"),
+        ((lit(100L) - $"alpha_pct").cast("double") / lit(100.0)).as("target"))
+      .orderBy($"alpha_pct")
+  }
+
+  val conformalCalibrationSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    val stopList = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+      .map(s => s"'$s'").mkString("[", ",", "]")
+    s"""WITH t AS (
+      |  SELECT doc_id, text,
+      |    CAST(len($toks) AS DOUBLE) AS n_tok,
+      |    CAST(len(list_filter($toks, x -> list_contains($stopList, x))) AS DOUBLE) AS n_stop,
+      |    CAST(len(list_distinct($toks)) AS DOUBLE) AS n_uniq,
+      |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
+      |    CAST(length(text) AS DOUBLE) AS n_chars
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id,
+      |    CAST(round(round(0.35 * least(n_tok / 50.0, 1.0)
+      |      + 0.25 * (n_stop / greatest(n_tok, 1.0))
+      |      + 0.25 * (n_uniq / greatest(n_tok, 1.0))
+      |      + 0.15 * (1.0 - n_punct / greatest(n_chars, 1.0)), 6) * 1000000, 0)
+      |      AS BIGINT) AS s,
+      |    substr(md5('conf:' || CAST(doc_id AS VARCHAR) || ':' || text), 1, 1) < '4' AS cal
+      |  FROM t),
+      |grid AS (SELECT s, cal, CAST(count(*) AS BIGINT) AS c FROM sc GROUP BY 1, 2),
+      |calcum AS (
+      |  SELECT s, CAST(sum(c) OVER (ORDER BY s) AS BIGINT) AS cc
+      |  FROM grid WHERE cal),
+      |nn AS (
+      |  SELECT CAST(sum(c) FILTER (cal) AS BIGINT) AS n_cal,
+      |    CAST(sum(c) FILTER (NOT cal) AS BIGINT) AS n_eval FROM grid),
+      |al AS (SELECT CAST(unnest([${ConformalAlphas.mkString(", ")}]) AS BIGINT) AS alpha_pct),
+      |th AS (
+      |  SELECT a.alpha_pct, greatest((a.alpha_pct * (nn.n_cal + 1)) // 100, 1) AS k,
+      |    nn.n_cal, nn.n_eval
+      |  FROM al a, nn),
+      |tau AS (
+      |  SELECT t2.alpha_pct, t2.k, t2.n_cal, t2.n_eval, min(c2.s) AS tau
+      |  FROM th t2 JOIN calcum c2 ON c2.cc >= t2.k
+      |  GROUP BY 1, 2, 3, 4),
+      |cov AS (
+      |  SELECT t3.alpha_pct, t3.k, t3.n_cal, t3.tau, t3.n_eval,
+      |    CAST(coalesce(sum(g.c), 0) AS BIGINT) AS covered
+      |  FROM tau t3 LEFT JOIN grid g ON NOT g.cal AND g.s >= t3.tau
+      |  GROUP BY 1, 2, 3, 4, 5)
+      |SELECT alpha_pct, k, n_cal,
+      |  round(CAST(tau AS DOUBLE) / 1000000, 6) AS threshold,
+      |  n_eval, covered,
+      |  round(CAST(covered * 1000000 // n_eval AS DOUBLE) / 1000000, 6) AS coverage,
+      |  CAST(100 - alpha_pct AS DOUBLE) / 100.0 AS target
+      |FROM cov ORDER BY alpha_pct""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // gumbel_sample — weighted sampling WITHOUT replacement, stateless
+  // ------------------------------------------------------------------
+
+  private val GumbelK = 64
+
+  /** Deterministic weighted sampling without replacement by the
+    * Gumbel-top-k trick (the log form of Efraimidis & Spirakis 2006's
+    * u^(1/w) reservoir keys): each doc gets key = ln(w) − ln(−ln u)
+    * with w = its token count and u a 48-bit md5-derived uniform; the
+    * k largest keys ARE an exact weighted sample without replacement.
+    * The pipeline's "sample 64 docs proportional to length, same 64 on
+    * every engine and every rerun" primitive — no RNG state, no
+    * rejection loop, no driver coordination.
+    *
+    * Exactness: u = h48/2⁴⁸ is an exact power-of-two division of an
+    * exactly-representable 48-bit integer; the key is one fixed double
+    * tree over exact inputs quantized to the micro grid (the pmi ln
+    * idiom). h48 is floored at 1 so u > 0 (ln(0) guard). Ties on
+    * key_micro break by doc_id.
+    *
+    * Scale: a per-row codegen'd map over the scan + TakeOrdered — zero
+    * shuffles at any corpus size.
+    */
+  def gumbelSample(spark: SparkSession, dir: String, k: Int = GumbelK): DataFrame = {
+    import spark.implicits._
+    val wt = greatest(size(filter(split($"text", "\\s+"), t => t =!= "")), lit(1))
+      .cast("long")
+    val h48 = greatest(
+      conv(substring(md5(concat(lit("gum:"), $"doc_id".cast("string"))), 1, 12),
+        16, 10).cast("long"),
+      lit(1L))
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source", wt.as("weight"),
+        round((log(wt.cast("double"))
+          - log(-log(h48.cast("double") / lit(2.81474976710656e14)))) * 1e6, 0)
+          .cast("long").as("key_micro"))
+      .orderBy($"key_micro".desc, $"doc_id")
+      .limit(k)
+  }
+
+  val gumbelSampleSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH w AS (
+      |  SELECT doc_id, source,
+      |    CAST(greatest(len($toks), 1) AS BIGINT) AS weight,
+      |    greatest(CAST(('0x' || substr(md5('gum:' || CAST(doc_id AS VARCHAR)), 1, 12))
+      |      AS BIGINT), 1) AS h48
+      |  FROM documents)
+      |SELECT doc_id, source, weight,
+      |  CAST(round((ln(CAST(weight AS DOUBLE))
+      |    - ln(-ln(CAST(h48 AS DOUBLE) / 281474976710656.0))) * 1e6, 0) AS BIGINT)
+      |    AS key_micro
+      |FROM w ORDER BY key_micro DESC, doc_id LIMIT $GumbelK""".stripMargin
+  }
 }

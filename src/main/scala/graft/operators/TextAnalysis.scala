@@ -886,4 +886,117 @@ object TextAnalysis {
       |  count(*) AS n_docs,
       |  CAST(sum(n_tokens) AS BIGINT) AS tokens_in_bin
       |FROM t GROUP BY 1 ORDER BY bin""".stripMargin
+
+  // ------------------------------------------------------------------
+  // pii_scrub — PII detection + redaction report per source
+  // ------------------------------------------------------------------
+
+  private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PiiNum = "\\b\\d{7,}\\b"
+
+  /** PII scrub: detect and redact emails, IPv4 addresses, and long
+    * digit runs (id/SSN-shaped), reporting per-source hit counts and a
+    * checksum of the REDACTED corpus — the pre-release privacy pass
+    * every public training-data drop runs. The synthetic corpus
+    * carries no PII, so deterministic fixtures are PLANTED (the
+    * [[urlStats]] discipline): every 7th doc gains an email, every
+    * 11th an internal IP, every 13th a 9-digit id; the oracle plants
+    * identically, so the scrubbing itself — not the fixture — is what
+    * the hash check verifies. Patterns sit in the RE2 ∩ java.util.regex
+    * subset (no backrefs, no lookaround) and apply in a fixed order
+    * (email → ip → num) so a redacted token can't re-match a later
+    * pattern differently across engines.
+    *
+    * The md5-prefix checksum of every scrubbed text (summed per
+    * source) certifies both engines produced byte-identical redacted
+    * corpora — much stronger than matching counts.
+    *
+    * Scale: a per-row codegen'd regex map over the scan + ONE
+    * |sources|-key partial agg. Zero joins, zero extra passes.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = when($"doc_id" % 7 === 0,
+        concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+          lit("@mail"), ($"doc_id" % 5).cast("string"), lit(".example.com")))
+      .otherwise($"text")
+    val raw2 = when($"doc_id" % 11 === 0,
+        concat(raw, lit(" from 10."), ($"doc_id" % 256).cast("string"),
+          lit("."), ($"doc_id" % 100).cast("string"), lit(".7")))
+      .otherwise(raw)
+    val raw3 = when($"doc_id" % 13 === 0,
+        concat(raw2, lit(" ref "), lpad(($"doc_id" % 1000000).cast("string"), 9, "0")))
+      .otherwise(raw2)
+    // Column-API regex calls throughout: lit(pattern) reaches the regex
+    // engine verbatim (an expr() SQL literal would re-parse \b \d as
+    // string escapes)
+    val afterEmail = regexp_replace(col("raw"), PiiEmail, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, PiiIp, "<IP>")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source", raw3.as("raw"))
+      .select($"source",
+        size(regexp_extract_all($"raw", lit(PiiEmail), lit(0)))
+          .cast("long").as("ne"),
+        size(regexp_extract_all(afterEmail, lit(PiiIp), lit(0)))
+          .cast("long").as("ni"),
+        size(regexp_extract_all(afterIp, lit(PiiNum), lit(0)))
+          .cast("long").as("nn"),
+        regexp_replace(afterIp, PiiNum, "<NUM>").as("scrubbed"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"ne" > 0, 1L).otherwise(0L)).as("docs_with_email"),
+        sum(when($"ni" > 0, 1L).otherwise(0L)).as("docs_with_ip"),
+        sum(when($"nn" > 0, 1L).otherwise(0L)).as("docs_with_num"),
+        sum($"ne" + $"ni" + $"nn").as("total_redactions"),
+        sum(conv(substring(md5($"scrubbed"), 1, 4), 16, 10).cast("long"))
+          .as("scrub_checksum"))
+      .orderBy($"source")
+  }
+
+  val piiScrubSql: String =
+    s"""WITH planted AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 13 = 0 THEN
+      |      CASE WHEN doc_id % 11 = 0 THEN
+      |        CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |            || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' ELSE text END
+      |        || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+      |        || CAST(doc_id % 100 AS VARCHAR) || '.7'
+      |      ELSE
+      |        CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |            || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' ELSE text END
+      |      END || ' ref ' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 9, '0')
+      |    WHEN doc_id % 11 = 0 THEN
+      |      CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |          || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' ELSE text END
+      |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+      |      || CAST(doc_id % 100 AS VARCHAR) || '.7'
+      |    WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |        || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+      |    ELSE text END AS raw
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(raw, '$PiiEmail')) AS BIGINT) AS ne,
+      |    CAST(len(regexp_extract_all(
+      |      regexp_replace(raw, '$PiiEmail', '<EMAIL>', 'g'), '$PiiIp')) AS BIGINT) AS ni,
+      |    CAST(len(regexp_extract_all(regexp_replace(
+      |      regexp_replace(raw, '$PiiEmail', '<EMAIL>', 'g'),
+      |      '$PiiIp', '<IP>', 'g'), '$PiiNum')) AS BIGINT) AS nn,
+      |    regexp_replace(regexp_replace(regexp_replace(raw,
+      |      '$PiiEmail', '<EMAIL>', 'g'), '$PiiIp', '<IP>', 'g'),
+      |      '$PiiNum', '<NUM>', 'g') AS scrubbed
+      |  FROM planted)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+      |  CAST(sum(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_ip,
+      |  CAST(sum(CASE WHEN nn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_num,
+      |  CAST(sum(ne + ni + nn) AS BIGINT) AS total_redactions,
+      |  CAST(sum(instr('0123456789abcdef', substr(md5(scrubbed), 1, 1)) * 4096
+      |    + instr('0123456789abcdef', substr(md5(scrubbed), 2, 1)) * 256
+      |    + instr('0123456789abcdef', substr(md5(scrubbed), 3, 1)) * 16
+      |    + instr('0123456789abcdef', substr(md5(scrubbed), 4, 1)) - 4369) AS BIGINT)
+      |    AS scrub_checksum
+      |FROM s GROUP BY source ORDER BY source""".stripMargin
 }

@@ -954,4 +954,77 @@ object TimeSeries2 {
        |FROM s2 JOIN rec ON s2.event_type = rec.event_type
        |ORDER BY s2.event_type""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // stl_decompose — trend / weekly-seasonal / residual decomposition
+  // ------------------------------------------------------------------
+
+  /** Classical seasonal-trend decomposition (the moving-average STL of
+    * Cleveland et al. 1990 §2's inner loop, one pass, m = 7) of each
+    * event type's daily value series: trend = centered 7-day moving
+    * average, seasonal = per-day-of-week mean of the detrended series,
+    * residual = value − trend − seasonal. The decomposition a pipeline
+    * reads before alerting on raw volume: a Monday dip is seasonality,
+    * not an incident ([[burstDetect]]/[[holtWinters]] consume the same
+    * series; this op EXPLAINS it).
+    *
+    * Exactness: day values on the exact 10⁻⁴ integer grid (the file's
+    * shared [[dailySeries]]); trend and seasonal are truncated integer
+    * divisions (Spark `div` ≡ DuckDB `//`, both toward zero), so every
+    * cell is an exact BIGINT and the output doubles are single
+    * /10000-divisions. Edge days without a full ±3 window (or with a
+    * day gap inside it) are excluded — n7 = 7 AND span = 6 guards
+    * both, identically in each engine.
+    *
+    * Scale: ONE partial agg collapses the corpus to the |types|×|days|
+    * day grid; the 7-day window and the dow aggregate run on that grid
+    * (type-partitioned, never corpus-cardinality).
+    */
+  def stlDecompose(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day_n").rowsBetween(-3, 3)
+    val tr = dailySeries(spark, dir)
+      .withColumn("s7", sum($"x_u").over(w))
+      .withColumn("n7", count(lit(1)).over(w))
+      .withColumn("span", max($"day_n").over(w) - min($"day_n").over(w))
+      .filter($"n7" === 7 && $"span" === 6)
+      .select($"event_type", $"day_n", $"x_u",
+        expr("s7 div 7").as("trend_u"))
+    val se = tr.groupBy($"event_type".as("et"), ($"day_n" % 7).as("dow"))
+      .agg(expr("sum(x_u - trend_u) div count(1)").as("seasonal_u"))
+    tr.join(se, tr("event_type") === se("et") && tr("day_n") % 7 === se("dow"))
+      .select(tr("event_type"), $"day_n",
+        round($"x_u".cast("double") / 10000d, 4).as("day_value"),
+        round($"trend_u".cast("double") / 10000d, 4).as("trend"),
+        round($"seasonal_u".cast("double") / 10000d, 4).as("seasonal"),
+        round(($"x_u" - $"trend_u" - $"seasonal_u").cast("double") / 10000d, 4)
+          .as("residual"))
+      .orderBy($"event_type", $"day_n")
+  }
+
+  val stlDecomposeSql: String =
+    s"""WITH daily AS ($dailySeriesSql),
+      |w7 AS (
+      |  SELECT event_type, day_n, x_u,
+      |    CAST(sum(x_u) OVER w AS BIGINT) AS s7,
+      |    CAST(count(*) OVER w AS BIGINT) AS n7,
+      |    CAST(max(day_n) OVER w - min(day_n) OVER w AS BIGINT) AS span
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day_n
+      |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |tr AS (
+      |  SELECT event_type, day_n, x_u, s7 // 7 AS trend_u
+      |  FROM w7 WHERE n7 = 7 AND span = 6),
+      |se AS (
+      |  SELECT event_type, day_n % 7 AS dow,
+      |    CAST(sum(x_u - trend_u) AS BIGINT) // count(*) AS seasonal_u
+      |  FROM tr GROUP BY 1, 2)
+      |SELECT t.event_type AS event_type, t.day_n AS day_n,
+      |  round(CAST(t.x_u AS DOUBLE) / 10000, 4) AS day_value,
+      |  round(CAST(t.trend_u AS DOUBLE) / 10000, 4) AS trend,
+      |  round(CAST(s.seasonal_u AS DOUBLE) / 10000, 4) AS seasonal,
+      |  round(CAST(t.x_u - t.trend_u - s.seasonal_u AS DOUBLE) / 10000, 4) AS residual
+      |FROM tr t JOIN se s ON s.event_type = t.event_type AND s.dow = t.day_n % 7
+      |ORDER BY event_type, day_n""".stripMargin
 }

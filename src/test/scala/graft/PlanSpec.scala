@@ -663,6 +663,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("shuffle budgets for the round-10 additions") {
+    spark.sharedState.cacheManager.clearCache()
+    for ((name, df, budget) <- Seq(
+        // model computed inside the call; the returned frame is one
+        // codegen'd literal-dot map over the scan + TakeOrdered
+        ("pca_projection", operators.Embeddings.pcaProjection(spark, sf), 0),
+        // one corpus day-grid agg + grid window + dow grid agg + sort
+        ("stl_decompose", operators.TimeSeries2.stlDecompose(spark, sf), 5),
+        // doc_id join of score+flag + (s,cal) grid agg + grid
+        // window/joins (alphas/counts broadcast) + sort
+        ("conformal_calibration",
+          operators.Sampling.conformalCalibration(spark, sf), 8),
+        // per-row key map + TakeOrdered: zero exchanges
+        ("gumbel_sample", operators.Sampling.gumbelSample(spark, sf), 0),
+        // key collapse + 1024-cell sketch agg + broadcast top-k audit
+        ("countmin_topk", operators.Profile.countminTopk(spark, sf), 5),
+        // key distinct + bit-set distinct + probe semi-join + 1-row aggs
+        ("bloom_fp_audit", operators.RuntimeFilter.bloomFpAudit(spark, sf), 6),
+        // per-row codegen'd regex map + one |sources| agg + sort
+        ("pii_scrub", operators.TextAnalysis.piiScrub(spark, sf), 2))) {
+      val n = shuffleCount(df)
+      info(s"$name shuffles = $n (budget $budget)")
+      assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
+    }
+  }
+
   test("unpartitioned windows only ever read grid/model-cardinality inputs") {
     // The library-wide discipline behind the Spark "No Partition
     // Defined" WARNs: a Window with an empty partitionSpec serializes
@@ -709,7 +735,9 @@ class PlanSpec extends SparkSpec {
       "graph_richclub" -> "distinct-degree grid: suffix sums over degree values",
       "bootstrap_ci" -> "B=40 replicate-mean grid",
       "neyman_allocation" -> "|sources|-row allocation grid",
-      "periodogram_topk" -> "hour grid: one row per hour bucket")
+      "periodogram_topk" -> "hour grid: one row per hour bucket",
+      "conformal_calibration" ->
+        "score VALUE grid: <= 1e6+1 distinct 6dp scores at ANY corpus size")
     // exactness-gate sites: the window deliberately reads a
     // corpus-cardinality input because the ORACLE semantics (exact
     // global ntile) demand a total order; each documents its 100 TB
