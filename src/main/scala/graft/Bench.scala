@@ -73,7 +73,8 @@ object Bench {
     // round-10 batch: PCA projection + decomposition/calibration/
     // sampling/sketch/privacy additions
     "pca_projection", "stl_decompose", "conformal_calibration",
-    "gumbel_sample", "countmin_topk", "bloom_fp_audit", "pii_scrub")
+    "gumbel_sample", "countmin_topk", "bloom_fp_audit", "pii_scrub",
+    "ann_ndcg")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

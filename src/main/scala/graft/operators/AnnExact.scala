@@ -774,4 +774,120 @@ object AnnExact {
       |  FROM nc)
       |SELECT k_occurrences, n_vectors FROM hist
       |ORDER BY k_occurrences""".stripMargin)
+
+  // ------------------------------------------------------------------
+  // ann_ndcg — graded ranking quality of the raw ADC ordering
+  // ------------------------------------------------------------------
+
+  private val NdcgK = 10
+
+  /** NDCG@10 of the RAW ADC ranking (PQ codes, no exact rescore)
+    * against exact ground truth — the GRADED companion to
+    * [[annPqAuto]]'s recall: recall only counts set overlap, NDCG
+    * (Järvelin & Kekäläinen 2002) scores the ORDER, with gain
+    * 11 − true_rank for truth-top-10 items and the log₂-position
+    * discount. This is the metric that catches an index whose
+    * shortlist contains the right neighbors in the wrong order —
+    * invisible to recall, fatal to a no-rescore serving path.
+    *
+    * Exactness: ADC sums and true d2 are exact integers; position
+    * weights are the micro-quantized double tree
+    * round(10⁶·ln2/ln(pos+1)) (the pmi idiom — both libms 1-ulp);
+    * DCG is an exact integer dot of gains and weights; IDCG is the
+    * same weights against the perfect gain sequence; NDCG is one
+    * truncated division onto the micro grid. The whole chain —
+    * codebooks included — replays in DuckDB (the pqChainSql
+    * machinery), so the op is hash-exact.
+    *
+    * Scale: same shape as [[annPq]] — codes and distance tables are
+    * model-sized, queries broadcast, the corpus is scanned and never
+    * shuffled; everything after the rank lives on the 8×10 grid. The
+    * 8-row output follows the eager-grid convention (collect, release
+    * the corpus cache, re-wrap).
+    */
+  def annNdcg(spark: SparkSession, dir: String, topK: Int = NdcgK): DataFrame = {
+    import spark.implicits._
+    val (corpus0, queries) = quantSplit(spark, dir)
+    val corpus = corpus0.persist()
+    val books = pqLloydL(corpus, "vq", PqK, PqIters)
+    val codeTable = corpus.select($"vec_id".as("n_id"),
+      pq_encode_l($"vq", books).as("codes"))
+    val qTab = queries.select($"vec_id".as("q_id"), $"vq".as("qv"),
+      pq_dist_table_l($"vq", books).as("dtab"))
+    val adcTop = codeTable.crossJoin(broadcast(qTab))
+      .withColumn("adc", adcL)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"adc", $"n_id")))
+      .filter($"pos" <= topK)
+      .select($"q_id", $"n_id", $"pos")
+    val truth = corpus.select($"vec_id".as("n_id"), $"vq".as("nv"))
+      .crossJoin(broadcast(queries.select($"vec_id".as("q_id"), $"vq".as("qv"))))
+      .withColumn("d2", d2Cols($"qv", $"nv"))
+      .withColumn("trk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"d2", $"n_id")))
+      .filter($"trk" <= topK)
+      .select($"q_id", $"n_id", (lit(topK + 1) - $"trk").cast("long").as("rel"))
+    val w = spark.range(1, topK + 1)
+      .select($"id".cast("int").as("pos"),
+        round(lit(1000000.0) * log(lit(2.0)) / log(($"id" + 1).cast("double")), 0)
+          .cast("long").as("w"))
+    val idcg = w.agg(sum((lit(topK + 1) - $"pos") * $"w").as("idcg_micro"))
+    val out = adcTop
+      .join(truth, Seq("q_id", "n_id"), "left")
+      .join(broadcast(w), "pos")
+      .groupBy($"q_id")
+      .agg(sum(coalesce($"rel", lit(0L)) * $"w").as("dcg_micro"))
+      .crossJoin(broadcast(idcg))
+      .select($"q_id", $"dcg_micro", $"idcg_micro",
+        expr("dcg_micro * 1000000 div idcg_micro").as("ndcg_micro"))
+      .select($"q_id", $"dcg_micro", $"idcg_micro", $"ndcg_micro",
+        round($"ndcg_micro".cast("double") / 1000000d, 6).as("ndcg"))
+      .orderBy($"q_id")
+    val rows = out.collect().toSeq
+    corpus.unpersist()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+  }
+
+  val annNdcgSql: String = mat(
+    baseCtes + pqChainSql("pq", "corp", "vq", PqK, PqIters) +
+      pqEncodeSql("pq", "corp", "vq", PqIters, "") +
+      s""",
+      |qtab AS (
+      |  SELECT q.vec_id AS q_id, k.sub, k.code, sum((q.vq - k.cq) * (q.vq - k.cq)) AS d2
+      |  FROM qry q JOIN pqcent$PqIters k ON k.dim = q.dim GROUP BY 1, 2, 3),
+      |adc AS (
+      |  SELECT t.q_id, e.n_id, CAST(sum(t.d2) AS BIGINT) AS adc
+      |  FROM pqenc e JOIN qtab t ON t.sub = e.sub AND t.code = e.code
+      |  GROUP BY 1, 2),
+      |adcr AS (
+      |  SELECT q_id, n_id, pos FROM (
+      |    SELECT q_id, n_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS pos
+      |    FROM adc) t WHERE pos <= $NdcgK),
+      |truthd AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    sum((q.vq - c.vq) * (q.vq - c.vq)) AS d2
+      |  FROM qry q JOIN corp c ON c.dim = q.dim GROUP BY 1, 2),
+      |truth AS (
+      |  SELECT q_id, n_id, CAST(${NdcgK + 1} - trk AS BIGINT) AS rel FROM (
+      |    SELECT q_id, n_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS trk
+      |    FROM truthd) t WHERE trk <= $NdcgK),
+      |wt AS (
+      |  SELECT CAST(r AS INT) AS pos,
+      |    CAST(round(1000000.0 * ln(2.0) / ln(CAST(r + 1 AS DOUBLE)), 0) AS BIGINT) AS w
+      |  FROM (SELECT unnest(range(1, ${NdcgK + 1})) AS r)),
+      |idcg AS (
+      |  SELECT CAST(sum((${NdcgK + 1} - pos) * w) AS BIGINT) AS idcg_micro FROM wt),
+      |dcg AS (
+      |  SELECT a.q_id, CAST(sum(coalesce(t.rel, 0) * w.w) AS BIGINT) AS dcg_micro
+      |  FROM adcr a
+      |  LEFT JOIN truth t ON t.q_id = a.q_id AND t.n_id = a.n_id
+      |  JOIN wt w ON w.pos = a.pos
+      |  GROUP BY 1)
+      |SELECT d.q_id, d.dcg_micro, i.idcg_micro,
+      |  (d.dcg_micro * 1000000) // i.idcg_micro AS ndcg_micro,
+      |  round(CAST((d.dcg_micro * 1000000) // i.idcg_micro AS DOUBLE) / 1000000, 6)
+      |    AS ndcg
+      |FROM dcg d, idcg i ORDER BY q_id""".stripMargin)
 }

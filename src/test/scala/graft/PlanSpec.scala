@@ -682,7 +682,10 @@ class PlanSpec extends SparkSpec {
         // key distinct + bit-set distinct + probe semi-join + 1-row aggs
         ("bloom_fp_audit", operators.RuntimeFilter.bloomFpAudit(spark, sf), 6),
         // per-row codegen'd regex map + one |sources| agg + sort
-        ("pii_scrub", operators.TextAnalysis.piiScrub(spark, sf), 2))) {
+        ("pii_scrub", operators.TextAnalysis.piiScrub(spark, sf), 2),
+        // eager-grid op: ADC + truth ranking runs inside the call; the
+        // returned frame is the re-wrapped 8-row report
+        ("ann_ndcg", operators.AnnExact.annNdcg(spark, sf), 0))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")

@@ -178,6 +178,52 @@ class Round10OpsSpec extends SparkSpec {
     assert(r.getDouble(5) >= 0.0 && r.getDouble(5) < 1.0)
   }
 
+  test("ann_ndcg: brute-force ADC-ranking NDCG replay and bounds") {
+    val corpus = graft.operators.Training.quantizedOf(
+        graft.sources.Tables.embeddings(spark, sf)).filter($"vec_id" >= 8)
+    val books = graft.operators.AnnExact.pqLloydL(corpus, "vq", 32, 3)
+    val vq = graft.operators.Training.quantizedOf(
+        graft.sources.Tables.embeddings(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val (qs, cs) = vq.partition(_._1 < 8)
+    val subs = 8; val subDim = 8
+    def encode(v: Array[Long]): Array[Int] = Array.tabulate(subs) { s =>
+      var best = Long.MaxValue; var bi = 0
+      for (c <- 0 until 32) {
+        var d2 = 0L
+        for (d <- 0 until subDim) {
+          val diff = v(s * subDim + d) - books(s)(c)(d); d2 += diff * diff
+        }
+        if (d2 < best) { best = d2; bi = c }
+      }
+      bi
+    }
+    val codes = cs.map { case (id, v) => id -> encode(v) }
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val w = (1 to 10).map(p => p -> math.round(1e6 * math.log(2.0) / math.log(p + 1.0))).toMap
+    val idcg = (1 to 10).map(p => (11 - p) * w(p)).sum
+    val expected = qs.toSeq.sortBy(_._1).map { case (qid, qv) =>
+      // distance table: per (sub, code) d2 of the query subvector
+      val dtab = Array.tabulate(subs, 32)((s, c) =>
+        d2(qv.slice(s * subDim, (s + 1) * subDim), books(s)(c)))
+      val adcRank = codes.toSeq.map { case (nid, cd) =>
+        (nid, (0 until subs).map(s => dtab(s)(cd(s))).sum)
+      }.sortBy { case (nid, a) => (a, nid) }.take(10).map(_._1)
+      val truthRel = cs.toSeq.map { case (nid, nv) => (nid, d2(qv, nv)) }
+        .sortBy { case (nid, dd) => (dd, nid) }.take(10).zipWithIndex
+        .map { case ((nid, _), i) => nid -> (10L - i) }.toMap
+      val dcg = adcRank.zipWithIndex.map { case (nid, i) =>
+        truthRel.getOrElse(nid, 0L) * w(i + 1)
+      }.sum
+      (qid, dcg, idcg, dcg * 1000000L / idcg)
+    }
+    val got = graft.operators.AnnExact.annNdcg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected)
+    for ((_, _, _, nd) <- got) assert(nd >= 0L && nd <= 1000000L, "NDCG in [0,1]")
+  }
+
   test("pii_scrub: no pattern survives scrubbing; per-source counts replay") {
     val out = graft.operators.TextAnalysis.piiScrub(spark, sf).collect()
     assert(out.map(_.getLong(2)).sum > 0, "fixture must plant emails")
