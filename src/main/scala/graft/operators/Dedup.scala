@@ -1417,6 +1417,58 @@ object Dedup {
       |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Cluster-SIZE distribution of the MinHash near-dup graph — the
+    * histogram curation actually reads to set dedup aggressiveness
+    * (web-corpus practice: a heavy tail of giant clusters means
+    * boilerplate/templates; many size-2 clusters means true
+    * near-copies — the two call for different keep policies). Pairs
+    * come from the scalable [[dedupMinhash]] path (capped band join,
+    * est ≥ 0.5), components from the shared min-label propagation
+    * ([[clusterPairs]], O(log diameter) pointer-jumped rounds), and
+    * the output is the (cluster_size → n_clusters, doc mass) grid plus
+    * excess-doc mass (what a keep-one policy would drop).
+    *
+    * Scale: everything corpus-sized is the documented dedupMinhash /
+    * clusterPairs machinery; the histogram itself is two grid
+    * aggregates over the |clustered docs|-row label table.
+    */
+  def dupComponents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = dedupMinhash(spark, dir).select($"i", $"j")
+    val comp = clusterPairs(spark, pairs)
+    comp.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        (sum($"cluster_size")).as("docs_in_clusters"),
+        (sum($"cluster_size" - 1)).as("excess_docs"))
+      .orderBy($"cluster_size")
+  }
+
+  lazy val dupComponentsSql: String =
+    minhashEstCtes + s""",
+      |mp AS (SELECT i, j FROM est WHERE est_jaccard >= 0.5),
+      |cedges AS (
+      |  SELECT i AS a, j AS b FROM mp
+      |  UNION SELECT j, i FROM mp
+      |  UNION SELECT i, i FROM mp
+      |  UNION SELECT j, j FROM mp),
+      |closure AS (
+      |  WITH RECURSIVE reach(a, b) AS (
+      |    SELECT a, b FROM cedges
+      |    UNION
+      |    SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a)
+      |  SELECT * FROM reach),
+      |lab AS (
+      |  SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+      |  FROM closure GROUP BY a),
+      |sizes AS (
+      |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      |  FROM lab GROUP BY 1)
+      |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+      |  CAST(sum(cluster_size) AS BIGINT) AS docs_in_clusters,
+      |  CAST(sum(cluster_size - 1) AS BIGINT) AS excess_docs
+      |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin
+
   /** Entity-resolution clusters from COMBINED evidence: one blocked
     * self-join computes BOTH the banded edit distance and Jaro–Winkler
     * per candidate pair (one pass over candidates, two match rules), a

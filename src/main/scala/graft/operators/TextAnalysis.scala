@@ -915,46 +915,45 @@ object TextAnalysis {
     * Scale: a per-row codegen'd regex map over the scan + ONE
     * |sources|-key partial agg. Zero joins, zero extra passes.
     */
-  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val raw = when($"doc_id" % 7 === 0,
-        concat($"text", lit(" contact user"), $"doc_id".cast("string"),
-          lit("@mail"), ($"doc_id" % 5).cast("string"), lit(".example.com")))
-      .otherwise($"text")
-    val raw2 = when($"doc_id" % 11 === 0,
-        concat(raw, lit(" from 10."), ($"doc_id" % 256).cast("string"),
-          lit("."), ($"doc_id" % 100).cast("string"), lit(".7")))
+  /** Per-doc PII flags over ANY documents frame (batch or stream) —
+    * the map stage shared by the batch [[piiScrub]] report and the
+    * streaming gate (stream_pii_gate): planted fixtures, the three
+    * ordered redaction passes, per-pattern match counts, and the md5
+    * fingerprint of the redacted text. Pure per-row codegen'd map.
+    * Column-API regex calls throughout: lit(pattern) reaches the regex
+    * engine verbatim (an expr() SQL literal would re-parse \b \d as
+    * string escapes).
+    */
+  def piiFlags(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val raw = when(id % 7 === 0,
+        concat(col("text"), lit(" contact user"), id.cast("string"),
+          lit("@mail"), (id % 5).cast("string"), lit(".example.com")))
+      .otherwise(col("text"))
+    val raw2 = when(id % 11 === 0,
+        concat(raw, lit(" from 10."), (id % 256).cast("string"),
+          lit("."), (id % 100).cast("string"), lit(".7")))
       .otherwise(raw)
-    val raw3 = when($"doc_id" % 13 === 0,
-        concat(raw2, lit(" ref "), lpad(($"doc_id" % 1000000).cast("string"), 9, "0")))
+    val raw3 = when(id % 13 === 0,
+        concat(raw2, lit(" ref "), lpad((id % 1000000).cast("string"), 9, "0")))
       .otherwise(raw2)
-    // Column-API regex calls throughout: lit(pattern) reaches the regex
-    // engine verbatim (an expr() SQL literal would re-parse \b \d as
-    // string escapes)
     val afterEmail = regexp_replace(col("raw"), PiiEmail, "<EMAIL>")
     val afterIp = regexp_replace(afterEmail, PiiIp, "<IP>")
-    Tables.documents(spark, dir)
-      .select($"doc_id", $"source", raw3.as("raw"))
-      .select($"source",
-        size(regexp_extract_all($"raw", lit(PiiEmail), lit(0)))
-          .cast("long").as("ne"),
+    docs.select(id, col("source"), raw3.as("raw"))
+      .select(id, col("source"),
+        size(regexp_extract_all(col("raw"), lit(PiiEmail), lit(0)))
+          .cast("long").as("n_email"),
         size(regexp_extract_all(afterEmail, lit(PiiIp), lit(0)))
-          .cast("long").as("ni"),
+          .cast("long").as("n_ip"),
         size(regexp_extract_all(afterIp, lit(PiiNum), lit(0)))
-          .cast("long").as("nn"),
-        regexp_replace(afterIp, PiiNum, "<NUM>").as("scrubbed"))
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when($"ne" > 0, 1L).otherwise(0L)).as("docs_with_email"),
-        sum(when($"ni" > 0, 1L).otherwise(0L)).as("docs_with_ip"),
-        sum(when($"nn" > 0, 1L).otherwise(0L)).as("docs_with_num"),
-        sum($"ne" + $"ni" + $"nn").as("total_redactions"),
-        sum(conv(substring(md5($"scrubbed"), 1, 4), 16, 10).cast("long"))
-          .as("scrub_checksum"))
-      .orderBy($"source")
+          .cast("long").as("n_num"),
+        conv(substring(md5(regexp_replace(afterIp, PiiNum, "<NUM>")), 1, 4),
+          16, 10).cast("long").as("scrub_fp"))
   }
 
-  val piiScrubSql: String =
+  /** The per-doc SQL mirror of [[piiFlags]] (shared by the batch and
+    * streaming oracles). */
+  val piiFlagsSql: String =
     s"""WITH planted AS (
       |  SELECT doc_id, source,
       |    CASE WHEN doc_id % 13 = 0 THEN
@@ -976,27 +975,47 @@ object TextAnalysis {
       |        || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
       |    ELSE text END AS raw
       |  FROM documents),
-      |s AS (
+      |piiflags AS (
       |  SELECT doc_id, source,
-      |    CAST(len(regexp_extract_all(raw, '$PiiEmail')) AS BIGINT) AS ne,
+      |    CAST(len(regexp_extract_all(raw, '$PiiEmail')) AS BIGINT) AS n_email,
       |    CAST(len(regexp_extract_all(
-      |      regexp_replace(raw, '$PiiEmail', '<EMAIL>', 'g'), '$PiiIp')) AS BIGINT) AS ni,
+      |      regexp_replace(raw, '$PiiEmail', '<EMAIL>', 'g'), '$PiiIp')) AS BIGINT) AS n_ip,
       |    CAST(len(regexp_extract_all(regexp_replace(
       |      regexp_replace(raw, '$PiiEmail', '<EMAIL>', 'g'),
-      |      '$PiiIp', '<IP>', 'g'), '$PiiNum')) AS BIGINT) AS nn,
-      |    regexp_replace(regexp_replace(regexp_replace(raw,
-      |      '$PiiEmail', '<EMAIL>', 'g'), '$PiiIp', '<IP>', 'g'),
-      |      '$PiiNum', '<NUM>', 'g') AS scrubbed
-      |  FROM planted)
-      |SELECT source, count(*) AS n_docs,
-      |  CAST(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
-      |  CAST(sum(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_ip,
-      |  CAST(sum(CASE WHEN nn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_num,
-      |  CAST(sum(ne + ni + nn) AS BIGINT) AS total_redactions,
-      |  CAST(sum(instr('0123456789abcdef', substr(md5(scrubbed), 1, 1)) * 4096
-      |    + instr('0123456789abcdef', substr(md5(scrubbed), 2, 1)) * 256
-      |    + instr('0123456789abcdef', substr(md5(scrubbed), 3, 1)) * 16
-      |    + instr('0123456789abcdef', substr(md5(scrubbed), 4, 1)) - 4369) AS BIGINT)
-      |    AS scrub_checksum
-      |FROM s GROUP BY source ORDER BY source""".stripMargin
+      |      '$PiiIp', '<IP>', 'g'), '$PiiNum')) AS BIGINT) AS n_num,
+      |    CAST(instr('0123456789abcdef', substr(md5(sc), 1, 1)) * 4096
+      |      + instr('0123456789abcdef', substr(md5(sc), 2, 1)) * 256
+      |      + instr('0123456789abcdef', substr(md5(sc), 3, 1)) * 16
+      |      + instr('0123456789abcdef', substr(md5(sc), 4, 1)) - 4369 AS BIGINT)
+      |      AS scrub_fp
+      |  FROM (SELECT doc_id, source, raw,
+      |          regexp_replace(regexp_replace(regexp_replace(raw,
+      |            '$PiiEmail', '<EMAIL>', 'g'), '$PiiIp', '<IP>', 'g'),
+      |            '$PiiNum', '<NUM>', 'g') AS sc
+      |        FROM planted))""".stripMargin
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    piiFlags(Tables.documents(spark, dir))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_email" > 0, 1L).otherwise(0L)).as("docs_with_email"),
+        sum(when($"n_ip" > 0, 1L).otherwise(0L)).as("docs_with_ip"),
+        sum(when($"n_num" > 0, 1L).otherwise(0L)).as("docs_with_num"),
+        sum($"n_email" + $"n_ip" + $"n_num").as("total_redactions"),
+        sum($"scrub_fp").as("scrub_checksum"))
+      .orderBy($"source")
+  }
+
+  // concatenated, NOT interpolated into a stripMargin literal: the
+  // flags SQL contains `||` at line starts, and an outer stripMargin
+  // would eat one pipe from every such line
+  val piiScrubSql: String = piiFlagsSql + "\n" +
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+      |  CAST(sum(CASE WHEN n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_ip,
+      |  CAST(sum(CASE WHEN n_num > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_num,
+      |  CAST(sum(n_email + n_ip + n_num) AS BIGINT) AS total_redactions,
+      |  CAST(sum(scrub_fp) AS BIGINT) AS scrub_checksum
+      |FROM piiflags GROUP BY source ORDER BY source""".stripMargin
 }

@@ -366,6 +366,34 @@ object StreamQueries {
       |FROM toks ORDER BY doc_id""".stripMargin
   }
 
+  /** PII scrubbing as a STREAMING admission stage — the privacy twin of
+    * [[streamLexiconGate]]: every arriving document passes the SAME
+    * per-row detect/redact map as the batch [[graft.operators.TextAnalysis.piiFlags]]
+    * (planted fixtures, three ordered redaction passes, md5 fingerprint
+    * of the redacted text), so the append-mode sink hash-matches the
+    * batch per-doc oracle. Zero state, zero watermark — the production
+    * shape of scrub-on-ingest, where documents must be redacted BEFORE
+    * they ever land in the lake.
+    */
+  def streamPiiGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inDir = stageTable(dir, "documents")
+    val name = uniqueName("sq_piigate")
+    val static = spark.read.parquet(inDir)
+    val stream = spark.readStream.schema(static.schema).parquet(inDir)
+    val q = graft.operators.TextAnalysis.piiFlags(stream)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name).orderBy($"doc_id")
+  }
+
+  // concatenated, NOT interpolated into a stripMargin literal (the
+  // flags SQL has `||` line starts an outer stripMargin would corrupt)
+  val streamPiiGateSql: String =
+    graft.operators.TextAnalysis.piiFlagsSql + "\n" +
+      """SELECT doc_id, source, n_email, n_ip, n_num, scrub_fp
+        |FROM piiflags ORDER BY doc_id""".stripMargin
+
   /** The trained quality classifier run as a STREAMING admission gate —
     * the model-based sibling of [[streamQualityFilter]]'s rule gate,
     * and the classifier counterpart of [[streamDedupGate]]'s index

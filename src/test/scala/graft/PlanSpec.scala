@@ -685,7 +685,10 @@ class PlanSpec extends SparkSpec {
         ("pii_scrub", operators.TextAnalysis.piiScrub(spark, sf), 2),
         // eager-grid op: ADC + truth ranking runs inside the call; the
         // returned frame is the re-wrapped 8-row report
-        ("ann_ndcg", operators.AnnExact.annNdcg(spark, sf), 0))) {
+        ("ann_ndcg", operators.AnnExact.annNdcg(spark, sf), 0),
+        // clusterPairs rebases each round on a persisted RDD, so the
+        // returned plan is the final label frame + two grid aggregates
+        ("dup_components", operators.Dedup.dupComponents(spark, sf), 3))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")

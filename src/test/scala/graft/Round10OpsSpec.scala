@@ -224,6 +224,41 @@ class Round10OpsSpec extends SparkSpec {
     for ((_, _, _, nd) <- got) assert(nd >= 0L && nd <= 1000000L, "NDCG in [0,1]")
   }
 
+  test("dup_components: union-find replay over the minhash pair graph") {
+    val pairs = graft.operators.Dedup.dedupMinhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((i, j) <- pairs) {
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val sizes = members.groupBy(find).map(_._2.length.toLong)
+    val expected = sizes.groupBy(identity).map { case (sz, g) =>
+      (sz, g.size.toLong, sz * g.size, (sz - 1) * g.size)
+    }.toSeq.sortBy(_._1)
+    val got = graft.operators.Dedup.dupComponents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // conservation: docs in clusters = distinct docs in the pair graph
+    assert(got.map(_._3).sum == members.length.toLong)
+  }
+
+  test("stream_pii_gate: streaming output equals the batch piiFlags") {
+    val stream = graft.streaming.StreamQueries.streamPiiGate(spark, sf)
+      .collect().toSeq
+    val batch = graft.operators.TextAnalysis
+      .piiFlags(graft.sources.Tables.documents(spark, sf))
+      .orderBy($"doc_id").collect().toSeq
+    assert(stream === batch)
+    assert(stream.exists(_.getAs[Long]("n_email") > 0),
+      "fixture must exercise the email path")
+  }
+
   test("pii_scrub: no pattern survives scrubbing; per-source counts replay") {
     val out = graft.operators.TextAnalysis.piiScrub(spark, sf).collect()
     assert(out.map(_.getLong(2)).sum > 0, "fixture must plant emails")
