@@ -100,7 +100,15 @@ object PlanDump {
     "coverage_curve" ->
       "one-pass subsample coverage: each gram's SMALLEST occurrence percentile answers every sample rate, so one gram-keyed min aggregate (map-side partial) serves the whole 7-point curve — grams never re-explode per rate",
     "propensity_ipw" ->
-      "stratified IPW: one orders aggregate to customers, one customer aggregate to the |segments| cell grid; weights are exact floor-divided DECIMAL(38,0) integers; one row out")
+      "stratified IPW: one orders aggregate to customers, one customer aggregate to the |segments| cell grid; weights are exact floor-divided DECIMAL(38,0) integers; one row out",
+    "pca_projection" ->
+      "PC1 projection: the 64-value integer eigenvector is a LITERAL inside the codegen'd vec_dot over the scan (every partial < 2^53 so the double accumulation is exact) — zero exchanges; the top-|score| cut is TakeOrderedAndProject, never a global sort",
+    "gumbel_sample" ->
+      "weighted sampling without replacement: ln(w) - ln(-ln u) keys from md5-derived 48-bit uniforms are a pure per-row map; the k-largest cut is TakeOrderedAndProject — zero shuffles at any corpus size",
+    "countmin_topk" ->
+      "Count-Min audit: one key-collapse aggregate, then the 4x|keys| bucket fan-out collapses map-side into the FIXED 1024-cell sketch (the mergeable-sketch property); the top-20 audit joins broadcast against the 1024-row counters",
+    "conformal_calibration" ->
+      "split-conformal thresholds: ONE (score,split) partial agg collapses the corpus to the <=1e6+1-value score grid; the order statistic comes from grid cumulative counts (no global sort) and the 3-alpha threshold join broadcasts")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.get(4)
