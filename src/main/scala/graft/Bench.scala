@@ -74,7 +74,7 @@ object Bench {
     // sampling/sketch/privacy additions
     "pca_projection", "stl_decompose", "conformal_calibration",
     "gumbel_sample", "countmin_topk", "bloom_fp_audit", "pii_scrub",
-    "ann_ndcg", "dup_components")
+    "ann_ndcg", "dup_components", "dedup_rate_curve")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

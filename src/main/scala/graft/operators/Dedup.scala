@@ -1417,6 +1417,67 @@ object Dedup {
       |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  private val RateThresholds = Seq(50L, 60L, 70L, 80L, 90L) // est·100
+
+  /** Dedup-rate-vs-threshold curve over the MinHash candidate pairs —
+    * the tuning table behind the 0.5 default: for each similarity
+    * threshold t ∈ {0.5 … 0.9}, how many verified pairs survive and
+    * how many documents they touch. Read next to [[dupComponents]]'
+    * size histogram when choosing how aggressive a keep policy to
+    * ship: a curve that collapses between 0.6 and 0.7 means the corpus
+    * separates cleanly; a flat curve means every threshold is a real
+    * trade-off. est·100 is an exact integer (sig agreements are /64,
+    * and 100·a/64 terminates in the integer grid ·25/16), so the
+    * threshold comparisons are integer-exact — no float boundary can
+    * disagree across engines.
+    *
+    * Scale: ONE capped-band candidate pass (the dedupMinhash budget)
+    * computes est once; the 5-threshold fan-out happens on the
+    * |pairs|-row table against a broadcast grid, and the distinct-doc
+    * counts are (t, doc) aggregates — no re-scan per threshold.
+    */
+  def dedupRateCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = dedupMinhash(spark, dir)
+      .select($"i", $"j", round($"est_jaccard" * 100, 0).cast("long").as("e100"))
+    val th = RateThresholds.toDF("threshold_pct")
+    val hit = pairs.crossJoin(broadcast(th)).filter($"e100" >= $"threshold_pct")
+    val nP = hit.groupBy($"threshold_pct").agg(count(lit(1)).as("n_pairs"))
+    val nD = hit.select($"threshold_pct", explode(array($"i", $"j")).as("d"))
+      .distinct()
+      .groupBy($"threshold_pct").agg(count(lit(1)).as("docs_affected"))
+    broadcast(th).join(nP, Seq("threshold_pct"), "left")
+      .join(nD, Seq("threshold_pct"), "left")
+      .select($"threshold_pct",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"docs_affected", lit(0L)).as("docs_affected"))
+      .orderBy($"threshold_pct")
+  }
+
+  lazy val dedupRateCurveSql: String =
+    minhashEstCtes + s""",
+      |mp AS (
+      |  SELECT i, j, CAST(round(round(est_jaccard, 6) * 100, 0) AS BIGINT) AS e100
+      |  FROM est WHERE est_jaccard >= 0.5),
+      |tg AS (SELECT CAST(unnest([${RateThresholds.mkString(", ")}]) AS BIGINT)
+      |       AS threshold_pct),
+      |hit AS (
+      |  SELECT tg.threshold_pct, mp.i, mp.j
+      |  FROM mp JOIN tg ON mp.e100 >= tg.threshold_pct),
+      |np AS (SELECT threshold_pct, CAST(count(*) AS BIGINT) AS n_pairs
+      |       FROM hit GROUP BY 1),
+      |nd AS (
+      |  SELECT threshold_pct, CAST(count(*) AS BIGINT) AS docs_affected FROM (
+      |    SELECT DISTINCT threshold_pct, d FROM (
+      |      SELECT threshold_pct, i AS d FROM hit
+      |      UNION ALL SELECT threshold_pct, j FROM hit)) GROUP BY 1)
+      |SELECT tg.threshold_pct,
+      |  coalesce(np.n_pairs, 0) AS n_pairs,
+      |  coalesce(nd.docs_affected, 0) AS docs_affected
+      |FROM tg LEFT JOIN np USING (threshold_pct)
+      |LEFT JOIN nd USING (threshold_pct)
+      |ORDER BY threshold_pct""".stripMargin
+
   /** Cluster-SIZE distribution of the MinHash near-dup graph — the
     * histogram curation actually reads to set dedup aggressiveness
     * (web-corpus practice: a heavy tail of giant clusters means

@@ -1068,7 +1068,11 @@ object Sampling {
       .orderBy($"alpha_pct")
   }
 
-  val conformalCalibrationSql: String = {
+  /** The scoring/split/grid CTE chain shared by the calibration report
+    * and the streaming gate oracle (concatenated, never interpolated
+    * into another stripMargin literal).
+    */
+  private val conformalCtes: String = {
     val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
     val stopList = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
       .map(s => s"'$s'").mkString("[", ",", "]")
@@ -1109,14 +1113,26 @@ object Sampling {
       |  SELECT t3.alpha_pct, t3.k, t3.n_cal, t3.tau, t3.n_eval,
       |    CAST(coalesce(sum(g.c), 0) AS BIGINT) AS covered
       |  FROM tau t3 LEFT JOIN grid g ON NOT g.cal AND g.s >= t3.tau
-      |  GROUP BY 1, 2, 3, 4, 5)
-      |SELECT alpha_pct, k, n_cal,
+      |  GROUP BY 1, 2, 3, 4, 5)""".stripMargin
+  }
+
+  val conformalCalibrationSql: String = conformalCtes + "\n" +
+    """SELECT alpha_pct, k, n_cal,
       |  round(CAST(tau AS DOUBLE) / 1000000, 6) AS threshold,
       |  n_eval, covered,
       |  round(CAST(covered * 1000000 // n_eval AS DOUBLE) / 1000000, 6) AS coverage,
       |  CAST(100 - alpha_pct AS DOUBLE) / 100.0 AS target
       |FROM cov ORDER BY alpha_pct""".stripMargin
-  }
+
+  /** Per-doc keep/drop flags under the α = 10% conformal threshold —
+    * the oracle of the STREAMING gate (stream_conformal_gate): every
+    * doc's 10⁻⁶-grid quality score compared to the calibration-set
+    * order statistic the chain above derives.
+    */
+  val conformalGateSql: String = conformalCtes + "\n" +
+    """SELECT sc.doc_id, sc.s AS score_micro, sc.s >= t10.tau AS kept
+      |FROM sc CROSS JOIN (SELECT tau FROM tau WHERE alpha_pct = 10) t10
+      |ORDER BY sc.doc_id""".stripMargin
 
   // ------------------------------------------------------------------
   // gumbel_sample — weighted sampling WITHOUT replacement, stateless

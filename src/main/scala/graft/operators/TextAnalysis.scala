@@ -48,33 +48,41 @@ object TextAnalysis {
     * integer-over-integer double divisions, so the score is
     * deterministic across engines.
     */
+  /** Per-doc quality scoring over ANY documents frame (batch or
+    * stream) — the pure per-row map [[textQuality]] sorts for the
+    * batch report and the streaming conformal gate applies in-flight.
+    * Token statistics via the ONE-PASS native token_stats kernel
+    * (whole-stage codegen) instead of three interpreted HOF chains;
+    * the statistics — and therefore the score — are bit-identical to
+    * the composable form (FiltersSpec pins the kernel equality).
+    */
+  def qualityScored(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("text"),
+        graft.functions.StringFunctions.token_stats(col("text"), stopwords).as("ts"))
+      .select(col("doc_id"),
+        col("ts.n_tokens").cast("double").as("n_tok"),
+        col("ts.n_stop").cast("double").as("n_stop"),
+        col("ts.n_uniq").cast("double").as("n_uniq"),
+        length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double").as("n_punct"),
+        length(col("text")).cast("double").as("n_chars"))
+    val stopRatio = col("n_stop") / greatest(col("n_tok"), lit(1.0))
+    val punctRatio = col("n_punct") / greatest(col("n_chars"), lit(1.0))
+    val diversity = col("n_uniq") / greatest(col("n_tok"), lit(1.0))
+    val lengthScore = least(col("n_tok") / lit(50.0), lit(1.0))
+    base.select(col("doc_id"),
+      col("n_tok").cast("int").as("n_tokens"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(diversity, 6).as("diversity"),
+      round(lit(0.35) * lengthScore + lit(0.25) * stopRatio
+        + lit(0.25) * diversity + lit(0.15) * (lit(1.0) - punctRatio), 6)
+        .as("quality_score"))
+  }
+
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // token statistics via the ONE-PASS native token_stats kernel
-    // (whole-stage codegen) instead of three interpreted HOF chains;
-    // the statistics — and therefore the score — are bit-identical to
-    // the composable form (FiltersSpec pins the kernel equality)
-    val base = Tables.documents(spark, dir)
-      .select($"doc_id", $"text",
-        graft.functions.StringFunctions.token_stats($"text", stopwords).as("ts"))
-      .select($"doc_id",
-        $"ts.n_tokens".cast("double").as("n_tok"),
-        $"ts.n_stop".cast("double").as("n_stop"),
-        $"ts.n_uniq".cast("double").as("n_uniq"),
-        length(regexp_replace($"text", "[^.,!?;:]", "")).cast("double").as("n_punct"),
-        length($"text").cast("double").as("n_chars"))
-    val stopRatio = $"n_stop" / greatest($"n_tok", lit(1.0))
-    val punctRatio = $"n_punct" / greatest($"n_chars", lit(1.0))
-    val diversity = $"n_uniq" / greatest($"n_tok", lit(1.0))
-    val lengthScore = least($"n_tok" / lit(50.0), lit(1.0))
-    base.select($"doc_id",
-        $"n_tok".cast("int").as("n_tokens"),
-        round(stopRatio, 6).as("stop_ratio"),
-        round(punctRatio, 6).as("punct_ratio"),
-        round(diversity, 6).as("diversity"),
-        round(lit(0.35) * lengthScore + lit(0.25) * stopRatio
-          + lit(0.25) * diversity + lit(0.15) * (lit(1.0) - punctRatio), 6).as("quality_score"))
-      .orderBy($"doc_id")
+    qualityScored(Tables.documents(spark, dir)).orderBy($"doc_id")
   }
 
   val textQualitySql: String = {

@@ -394,6 +394,38 @@ object StreamQueries {
       """SELECT doc_id, source, n_email, n_ip, n_num, scrub_fp
         |FROM piiflags ORDER BY doc_id""".stripMargin
 
+  /** The split-conformal quality threshold run as a STREAMING admission
+    * gate — the CALIBRATED sibling of [[streamClassifierGate]]: the
+    * α = 10% threshold is derived in batch from the calibration split
+    * ([[graft.operators.Sampling.conformalCalibration]] — a
+    * distribution-free order statistic, not a trained weight vector),
+    * then every arriving document is scored by the per-row
+    * [[graft.operators.TextAnalysis.qualityScored]] map and compared
+    * to the threshold LITERAL. Zero state, zero watermark; admission
+    * carries a finite-sample coverage guarantee (P(keep) ≥ 90% on
+    * exchangeable data) instead of an uncalibrated score cutoff.
+    */
+  def streamConformalGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tauMicro = graft.operators.Sampling.conformalCalibration(spark, dir)
+      .filter($"alpha_pct" === 10L)
+      .select(round($"threshold" * 1000000d, 0).cast("long"))
+      .first().getLong(0)
+    val inDir = stageTable(dir, "documents")
+    val name = uniqueName("sq_confgate")
+    val static = spark.read.parquet(inDir)
+    val stream = spark.readStream.schema(static.schema).parquet(inDir)
+    val q = graft.operators.TextAnalysis.qualityScored(stream)
+      .select($"doc_id",
+        round($"quality_score" * 1000000d, 0).cast("long").as("score_micro"))
+      .withColumn("kept", $"score_micro" >= lit(tauMicro))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name).orderBy($"doc_id")
+  }
+
+  val streamConformalGateSql: String = graft.operators.Sampling.conformalGateSql
+
   /** The trained quality classifier run as a STREAMING admission gate —
     * the model-based sibling of [[streamQualityFilter]]'s rule gate,
     * and the classifier counterpart of [[streamDedupGate]]'s index

@@ -688,7 +688,10 @@ class PlanSpec extends SparkSpec {
         ("ann_ndcg", operators.AnnExact.annNdcg(spark, sf), 0),
         // clusterPairs rebases each round on a persisted RDD, so the
         // returned plan is the final label frame + two grid aggregates
-        ("dup_components", operators.Dedup.dupComponents(spark, sf), 3))) {
+        ("dup_components", operators.Dedup.dupComponents(spark, sf), 3),
+        // the minhash candidate chain (dedupMinhash budget) + the
+        // broadcast 5-threshold fan-out's pair/doc grid aggregates
+        ("dedup_rate_curve", operators.Dedup.dedupRateCurve(spark, sf), 11))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")

@@ -259,6 +259,38 @@ class Round10OpsSpec extends SparkSpec {
       "fixture must exercise the email path")
   }
 
+  test("dedup_rate_curve: brute-force threshold replay; curve is monotone") {
+    val pairs = graft.operators.Dedup.dedupMinhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+    val expected = Seq(50L, 60L, 70L, 80L, 90L).map { t =>
+      val hit = pairs.filter(_._3 >= t)
+      (t, hit.length.toLong,
+        hit.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+    }
+    val got = graft.operators.Dedup.dedupRateCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // tightening the threshold can only shrink the surviving set
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse, "pairs monotone")
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse, "docs monotone")
+  }
+
+  test("stream_conformal_gate: streaming flags equal the batch threshold decision") {
+    val out = graft.streaming.StreamQueries.streamConformalGate(spark, sf)
+      .collect().toSeq
+    val tau = graft.operators.Sampling.conformalCalibration(spark, sf)
+      .filter($"alpha_pct" === 10L).collect().head.getDouble(3)
+    val tauMicro = math.round(tau * 1e6)
+    val batch = graft.operators.TextAnalysis.textQuality(spark, sf)
+      .select($"doc_id", round($"quality_score" * 1000000d, 0).cast("long").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(1) >= tauMicro))
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      === batch.toSeq.sortBy(_._1))
+    // the gate keeps roughly 1-alpha of the corpus (finite-sample slack)
+    val keepRate = out.count(_.getBoolean(2)).toDouble / out.length
+    assert(keepRate > 0.8 && keepRate <= 1.0, s"keep rate $keepRate")
+  }
+
   test("pii_scrub: no pattern survives scrubbing; per-source counts replay") {
     val out = graft.operators.TextAnalysis.piiScrub(spark, sf).collect()
     assert(out.map(_.getLong(2)).sum > 0, "fixture must plant emails")
