@@ -1026,6 +1026,24 @@ object Graph {
     import spark.implicits._
     val edges = edgesIn.repartition($"dst").persist()
     edges.count() // materialize the iteration state once (family doctrine)
+    val out = lpaPropagate(edges, rounds)
+      .groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy($"community")
+    val rows = out.collect().toSeq
+    edges.unpersist()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+  }
+
+  /** The bare vote loop over an ALREADY-PERSISTED dst-partitioned edge
+    * frame; returns the lazy per-node (node, lbl) assignment so callers
+    * that need member-level joins (Training.embeddingCommunities'
+    * clone-family expansion) can compose before collecting. Callers own
+    * the edge cache lifecycle: materialize before, unpersist after the
+    * downstream action — nothing here may outlive the caller. */
+  private[graft] def lpaPropagate(edges: DataFrame, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     var labels = edges.select($"src".as("node")).distinct()
       .select($"node", $"node".as("lbl"))
     for (_ <- 1 to rounds) {
@@ -1035,13 +1053,7 @@ object Graph {
         .agg(max(struct($"votes", (-$"lbl").as("neg"))).as("best"))
         .select($"src".as("node"), (-$"best.neg").as("lbl"))
     }
-    val out = labels
-      .groupBy($"lbl".as("community"))
-      .agg(count(lit(1)).as("n_members"))
-      .orderBy($"community")
-    val rows = out.collect().toSeq
-    edges.unpersist()
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+    labels
   }
 
   // LPA runs on the support-filtered graph like the rest of the

@@ -114,6 +114,45 @@ class TrainingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("embedding_communities: clone families inherit the representative's community") {
+    // families A/B/D: ids 1-5 share u, ids 6-8 share 2u, ids 13-14
+    // share 3u — three DISTINCT embeddings with identical LSH signs
+    // and pairwise cosine exactly 1.0, so their representatives form a
+    // triangle (a 2-clique would oscillate under synchronous LPA — the
+    // graph_lpa family artifact — but a triangle converges to min id);
+    // family C: ids 9-12 share -u (cosine -1, no edge anywhere)
+    val u = Array.tabulate(64)(d => 0.01f * (d + 1))
+    val rows = (1L to 5L).map(i => (i, u)) ++
+      (6L to 8L).map(i => (i, u.map(_ * 2f))) ++
+      (9L to 12L).map(i => (i, u.map(-_))) ++
+      (13L to 14L).map(i => (i, u.map(_ * 3f)))
+    val e = rows.toDF("vec_id", "embedding")
+    val out = Training.embeddingCommunitiesOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // A+B+D merge under rep 1's label with every clone member counted
+    // (5+3+2); C's representative finds no neighbor, so the mutually-
+    // identical family is its own community under rep id 9
+    assert(out === Set((1L, 10L), (9L, 4L)))
+  }
+
+  test("embedding_communities: candidate index bounded per bucket on adversarial pile-ups") {
+    // 300 DISTINCT vectors with one shared sign pattern: every LSH
+    // table hashes all of them into a single bucket — the occupancy²
+    // blow-up shape. The md5-smallest sample must cut each (table,
+    // bucket) to ≤ 64 entries, deterministically.
+    val u = Array.tabulate(64)(d => 0.01f * (d + 1))
+    val reps = (1L to 300L).map(i => (i, u.map(_ * i))).toDF("vec_id", "embedding")
+    val idx = Training.communityCandidateIndex(reps).cache()
+    val worst = idx.groupBy($"band", $"bucket").count()
+      .agg(max($"count")).head.getLong(0)
+    assert(worst <= 64L, s"bucket sample cap violated: $worst > 64")
+    // identical sign pattern => exactly 8 occupied buckets, 64 each
+    assert(idx.count() === 8L * 64L)
+    assert(idx.collect().toSet === Training.communityCandidateIndex(reps).collect().toSet,
+      "the md5-smallest sample must be deterministic")
+    idx.unpersist()
+  }
+
   test("quality_classifier_score: 20+20 audit sample, top scores dominate bottom") {
     val out = Training.qualityClassifierScore(spark, sf).cache()
     assert(out.filter($"side" === "top").count() === 20)
