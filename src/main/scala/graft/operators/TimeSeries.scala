@@ -48,43 +48,73 @@ object TimeSeries {
       |  ON e.user_id = o.k AND e.ts >= o.t
       |ORDER BY e.event_id""".stripMargin
 
-  /** FORWARD as-of: each event joined to the FIRST order at-or-after it
-    * (the dual of [[asofJoin]]'s last-at-or-before). Same union +
+  /** FORWARD as-of: each order joined to the customer's FIRST event
+    * at-or-after the order date (the dual of [[asofJoin]]'s
+    * last-at-or-before — time-to-first-activity). Same union +
     * carry-forward shape, scanned on the reversed time axis — still one
     * shuffle, no range-join blowup. Integer-second timestamps keep the
     * comparison exact in both engines.
+    *
+    * Direction note (the r10 de-vacuization): this corpus's synthetic
+    * event epoch sits decades AFTER every TPC-H order date, so the
+    * events→next-order direction matched zero rows at every SF — a
+    * hash-green-on-emptiness oracle that never exercised the carry.
+    * orders→next-event is forward-reachable on the same data (every
+    * order whose customer has any event matches), so the reversed-axis
+    * carry, the ignore-nulls fill, and the src ordering all execute
+    * under the driver's oracle; the equal-timestamp inclusive branch is
+    * additionally pinned by a planted-fixture spec through
+    * [[forwardCarry]].
     */
   def asofJoinForward(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val orders = Tables.orders(spark, dir)
+    val seek = Tables.orders(spark, dir)
       .groupBy($"o_custkey".as("k"),
         unix_timestamp($"o_orderdate".cast("timestamp")).as("t_s"))
-      .agg(max($"o_orderkey").as("o_key"))
-      .select($"k", $"t_s", $"o_key", lit(null).cast("long").as("event_id"),
-        lit(0).as("src"))
-    val events = Tables.events(spark, dir)
-      .select($"user_id".as("k"), expr("ts_ns div 1000000000").as("t_s"),
-        lit(null).cast("long").as("o_key"), $"event_id", lit(1).as("src"))
-    // reversed axis; at equal t the order (src 0) precedes the event →
-    // at-or-after (inclusive) semantics
-    val w = Window.partitionBy($"k").orderBy($"t_s".desc, $"src", $"event_id")
+      .agg(max($"o_orderkey").as("id"))
+      .select($"k", $"t_s", $"id")
+    val mat = Tables.events(spark, dir)
+      .groupBy($"user_id".as("k"), expr("ts_ns div 1000000000").as("t_s"))
+      .agg(min($"event_id").as("m_key"))
+      .select($"k", $"t_s", $"m_key")
+    forwardCarry(seek, mat)
+      .select($"id".as("o_key"), $"k".as("custkey"), $"next_key".as("next_event"))
+      .orderBy($"o_key")
+  }
+
+  /** The reversed-axis forward-carry kernel: for every seeker row
+    * (k, t_s, id), the match row (k, t_s, m_key) with the SMALLEST
+    * t_s ≥ the seeker's (inclusive — at equal t_s the match sorts
+    * before the seeker on the reversed axis). One hash shuffle on k,
+    * one window sort, ignore-nulls fill; callers dedupe matches to one
+    * per (k, t_s). Factored so specs can plant equal-timestamp ties.
+    */
+  private[graft] def forwardCarry(seek: DataFrame, mat: DataFrame): DataFrame = {
+    val spark = seek.sparkSession
+    import spark.implicits._
+    val s = seek.select($"k", $"t_s", $"id",
+      lit(null).cast("long").as("m_key"), lit(1).as("src"))
+    val m = mat.select($"k", $"t_s", lit(null).cast("long").as("id"),
+      $"m_key", lit(0).as("src"))
+    val w = Window.partitionBy($"k")
+      .orderBy($"t_s".desc, $"src", coalesce($"m_key", $"id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    orders.unionByName(events)
-      .withColumn("next_order", last($"o_key", ignoreNulls = true).over(w))
-      .filter($"src" === 1 && $"next_order".isNotNull)
-      .select($"event_id", $"k".as("user_id"), $"next_order")
-      .orderBy($"event_id")
+    s.unionByName(m)
+      .withColumn("next_key", last($"m_key", ignoreNulls = true).over(w))
+      .filter($"src" === 1 && $"next_key".isNotNull)
+      .select($"id", $"k", $"t_s", $"next_key")
   }
 
   val asofJoinForwardSql: String =
-    """SELECT e.event_id, e.user_id, o.o_key AS next_order
-      |FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t FROM events) e
+    """SELECT o.o_key, o.k AS custkey, e.ev AS next_event
+      |FROM (SELECT o_custkey AS k, epoch_ns(CAST(o_orderdate AS TIMESTAMP)) // 1000000000 AS t,
+      |        max(o_orderkey) AS o_key
+      |      FROM orders GROUP BY 1, 2) o
       |ASOF JOIN
-      |  (SELECT o_custkey AS k, epoch_ns(CAST(o_orderdate AS TIMESTAMP)) // 1000000000 AS t,
-      |     max(o_orderkey) AS o_key
-      |   FROM orders GROUP BY 1, 2) o
-      |  ON e.user_id = o.k AND e.t <= o.t
-      |ORDER BY e.event_id""".stripMargin
+      |  (SELECT user_id AS k, epoch_ns(ts) // 1000000000 AS t, min(event_id) AS ev
+      |   FROM events GROUP BY 1, 2) e
+      |  ON o.k = e.k AND o.t <= e.t
+      |ORDER BY o.o_key""".stripMargin
 
   /** As-of join with a TOLERANCE bound (pandas merge_asof's
     * `tolerance`): the backward match is kept only while the matched
