@@ -74,7 +74,11 @@ object Bench {
     // sampling/sketch/privacy additions
     "pca_projection", "stl_decompose", "conformal_calibration",
     "gumbel_sample", "countmin_topk", "bloom_fp_audit", "pii_scrub",
-    "ann_ndcg", "dup_components", "dedup_rate_curve")
+    "ann_ndcg", "dup_components", "dedup_rate_curve",
+    // round-11 batch: capped-default jaro, link prediction, kernel
+    // drift, rank fusion, phrase retrieval
+    "dedup_jaro_capped", "graph_jaccard_linkpred", "embedding_mmd",
+    "rrf_fusion", "phrase_search")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

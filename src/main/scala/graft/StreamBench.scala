@@ -85,7 +85,10 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val selected = if (args.isEmpty) streamNames else streamNames.filter(args.contains)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // local[32] by default — same parallelism as the batch Bench, so
+    // the two surfaces' numbers are comparable (the r10 stream bench
+    // ran on 8 and its absolute times can't be read against BENCH's)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -97,9 +100,6 @@ object StreamBench {
       .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    val metrics = new Metrics
-    spark.streams.addListener(metrics)
 
     // warmup at the smallest SF: JIT + codegen + state-store init out
     // of the timed passes
@@ -120,6 +120,15 @@ object StreamBench {
                              maxStateRows: Long, outRows: Long)
     val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
+        // a FRESH listener per query, registered here and removed
+        // below: a worker that survives the post-timeout join keeps
+        // driving its streaming passes, and with a shared listener its
+        // reset()/accumulation would corrupt every later query's
+        // input_rows/batches/max_state_rows (the r10 advisory). The
+        // zombie's listener is unregistered with it, so it can only
+        // mutate its own orphaned Metrics instance.
+        val metrics = new Metrics
+        spark.streams.addListener(metrics)
         def onePass(): QResult = {
           System.gc() // heap leveling, the Bench per-pass discipline
           metrics.reset()
@@ -154,6 +163,7 @@ object StreamBench {
           t.join(30000)
           errors.synchronized { errors(name) = "Timeout" }
         }
+        spark.streams.removeListener(metrics)
         name -> Option(worker.get())
       }
     }

@@ -297,6 +297,7 @@ object AnnExact {
       .filter($"rk" <= TopK)
       .select($"q_id", $"rk", $"n_id", round($"cos", 6).as("cos_sim"))
       .orderBy($"q_id", $"rk")
+      .transform(out => Release.grid(out, corpusC)) // nq·topK rows
   }
 
   val annIvfSql: String = mat(
@@ -358,6 +359,7 @@ object AnnExact {
       .filter($"rk" <= TopK)
       .select($"q_id", $"rk", $"n_id", round($"cos", 6).as("cos_sim"))
       .orderBy($"q_id", $"rk")
+      .transform(out => Release.grid(out, corpusC)) // nq·topK rows
   }
 
   val annIvfAdaptiveSql: String = mat(
@@ -423,6 +425,7 @@ object AnnExact {
       .select($"q_id", $"rk", $"n_id",
         round($"d2".cast("double") / 1e12, 6).as("l2_dist"))
       .orderBy($"q_id", $"rk")
+      .transform(out => Release.grid(out, corpusC)) // nq·topK rows
   }
 
   val annPqSql: String = mat(
@@ -496,6 +499,7 @@ object AnnExact {
       .select($"q_id", $"rk", $"n_id",
         round($"d2".cast("double") / 1e12, 6).as("l2_dist"))
       .orderBy($"q_id", $"rk")
+      .transform(out => Release.grid(out, corpusC, residuals)) // nq·topK rows
   }
 
   val annIvfPqSql: String = mat(

@@ -419,6 +419,7 @@ object Behavior {
         concat($"r_score".cast("string"), $"f_score".cast("string"),
           $"m_score".cast("string")))
       .orderBy($"o_custkey")
+      .transform(out => Release.checkpointed(out, per)) // per-customer rows
   }
 
   val rfmSegmentsSql: String =
@@ -633,6 +634,7 @@ object Behavior {
         round($"term_sum".cast("double") / $"n".cast("double") / 100000d, 9)
           .as("mi_nats"))
       .orderBy($"event_type")
+      .transform(out => Release.grid(out, cells)) // |types|+1 rows
   }
 
   val mutualInfoSql: String =
@@ -1113,6 +1115,7 @@ object Behavior {
       .select($"type_a", $"type_b", $"n_users", $"reach_a", $"reach_b",
         ((liftNum - (liftNum % liftDen)) / liftDen).cast("long").as("lift_micro"))
       .orderBy($"n_users".desc, $"type_a", $"type_b")
+      .transform(out => Release.grid(out, per)) // |types|² rows
   }
 
   val seqPatternsSql: String =

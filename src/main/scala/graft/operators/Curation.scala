@@ -63,14 +63,16 @@ object Curation {
     val bench = withGrams.filter($"doc_id" % 97 === 0)
       .select(explode($"grams").as("gram")).distinct()
     val corpus = withGrams.filter($"doc_id" % 97 =!= 0)
-    corpus.select($"doc_id", $"n_grams", explode($"grams").as("gram"))
-      .join(broadcast(bench), "gram")
-      .groupBy($"doc_id")
-      .agg(max($"n_grams").as("n_grams"), count(lit(1)).as("n_hits"))
-      .select($"doc_id", $"n_grams", $"n_hits",
-        round($"n_hits".cast("double") / $"n_grams".cast("double"), 6)
-          .as("hit_ratio"))
-      .orderBy($"doc_id")
+    Release.checkpointed(
+      corpus.select($"doc_id", $"n_grams", explode($"grams").as("gram"))
+        .join(broadcast(bench), "gram")
+        .groupBy($"doc_id")
+        .agg(max($"n_grams").as("n_grams"), count(lit(1)).as("n_hits"))
+        .select($"doc_id", $"n_grams", $"n_hits",
+          round($"n_hits".cast("double") / $"n_grams".cast("double"), 6)
+            .as("hit_ratio"))
+        .orderBy($"doc_id"),
+      withGrams)
   }
 
   val decontaminateSql: String = {
@@ -126,16 +128,18 @@ object Curation {
     val bench = grams.filter($"doc_id" % 97 === 0).select($"gram").distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"pos")
-    grams.filter($"doc_id" % 97 =!= 0)
-      .join(broadcast(bench), "gram")
-      .select($"doc_id", $"pos")
-      .withColumn("island", $"pos" - row_number().over(w))
-      .groupBy($"doc_id", $"island")
-      .agg(min($"pos").as("span_start"),
-        (max($"pos") + (GramN - 1)).as("span_end"),
-        count(lit(1)).as("n_hits"))
-      .select($"doc_id", $"span_start", $"span_end", $"n_hits")
-      .orderBy($"doc_id", $"span_start")
+    Release.checkpointed(
+      grams.filter($"doc_id" % 97 =!= 0)
+        .join(broadcast(bench), "gram")
+        .select($"doc_id", $"pos")
+        .withColumn("island", $"pos" - row_number().over(w))
+        .groupBy($"doc_id", $"island")
+        .agg(min($"pos").as("span_start"),
+          (max($"pos") + (GramN - 1)).as("span_end"),
+          count(lit(1)).as("n_hits"))
+        .select($"doc_id", $"span_start", $"span_end", $"n_hits")
+        .orderBy($"doc_id", $"span_start"),
+      toks)
   }
 
   val docSpanOverlapsSql: String = {

@@ -357,19 +357,27 @@ object Embeddings {
   private[graft] def pcaModel(spark: SparkSession, dir: String,
                               squarings: Int = PcaSquarings): PcaModel = {
     import spark.implicits._
+    // raw sufficient statistics only — the second moment
+    // m = n·s_ij − s_i·s_j is formed in BigInt ON THE DRIVER: as a
+    // LongType column the product n·s_ij would silently wrap past
+    // ~3·10⁵ embedding rows (|s_ij| ≤ n·10⁸, ANSI off) while the
+    // DuckDB oracle computes it in HUGEINT — the r10 advisory's
+    // silent-wrong-at-scale divergence. The rows are model-sized
+    // (d(d+1)/2), so the driver fold costs nothing.
     val mom = Tables.embeddings(spark, dir)
       .agg(graft.functions.AggFunctions.vec_cov_sum(qvec($"embedding")).as("cov"))
       .select(explode($"cov").as("e"))
       .select($"e.i".as("i"), $"e.j".as("j"), $"e.n".as("n"),
-        ($"e.n" * $"e.s_ij" - $"e.s_i" * $"e.s_j").as("m"),
-        $"e.s_i".as("s_i"))
+        $"e.s_ij".as("s_ij"), $"e.s_i".as("s_i"), $"e.s_j".as("s_j"))
       .collect() // d(d+1)/2 rows — model-sized
     val d = mom.map(_.getInt(1)).max + 1
     val n = mom.head.getLong(2)
     val mm = Array.ofDim[BigInt](d, d)
     val sJ = new Array[Long](d)
     mom.foreach { r =>
-      val (i, j, m) = (r.getInt(0), r.getInt(1), BigInt(r.getLong(3)))
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val m = BigInt(n) * BigInt(r.getLong(3)) -
+        BigInt(r.getLong(4)) * BigInt(r.getLong(5))
       mm(i)(j) = m; mm(j)(i) = m
       if (i == j) sJ(i) = r.getLong(4)
     }
@@ -498,6 +506,16 @@ object Embeddings {
     import spark.implicits._
     val m = pcaModel(spark, dir)
     val d = m.v7.length
+    // n·dot − s0 is Long column arithmetic: |dot| ≤ 64·10⁴·10⁷ =
+    // 6.4·10¹² and |s0| ≤ n·6.4·10¹², so the OUTPUT itself (not just
+    // an intermediate) reaches 2⁶³ near n ≈ 7·10⁵ vectors — where
+    // Spark would wrap silently while the oracle's BIGINT multiply
+    // fails loudly (the r10 advisory). Fail loudly on BOTH engines:
+    // at that scale shard the corpus or rescale the projection grid.
+    require(m.n <= 700000L,
+      s"pcaProjection: centered-score magnitude n·1.28e13 would exceed " +
+        s"2^63 at n = ${m.n} > 700000 vectors — shard or rescale " +
+        "(the ann_pq_auto loud-guard discipline)")
     val s0 = (0 until d).map(j => BigInt(m.sJ(j)) * m.v7(j)).sum.toLong
     // both dot inputs are integers < 2²⁴ (|qv| ≤ 10⁴, |v7ⱼ| ≤ 10⁷), so
     // the float elements, their double products, and every partial sum
@@ -699,4 +717,132 @@ object Embeddings {
       |    < 0.93) AS is_kept
       |FROM wr w JOIN dots d ON d.vec_id = w.vec_id AND d.label = w.label
       |ORDER BY w.label, w.vec_id""".stripMargin
+  // ------------------------------------------------------------------
+  // embedding_mmd — linear-time two-sample kernel drift test
+  // ------------------------------------------------------------------
+
+  private val MmdC = 100000000L // polynomial-kernel offset on the 1e8 dot grid
+
+  /** Linear-time MMD² two-sample test between the first and second
+    * half of the embedding corpus (Gretton et al., "A Kernel
+    * Two-Sample Test", JMLR 2012, §6 lemma 14 — the streaming/linear
+    * estimator): consecutive-sample pairs (x₂ᵢ₋₁,x₂ᵢ) and (y₂ᵢ₋₁,y₂ᵢ)
+    * contribute h(i) = k(x₁,x₂) + k(y₁,y₂) − k(x₁,y₂) − k(x₂,y₁);
+    * MMD²_lin = mean(h). The distribution-shift SIGNIFICANCE companion
+    * of [[embeddingDrift]]'s centroid distance: a mean shift moves the
+    * centroid, but a covariance/mode change can leave centroids in
+    * place — the quadratic kernel sees both.
+    *
+    * Exactness: components quantize to the 10⁴ grid (every vec_dot
+    * partial < 2⁵³, double-exact), the degree-2 polynomial kernel
+    * k(a,b) = (aᵀb + 10⁸)² is computed in DECIMAL(38,0)/HUGEINT and
+    * floored onto the 10¹⁰ grid (k_q ≤ ~4.2·10⁹ — long-safe), and all
+    * means are truncated divisions (both engines truncate toward zero
+    * for the possibly-negative h sum). Pairing is deterministic:
+    * row_number by vec_id within each half; an incomplete trailing
+    * pair drops; cross terms align the i-th X pair with the i-th Y
+    * pair (the inner join trims to the shorter half).
+    *
+    * Scale: ONE rank window per half (keyed shuffle), one p-keyed join
+    * of two-vector pair rows — each vector rides exactly one shuffle,
+    * O(n) total, versus the O(n²) full MMD. One row out; every
+    * intermediate is released (eager-grid).
+    */
+  def embeddingMmd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val cut = e.agg(expr("max(vec_id) div 2").as("cut"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"half").orderBy($"vec_id")
+    val ranked = e.crossJoin(broadcast(cut))
+      .withColumn("half", when($"vec_id" <= $"cut", 0).otherwise(1))
+      .select($"half", $"vec_id",
+        qvec($"embedding").cast("array<float>").as("qf"))
+      .withColumn("rn", row_number().over(w))
+      .select($"half", (($"rn" - 1) / 2).cast("long").as("p"),
+        (($"rn" - 1) % 2).as("slot"), $"qf")
+    val pairs = ranked.groupBy($"half", $"p")
+      .agg(first(when($"slot" === 0, $"qf"), ignoreNulls = true).as("a"),
+        first(when($"slot" === 1, $"qf"), ignoreNulls = true).as("b"))
+      .filter($"a".isNotNull && $"b".isNotNull)
+    val xp = pairs.filter($"half" === 0).select($"p", $"a".as("xa"), $"b".as("xb"))
+    val yp = pairs.filter($"half" === 1).select($"p", $"a".as("ya"), $"b".as("yb"))
+    def kq(u: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) = {
+      val d = (graft.functions.VectorFunctions.vec_dot(u, v).cast("long") + MmdC)
+        .cast("decimal(38,0)")
+      val k = (d * d).cast("decimal(38,0)")
+      val g = lit(10000000000L).cast("decimal(38,0)")
+      ((k - (k % g)) / g).cast("long")
+    }
+    val h = xp.join(yp, "p")
+      .select(kq($"xa", $"xb").as("kxx"), kq($"ya", $"yb").as("kyy"),
+        kq($"xa", $"yb").as("kxy"), kq($"xb", $"ya").as("kyx"))
+    def tdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ((a - (a % b)) / b).cast("long") // truncation toward zero, both engines
+    val agg = h.agg(count(lit(1)).as("n_pairs"),
+      sum($"kxx" + $"kyy").as("sw"), sum($"kxy" + $"kyx").as("sc"),
+      sum($"kxx" + $"kyy" - $"kxy" - $"kyx").as("sh"))
+    Release.grid(
+      agg.select($"n_pairs",
+        tdiv($"sw", $"n_pairs" * 2).as("mean_within_q"),
+        tdiv($"sc", $"n_pairs" * 2).as("mean_cross_q"),
+        tdiv($"sh", $"n_pairs").as("mmd2_q"),
+        round(tdiv($"sh", $"n_pairs").cast("double") / 1e6, 6).as("mmd2")))
+  }
+
+  val embeddingMmdSql: String =
+    """WITH cut AS (SELECT max(vec_id) // 2 AS cut FROM embeddings),
+      |rk AS (
+      |  SELECT vec_id, CASE WHEN vec_id <= cut THEN 0 ELSE 1 END AS half,
+      |    row_number() OVER (
+      |      PARTITION BY (CASE WHEN vec_id <= cut THEN 0 ELSE 1 END)
+      |      ORDER BY vec_id) AS rn
+      |  FROM embeddings, cut),
+      |pm AS (
+      |  SELECT half, (rn - 1) // 2 AS p,
+      |    max(CASE WHEN (rn - 1) % 2 = 0 THEN vec_id END) AS a,
+      |    max(CASE WHEN (rn - 1) % 2 = 1 THEN vec_id END) AS b
+      |  FROM rk GROUP BY 1, 2
+      |  HAVING max(CASE WHEN (rn - 1) % 2 = 0 THEN vec_id END) IS NOT NULL
+      |     AND max(CASE WHEN (rn - 1) % 2 = 1 THEN vec_id END) IS NOT NULL),
+      |xp AS (SELECT p, a, b FROM pm WHERE half = 0),
+      |yp AS (SELECT p, a, b FROM pm WHERE half = 1),
+      |need AS (
+      |  SELECT xp.p, 'xx' AS kind, xp.a AS u, xp.b AS v FROM xp JOIN yp USING (p)
+      |  UNION ALL SELECT yp.p, 'yy', yp.a, yp.b FROM xp JOIN yp USING (p)
+      |  UNION ALL SELECT xp.p, 'xy', xp.a, yp.b FROM xp JOIN yp USING (p)
+      |  UNION ALL SELECT xp.p, 'yx', xp.b, yp.a FROM xp JOIN yp USING (p)),
+      |comp AS (
+      |  SELECT vec_id, CAST(i AS INT) AS dim,
+      |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 10000, 0) AS BIGINT) AS qv
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+      |dd AS (
+      |  SELECT n.p, n.kind, CAST(sum(ca.qv * cb.qv) AS BIGINT) AS d
+      |  FROM need n
+      |  JOIN comp ca ON ca.vec_id = n.u
+      |  JOIN comp cb ON cb.vec_id = n.v AND cb.dim = ca.dim
+      |  GROUP BY 1, 2),
+      |kk AS (
+      |  SELECT p, kind,
+      |    CAST((CAST(d AS HUGEINT) + 100000000)
+      |      * (CAST(d AS HUGEINT) + 100000000) // 10000000000 AS BIGINT) AS k
+      |  FROM dd),
+      |hh AS (
+      |  SELECT p,
+      |    sum(CASE WHEN kind IN ('xx','yy') THEN k ELSE 0 END) AS w2,
+      |    sum(CASE WHEN kind IN ('xy','yx') THEN k ELSE 0 END) AS c2
+      |  FROM kk GROUP BY p),
+      |ag AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(w2) AS HUGEINT) AS sw, CAST(sum(c2) AS HUGEINT) AS sc,
+      |    CAST(sum(w2 - c2) AS HUGEINT) AS sh
+      |  FROM hh)
+      |SELECT n_pairs,
+      |  CAST((sw - (sw % (n_pairs * 2))) // (n_pairs * 2) AS BIGINT) AS mean_within_q,
+      |  CAST((sc - (sc % (n_pairs * 2))) // (n_pairs * 2) AS BIGINT) AS mean_cross_q,
+      |  CAST((sh - (sh % n_pairs)) // n_pairs AS BIGINT) AS mmd2_q,
+      |  round(CAST(CAST((sh - (sh % n_pairs)) // n_pairs AS BIGINT) AS DOUBLE) / 1e6, 6)
+      |    AS mmd2
+      |FROM ag""".stripMargin
+
 }

@@ -113,14 +113,16 @@ object Graph {
         .select($"dst".as("node"),
           (lit(teleport) + expr("(17 * s) DIV 20")).as("pr"))
     }
-    // adj/deg stay persisted: the returned frame is lazy and its five
-    // iteration stages read both — unpersisting here would force five
-    // full adjacency rebuilds at evaluation time
-    ranks.join(deg, "node")
-      .select($"node".as("part_id"), $"deg",
-        $"pr".as("pr_nano"),
-        ($"pr".cast("double") / lit(1e9)).as("pagerank"))
-      .orderBy($"pr_nano".desc, $"part_id").limit(topK)
+    // top-k output: eager-grid release — the collect drives the five
+    // iteration stages against the still-persisted adj/deg, then both
+    // caches are freed (no persisted block outlives the call)
+    Release.grid(
+      ranks.join(deg, "node")
+        .select($"node".as("part_id"), $"deg",
+          $"pr".as("pr_nano"),
+          ($"pr".cast("double") / lit(1e9)).as("pagerank"))
+        .orderBy($"pr_nano".desc, $"part_id").limit(topK),
+      deg, adj)
   }
 
   val partPagerankSql: String = {
@@ -191,9 +193,11 @@ object Graph {
       rounds: Int = 5): DataFrame = {
     import spark.implicits._
     val pairs = coPairCounts(spark, dir).select($"pa", $"pb")
+    val held = scala.collection.mutable.ListBuffer[DataFrame]()
     var edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
       .union(pairs.select($"pb".as("src"), $"pa".as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    held += edges
     // each peel filters against the DROPPED node set, not the kept one:
     // in the bite zone the peel removes a thin tail (hundreds of nodes
     // against tens of thousands kept), so the anti-join side is tiny
@@ -208,6 +212,7 @@ object Graph {
       val dropped = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
         .filter($"deg" < k).select($"src".as("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      held += dropped
       if (dropped.isEmpty) done = true
       else {
         // persist, NOT localCheckpoint: the HITS-style eager cut was
@@ -220,12 +225,17 @@ object Graph {
           .join(dropped.select($"node".as("dst")), Seq("dst"), "left_anti")
           .select($"src", $"dst")
           .persist(StorageLevel.MEMORY_AND_DISK)
+        held += edges
       }
       r += 1
     }
-    edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-      .select($"src".as("part_id"), $"deg")
-      .orderBy($"part_id")
+    // node-cardinality output: one eager materialization into
+    // reference-managed storage, then every round's cache is released
+    Release.checkpointed(
+      edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .select($"src".as("part_id"), $"deg")
+        .orderBy($"part_id"),
+      held.toSeq: _*)
   }
 
   /** CTEs are MATERIALIZED: each e_r is referenced twice (its degree
@@ -281,13 +291,16 @@ object Graph {
     import spark.implicits._
     val pairs = coPairCounts(spark, dir)
       .filter($"n_orders" >= 2).select($"pa", $"pb")
+    val held = scala.collection.mutable.ListBuffer[DataFrame]()
     val edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
       .union(pairs.select($"pb".as("src"), $"pa".as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    held += edges
     val seeds = edges.select($"src".as("node")).distinct()
       .filter(pmod($"node", lit(50)) === 0)
     var reached = seeds.select($"node", lit(0).as("hop"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    held += reached
     var frontier = seeds
     for (h <- 1 to maxHops) {
       val next = frontier.join(edges, frontier("node") === edges("src"))
@@ -296,9 +309,13 @@ object Graph {
         .persist(StorageLevel.MEMORY_AND_DISK)
       reached = reached.union(next.select($"node", lit(h).as("hop")))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      held += next; held += reached
       frontier = next
     }
-    reached.select($"node".as("part_id"), $"hop").orderBy($"hop", $"part_id")
+    // node-cardinality output → checkpointed release (no cache outlives)
+    Release.checkpointed(
+      reached.select($"node".as("part_id"), $"hop").orderBy($"hop", $"part_id"),
+      held.toSeq: _*)
   }
 
   val graphBfsSql: String =
@@ -346,14 +363,17 @@ object Graph {
     import spark.implicits._
     val pairs = coPairCounts(spark, dir)
       .filter($"n_orders" >= 2).select($"pa", $"pb")
+    val held = scala.collection.mutable.ListBuffer[DataFrame]()
     val edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
       .union(pairs.select($"pb".as("src"), $"pa".as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    held += edges
     val seeds = edges.select($"src".as("node")).distinct()
       .orderBy($"node").limit(nSeeds)
       .select($"node".as("seed"), $"node")
     var reached = seeds.withColumn("hop", lit(0))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    held += reached
     var frontier = seeds
     for (h <- 1 to maxHops) {
       val next = frontier.join(edges, frontier("node") === edges("src"))
@@ -362,10 +382,14 @@ object Graph {
         .persist(StorageLevel.MEMORY_AND_DISK)
       reached = reached.union(next.withColumn("hop", lit(h)))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      held += next; held += reached
       frontier = next
     }
-    reached.groupBy($"seed", $"hop").agg(count(lit(1)).as("n_nodes"))
-      .orderBy($"seed", $"hop")
+    // ≤ nSeeds·(maxHops+1) rows → eager-grid release
+    Release.grid(
+      reached.groupBy($"seed", $"hop").agg(count(lit(1)).as("n_nodes"))
+        .orderBy($"seed", $"hop"),
+      held.toSeq: _*)
   }
 
   val graphReachProfileSql: String = {
@@ -447,7 +471,9 @@ object Graph {
       .join(oe.as("e3"), $"e1.dst" === $"e3.src" && $"e2.dst" === $"e3.dst")
       .agg(count(lit(1)).as("n_triangles"))
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
-    nNodes.crossJoin(edges.agg(count(lit(1)).as("n_edges"))).crossJoin(tri)
+    Release.grid(
+      nNodes.crossJoin(edges.agg(count(lit(1)).as("n_edges"))).crossJoin(tri),
+      edges, oe)
   }
 
   val triangleCountSql: String =
@@ -556,7 +582,7 @@ object Graph {
       .groupBy($"node").agg(count(lit(1)).as("deg"))
       .join(brand.select($"p_partkey".as("node"), $"p_brand".as("brand")), "node")
       .groupBy($"brand").agg(sum($"deg").as("d_c"), count(lit(1)).as("n_nodes"))
-    deg.join(intra, Seq("brand"), "left_outer")
+    val out = deg.join(intra, Seq("brand"), "left_outer")
       .na.fill(0L, Seq("e_c"))
       .crossJoin(broadcast(m))
       .withColumn("contrib_scaled",
@@ -571,6 +597,7 @@ object Graph {
         round($"num".cast("double")
           / (lit(4d) * $"m".cast("double") * $"m".cast("double")), 9).as("q_contrib"))
       .orderBy($"brand")
+    Release.grid(out, pairs) // |brands|+1 rows
   }
 
   val graphModularitySql: String =
@@ -626,10 +653,13 @@ object Graph {
       .unionByName(pairs.select($"v".as("part"), $"u".as("rec_part"), $"support"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"part").orderBy($"support".desc, $"rec_part")
-    sym.withColumn("rec_rank", row_number().over(w))
-      .filter($"rec_rank" <= topK)
-      .select($"part", $"rec_rank", $"rec_part", $"support")
-      .orderBy($"part", $"rec_rank")
+    // k rows PER PART — corpus-scaling output → checkpointed release
+    Release.checkpointed(
+      sym.withColumn("rec_rank", row_number().over(w))
+        .filter($"rec_rank" <= topK)
+        .select($"part", $"rec_rank", $"rec_part", $"support")
+        .orderBy($"part", $"rec_rank"),
+      pairs)
   }
 
   val partRecommendSql: String =
@@ -696,11 +726,13 @@ object Graph {
     val scored = mid.as("x").join(mid.as("y"), $"x.w" === $"y.w" && $"x.dst" < $"y.dst")
       .groupBy($"x.dst".as("u"), $"y.dst".as("v"))
       .agg(count(lit(1)).as("n_common"), sum($"x.term_u").as("aa_u"))
-    scored.join(pairs, scored("u") === pairs("pa") && scored("v") === pairs("pb"),
-        "left_anti")
-      .select($"u", $"v", $"n_common", $"aa_u",
-        round($"aa_u".cast("double") / 1000000d, 6).as("aa_score"))
-      .orderBy($"aa_u".desc, $"u", $"v").limit(topK)
+    Release.grid(
+      scored.join(pairs, scored("u") === pairs("pa") && scored("v") === pairs("pb"),
+          "left_anti")
+        .select($"u", $"v", $"n_common", $"aa_u",
+          round($"aa_u".cast("double") / 1000000d, 6).as("aa_score"))
+        .orderBy($"aa_u".desc, $"u", $"v").limit(topK),
+      pairs, mid)
   }
 
   val adamicAdarSql: String =
@@ -725,6 +757,78 @@ object Graph {
       |  round(CAST(s.aa_u AS DOUBLE) / 1000000, 6) AS aa_score
       |FROM s ANTI JOIN p ON s.u = p.pa AND s.v = p.pb
       |ORDER BY s.aa_u DESC, s.u, s.v LIMIT 50""".stripMargin
+
+  /** Jaccard-coefficient link prediction over the support-filtered
+    * co-purchase graph — the set-overlap companion of [[adamicAdar]]
+    * (AA up-weights RARE common neighbors; Jaccard normalizes by both
+    * endpoints' whole neighborhoods, so hub pairs can't dominate the
+    * prediction list): for the top-50 non-adjacent part pairs,
+    * |N(u)∩N(v)| / |N(u)∪N(v)|.
+    *
+    * Exactness: jac_micro is the exact truncated division
+    * common·10⁶ / (du+dv−common) on non-negative integers — identical
+    * in both engines; ranking ties break on (u, v).
+    *
+    * Scale: the same hub-bounded wedge self-join as [[adamicAdar]]
+    * (the support filter is the degeneracy bound), one (u, v)
+    * partial agg, degree decoration by two id-keyed joins, anti-join
+    * against the edge set, TakeOrdered top-k. Only id/count longs ride
+    * any shuffle; eager-grid release frees every cache.
+    */
+  def graphJaccardLinkpred(spark: SparkSession, dir: String,
+                           topK: Int = 50): DataFrame = {
+    import spark.implicits._
+    val pairs = coPairCounts(spark, dir)
+      .filter($"n_orders" >= 2).select($"pa", $"pb")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
+      .union(pairs.select($"pb".as("src"), $"pa".as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val scored = edges.as("x").join(edges.as("y"),
+        $"x.src" === $"y.src" && $"x.dst" < $"y.dst")
+      .groupBy($"x.dst".as("u"), $"y.dst".as("v"))
+      .agg(count(lit(1)).as("n_common"))
+    val jn = scored
+      .join(deg.select($"src".as("u"), $"deg".as("du")), "u")
+      .join(deg.select($"src".as("v"), $"deg".as("dv")), "v")
+      .withColumn("uni", $"du" + $"dv" - $"n_common")
+      .withColumn("jac_micro", (($"n_common" * 1000000L
+        - (($"n_common" * 1000000L) % $"uni")) / $"uni").cast("long"))
+    Release.grid(
+      jn.join(pairs, jn("u") === pairs("pa") && jn("v") === pairs("pb"),
+          "left_anti")
+        .select($"u", $"v", $"n_common", $"uni".as("n_union"), $"jac_micro",
+          round($"jac_micro".cast("double") / 1000000d, 6).as("jaccard"))
+        .orderBy($"jac_micro".desc, $"u", $"v").limit(topK),
+      pairs, edges)
+  }
+
+  val graphJaccardLinkpredSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |p AS MATERIALIZED (
+      |  SELECT a.pk AS pa, b.pk AS pb
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+      |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM p
+      |     UNION ALL SELECT pb, pa FROM p),
+      |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+      |s AS (
+      |  SELECT x.dst AS u, y.dst AS v, CAST(count(*) AS BIGINT) AS n_common
+      |  FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT s.u, s.v, s.n_common,
+      |    du.deg + dv.deg - s.n_common AS uni,
+      |    (s.n_common * 1000000 - ((s.n_common * 1000000)
+      |      % (du.deg + dv.deg - s.n_common)))
+      |      // (du.deg + dv.deg - s.n_common) AS jac_micro
+      |  FROM s JOIN d du ON du.src = s.u JOIN d dv ON dv.src = s.v)
+      |SELECT j.u, j.v, j.n_common, CAST(j.uni AS BIGINT) AS n_union,
+      |  CAST(j.jac_micro AS BIGINT) AS jac_micro,
+      |  round(CAST(j.jac_micro AS DOUBLE) / 1000000, 6) AS jaccard
+      |FROM j ANTI JOIN p ON j.u = p.pa AND j.v = p.pb
+      |ORDER BY j.jac_micro DESC, j.u, j.v LIMIT 50""".stripMargin
 
   /** Association rules over co-purchase baskets: for every repeat pair
     * (co-purchase count ≥ 2), both directed rules A→B with
@@ -761,12 +865,14 @@ object Graph {
         .select($"pb".as("antecedent"), $"pa".as("consequent"), $"cab"))
       .join(cnt.select($"pk".as("antecedent"), $"c".as("ca")), "antecedent")
       .join(cnt.select($"pk".as("consequent"), $"c".as("cc")), "consequent")
-    rules.select($"antecedent", $"consequent", $"cab".as("support_cnt"),
-        round($"cab".cast("double") / lit(nOrders.toDouble), 6).as("support_frac"),
-        round($"cab".cast("double") / $"ca".cast("double"), 6).as("confidence"),
-        round(lit(nOrders.toDouble) * $"cab".cast("double")
-          / ($"ca".cast("double") * $"cc".cast("double")), 6).as("lift"))
-      .orderBy($"lift".desc, $"antecedent", $"consequent").limit(topK)
+    Release.grid(
+      rules.select($"antecedent", $"consequent", $"cab".as("support_cnt"),
+          round($"cab".cast("double") / lit(nOrders.toDouble), 6).as("support_frac"),
+          round($"cab".cast("double") / $"ca".cast("double"), 6).as("confidence"),
+          round(lit(nOrders.toDouble) * $"cab".cast("double")
+            / ($"ca".cast("double") * $"cc".cast("double")), 6).as("lift"))
+        .orderBy($"lift".desc, $"antecedent", $"consequent").limit(topK),
+      li, pairs)
   }
 
   val basketRulesSql: String =
@@ -815,13 +921,16 @@ object Graph {
     import spark.implicits._
     val pairs = coPairCounts(spark, dir)
       .filter($"n_orders" >= 2).select($"pa", $"pb")
+    val held = scala.collection.mutable.ListBuffer[DataFrame]()
     val edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
       .union(pairs.select($"pb".as("src"), $"pa".as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    held += edges
     val seeds = edges.select($"src".as("node")).distinct()
       .filter(pmod($"node", lit(50)) === 0)
     var reached = seeds.select($"node", lit(0).as("hop"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    held += reached
     var frontier = seeds
     for (h <- 1 to maxHops) {
       val nReached = math.max(reached.count(), 1L)
@@ -846,9 +955,12 @@ object Graph {
         .persist(StorageLevel.MEMORY_AND_DISK)
       reached = reached.union(next.select($"node", lit(h).as("hop")))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      held += next; held += reached
       frontier = next
     }
-    reached.select($"node".as("part_id"), $"hop").orderBy($"hop", $"part_id")
+    Release.checkpointed(
+      reached.select($"node".as("part_id"), $"hop").orderBy($"hop", $"part_id"),
+      held.toSeq: _*)
   }
 
   private val HitsIters = 4
@@ -955,9 +1067,16 @@ object Graph {
           .select(explode($"vs").as("p"), $"s")
           .groupBy($"p").agg(sum($"s").as("s")), "p")
     }
-    auth.select($"p".as("part_id"), $"s".as("auth_u"),
-        round($"s".cast("double") / 1000000d, 6).as("authority"))
-      .orderBy($"auth_u".desc, $"part_id").limit(topK)
+    // top-k output: eager-grid release of the two adjacency caches;
+    // the last half-round's pinned checkpoint blocks are freed too —
+    // after the collect nothing reads them again
+    val out = Release.grid(
+      auth.select($"p".as("part_id"), $"s".as("auth_u"),
+          round($"s".cast("double") / 1000000d, 6).as("authority"))
+        .orderBy($"auth_u".desc, $"part_id").limit(topK),
+      partBuyers, custBasket)
+    if (pinnedRdd != null) pinnedRdd.unpersist(blocking = false)
+    out
   }
 
   val hitsScoresSql: String = {
@@ -1170,7 +1289,7 @@ object Graph {
     val nTri = triCorners.agg(count(lit(1)).as("n_triangles"))
     val base = deg.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
-    base.crossJoin(broadcast(nTri)).crossJoin(broadcast(agg))
+    val outC = base.crossJoin(broadcast(nTri)).crossJoin(broadcast(agg))
       .select($"n_nodes", $"n_edges", $"n_triangles",
         $"wedges".cast("long").as("n_wedges"),
         $"n_deg2", $"n_closed",
@@ -1179,6 +1298,7 @@ object Graph {
           .cast("long").as("transitivity_micro"),
         (($"c_sum" - ($"c_sum" % $"n_deg2")) / $"n_deg2").cast("long")
           .as("avg_local_micro"))
+    Release.grid(outC, edges, oe, triCorners) // 1 row
   }
 
   val graphClusteringSql: String =
@@ -1281,7 +1401,7 @@ object Graph {
         sum(d($"du") * d($"dv")).as("sxy"))
     val nodes = deg.agg(count(lit(1)).as("n_nodes"),
       sum($"deg").as("deg_sum"))
-    m.crossJoin(broadcast(nodes))
+    val outA = m.crossJoin(broadcast(nodes))
       .select(
         $"n_nodes".cast("long").as("n_nodes"),
         ($"n2" / 2).cast("long").as("n_edges"),
@@ -1293,6 +1413,7 @@ object Graph {
           / ($"n2".cast("double") * $"sxx".cast("double")
             - $"sx".cast("double") * $"sx".cast("double")), 6)
           .as("assortativity"))
+    Release.grid(outA, edges, deg) // 1 row
   }
 
   val graphAssortativitySql: String =
@@ -1368,16 +1489,18 @@ object Graph {
     val cum = grid.withColumn("cnt_ge",
       sum($"cnt").over(w.orderBy($"deg")
         .rowsBetween(w.currentRow, w.unboundedFollowing)))
-    cum.crossJoin(broadcast(tot))
-      .select($"deg", $"n_tail", $"alpha",
-        abs(round($"cnt_ge".cast("double") / $"n_tail", 6)
-          - round(pow($"deg".cast("double") / 1.5, lit(1.0) - $"alpha"), 6))
-          .as("ks_d"))
-      .groupBy($"n_tail", $"alpha")
-      .agg(max(lit(2L)).as("dmin"), max($"ks_d").as("ks_stat"),
-        count(lit(1)).as("n_distinct_deg"))
-      .select($"n_tail", $"dmin", $"alpha", round($"ks_stat", 6).as("ks_stat"),
-        $"n_distinct_deg")
+    Release.grid(
+      cum.crossJoin(broadcast(tot))
+        .select($"deg", $"n_tail", $"alpha",
+          abs(round($"cnt_ge".cast("double") / $"n_tail", 6)
+            - round(pow($"deg".cast("double") / 1.5, lit(1.0) - $"alpha"), 6))
+            .as("ks_d"))
+        .groupBy($"n_tail", $"alpha")
+        .agg(max(lit(2L)).as("dmin"), max($"ks_d").as("ks_stat"),
+          count(lit(1)).as("n_distinct_deg"))
+        .select($"n_tail", $"dmin", $"alpha", round($"ks_stat", 6).as("ks_stat"),
+          $"n_distinct_deg"),
+      grid)
   }
 
   val graphPowerlawFitSql: String =
@@ -1448,14 +1571,16 @@ object Graph {
       .select($"k", $"n_at", coalesce($"e_at", lit(0L)).as("e_at"))
     val suffix = org.apache.spark.sql.expressions.Window.orderBy($"k")
       .rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    grid
-      .withColumn("n_gt", coalesce(sum($"n_at").over(suffix), lit(0L)))
-      .withColumn("e_gt", coalesce(sum($"e_at").over(suffix), lit(0L)))
-      .filter($"n_gt" >= 2)
-      .select($"k", $"n_gt".as("n_nodes"), $"e_gt".as("n_edges"),
-        round(lit(2.0) * $"e_gt".cast("double")
-          / ($"n_gt".cast("double") * ($"n_gt" - 1L).cast("double")), 6).as("phi"))
-      .orderBy($"k")
+    Release.grid(
+      grid
+        .withColumn("n_gt", coalesce(sum($"n_at").over(suffix), lit(0L)))
+        .withColumn("e_gt", coalesce(sum($"e_at").over(suffix), lit(0L)))
+        .filter($"n_gt" >= 2)
+        .select($"k", $"n_gt".as("n_nodes"), $"e_gt".as("n_edges"),
+          round(lit(2.0) * $"e_gt".cast("double")
+            / ($"n_gt".cast("double") * ($"n_gt" - 1L).cast("double")), 6).as("phi"))
+        .orderBy($"k"),
+      edges)
   }
 
   val graphRichclubSql: String =

@@ -351,16 +351,18 @@ object Multimodal {
     val ham = (0 until AhashBands)
       .map(s => bit_count(col(s"a.b$s").bitwiseXOR(col(s"b.b$s"))))
       .reduce(_ + _)
-    capped.as("a")
-      .join(capped.as("b"),
-        $"a.seg" === $"b.seg" && $"a.seg_val" === $"b.seg_val"
-          && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"),
-        $"a.media_format".as("format_i"), $"b.media_format".as("format_j"),
-        ham.cast("int").as("hamming"))
-      .distinct()
-      .filter($"hamming" <= HamMax)
-      .orderBy($"i", $"j")
+    Release.checkpointed(
+      capped.as("a")
+        .join(capped.as("b"),
+          $"a.seg" === $"b.seg" && $"a.seg_val" === $"b.seg_val"
+            && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("i"), $"b.doc_id".as("j"),
+          $"a.media_format".as("format_i"), $"b.media_format".as("format_j"),
+          ham.cast("int").as("hamming"))
+        .distinct()
+        .filter($"hamming" <= HamMax)
+        .orderBy($"i", $"j"),
+      sigs) // pair-mass output
   }
 
   val multimodalAhashDedupSql: String =

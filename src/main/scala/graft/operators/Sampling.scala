@@ -863,17 +863,19 @@ object Sampling {
     val totals = perSrc.agg(sum($"n_docs").as("n_total"),
       sum($"chars_s").as("chars_total")).crossJoin(
       cls.agg(sum(f($"n_c")).as("dup_total")))
-    perSrc.join(corr, Seq("source"))
-      .crossJoin(broadcast(totals))
-      .select($"source", $"n_docs",
-        ($"n_total" - $"n_docs").as("remaining_docs"),
-        round(($"chars_total" - $"chars_s").cast("double")
-          / ($"n_total" - $"n_docs"), 6).as("remaining_mean_chars"),
-        ($"dup_total" - $"dup_correction").as("remaining_dup_docs"),
-        round(($"dup_total" - $"dup_correction").cast("double")
-          / ($"n_total" - $"n_docs"), 6).as("remaining_dup_rate"),
-        $"dup_total")
-      .orderBy($"source")
+    Release.grid(
+      perSrc.join(corr, Seq("source"))
+        .crossJoin(broadcast(totals))
+        .select($"source", $"n_docs",
+          ($"n_total" - $"n_docs").as("remaining_docs"),
+          round(($"chars_total" - $"chars_s").cast("double")
+            / ($"n_total" - $"n_docs"), 6).as("remaining_mean_chars"),
+          ($"dup_total" - $"dup_correction").as("remaining_dup_docs"),
+          round(($"dup_total" - $"dup_correction").cast("double")
+            / ($"n_total" - $"n_docs"), 6).as("remaining_dup_rate"),
+          $"dup_total")
+        .orderBy($"source"),
+      clsSrc) // |sources| rows
   }
 
   val looSourceImpactSql: String =

@@ -371,6 +371,160 @@ object TextAnalysis {
       |  FROM per) ranked
       |WHERE rk <= 20 ORDER BY rk""".stripMargin
 
+  private val RrfKConst = 60L // the standard RRF smoothing constant
+  private val RrfCut = 50     // per-ranker rank cutoff
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    * of two retrieval rankers over the same fixed query — [[bm25Search]]
+    * (length-normalized probabilistic ranking) and the raw
+    * total-term-frequency ranker (the counting baseline): RRF(d) =
+    * Σ_r 1/(k + rank_r(d)), k = 60, ranks beyond 50 dropped. The
+    * standard ensemble trick for combining heterogeneous retrievers
+    * (lexical + semantic in production; two lexical rankers here keep
+    * the oracle exact) — documents ranked highly by BOTH rise above
+    * either ranker's idiosyncratic top.
+    *
+    * Exactness: each reciprocal is the exact integer 10⁹ div (60+rank)
+    * (truncated division agrees across engines); the fused score is an
+    * integer sum, so ranking ties break deterministically on doc_id.
+    * Scale: both rankers are query-term-posting-bounded (the bm25
+    * pushdown discipline); the fusion joins two ≤50-row rank lists.
+    */
+  def rrfFusion(spark: SparkSession, dir: String,
+                query: Seq[String] = Seq("spark", "query", "window"),
+                topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val recip = (r: Column) =>
+      (lit(1000000000L) - (lit(1000000000L) % (lit(RrfKConst) + r)))
+        ./(lit(RrfKConst) + r).cast("long")
+    val a = bm25Search(spark, dir, query, topK = RrfCut)
+      .select($"doc_id", $"rk".as("rank_bm25"))
+    val wTf = org.apache.spark.sql.expressions.Window
+      .orderBy($"total_tf".desc, $"doc_id")
+    val b = Tables.documents(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("w"))
+      .filter($"w".isin(query: _*))
+      .groupBy($"doc_id").agg(count(lit(1)).as("total_tf"))
+      .withColumn("rank_tf", row_number().over(wTf))
+      .filter($"rank_tf" <= RrfCut)
+      .select($"doc_id", $"rank_tf")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"rrf_nano".desc, $"doc_id")
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_nano",
+        coalesce(recip($"rank_bm25"), lit(0L)) + coalesce(recip($"rank_tf"), lit(0L)))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= topK)
+      .select($"rk", $"doc_id", $"rank_bm25", $"rank_tf", $"rrf_nano",
+        round($"rrf_nano".cast("double") / 1e9, 6).as("rrf"))
+      .orderBy($"rk")
+  }
+
+  val rrfFusionSql: String =
+    """WITH sized AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS dl,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM sized),
+      |tf AS (
+      |  SELECT doc_id, dl, w, count(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(t) AS w FROM sized)
+      |  WHERE w IN ('spark', 'query', 'window') GROUP BY doc_id, dl, w),
+      |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |s AS (
+      |  SELECT tf.doc_id, tf.w,
+      |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+      |        / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS sc
+      |  FROM tf JOIN dfq ON tf.w = dfq.w CROSS JOIN stats),
+      |per AS (
+      |  SELECT doc_id,
+      |    max(sc) FILTER (w = 'spark') AS s_spark,
+      |    max(sc) FILTER (w = 'query') AS s_query,
+      |    max(sc) FILTER (w = 'window') AS s_window
+      |  FROM s GROUP BY doc_id),
+      |bm AS (
+      |  SELECT doc_id, rk AS rank_bm25 FROM (
+      |    SELECT doc_id,
+      |      row_number() OVER (ORDER BY
+      |        coalesce(s_spark, 0) + coalesce(s_query, 0) + coalesce(s_window, 0) DESC,
+      |        doc_id) AS rk
+      |    FROM per) ranked
+      |  WHERE rk <= 50),
+      |tfr AS (
+      |  SELECT doc_id, rk AS rank_tf FROM (
+      |    SELECT doc_id,
+      |      row_number() OVER (ORDER BY count(*) DESC, doc_id) AS rk
+      |    FROM (SELECT doc_id, unnest(t) AS w FROM sized)
+      |    WHERE w IN ('spark', 'query', 'window') GROUP BY doc_id) ranked
+      |  WHERE rk <= 50),
+      |fused AS (
+      |  SELECT coalesce(bm.doc_id, tfr.doc_id) AS doc_id,
+      |    bm.rank_bm25, tfr.rank_tf,
+      |    coalesce(1000000000 // (60 + bm.rank_bm25), 0)
+      |      + coalesce(1000000000 // (60 + tfr.rank_tf), 0) AS rrf_nano
+      |  FROM bm FULL OUTER JOIN tfr ON bm.doc_id = tfr.doc_id)
+      |SELECT rk, doc_id, CAST(rank_bm25 AS INT) AS rank_bm25,
+      |  CAST(rank_tf AS INT) AS rank_tf,
+      |  CAST(rrf_nano AS BIGINT) AS rrf_nano,
+      |  round(CAST(rrf_nano AS DOUBLE) / 1e9, 6) AS rrf
+      |FROM (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY rrf_nano DESC, doc_id) AS INT) AS rk
+      |  FROM fused) t
+      |WHERE rk <= 20 ORDER BY rk""".stripMargin
+
+  /** Exact phrase search — every positioned occurrence of the corpus's
+    * most frequent token bigram (count ties → lexicographically
+    * smallest), reported per containing document with its hit count
+    * and first position (1-based). The position-aware retrieval
+    * primitive behind quote mining, boilerplate hunting, and n-gram
+    * provenance checks: [[boolean_search]] answers "which docs contain
+    * these TERMS"; this answers "where exactly does this PHRASE occur".
+    *
+    * Scale: bigrams come from ONE per-doc lead() window over the
+    * posexploded tokens (doc-keyed shuffle, no self-join on
+    * positions); the argmax phrase is a 1-row broadcast; occurrence
+    * collection is a broadcast-probe of that phrase back over the
+    * bigram stream — corpus text never rides a shuffle. All counts
+    * and positions are integers; no floats anywhere.
+    */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val big = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead($"tok", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .select($"doc_id", $"pos", concat($"tok", lit(" "), $"nxt").as("bigram"))
+    val top = big.groupBy($"bigram").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram").limit(1).select($"bigram")
+    big.join(broadcast(top), "bigram")
+      .groupBy($"doc_id", $"bigram")
+      .agg(count(lit(1)).as("n_hits"), (min($"pos") + 1).cast("long").as("first_pos"))
+      .select($"doc_id", $"bigram".as("phrase"), $"n_hits", $"first_pos")
+      .orderBy($"doc_id")
+  }
+
+  val phraseSearchSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id, CAST(i AS INT) AS pos, t[i] || ' ' || t[i + 1] AS bigram
+      |  FROM toks, unnest(range(1, len(t))) r(i)),
+      |top AS (
+      |  SELECT bigram FROM big GROUP BY bigram
+      |  ORDER BY count(*) DESC, bigram LIMIT 1)
+      |SELECT b.doc_id, b.bigram AS phrase,
+      |  CAST(count(*) AS BIGINT) AS n_hits,
+      |  CAST(min(b.pos) AS BIGINT) AS first_pos
+      |FROM big b JOIN top USING (bigram)
+      |GROUP BY b.doc_id, b.bigram
+      |ORDER BY b.doc_id""".stripMargin
+
   /** Content fingerprinting: md5 plus a 64-bit polynomial rolling hash
     * (base-31 mod 1e9+7 over the character codepoints — the classic
     * Rabin-Karp fingerprint), both deterministic across engines.

@@ -790,11 +790,13 @@ object TextModel {
       .filter($"y_lw" >= minSupport)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"lang").orderBy($"delta_micro".desc, $"tok")
-    scored.withColumn("rk", row_number().over(w))
-      .filter($"rk" <= topK)
-      .select($"lang", $"rk", $"tok", $"y_lw", $"delta_micro",
-        round($"delta_micro".cast("double") / 100000d, 5).as("log_odds"))
-      .orderBy($"lang", $"rk")
+    Release.grid(
+      scored.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= topK)
+        .select($"lang", $"rk", $"tok", $"y_lw", $"delta_micro",
+          round($"delta_micro".cast("double") / 100000d, 5).as("log_odds"))
+        .orderBy($"lang", $"rk"),
+      lt) // |langs|·topK rows
   }
 
   val tokenLogoddsSql: String = {

@@ -215,17 +215,19 @@ object TimeSeries2 {
       .select($"type_a", $"lag", ($"day_n" + $"lag").as("k"), $"dd_a")
     val bSide = base.select(
       $"event_type".as("type_b"), $"day_n".as("k"), $"d".as("dd_b"))
-    aSide.join(bSide, "k")
-      .filter($"type_a" =!= $"type_b")
-      .groupBy($"type_a", $"type_b", $"lag")
-      .agg(sum(($"dd_a" * $"dd_b").cast(d38)).as("num"),
-        count(lit(1)).as("n_overlap"))
-      .join(broadcast(den.select($"event_type".as("type_a"), $"den2".as("den_a"))), "type_a")
-      .join(broadcast(den.select($"event_type".as("type_b"), $"den2".as("den_b"))), "type_b")
-      .select($"type_a", $"type_b", $"lag".cast("int").as("lag"), $"n_overlap",
-        round($"num".cast("double")
-          / sqrt($"den_a".cast("double") * $"den_b".cast("double")), 6).as("xcorr"))
-      .orderBy($"type_a", $"type_b", $"lag")
+    Release.grid(
+      aSide.join(bSide, "k")
+        .filter($"type_a" =!= $"type_b")
+        .groupBy($"type_a", $"type_b", $"lag")
+        .agg(sum(($"dd_a" * $"dd_b").cast(d38)).as("num"),
+          count(lit(1)).as("n_overlap"))
+        .join(broadcast(den.select($"event_type".as("type_a"), $"den2".as("den_a"))), "type_a")
+        .join(broadcast(den.select($"event_type".as("type_b"), $"den2".as("den_b"))), "type_b")
+        .select($"type_a", $"type_b", $"lag".cast("int").as("lag"), $"n_overlap",
+          round($"num".cast("double")
+            / sqrt($"den_a".cast("double") * $"den_b".cast("double")), 6).as("xcorr"))
+        .orderBy($"type_a", $"type_b", $"lag"),
+      base) // |types|²·lags rows
   }
 
   val xcorrLagsSql: String =
@@ -294,13 +296,15 @@ object TimeSeries2 {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"brand").orderBy($"slope_u")
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"brand")
-    slopes
-      .withColumn("rk", row_number().over(w))
-      .withColumn("k", count(lit(1)).over(wAll))
-      .filter($"rk" === ($"k" + 1) / 2)
-      .select($"brand", $"k".as("n_pairs"),
-        round($"slope_u".cast("double") / 10000d, 4).as("sen_slope"))
-      .orderBy($"brand")
+    Release.grid(
+      slopes
+        .withColumn("rk", row_number().over(w))
+        .withColumn("k", count(lit(1)).over(wAll))
+        .filter($"rk" === ($"k" + 1) / 2)
+        .select($"brand", $"k".as("n_pairs"),
+          round($"slope_u".cast("double") / 10000d, 4).as("sen_slope"))
+        .orderBy($"brand"),
+      monthly) // |brands| rows
   }
 
   /** LATE-EVENT AUDIT — the watermark-tuning input for every stateful

@@ -126,12 +126,14 @@ object Training {
       cent.zipWithIndex.flatMap { case (cv, j) =>
         cv.zipWithIndex.map { case (v, d) => (j, d, v) }
       }.toSeq).toDF("cluster", "dim", "centroid_micro")
-    centDf.join(fin, Seq("cluster"), "left")
-      .select($"cluster",
-        coalesce($"n", lit(0L)).as("n"),
-        coalesce($"inertia_kilo", lit(0L)).as("inertia_kilo"),
-        $"dim", $"centroid_micro")
-      .orderBy($"cluster", $"dim")
+    Release.grid(
+      centDf.join(fin, Seq("cluster"), "left")
+        .select($"cluster",
+          coalesce($"n", lit(0L)).as("n"),
+          coalesce($"inertia_kilo", lit(0L)).as("inertia_kilo"),
+          $"dim", $"centroid_micro")
+        .orderBy($"cluster", $"dim"),
+      quant)
   }
 
   def kmeansTrain(spark: SparkSession, dir: String): DataFrame =
@@ -224,12 +226,15 @@ object Training {
     val sizes = asg.groupBy($"cluster").agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"cluster").orderBy($"h", $"vec_id")
-    asg.join(sizes, "cluster")
-      .withColumn("h", md5(concat(lit("cs:"), $"vec_id".cast("string"))))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" * 4L <= $"n" + 3L)
-      .select($"cluster", $"rk", $"vec_id", $"n".as("cluster_n"))
-      .orderBy($"cluster", $"rk")
+    // ~25% of the corpus — corpus-scaling output → checkpointed release
+    Release.checkpointed(
+      asg.join(sizes, "cluster")
+        .withColumn("h", md5(concat(lit("cs:"), $"vec_id".cast("string"))))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" * 4L <= $"n" + 3L)
+        .select($"cluster", $"rk", $"vec_id", $"n".as("cluster_n"))
+        .orderBy($"cluster", $"rk"),
+      quant)
   }
 
   val clusterSampleSql: String =
@@ -319,13 +324,15 @@ object Training {
     import spark.implicits._
     val feats = docFeatures(Tables.documents(spark, dir)).persist()
     val w = trainWeights(feats)
-    feats.agg(
-      count(lit(1)).as("n"),
-      sum($"y").as("n_pos"),
-      max(lit(w(0))).as("w0"), max(lit(w(1))).as("w1"),
-      max(lit(w(2))).as("w2"), max(lit(w(3))).as("w3"),
-      fdiv(sum(when((scoreCol(w) >= 500000L) === ($"y" === 1L), 1L)
-        .otherwise(0L)) * M, count(lit(1))).as("acc_micro"))
+    Release.grid(
+      feats.agg(
+        count(lit(1)).as("n"),
+        sum($"y").as("n_pos"),
+        max(lit(w(0))).as("w0"), max(lit(w(1))).as("w1"),
+        max(lit(w(2))).as("w2"), max(lit(w(3))).as("w3"),
+        fdiv(sum(when((scoreCol(w) >= 500000L) === ($"y" === 1L), 1L)
+          .otherwise(0L)) * M, count(lit(1))).as("acc_micro")),
+      feats)
   }
 
   /** Corpus scoring with the trained weights: the 20 highest- and 20
@@ -342,7 +349,7 @@ object Training {
       .select(lit("top").as("side"), $"doc_id", $"label_en", $"score_micro")
     val bottom = scored.orderBy($"score_micro".asc, $"doc_id").limit(20)
       .select(lit("bottom").as("side"), $"doc_id", $"label_en", $"score_micro")
-    top.union(bottom).orderBy($"side", $"doc_id")
+    Release.grid(top.union(bottom).orderBy($"side", $"doc_id"), feats)
   }
 
   /** Oracle CTE chain shared by both classifier queries: feats, then
@@ -435,6 +442,7 @@ object Training {
           count(lit(1))).as("brier_micro"))
       .withColumn("gap_micro", $"mean_score_micro" - $"pos_rate_micro")
       .orderBy($"bin")
+      .transform(out => Release.grid(out, feats))
   }
 
   val classifierCalibrationSql: String =
@@ -501,6 +509,7 @@ object Training {
         d($"npos") * d($"nneg") * 2).cast("double") / 1e6, 6).as("auc"),
       (fdivDec38($"numer2" * d(lit(1000000L)),
         d($"npos") * d($"nneg") * 2) * 2 - 1000000L).as("gini_micro"))
+      .transform(out => Release.grid(out, feats))
   }
 
   /** Exact floor division on non-negative DECIMAL(38,0) columns (the
@@ -779,9 +788,11 @@ object Training {
         .otherwise(0L)) * M, count(lit(1))).as("acc_micro"))
     val wDf = spark.createDataFrame(
       w.zipWithIndex.map { case (v, d) => (d, v) }.toSeq).toDF("dim", "w_micro")
-    wDf.crossJoin(accDf)
-      .select($"dim", $"w_micro", $"n", $"acc_micro")
-      .orderBy($"dim")
+    Release.grid(
+      wDf.crossJoin(accDf)
+        .select($"dim", $"w_micro", $"n", $"acc_micro")
+        .orderBy($"dim"),
+      base)
   }
 
   val embeddingClassifierSql: String = {

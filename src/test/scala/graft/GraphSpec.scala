@@ -41,10 +41,22 @@ class GraphSpec extends SparkSpec {
     li.unpersist()
   }
 
-  test("part_pagerank plan: per-iteration rank joins broadcast (edges never re-shuffle on rank)") {
-    val plan = Graph.partPagerank(spark, sf).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), "rank/degree joins must broadcast")
-    assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  test("part_pagerank: eager grid — top-k rows, deterministic, no cache outlives") {
+    // round 11: the op is eager-grid (the iterations, the
+    // TakeOrdered top-k and the cache release all happen inside the
+    // call — CacheContractSpec asserts the release for all 336 ops);
+    // the returned frame is a local list, so the plan audit moves to
+    // row-level properties
+    spark.sharedState.cacheManager.clearCache()
+    val out = Graph.partPagerank(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 100, "top-k bound")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pagerank leaked its persisted adjacency")
+    val ranks = out.map(_.getLong(2)).toSeq
+    assert(ranks === ranks.sorted.reverse, "rows ordered by rank desc")
+    assert(out.map(_.toSeq).toSeq ===
+      Graph.partPagerank(spark, sf).collect().map(_.toSeq).toSeq,
+      "bit-deterministic across runs")
   }
 
   test("triangle_count equals an unoriented brute-force triple join") {
