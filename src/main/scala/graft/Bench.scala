@@ -78,7 +78,17 @@ object Bench {
     // round-11 batch: capped-default jaro, link prediction, kernel
     // drift, rank fusion, phrase retrieval
     "dedup_jaro_capped", "graph_jaccard_linkpred", "embedding_mmd",
-    "rrf_fusion", "phrase_search")
+    "rrf_fusion", "phrase_search",
+    // round-11 second batch: sketch audit, context economics, lexical
+    // diversity, DP selection, personalized pagerank, feature hashing,
+    // triple rules. rouge_overlap stays OFF the headline on the
+    // dedup_ngram_jaccard precedent: it is the deliberately
+    // shard-restricted quadratic pair VERIFIER (scale path = minhash
+    // candidates + per-pair verify), not a corpus-scale operator.
+    "hll_audit", "context_length_sweep", "lexical_diversity",
+    "dp_topk", "graph_ppr",
+    "feature_hash_audit", "basket_rules_3",
+    "graph_ktruss", "sax_symbolic", "ctfidf_terms")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

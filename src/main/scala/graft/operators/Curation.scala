@@ -592,4 +592,73 @@ object Curation {
       |FROM ($branches)
       |ORDER BY sample_pct""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // context_length_sweep — truncation/packing economics per ctx length
+  // ------------------------------------------------------------------
+
+  private val CtxGrid = Seq(64L, 128L, 256L, 512L, 1024L, 2048L)
+
+  /** Context-length economics sweep: for each candidate training
+    * context length L, how much of the corpus survives truncate-at-L
+    * and how efficiently it packs — docs over L, token mass kept
+    * (Σ min(tokens, L)), the truncation waste rate, the greedy-packing
+    * lower bound on bin count (⌈kept/L⌉ — [[docPack]]'s floor), and
+    * the utilization that bound implies. The "pick the context length"
+    * table every pretraining run consults before committing 100 TB of
+    * tokenization: longer contexts waste less by truncation but pack
+    * worse against short docs; this emits the whole tradeoff from ONE
+    * corpus pass.
+    *
+    * Exactness: all cells are integer sums/divisions (micro rates use
+    * the DIV convention — positive operands, truncation identical in
+    * both engines). Scale: one token-count scan × a broadcast 6-row
+    * grid, partial-aggregated map-side into ≤ |grid| rows — nothing
+    * downstream is corpus-cardinality.
+    */
+  def contextLengthSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(size(tokens($"text")).cast("long").as("n_tok"))
+    val grid = CtxGrid.toDF("ctx_len")
+    toks.crossJoin(broadcast(grid))
+      .groupBy($"ctx_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_tok" > $"ctx_len", 1L).otherwise(0L)).as("docs_over"),
+        sum($"n_tok").as("tokens_total"),
+        sum(least($"n_tok", $"ctx_len")).as("tokens_kept"))
+      .select($"ctx_len", $"n_docs", $"docs_over", $"tokens_total",
+        $"tokens_kept",
+        expr("(tokens_total - tokens_kept) * 1000000 DIV tokens_total")
+          .as("waste_micro"),
+        expr("(tokens_kept + ctx_len - 1) DIV ctx_len").as("bins_lb"),
+        when($"tokens_kept" > 0,
+          expr("tokens_kept * 1000000 DIV " +
+            "(((tokens_kept + ctx_len - 1) DIV ctx_len) * ctx_len)"))
+          .otherwise(lit(0L)).as("util_micro"))
+      .orderBy($"ctx_len")
+  }
+
+  val contextLengthSweepSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH t AS (
+      |  SELECT CAST(len($toks) AS BIGINT) AS n_tok FROM documents),
+      |g AS (SELECT CAST(unnest([${CtxGrid.mkString(", ")}]) AS BIGINT)
+      |      AS ctx_len),
+      |a AS (
+      |  SELECT ctx_len, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN n_tok > ctx_len THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS docs_over,
+      |    CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+      |    CAST(sum(least(n_tok, ctx_len)) AS BIGINT) AS tokens_kept
+      |  FROM t CROSS JOIN g GROUP BY 1)
+      |SELECT ctx_len, n_docs, docs_over, tokens_total, tokens_kept,
+      |  (tokens_total - tokens_kept) * 1000000 // tokens_total AS waste_micro,
+      |  (tokens_kept + ctx_len - 1) // ctx_len AS bins_lb,
+      |  CASE WHEN tokens_kept > 0
+      |    THEN tokens_kept * 1000000
+      |      // (((tokens_kept + ctx_len - 1) // ctx_len) * ctx_len)
+      |    ELSE 0 END AS util_micro
+      |FROM a ORDER BY ctx_len""".stripMargin
+  }
 }

@@ -407,4 +407,80 @@ object DataQuality {
       |  round(CAST(true_count * 1000000 + noise_micro AS DOUBLE) / 1e6, 6) AS released,
       |  1.0 AS epsilon
       |FROM noise ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
+  // ------------------------------------------------------------------
+  // dp_topk — ε-DP top-k selection via the one-shot Gumbel mechanism
+  // ------------------------------------------------------------------
+
+  private val DpTopK = 10
+
+  /** ε-DP top-k category selection over part-brand frequencies by the
+    * ONE-SHOT GUMBEL trick (Durfee & Rogers 2019): adding independent
+    * Gumbel(2k/ε) noise to every utility and taking the k largest is
+    * exactly k sequential exponential-mechanism draws — one pass, no
+    * iterative re-weighting. The selection twin of [[dpRelease]]
+    * (which privatizes COUNTS; this privatizes WHICH items are
+    * reported — the "top brands / top domains we may publish" query).
+    * The audit ships each winner's true rank, so the utility loss of
+    * the mechanism (rank inversions) is visible, not theoretical.
+    *
+    * Exactness: the Gumbel draw is deterministic and replayable — a
+    * 48-bit md5 uniform (the [[dpRelease]] seeding discipline,
+    * documented as needing a secret seed in production), the
+    * −ln(−ln u) tree quantized ONCE to the micro grid, and an integer
+    * score sum; ranking ties break on brand.
+    *
+    * Scale: one grid-cardinality aggregate over part (|brands| rows),
+    * then per-row codegen'd noise and a ≤ |brands| sort. Nothing
+    * beyond the first agg is corpus-cardinality.
+    */
+  def dpTopk(spark: SparkSession, dir: String, k: Int = DpTopK,
+             epsilon: Double = 1.0): DataFrame = {
+    import spark.implicits._
+    val scale = 2.0 * k / epsilon
+    val counts = Tables.part(spark, dir)
+      .groupBy($"p_brand").agg(count(lit(1)).as("true_count"))
+    val h = conv(substring(md5(concat(lit("dpk:"), $"p_brand")), 1, 12), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + 0.5) / lit(4096.0 * 4096 * 4096 * 4096)
+    val noiseMicro = round(-log(-log(u)) * lit(scale) * 1e6, 0).cast("long")
+    val wTrue = org.apache.spark.sql.expressions.Window
+      .orderBy($"true_count".desc, $"p_brand")
+    val wNoisy = org.apache.spark.sql.expressions.Window
+      .orderBy($"score_micro".desc, $"p_brand")
+    counts
+      .withColumn("true_rank", row_number().over(wTrue))
+      .withColumn("noise_micro", noiseMicro)
+      .withColumn("score_micro", $"true_count" * 1000000L + $"noise_micro")
+      .withColumn("rank", row_number().over(wNoisy))
+      .filter($"rank" <= k)
+      .select($"rank", $"p_brand", $"true_count", $"true_rank",
+        $"noise_micro", $"score_micro", lit(epsilon).as("epsilon"))
+      .orderBy($"rank")
+  }
+
+  val dpTopkSql: String =
+    s"""WITH counts AS (
+      |  SELECT p_brand, CAST(count(*) AS BIGINT) AS true_count
+      |  FROM part GROUP BY 1),
+      |seeded AS (
+      |  SELECT *,
+      |    CAST(('0x' || substr(md5('dpk:' || p_brand), 1, 12)) AS BIGINT) AS h,
+      |    row_number() OVER (ORDER BY true_count DESC, p_brand) AS true_rank
+      |  FROM counts),
+      |noise AS (
+      |  SELECT *,
+      |    CAST(round(-ln(-ln((CAST(h AS DOUBLE) + 0.5) / 281474976710656.0))
+      |      * 20.0 * 1e6, 0) AS BIGINT) AS noise_micro
+      |  FROM seeded),
+      |scored AS (
+      |  SELECT *, true_count * 1000000 + noise_micro AS score_micro
+      |  FROM noise)
+      |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, p_brand)
+      |    AS INT) AS rank,
+      |  p_brand, true_count, CAST(true_rank AS INT) AS true_rank,
+      |  noise_micro, score_micro, 1.0 AS epsilon
+      |FROM scored
+      |QUALIFY rank <= $DpTopK
+      |ORDER BY rank""".stripMargin
 }

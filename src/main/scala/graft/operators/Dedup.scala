@@ -121,6 +121,118 @@ object Dedup {
       |WHERE CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) >= 0.5
       |ORDER BY i, j""".stripMargin
 
+  // ------------------------------------------------------------------
+  // rouge_overlap — clipped-bigram ROUGE-2 P/R/F1 on near-dup pairs
+  // ------------------------------------------------------------------
+
+  /** ROUGE-2 (clipped bigram precision/recall/F1 — Lin 2004) scored
+    * over the [[dedupNgramJaccard]] candidate pairs: where the Jaccard
+    * verdict sees only unordered word SETS, ROUGE-2 counts ORDERED
+    * bigram matches with per-bigram clipping (min of the two
+    * multiplicities), so a reshuffled doc that fools set-Jaccard
+    * scores low here — the standard summarization-eval metric doubling
+    * as the dedup family's word-order discriminator. One row per
+    * candidate pair: clipped overlap, both bigram masses, and micro
+    * P/R/F1.
+    *
+    * Exactness: all counts are integers; P/R use the micro DIV
+    * convention and F1 is the integer harmonic mean
+    * 2·P·R DIV (P+R) (≤ 2·10¹² — no overflow).
+    *
+    * Scale: candidate generation is the quadratic-in-shard verifier
+    * this op inherits (deliberately shard-restricted — the full-corpus
+    * path is minhash + this as the pair-verify stage); the ROUGE side
+    * joins the pair list against per-doc bigram BAGS on (doc, bigram),
+    * so cost is Σ pair-bigram matches, never |docs|².
+    */
+  def rougeOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).filter($"source" === "src0")
+      .select($"doc_id",
+        filter(split($"text", "\\s+"), t => t =!= "").as("t"))
+    val words = docs.select($"doc_id", explode(array_distinct($"t")).as("w"))
+    val sizes = words.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val cand = words.as("a")
+      .join(words.as("b"), $"a.w" === $"b.w" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.select($"doc_id".as("i"), $"n".as("na")), "i")
+      .join(sizes.select($"doc_id".as("j"), $"n".as("nb")), "j")
+      .filter($"c".cast("double") / ($"na" + $"nb" - $"c").cast("double") >= 0.5)
+      .select($"i", $"j")
+    val bc = docs.select($"doc_id", explode(expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)), " +
+          "(x, i) -> concat(x, ' ', element_at(t, i + 2)))")).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+    val bt = docs.select($"doc_id",
+      greatest(size($"t") - 1, lit(0)).cast("long").as("tot"))
+    val ov = cand
+      .join(bc.select($"doc_id".as("i"), $"bg", $"c".as("ci")), Seq("i"))
+      .join(bc.select($"doc_id".as("j"), $"bg", $"c".as("cj")), Seq("j", "bg"))
+      .groupBy($"i", $"j").agg(sum(least($"ci", $"cj")).as("ov"))
+    cand.join(ov, Seq("i", "j"), "left")
+      .join(bt.select($"doc_id".as("i"), $"tot".as("tot_i")), "i")
+      .join(bt.select($"doc_id".as("j"), $"tot".as("tot_j")), "j")
+      .select($"i", $"j", coalesce($"ov", lit(0L)).as("ov"), $"tot_i", $"tot_j")
+      .withColumn("p_micro",
+        when($"tot_j" > 0, expr("ov * 1000000 DIV tot_j")).otherwise(lit(0L)))
+      .withColumn("r_micro",
+        when($"tot_i" > 0, expr("ov * 1000000 DIV tot_i")).otherwise(lit(0L)))
+      .withColumn("f1_micro",
+        when($"p_micro" + $"r_micro" > 0,
+          expr("(2 * p_micro * r_micro) DIV (p_micro + r_micro)"))
+          .otherwise(lit(0L)))
+      .orderBy($"i", $"j")
+  }
+
+  val rougeOverlapSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents WHERE source = 'src0'),
+      |words AS (
+      |  SELECT doc_id, unnest(list_distinct(t)) AS w FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+      |cand AS (
+      |  SELECT i, j FROM (
+      |    SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+      |    FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2) x
+      |  JOIN sizes sa ON x.i = sa.doc_id
+      |  JOIN sizes sb ON x.j = sb.doc_id
+      |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5),
+      |bc AS (
+      |  SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT doc_id,
+      |      unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+      |    FROM toks WHERE len(t) >= 2)
+      |  GROUP BY 1, 2),
+      |bt AS (SELECT doc_id, CAST(greatest(len(t) - 1, 0) AS BIGINT) AS tot
+      |       FROM toks),
+      |ov AS (
+      |  SELECT cand.i, cand.j, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+      |  FROM cand
+      |  JOIN bc a ON a.doc_id = cand.i
+      |  JOIN bc b ON b.doc_id = cand.j AND b.bg = a.bg
+      |  GROUP BY 1, 2),
+      |fin AS (
+      |  SELECT cand.i, cand.j, coalesce(ov.ov, 0) AS ov,
+      |    ti.tot AS tot_i, tj.tot AS tot_j
+      |  FROM cand
+      |  LEFT JOIN ov ON ov.i = cand.i AND ov.j = cand.j
+      |  JOIN bt ti ON ti.doc_id = cand.i
+      |  JOIN bt tj ON tj.doc_id = cand.j),
+      |m AS (
+      |  SELECT *,
+      |    CASE WHEN tot_j > 0 THEN ov * 1000000 // tot_j ELSE 0 END AS p_micro,
+      |    CASE WHEN tot_i > 0 THEN ov * 1000000 // tot_i ELSE 0 END AS r_micro
+      |  FROM fin)
+      |SELECT i, j, ov, tot_i, tot_j, p_micro, r_micro,
+      |  CASE WHEN p_micro + r_micro > 0
+      |    THEN (2 * p_micro * r_micro) // (p_micro + r_micro)
+      |    ELSE 0 END AS f1_micro
+      |FROM m ORDER BY i, j""".stripMargin
+
   /** FULL-CORPUS exact near-dup pairs by 3-gram shingle-set Jaccard with
     * PREFIX FILTERING (PPJoin-style) — the scale path the restricted
     * word-set verifier above can't take:

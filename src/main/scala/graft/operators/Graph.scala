@@ -268,6 +268,103 @@ object Graph {
         |FROM e5 GROUP BY src ORDER BY part_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // graph_ktruss — k-truss decomposition (edge-support peeling)
+  // ------------------------------------------------------------------
+
+  private val TrussK = 3
+  private val TrussRounds = 3
+
+  /** k-truss (k = 3 — every edge must close a triangle; 4-truss is
+    * already empty at sf0.01's pair-support density) of the frequent
+    * co-purchase graph: the maximal
+    * subgraph in which EVERY edge closes ≥ k−2 triangles — the
+    * cohesion standard stricter than [[kcore]] (degree can be faked
+    * by a star; triangle support cannot), the community-core extractor
+    * behind "which co-purchase links are structural, not incidental".
+    * Peeling: each round recomputes per-edge triangle support on the
+    * surviving subgraph and drops edges under k−2; 3 unrolled rounds
+    * with the [[kcore]] fixpoint early-exit (a round that drops
+    * nothing makes every remaining round the identity, so skipping
+    * them IS the unrolled mirror). Output: surviving edges with their
+    * final support.
+    *
+    * Exactness: pure integer set algebra — wedge counts, joins,
+    * thresholds — bit-identical to the unrolled MATERIALIZED CTE
+    * mirror.
+    *
+    * Scale: per-round support is ONE wedge self-join on the
+    * support-≥2-filtered graph (the [[adamicAdar]] hub bound: filtered
+    * max-degree ≤13 at every SF caps wedge fan-out) inner-joined back
+    * to the edge list — only (u, v, count) longs ride shuffles, and
+    * the edge set only shrinks. Edge-cardinality output →
+    * checkpointed release.
+    */
+  def graphKtruss(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val held = scala.collection.mutable.ListBuffer[DataFrame]()
+    var edges = coPairCounts(spark, dir)
+      .filter($"n_orders" >= 2).select($"pa".as("u"), $"pb".as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    held += edges
+    def support(e: DataFrame): DataFrame = {
+      val sym = e.select($"u".as("src"), $"v".as("dst"))
+        .union(e.select($"v".as("src"), $"u".as("dst")))
+      sym.as("x").join(sym.as("y"), $"x.src" === $"y.src" && $"x.dst" < $"y.dst")
+        .groupBy($"x.dst".as("u"), $"y.dst".as("v"))
+        .agg(count(lit(1)).as("sup"))
+        .join(e, Seq("u", "v")) // wedge pairs that ARE edges
+    }
+    var r = 0
+    var done = false
+    while (r < TrussRounds && !done) {
+      val kept = support(edges).filter($"sup" >= TrussK - 2)
+        .select($"u", $"v").persist(StorageLevel.MEMORY_AND_DISK)
+      held += kept
+      if (kept.count() == edges.count()) done = true
+      edges = kept
+      r += 1
+    }
+    Release.checkpointed(
+      support(edges).select($"u", $"v", $"sup").orderBy($"u", $"v"),
+      held.toSeq: _*)
+  }
+
+  val graphKtrussSql: String = {
+    val base =
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk HAVING count(*) >= 2)""".stripMargin
+    val its = (0 until TrussRounds).map { r =>
+      s""",
+         |sym$r AS MATERIALIZED (SELECT u AS src, v AS dst FROM e$r
+         |        UNION ALL SELECT v, u FROM e$r),
+         |s$r AS MATERIALIZED (
+         |  SELECT w.u, w.v, w.sup FROM (
+         |    SELECT x.dst AS u, y.dst AS v, count(*) AS sup
+         |    FROM sym$r x JOIN sym$r y ON x.src = y.src AND x.dst < y.dst
+         |    GROUP BY 1, 2) w
+         |  JOIN e$r e ON e.u = w.u AND e.v = w.v),
+         |e${r + 1} AS MATERIALIZED (
+         |  SELECT u, v FROM s$r WHERE sup >= ${TrussK - 2})""".stripMargin
+    }.mkString
+    base + its +
+      s"""
+         |SELECT w.u, w.v, CAST(w.sup AS BIGINT) AS sup FROM (
+         |  SELECT x.dst AS u, y.dst AS v, count(*) AS sup
+         |  FROM (SELECT u AS src, v AS dst FROM e$TrussRounds
+         |        UNION ALL SELECT v, u FROM e$TrussRounds) x
+         |  JOIN (SELECT u AS src, v AS dst FROM e$TrussRounds
+         |        UNION ALL SELECT v, u FROM e$TrussRounds) y
+         |    ON x.src = y.src AND x.dst < y.dst
+         |  GROUP BY 1, 2) w
+         |JOIN e$TrussRounds e ON e.u = w.u AND e.v = w.v
+         |ORDER BY w.u, w.v""".stripMargin
+  }
+
   /** Multi-source BFS over the frequent co-purchase graph (pair
     * support ≥ 2, same pruning as [[triangleCount]]): minimum hop
     * distance from the seed set (every 50th part id) out to 3 hops —
@@ -897,6 +994,98 @@ object Graph {
       |JOIN c ca ON r.antecedent = ca.pk
       |JOIN c cc ON r.consequent = cc.pk
       |ORDER BY lift DESC, r.antecedent, r.consequent LIMIT 50""".stripMargin
+
+  /** Triple association rules {A,B} → C over co-purchase baskets —
+    * [[basketRules]]' 2-item antecedent extension (pair rules flag
+    * popular companions; 2⇒1 rules are the cross-sell shape real
+    * recommenders deploy): every repeat triple (support ≥ 2) emits its
+    * 3 rotations with support, confidence cnt(ABC)/cnt(AB), and lift
+    * n·cnt(ABC)/(cnt(AB)·cnt(C)); top-25 by lift.
+    *
+    * Exactness: counts are exact integers; each ratio is one fixed
+    * double tree over exact ints (the [[basketRules]] doctrine); lift
+    * ties break on (ante1, ante2, consequent).
+    *
+    * Scale: triples explode from the SORTED per-order item set with
+    * two nested suffix slices — fan-out C(k,3) bounded by basket size
+    * (~7 ⇒ ≤35), never an order-keyed 3-way self-join materializing
+    * |li|³ rows; one (a,b,c) partial agg, the support filter prunes
+    * before the 3-rotation fan-out, and antecedent-pair/consequent
+    * decorations are id-keyed joins onto grid-small aggregates.
+    * Top-k is TakeOrdered; eager-grid release frees every cache.
+    *
+    * Data note: repeat-triple density FALLS as the part space grows
+    * (94 at sf0.001, 12 at sf0.01 — the oracle SF, where the check is
+    * non-vacuous — and 0 at sf0.1); an empty result at sparse SFs is
+    * the correct minsup-2 answer, and the triple aggregate still does
+    * its full measured work there.
+    */
+  def basketRules3(spark: SparkSession, dir: String, topK: Int = 25): DataFrame = {
+    import spark.implicits._
+    val li = incidence(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val nOrders = li.select($"ok").distinct().count()
+    val cnt = li.groupBy($"pk").agg(count(lit(1)).as("c"))
+    val sets = li.groupBy($"ok").agg(sort_array(collect_set($"pk")).as("arr"))
+    val triples = sets
+      .select(posexplode($"arr").as(Seq("i", "pa")), $"arr")
+      .select($"pa", expr("slice(arr, i + 2, size(arr))").as("rest"))
+      .select($"pa", posexplode($"rest").as(Seq("j", "pb")), $"rest")
+      .select($"pa", $"pb",
+        explode(expr("slice(rest, j + 2, size(rest))")).as("pc"))
+      .groupBy($"pa", $"pb", $"pc").agg(count(lit(1)).as("n3"))
+      .filter($"n3" >= 2)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = coPairCounts(spark, dir)
+      .select($"pa".as("a1"), $"pb".as("a2"), $"n_orders".as("cab"))
+    val rot = triples
+      .select($"pa".as("ante1"), $"pb".as("ante2"), $"pc".as("consequent"), $"n3")
+      .unionByName(triples
+        .select($"pa".as("ante1"), $"pc".as("ante2"), $"pb".as("consequent"), $"n3"))
+      .unionByName(triples
+        .select($"pb".as("ante1"), $"pc".as("ante2"), $"pa".as("consequent"), $"n3"))
+    Release.grid(
+      rot
+        .join(pairs, rot("ante1") === pairs("a1") && rot("ante2") === pairs("a2"))
+        .join(cnt.select($"pk".as("consequent"), $"c".as("cc")), "consequent")
+        .select($"ante1", $"ante2", $"consequent", $"n3".as("support_cnt"),
+          round($"n3".cast("double") / lit(nOrders.toDouble), 6).as("support_frac"),
+          round($"n3".cast("double") / $"cab".cast("double"), 6).as("confidence"),
+          round(lit(nOrders.toDouble) * $"n3".cast("double")
+            / ($"cab".cast("double") * $"cc".cast("double")), 6).as("lift"))
+        .orderBy($"lift".desc, $"ante1", $"ante2", $"consequent").limit(topK),
+      li, triples)
+  }
+
+  val basketRules3Sql: String =
+    """WITH li AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+      |c AS (SELECT pk, count(*) AS c FROM li GROUP BY pk),
+      |p AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, count(*) AS cab
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk),
+      |t AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, c3.pk AS pc, count(*) AS n3
+      |  FROM li a
+      |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  JOIN li c3 ON c3.ok = a.ok AND c3.pk > b.pk
+      |  GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+      |r AS (
+      |  SELECT pa AS ante1, pb AS ante2, pc AS consequent, n3 FROM t
+      |  UNION ALL
+      |  SELECT pa, pc, pb, n3 FROM t
+      |  UNION ALL
+      |  SELECT pb, pc, pa, n3 FROM t)
+      |SELECT r.ante1, r.ante2, r.consequent, r.n3 AS support_cnt,
+      |  round(CAST(r.n3 AS DOUBLE) / CAST(n.n_orders AS DOUBLE), 6) AS support_frac,
+      |  round(CAST(r.n3 AS DOUBLE) / CAST(p.cab AS DOUBLE), 6) AS confidence,
+      |  round(CAST(n.n_orders AS DOUBLE) * CAST(r.n3 AS DOUBLE)
+      |    / (CAST(p.cab AS DOUBLE) * CAST(cc.c AS DOUBLE)), 6) AS lift
+      |FROM r CROSS JOIN n
+      |JOIN p ON r.ante1 = p.pa AND r.ante2 = p.pb
+      |JOIN c cc ON r.consequent = cc.pk
+      |ORDER BY lift DESC, r.ante1, r.ante2, r.consequent LIMIT 25""".stripMargin
 
   /** [[graphBfs]] with FRONTIER COMPRESSION: each hop's candidate set
     * is pruned map-side against a size-capped Bloom filter of the
@@ -1613,4 +1802,111 @@ object Graph {
       |  round(2.0 * CAST(e_gt AS DOUBLE)
       |    / (CAST(n_gt AS DOUBLE) * CAST(n_gt - 1 AS DOUBLE)), 6) AS phi
       |FROM suf WHERE n_gt >= 2 ORDER BY k""".stripMargin
+
+  // ------------------------------------------------------------------
+  // graph_ppr — personalized PageRank (random walk with restart)
+  // ------------------------------------------------------------------
+
+  private val PprSeedMod = 97
+
+  /** Personalized PageRank over the co-purchase graph: the damped walk
+    * of [[partPagerank]] but ALL teleport mass returns to a fixed seed
+    * set (node ≡ 0 mod 97), so rank measures proximity TO THE SEEDS,
+    * not global centrality — the random-walk-with-restart scores
+    * behind "customers who bought these also bought", seed-anchored
+    * contamination spread, and graph-local recommendation. Top-50 by
+    * rank, each with its seed flag, so seed self-mass and genuine
+    * neighborhood mass are distinguishable in the output.
+    *
+    * Exactness: the same all-integer nano-rank recurrence as
+    * [[partPagerank]] (floored integer division everywhere — both
+    * engines truncate identically on non-negatives), with the teleport
+    * term conditional on seed membership; the seed count is floored
+    * into the teleport constant once on the driver.
+    *
+    * Scale: identical iteration shape to [[partPagerank]] — the
+    * chunked adjacency list is built ONCE and persisted (celebrity
+    * nodes become ⌈deg/64k⌉ rows), each of the 5 iterations is one
+    * probe-explode-partialagg chain, and ranks stay node-cardinality
+    * with a LEFT join against the static degree table so seeds keep
+    * their teleport even in iterations where no walk mass reaches
+    * them (the frontier-absent-seed case a contrib-only groupBy would
+    * silently drop). Eager-grid release frees both caches.
+    */
+  def graphPpr(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    import spark.implicits._
+    val pairs = coPairCounts(spark, dir).select($"pa".as("src"), $"pb".as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.unionByName(pairs.select($"dst".as("src"), $"src".as("dst")))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = edges.join(deg.withColumnRenamed("node", "src"), "src")
+      .withColumn("ck",
+        pmod(hash($"dst"), greatest(lit(1), ceil($"deg" / 65536.0))).cast("int"))
+      .groupBy($"src", $"ck")
+      .agg(max($"deg").as("deg"), collect_list($"dst").as("dsts"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count() // materialize the iteration state once
+    pairs.unpersist(false)
+    val isSeed = pmod($"node", lit(PprSeedMod)) === 0
+    val nSeeds = deg.filter(isSeed).count()
+    require(nSeeds > 0, s"graph_ppr: no seed nodes (mod $PprSeedMod) in graph")
+    val seedStart = 1000000000L / nSeeds
+    val teleport = 150000000L / nSeeds
+    val tele = when(isSeed, lit(teleport)).otherwise(lit(0L))
+    var ranks = deg.select($"node",
+      when(isSeed, lit(seedStart)).otherwise(lit(0L)).as("pr"))
+    for (_ <- 1 to Iters) {
+      val contrib = adj
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select($"dsts", expr("pr DIV deg").as("c"))
+        .select(explode($"dsts").as("node"), $"c")
+      val sums = contrib.groupBy($"node").agg(sum($"c").as("s"))
+      ranks = deg.select($"node").join(sums, Seq("node"), "left")
+        .select($"node",
+          (tele + coalesce(expr("(17 * s) DIV 20"), lit(0L))).as("pr"))
+    }
+    Release.grid(
+      ranks.join(deg, "node")
+        .select($"node".as("part_id"), $"deg",
+          isSeed.as("is_seed"), $"pr".as("ppr_nano"),
+          ($"pr".cast("double") / lit(1e9)).as("ppr"))
+        .orderBy($"ppr_nano".desc, $"part_id").limit(topK),
+      deg, adj)
+  }
+
+  val graphPprSql: String = {
+    val base =
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+        |ns AS (SELECT count(*) AS n FROM deg WHERE node % $PprSeedMod = 0),
+        |r0 AS (SELECT node,
+        |  CASE WHEN node % $PprSeedMod = 0
+        |    THEN 1000000000 // (SELECT n FROM ns) ELSE 0 END AS pr
+        |  FROM deg)""".stripMargin
+    val its = (1 to Iters).map { i =>
+      s""",
+         |c$i AS (SELECT e.dst AS node, sum(r.pr // d.deg) AS s
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.node
+         |  GROUP BY e.dst),
+         |r$i AS (SELECT d.node,
+         |  CASE WHEN d.node % $PprSeedMod = 0
+         |    THEN 150000000 // (SELECT n FROM ns) ELSE 0 END
+         |  + coalesce((17 * c.s) // 20, 0) AS pr
+         |  FROM deg d LEFT JOIN c$i c ON c.node = d.node)""".stripMargin
+    }.mkString
+    base + its +
+      s"""
+         |SELECT r.node AS part_id, CAST(d.deg AS BIGINT) AS deg,
+         |  r.node % $PprSeedMod = 0 AS is_seed,
+         |  CAST(r.pr AS BIGINT) AS ppr_nano,
+         |  CAST(r.pr AS DOUBLE) / CAST(1e9 AS DOUBLE) AS ppr
+         |FROM r$Iters r JOIN deg d ON d.node = r.node
+         |ORDER BY ppr_nano DESC, part_id LIMIT 50""".stripMargin
+  }
 }

@@ -987,4 +987,124 @@ object Profile {
       |  est - n AS overestimate
       |FROM est ORDER BY true_count DESC, part_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // hll_audit — HyperLogLog distinct-count sketch with an exact audit
+  // ------------------------------------------------------------------
+
+  private val HllM = 256L // 2^8 registers; md5 top 8 bits route, low 52 rank
+
+  /** HyperLogLog (Flajolet et al. 2007) cardinality sketch audited
+    * against the exact distinct count, for two high-churn key columns
+    * (events.user_id, lineitem.l_partkey). Each value hashes once
+    * (md5 — the portable-hash discipline) to a 60-bit integer: the top
+    * 8 bits route to one of m = 256 registers, the register keeps
+    * max(rho), rho = position of the leading 1-bit of the low 52 bits
+    * (53 when they are all zero). The estimate is the classic
+    * bias-corrected harmonic mean, switching to linear counting below
+    * 2.5m while empty registers remain. The audit ships the exact
+    * count, the registers' integer state, both estimator branches, and
+    * the relative error — the "can I trust a sketch at this
+    * cardinality" evidence the pipeline consults before swapping
+    * count(distinct) for approx_count_distinct at 100 TB.
+    *
+    * Exactness: registers are integer maxes over md5 bits, and the
+    * harmonic sum Σ 2^(−M_j) is EXACT — computed as the integer
+    * Σ 2^(54−M_j) (M_j ≤ 53, so 256·2^54 < 2^63 never overflows), so
+    * each estimator branch is ONE double division / ln over identical
+    * integers in both engines. The leading-bit rank uses length(bin(w))
+    * — unpadded binary in Spark and DuckDB alike.
+    *
+    * Scale: the register table is ≤ m rows BY CONSTRUCTION — one
+    * map-side-combining 256-group aggregate per audited column. The
+    * audit's exact side is the only corpus-cardinality shuffle, and it
+    * is exactly the cost the sketch exists to avoid — an audit op
+    * measures the sketch against the truth while the truth is still
+    * computable; production then runs the registers alone.
+    */
+  def hllAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def audit(df: DataFrame, c: String, tag: String): DataFrame = {
+      val v = col(c).cast("string")
+      val src = df.filter(col(c).isNotNull).select(v.as("x"))
+      val h = conv(substring(md5(concat(lit("hll:"), $"x")), 1, 15), 16, 10)
+        .cast("long")
+      val regs = src
+        .select(shiftright(h, 52).cast("int").as("b"),
+          (h % lit(4503599627370496L)).as("w"))
+        .select($"b",
+          when($"w" === 0, lit(53))
+            .otherwise(lit(53) - length(bin($"w"))).cast("int").as("rho"))
+        .groupBy($"b").agg(max($"rho").as("mrho"))
+      val st = regs.agg(
+        count(lit(1)).cast("long").as("buckets_used"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 54 - mrho)")).as("s_used"))
+      val ex = src.distinct().agg(count(lit(1)).as("n_exact"))
+      broadcast(st).crossJoin(broadcast(ex))
+        .select(lit(tag).as("col_name"), $"n_exact", $"buckets_used",
+          (lit(HllM) - $"buckets_used").as("zero_regs"),
+          ($"s_used" + (lit(HllM) - $"buckets_used") * lit(18014398509481984L))
+            .as("sum_scaled"))
+        .withColumn("raw",
+          (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) * lit(65536.0)
+            * lit(1.8014398509481984e16) / $"sum_scaled".cast("double"))
+        .withColumn("corrected",
+          when($"raw" <= lit(640.0) && $"zero_regs" > 0,
+            lit(256.0) * log(lit(256.0) / $"zero_regs".cast("double")))
+            .otherwise($"raw"))
+        .select($"col_name", $"n_exact", $"buckets_used", $"zero_regs",
+          $"sum_scaled",
+          round($"raw", 4).as("est_raw"), round($"corrected", 4).as("est"),
+          round(lit(100.0) * ($"corrected" - $"n_exact".cast("double"))
+            / $"n_exact".cast("double"), 2).as("rel_err_pct"))
+    }
+    audit(Tables.events(spark, dir), "user_id", "events.user_id")
+      .unionByName(
+        audit(Tables.lineitem(spark, dir), "l_partkey", "lineitem.l_partkey"))
+      .orderBy($"col_name")
+  }
+
+  val hllAuditSql: String =
+    """WITH src AS (
+      |  SELECT 'events.user_id' AS col_name, CAST(user_id AS VARCHAR) AS x
+      |  FROM events WHERE user_id IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'lineitem.l_partkey', CAST(l_partkey AS VARCHAR)
+      |  FROM lineitem WHERE l_partkey IS NOT NULL),
+      |h AS (
+      |  SELECT col_name,
+      |    CAST(('0x' || substr(md5('hll:' || x), 1, 15)) AS BIGINT) AS h
+      |  FROM src),
+      |regs AS (
+      |  SELECT col_name, h // 4503599627370496 AS b,
+      |    max(CASE WHEN h % 4503599627370496 = 0 THEN 53
+      |        ELSE 53 - length(bin(h % 4503599627370496)) END) AS mrho
+      |  FROM h GROUP BY 1, 2),
+      |st AS (
+      |  SELECT col_name, CAST(count(*) AS BIGINT) AS buckets_used,
+      |    CAST(sum(CAST(1 AS BIGINT) << (54 - mrho)) AS BIGINT) AS s_used
+      |  FROM regs GROUP BY 1),
+      |ex AS (
+      |  SELECT col_name, CAST(count(DISTINCT x) AS BIGINT) AS n_exact
+      |  FROM src GROUP BY 1),
+      |fin AS (
+      |  SELECT st.col_name, ex.n_exact, st.buckets_used,
+      |    256 - st.buckets_used AS zero_regs,
+      |    st.s_used + (256 - st.buckets_used) * 18014398509481984 AS sum_scaled,
+      |    (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 18014398509481984.0
+      |      / CAST(st.s_used + (256 - st.buckets_used) * 18014398509481984
+      |             AS DOUBLE) AS raw
+      |  FROM st JOIN ex ON ex.col_name = st.col_name),
+      |fin2 AS (
+      |  SELECT *, CASE WHEN raw <= 640.0 AND zero_regs > 0
+      |    THEN 256.0 * ln(256.0 / CAST(zero_regs AS DOUBLE))
+      |    ELSE raw END AS corrected
+      |  FROM fin)
+      |SELECT col_name, n_exact, buckets_used,
+      |  CAST(zero_regs AS BIGINT) AS zero_regs,
+      |  CAST(sum_scaled AS BIGINT) AS sum_scaled,
+      |  round(raw, 4) AS est_raw, round(corrected, 4) AS est,
+      |  round(100.0 * (corrected - CAST(n_exact AS DOUBLE))
+      |    / CAST(n_exact AS DOUBLE), 2) AS rel_err_pct
+      |FROM fin2 ORDER BY col_name""".stripMargin
 }

@@ -1333,4 +1333,216 @@ object TextModel {
       |FROM pt CROSS JOIN nd
       |ORDER BY occurrences DESC, tok LIMIT $BurstTopK""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // lexical_diversity — TTR / hapax / Herdan's C per source
+  // ------------------------------------------------------------------
+
+  /** Per-source lexical-diversity profile: type count, token mass,
+    * type-token ratio, hapax-legomena share (types occurring exactly
+    * once — the leading edge of vocabulary novelty), and Herdan's C
+    * (ln V / ln N — the log-log Heaps exponent at the corpus point,
+    * the size-robust diversity number TTR famously is not). The
+    * point-in-time complement to [[vocabGrowth]]'s checkpoint curve:
+    * growth says "is the source still adding words", this says "how
+    * repetitive is what it already added" — the dull-template-farm
+    * detector in a source-quality review.
+    *
+    * Exactness: counts are exact integers; the ratios use the micro
+    * DIV convention; Herdan's C divides the two MICRO-QUANTIZED lns
+    * (the pmi idiom) as integers, so no cross-libm double ratio ever
+    * reaches the output.
+    *
+    * Scale: one token explode into a (source, token)-keyed partial
+    * agg (the vocabulary table — the same backbone every tf-idf/
+    * vocab op rides), then a |sources|-row rollup. Nothing downstream
+    * of the first agg is corpus-cardinality.
+    */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tf = docs.select($"source", explode(tokens($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("n"))
+    val per = tf.groupBy($"source").agg(
+      count(lit(1)).as("types"),
+      sum($"n").as("tokens"),
+      sum(when($"n" === 1, 1L).otherwise(0L)).as("hapax"))
+    val nd = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    per.join(nd, "source")
+      .select($"source", $"n_docs", $"tokens", $"types", $"hapax",
+        expr("types * 1000000 DIV tokens").as("ttr_micro"),
+        expr("hapax * 1000000 DIV types").as("hapax_micro"),
+        (round(log($"types".cast("double")) * 1e6, 0).cast("long") * 1000000L)
+          .as("ln_types_micro_sq"))
+      .withColumn("herdan_micro",
+        expr("ln_types_micro_sq DIV CAST(round(ln(CAST(tokens AS DOUBLE)) " +
+          "* 1e6, 0) AS BIGINT)"))
+      .drop("ln_types_micro_sq")
+      .orderBy($"source")
+  }
+
+  val lexicalDiversitySql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH tf AS (
+      |  SELECT source, tok, CAST(count(*) AS BIGINT) AS n FROM (
+      |    SELECT source, unnest($toks) AS tok FROM documents)
+      |  GROUP BY 1, 2),
+      |per AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS types,
+      |    CAST(sum(n) AS BIGINT) AS tokens,
+      |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+      |  FROM tf GROUP BY 1),
+      |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |       FROM documents GROUP BY 1)
+      |SELECT per.source, n_docs, tokens, types, hapax,
+      |  types * 1000000 // tokens AS ttr_micro,
+      |  hapax * 1000000 // types AS hapax_micro,
+      |  (CAST(round(ln(CAST(types AS DOUBLE)) * 1e6, 0) AS BIGINT) * 1000000)
+      |    // CAST(round(ln(CAST(tokens AS DOUBLE)) * 1e6, 0) AS BIGINT)
+      |    AS herdan_micro
+      |FROM per JOIN nd ON nd.source = per.source
+      |ORDER BY per.source""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // feature_hash_audit — hashing-trick collision profile
+  // ------------------------------------------------------------------
+
+  private val FhBuckets = 4096L // 2^12 feature buckets
+
+  /** Hashing-trick collision audit (Weinberger et al. 2009): the
+    * 3-gram shingle feature space (the open-vocabulary unit hashed
+    * featurizers actually hash — raw tokens on this corpus's closed
+    * ~31-word vocabulary would be collision-free by construction) is
+    * hashed into 2¹² feature buckets (md5 — the portable-hash
+    * discipline) and the LOAD HISTOGRAM is reported — for each load L
+    * (distinct shingle types per bucket), how many buckets carry L
+    * types and how much occurrence mass they hold, plus each row's
+    * micro share of the total. The "how much signal does feature
+    * hashing destroy at this width" evidence a pipeline needs before
+    * replacing a vocabulary with a fixed-width hashed featurizer:
+    * mass sitting in high-load buckets is mass whose features are
+    * conflated.
+    *
+    * Exactness: bucket routing is md5 hex mod m; loads, bucket
+    * counts, and mass are exact integers; the share is the micro DIV.
+    *
+    * Scale: one (shingle)-keyed vocabulary aggregate (the
+    * decontaminate gram backbone), one ≤ m-row bucket aggregate, one
+    * ≤ |loads|-row histogram — strictly decreasing cardinality,
+    * nothing after the first agg is corpus-sized, and the sketch's
+    * merge-anywhere property means the bucket agg map-side combines.
+    */
+  def featureHashAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables.documents(spark, dir)
+      .select(tokens($"text").as("t"))
+      .filter(size($"t") >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 2), " +
+          "i -> array_join(slice(t, i, 3), ' '))")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+    val buckets = vocab
+      .groupBy((conv(substring(md5(concat(lit("fh:"), $"tok")), 1, 8), 16, 10)
+        .cast("long") % lit(FhBuckets)).as("bucket"))
+      .agg(count(lit(1)).as("load"), sum($"n").as("mass"))
+    val tot = vocab.agg(sum($"n").as("total_mass"))
+    buckets.groupBy($"load")
+      .agg(count(lit(1)).as("n_buckets"), sum($"mass").as("mass"))
+      .crossJoin(broadcast(tot))
+      .select($"load", $"n_buckets", ($"load" * $"n_buckets").as("types"),
+        $"mass", expr("mass * 1000000 DIV total_mass").as("mass_share_micro"))
+      .orderBy($"load")
+  }
+
+  val featureHashAuditSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH t AS (SELECT $toks AS t FROM documents),
+      |vocab AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+      |    SELECT unnest([array_to_string(t[i:i+2], ' ')
+      |                   for i in range(1, len(t) - 1)]) AS tok
+      |    FROM t WHERE len(t) >= 3)
+      |  GROUP BY 1),
+      |b AS (
+      |  SELECT CAST(('0x' || substr(md5('fh:' || tok), 1, 8)) AS BIGINT)
+      |      % $FhBuckets AS bucket,
+      |    CAST(count(*) AS BIGINT) AS load, CAST(sum(n) AS BIGINT) AS mass
+      |  FROM vocab GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_mass FROM vocab)
+      |SELECT load, CAST(count(*) AS BIGINT) AS n_buckets,
+      |  load * CAST(count(*) AS BIGINT) AS types,
+      |  CAST(sum(mass) AS BIGINT) AS mass,
+      |  CAST(sum(mass) AS BIGINT) * 1000000 // total_mass AS mass_share_micro
+      |FROM b CROSS JOIN tot
+      |GROUP BY load, total_mass ORDER BY load""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // ctfidf_terms — class-based TF-IDF characteristic terms per source
+  // ------------------------------------------------------------------
+
+  private val CtfTopK = 5
+
+  /** c-TF-IDF (class-based TF-IDF — the BERTopic topic-labeling
+    * score, Grootendorst 2022): treat each SOURCE as one class
+    * document, score term t for class c as tf(t,c) · ln(1 + A/gtf(t))
+    * with A the average class token mass and gtf the term's corpus
+    * frequency — the "which words make this source THIS source"
+    * labeler that plain tf-idf (document-granular) can't answer.
+    * Top-5 terms per source.
+    *
+    * Exactness: tf/gtf/A are exact integers (A floor-divided once);
+    * the ln is micro-quantized (the pmi idiom) so score = tfc ·
+    * ln_micro is an exact integer product; rank ties break on term.
+    *
+    * Scale: one (source, token) partial agg (the vocabulary backbone)
+    * feeds both the per-class tf and (re-aggregated) the corpus gtf;
+    * the rank window is partitioned by source and WindowGroupLimit
+    * prunes to k per class before the output sort.
+    */
+  def ctfidfTerms(spark: SparkSession, dir: String, topK: Int = CtfTopK): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, dir)
+      .select($"source", explode(tokens($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("tfc"))
+    val gtf = tf.groupBy($"tok").agg(sum($"tfc").as("gtf"))
+    val aRow = tf.agg(sum($"tfc").as("tt"),
+      count_distinct($"source").as("ns"))
+      .select(expr("tt DIV ns").as("a"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"score_micro".desc, $"tok")
+    tf.join(gtf, "tok").crossJoin(broadcast(aRow))
+      .withColumn("ln_micro",
+        round(log(lit(1.0) + $"a".cast("double") / $"gtf".cast("double")) * 1e6, 0)
+          .cast("long"))
+      .withColumn("score_micro", $"tfc" * $"ln_micro")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= topK)
+      .select($"source", $"rk", $"tok", $"tfc", $"gtf", $"score_micro")
+      .orderBy($"source", $"rk")
+  }
+
+  val ctfidfTermsSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH tf AS (
+      |  SELECT source, tok, CAST(count(*) AS BIGINT) AS tfc FROM (
+      |    SELECT source, unnest($toks) AS tok FROM documents)
+      |  GROUP BY 1, 2),
+      |gtf AS (SELECT tok, CAST(sum(tfc) AS BIGINT) AS gtf FROM tf GROUP BY 1),
+      |aa AS (SELECT CAST(sum(tfc) AS BIGINT)
+      |         // CAST(count(DISTINCT source) AS BIGINT) AS a FROM tf),
+      |sc AS (
+      |  SELECT tf.source, tf.tok, tf.tfc, gtf.gtf,
+      |    tf.tfc * CAST(round(ln(1.0 + CAST(a AS DOUBLE)
+      |      / CAST(gtf.gtf AS DOUBLE)) * 1e6, 0) AS BIGINT) AS score_micro
+      |  FROM tf JOIN gtf ON gtf.tok = tf.tok CROSS JOIN aa),
+      |rk AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+      |    ORDER BY score_micro DESC, tok) AS INT) AS rk
+      |  FROM sc)
+      |SELECT source, rk, tok, tfc, gtf, score_micro
+      |FROM rk WHERE rk <= $CtfTopK
+      |ORDER BY source, rk""".stripMargin
+  }
 }

@@ -1031,4 +1031,96 @@ object TimeSeries2 {
       |  round(CAST(t.x_u - t.trend_u - s.seasonal_u AS DOUBLE) / 10000, 4) AS residual
       |FROM tr t JOIN se s ON s.event_type = t.event_type AND s.dow = t.day_n % 7
       |ORDER BY event_type, day_n""".stripMargin
+
+  // ------------------------------------------------------------------
+  // sax_symbolic — SAX symbolization of the daily series
+  // ------------------------------------------------------------------
+
+  private val SaxW = 5 // days per PAA segment
+
+  /** SAX — Symbolic Aggregate approXimation (Lin, Keogh et al. 2003)
+    * of each event type's daily value series: z-normalize, aggregate
+    * into 5-day PAA segments, quantize against the alphabet-4
+    * Gaussian breakpoints (±0.6745, 0) into symbols a..d. The
+    * time-series-to-string reduction behind motif mining, series
+    * indexing, and cheap shape matching — a year of daily values
+    * becomes a ~73-char word the downstream can hash, n-gram, or
+    * edit-distance like any token stream.
+    *
+    * Exactness: daily values and segment sums are exact DECIMAL
+    * aggregates (the anomaly_zscore doctrine — never a double sum
+    * whose order an engine could change); mean/std/PAA/z are each ONE
+    * fixed double tree over those exact decimals (sqrt is
+    * correctly-rounded IEEE in both engines); breakpoint comparisons
+    * see bit-identical doubles, so symbols match exactly.
+    *
+    * Scale: one corpus aggregate to the (type, day) grid; everything
+    * after — stats, segment windows (partitioned by type), symbol
+    * map — runs on grid cardinality.
+    */
+  def saxSymbolic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(sum($"value".cast("decimal(18,4)")).as("dsum"))
+    val stats = daily.groupBy($"event_type").agg(
+        count(lit(1)).as("n"),
+        sum($"dsum").as("s"),
+        sum($"dsum" * $"dsum").as("ss"))
+      .select($"event_type",
+        ($"s".cast("double") / $"n".cast("double")).as("mean"),
+        ($"ss".cast("double") / $"n".cast("double")).as("msq"))
+      .select($"event_type", $"mean", sqrt($"msq" - $"mean" * $"mean").as("std"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day")
+    val segs = daily
+      .withColumn("idx", row_number().over(w) - 1)
+      .withColumn("seg", expr(s"CAST(idx DIV $SaxW AS BIGINT)"))
+      .groupBy($"event_type", $"seg")
+      .agg(count(lit(1)).as("n_days"), sum($"dsum").as("ssum"))
+    segs.join(broadcast(stats), "event_type")
+      .withColumn("paa", $"ssum".cast("double") / $"n_days".cast("double"))
+      .withColumn("z", ($"paa" - $"mean") / $"std")
+      .select($"event_type", $"seg", $"n_days",
+        round($"paa", 4).as("paa"), round($"z", 6).as("z"),
+        when($"z" < -0.6745, "a").when($"z" < 0.0, "b")
+          .when($"z" < 0.6745, "c").otherwise("d").as("symbol"))
+      .orderBy($"event_type", $"seg")
+  }
+
+  val saxSymbolicSql: String =
+    s"""WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |    sum(CAST(value AS DECIMAL(18,4))) AS dsum
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, count(*) AS n, sum(dsum) AS s,
+      |    sum(dsum * dsum) AS ss
+      |  FROM daily GROUP BY 1),
+      |m AS (
+      |  SELECT event_type, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) AS msq
+      |  FROM st),
+      |d AS (SELECT event_type, mean, sqrt(msq - mean * mean) AS std FROM m),
+      |sg AS (
+      |  SELECT event_type,
+      |    (row_number() OVER (PARTITION BY event_type ORDER BY day) - 1)
+      |      // $SaxW AS seg,
+      |    dsum
+      |  FROM daily),
+      |agg AS (
+      |  SELECT event_type, seg, CAST(count(*) AS BIGINT) AS n_days,
+      |    sum(dsum) AS ssum
+      |  FROM sg GROUP BY 1, 2),
+      |z AS (
+      |  SELECT a.event_type, CAST(a.seg AS BIGINT) AS seg, a.n_days,
+      |    CAST(a.ssum AS DOUBLE) / CAST(a.n_days AS DOUBLE) AS paa,
+      |    (CAST(a.ssum AS DOUBLE) / CAST(a.n_days AS DOUBLE) - d.mean) / d.std
+      |      AS zv
+      |  FROM agg a JOIN d ON d.event_type = a.event_type)
+      |SELECT event_type, seg, n_days, round(paa, 4) AS paa,
+      |  round(zv, 6) AS z,
+      |  CASE WHEN zv < -0.6745 THEN 'a' WHEN zv < 0.0 THEN 'b'
+      |       WHEN zv < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+      |FROM z ORDER BY event_type, seg""".stripMargin
 }

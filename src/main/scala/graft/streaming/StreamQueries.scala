@@ -1171,4 +1171,107 @@ object StreamQueries {
       |FROM d JOIN g ON d.source = g.source
       |WHERE d.bucket < g.cut_hex
       |GROUP BY d.source, g.keep_rate ORDER BY d.source""".stripMargin
+
+  /** Streaming HyperLogLog distinct-user monitor: per-day tumbling
+    * windows maintain the 256 integer HLL registers of
+    * [[graft.operators.Profile.hllAudit]] AS STREAMING STATE
+    * (groupBy(window, register).max(rho) — the register max is
+    * order-insensitive and merge-anywhere, so micro-batch boundaries
+    * cannot change it), then the finalization (harmonic estimate +
+    * linear-counting branch) and the exact audit run batch-side over
+    * the frozen registers. State is structurally bounded at
+    * |days|·256 rows REGARDLESS of stream length or key cardinality —
+    * the whole point of running a sketch instead of
+    * count_distinct-as-state, and why this op's max_state_rows stays
+    * flat in STREAM_BENCH while the key-linear gates grow 10×.
+    * Output equals the identical per-day computation in the batch
+    * oracle bit-for-bit (integer registers → one double division).
+    */
+  def streamHll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inDir = stageEvents(dir)
+    val name = uniqueName("sq_hll")
+    val h = conv(substring(md5(concat(lit("hll:"),
+      $"user_id".cast("string"))), 1, 15), 16, 10).cast("long")
+    val q = eventStream(spark, inDir)
+      .filter($"user_id".isNotNull)
+      .select($"ts",
+        shiftright(h, 52).cast("int").as("b"),
+        (h % lit(4503599627370496L)).as("w"))
+      .select($"ts", $"b",
+        when($"w" === 0, lit(53))
+          .otherwise(lit(53) - length(bin($"w"))).cast("int").as("rho"))
+      .withWatermark("ts", "2 days")
+      .groupBy(window($"ts", "1 day"), $"b")
+      .agg(max($"rho").as("mrho"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    val regs = spark.table(name)
+      .select(date_format($"window.start", "yyyy-MM-dd").as("day"), $"mrho")
+    val st = regs.groupBy($"day").agg(
+      count(lit(1)).cast("long").as("buckets_used"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 54 - mrho)")).as("s_used"))
+    val exact = graft.sources.Tables.events(spark, dir)
+      .filter($"user_id".isNotNull)
+      .groupBy(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+      .agg(count_distinct($"user_id").as("n_exact"))
+    st.join(exact, "day")
+      .select($"day", $"n_exact", $"buckets_used",
+        (lit(256L) - $"buckets_used").as("zero_regs"),
+        ($"s_used" + (lit(256L) - $"buckets_used") * lit(18014398509481984L))
+          .as("sum_scaled"))
+      .withColumn("raw",
+        (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) * lit(65536.0)
+          * lit(1.8014398509481984e16) / $"sum_scaled".cast("double"))
+      .withColumn("corrected",
+        when($"raw" <= lit(640.0) && $"zero_regs" > 0,
+          lit(256.0) * log(lit(256.0) / $"zero_regs".cast("double")))
+          .otherwise($"raw"))
+      .select($"day", $"n_exact", $"buckets_used", $"zero_regs", $"sum_scaled",
+        round($"corrected", 4).as("est"),
+        round(lit(100.0) * ($"corrected" - $"n_exact".cast("double"))
+          / $"n_exact".cast("double"), 2).as("rel_err_pct"))
+      .orderBy($"day")
+  }
+
+  val streamHllSql: String =
+    """WITH h AS (
+      |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |    CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS h,
+      |    user_id
+      |  FROM events WHERE user_id IS NOT NULL),
+      |regs AS (
+      |  SELECT day, h // 4503599627370496 AS b,
+      |    max(CASE WHEN h % 4503599627370496 = 0 THEN 53
+      |        ELSE 53 - length(bin(h % 4503599627370496)) END) AS mrho
+      |  FROM h GROUP BY 1, 2),
+      |st AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS buckets_used,
+      |    CAST(sum(CAST(1 AS BIGINT) << (54 - mrho)) AS BIGINT) AS s_used
+      |  FROM regs GROUP BY 1),
+      |ex AS (
+      |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      |fin AS (
+      |  SELECT st.day, ex.n_exact, st.buckets_used,
+      |    256 - st.buckets_used AS zero_regs,
+      |    st.s_used + (256 - st.buckets_used) * 18014398509481984 AS sum_scaled,
+      |    (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 18014398509481984.0
+      |      / CAST(st.s_used + (256 - st.buckets_used) * 18014398509481984
+      |             AS DOUBLE) AS raw
+      |  FROM st JOIN ex ON ex.day = st.day),
+      |fin2 AS (
+      |  SELECT *, CASE WHEN raw <= 640.0 AND zero_regs > 0
+      |    THEN 256.0 * ln(256.0 / CAST(zero_regs AS DOUBLE))
+      |    ELSE raw END AS corrected
+      |  FROM fin)
+      |SELECT day, n_exact, buckets_used,
+      |  CAST(zero_regs AS BIGINT) AS zero_regs,
+      |  CAST(sum_scaled AS BIGINT) AS sum_scaled,
+      |  round(corrected, 4) AS est,
+      |  round(100.0 * (corrected - CAST(n_exact AS DOUBLE))
+      |    / CAST(n_exact AS DOUBLE), 2) AS rel_err_pct
+      |FROM fin2 ORDER BY day""".stripMargin
 }

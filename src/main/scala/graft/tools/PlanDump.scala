@@ -108,7 +108,15 @@ object PlanDump {
     "countmin_topk" ->
       "Count-Min audit: one key-collapse aggregate, then the 4x|keys| bucket fan-out collapses map-side into the FIXED 1024-cell sketch (the mergeable-sketch property); the top-20 audit joins broadcast against the 1024-row counters",
     "conformal_calibration" ->
-      "split-conformal thresholds: ONE (score,split) partial agg collapses the corpus to the <=1e6+1-value score grid; the order statistic comes from grid cumulative counts (no global sort) and the 3-alpha threshold join broadcasts")
+      "split-conformal thresholds: ONE (score,split) partial agg collapses the corpus to the <=1e6+1-value score grid; the order statistic comes from grid cumulative counts (no global sort) and the 3-alpha threshold join broadcasts",
+    "hll_audit" ->
+      "HyperLogLog audit: per column ONE map-side-combining 256-register aggregate (the mergeable-sketch property — partials are registers too); the exact side is one distinct+count, deliberately paid ONCE to calibrate the sketch; estimators are single divisions over exact integers",
+    "context_length_sweep" ->
+      "context-length economics: one token-count scan crossed with a BROADCAST 6-row grid, collapsed map-side to |grid| cells — the whole truncation-vs-packing tradeoff table for one corpus pass, no per-L rescan",
+    "graph_ppr" ->
+      "personalized PageRank: the chunked-adjacency list is built once and persisted; each iteration is probe -> explode -> partial agg with a LEFT join against the static degree table so frontier-absent seeds keep their teleport; only (node, pr) longs ride the loop shuffles",
+    "basket_rules_3" ->
+      "triple rules: C(k,3) fan-out from TWO nested suffix slices over each sorted basket (<=35 rows per ~7-item order), never an |li|^3 self-join; the support filter prunes BEFORE the 3-rotation fan-out and the decorations join id-keyed grid aggregates")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.get(4)

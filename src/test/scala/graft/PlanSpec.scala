@@ -736,6 +736,46 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("shuffle budgets for the round-11 second batch") {
+    spark.sharedState.cacheManager.clearCache()
+    for ((name, df, budget) <- Seq(
+        // per column: 256-register agg + 1-row rollup + exact distinct
+        // + its 1-row agg; two columns unioned + output sort
+        ("hll_audit", operators.Profile.hllAudit(spark, sf), 10),
+        // one token-count scan × broadcast 6-row grid → |grid| agg + sort
+        ("context_length_sweep",
+          operators.Curation.contextLengthSweep(spark, sf), 3),
+        // (source, token) partial agg + |sources| rollup + doc-count
+        // agg + source join + sort
+        ("lexical_diversity", operators.TextModel.lexicalDiversity(spark, sf), 6),
+        // |brands| agg + two grid rank windows + sort
+        ("dp_topk", operators.DataQuality.dpTopk(spark, sf), 5),
+        // eager-grid: the 5 chunked-adjacency iterations run inside
+        // the call; the returned frame is the re-wrapped top-50
+        ("graph_ppr", operators.Graph.graphPpr(spark, sf), 0),
+        // shard-restricted verifier: word join + pair agg + size joins
+        // + bigram-bag agg + two pair-bag joins + totals joins + sort
+        ("rouge_overlap", operators.Dedup.rougeOverlap(spark, sf), 14),
+        // vocab agg + bucket agg + load histogram + 1-row mass + sort
+        ("feature_hash_audit",
+          operators.TextModel.featureHashAudit(spark, sf), 5),
+        // eager-grid: the triple explode + rotations run inside the
+        // call; the returned frame is the re-wrapped top-25
+        ("basket_rules_3", operators.Graph.basketRules3(spark, sf), 0),
+        // checkpointed release: the peel rounds run inside the call
+        ("graph_ktruss", operators.Graph.graphKtruss(spark, sf), 0),
+        // (type, day) grid agg + stats agg + partitioned segment
+        // window + segment agg + broadcast stats join + sort
+        ("sax_symbolic", operators.TimeSeries2.saxSymbolic(spark, sf), 6),
+        // (source, token) agg + gtf re-agg + tok-join repartition +
+        // 1-row A agg + source-partitioned WindowGroupLimit rank + sort
+        ("ctfidf_terms", operators.TextModel.ctfidfTerms(spark, sf), 7))) {
+      val n = shuffleCount(df)
+      info(s"$name shuffles = $n (budget $budget)")
+      assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
+    }
+  }
+
   test("unpartitioned windows only ever read grid/model-cardinality inputs") {
     // The library-wide discipline behind the Spark "No Partition
     // Defined" WARNs: a Window with an empty partitionSpec serializes
@@ -782,7 +822,8 @@ class PlanSpec extends SparkSpec {
       "neyman_allocation" -> "|sources|-row allocation grid",
       "periodogram_topk" -> "hour grid: one row per hour bucket",
       "conformal_calibration" ->
-        "score VALUE grid: <= 1e6+1 distinct 6dp scores at ANY corpus size")
+        "score VALUE grid: <= 1e6+1 distinct 6dp scores at ANY corpus size",
+      "dp_topk" -> "|brands|-row count grid: true-rank + noisy-rank decorations")
     // (graph_powerlaw_fit / graph_richclub / classifier_auc left this
     // list in round 11: they are now eager-grid ops — their windows
     // execute INSIDE the call and the returned local frame carries no
