@@ -88,7 +88,11 @@ object Bench {
     "hll_audit", "context_length_sweep", "lexical_diversity",
     "dp_topk", "graph_ppr",
     "feature_hash_audit", "basket_rules_3",
-    "graph_ktruss", "sax_symbolic", "ctfidf_terms")
+    "graph_ktruss", "sax_symbolic", "ctfidf_terms",
+    // round-11 third batch: LM retrieval, epoch planning, SRM guard,
+    // funnel latency, mutual-nearest alignment
+    "ql_search", "epoch_plan", "ab_srm_check",
+    "funnel_latency", "rbm_pairs")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

@@ -1191,4 +1191,68 @@ object Sampling {
       |    AS key_micro
       |FROM w ORDER BY key_micro DESC, doc_id LIMIT $GumbelK""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // epoch_plan — data-constrained repeat/epoch allocation per source
+  // ------------------------------------------------------------------
+
+  private val EpochCap = 4L // diminishing-returns repeat ceiling
+
+  /** Data-constrained epoch plan (the Muennighoff et al. 2023 regime:
+    * repeating data is worth it up to ~4 epochs, then returns decay):
+    * given a training token budget of HALF the corpus split uniformly
+    * across sources, each source reports its uniform share, the epoch
+    * factor min(cap, share/src_tokens) that share implies, the tokens
+    * the cap actually allocates, and the stranded remainder — the
+    * planning table that says which sources are repeat-limited (small
+    * but precious) versus sampled-down (abundant), BEFORE tokenizing
+    * 100 TB. Complements [[mixtureWaterfill]]: waterfill caps
+    * proportional shares; this prices REPETITION under a cap.
+    *
+    * Exactness: every cell is integer arithmetic on exact token
+    * counts (micro epochs via the DIV convention).
+    *
+    * Scale: one token-count aggregate to |sources| rows; the plan
+    * math runs on the grid.
+    */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.documents(spark, dir)
+      .select($"source",
+        size(filter(split($"text", "\\s+"), t => t =!= "")).cast("long")
+          .as("n_tok"))
+      .groupBy($"source").agg(sum($"n_tok").as("src_tokens"))
+    val tot = per.agg(sum($"src_tokens").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("share",
+        expr("(total_tokens DIV 2) DIV n_sources"))
+      .select($"source", $"src_tokens", $"share",
+        least(lit(EpochCap * 1000000L),
+          expr("share * 1000000 DIV src_tokens")).as("epochs_micro"),
+        least($"share", lit(EpochCap) * $"src_tokens").as("tokens_alloc"),
+        least($"src_tokens", $"share").as("unique_used"))
+      .withColumn("stranded", $"share" - $"tokens_alloc")
+      .orderBy($"source")
+  }
+
+  val epochPlanSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH per AS (
+      |  SELECT source, CAST(sum(len($toks)) AS BIGINT) AS src_tokens
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+      |        CAST(count(*) AS BIGINT) AS n_sources FROM per),
+      |p AS (
+      |  SELECT source, src_tokens,
+      |    (total_tokens // 2) // n_sources AS share
+      |  FROM per CROSS JOIN tot)
+      |SELECT source, src_tokens, share,
+      |  least(${EpochCap * 1000000L}, share * 1000000 // src_tokens)
+      |    AS epochs_micro,
+      |  least(share, $EpochCap * src_tokens) AS tokens_alloc,
+      |  least(src_tokens, share) AS unique_used,
+      |  share - least(share, $EpochCap * src_tokens) AS stranded
+      |FROM p ORDER BY source""".stripMargin
+  }
 }

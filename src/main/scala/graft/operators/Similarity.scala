@@ -586,6 +586,107 @@ object Similarity {
       |LIMIT $BitextTopPairs""".stripMargin
 
   // ------------------------------------------------------------------
+  // rbm_pairs — reciprocal-best-match alignment filter
+  // ------------------------------------------------------------------
+
+  /** Reciprocal best match over the [[bitextMine]] bipartite split: a
+    * (src, tgt) pair survives only when tgt is src's single best
+    * match AND src is tgt's single best match — the classic mutual-
+    * nearest-neighbor alignment filter (the precision-first
+    * complement of bitext_mine's margin RANKING: margin scores every
+    * pair, RBM keeps only the pairs no competitor beats from either
+    * side, which is what an alignment pipeline promotes to training
+    * data without human review).
+    *
+    * Exactness: matches are ranked by the same exact integer
+    * cos²-micro as bitext_mine (quantized components, HUGEINT-exact
+    * ratio), ties broken on the partner id, so best-match identity is
+    * bit-stable cross-engine.
+    *
+    * Scale: the batch side broadcasts (BitextBatch rows); pairs are
+    * batch×corpus linear rows; both argmax sides are map-side
+    * max_by-style aggregates on ids+scores — the corpus is never
+    * self-joined and nothing downstream of the pair stream exceeds
+    * id-cardinality.
+    */
+  def rbmPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val kq = transform($"embedding", x => round(x.cast("double") * 1000d, 0).cast("long"))
+    val e = Tables.embeddings(spark, dir).withColumn("kq", kq)
+    val batch = e.filter($"label" <= 4)
+      .select($"vec_id".as("src_id"), $"kq".as("s_kq"))
+      .orderBy($"src_id").limit(BitextBatch)
+      .withColumn("s_n2", n2_of($"s_kq"))
+    val corpus = e.filter($"label" >= 5)
+      .select($"vec_id".as("tgt_id"), $"kq".as("t_kq"))
+      .withColumn("t_n2", n2_of($"t_kq"))
+    val dot = aggregate(zip_with($"s_kq", $"t_kq", (a, b) => a * b),
+      lit(0L), (a, x) => a + x)
+    val cos2 = {
+      val num = dec($"dot") * dec($"dot") * lit(1000000L).cast("decimal(38,0)")
+      val den = dec($"s_n2") * dec($"t_n2")
+      ((num - (num % den)) / den).cast("long")
+    }
+    val pairs = corpus.crossJoin(broadcast(batch))
+      .withColumn("dot", dot).filter($"dot" > 0)
+      .withColumn("cos2_micro", cos2)
+      .select($"src_id", $"tgt_id", $"cos2_micro")
+    val fwd = pairs
+      .groupBy($"src_id")
+      .agg(max(struct($"cos2_micro".as("s"), (-$"tgt_id").as("nid"))).as("m"))
+      .select($"src_id", (-$"m.nid").as("tgt_id"))
+    val bwd = pairs
+      .groupBy($"tgt_id")
+      .agg(max(struct($"cos2_micro".as("s"), (-$"src_id").as("nid"))).as("m"))
+      .select($"tgt_id", (-$"m.nid").as("src_id"))
+    fwd.join(bwd, Seq("src_id", "tgt_id"))
+      .join(pairs, Seq("src_id", "tgt_id"))
+      .select($"src_id", $"tgt_id", $"cos2_micro",
+        round($"cos2_micro".cast("double") / 1e6, 6).as("cos2"))
+      .orderBy($"src_id")
+  }
+
+  val rbmPairsSql: String =
+    s"""WITH comp AS (
+      |  SELECT e.vec_id, e.label, CAST(i AS INT) AS dim,
+      |    CAST(round(CAST(e.embedding[i + 1] AS DOUBLE) * 1000, 0) AS BIGINT) AS kq
+      |  FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+      |n2 AS (SELECT vec_id, CAST(sum(kq * kq) AS BIGINT) AS n2 FROM comp GROUP BY 1),
+      |batch AS (SELECT vec_id FROM embeddings WHERE label <= 4
+      |  ORDER BY vec_id LIMIT $BitextBatch),
+      |dots AS (
+      |  SELECT q.vec_id AS src_id, c.vec_id AS tgt_id,
+      |    CAST(sum(q.kq * c.kq) AS BIGINT) AS dot
+      |  FROM comp q JOIN batch b ON q.vec_id = b.vec_id
+      |  JOIN comp c ON c.dim = q.dim AND c.label >= 5
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d.src_id, d.tgt_id,
+      |    CAST((CAST(d.dot AS HUGEINT) * d.dot * 1000000)
+      |      // (CAST(nq.n2 AS HUGEINT) * nc.n2) AS BIGINT) AS cos2_micro
+      |  FROM dots d
+      |  JOIN n2 nq ON nq.vec_id = d.src_id
+      |  JOIN n2 nc ON nc.vec_id = d.tgt_id
+      |  WHERE d.dot > 0),
+      |fwd AS (
+      |  SELECT src_id, tgt_id FROM (
+      |    SELECT src_id, tgt_id, row_number() OVER (
+      |      PARTITION BY src_id ORDER BY cos2_micro DESC, tgt_id) AS rk
+      |    FROM pairs) t WHERE rk = 1),
+      |bwd AS (
+      |  SELECT src_id, tgt_id FROM (
+      |    SELECT src_id, tgt_id, row_number() OVER (
+      |      PARTITION BY tgt_id ORDER BY cos2_micro DESC, src_id) AS rk
+      |    FROM pairs) t WHERE rk = 1)
+      |SELECT f.src_id, f.tgt_id, p.cos2_micro,
+      |  round(CAST(p.cos2_micro AS DOUBLE) / 1e6, 6) AS cos2
+      |FROM fwd f
+      |JOIN bwd b ON b.src_id = f.src_id AND b.tgt_id = f.tgt_id
+      |JOIN pairs p ON p.src_id = f.src_id AND p.tgt_id = f.tgt_id
+      |ORDER BY f.src_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // label_noise_detect — kNN-disagreement label-error detection
   // ------------------------------------------------------------------
 

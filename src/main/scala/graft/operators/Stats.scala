@@ -720,4 +720,58 @@ object Stats {
       |  round(((ad - szsum * szsum / nn) / (k - 1))
       |    / ((szzsum - ad) / (nn - k)), 6) AS f_stat
       |FROM t""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ab_srm_check — sample-ratio-mismatch guard on the experiment split
+  // ------------------------------------------------------------------
+
+  /** Sample-ratio-mismatch check — the first gate every A/B readout
+    * must pass (Kohavi's "trustworthy experiments" rule: a biased
+    * assignment invalidates EVERY downstream metric before any t-test
+    * runs): users are deterministically split 50/50 by an md5 coin
+    * (the dp_release seeding discipline), and the 1-df chi-square of
+    * the observed counts against the designed ratio is compared to
+    * the 95% bar (3.841459). For a binary equal split the statistic
+    * reduces to (nA−nB)²/(nA+nB) — computed on the exact-integer
+    * micro grid, so the alarm bit is bit-stable cross-engine.
+    *
+    * Scale: one distinct over the assignment unit, one 2-group
+    * aggregate, one output row.
+    */
+  def abSrmCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val arm = conv(substring(md5(concat(lit("srm:"),
+      $"user_id".cast("string"))), 1, 8), 16, 10).cast("long") % 2
+    val counts = Tables.events(spark, dir)
+      .select($"user_id").distinct()
+      .select(arm.as("arm"))
+      .groupBy($"arm").agg(count(lit(1)).as("n"))
+    val a = counts.filter($"arm" === 0).select($"n".as("n_a"))
+    val b = counts.filter($"arm" === 1).select($"n".as("n_b"))
+    a.crossJoin(b)
+      .withColumn("chi2_micro",
+        expr("(n_a - n_b) * (n_a - n_b) * 1000000 DIV (n_a + n_b)"))
+      .select($"n_a", $"n_b", $"chi2_micro",
+        round($"chi2_micro".cast("double") / 1e6, 6).as("chi2"),
+        ($"chi2_micro" > 3841459L).as("srm_alarm"))
+  }
+
+  val abSrmCheckSql: String =
+    """WITH u AS (
+      |  SELECT DISTINCT user_id FROM events),
+      |arms AS (
+      |  SELECT CAST(('0x' || substr(md5('srm:' || CAST(user_id AS VARCHAR)),
+      |      1, 8)) AS BIGINT) % 2 AS arm
+      |  FROM u),
+      |c AS (SELECT arm, CAST(count(*) AS BIGINT) AS n FROM arms GROUP BY 1),
+      |j AS (
+      |  SELECT (SELECT n FROM c WHERE arm = 0) AS n_a,
+      |    (SELECT n FROM c WHERE arm = 1) AS n_b)
+      |SELECT n_a, n_b,
+      |  (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) AS chi2_micro,
+      |  round(CAST((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b)
+      |    AS DOUBLE) / 1e6, 6) AS chi2,
+      |  (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) > 3841459
+      |    AS srm_alarm
+      |FROM j""".stripMargin
 }

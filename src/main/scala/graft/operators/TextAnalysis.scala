@@ -1180,4 +1180,96 @@ object TextAnalysis {
       |  CAST(sum(n_email + n_ip + n_num) AS BIGINT) AS total_redactions,
       |  CAST(sum(scrub_fp) AS BIGINT) AS scrub_checksum
       |FROM piiflags GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ql_search — Dirichlet-smoothed query-likelihood retrieval
+  // ------------------------------------------------------------------
+
+  private val QlMu = 300L // Dirichlet prior mass (Zhai & Lafferty 2001)
+  private val QlTopK = 20
+
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty 2001): score(d) = Σ_q ln((tf + μ·ctf/|C|) / (dl + μ)),
+    * μ = 300 — the language-modeling ranker that complements
+    * [[bm25Search]] (BM25 saturates tf; QL treats the doc as a
+    * generator and smooths absent terms toward corpus frequency, so
+    * EVERY document scores against every query term, zero-tf
+    * included). Top-20 by total log-likelihood.
+    *
+    * Exactness: each term's ratio is formed as the exact integer pair
+    * (tf·|C| + μ·ctf) / (|C|·(dl+μ)) — both < 2⁵³, exactly
+    * representable — then ONE ln quantized to the micro grid (the pmi
+    * idiom); the per-doc score is an exact integer SUM of the term
+    * micro-lns (order-free), so ranking is bit-stable cross-engine.
+    *
+    * Scale: tf rows for the query terms leave the explode
+    * (posting-bounded); the zero-tf completion is docs × a BROADCAST
+    * |q|-row term table with ctf attached — linear in the corpus, |q|
+    * rows per doc; the top-k cut is TakeOrdered and the rank
+    * decoration runs AFTER the limit (a 20-row window).
+    */
+  def qlSearch(spark: SparkSession, dir: String,
+               query: Seq[String] = Seq("spark", "query", "window"),
+               topK: Int = QlTopK): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("t"))
+      .select($"doc_id", size($"t").cast("long").as("dl"), $"t")
+    val tf = docs.select($"doc_id", explode($"t").as("w"))
+      .filter($"w".isin(query: _*))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    val tot = docs.agg(sum($"dl").as("c_tokens"))
+    val terms = tf.groupBy($"w").agg(sum($"tf").as("ctf"))
+      .crossJoin(broadcast(tot))
+    val lnMicro = round(
+      log(((($"tf" * $"c_tokens") + lit(QlMu) * $"ctf").cast("double"))
+        / (($"c_tokens" * ($"dl" + lit(QlMu))).cast("double"))) * 1e6, 0)
+      .cast("long")
+    val scored = docs.select($"doc_id", $"dl")
+      .crossJoin(broadcast(terms))
+      .join(tf, Seq("doc_id", "w"), "left")
+      .withColumn("tf", coalesce($"tf", lit(0L)))
+      .withColumn("ln_micro", lnMicro)
+      .groupBy($"doc_id").agg(max($"dl").as("dl"),
+        sum($"ln_micro").as("score_micro"))
+      .orderBy($"score_micro".desc, $"doc_id").limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"score_micro".desc, $"doc_id")
+    scored.withColumn("rk", row_number().over(w))
+      .select($"rk", $"doc_id", $"dl", $"score_micro",
+        round($"score_micro".cast("double") / 1e6, 6).as("log_likelihood"))
+      .orderBy($"rk")
+  }
+
+  val qlSearchSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH d AS (
+      |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl, $toks AS t
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id, unnest(t) AS w FROM d)
+      |  WHERE w IN ('spark', 'query', 'window') GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS c_tokens FROM d),
+      |terms AS (
+      |  SELECT w, CAST(sum(tf) AS BIGINT) AS ctf, c_tokens
+      |  FROM tf CROSS JOIN tot GROUP BY 1, 3),
+      |sc AS (
+      |  SELECT d.doc_id, d.dl,
+      |    CAST(sum(CAST(round(ln(
+      |      CAST(coalesce(tf.tf, 0) * terms.c_tokens + $QlMu * terms.ctf
+      |           AS DOUBLE)
+      |      / CAST(terms.c_tokens * (d.dl + $QlMu) AS DOUBLE)) * 1e6, 0)
+      |      AS BIGINT)) AS BIGINT) AS score_micro
+      |  FROM d CROSS JOIN terms
+      |  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.w = terms.w
+      |  GROUP BY 1, 2),
+      |top AS (
+      |  SELECT * FROM sc ORDER BY score_micro DESC, doc_id LIMIT $QlTopK)
+      |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+      |    AS INT) AS rk,
+      |  doc_id, dl, score_micro,
+      |  round(CAST(score_micro AS DOUBLE) / 1e6, 6) AS log_likelihood
+      |FROM top ORDER BY rk""".stripMargin
+  }
 }

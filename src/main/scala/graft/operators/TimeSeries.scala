@@ -628,6 +628,97 @@ object TimeSeries {
       |  round(CAST((SELECT count(*) FROM p) AS DOUBLE)
       |    / CAST(greatest((SELECT count(*) FROM c), 1) AS DOUBLE), 6) AS purchase_rate""".stripMargin
 
+  // ------------------------------------------------------------------
+  // funnel_latency — step-to-step conversion latency distribution
+  // ------------------------------------------------------------------
+
+  /** Conversion-latency profile of the [[funnelConversion]] funnel:
+    * for each step pair (signup→click, click→purchase), the count of
+    * converting users and the latency distribution (p50/p90/max,
+    * mean) in whole seconds — funnelConversion answers "how many
+    * convert", this answers "how long conversion takes", which is
+    * what the [[windowFunnel]] 7-day bound should be calibrated FROM
+    * rather than guessed.
+    *
+    * Exactness: latencies are exact integer second diffs (ns DIV
+    * 10⁹ — the values are < 2⁵³ so the percentile interpolation sees
+    * exactly-representable doubles, the [[graft.operators.Grouping]]
+    * percentiles discipline); mean is one double division of an
+    * exact long sum.
+    *
+    * Scale: the same per-user min-timestamp joins as the funnel
+    * (user-keyed partial aggs), then ONE 2-row aggregate — the
+    * percentile runs inside the agg (sort within group), never as a
+    * global window.
+    */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val signup = e.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts_ns").as("t_signup"))
+    val click = e.filter($"event_type" === "click")
+      .join(signup, "user_id")
+      .filter($"ts_ns" > $"t_signup")
+      .groupBy($"user_id").agg(min($"ts_ns").as("t_click"),
+        min($"t_signup").as("t_signup"))
+    val purchase = e.filter($"event_type" === "purchase")
+      .join(click.select($"user_id", $"t_click"), "user_id")
+      .filter($"ts_ns" > $"t_click")
+      .groupBy($"user_id").agg(min($"ts_ns").as("t_purchase"),
+        min($"t_click").as("t_click"))
+    def profile(df: DataFrame, from: String, to: String,
+                a: org.apache.spark.sql.Column,
+                b: org.apache.spark.sql.Column): DataFrame =
+      df.select(((b - a) - pmod(b - a, lit(1000000000L)))
+          ./(lit(1000000000L)).cast("long").as("lat_s"))
+        .agg(count(lit(1)).as("n_users"),
+          round(expr("percentile(lat_s, 0.5)"), 4).as("p50_s"),
+          round(expr("percentile(lat_s, 0.9)"), 4).as("p90_s"),
+          max($"lat_s").as("max_s"),
+          round(sum($"lat_s").cast("double") / count(lit(1)).cast("double"), 6)
+            .as("mean_s"))
+        .select(lit(s"$from->$to").as("step"), $"n_users", $"p50_s",
+          $"p90_s", $"max_s", $"mean_s")
+    profile(click, "signup", "click", $"t_signup", $"t_click")
+      .unionByName(
+        profile(purchase, "click", "purchase", $"t_click", $"t_purchase"))
+      .orderBy($"step")
+  }
+
+  val funnelLatencySql: String =
+    """WITH s AS (
+      |  SELECT user_id, min(epoch_ns(ts)) AS t_signup FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t_click,
+      |    min(s.t_signup) AS t_signup
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s.t_signup
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t_purchase,
+      |    min(c.t_click) AS t_click
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t_click
+      |  GROUP BY e.user_id),
+      |lc AS (SELECT (t_click - t_signup) // 1000000000 AS lat_s FROM c),
+      |lp AS (SELECT (t_purchase - t_click) // 1000000000 AS lat_s FROM p)
+      |SELECT 'signup->click' AS step, CAST(count(*) AS BIGINT) AS n_users,
+      |  round(quantile_cont(lat_s, 0.5), 4) AS p50_s,
+      |  round(quantile_cont(lat_s, 0.9), 4) AS p90_s,
+      |  CAST(max(lat_s) AS BIGINT) AS max_s,
+      |  round(CAST(sum(lat_s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+      |    AS mean_s
+      |FROM lc
+      |UNION ALL
+      |SELECT 'click->purchase', CAST(count(*) AS BIGINT),
+      |  round(quantile_cont(lat_s, 0.5), 4),
+      |  round(quantile_cont(lat_s, 0.9), 4),
+      |  CAST(max(lat_s) AS BIGINT),
+      |  round(CAST(sum(lat_s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+      |FROM lp
+      |ORDER BY step""".stripMargin
+
   private val FunnelWindowNs = 7L * 86400L * 1000000000L
 
   /** Time-bounded funnel (the windowFunnel primitive): signup → first

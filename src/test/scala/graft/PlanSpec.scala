@@ -769,7 +769,18 @@ class PlanSpec extends SparkSpec {
         ("sax_symbolic", operators.TimeSeries2.saxSymbolic(spark, sf), 6),
         // (source, token) agg + gtf re-agg + tok-join repartition +
         // 1-row A agg + source-partitioned WindowGroupLimit rank + sort
-        ("ctfidf_terms", operators.TextModel.ctfidfTerms(spark, sf), 7))) {
+        ("ctfidf_terms", operators.TextModel.ctfidfTerms(spark, sf), 7),
+        // posting tf agg + ctf/corpus 1-row aggs + doc left join +
+        // per-doc score agg + TakeOrdered + 20-row rank/sort
+        ("ql_search", operators.TextAnalysis.qlSearch(spark, sf), 8),
+        // |sources| agg + 1-row totals + sort
+        ("epoch_plan", operators.Sampling.epochPlan(spark, sf), 4),
+        // user distinct + 2-group agg + two 1-row filters crossed
+        ("ab_srm_check", operators.Stats.abSrmCheck(spark, sf), 6),
+        // three user-keyed stage aggs + two 1-row profiles unioned
+        ("funnel_latency", operators.TimeSeries.funnelLatency(spark, sf), 10),
+        // broadcast batch x corpus pairs + two id argmax aggs + joins
+        ("rbm_pairs", operators.Similarity.rbmPairs(spark, sf), 8))) {
       val n = shuffleCount(df)
       info(s"$name shuffles = $n (budget $budget)")
       assert(n <= budget, s"$name exceeded its shuffle budget: $n > $budget")
@@ -806,6 +817,7 @@ class PlanSpec extends SparkSpec {
       "top_ngrams" -> "rank decoration after LIMIT (WindowGroupLimit)",
       "bpe_pair_counts" -> "rank decoration after LIMIT (WindowGroupLimit)",
       "bm25_search" -> "rank decoration over top-k (WindowGroupLimit)",
+      "ql_search" -> "rank decoration after LIMIT: 20-row window input",
       "rrf_fusion" -> "query-term-posting-bounded rank lists (bm25_search discipline); fusion joins two <=50-row lists",
       "user_journey" -> "rank decoration over top-k (WindowGroupLimit)",
       "resample_fill" -> "time grid: one row per resample bucket",

@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.{Curation, DataQuality, Dedup, Graph, Profile, TextModel, TimeSeries2}
+import graft.operators.{Curation, DataQuality, Dedup, Graph, Profile,
+  Sampling, Similarity, Stats, TextAnalysis, TextModel, TimeSeries, TimeSeries2}
 import graft.sources.Tables
 
 /** Author-side evidence for the round-11 second batch, beyond the
@@ -237,6 +238,86 @@ class Round11bSpec extends SparkSpec {
         "scores must be non-increasing in rank")
     }
     assert(bySrc.size == 20, "one block per source")
+  }
+
+  test("ql_search: smoothing orders docs by query-term density") {
+    val rows = TextAnalysis.qlSearch(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val scores = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("score_micro"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // all scores are negative log-likelihoods (ratios < 1)
+    assert(rows.forall(_.getAs[Long]("score_micro") < 0L))
+  }
+
+  test("epoch_plan: cap, conservation, and repeat-limit logic replay") {
+    val rows = Sampling.epochPlan(spark, sf).collect()
+    assert(rows.length == 20)
+    val srcTot = rows.map(_.getAs[Long]("src_tokens")).sum
+    val share = rows.head.getAs[Long]("share")
+    assert(rows.forall(_.getAs[Long]("share") == share), "uniform split")
+    // share ~ (total/2)/20, allow the two floor divisions
+    assert(math.abs(share - srcTot / 2 / 20) <= 1)
+    for (r <- rows) {
+      val st = r.getAs[Long]("src_tokens")
+      assert(r.getAs[Long]("epochs_micro") <= 4000000L)
+      assert(r.getAs[Long]("epochs_micro") == math.min(4000000L, share * 1000000L / st))
+      assert(r.getAs[Long]("tokens_alloc") == math.min(share, 4 * st))
+      assert(r.getAs[Long]("stranded") == share - r.getAs[Long]("tokens_alloc"))
+    }
+  }
+
+  test("ab_srm_check: md5 coin replay and alarm threshold") {
+    val r = Stats.abSrmCheck(spark, sf).collect().head
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    val users = Tables.events(spark, sf).select($"user_id").distinct().count()
+    assert(na + nb == users)
+    val chi2 = (na - nb) * (na - nb) * 1000000L / (na + nb)
+    assert(r.getAs[Long]("chi2_micro") == chi2)
+    assert(r.getAs[Boolean]("srm_alarm") == (chi2 > 3841459L))
+  }
+
+  test("funnel_latency: latencies positive, p50 <= p90 <= max") {
+    val rows = TimeSeries.funnelLatency(spark, sf).collect()
+    assert(rows.length == 2)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_users") > 0)
+      val (p50, p90) = (r.getAs[Double]("p50_s"), r.getAs[Double]("p90_s"))
+      assert(p50 >= 0.0 && p50 <= p90 && p90 <= r.getAs[Long]("max_s").toDouble)
+      assert(r.getAs[Double]("mean_s") >= 0.0)
+    }
+  }
+
+  test("rbm_pairs: every pair is mutually best by driver replay") {
+    val out = Similarity.rbmPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"))).toSet
+    assert(out.nonEmpty)
+    // driver replay: exact integer cos2 over the quantized components
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000.0)).toArray,
+        r.getInt(2)))
+    val batch = e.filter(_._3 <= 4).sortBy(_._1).take(64)
+    val corpus = e.filter(_._3 >= 5)
+    def n2(v: Array[Long]) = v.map(x => x * x).sum
+    def cos2(a: Array[Long], b: Array[Long]): Option[Long] = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      if (d <= 0) None
+      else Some((BigInt(d) * d * 1000000 / (BigInt(n2(a)) * n2(b))).toLong)
+    }
+    val pairs = for {
+      (sid, sv, _) <- batch; (tid, tv, _) <- corpus
+      c <- cos2(sv, tv)
+    } yield (sid, tid, c)
+    val fwd = pairs.groupBy(_._1).map { case (s, v) =>
+      s -> v.maxBy(t => (t._3, -t._2))._2 }
+    val bwd = pairs.groupBy(_._2).map { case (t, v) =>
+      t -> v.maxBy(p => (p._3, -p._1))._1 }
+    val expected = fwd.collect {
+      case (s, t) if bwd.get(t).contains(s) => (s, t)
+    }.toSet
+    assert(out == expected, s"RBM mismatch: spark=$out expected=$expected")
   }
 
   test("stream_hll: equals the per-day batch registers, one row per active day") {
