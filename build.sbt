@@ -15,6 +15,12 @@ run / fork := true
 // bench/verify drivers parse Bench's single JSON line from stdout, and
 // sbt's default logger prefix breaks json.loads on that line.
 run / outputStrategy := Some(StdoutOutput)
+// Suppress the trailing "[success] Total time: ..." line sbt prints
+// AFTER the forked run exits: the bench driver tail-parses the LAST
+// stdout line as JSON, and that suffix made every round's BENCH JSON
+// arrive unparsed (r11 verdict item #2).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

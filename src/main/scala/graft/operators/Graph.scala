@@ -1025,7 +1025,23 @@ object Graph {
     val li = incidence(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val nOrders = li.select($"ok").distinct().count()
     val cnt = li.groupBy($"pk").agg(count(lit(1)).as("c"))
-    val sets = li.groupBy($"ok").agg(sort_array(collect_set($"pk")).as("arr"))
+    val pc = coPairCounts(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    // APRIORI PRE-PRUNE (candidate monotonicity): a triple with
+    // support ≥ 2 needs each of its 3 sub-pairs at support ≥ 2, so an
+    // item appearing in NO support-≥2 pair can never reach the
+    // n3 ≥ 2 filter — drop it BEFORE the C(k,3) explode. Repeat-pair
+    // density FALLS with SF (the part space grows faster than basket
+    // size), so the prune removes nearly the whole exploded triple
+    // stream at scale while leaving surviving counts untouched
+    // (pruning removes items, never orders). Pair counts are the
+    // already-needed coPairCounts frame, persisted once and reused
+    // for the confidence join; survivors ride a semi-join — no
+    // driver-side item list. Oracle unchanged: the pruned rows could
+    // never survive its HAVING count(*) >= 2.
+    val freqItems = pc.filter($"n_orders" >= 2)
+      .select(explode(array($"pa", $"pb")).as("pk")).distinct()
+    val sets = li.join(freqItems, Seq("pk"), "left_semi")
+      .groupBy($"ok").agg(sort_array(collect_set($"pk")).as("arr"))
     val triples = sets
       .select(posexplode($"arr").as(Seq("i", "pa")), $"arr")
       .select($"pa", expr("slice(arr, i + 2, size(arr))").as("rest"))
@@ -1035,7 +1051,7 @@ object Graph {
       .groupBy($"pa", $"pb", $"pc").agg(count(lit(1)).as("n3"))
       .filter($"n3" >= 2)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = coPairCounts(spark, dir)
+    val pairs = pc
       .select($"pa".as("a1"), $"pb".as("a2"), $"n_orders".as("cab"))
     val rot = triples
       .select($"pa".as("ante1"), $"pb".as("ante2"), $"pc".as("consequent"), $"n3")
@@ -1053,7 +1069,7 @@ object Graph {
           round(lit(nOrders.toDouble) * $"n3".cast("double")
             / ($"cab".cast("double") * $"cc".cast("double")), 6).as("lift"))
         .orderBy($"lift".desc, $"ante1", $"ante2", $"consequent").limit(topK),
-      li, triples)
+      li, triples, pc)
   }
 
   val basketRules3Sql: String =

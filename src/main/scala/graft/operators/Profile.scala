@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -77,25 +78,71 @@ object Profile {
       .orderBy($"l_returnflag")
   }
 
-  /** Sketch-based percentiles next to their exact counterparts — the
-    * scale story in one row per group: `approx_percentile` (Greenwald-
-    * Khanna, bounded state, mergeable partials) is what survives a
-    * 100 TB column, while the exact percentile needs a per-group sort.
-    * Rows-only by design (the sketch is accuracy-bounded, not
-    * value-deterministic across engines); ProfileSpec bounds the error
-    * against the exact values at the declared accuracy.
+  /** Sketch-based percentiles AUDITED against their exact rank window,
+    * in-plan (the r11 verdict's oracle-promotion ask): per group the
+    * exact p50/p95 order statistics on the micro grid, plus one
+    * boolean per quantile asserting the `approx_percentile` (Greenwald-
+    * Khanna, bounded state, mergeable partials) answer lands within
+    * its DOCUMENTED ε-rank window — ranks [⌈qn⌉ − s, ⌈qn⌉ + s] with
+    * s = ⌈2εn⌉ + 1 at ε = 1/accuracy = 1/1000. GK guarantees rank
+    * error ≤ εn and returns an actual input element, so the booleans
+    * are deterministically TRUE — which is exactly what lets the
+    * DuckDB oracle hash-check them (it computes the exact order
+    * statistics and emits literal TRUE): a sketch regression past its
+    * ε contract now fails the CORRECTNESS gate, not just a spec.
+    *
+    * Scale: the sketch side is the production path (bounded state);
+    * the exact-rank side is the audit and pays one per-group sort —
+    * the price of auditing, run on samples at 100 TB. All grid math
+    * is integer (micro-quantized values, integer rank targets); no
+    * float crosses an engine boundary unrounded.
     */
   def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.events(spark, dir)
-      .groupBy($"event_type")
-      .agg(
-        percentile_approx($"value", lit(0.5), lit(1000)).as("p50_approx"),
-        percentile_approx($"value", lit(0.95), lit(1000)).as("p95_approx"),
-        expr("percentile(value, 0.5)").as("p50_exact"),
-        expr("percentile(value, 0.95)").as("p95_exact"))
+    val w = Window.partitionBy($"event_type").orderBy($"vm")
+    val ranked = Tables.events(spark, dir)
+      .select($"event_type", $"value",
+        round($"value" * 1000000d, 0).cast("long").as("vm"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+      .withColumn("r50", ceil($"n" * 0.5d).cast("long"))
+      .withColumn("r95", ceil($"n" * 0.95d).cast("long"))
+      .withColumn("sl", ceil($"n".cast("double") * 0.002d).cast("long") + 1L)
+    ranked.groupBy($"event_type").agg(
+        max(when($"rn" === $"r50", $"vm")).as("p50_exact_micro"),
+        max(when($"rn" === $"r95", $"vm")).as("p95_exact_micro"),
+        max(when($"rn" === greatest($"r50" - $"sl", lit(1L)), $"vm")).as("lo50"),
+        max(when($"rn" === least($"r50" + $"sl", $"n"), $"vm")).as("hi50"),
+        max(when($"rn" === greatest($"r95" - $"sl", lit(1L)), $"vm")).as("lo95"),
+        max(when($"rn" === least($"r95" + $"sl", $"n"), $"vm")).as("hi95"),
+        percentile_approx($"value", lit(0.5), lit(1000)).as("a50"),
+        percentile_approx($"value", lit(0.95), lit(1000)).as("a95"))
+      .select($"event_type", $"p50_exact_micro", $"p95_exact_micro",
+        round($"a50" * 1000000d, 0).cast("long")
+          .between($"lo50", $"hi50").as("p50_in_band"),
+        round($"a95" * 1000000d, 0).cast("long")
+          .between($"lo95", $"hi95").as("p95_in_band"))
       .orderBy($"event_type")
   }
+
+  val approxPercentilesSql: String =
+    """WITH r AS (
+      |  SELECT event_type,
+      |    CAST(round(value * 1000000, 0) AS BIGINT) AS vm,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY CAST(round(value * 1000000, 0) AS BIGINT)) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, rn, vm,
+      |    CAST(ceil(n * 0.5) AS BIGINT) AS r50,
+      |    CAST(ceil(n * 0.95) AS BIGINT) AS r95
+      |  FROM r)
+      |SELECT event_type,
+      |  max(CASE WHEN rn = r50 THEN vm END) AS p50_exact_micro,
+      |  max(CASE WHEN rn = r95 THEN vm END) AS p95_exact_micro,
+      |  true AS p50_in_band, true AS p95_in_band
+      |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Heavy hitters: every user holding at least `supportPct`% of all
     * events, with exact counts and shares. One groupBy (map-side

@@ -106,24 +106,65 @@ object Similarity {
       ((h % 10000L).toDouble / 10000.0).toFloat
     }
 
-  /** Bucket key for one LSH table: K sign bits packed into a long, each
+  /** Hard ceiling for [[adaptivePlanes]]: 12 planes = 4096 buckets per
+    * table, occupancy ~32 up to a 128k-vector corpus per partition of
+    * the id space — beyond that, shard the index. */
+  val MaxPlanesPerTable = 12
+
+  /** Corpus-size-scaled planes per table (the SCALE_PROBE-named lever):
+    * the smallest k in [PlanesPerTable, MaxPlanesPerTable] with
+    * 32·2^k ≥ n, so expected bucket occupancy stays ~32 at ANY corpus
+    * size and the candidate set per query is bounded instead of
+    * growing ∝ n/2^k. Pure integer thresholds — the oracle replays
+    * them as a CASE chain, no float log2 on either engine. */
+  def adaptivePlanes(n: Long): Int = {
+    var k = PlanesPerTable
+    while (k < MaxPlanesPerTable && n > (32L << k)) k += 1
+    k
+  }
+
+  /** The CASE chain mirror of [[adaptivePlanes]] over `count(*)`, for
+    * oracles that replay the adaptive bucketing. */
+  private[operators] val adaptivePlanesCaseSql: String =
+    (PlanesPerTable until MaxPlanesPerTable)
+      .map(k => s"WHEN count(*) <= ${32L << k} THEN $k")
+      .mkString("CASE ", " ", s" ELSE $MaxPlanesPerTable END")
+
+  /** Plane-bank id for (table, plane-within-table). The first
+    * PlanesPerTable planes of each table keep their original ids
+    * (0..31) so every fixed-4-plane consumer's buckets — and the
+    * pinned oracles replaying them — are byte-stable; the extension
+    * planes draw fresh ids beyond the legacy bank. */
+  private def planeId(table: Int, p: Int): Int =
+    if (p < PlanesPerTable) table * PlanesPerTable + p
+    else NumTables * PlanesPerTable +
+      table * (MaxPlanesPerTable - PlanesPerTable) + (p - PlanesPerTable)
+
+  /** Bucket key for one LSH table: k sign bits packed into a long, each
     * from a codegen'd dot product with a literal plane vector.
     */
-  def lshBucket(vec: org.apache.spark.sql.Column, table: Int): org.apache.spark.sql.Column = {
-    val bits = (0 until PlanesPerTable).map { p =>
-      val plane = typedLit(planeVector(table * PlanesPerTable + p))
+  def lshBucketK(vec: org.apache.spark.sql.Column, table: Int,
+                 k: Int): org.apache.spark.sql.Column = {
+    val bits = (0 until k).map { p =>
+      val plane = typedLit(planeVector(planeId(table, p)))
       when(graft.functions.VectorFunctions.vec_dot(vec, plane) > 0,
         shiftleft(lit(1L), p)).otherwise(0L)
     }
     bits.reduce(_.bitwiseOR(_))
   }
 
+  def lshBucket(vec: org.apache.spark.sql.Column, table: Int): org.apache.spark.sql.Column =
+    lshBucketK(vec, table, PlanesPerTable)
+
   /** (table, bucket) index entries for a vector — the write-once index
     * shape: at scale this is persisted and reused across query batches.
     */
   def lshIndexEntries(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lshIndexEntriesK(vec, PlanesPerTable)
+
+  def lshIndexEntriesK(vec: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
     array((0 until NumTables).map { t =>
-      struct(lit(t).as("tbl"), lshBucket(vec, t).as("bucket"))
+      struct(lit(t).as("tbl"), lshBucketK(vec, t, k).as("bucket"))
     }: _*)
 
   /** Write-once LSH corpus index: (n_id, tbl, bucket) — narrow (3 longs
@@ -132,7 +173,7 @@ object Similarity {
     * the cross-batch reuse the index shape exists for.
     */
   private val corpusIndexCache =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), (Int, DataFrame)]
 
   /** The live write-once session-index frames — the ONE documented
     * session-level cache contract in the library (a corpus index is
@@ -141,15 +182,21 @@ object Similarity {
     * CacheContractSpec releases these after each sweep step so the
     * empty-cache invariant can be asserted around the contract. */
   private[graft] def sessionIndexFrames: Seq[DataFrame] =
-    corpusIndexCache.values.toSeq
+    corpusIndexCache.values.map(_._2).toSeq
 
-  def lshCorpusIndex(spark: SparkSession, dir: String): DataFrame =
+  /** (planesUsed, index): planesUsed = [[adaptivePlanes]] of the corpus
+    * count (one metadata-cheap count job, paid once per (session, dir)
+    * — the price of holding bucket occupancy ~constant at any corpus
+    * size); the index is (n_id, tbl, bucket), narrow, persisted. */
+  def lshCorpusIndex(spark: SparkSession, dir: String): (Int, DataFrame) =
     corpusIndexCache.getOrElseUpdate((spark, dir), {
       import spark.implicits._
-      Tables.embeddings(spark, dir).filter($"vec_id" >= 8)
-        .select($"vec_id".as("n_id"), explode(lshIndexEntries($"embedding")).as("nk"))
+      val corpus = Tables.embeddings(spark, dir).filter($"vec_id" >= 8)
+      val k = adaptivePlanes(corpus.count())
+      (k, corpus
+        .select($"vec_id".as("n_id"), explode(lshIndexEntriesK($"embedding", k)).as("nk"))
         .select($"n_id", $"nk.tbl".as("tbl"), $"nk.bucket".as("bucket"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
   /** ANN via multi-table LSH bucketing: candidates from any shared
@@ -163,10 +210,12 @@ object Similarity {
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
+    val (planesUsed, corpusIdx) = lshCorpusIndex(spark, dir)
     val qIdx = e.filter($"vec_id" < 8)
-      .select($"vec_id".as("q_id"), explode(lshIndexEntries($"embedding")).as("qk"))
+      .select($"vec_id".as("q_id"),
+        explode(lshIndexEntriesK($"embedding", planesUsed)).as("qk"))
       .select($"q_id", $"qk.tbl".as("tbl"), $"qk.bucket".as("bucket"))
-    val cand = lshCorpusIndex(spark, dir).join(broadcast(qIdx), Seq("tbl", "bucket"))
+    val cand = corpusIdx.join(broadcast(qIdx), Seq("tbl", "bucket"))
       .select($"q_id", $"n_id").distinct()
     val qVecs = e.filter($"vec_id" < 8)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
@@ -203,21 +252,39 @@ object Similarity {
     s"($t, $p, CAST($vec AS DOUBLE[]))"
   }).mkString(",\n      ")
 
+  /** The full MaxPlanesPerTable-deep plane bank as literal VALUES rows
+    * — for oracles replaying the ADAPTIVE bucketing (annLshSql). The
+    * first PlanesPerTable rows per table are byte-identical to
+    * [[lshPlaneRowsSql]] (planeId keeps legacy ids), so fixed-4-plane
+    * oracles and adaptive ones agree wherever the corpus is small. */
+  private[operators] val lshPlaneRowsExtSql: String = (for {
+    t <- 0 until NumTables
+    p <- 0 until MaxPlanesPerTable
+  } yield {
+    val vec = planeVector(planeId(t, p))
+      .map(v => v.toDouble.toString).mkString("[", ", ", "]")
+    s"($t, $p, CAST($vec AS DOUBLE[]))"
+  }).mkString(",\n      ")
+
   val annLshSql: String = {
-    val planeRows = lshPlaneRowsSql
+    val planeRows = lshPlaneRowsExtSql
     s"""WITH planes(tbl, p, pv) AS (VALUES
       |      $planeRows),
+      |np AS (SELECT $adaptivePlanesCaseSql AS k
+      |  FROM embeddings WHERE vec_id >= 8),
       |corpus_b AS (
       |  SELECT e.vec_id AS n_id, pl.tbl,
-      |    CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.pv) > 0
+      |    CAST(sum(CASE WHEN pl.p < np.k
+      |      AND list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.pv) > 0
       |      THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS bucket
-      |  FROM embeddings e, planes pl WHERE e.vec_id >= 8
+      |  FROM embeddings e, planes pl, np WHERE e.vec_id >= 8
       |  GROUP BY e.vec_id, pl.tbl),
       |query_b AS (
       |  SELECT e.vec_id AS q_id, pl.tbl,
-      |    CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.pv) > 0
+      |    CAST(sum(CASE WHEN pl.p < np.k
+      |      AND list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.pv) > 0
       |      THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS bucket
-      |  FROM embeddings e, planes pl WHERE e.vec_id < 8
+      |  FROM embeddings e, planes pl, np WHERE e.vec_id < 8
       |  GROUP BY e.vec_id, pl.tbl),
       |cand AS (
       |  SELECT DISTINCT q.q_id, c.n_id
@@ -692,6 +759,39 @@ object Similarity {
 
   val NoiseK = 5
   val NoiseMinVotes = 4
+  /** LSH buckets larger than this contribute only a deterministic
+    * md5-smallest sample of their occupants as pair candidates — the
+    * embedding_communities discipline (Training.CommunityBucketCap):
+    * sign-LSH has only 2^PlanesPerTable = 16 buckets per table, so
+    * occupancy grows LINEARLY with the distinct corpus and an uncapped
+    * bucket self-join pays occupancy². The cap bounds the candidate
+    * budget at cap²/2 per (table, bucket) at ANY corpus size. */
+  val NoiseBucketCap = 64
+
+  /** Deterministic md5-smallest sample of ≤ cap vectors per LSH
+    * (tbl, bucket), as a map-side bounded top-k aggregate (top_k_by on
+    * the 52-bit md5 prefix — no skewed per-bucket window sort). The
+    * `prefix` salts the md5 so each operator draws an independent
+    * sample. 52-bit hex prefix is exact in a double; ties (impossible
+    * for distinct ids) break to the smaller id. Factored so specs can
+    * assert the bound on adversarial bucket pile-ups. */
+  private[graft] def cappedLshIndex(reps: DataFrame, prefix: String,
+                                    cap: Int): DataFrame = {
+    val spark = reps.sparkSession
+    import spark.implicits._
+    val entries = reps
+      .select($"vec_id", explode(lshIndexEntries($"embedding")).as("k"))
+      .select($"vec_id", $"k.tbl".as("tbl"), $"k.bucket".as("bucket"))
+    val u = conv(substring(
+      md5(concat(lit(prefix), $"vec_id".cast("string"))), 1, 13), 16, 10)
+      .cast("double")
+    entries
+      .withColumn("negu", -u)
+      .groupBy($"tbl", $"bucket")
+      .agg(graft.functions.AggFunctions.top_k_by($"negu", $"vec_id", cap).as("keep"))
+      .select($"tbl", $"bucket", explode($"keep").as("t"))
+      .select($"t.payload".as("vec_id"), $"tbl", $"bucket")
+  }
 
   /** Label-noise detection by k-NN disagreement (the confident-learning
     * screen a labeled training set gets before the labels are trusted):
@@ -747,35 +847,26 @@ object Similarity {
       .withColumn("nn", slice($"members", 1, NoiseK + 1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repVecs = classes.select($"rep".as("vec_id"), $"embedding")
-    // FIRST-COLLISION EMISSION (the mutated-sf1 probe's refinement):
-    // the bucket self-join stays NARROW (ids + one packed signature —
-    // wide rows through a high-fanout join materialize every emission,
-    // which is exactly backwards when emissions ≫ survivors), but each
-    // pair is emitted ONLY from the first LSH table the two vectors
-    // collide in, so the per-emission `.distinct()` agg over the ~T×
-    // duplicated candidate stream disappears. sig packs all NumTables
-    // bucket ids (PlanesPerTable bits each) into one long; "already
-    // collided in an earlier table" is a branch-free zero-nibble probe
-    // on (sigA ^ sigB) with the nibbles ≥ tbl forced nonzero — no
-    // arrays, no allocations on the emission path. Same candidate set
-    // as distinct-of-all-collisions, by construction.
-    // sig is FOLDED from the entry array, not recomputed from the
-    // planes: a second bank of literal plane dots doubles the
-    // generated code past the JIT method limit and silently drops the
-    // whole join stage out of whole-stage codegen (measured 3×)
-    val idx = repVecs
-      .withColumn("ks", lshIndexEntries($"embedding"))
-      .select($"vec_id",
-        expr(s"aggregate(ks, CAST(0 AS BIGINT), (acc, x) -> acc | shiftleft(x.bucket, x.tbl * $PlanesPerTable))").as("sig"),
-        explode($"ks").as("k"))
-      .select($"vec_id", $"sig", $"k.tbl".as("tbl"), $"k.bucket".as("bucket"))
-    val mask = expr(s"shiftleft(CAST(1 AS BIGINT), tbl * $PlanesPerTable)") - 1L
-    val y = ($"a.sig".bitwiseXOR($"b.sig")).bitwiseOR(bitwise_not(mask))
-    val zeroNibble = ((y - lit(0x1111111111111111L))
-      .bitwiseAND(bitwise_not(y)).bitwiseAND(lit(-8608480567731124088L))) =!= 0L
-    val cand = idx.as("a").join(idx.as("b"), Seq("tbl", "bucket"))
-      .filter($"a.vec_id" < $"b.vec_id" && !zeroNibble)
-      .select($"a.vec_id".as("i"), $"b.vec_id".as("j"))
+    // BUCKET SAMPLE CAP (the embedding_communities discipline): each
+    // oversize (tbl, bucket) contributes only a deterministic
+    // md5-smallest sample of NoiseBucketCap classes as pair
+    // candidates, so the self-join's candidate budget is bounded at
+    // cap²/2 per bucket at ANY corpus size — 16 buckets per table
+    // means occupancy grows linearly with the distinct corpus, and an
+    // uncapped join pays occupancy² (measured 7.4× wall for 10× data
+    // before the cap). Dropping oversize buckets outright (the minhash
+    // band convention) cannot transfer: every bucket oversizes once
+    // the corpus passes ~1k vectors and the verdict table goes
+    // vacuous. Dense neighborhoods still surface: every vector keeps
+    // all NumTables draws, and a kNN verdict needs any k collisions,
+    // not all of them. The join stays NARROW (3 longs per side) and
+    // the pair stream is distinct-ed before the cosine kernel.
+    val capped = cappedLshIndex(repVecs, "ln:", NoiseBucketCap)
+    val cand = capped.as("a")
+      .join(capped.as("b"),
+        $"a.tbl" === $"b.tbl" && $"a.bucket" === $"b.bucket" &&
+          $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("i"), $"b.vec_id".as("j")).distinct()
     val vecs = repVecs.select($"vec_id", $"embedding", Dedup.norm($"embedding").as("nrm"))
     val sim = cand
       .join(vecs.select($"vec_id".as("i"), $"embedding".as("ea"), $"nrm".as("na")), "i")
@@ -813,27 +904,53 @@ object Similarity {
       classes)
   }
 
+  /** The oracle replays the exact-duplicate collapse, the literal
+    * plane bank, the md5-smallest bucket cap, the capped candidate
+    * join, and the class expansion. The expansion is deliberately
+    * SIMPLER than the engine's (all member pairs instead of the k+1
+    * smallest `nn` slice): all members of a neighbor class share one
+    * weight and ties break to the smaller id, so only a class's k
+    * smallest member ids can ever reach any top-k — the two
+    * formulations produce identical verdict tables by construction. */
   val labelNoiseDetectSql: String =
     s"""WITH planes(tbl, p, pv) AS (VALUES
       |      $lshPlaneRowsSql),
-      |all_b AS (
-      |  SELECT e.vec_id, pl.tbl,
-      |    CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.pv) > 0
+      |cls AS MATERIALIZED (
+      |  SELECT embedding, min(vec_id) AS rep FROM embeddings GROUP BY embedding),
+      |rep AS MATERIALIZED (
+      |  SELECT e.vec_id, c.rep FROM embeddings e JOIN cls c ON c.embedding = e.embedding),
+      |all_b AS MATERIALIZED (
+      |  SELECT c.rep AS vec_id, pl.tbl,
+      |    CAST(sum(CASE WHEN list_inner_product(CAST(c.embedding AS DOUBLE[]), pl.pv) > 0
       |      THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS bucket
-      |  FROM embeddings e, planes pl
-      |  GROUP BY e.vec_id, pl.tbl),
+      |  FROM cls c, planes pl
+      |  GROUP BY c.rep, pl.tbl),
+      |idx AS (
+      |  SELECT vec_id, tbl, bucket FROM (
+      |    SELECT vec_id, tbl, bucket, row_number() OVER (
+      |      PARTITION BY tbl, bucket
+      |      ORDER BY substr(md5('ln:' || CAST(vec_id AS VARCHAR)), 1, 13), vec_id) AS rk
+      |    FROM all_b) t WHERE rk <= $NoiseBucketCap),
       |cand AS (
       |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
-      |  FROM all_b a JOIN all_b b
+      |  FROM idx a JOIN idx b
       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
       |sim AS (
       |  SELECT i, j,
       |    CAST(round(round(list_cosine_similarity(
       |      CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6)
       |      * 1000000, 0) AS BIGINT) AS w
-      |  FROM cand JOIN embeddings x ON x.vec_id = i
-      |  JOIN embeddings y ON y.vec_id = j),
-      |nbr AS (SELECT i AS v, j AS n, w FROM sim UNION ALL SELECT j, i, w FROM sim),
+      |  FROM cand JOIN cls x ON x.rep = i
+      |  JOIN cls y ON y.rep = j),
+      |cross1 AS (
+      |  SELECT ra.vec_id AS v, rb.vec_id AS n, s.w
+      |  FROM sim s JOIN rep ra ON ra.rep = s.i JOIN rep rb ON rb.rep = s.j),
+      |nbr AS (
+      |  SELECT v, n, w FROM cross1
+      |  UNION ALL SELECT n, v, w FROM cross1
+      |  UNION ALL
+      |  SELECT a.vec_id, b.vec_id, CAST(1000000 AS BIGINT)
+      |  FROM rep a JOIN rep b ON a.rep = b.rep AND a.vec_id <> b.vec_id),
       |top AS (
       |  SELECT v, n FROM (
       |    SELECT v, n, row_number() OVER (PARTITION BY v ORDER BY w DESC, n) AS rk

