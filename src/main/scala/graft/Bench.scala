@@ -92,7 +92,11 @@ object Bench {
     // round-11 third batch: LM retrieval, epoch planning, SRM guard,
     // funnel latency, mutual-nearest alignment
     "ql_search", "epoch_plan", "ab_srm_check",
-    "funnel_latency", "rbm_pairs")
+    "funnel_latency", "rbm_pairs",
+    // round-12 batch: second-stage rerank audit (deepening atop
+    // ql_search; the streaming twin stream_semdedup_gate rides
+    // StreamBench's auto-discovery)
+    "rerank_prf")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

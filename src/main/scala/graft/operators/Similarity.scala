@@ -125,7 +125,7 @@ object Similarity {
 
   /** The CASE chain mirror of [[adaptivePlanes]] over `count(*)`, for
     * oracles that replay the adaptive bucketing. */
-  private[operators] val adaptivePlanesCaseSql: String =
+  private[graft] val adaptivePlanesCaseSql: String =
     (PlanesPerTable until MaxPlanesPerTable)
       .map(k => s"WHEN count(*) <= ${32L << k} THEN $k")
       .mkString("CASE ", " ", s" ELSE $MaxPlanesPerTable END")
@@ -243,7 +243,7 @@ object Similarity {
     * oracle that replays the LSH bucketing (annLshSql, Training's
     * embedding_communities). float→double is exact and Double.toString
     * round-trips. */
-  private[operators] val lshPlaneRowsSql: String = (for {
+  private[graft] val lshPlaneRowsSql: String = (for {
     t <- 0 until NumTables
     p <- 0 until PlanesPerTable
   } yield {
@@ -257,7 +257,7 @@ object Similarity {
     * first PlanesPerTable rows per table are byte-identical to
     * [[lshPlaneRowsSql]] (planeId keeps legacy ids), so fixed-4-plane
     * oracles and adaptive ones agree wherever the corpus is small. */
-  private[operators] val lshPlaneRowsExtSql: String = (for {
+  private[graft] val lshPlaneRowsExtSql: String = (for {
     t <- 0 until NumTables
     p <- 0 until MaxPlanesPerTable
   } yield {

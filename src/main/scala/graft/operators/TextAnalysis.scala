@@ -1210,9 +1210,17 @@ object TextAnalysis {
     */
   def qlSearch(spark: SparkSession, dir: String,
                query: Seq[String] = Seq("spark", "query", "window"),
-               topK: Int = QlTopK): DataFrame = {
+               topK: Int = QlTopK): DataFrame =
+    qlSearchOf(Tables.documents(spark, dir), query, topK)
+
+  /** Core on any (doc_id, text, ...) corpus — factored so rerank_prf
+    * can retrieve over the embedded shard. */
+  private[graft] def qlSearchOf(corpus: DataFrame,
+                                query: Seq[String],
+                                topK: Int): DataFrame = {
+    val spark = corpus.sparkSession
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
+    val docs = corpus
       .select($"doc_id", tokens($"text").as("t"))
       .select($"doc_id", size($"t").cast("long").as("dl"), $"t")
     val tf = docs.select($"doc_id", explode($"t").as("w"))
@@ -1271,5 +1279,127 @@ object TextAnalysis {
       |  doc_id, dl, score_micro,
       |  round(CAST(score_micro AS DOUBLE) / 1e6, 6) AS log_likelihood
       |FROM top ORDER BY rk""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // rerank_prf — second-stage semantic rerank audit over the shortlist
+  // ------------------------------------------------------------------
+
+  /** Second-stage rerank AUDIT over the [[qlSearch]] shortlist — the
+    * cross-encoder-rerank SHAPE (cheap first-stage recall, expensive
+    * second-stage precision on a tiny shortlist; the r11 verdict's
+    * named deepening candidate) with a deterministic stand-in for the
+    * neural scorer: Rocchio pseudo-relevance feedback. First stage
+    * retrieves top-20 by Dirichlet query likelihood over the EMBEDDED
+    * shard (documents ∩ embeddings — the shard a production reranker
+    * can rescore); the top-3 hits' micro-quantized embeddings average
+    * into a PRF centroid (exact floor-div on the integer grid; ≤64
+    * longs cross the driver — the IVF-centroid model-sized-collect
+    * contract); every shortlisted doc is rescored by exact-integer
+    * cosine to the centroid and re-ranked. The output's `move` column
+    * (rk_first − rk) is the audit readout: where the semantic scorer
+    * overturns the lexical retriever.
+    *
+    * Exactness: the AnnExact doctrine — micro integer components,
+    * exact Long dots via vec_dot_l, the cosine one fixed double tree
+    * (ranking on the unrounded value, ties to doc_id), 6dp display.
+    * Scale: the second stage touches topK rows; the only corpus-scale
+    * work is the first-stage retrieval it inherits, and the centroid
+    * collect is model-sized at any corpus size.
+    */
+  def rerankPrf(spark: SparkSession, dir: String,
+                query: Seq[String] = Seq("spark", "query", "window"),
+                topK: Int = QlTopK): DataFrame = {
+    import spark.implicits._
+    import graft.functions.PqFunctions.vec_dot_l
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id".as("doc_id"),
+        transform($"embedding",
+          x => round(x.cast("double") * 1000000d, 0).cast("long")).as("vq"))
+    val corpus = Tables.documents(spark, dir)
+      .join(emb.select($"doc_id"), Seq("doc_id"), "left_semi")
+    val first = qlSearchOf(corpus, query, topK)
+      .select($"rk".as("rk_first"), $"doc_id", $"log_likelihood")
+    val short = first.join(emb, "doc_id")
+    val seeds = short.filter($"rk_first" <= 3)
+      .select($"vq").collect().map(_.getSeq[Long](0))
+    val cent: Array[Long] = Array.tabulate(Similarity.EmbeddingDim) { d =>
+      Math.floorDiv(seeds.map(_(d)).sum, seeds.length.toLong)
+    }
+    val cc = cent.map(v => v * v).sum
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"cos".desc, $"doc_id")
+    short
+      .withColumn("dt", vec_dot_l($"vq", typedLit(cent)))
+      .withColumn("nn", vec_dot_l($"vq", $"vq"))
+      .withColumn("cos", $"dt".cast("double")
+        / (sqrt($"nn".cast("double")) * sqrt(lit(cc.toDouble))))
+      .withColumn("rk", row_number().over(w))
+      .select($"rk", $"doc_id", $"rk_first",
+        ($"rk_first" - $"rk").as("move"),
+        round($"cos", 6).as("cos_sim"), $"log_likelihood")
+      .orderBy($"rk")
+  }
+
+  /** Oracle: the qlSearch CTE chain restricted to the embedded shard,
+    * then the PRF centroid (floor-div micro means over the top-3 — the
+    * annEval fdiv idiom), exact-integer dots, and the one-double-tree
+    * cosine rerank. */
+  val rerankPrfSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH d AS (
+      |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl, $toks AS t
+      |  FROM documents WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+      |tf AS (
+      |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id, unnest(t) AS w FROM d)
+      |  WHERE w IN ('spark', 'query', 'window') GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS c_tokens FROM d),
+      |terms AS (
+      |  SELECT w, CAST(sum(tf) AS BIGINT) AS ctf, c_tokens
+      |  FROM tf CROSS JOIN tot GROUP BY 1, 3),
+      |sc AS (
+      |  SELECT d.doc_id, d.dl,
+      |    CAST(sum(CAST(round(ln(
+      |      CAST(coalesce(tf.tf, 0) * terms.c_tokens + $QlMu * terms.ctf
+      |           AS DOUBLE)
+      |      / CAST(terms.c_tokens * (d.dl + $QlMu) AS DOUBLE)) * 1e6, 0)
+      |      AS BIGINT)) AS BIGINT) AS score_micro
+      |  FROM d CROSS JOIN terms
+      |  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.w = terms.w
+      |  GROUP BY 1, 2),
+      |first AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+      |      AS INT) AS rk_first,
+      |    doc_id, round(CAST(score_micro AS DOUBLE) / 1e6, 6) AS log_likelihood
+      |  FROM (SELECT * FROM sc ORDER BY score_micro DESC, doc_id LIMIT $QlTopK)),
+      |comp AS MATERIALIZED (
+      |  SELECT e.vec_id AS doc_id, CAST(i AS INT) AS dim,
+      |    CAST(round(CAST(e.embedding[i + 1] AS DOUBLE) * 1000000, 0) AS BIGINT) AS v
+      |  FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+      |  WHERE e.vec_id IN (SELECT doc_id FROM first)),
+      |sn AS (SELECT CAST(count(*) AS BIGINT) AS k
+      |  FROM first WHERE rk_first <= 3),
+      |cent AS (
+      |  SELECT dim, CAST((s - ((s % sn.k + sn.k) % sn.k)) / sn.k AS BIGINT) AS cv
+      |  FROM (SELECT c.dim, CAST(sum(c.v) AS BIGINT) AS s
+      |        FROM comp c JOIN first f ON f.doc_id = c.doc_id
+      |        WHERE f.rk_first <= 3 GROUP BY c.dim), sn),
+      |cn AS (SELECT CAST(sum(cv * cv) AS BIGINT) AS cc FROM cent),
+      |dots AS (
+      |  SELECT c.doc_id, CAST(sum(c.v * ct.cv) AS BIGINT) AS dt,
+      |    CAST(sum(c.v * c.v) AS BIGINT) AS nn
+      |  FROM comp c JOIN cent ct ON ct.dim = c.dim GROUP BY c.doc_id),
+      |scored AS (
+      |  SELECT f.rk_first, f.doc_id, f.log_likelihood,
+      |    CAST(d.dt AS DOUBLE)
+      |      / (sqrt(CAST(d.nn AS DOUBLE)) * sqrt(CAST(cn.cc AS DOUBLE))) AS cos
+      |  FROM first f JOIN dots d ON d.doc_id = f.doc_id, cn)
+      |SELECT CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS rk,
+      |  doc_id, rk_first,
+      |  rk_first - CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT)
+      |    AS move,
+      |  round(cos, 6) AS cos_sim, log_likelihood
+      |FROM scored ORDER BY rk""".stripMargin
   }
 }

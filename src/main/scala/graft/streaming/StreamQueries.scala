@@ -1030,6 +1030,137 @@ object StreamQueries {
 
   val streamDedupGateSql: String = graft.operators.Dedup.dedupGateSql
 
+  /** Stage the embeddings table as vec_id-RANGE-ORDERED single-row-group
+    * files with increasing modification times — [[stageDocsOrdered]]
+    * for the embedding corpus, so vector streams replay as ordered
+    * micro-batches and event-time watermarks advance. */
+  private val orderedVecDirs =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  private def stageVecsOrdered(spark: SparkSession, dir: String,
+                               files: Int = 8): String =
+    orderedVecDirs.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val d = tmp("graft_sq_vord")
+      val vecs = spark.read.parquet(stageTable(dir, "embeddings"))
+      val (lo, hi) = vecs.agg(min($"vec_id"), max($"vec_id"))
+        .as[(Long, Long)].head()
+      val width = (hi - lo) / files + 1
+      for (f <- 0 until files) {
+        val scratch = tmp("graft_sq_vord_part")
+        vecs.filter($"vec_id" >= lo + f * width &&
+            $"vec_id" < lo + (f + 1) * width)
+          .coalesce(1).write.mode("overwrite").parquet(scratch)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(scratch))
+          .iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(d).resolve(f"seq_$f%03d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + f * 10000L))
+      }
+      d
+    })
+
+  /** Streaming SEMANTIC-dedup ingest gate — the [[streamDedupGate]]
+    * posture moved from lexical MinHash to embedding space (the r11
+    * verdict's named deepening candidate): each arriving vector is
+    * sign-LSH-bucketed in the stream (codegen'd literal-plane dots, no
+    * state), probes a FROZEN md5-smallest-capped corpus band index
+    * (the label_noise_detect r12 discipline — ≤64 ids per
+    * (table, bucket) at ANY corpus size) via a stream-static id join,
+    * and candidates are verified by exact cosine ≥ 0.25 (the
+    * embedding_communities τ) against the frozen vectors. Multi-table
+    * re-collisions collapse through `dropDuplicatesWithinWatermark` on
+    * (i, j) with arrival time from the monotone ingest sequence — pair
+    * state is watermark-bounded, and every (i, j) repeat is intra-batch
+    * by construction (all of a vector's table draws expand from one
+    * input row), so any horizon suppresses them exactly.
+    *
+    * Scale: the frozen side ships ids only (3 longs per index row,
+    * cap-bounded buckets); the stream side carries its own embedding
+    * through a constant 8-entry fan-out — per-vector constant cost,
+    * never a corpus-side vector shuffle. The oracle replays the
+    * split + literal planes + cap + cosine verification in one CTE
+    * chain.
+    */
+  def streamSemdedupGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Dedup, Similarity}
+    val name = uniqueName("sq_semgate")
+    val vecs = spark.read.parquet(stageTable(dir, "embeddings"))
+    val cut = vecs.agg(expr("max(vec_id) div 2")).first().getLong(0)
+    val oldV = vecs.filter($"vec_id" <= cut)
+      .select($"vec_id", $"embedding", Dedup.norm($"embedding").as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = Similarity.cappedLshIndex(
+        oldV.select($"vec_id", $"embedding"), "sg:", 64)
+      .select($"vec_id".as("i"), $"tbl", $"bucket")
+      .join(oldV.select($"vec_id".as("i"), $"embedding".as("ei"),
+        $"nrm".as("ni")), "i")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    idx.count() // freeze (and give the planner true index stats)
+    val ord = stageVecsOrdered(spark, dir)
+    val stream = spark.readStream.schema(vecs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(ord)
+      .filter($"vec_id" > cut)
+      .select($"vec_id".as("j"), $"embedding".as("ej"),
+        Dedup.norm($"embedding").as("nj"))
+      .withColumn("arrival", timestamp_seconds($"j"))
+      .select($"j", $"ej", $"nj", $"arrival",
+        explode(Similarity.lshIndexEntries($"ej")).as("k"))
+      .select($"j", $"ej", $"nj", $"arrival",
+        $"k.tbl".as("tbl"), $"k.bucket".as("bucket"))
+    val q = stream
+      .join(idx, Seq("tbl", "bucket"))
+      .withColumn("cos",
+        round(Dedup.cosinePre($"ei", $"ej", $"ni", $"nj"), 6))
+      .filter($"cos" >= 0.25)
+      .select($"i", $"j", $"arrival", $"cos")
+      .withWatermark("arrival", "600 seconds")
+      .dropDuplicatesWithinWatermark("i", "j")
+      .select($"i", $"j", $"cos")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    oldV.unpersist()
+    idx.unpersist()
+    spark.table(name).orderBy($"i", $"j")
+  }
+
+  val streamSemdedupGateSql: String =
+    s"""WITH planes(tbl, p, pv) AS (VALUES
+      |      ${graft.operators.Similarity.lshPlaneRowsSql}),
+      |cut AS (SELECT max(vec_id) // 2 AS c FROM embeddings),
+      |old_b AS MATERIALIZED (
+      |  SELECT e.vec_id, pl.tbl,
+      |    CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.pv) > 0
+      |      THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM embeddings e, planes pl, cut WHERE e.vec_id <= cut.c
+      |  GROUP BY e.vec_id, pl.tbl),
+      |idx AS (
+      |  SELECT vec_id, tbl, bucket FROM (
+      |    SELECT vec_id, tbl, bucket, row_number() OVER (
+      |      PARTITION BY tbl, bucket
+      |      ORDER BY substr(md5('sg:' || CAST(vec_id AS VARCHAR)), 1, 13), vec_id) AS rk
+      |    FROM old_b) t WHERE rk <= 64),
+      |new_b AS (
+      |  SELECT e.vec_id, pl.tbl,
+      |    CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.pv) > 0
+      |      THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM embeddings e, planes pl, cut WHERE e.vec_id > cut.c
+      |  GROUP BY e.vec_id, pl.tbl),
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS i, n.vec_id AS j
+      |  FROM idx x JOIN new_b n ON x.tbl = n.tbl AND x.bucket = n.bucket)
+      |SELECT c.i, c.j,
+      |  round(list_cosine_similarity(
+      |    CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+      |FROM cand c JOIN embeddings a ON a.vec_id = c.i
+      |JOIN embeddings b ON b.vec_id = c.j
+      |WHERE round(list_cosine_similarity(
+      |  CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.25
+      |ORDER BY i, j""".stripMargin
+
   /** Streaming robust-anomaly gate — [[graft.operators.Profile.anomalyMad]]
     * as an online filter: per-type median/MAD reference stats are
     * frozen batch-side (production ships the last window's stats the
