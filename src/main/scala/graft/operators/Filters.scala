@@ -373,6 +373,117 @@ object Filters {
       .orderBy($"doc_id")
   }
 
+  /** Doubling levels for [[substringLongestMatch]]: 8..64 tokens (the
+    * corpus's docs are ≤ ~100 tokens; at web scale add levels — each
+    * costs O(1) per position). */
+  private val SdLevels = Seq(8, 16, 32, 64)
+
+  /** Longest duplicated substring per document at power-of-2
+    * resolution — the suffix-array dedup readout (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": a
+    * substring duplicated ANYWHERE in the corpus marks a span for
+    * excision; the interesting statistic is how LONG the longest such
+    * span is) re-expressed Spark-first as a FINGERPRINT PYRAMID: the
+    * suffix-array prefix-doubling trick in hash space. Level-2L
+    * fingerprints combine two level-L fingerprints
+    * (md5(fp_L[k] ‖ fp_L[k+L])) — O(1) per position per level instead
+    * of hashing O(L)-token windows, built entirely INSIDE one per-doc
+    * projection (zero shuffles); equal pyramid fps ⇔ equal token
+    * spans (modulo md5 collisions — the same fp-equivalence contract
+    * as every winnowing op, identical in both engines by identical
+    * recursion). The only corpus-cardinality shuffle is ONE
+    * (lvl, fp)-keyed count + its join back (AQE reuses the exchange);
+    * no window text ever rides a shuffle.
+    *
+    * Output per document: n_tokens, l_max (largest level with any
+    * position whose span also occurs at another position corpus-wide,
+    * 0 if none — intra-doc repeats count, matching dedupSubstring),
+    * n_dup_at_lmax (duplicated positions at that level).
+    */
+  def substringLongestMatch(spark: SparkSession, dir: String): DataFrame =
+    substringLongestMatchOf(Tables.documents(spark, dir))
+
+  /** Core on any (doc_id, text) frame — factored so specs can plant
+    * shared spans of known length and assert the level readout. */
+  private[graft] def substringLongestMatchOf(d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val docs = d
+      .select($"doc_id", tokens($"text").as("t"))
+      .select($"doc_id", size($"t").as("n"), $"t")
+    val base = docs.withColumn("f8",
+      when($"n" >= 8, expr(
+        "transform(sequence(0, n - 8), k -> md5(array_join(slice(t, k + 1, 8), ' ')))"))
+        .otherwise(expr("CAST(array() AS array<string>)")))
+    val pyr = SdLevels.drop(1).foldLeft(base) { (d, l) =>
+      val h = l / 2
+      d.withColumn(s"f$l",
+        when($"n" >= l, expr(
+          s"transform(sequence(0, n - $l), k -> " +
+            s"md5(concat(element_at(f$h, k + 1), element_at(f$h, k + ${h + 1}))))"))
+          .otherwise(expr("CAST(array() AS array<string>)")))
+    }
+    val entries = pyr.select($"doc_id",
+        explode(concat(SdLevels.map(l =>
+          expr(s"transform(f$l, x -> struct(CAST($l AS INT) AS lvl, x AS fp))")): _*))
+          .as("e"))
+      .select($"doc_id", $"e.lvl".as("lvl"), $"e.fp".as("fp"))
+    val cnt = entries.groupBy($"lvl", $"fp").agg(count(lit(1)).as("c"))
+    val dup = entries.join(cnt, Seq("lvl", "fp")).filter($"c" >= 2)
+      .groupBy($"doc_id", $"lvl").agg(count(lit(1)).as("ndup"))
+    val best = dup.groupBy($"doc_id")
+      .agg(max(struct($"lvl", $"ndup")).as("b"))
+    docs.select($"doc_id", $"n")
+      .join(best, Seq("doc_id"), "left")
+      .select($"doc_id", $"n".cast("int").as("n_tokens"),
+        coalesce($"b.lvl", lit(0)).as("l_max"),
+        coalesce($"b.ndup", lit(0L)).as("n_dup_at_lmax"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: the pyramid recursion replayed verbatim in DuckDB list
+    * comprehensions (level-2L fps from level-L fps, never re-hashing
+    * token slices beyond the base), then the same count/argmax. */
+  val substringLongestMatchSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    s"""WITH t AS (
+      |  SELECT doc_id, $toks AS toks,
+      |    CAST(len($toks) AS BIGINT) AS n FROM documents),
+      |p8 AS (SELECT doc_id, n,
+      |  list_transform(range(0, CAST(n AS INT) - 7),
+      |    k -> md5(array_to_string(toks[k + 1 : k + 8], ' '))) AS f8 FROM t),
+      |p16 AS (SELECT *, list_transform(range(0, CAST(n AS INT) - 15),
+      |  k -> md5(f8[k + 1] || f8[k + 9])) AS f16 FROM p8),
+      |p32 AS (SELECT *, list_transform(range(0, CAST(n AS INT) - 31),
+      |  k -> md5(f16[k + 1] || f16[k + 17])) AS f32 FROM p16),
+      |p64 AS (SELECT *, list_transform(range(0, CAST(n AS INT) - 63),
+      |  k -> md5(f32[k + 1] || f32[k + 33])) AS f64 FROM p32),
+      |e AS (
+      |  SELECT doc_id, 8 AS lvl, f8[CAST(k AS INT) + 1] AS fp
+      |  FROM p64, unnest(range(0, len(f8))) r(k)
+      |  UNION ALL
+      |  SELECT doc_id, 16, f16[CAST(k AS INT) + 1]
+      |  FROM p64, unnest(range(0, len(f16))) r(k)
+      |  UNION ALL
+      |  SELECT doc_id, 32, f32[CAST(k AS INT) + 1]
+      |  FROM p64, unnest(range(0, len(f32))) r(k)
+      |  UNION ALL
+      |  SELECT doc_id, 64, f64[CAST(k AS INT) + 1]
+      |  FROM p64, unnest(range(0, len(f64))) r(k)),
+      |c AS (SELECT lvl, fp, count(*) AS c FROM e GROUP BY 1, 2),
+      |d AS (
+      |  SELECT e.doc_id, e.lvl, CAST(count(*) AS BIGINT) AS ndup
+      |  FROM e JOIN c ON c.lvl = e.lvl AND c.fp = e.fp AND c.c >= 2
+      |  GROUP BY 1, 2),
+      |b AS (SELECT doc_id, lvl, ndup,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY lvl DESC) AS rk FROM d)
+      |SELECT t.doc_id, CAST(t.n AS INT) AS n_tokens,
+      |  CAST(coalesce(b.lvl, 0) AS INT) AS l_max,
+      |  coalesce(b.ndup, 0) AS n_dup_at_lmax
+      |FROM t LEFT JOIN (SELECT * FROM b WHERE rk = 1) b ON b.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+  }
+
   val dedupSubstringSql: String = {
     val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
     s"""WITH t AS (

@@ -59,6 +59,52 @@ class Round12OpsSpec extends SparkSpec {
       "seed docs must be at least as close to the PRF centroid as the mean")
   }
 
+  test("substring_longest_match: level lattice, monotonicity vs dedup_substring, planted span") {
+    val out = graft.operators.Filters.substringLongestMatch(spark, sf).collect()
+    val levels = Set(0, 8, 16, 32, 64)
+    out.foreach { r =>
+      assert(levels.contains(r.getInt(2)), s"l_max ${r.getInt(2)} not a level")
+      assert((r.getInt(2) > 0) === (r.getLong(3) > 0L),
+        "n_dup_at_lmax must be positive exactly when a level fired")
+    }
+    // monotonicity: a duplicated 2L-span contains duplicated L-spans,
+    // so every doc with l_max >= 16 must hold a position of an
+    // 8-window fp occurring >= 2 times corpus-wide (NOTE: unlike
+    // dedup_substring's keeper-excluding n_dup_windows, the pyramid
+    // counts the first occurrence too — both ends of a duplicate pair
+    // read the same l_max)
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", org.apache.spark.sql.functions.expr(
+        "filter(split(text, '\\\\s+'), x -> x <> '')").as("t"))
+      .filter(org.apache.spark.sql.functions.size($"t") >= 8)
+      .select($"doc_id", org.apache.spark.sql.functions.posexplode(
+        org.apache.spark.sql.functions.expr(
+          "transform(sequence(0, size(t) - 8), k -> md5(array_join(slice(t, k + 1, 8), ' ')))"))
+        .as(Seq("k", "fp")))
+    val dup8Docs = toks
+      .withColumn("c", org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
+      .filter($"c" >= 2).select($"doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    out.filter(_.getInt(2) >= 16).foreach { r =>
+      assert(dup8Docs.contains(r.getLong(0)),
+        s"doc ${r.getLong(0)} has l_max ${r.getInt(2)} but no duplicated 8-window")
+    }
+    // planted fixture: two docs share exactly a 32-token span inside
+    // otherwise-unique filler => both read l_max = 32, never 64
+    val shared = (1 to 32).map(i => s"s$i").mkString(" ")
+    def filler(tag: String) = (1 to 40).map(i => s"$tag$i").mkString(" ")
+    val fixture = spark.createDataFrame(Seq(
+      (0L, s"${filler("a")} $shared ${filler("b")}"),
+      (1L, s"${filler("c")} $shared ${filler("d")}"),
+      (2L, filler("e")))).toDF("doc_id", "text")
+    val f = graft.operators.Filters.substringLongestMatchOf(fixture)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(f(0L) === 32 && f(1L) === 32, s"planted 32-span must read 32: $f")
+    assert(f(2L) === 0, "unique doc must read 0")
+  }
+
   test("cappedLshIndex bounds an adversarial bucket pile-up at the cap") {
     // 4096 identical-bucket vectors (all equal ⇒ same LSH buckets per
     // table) would propose 8M pairs uncapped; the index must emit at
