@@ -76,7 +76,7 @@ object PlanDump {
     "seq_patterns" ->
       "sequential-pattern support: the user×type min/max aggregate is cached PRE-PARTITIONED on user_id, so both self-join sides read co-located partitions — the pair join is type-vocab² per user, never event-quadratic",
     "label_noise_detect" ->
-      "kNN label voting on distinct-embedding class representatives: buckets/candidates/cosines ∝ distinct vectors (clone-corpus quadratic structurally gone), members re-enter as k+1-id slices, bounded-state top_k_by, label joins by id",
+      "kNN label voting on distinct-embedding class representatives behind the md5-smallest bucket cap (<=64 classes per LSH table/bucket — candidate budget cap^2/2 per bucket at ANY corpus size), members re-enter as k+1-id slices, bounded-state top_k_by, label joins by id",
     "spearman_corr" ->
       "rank correlation from the joint value grid: the corpus shuffles only (xq, yq) cell pairs; midrank cumsums read ≤50-row grids; every rank sum is exact DECIMAL(38,0) integer arithmetic",
     "dsir_weights" ->
@@ -116,7 +116,11 @@ object PlanDump {
     "graph_ppr" ->
       "personalized PageRank: the chunked-adjacency list is built once and persisted; each iteration is probe -> explode -> partial agg with a LEFT join against the static degree table so frontier-absent seeds keep their teleport; only (node, pr) longs ride the loop shuffles",
     "basket_rules_3" ->
-      "triple rules: C(k,3) fan-out from TWO nested suffix slices over each sorted basket (<=35 rows per ~7-item order), never an |li|^3 self-join; the support filter prunes BEFORE the 3-rotation fan-out and the decorations join id-keyed grid aggregates")
+      "triple rules: Apriori item pre-prune (items in no support>=2 pair dropped by semi-join) BEFORE the C(k,3) fan-out from TWO nested suffix slices per sorted basket — never an |li|^3 self-join; the decorations join id-keyed grid aggregates",
+    "rerank_prf" ->
+      "two-stage retrieval: the QL first stage is the only corpus-scale work; the PRF centroid is a model-sized driver collect baked back as a LITERAL into the codegen'd vec_dot_l over the 20-row shortlist",
+    "substring_longest_match" ->
+      "fingerprint pyramid: all four doubling levels built inside ONE per-doc projection (zero shuffles); the single corpus-cardinality exchange keys (lvl, fp) counts and is REUSED by the join back")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.get(4)
