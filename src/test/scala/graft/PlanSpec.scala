@@ -818,6 +818,7 @@ class PlanSpec extends SparkSpec {
       "bpe_pair_counts" -> "rank decoration after LIMIT (WindowGroupLimit)",
       "bm25_search" -> "rank decoration over top-k (WindowGroupLimit)",
       "ql_search" -> "rank decoration after LIMIT: 20-row window input",
+      "rerank_prf" -> "rerank over the first-stage shortlist: 20-row window input (the centroid collect already materialized the LIMIT upstream)",
       "rrf_fusion" -> "query-term-posting-bounded rank lists (bm25_search discipline); fusion joins two <=50-row lists",
       "user_journey" -> "rank decoration over top-k (WindowGroupLimit)",
       "resample_fill" -> "time grid: one row per resample bucket",
