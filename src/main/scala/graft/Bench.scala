@@ -96,7 +96,10 @@ object Bench {
     // round-12 batch: second-stage rerank audit (deepening atop
     // ql_search; the streaming twin stream_semdedup_gate rides
     // StreamBench's auto-discovery)
-    "rerank_prf")
+    "rerank_prf",
+    // round-12 second batch: probe-side LSH recall dial + calendar-
+    // bounded shape anomalies (stream_quota_gate auto-discovers)
+    "ann_lsh_multiprobe", "matrix_profile_discords")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

@@ -302,6 +302,90 @@ object Similarity {
       |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   }
 
+  /** Multi-probe LSH (Lv et al., VLDB 2007): each query probes its own
+    * bucket PLUS the k buckets at Hamming distance 1 (every single sign
+    * bit flipped) in every table — the recall of ~k extra tables for
+    * the cost of k extra index LOOKUPS, with zero extra index build or
+    * storage. The corpus index is untouched (same write-once
+    * [[lshCorpusIndex]]); only the query side fans out (k+1)×, and the
+    * probe set is deterministic (all 1-flips, no margin ordering), so
+    * the oracle replays it as a bit_count(xor) ≤ 1 bucket join.
+    *
+    * Scale shape: identical to [[annLsh]] — the (tbl, bucket) equi-join
+    * carries ids only, the query side stays broadcast-sized (queries ×
+    * tables × (k+1) rows), and candidate mass per query is bounded by
+    * (k+1)·tables·occupancy with the same adaptive-k occupancy bound.
+    * Recall ≥ [[annLsh]]'s by construction (probe superset) —
+    * spec-verified, with the exact-rank tail identical.
+    */
+  def annLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val (planesUsed, corpusIdx) = lshCorpusIndex(spark, dir)
+    val probes = array(($"bucket" +: (0 until planesUsed).map(p =>
+      $"bucket".bitwiseXOR(lit(1L << p)))): _*)
+    val qIdx = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"),
+        explode(lshIndexEntriesK($"embedding", planesUsed)).as("qk"))
+      .select($"q_id", $"qk.tbl".as("tbl"), $"qk.bucket".as("bucket"))
+      .select($"q_id", $"tbl", explode(probes).as("bucket"))
+    val cand = corpusIdx.join(broadcast(qIdx), Seq("tbl", "bucket"))
+      .select($"q_id", $"n_id").distinct()
+    val qVecs = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        Dedup.norm($"embedding").as("q_norm"))
+    val nVecs = e.filter($"vec_id" >= 8)
+      .select($"vec_id".as("n_id"), $"embedding".as("n_vec"),
+        Dedup.norm($"embedding").as("n_norm"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+    cand.join(nVecs, "n_id").join(broadcast(qVecs), "q_id")
+      .withColumn("cos", Dedup.cosinePre($"q_vec", $"n_vec", $"q_norm", $"n_norm"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"q_id", $"rk", $"n_id", round($"cos", 6).as("cos_sim"))
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** [[annLshSql]] with the candidate join widened from bucket equality
+    * to Hamming distance ≤ 1 between query and corpus buckets — the
+    * exact set the all-1-flips probe fan-out reaches. */
+  val annLshMultiprobeSql: String = {
+    val planeRows = lshPlaneRowsExtSql
+    s"""WITH planes(tbl, p, pv) AS (VALUES
+      |      $planeRows),
+      |np AS (SELECT $adaptivePlanesCaseSql AS k
+      |  FROM embeddings WHERE vec_id >= 8),
+      |corpus_b AS (
+      |  SELECT e.vec_id AS n_id, pl.tbl,
+      |    CAST(sum(CASE WHEN pl.p < np.k
+      |      AND list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.pv) > 0
+      |      THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM embeddings e, planes pl, np WHERE e.vec_id >= 8
+      |  GROUP BY e.vec_id, pl.tbl),
+      |query_b AS (
+      |  SELECT e.vec_id AS q_id, pl.tbl,
+      |    CAST(sum(CASE WHEN pl.p < np.k
+      |      AND list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.pv) > 0
+      |      THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM embeddings e, planes pl, np WHERE e.vec_id < 8
+      |  GROUP BY e.vec_id, pl.tbl),
+      |cand AS (
+      |  SELECT DISTINCT q.q_id, c.n_id
+      |  FROM corpus_b c JOIN query_b q ON c.tbl = q.tbl
+      |    AND bit_count(xor(c.bucket, q.bucket)) <= 1),
+      |scored AS (
+      |  SELECT cand.q_id, cand.n_id,
+      |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ne.embedding AS DOUBLE[])) AS cos
+      |  FROM cand JOIN embeddings qe ON cand.q_id = qe.vec_id
+      |            JOIN embeddings ne ON cand.n_id = ne.vec_id),
+      |ranked AS (
+      |  SELECT q_id, n_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+      |  FROM scored)
+      |SELECT q_id, rk, n_id, round(cos, 6) AS cos_sim
+      |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  }
+
   /** kNN label classification: each query vector takes the majority
     * label of its 5 nearest corpus neighbors (ties → smaller label) —
     * embedding-space inference for labeling/routing pipelines. Queries

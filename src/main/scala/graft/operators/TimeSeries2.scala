@@ -1123,4 +1123,105 @@ object TimeSeries2 {
       |  CASE WHEN zv < -0.6745 THEN 'a' WHEN zv < 0.0 THEN 'b'
       |       WHEN zv < 0.6745 THEN 'c' ELSE 'd' END AS symbol
       |FROM z ORDER BY event_type, seg""".stripMargin
+
+  /** Matrix-profile subsequence length (days) — also the exclusion-zone
+    * radius (a subsequence may not name an overlapping one as its
+    * nearest neighbor, the standard trivial-match guard). */
+  val MpW = 4
+  private val MpTopK = 3
+
+  /** Matrix-profile discord discovery per event-type daily series: for
+    * every length-[[MpW]] window of the series, the squared Euclidean
+    * distance to its nearest NON-OVERLAPPING window (the matrix
+    * profile); the top-3 windows whose nearest neighbor is FARTHEST are
+    * the series' discords — the "no week ever looked like this one"
+    * anomaly primitive (Yeh et al., ICDM 2016), complementing
+    * [[Profile.anomalyZscore]]'s pointwise flags with shape-aware ones.
+    *
+    * Exactness: subsequence elements are the BIGINT 10⁻⁴-grid daily
+    * sums; dist² = Σ(x_i − x_j)² is DECIMAL(38,0)-exact (|diff| ≤ ~10¹⁰
+    * even at sf100 → dist² ≤ ~4·10²⁰, far under 38 digits), the argmin
+    * and the discord ranking compare those integers directly, and the
+    * one double division happens after both ranks are fixed — so rank,
+    * neighbor, and score are bit-identical in the DuckDB mirror.
+    *
+    * Scale: the all-pairs step is O(m²) per series in SUBSEQUENCE
+    * count m — and m is calendar-bounded (a daily grid over the corpus'
+    * fixed time span), NOT data-volume-bounded: 10 years of daily data
+    * is m ≈ 3.6k → 13M integer pairs per series, constant as the corpus
+    * grows 100×. The pair join is keyed (type, off) — never a cross
+    * product over rows — and everything upstream of it is the one
+    * partial-agg scan that [[dailySeries]] shares with the whole file.
+    */
+  def matrixProfileDiscords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day_n")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type")
+    val d38 = "decimal(38,0)"
+    val c = dailySeries(spark, dir)
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+    // subsequence elements: (type, window start i, offset 0..MpW-1, x)
+    val sub = c.as("a").join(c.as("b"),
+        $"a.event_type" === $"b.event_type" &&
+          $"b.t" >= $"a.t" && $"b.t" <= $"a.t" + (MpW - 1))
+      .filter($"a.t" <= $"a.n" - (MpW - 1))
+      .select($"a.event_type".as("event_type"), $"a.t".as("i"),
+        ($"b.t" - $"a.t").as("off"), $"b.x_u".as("x"))
+    // exact integer dist² for every non-overlapping window pair
+    val dist = sub.as("s").join(sub.as("r"),
+        $"s.event_type" === $"r.event_type" && $"s.off" === $"r.off")
+      .filter(abs($"s.i" - $"r.i") >= MpW)
+      .select($"s.event_type".as("event_type"), $"s.i".as("i"), $"r.i".as("j"),
+        (($"s.x" - $"r.x").cast(d38) * ($"s.x" - $"r.x").cast(d38))
+          .cast(d38).as("sq"))
+      .groupBy($"event_type", $"i", $"j")
+      .agg(sum($"sq").cast(d38).as("dist2"))
+    val wNN = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type", $"i").orderBy($"dist2", $"j")
+    val wDiscord = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"dist2".desc, $"i")
+    dist.withColumn("rk_nn", row_number().over(wNN)).filter($"rk_nn" === 1)
+      .withColumn("rk", row_number().over(wDiscord)).filter($"rk" <= MpTopK)
+      .join(c.select($"event_type", $"t".as("i"), $"day_n"), Seq("event_type", "i"))
+      .select($"event_type", $"rk", $"i".as("pos"), $"day_n".as("start_day"),
+        $"j".as("nn_pos"),
+        round($"dist2".cast("double") / 1e8, 4).as("mp_dist"))
+      .orderBy($"event_type", $"rk")
+  }
+
+  val matrixProfileDiscordsSql: String =
+    s"""WITH daily AS ($dailySeriesSql),
+      |c AS (
+      |  SELECT event_type, day_n, x_u,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day_n)
+      |      AS BIGINT) AS t,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM daily),
+      |sub AS (
+      |  SELECT a.event_type, a.t AS i, b.t - a.t AS off, b.x_u AS x
+      |  FROM c a JOIN c b ON b.event_type = a.event_type
+      |    AND b.t BETWEEN a.t AND a.t + ${MpW - 1}
+      |  WHERE a.t <= a.n - ${MpW - 1}),
+      |dist AS (
+      |  SELECT s.event_type, s.i, r.i AS j,
+      |    CAST(sum(CAST(s.x - r.x AS DECIMAL(38,0))
+      |      * CAST(s.x - r.x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS dist2
+      |  FROM sub s JOIN sub r ON r.event_type = s.event_type
+      |    AND r.off = s.off AND abs(s.i - r.i) >= $MpW
+      |  GROUP BY 1, 2, 3),
+      |nn AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type, i
+      |    ORDER BY dist2, j) AS rk_nn FROM dist),
+      |disc AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY dist2 DESC, i) AS rk
+      |  FROM nn WHERE rk_nn = 1)
+      |SELECT d.event_type, d.rk, d.i AS pos, c.day_n AS start_day,
+      |  d.j AS nn_pos,
+      |  round(CAST(d.dist2 AS DOUBLE) / 100000000, 4) AS mp_dist
+      |FROM disc d JOIN c ON c.event_type = d.event_type AND c.t = d.i
+      |WHERE d.rk <= $MpTopK ORDER BY d.event_type, d.rk""".stripMargin
 }

@@ -776,6 +776,65 @@ object StreamQueries {
 
   val streamHeavyHittersSql: String = graft.operators.Profile.heavyHittersSql
 
+  /** Per-(hour, type) admission quota for [[streamQuotaGate]]: the gate
+    * admits at most this many events per key-window. */
+  val QuotaPerWindow = 3
+
+  /** Streaming ingest ADMISSION QUOTA: at most [[QuotaPerWindow]] events
+    * per (hour, event_type) pass the gate — the per-source rate cap a
+    * crawl/ingest pipeline enforces so no single window of one source
+    * floods the corpus (per-domain politeness caps, dedup-budget
+    * throttles). Admission is deterministic (the QuotaPerWindow SMALLEST
+    * event_ids win, not arrival order), so the output is micro-batch-
+    * boundary-invariant and exactly SQL-mirrorable.
+    *
+    * State shape: the bounded `top_k_by` heap — O(k) per key-window
+    * REGARDLESS of how many events the window saw (a windowed
+    * collect_list gate would hold the whole flood; this holds k ids and
+    * a count). Key space is the (hour × type) grid — calendar-bounded,
+    * the same state-audit class as the windowed aggs. The heap
+    * partial-aggregates map-side, so shuffle traffic per window is ≤ k
+    * ids per map task, not per event.
+    */
+  def streamQuotaGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inDir = stageEvents(dir)
+    val name = uniqueName("sq_quota")
+    val events = eventStream(spark, inDir)
+    val q = events
+      .withColumn("hour", window($"ts", "1 hour"))
+      .groupBy($"hour", $"event_type")
+      .agg(count(lit(1)).as("n_total"),
+        graft.functions.AggFunctions.top_k_by(
+          -$"event_id".cast("double"), $"event_id", QuotaPerWindow).as("admits"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+      .select(date_format($"hour.start", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"event_type", $"n_total",
+        ($"n_total" - least($"n_total", lit(QuotaPerWindow.toLong)))
+          .as("n_rejected"),
+        posexplode($"admits"))
+      .select($"hour", $"event_type", $"n_total", $"n_rejected",
+        ($"pos" + 1).cast("long").as("admit_rank"), $"col.payload".as("event_id"))
+      .orderBy($"hour", $"event_type", $"admit_rank")
+  }
+
+  val streamQuotaGateSql: String =
+    s"""WITH r AS (
+      |  SELECT event_type, event_id,
+      |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |    CAST(count(*) OVER (PARTITION BY date_trunc('hour', ts), event_type)
+      |      AS BIGINT) AS n_total,
+      |    CAST(row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+      |      ORDER BY event_id) AS BIGINT) AS admit_rank
+      |  FROM events)
+      |SELECT hour, event_type, n_total,
+      |  n_total - least(n_total, ${QuotaPerWindow}) AS n_rejected,
+      |  admit_rank, event_id
+      |FROM r WHERE admit_rank <= ${QuotaPerWindow}
+      |ORDER BY hour, event_type, admit_rank""".stripMargin
+
   /** Stateful streaming last-touch attribution ([[Attribution]]): the
     * event file streams through flatMapGroupsWithState carrying each
     * user's last non-purchase touch; per-purchase attribution rows are

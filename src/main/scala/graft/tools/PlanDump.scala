@@ -120,7 +120,11 @@ object PlanDump {
     "rerank_prf" ->
       "two-stage retrieval: the QL first stage is the only corpus-scale work; the PRF centroid is a model-sized driver collect baked back as a LITERAL into the codegen'd vec_dot_l over the 20-row shortlist",
     "substring_longest_match" ->
-      "fingerprint pyramid: all four doubling levels built inside ONE per-doc projection (zero shuffles); the single corpus-cardinality exchange keys (lvl, fp) counts and is REUSED by the join back")
+      "fingerprint pyramid: all four doubling levels built inside ONE per-doc projection (zero shuffles); the single corpus-cardinality exchange keys (lvl, fp) counts and is REUSED by the join back",
+    "ann_lsh_multiprobe" ->
+      "multi-probe LSH: the SAME persisted corpus index as ann_lsh — only the broadcast query side fans out (k+1)x with the 1-flip probe buckets, so extra recall costs zero index build/storage and the candidate join stays ids-only",
+    "matrix_profile_discords" ->
+      "matrix profile: the all-pairs stage is keyed (type, offset) over the calendar-bounded daily grid — O(m^2) in SERIES length, invariant to corpus volume; everything upstream is the one shared partial-agg scan")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.get(4)

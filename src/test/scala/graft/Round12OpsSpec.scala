@@ -124,4 +124,107 @@ class Round12OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(a === b, "md5-smallest sample must be deterministic")
   }
+
+  test("ann_lsh_multiprobe: recall dominates ann_lsh, identical exact-rank tail") {
+    def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    val exact = top5(Similarity.annBruteforce(spark, sf))
+    val lsh = top5(Similarity.annLsh(spark, sf))
+    val mp = top5(Similarity.annLshMultiprobe(spark, sf))
+    def recall(got: Map[Long, Seq[Long]]): Double = {
+      val hits = exact.map { case (q, e) =>
+        e.toSet.intersect(got.getOrElse(q, Seq.empty).toSet).size }.sum
+      hits.toDouble / exact.values.map(_.size).sum
+    }
+    val (rLsh, rMp) = (recall(lsh), recall(mp))
+    assert(rMp >= rLsh,
+      s"multi-probe recall $rMp must dominate single-probe $rLsh (probe superset)")
+    // the 1-flip probe set strictly contains the 0-flip one, so every
+    // single-probe neighbor that made the exact top-5 stays reachable:
+    // any (q, n) ranked by ann_lsh at a cos that multiprobe's top-5
+    // excludes must have been displaced by a STRICTLY closer candidate
+    mp.foreach { case (q, ns) =>
+      assert(ns.size <= 5 && ns.distinct.size == ns.size, s"q=$q bad top-k")
+    }
+    // exact-rank tail contract: where both shortlists contain the true
+    // nearest neighbor, both rank it first
+    exact.foreach { case (q, e) =>
+      val nn = e.head
+      if (lsh.getOrElse(q, Seq.empty).contains(nn) && mp.contains(q) &&
+          mp(q).contains(nn))
+        assert(mp(q).head == nn, s"q=$q: true NN in shortlist must rank 1")
+    }
+  }
+
+  test("matrix_profile_discords: brute-force replay — exclusion zone, argmin, ranking") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.TimeSeries2.matrixProfileDiscords(spark, sf).collect()
+    assert(out.nonEmpty, "discords must exist on a 30-day series")
+    val w = graft.operators.TimeSeries2.MpW
+    // recompute the full profile from the same exact daily grid
+    val daily = graft.sources.Tables.events(spark, sf)
+      .select($"event_type",
+        floor(unix_timestamp($"ts") / 86400L).cast("long").as("day_n"),
+        $"value".cast("decimal(18,4)").as("v"))
+      .groupBy($"event_type", $"day_n")
+      .agg((sum($"v") * 10000).cast("decimal(38,0)").cast("long").as("x_u"))
+      .collect().groupBy(_.getString(0))
+    val expected = daily.flatMap { case (tpe, rows) =>
+      val xs = rows.sortBy(_.getLong(1)).map(r => (r.getLong(1), r.getLong(2)))
+      val m = xs.length - (w - 1)
+      if (m < 1) Seq.empty
+      else {
+        val mp = (1 to m).flatMap { i =>
+          val cands = (1 to m).filter(j => math.abs(i - j) >= w).map { j =>
+            val d2 = (0 until w).map { t =>
+              val d = BigInt(xs(i - 1 + t)._2) - BigInt(xs(j - 1 + t)._2)
+              d * d
+            }.sum
+            (d2, j)
+          }
+          if (cands.isEmpty) None else Some((i, cands.min))
+        }
+        mp.sortBy { case (i, (d2, _)) => (-d2, BigInt(i)) }.take(3).zipWithIndex
+          .map { case ((i, (d2, j)), rk) =>
+            (tpe, rk + 1, i.toLong, xs(i - 1)._1, j.toLong,
+              BigDecimal(d2.toDouble / 1e8)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+      }
+    }.toSet
+    val got = out.map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got === expected, s"profile mismatch:\n got=$got\n exp=$expected")
+    // exclusion zone is structural, not just replayed
+    out.foreach(r => assert(math.abs(r.getLong(2) - r.getLong(4)) >= w,
+      "nearest neighbor inside the exclusion zone"))
+  }
+
+  test("stream_quota_gate: admits are the smallest ids per window, quota and reject arithmetic") {
+    import org.apache.spark.sql.functions._
+    val k = graft.streaming.StreamQueries.QuotaPerWindow
+    val out = graft.streaming.StreamQueries.streamQuotaGate(spark, sf).collect()
+    assert(out.nonEmpty)
+    // batch replay: per (hour, type) the k smallest event_ids
+    val batch = graft.sources.Tables.events(spark, sf)
+      .select(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"event_type", $"event_id")
+      .collect().groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (key, rs) =>
+        key -> (rs.length.toLong, rs.map(_.getLong(2)).sorted.take(k).toSeq) }
+    val gate = out.groupBy(r => (r.getString(0), r.getString(1)))
+    assert(gate.keySet === batch.keySet, "every non-empty window must emit")
+    gate.foreach { case (key, rs) =>
+      val (nTotal, admits) = batch(key)
+      val sorted = rs.sortBy(_.getLong(4))
+      assert(sorted.map(_.getLong(4)).toSeq === (1L to sorted.length), s"$key ranks")
+      assert(sorted.map(_.getLong(5)).toSeq === admits,
+        s"$key admitted set must be the $k smallest event_ids")
+      rs.foreach { r =>
+        assert(r.getLong(2) === nTotal, s"$key n_total")
+        assert(r.getLong(3) === nTotal - math.min(nTotal, k.toLong), s"$key n_rejected")
+      }
+    }
+  }
 }
