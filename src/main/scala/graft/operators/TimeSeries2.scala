@@ -1170,8 +1170,12 @@ object TimeSeries2 {
       .filter($"a.t" <= $"a.n" - (MpW - 1))
       .select($"a.event_type".as("event_type"), $"a.t".as("i"),
         ($"b.t" - $"a.t").as("off"), $"b.x_u".as("x"))
-    // exact integer dist² for every non-overlapping window pair
-    val dist = sub.as("s").join(sub.as("r"),
+    // exact integer dist² for every non-overlapping window pair; the
+    // build side is the WHOLE subsequence table — calendar-bounded
+    // (m·MpW·|types| rows, ~1.4M for 10 years of daily grid), so the
+    // broadcast is safe BY CONSTRUCTION and saves the sort exchanges a
+    // grid-sized sort-merge join would pay
+    val dist = sub.as("s").join(broadcast(sub.as("r")),
         $"s.event_type" === $"r.event_type" && $"s.off" === $"r.off")
       .filter(abs($"s.i" - $"r.i") >= MpW)
       .select($"s.event_type".as("event_type"), $"s.i".as("i"), $"r.i".as("j"),
