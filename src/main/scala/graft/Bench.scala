@@ -99,7 +99,9 @@ object Bench {
     "rerank_prf",
     // round-12 second batch: probe-side LSH recall dial + calendar-
     // bounded shape anomalies (stream_quota_gate auto-discovers)
-    "ann_lsh_multiprobe", "matrix_profile_discords")
+    "ann_lsh_multiprobe", "matrix_profile_discords",
+    // round-12 third batch: IVF tuning curve + motif twin
+    "ann_ivf_sweep", "matrix_profile_motifs")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

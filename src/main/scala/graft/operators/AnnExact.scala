@@ -327,6 +327,138 @@ object AnnExact {
       |  FROM scored) t WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin)
 
   // ------------------------------------------------------------------
+  // ann_ivf_sweep — the nprobe recall/cost tuning curve, oracle-exact
+  // ------------------------------------------------------------------
+
+  /** IVF nprobe SWEEP: recall@5 against the exact full-scan truth and
+    * fraction-of-corpus-scanned, at every probe width 1..[[IvfNprobe]]
+    * over the SAME trained index as [[annIvf]] — the tuning curve an
+    * operator reads before pinning nprobe (the IVF sibling of
+    * `minhash_band_sweep` / `rp_band_sweep`, completing the
+    * per-index-family audit symmetry). One probe-set scan at the
+    * widest width serves every sweep point: each candidate carries its
+    * cluster's probe rank, so narrower widths are FILTERS over the one
+    * scored table, never rescans. The exact reference is one
+    * integer-cosine full scan — paid once, the same honest-calibration
+    * cost hll_audit pays.
+    *
+    * Exactness: integer Lloyd/assignment/probe ranks as [[annIvf]];
+    * recall and scan fraction are floor-div micro-units of exact
+    * counts, so the 3-row output hash-matches the generated oracle.
+    * Scale: output is |sweep| rows; the full scan is corpus-linear and
+    * the swept candidate table is ≤ nprobe/k of (corpus × queries).
+    */
+  def annIvfSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (corpus, queries) = quantSplit(spark, dir)
+    val corpusC = corpus.persist()
+    val cents = Training.lloydCentroids(corpusC, IvfK, IvfIters)
+    val index = Training.assign(corpusC, cents)
+      .select($"vec_id".as("n_id"), $"vq".as("nv"), $"cluster",
+        vec_dot_l($"vq", $"vq").as("nn"))
+    val qprobes = centroidScores(queries, "vec_id", "vq", cents)
+      .withColumn("prk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"d2", $"cluster")).cast("long"))
+      .filter($"prk" <= IvfNprobe)
+      .select($"q_id", $"qv", vec_dot_l($"qv", $"qv").as("qq"),
+        $"cluster", $"prk")
+    val cand = index.join(broadcast(qprobes), "cluster")
+      .withColumn("cos", vec_dot_l($"qv", $"nv").cast("double")
+        / (sqrt($"qq".cast("double")) * sqrt($"nn".cast("double"))))
+      .select($"q_id", $"n_id", $"prk", $"cos")
+      .persist()
+    val qb = queries.select($"vec_id".as("q_id"), $"vq".as("qv"))
+      .withColumn("qq", vec_dot_l($"qv", $"qv"))
+    val exact = index.crossJoin(broadcast(qb))
+      .withColumn("cos", vec_dot_l($"qv", $"nv").cast("double")
+        / (sqrt($"qq".cast("double")) * sqrt($"nn".cast("double"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")))
+      .filter($"rk" <= TopK)
+      .select($"q_id", $"n_id")
+    val grid = (1 to IvfNprobe).map(_.toLong).toDF("nprobe")
+    val swept = cand.crossJoin(broadcast(grid)).filter($"prk" <= $"nprobe")
+    val top = swept
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"nprobe", $"q_id").orderBy($"cos".desc, $"n_id")))
+      .filter($"rk" <= TopK)
+      .select($"nprobe", $"q_id", $"n_id")
+    val hits = top.join(exact, Seq("q_id", "n_id"))
+      .groupBy($"nprobe").agg(count(lit(1)).as("n_hits"))
+    val scanned = swept.groupBy($"nprobe")
+      .agg(count(lit(1)).as("n_scanned"))
+    val sizes = qb.agg(count(lit(1)).as("n_q"))
+      .crossJoin(index.agg(count(lit(1)).as("n_corpus")))
+    val out = grid.join(hits, Seq("nprobe"), "left")
+      .join(scanned, Seq("nprobe"))
+      .crossJoin(broadcast(sizes))
+      .withColumn("n_hits", coalesce($"n_hits", lit(0L)))
+      .select($"nprobe", $"n_hits", $"n_scanned",
+        expr(s"n_hits * 1000000L div (n_q * $TopK)").as("mean_recall_micro"),
+        expr("n_scanned * 1000000L div (n_q * n_corpus)").as("scan_frac_micro"))
+      .orderBy($"nprobe")
+    out.transform(o => Release.grid(o, corpusC, cand)) // |sweep| rows
+  }
+
+  val annIvfSweepSql: String = mat(
+    baseCtes + lloydSql("iv", IvfK, IvfIters) + assignProbeSql("iv", IvfIters) +
+      s""",
+      |ivprk AS (
+      |  SELECT q_id, cluster,
+      |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2, cluster)
+      |      AS BIGINT) AS prk
+      |  FROM ivqd),
+      |dots AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    CAST(sum(q.vq * c.vq) AS BIGINT) AS dot
+      |  FROM qry q JOIN corp c ON c.dim = q.dim GROUP BY 1, 2),
+      |scoredall AS (
+      |  SELECT d.q_id, d.n_id,
+      |    CAST(d.dot AS DOUBLE)
+      |      / (sqrt(CAST(qn.s2 AS DOUBLE)) * sqrt(CAST(nn.s2 AS DOUBLE))) AS cos
+      |  FROM dots d JOIN nrm qn ON qn.vec_id = d.q_id
+      |              JOIN nrm nn ON nn.vec_id = d.n_id),
+      |exact AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q_id, n_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+      |    FROM scoredall) t WHERE rk <= $TopK),
+      |grid(nprobe) AS (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+      |                        (CAST(3 AS BIGINT))),
+      |cand AS (
+      |  SELECT p.q_id, a.n_id, p.prk, s.cos
+      |  FROM ivprk p JOIN ivcasg a USING (cluster)
+      |  JOIN scoredall s ON s.q_id = p.q_id AND s.n_id = a.n_id
+      |  WHERE p.prk <= $IvfNprobe),
+      |swept AS (
+      |  SELECT g.nprobe, c.q_id, c.n_id, c.cos
+      |  FROM grid g JOIN cand c ON c.prk <= g.nprobe),
+      |topp AS (
+      |  SELECT nprobe, q_id, n_id FROM (
+      |    SELECT nprobe, q_id, n_id,
+      |      row_number() OVER (PARTITION BY nprobe, q_id
+      |        ORDER BY cos DESC, n_id) AS rk
+      |    FROM swept) t WHERE rk <= $TopK),
+      |hits AS (
+      |  SELECT t.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+      |  FROM topp t JOIN exact e USING (q_id, n_id) GROUP BY 1),
+      |scanned AS (
+      |  SELECT nprobe, CAST(count(*) AS BIGINT) AS n_scanned
+      |  FROM swept GROUP BY 1),
+      |sizes AS (
+      |  SELECT (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) FROM qry) AS n_q,
+      |         (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) FROM corp)
+      |           AS n_corpus)
+      |SELECT g.nprobe, COALESCE(h.n_hits, 0) AS n_hits, s.n_scanned,
+      |  ${fdivSql(s"COALESCE(h.n_hits, 0) * 1000000", s"z.n_q * $TopK")}
+      |    AS mean_recall_micro,
+      |  ${fdivSql("s.n_scanned * 1000000", "z.n_q * z.n_corpus")}
+      |    AS scan_frac_micro
+      |FROM grid g LEFT JOIN hits h ON h.nprobe = g.nprobe
+      |JOIN scanned s ON s.nprobe = g.nprobe, sizes z
+      |ORDER BY g.nprobe""".stripMargin)
+
+  // ------------------------------------------------------------------
   // ann_ivf_adaptive — margin-rule probe width, oracle-exact
   // ------------------------------------------------------------------
 

@@ -1153,7 +1153,13 @@ object TimeSeries2 {
     * product over rows — and everything upstream of it is the one
     * partial-agg scan that [[dailySeries]] shares with the whole file.
     */
-  def matrixProfileDiscords(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared matrix-profile machinery: the positioned daily grid `c`
+    * (t = row index, n = series length per type) and the exact-integer
+    * pair-distance table `dist` (event_type, i, j, dist2) over every
+    * non-overlapping window pair — consumed by both the discord and
+    * the motif readout. */
+  private def mpDistTable(spark: SparkSession,
+                          dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"event_type").orderBy($"day_n")
@@ -1183,6 +1189,12 @@ object TimeSeries2 {
           .cast(d38).as("sq"))
       .groupBy($"event_type", $"i", $"j")
       .agg(sum($"sq").cast(d38).as("dist2"))
+    (c, dist)
+  }
+
+  def matrixProfileDiscords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (c, dist) = mpDistTable(spark, dir)
     val wNN = org.apache.spark.sql.expressions.Window
       .partitionBy($"event_type", $"i").orderBy($"dist2", $"j")
     val wDiscord = org.apache.spark.sql.expressions.Window
@@ -1196,7 +1208,9 @@ object TimeSeries2 {
       .orderBy($"event_type", $"rk")
   }
 
-  val matrixProfileDiscordsSql: String =
+  /** Shared oracle CTEs for the matrix-profile pair: daily grid,
+    * positioned series, subsequences, exact pair distances. */
+  private val mpBaseSql: String =
     s"""WITH daily AS ($dailySeriesSql),
       |c AS (
       |  SELECT event_type, day_n, x_u,
@@ -1215,7 +1229,10 @@ object TimeSeries2 {
       |      * CAST(s.x - r.x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS dist2
       |  FROM sub s JOIN sub r ON r.event_type = s.event_type
       |    AND r.off = s.off AND abs(s.i - r.i) >= $MpW
-      |  GROUP BY 1, 2, 3),
+      |  GROUP BY 1, 2, 3)""".stripMargin
+
+  val matrixProfileDiscordsSql: String =
+    s"""$mpBaseSql,
       |nn AS (
       |  SELECT *, row_number() OVER (PARTITION BY event_type, i
       |    ORDER BY dist2, j) AS rk_nn FROM dist),
@@ -1228,4 +1245,42 @@ object TimeSeries2 {
       |  round(CAST(d.dist2 AS DOUBLE) / 100000000, 4) AS mp_dist
       |FROM disc d JOIN c ON c.event_type = d.event_type AND c.t = d.i
       |WHERE d.rk <= $MpTopK ORDER BY d.event_type, d.rk""".stripMargin
+
+  /** Matrix-profile MOTIF discovery — the discord readout's twin: the
+    * top-3 CLOSEST non-overlapping window pairs per series (smallest
+    * exact dist², i < j dedups the symmetric pair) — "which week shape
+    * repeats most exactly", the recurring-pattern primitive the same
+    * Yeh et al. profile serves. Same shared [[mpDistTable]] machinery,
+    * same calendar-bounded cost, same integer-exact ranking.
+    */
+  def matrixProfileMotifs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (c, dist) = mpDistTable(spark, dir)
+    val wMotif = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"dist2", $"i", $"j")
+    dist.filter($"i" < $"j")
+      .withColumn("rk", row_number().over(wMotif)).filter($"rk" <= MpTopK)
+      .join(c.select($"event_type", $"t".as("i"), $"day_n".as("day_a")),
+        Seq("event_type", "i"))
+      .join(c.select($"event_type", $"t".as("j"), $"day_n".as("day_b")),
+        Seq("event_type", "j"))
+      .select($"event_type", $"rk", $"i".as("pos_a"), $"j".as("pos_b"),
+        $"day_a", $"day_b",
+        round($"dist2".cast("double") / 1e8, 4).as("mp_dist"))
+      .orderBy($"event_type", $"rk")
+  }
+
+  val matrixProfileMotifsSql: String =
+    s"""$mpBaseSql,
+      |mot AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY dist2, i, j) AS rk
+      |  FROM dist WHERE i < j)
+      |SELECT m.event_type, m.rk, m.i AS pos_a, m.j AS pos_b,
+      |  ca.day_n AS day_a, cb.day_n AS day_b,
+      |  round(CAST(m.dist2 AS DOUBLE) / 100000000, 4) AS mp_dist
+      |FROM mot m
+      |JOIN c ca ON ca.event_type = m.event_type AND ca.t = m.i
+      |JOIN c cb ON cb.event_type = m.event_type AND cb.t = m.j
+      |WHERE m.rk <= $MpTopK ORDER BY m.event_type, m.rk""".stripMargin
 }

@@ -201,6 +201,70 @@ class Round12OpsSpec extends SparkSpec {
       "nearest neighbor inside the exclusion zone"))
   }
 
+  test("ann_ivf_sweep: recall and scan fraction are monotone in nprobe, bounds hold") {
+    val out = graft.operators.AnnExact.annIvfSweep(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L), "sweep grid 1..3")
+    val recall = out.map(_.getLong(3))
+    val frac = out.map(_.getLong(4))
+    recall.sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a, "recall must be monotone non-decreasing in nprobe")
+    case _ => }
+    frac.sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a, "scan fraction must be monotone non-decreasing in nprobe")
+    case _ => }
+    out.foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L, "recall in [0,1]")
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L, "fraction in [0,1]")
+    }
+    // widest width must reproduce ann_ivf's candidate mass class: at
+    // nprobe=3 the scan fraction sits near 3/8 of the corpus (equal-ish
+    // cells) — assert the loose structural band, not the exact split
+    assert(frac.last > 100000L && frac.last < 900000L,
+      s"nprobe=3 scan fraction ${frac.last} outside the plausible band")
+  }
+
+  test("matrix_profile_motifs: brute-force replay, symmetric dedup, disjoint from discords") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.TimeSeries2.matrixProfileMotifs(spark, sf).collect()
+    assert(out.nonEmpty)
+    val w = graft.operators.TimeSeries2.MpW
+    out.foreach { r =>
+      assert(r.getLong(2) < r.getLong(3), "pair must be emitted once with pos_a < pos_b")
+      assert(r.getLong(3) - r.getLong(2) >= w, "motif pair inside the exclusion zone")
+    }
+    // brute replay on the exact daily grid
+    val daily = graft.sources.Tables.events(spark, sf)
+      .select($"event_type",
+        floor(unix_timestamp($"ts") / 86400L).cast("long").as("day_n"),
+        $"value".cast("decimal(18,4)").as("v"))
+      .groupBy($"event_type", $"day_n")
+      .agg((sum($"v") * 10000).cast("decimal(38,0)").cast("long").as("x_u"))
+      .collect().groupBy(_.getString(0))
+    val expected = daily.flatMap { case (tpe, rows) =>
+      val xs = rows.sortBy(_.getLong(1)).map(r => (r.getLong(1), r.getLong(2)))
+      val m = xs.length - (w - 1)
+      val pairs = for {
+        i <- 1 to m; j <- (i + w) to m
+      } yield {
+        val d2 = (0 until w).map { t =>
+          val d = BigInt(xs(i - 1 + t)._2) - BigInt(xs(j - 1 + t)._2)
+          d * d
+        }.sum
+        (d2, i, j)
+      }
+      pairs.sortBy { case (d2, i, j) => (d2, BigInt(i), BigInt(j)) }.take(3)
+        .zipWithIndex.map { case ((d2, i, j), rk) =>
+          (tpe, rk + 1, i.toLong, j.toLong, xs(i - 1)._1, xs(j - 1)._1,
+            BigDecimal(d2.toDouble / 1e8)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }.toSet
+    val got = out.map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    assert(got === expected, s"motif mismatch:\n got=$got\n exp=$expected")
+  }
+
   test("stream_quota_gate: admits are the smallest ids per window, quota and reject arithmetic") {
     import org.apache.spark.sql.functions._
     val k = graft.streaming.StreamQueries.QuotaPerWindow
