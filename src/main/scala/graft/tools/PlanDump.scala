@@ -124,7 +124,9 @@ object PlanDump {
     "ann_lsh_multiprobe" ->
       "multi-probe LSH: the SAME persisted corpus index as ann_lsh — only the broadcast query side fans out (k+1)x with the 1-flip probe buckets, so extra recall costs zero index build/storage and the candidate join stays ids-only",
     "matrix_profile_discords" ->
-      "matrix profile: the all-pairs stage is keyed (type, offset) over the calendar-bounded daily grid — O(m^2) in SERIES length, invariant to corpus volume; everything upstream is the one shared partial-agg scan")
+      "matrix profile: the all-pairs stage is keyed (type, offset) over the calendar-bounded daily grid — O(m^2) in SERIES length, invariant to corpus volume; everything upstream is the one shared partial-agg scan",
+    "ann_ivf_sweep" ->
+      "nprobe sweep: ONE widest-probe scored scan serves every sweep point (probe rank carried per candidate, narrower widths are filters); the exact reference is one corpus-linear full scan; output is |sweep| rows")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.get(4)
