@@ -835,6 +835,45 @@ object StreamQueries {
       |FROM r WHERE admit_rank <= ${QuotaPerWindow}
       |ORDER BY hour, event_type, admit_rank""".stripMargin
 
+  /** Hourly OHLC candles as STREAMING state — the batch
+    * [[graft.operators.TimeSeries.resampleOhlc]] re-expressed without
+    * its window ranks (rank-over-window doesn't stream): open/close
+    * come from `min_by`/`max_by` over the UNIQUE (ts_ns, event_id)
+    * event-time key, which is commutative-mergeable across micro-batch
+    * boundaries and picks exactly the row the batch rank picks — the
+    * deterministic replacement for streaming `first()`/`last()` (whose
+    * arrival-order semantics are the classic streaming-OHLC bug).
+    * State is O(1) per hour window (six scalars + the two min/max_by
+    * ordering keys), the (hour) key space is calendar-bounded, and the
+    * output hash-matches the batch operator's oracle, which it shares.
+    */
+  def streamOhlc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inDir = stageEvents(dir)
+    val name = uniqueName("sq_ohlc")
+    val events = eventStream(spark, inDir)
+    val q = events
+      .withColumn("hour", window($"ts", "1 hour"))
+      .groupBy($"hour")
+      .agg(count(lit(1)).as("n"),
+        min_by($"value", struct($"ts_ns", $"event_id")).as("open0"),
+        max($"value").as("high0"),
+        min($"value").as("low0"),
+        max_by($"value", struct($"ts_ns", $"event_id")).as("close0"),
+        sum($"value".cast("decimal(18,4)")).as("sv"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+      .select(date_format($"hour.start", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"n",
+        round($"open0", 6).as("open"), round($"high0", 6).as("high"),
+        round($"low0", 6).as("low"), round($"close0", 6).as("close"),
+        round($"sv".cast("double") / $"n".cast("double"), 6).as("mean_value"))
+      .orderBy($"hour")
+  }
+
+  val streamOhlcSql: String = graft.operators.TimeSeries.resampleOhlcSql
+
   /** Stateful streaming last-touch attribution ([[Attribution]]): the
     * event file streams through flatMapGroupsWithState carrying each
     * user's last non-purchase touch; per-purchase attribution rows are

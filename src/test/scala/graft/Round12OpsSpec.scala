@@ -265,6 +265,17 @@ class Round12OpsSpec extends SparkSpec {
     assert(got === expected, s"motif mismatch:\n got=$got\n exp=$expected")
   }
 
+  test("stream_ohlc: bit-identical to the batch resample_ohlc (deterministic open/close)") {
+    val stream = graft.streaming.StreamQueries.streamOhlc(spark, sf).collect()
+    val batch = graft.operators.TimeSeries.resampleOhlc(spark, sf).collect()
+    assert(stream.length === batch.length)
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(key(stream) === key(batch),
+      "min_by/max_by over (ts_ns, event_id) must pick exactly the batch rank's rows")
+  }
+
   test("stream_quota_gate: admits are the smallest ids per window, quota and reject arithmetic") {
     import org.apache.spark.sql.functions._
     val k = graft.streaming.StreamQueries.QuotaPerWindow
