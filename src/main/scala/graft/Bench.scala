@@ -294,14 +294,13 @@ object Bench {
       }
     }
     val steal = stealPct(statBefore, procStat())
-    // Two outputs. Stdout gets ONE compact JSON line (2-decimal times,
-    // no row counts): the bench driver keeps only a ~2KB tail of the
-    // run's output, so the line must stay small enough to survive that
-    // window whole — a truncated JSON head parses as nothing. Full
-    // detail (3-decimal times + per-query row counts) goes to
-    // BENCH_DETAIL.json beside the build for human/judge inspection.
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }
-      .mkString("{", ",", "}")
+    // Two outputs. Stdout gets ONE compact JSON line with NO per-query
+    // map: the bench driver keeps only a ~2KB tail of the run's output,
+    // and a 170-entry map is ~4KB — the line's head gets cut and
+    // nothing parses (this was BENCH_r10..r12's `parsed: null`). Stdout
+    // carries only the totals plus the 5 slowest queries; the full
+    // per-query map (3-decimal times + row counts + per-query steal)
+    // lives in BENCH_DETAIL.json beside the build.
     val qs3 = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val rows = rowCounts.map { case (k, v) => "\"" + k + "\":" + v }
@@ -310,11 +309,13 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    // stdout drops the errors field when empty: the driver keeps only a
-    // ~2KB tail of the run's output and the ~70-query line is already
-    // close to it — every spare byte widens the survival margin
+    // stdout drops the errors field when empty — every spare byte
+    // widens the survival margin inside the driver's ~2KB tail
     val errField = if (errors.isEmpty) "" else s""","errors":$errs"""
     val total = results.map(_._2).filter(_ >= 0).sum
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }
+      .mkString("{", ",", "}")
     val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs3,"rows":$rows,"errors":$errs,"steal_by_query":$stealByQ,"steal_pct":$steal%.1f,"sf":"$sfDir"}"""
     // only a FULL headline run may replace the committed detail — a
     // selected-queries dev run would silently shrink the same-SF
@@ -323,7 +324,7 @@ object Bench {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detail) finally w.close()
     } catch { case _: Throwable => () }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errField,"steal_pct":$steal%.1f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"slowest":$slowest$errField,"steal_pct":$steal%.1f,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }

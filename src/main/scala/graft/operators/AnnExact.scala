@@ -423,8 +423,10 @@ object AnnExact {
       |    SELECT q_id, n_id,
       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
       |    FROM scoredall) t WHERE rk <= $TopK),
-      |grid(nprobe) AS (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
-      |                        (CAST(3 AS BIGINT))),
+      |grid(nprobe) AS (VALUES ${
+        // generated from IvfNprobe so operator and oracle can't diverge
+        // if the sweep width changes (they sweep the SAME 1..nprobe grid)
+        (1 to IvfNprobe).map(i => s"(CAST($i AS BIGINT))").mkString(", ")}),
       |cand AS (
       |  SELECT p.q_id, a.n_id, p.prk, s.cos
       |  FROM ivprk p JOIN ivcasg a USING (cluster)

@@ -1130,6 +1130,14 @@ object TimeSeries2 {
   val MpW = 4
   private val MpTopK = 3
 
+  /** Hard cap on subsequence-table elements eligible for the forced
+    * broadcast in [[mpDistTable]] (~16M longs ≈ a few hundred MB
+    * deserialized — comfortably under a 4 GB executor's build-side
+    * budget). Past it the pair join falls back to sort-merge: slower
+    * (two sort exchanges over the grid) but memory-safe on deployments
+    * whose calendar grid is far finer than the daily one benched here. */
+  private val MpBroadcastCap = 16L << 20
+
   /** Matrix-profile discord discovery per event-type daily series: for
     * every length-[[MpW]] window of the series, the squared Euclidean
     * distance to its nearest NON-OVERLAPPING window (the matrix
@@ -1166,9 +1174,12 @@ object TimeSeries2 {
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy($"event_type")
     val d38 = "decimal(38,0)"
+    // persisted: read by the sub self-join (both sides), the broadcast
+    // gate's count, and the caller's position readout
     val c = dailySeries(spark, dir)
       .withColumn("t", row_number().over(w).cast("long"))
       .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .persist()
     // subsequence elements: (type, window start i, offset 0..MpW-1, x)
     val sub = c.as("a").join(c.as("b"),
         $"a.event_type" === $"b.event_type" &&
@@ -1178,10 +1189,19 @@ object TimeSeries2 {
         ($"b.t" - $"a.t").as("off"), $"b.x_u".as("x"))
     // exact integer dist² for every non-overlapping window pair; the
     // build side is the WHOLE subsequence table — calendar-bounded
-    // (m·MpW·|types| rows, ~1.4M for 10 years of daily grid), so the
-    // broadcast is safe BY CONSTRUCTION and saves the sort exchanges a
-    // grid-sized sort-merge join would pay
-    val dist = sub.as("s").join(broadcast(sub.as("r")),
+    // (m·MpW·|types| rows, ~1.4M for 10 years of daily grid). The
+    // broadcast saves the sort exchanges a grid-sized sort-merge join
+    // would pay, but "calendar-bounded" is a deployment assumption, not
+    // a law: a minute-grained grid over many types blows past executor
+    // memory. So the hint is GATED on a measured bound — c is already
+    // persisted (also read by the sub self-join and the caller's
+    // readout), its count is one scalar, and past MpBroadcastCap
+    // subsequence elements the join falls back to Spark's default
+    // sort-merge strategy instead of force-shipping the table.
+    val subElems = c.count() * MpW // upper bound on sub's row count
+    val rSide = if (subElems <= MpBroadcastCap) broadcast(sub.as("r"))
+                else sub.as("r")
+    val dist = sub.as("s").join(rSide,
         $"s.event_type" === $"r.event_type" && $"s.off" === $"r.off")
       .filter(abs($"s.i" - $"r.i") >= MpW)
       .select($"s.event_type".as("event_type"), $"s.i".as("i"), $"r.i".as("j"),
@@ -1199,13 +1219,15 @@ object TimeSeries2 {
       .partitionBy($"event_type", $"i").orderBy($"dist2", $"j")
     val wDiscord = org.apache.spark.sql.expressions.Window
       .partitionBy($"event_type").orderBy($"dist2".desc, $"i")
-    dist.withColumn("rk_nn", row_number().over(wNN)).filter($"rk_nn" === 1)
+    val out = dist
+      .withColumn("rk_nn", row_number().over(wNN)).filter($"rk_nn" === 1)
       .withColumn("rk", row_number().over(wDiscord)).filter($"rk" <= MpTopK)
       .join(c.select($"event_type", $"t".as("i"), $"day_n"), Seq("event_type", "i"))
       .select($"event_type", $"rk", $"i".as("pos"), $"day_n".as("start_day"),
         $"j".as("nn_pos"),
         round($"dist2".cast("double") / 1e8, 4).as("mp_dist"))
       .orderBy($"event_type", $"rk")
+    Release.grid(out, c) // MpTopK rows per series
   }
 
   /** Shared oracle CTEs for the matrix-profile pair: daily grid,
@@ -1258,7 +1280,7 @@ object TimeSeries2 {
     val (c, dist) = mpDistTable(spark, dir)
     val wMotif = org.apache.spark.sql.expressions.Window
       .partitionBy($"event_type").orderBy($"dist2", $"i", $"j")
-    dist.filter($"i" < $"j")
+    val out = dist.filter($"i" < $"j")
       .withColumn("rk", row_number().over(wMotif)).filter($"rk" <= MpTopK)
       .join(c.select($"event_type", $"t".as("i"), $"day_n".as("day_a")),
         Seq("event_type", "i"))
@@ -1268,6 +1290,7 @@ object TimeSeries2 {
         $"day_a", $"day_b",
         round($"dist2".cast("double") / 1e8, 4).as("mp_dist"))
       .orderBy($"event_type", $"rk")
+    Release.grid(out, c) // MpTopK rows per series
   }
 
   val matrixProfileMotifsSql: String =

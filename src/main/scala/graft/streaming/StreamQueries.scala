@@ -805,6 +805,15 @@ object StreamQueries {
       .withColumn("hour", window($"ts", "1 hour"))
       .groupBy($"hour", $"event_type")
       .agg(count(lit(1)).as("n_total"),
+        // score is -event_id AS DOUBLE: long→double rounds above 2^53,
+        // but the rounding is MONOTONE (a ≤ b ⇒ (double)a ≤ (double)b),
+        // so the k-smallest-by-score set can only blur at score TIES —
+        // and top_k_by breaks score ties by payload ASC, i.e. by the
+        // exact long event_id itself, which restores the precise
+        // ordering for collided ids. "Smallest k ids win" therefore
+        // holds for ALL longs, not just below 2^53 — but the argument
+        // leans on both halves; if this score expression ever changes,
+        // re-derive it (or add a long-keyed top_k_by overload).
         graft.functions.AggFunctions.top_k_by(
           -$"event_id".cast("double"), $"event_id", QuotaPerWindow).as("admits"))
       .writeStream.outputMode("complete").format("memory").queryName(name).start()

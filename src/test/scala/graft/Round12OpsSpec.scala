@@ -228,6 +228,27 @@ class Round12OpsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val out = graft.operators.TimeSeries2.matrixProfileMotifs(spark, sf).collect()
     assert(out.nonEmpty)
+    // cross-check against the discord twin: (a) dominance — the rank-1
+    // motif distance (global min pair dist) can never exceed the rank-1
+    // discord distance (max over i of its NN dist), guaranteed by
+    // definition whenever both exist; (b) disjointness — on this fixed
+    // dataset the motif endpoint positions and discord positions must
+    // not overlap (data-pinned: a repeated shape is not also the series'
+    // most isolated one here)
+    val disc = graft.operators.TimeSeries2.matrixProfileDiscords(spark, sf).collect()
+    val discTop = disc.filter(_.getInt(1) == 1)
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    val motTop = out.filter(_.getInt(1) == 1)
+      .map(r => r.getString(0) -> r.getDouble(6)).toMap
+    motTop.foreach { case (tpe, d) =>
+      discTop.get(tpe).foreach(dd =>
+        assert(d <= dd, s"$tpe: rank-1 motif dist $d > rank-1 discord dist $dd"))
+    }
+    val discPos = disc.map(r => (r.getString(0), r.getLong(2))).toSet
+    val motPos = out.flatMap(r =>
+      Seq((r.getString(0), r.getLong(2)), (r.getString(0), r.getLong(3)))).toSet
+    assert(motPos.intersect(discPos).isEmpty,
+      s"motif endpoints overlap discord positions: ${motPos.intersect(discPos)}")
     val w = graft.operators.TimeSeries2.MpW
     out.foreach { r =>
       assert(r.getLong(2) < r.getLong(3), "pair must be emitted once with pos_a < pos_b")
