@@ -101,7 +101,10 @@ object Bench {
     // bounded shape anomalies (stream_quota_gate auto-discovers)
     "ann_lsh_multiprobe", "matrix_profile_discords",
     // round-12 third batch: IVF tuning curve + motif twin
-    "ann_ivf_sweep", "matrix_profile_motifs")
+    "ann_ivf_sweep", "matrix_profile_motifs",
+    // round-13 batch: incremental IVF maintenance (the converted
+    // append/update streaming gates ride StreamBench's auto-discovery)
+    "ann_ivf_incr")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

@@ -461,6 +461,103 @@ object AnnExact {
       |ORDER BY g.nprobe""".stripMargin)
 
   // ------------------------------------------------------------------
+  // ann_ivf_incr — incremental index maintenance, oracle-exact
+  // ------------------------------------------------------------------
+
+  /** INCREMENTAL IVF index maintenance — the `dedup_minhash_incr`
+    * sibling for the vector family (the r12 verdict's named ask): a new
+    * batch of vectors (vec_id above the corpus midpoint) is assigned to
+    * the FROZEN centroids trained on the EXISTING corpus and merged
+    * into the existing inverted index. Work is ∝ |batch| (one
+    * codegen'd assignment scan of the batch against k literal
+    * centroids), never ∝ |corpus| — the old side contributes only its
+    * (write-once) centroid model and per-cluster occupancy counts;
+    * re-clustering on drift is a separate explicit op (`ann_ivf`
+    * retrains from scratch). Output: one row per batch vector — its
+    * cluster, exact integer d2 to the frozen centroid, and the
+    * cluster's occupancy before (n_old) and after-merge contribution
+    * (n_new), i.e. the inverted-index merge receipt.
+    *
+    * Because assignment is per-row against frozen literals,
+    * assign(old) ∪ assign(batch) ≡ assign(old ∪ batch) — the lossless-
+    * merge equivalence Round13OpsSpec pins, exactly the
+    * old-∪-incremental ≡ full contract DedupSpec pins for minhash.
+    *
+    * Exactness: micro-grid integer Lloyd over the OLD side only
+    * (smallest-id seeds, floorDiv means — [[Training.lloydCentroids]]),
+    * integer d2, smallest-cluster tie-break; the oracle replays the
+    * identical chain with `corp` bound to the old half. Scale: the
+    * Lloyd collects are model-sized (k·64 longs/iter); batch rows
+    * never shuffle for the model side; output is batch-mass →
+    * Release.checkpointed.
+    */
+  def annIvfIncr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = Training.quantizedOf(Tables.embeddings(spark, dir))
+    val cut = Tables.embeddings(spark, dir)
+      .agg(expr("max(vec_id) div 2").as("cut"))
+    val corpus = all.filter($"vec_id" >= 8)
+    val old = corpus.crossJoin(broadcast(cut)).filter($"vec_id" <= $"cut")
+      .select($"vec_id", $"vq").persist()
+    val cents = Training.lloydCentroids(old, IvfK, IvfIters) // FROZEN
+    val oldOcc = Training.assign(old, cents)
+      .groupBy($"cluster").agg(count(lit(1)).as("n_old"))
+    val batch = corpus.crossJoin(broadcast(cut)).filter($"vec_id" > $"cut")
+      .select($"vec_id", $"vq")
+    val basg = Training.assign(batch, cents) // the incremental work: ∝ batch
+      .select($"vec_id".as("n_id"), $"cluster", $"d2".as("d2_micro2"))
+    val bocc = basg.groupBy($"cluster").agg(count(lit(1)).as("n_new"))
+    val out = basg
+      .join(broadcast(oldOcc), Seq("cluster"), "left")
+      .join(broadcast(bocc), Seq("cluster"))
+      .select($"n_id", $"cluster", $"d2_micro2",
+        coalesce($"n_old", lit(0L)).as("cluster_n_old"),
+        $"n_new".as("cluster_n_new"))
+      .orderBy($"n_id")
+    Release.checkpointed(out, old)
+  }
+
+  /** Oracle: the identical frozen-centroid pipeline with the Lloyd
+    * chain's `corp` CTE bound to the OLD half of the corpus. */
+  val annIvfIncrSql: String = mat(
+    s"""WITH comp AS (
+      |  SELECT vec_id, CAST(i AS INT) AS dim,
+      |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000, 0) AS BIGINT) AS vq
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, $Dim)) AS i)),
+      |cutv AS (SELECT max(vec_id) // 2 AS cut FROM embeddings),
+      |corp AS (SELECT c.* FROM comp c, cutv
+      |         WHERE c.vec_id >= 8 AND c.vec_id <= cutv.cut),
+      |newc AS (SELECT c.* FROM comp c, cutv WHERE c.vec_id > cutv.cut)""".stripMargin +
+      lloydSql("ii", IvfK, IvfIters) +
+      s""",
+      |odist AS (
+      |  SELECT c.vec_id, k.cluster, sum((c.vq - k.cq) * (c.vq - k.cq)) AS d2
+      |  FROM corp c JOIN iicent$IvfIters k USING (dim) GROUP BY 1, 2),
+      |oasg AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cluster,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+      |    FROM odist) t WHERE rk = 1),
+      |oocc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_old
+      |         FROM oasg GROUP BY 1),
+      |bdist AS (
+      |  SELECT c.vec_id, k.cluster, sum((c.vq - k.cq) * (c.vq - k.cq)) AS d2
+      |  FROM newc c JOIN iicent$IvfIters k USING (dim) GROUP BY 1, 2),
+      |basg AS (
+      |  SELECT vec_id AS n_id, cluster, d2 FROM (
+      |    SELECT vec_id, cluster, d2,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+      |    FROM bdist) t WHERE rk = 1),
+      |bocc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_new
+      |         FROM basg GROUP BY 1)
+      |SELECT b.n_id, b.cluster, CAST(b.d2 AS BIGINT) AS d2_micro2,
+      |  COALESCE(o.n_old, 0) AS cluster_n_old,
+      |  bo.n_new AS cluster_n_new
+      |FROM basg b LEFT JOIN oocc o USING (cluster)
+      |JOIN bocc bo USING (cluster)
+      |ORDER BY n_id""".stripMargin)
+
+  // ------------------------------------------------------------------
   // ann_ivf_adaptive — margin-rule probe width, oracle-exact
   // ------------------------------------------------------------------
 
