@@ -102,9 +102,10 @@ object Bench {
     "ann_lsh_multiprobe", "matrix_profile_discords",
     // round-12 third batch: IVF tuning curve + motif twin
     "ann_ivf_sweep", "matrix_profile_motifs",
-    // round-13 batch: incremental IVF maintenance (the converted
-    // append/update streaming gates ride StreamBench's auto-discovery)
-    "ann_ivf_incr")
+    // round-13 batch: incremental IVF maintenance + paragraph-level
+    // semantic dedup (the converted append/update streaming gates ride
+    // StreamBench's auto-discovery)
+    "ann_ivf_incr", "semdedup_paragraph")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

@@ -1102,6 +1102,197 @@ object Dedup {
       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // semdedup_paragraph — paragraph-granularity SEMANTIC dedup
+  // ------------------------------------------------------------------
+
+  // dials: hashed term-count dims, cosine-LSH tables × bits, threshold
+  private val SppDim = 32
+  private val SppTables = 4
+  private val SppBits = 8
+  private val SppThresh = 0.9
+
+  /** Deterministic ±1 hyperplane entries for the paragraph cosine-LSH:
+    * sign = md5("spp:tbl:bit:dim") first-8-hex parity — the SAME rule
+    * the oracle derives in SQL (`('0x' || substr(md5(...),1,8))::BIGINT
+    * % 2`), so neither side carries the other's constants. */
+  private lazy val sppPlanes: Seq[(Int, Int, Int, Int)] =
+    for {
+      t <- 0 until SppTables; b <- 0 until SppBits; d <- 0 until SppDim
+    } yield {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"spp:$t:$b:$d".getBytes("UTF-8"))
+        .take(4).map(x => f"${x & 0xff}%02x").mkString
+      val sign = if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+      (t, b, d, sign)
+    }
+
+  /** Paragraph-granularity SEMANTIC dedup — [[semdedup]]'s cosine gate
+    * at [[dedupParagraph]]'s 32-token block granularity (the r12
+    * verdict's named deepening candidate): where the MinHash paragraph
+    * pass catches near-VERBATIM blocks (shingle Jaccard), this one
+    * catches REWORDED/REORDERED blocks — same bag of terms, different
+    * order — that shingling structurally misses (a permuted paragraph
+    * shares almost no 3-gram shingles but has cosine 1.0 here).
+    *
+    * Pipeline: paragraph blocks (the dedup_paragraph pid convention) →
+    * 32-dim hashed term-count vectors (md5-bucketed tokens, exact
+    * integer counts — the feature_hash_audit routing) → sign-random-
+    * projection cosine LSH (4 tables × 8 md5-derived ±1 hyperplanes)
+    * → the capped band-index discipline ([[pairableBands]], bloom
+    * pre-pass + bucket cap 64 — never all-pairs) → exact integer-dot
+    * cosine ≥ 0.9 verification joining components back by id → the
+    * dedupParagraph-shaped per-doc report (later block of a pair is
+    * the dup; smallest pid survives, the first-occurrence convention).
+    *
+    * Exactness: counts/dots/norms are exact integers; the cosine is
+    * one fixed double tree both engines evaluate identically; the
+    * plane signs derive from md5 parity on BOTH sides (no shipped
+    * constants). Scale: inherits dedupMinhash's budget at paragraph
+    * cardinality — only (pid, tbl, bucket) longs ride the candidate
+    * shuffles, components rejoin by id, the plane table is 1024
+    * broadcast rows, and the bucket cap bounds any boilerplate
+    * pile-up at cap²/2 pairs per bucket.
+    */
+  def semdedupParagraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val paras = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split($"text", "\n")).as(Seq("line", "lstr")))
+      .select($"doc_id", $"line",
+        filter(split($"lstr", "\\s+"), t => t =!= "").as("lt"))
+      .filter(size($"lt") >= 1)
+      .select($"doc_id", $"line", size($"lt").as("np"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(lt) / ${ParaW}.0) as int) - 1)," +
+          s" b -> array_join(slice(lt, b * $ParaW + 1, $ParaW), ' '))"))
+        .as(Seq("blk", "ptext")))
+      .select($"doc_id",
+        ($"doc_id" * 65536 + $"line" * 64 + $"blk").as("pid"),
+        least(lit(ParaW), $"np" - $"blk" * ParaW).cast("long").as("ptoks"),
+        $"ptext")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hashed term-count components (pid, dim, cnt) — exact integers
+    val comp = paras
+      .select($"pid", explode(split($"ptext", " ")).as("tok"))
+      .groupBy($"pid",
+        (conv(substring(md5(concat(lit("spp:"), $"tok")), 1, 8), 16, 10)
+          .cast("long") % SppDim).cast("int").as("dim"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nrm = comp.groupBy($"pid").agg(sum($"cnt" * $"cnt").as("n2"))
+    val planes = sppPlanes.toDF("tbl", "bit", "dim", "p")
+    val buckets = comp.join(broadcast(planes), "dim")
+      .groupBy($"pid", $"tbl", $"bit")
+      .agg(sum($"cnt" * $"p").as("s"))
+      .groupBy($"pid", $"tbl")
+      .agg(sum(when($"s" >= 0, expr("shiftleft(cast(1 as bigint), bit)"))
+        .otherwise(0L)).as("bucket"))
+    val capped = pairableBands(
+      buckets.select($"pid".as("doc_id"), $"tbl".as("band"), $"bucket"), cap = 64)
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .distinct()
+    val dots = pairs
+      .join(comp.select($"pid".as("i"), $"dim", $"cnt".as("ci")), "i")
+      .join(comp.select($"pid".as("j"), $"dim", $"cnt".as("cj")), Seq("j", "dim"))
+      .groupBy($"i", $"j").agg(sum($"ci" * $"cj").as("dot"))
+    val dup = dots
+      .join(nrm.select($"pid".as("i"), $"n2".as("n2i")), "i")
+      .join(nrm.select($"pid".as("j"), $"n2".as("n2j")), "j")
+      .filter($"dot".cast("double")
+        / (sqrt($"n2i".cast("double")) * sqrt($"n2j".cast("double")))
+        >= SppThresh)
+      .select($"j".as("pid")).distinct()
+      .withColumn("isdup", lit(1L))
+    val out = paras.join(dup, Seq("pid"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("int").as("n_paras"),
+        sum(coalesce($"isdup", lit(0L))).as("n_semdup_paras"),
+        sum($"ptoks").as("n_tokens"),
+        sum(when($"isdup".isNotNull, $"ptoks").otherwise(0L)).as("tokens_semdup"))
+      .select($"doc_id", $"n_paras", $"n_semdup_paras", $"n_tokens",
+        $"tokens_semdup",
+        round($"tokens_semdup".cast("double") / $"n_tokens".cast("double"), 6)
+          .as("semdup_mass"))
+      .orderBy($"doc_id")
+    Release.checkpointed(out, paras, comp) // per-doc output
+  }
+
+  val semdedupParagraphSql: String = {
+    val ws = wsClass
+    s"""WITH pl AS (
+      |  SELECT doc_id, i - 1 AS line,
+      |    list_filter(string_split_regex(lines[i], '$ws'), x -> x <> '') AS lt
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents) t,
+      |    unnest(range(1, len(lines) + 1)) r(i)),
+      |pq AS (SELECT doc_id, line, lt, len(lt) AS np FROM pl WHERE len(lt) >= 1),
+      |para AS (
+      |  SELECT doc_id, doc_id * 65536 + line * 64 + blk AS pid,
+      |    CAST(least($ParaW, np - blk * $ParaW) AS BIGINT) AS ptoks,
+      |    array_to_string(lt[blk * $ParaW + 1 : blk * $ParaW + $ParaW], ' ') AS ptext
+      |  FROM pq, unnest(range(0, CAST(ceil(np / ${ParaW}.0) AS INT))) b(blk)),
+      |ptok AS (
+      |  SELECT pid, unnest(string_split(ptext, ' ')) AS tok FROM para),
+      |comp AS (
+      |  SELECT pid,
+      |    CAST(CAST(('0x' || substr(md5('spp:' || tok), 1, 8)) AS BIGINT)
+      |      % $SppDim AS INT) AS dim,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM ptok GROUP BY 1, 2),
+      |nrm AS (SELECT pid, CAST(sum(cnt * cnt) AS BIGINT) AS n2
+      |        FROM comp GROUP BY 1),
+      |planes AS (
+      |  SELECT CAST(t.t AS INT) AS tbl, CAST(b.b AS INT) AS bit,
+      |    CAST(d.d AS INT) AS dim,
+      |    CASE WHEN CAST(('0x' || substr(
+      |        md5('spp:' || t.t || ':' || b.b || ':' || d.d), 1, 8)) AS BIGINT)
+      |      % 2 = 0 THEN 1 ELSE -1 END AS p
+      |  FROM range(0, $SppTables) t(t), range(0, $SppBits) b(b),
+      |    range(0, $SppDim) d(d)),
+      |sgn AS (
+      |  SELECT c.pid, p.tbl, p.bit, CAST(sum(c.cnt * p.p) AS BIGINT) AS s
+      |  FROM comp c JOIN planes p USING (dim) GROUP BY 1, 2, 3),
+      |bkt AS (
+      |  SELECT pid, tbl,
+      |    CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << bit)
+      |             ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM sgn GROUP BY 1, 2),
+      |capped AS (
+      |  SELECT pid, tbl, bucket FROM (
+      |    SELECT pid, tbl, bucket,
+      |      count(*) OVER (PARTITION BY tbl, bucket) AS n
+      |    FROM bkt) t WHERE n BETWEEN 2 AND 64),
+      |cp AS (
+      |  SELECT DISTINCT a.pid AS i, b.pid AS j
+      |  FROM capped a JOIN capped b
+      |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.pid < b.pid),
+      |dots AS (
+      |  SELECT cp.i, cp.j, CAST(sum(ci.cnt * cj.cnt) AS BIGINT) AS dot
+      |  FROM cp JOIN comp ci ON ci.pid = cp.i
+      |  JOIN comp cj ON cj.pid = cp.j AND cj.dim = ci.dim
+      |  GROUP BY 1, 2),
+      |sem AS (
+      |  SELECT DISTINCT d.j AS pid
+      |  FROM dots d JOIN nrm ni ON ni.pid = d.i JOIN nrm nj ON nj.pid = d.j
+      |  WHERE CAST(d.dot AS DOUBLE)
+      |    / (sqrt(CAST(ni.n2 AS DOUBLE)) * sqrt(CAST(nj.n2 AS DOUBLE)))
+      |    >= $SppThresh)
+      |SELECT p.doc_id,
+      |  CAST(count(*) AS INT) AS n_paras,
+      |  CAST(sum(CASE WHEN s.pid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_semdup_paras,
+      |  CAST(sum(p.ptoks) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN s.pid IS NOT NULL THEN p.ptoks ELSE 0 END) AS BIGINT)
+      |    AS tokens_semdup,
+      |  round(CAST(sum(CASE WHEN s.pid IS NOT NULL THEN p.ptoks ELSE 0 END)
+      |      AS DOUBLE)
+      |    / CAST(sum(p.ptoks) AS DOUBLE), 6) AS semdup_mass
+      |FROM para p LEFT JOIN sem s USING (pid)
+      |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+  }
+
   /** LSH tuning curve: how many candidate pairs survive each estimated-
     * Jaccard threshold, with the exact mean agreement among survivors —
     * the dial a pipeline reads before picking its dedup cutoff (too low

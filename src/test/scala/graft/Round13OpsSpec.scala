@@ -81,6 +81,52 @@ class Round13OpsSpec extends SparkSpec {
     } finally spark.streams.removeListener(peak)
   }
 
+  test("semdedup_paragraph: catches a PERMUTED paragraph the lexical shingle pass misses") {
+    import org.apache.spark.sql.functions._
+    // plant: doc A carries a 32-token paragraph; doc B the SAME tokens
+    // REVERSED. Reversal shares zero 3-gram shingles (dedup_paragraph's
+    // signal) but has bag-of-terms cosine exactly 1.0 (this op's
+    // signal) — the complementarity that motivates the operator.
+    val toks = (0 until 32).map(i => f"zzperm$i%02d")
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    val hi = base.agg(max($"doc_id")).first().getLong(0)
+    val planted = Seq(
+      (hi + 10, toks.mkString(" ")),
+      (hi + 20, toks.reverse.mkString(" ")))
+      .toDF("doc_id", "text")
+    val one = base.limit(1).collect()(0)
+    val cols = base.columns
+    val extra = planted.select(cols.map {
+      case "doc_id" => $"doc_id"
+      case "text"   => $"text"
+      case c        => lit(one.get(base.schema.fieldIndex(c))).as(c)
+    }.toIndexedSeq: _*)
+    val d = java.nio.file.Files.createTempDirectory("spp_plant").toString
+    base.select(cols.map(col).toIndexedSeq: _*).unionAll(extra)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val sem = graft.operators.Dedup.semdedupParagraph(spark, d)
+      .filter($"doc_id" > hi).collect()
+    val lex = graft.operators.Dedup.dedupParagraph(spark, d)
+      .filter($"doc_id" > hi).collect()
+    val semB = sem.find(_.getLong(0) == hi + 20).get
+    assert(semB.getLong(2) >= 1L,
+      "the permuted twin must be flagged as a semantic dup (cosine 1.0)")
+    val lexB = lex.find(_.getLong(0) == hi + 20).get
+    assert(lexB.getLong(2) === 0L,
+      "the reversed paragraph shares no 3-gram shingles — the lexical " +
+        "pass must NOT flag it (else this op adds nothing)")
+    // sanity on the real corpus: non-degenerate and mass-consistent
+    val all = graft.operators.Dedup.semdedupParagraph(spark, sf).collect()
+    val flagged = all.map(_.getLong(2)).sum
+    val paras = all.map(_.getInt(1).toLong).sum
+    assert(flagged > 0 && flagged < paras,
+      s"degenerate flag rate: $flagged of $paras")
+    all.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3), "dup token mass exceeds total")
+      assert(r.getLong(2) <= r.getInt(1), "dup paras exceed paras")
+    }
+  }
+
   test("stream_quota_gate append mode: emit-once per window, quota arithmetic intact") {
     val out = graft.streaming.StreamQueries.streamQuotaGate(spark, sf).collect()
     val k = graft.streaming.StreamQueries.QuotaPerWindow
