@@ -105,7 +105,7 @@ object Bench {
     // round-13 batch: incremental IVF maintenance + paragraph-level
     // semantic dedup (the converted append/update streaming gates ride
     // StreamBench's auto-discovery)
-    "ann_ivf_incr", "semdedup_paragraph")
+    "ann_ivf_incr", "semdedup_paragraph", "drift_retrain_gate")
 
   /** Force full evaluation of every column (noop v2 sink, no driver
     * collect, no output IO).

@@ -1137,6 +1137,216 @@ object Sampling {
       |ORDER BY sc.doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // drift_retrain_gate — drift breach ⇒ recalibration ⇒ new threshold
+  // ------------------------------------------------------------------
+
+  private val DriftWinW = 64L     // doc_ids per ingest window
+  private val DriftAlphaPct = 10L // conformal α for every (re)calibration
+
+  /** Drift-TRIGGERED retrain gate (the r12 verdict's named closed
+    * loop): `psi_drift_windowed`'s trajectory composed with
+    * `stream_conformal_gate`'s threshold derivation — drift breach ⇒
+    * new calibration ⇒ new admission literal, the loop a production
+    * ingest pipeline actually runs.
+    *
+    * Per ingest window (doc_id div 64 — the ordered-arrival windowing
+    * of the stream_decontam discipline):
+    *  1. DRIFT: PSI of the window's eval-split quality-score
+    *     distribution against the pinned calibration-split reference
+    *     (the exact psi_drift_windowed nano-quantized arithmetic,
+    *     keyed by window instead of event type);
+    *  2. BREACH: control-chart rule on the trajectory itself —
+    *     4·psi_nano·|windows| > 5·Σpsi_nano, i.e. the window's PSI
+    *     exceeds 1.25× the trajectory mean (exact integer predicate; an
+    *     absolute dial would be SF-folklore, a relative one exercises
+    *     the loop on any data with between-window variation);
+    *  3. RETRAIN: a breached window re-derives the α = 10% conformal
+    *     order statistic from ITS OWN calibration docs (k =
+    *     max(1, ⌊α(n+1)/100⌋), the conformal_calibration rule);
+    *  4. ADMIT: window w admits eval docs at the threshold in force at
+    *     its start — the LATEST breached window strictly before w
+    *     (last_value IGNORE NULLS over the trajectory), falling back to
+    *     the initial whole-corpus calibration.
+    *
+    * Exactness: scores/bins/counts/PSI terms are the established
+    * integer grids; breach and admission are integer comparisons; the
+    * only doubles are the display psi/keep_rate. Scale: two
+    * (window, score)-keyed partial aggs collapse the corpus; every
+    * later stage is |windows|·|bins| grid work, and the trajectory
+    * windows are unpartitioned-window-safe (≤ |corpus|/64 rows).
+    * Output is |windows| rows → Release.grid.
+    */
+  def driftRetrainGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val sc = TextAnalysis.textQuality(spark, dir)
+      .select($"doc_id", round($"quality_score" * 1000000d, 0).cast("long").as("s"))
+      .join(Tables.documents(spark, dir).select($"doc_id",
+        (substring(md5(concat(lit("conf:"), $"doc_id".cast("string"),
+          lit(":"), $"text")), 1, 1) < "4").as("cal")), "doc_id")
+      .withColumn("w", expr(s"doc_id div $DriftWinW"))
+      .persist()
+    // 1. the PSI trajectory: pinned cal reference vs per-window eval
+    val ref = sc.filter($"cal")
+      .groupBy(expr("s div 100000").as("bin")).agg(count(lit(1)).as("c_b"))
+    val live = sc.filter(!$"cal")
+      .groupBy($"w", expr("s div 100000").as("bin")).agg(count(lit(1)).as("c_c"))
+    val refw = live.select($"w").distinct().crossJoin(broadcast(ref))
+    val f = refw.join(live, Seq("w", "bin"), "full_outer")
+      .select($"w", $"bin",
+        coalesce($"c_b", lit(0L)).as("c_b"), coalesce($"c_c", lit(0L)).as("c_c"))
+    val t = f.groupBy($"w")
+      .agg(sum($"c_b").as("n_b"), sum($"c_c").as("n_c"), count(lit(1)).as("bins"))
+    val traj = f.join(t, "w")
+      .withColumn("ln_micro", round(log(
+        (($"c_b" + 1) * ($"n_c" + $"bins")).cast("double")
+          / (($"n_b" + $"bins") * ($"c_c" + 1)).cast("double")) * 100000d, 0)
+        .cast("long"))
+      .withColumn("term_nano", round(
+        (($"c_b" + 1).cast("double") / ($"n_b" + $"bins").cast("double")
+          - ($"c_c" + 1).cast("double") / ($"n_c" + $"bins").cast("double"))
+          * $"ln_micro".cast("double") * 10000d, 0).cast("long"))
+      .groupBy($"w")
+      .agg(max($"n_c").as("n_eval"), sum($"term_nano").as("psi_nano"))
+    // 2. breach = PSI above 1.25× the trajectory mean, exact integers
+    val tot = traj.agg(sum($"psi_nano").as("sum_nano"), count(lit(1)).as("n_w"))
+    val breach = traj.crossJoin(broadcast(tot))
+      .withColumn("breached", $"psi_nano" * 4 * $"n_w" > $"sum_nano" * 5)
+    // 3. per-window recalibration (conformal order statistic over the
+    //    window's OWN cal docs)
+    val calGrid = sc.filter($"cal").groupBy($"w", $"s").agg(count(lit(1)).as("c"))
+    val calCum = calGrid.withColumn("cc",
+      sum($"c").over(W.partitionBy($"w").orderBy($"s")))
+    val kPerW = calGrid.groupBy($"w").agg(sum($"c").as("n_cal"))
+      .withColumn("k", greatest(expr(s"$DriftAlphaPct * (n_cal + 1) div 100"), lit(1L)))
+    val wTau = calCum.join(kPerW, "w").filter($"cc" >= $"k")
+      .groupBy($"w", $"n_cal").agg(min($"s").as("tau_w"))
+    // initial whole-corpus calibration (the conformal_calibration α=10%)
+    val gGrid = sc.filter($"cal").groupBy($"s").agg(count(lit(1)).as("c"))
+    val tau0 = gGrid.withColumn("cc", sum($"c").over(W.orderBy($"s")))
+      .crossJoin(broadcast(gGrid.agg(sum($"c").as("n_cal_g"))))
+      .filter($"cc" >= greatest(expr(s"$DriftAlphaPct * (n_cal_g + 1) div 100"), lit(1L)))
+      .agg(min($"s").as("tau0"))
+    // 4. threshold in force = latest breached recalibration before w
+    val wOrd = W.orderBy($"w").rowsBetween(W.unboundedPreceding, -1)
+    val inForce = breach
+      .join(wTau.select($"w", $"n_cal", $"tau_w"), Seq("w"), "left")
+      .withColumn("btau", when($"breached", $"tau_w"))
+      .crossJoin(broadcast(tau0))
+      .withColumn("tau_micro",
+        coalesce(last($"btau", ignoreNulls = true).over(wOrd), $"tau0"))
+    val evalGrid = sc.filter(!$"cal").groupBy($"w", $"s").agg(count(lit(1)).as("c"))
+    val kept = inForce.select($"w", $"tau_micro").join(evalGrid, "w")
+      .filter($"s" >= $"tau_micro")
+      .groupBy($"w").agg(sum($"c").as("n_kept"))
+    val out = inForce.join(kept, Seq("w"), "left")
+      .select($"w", coalesce($"n_cal", lit(0L)).as("n_cal"), $"n_eval",
+        $"psi_nano", round($"psi_nano".cast("double") / 1000000000d, 9).as("psi"),
+        $"breached", $"tau_micro",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        round(coalesce($"n_kept", lit(0L)).cast("double")
+          / $"n_eval".cast("double"), 6).as("keep_rate"))
+      .orderBy($"w")
+    out.transform(o => graft.operators.Release.grid(o, sc)) // |windows| rows
+  }
+
+  val driftRetrainGateSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    val stopList = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+      .map(s => s"'$s'").mkString("[", ",", "]")
+    s"""WITH t0 AS (
+      |  SELECT doc_id, text,
+      |    CAST(len($toks) AS DOUBLE) AS n_tok,
+      |    CAST(len(list_filter($toks, x -> list_contains($stopList, x))) AS DOUBLE) AS n_stop,
+      |    CAST(len(list_distinct($toks)) AS DOUBLE) AS n_uniq,
+      |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
+      |    CAST(length(text) AS DOUBLE) AS n_chars
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id,
+      |    CAST(round(round(0.35 * least(n_tok / 50.0, 1.0)
+      |      + 0.25 * (n_stop / greatest(n_tok, 1.0))
+      |      + 0.25 * (n_uniq / greatest(n_tok, 1.0))
+      |      + 0.15 * (1.0 - n_punct / greatest(n_chars, 1.0)), 6) * 1000000, 0)
+      |      AS BIGINT) AS s,
+      |    substr(md5('conf:' || CAST(doc_id AS VARCHAR) || ':' || text), 1, 1) < '4' AS cal,
+      |    doc_id // $DriftWinW AS w
+      |  FROM t0),
+      |ref AS (SELECT s // 100000 AS bin, CAST(count(*) AS BIGINT) AS c_b
+      |        FROM sc WHERE cal GROUP BY 1),
+      |live AS (SELECT w, s // 100000 AS bin, CAST(count(*) AS BIGINT) AS c_c
+      |         FROM sc WHERE NOT cal GROUP BY 1, 2),
+      |wins AS (SELECT DISTINCT w FROM live),
+      |refw AS (SELECT wins.w, r.bin, r.c_b FROM ref r CROSS JOIN wins),
+      |f AS (
+      |  SELECT coalesce(a.w, b.w) AS w, coalesce(a.bin, b.bin) AS bin,
+      |    coalesce(a.c_b, 0) AS c_b, coalesce(b.c_c, 0) AS c_c
+      |  FROM refw a FULL OUTER JOIN live b ON a.w = b.w AND a.bin = b.bin),
+      |tt AS (
+      |  SELECT w, CAST(sum(c_b) AS BIGINT) AS n_b,
+      |    CAST(sum(c_c) AS BIGINT) AS n_c, CAST(count(*) AS BIGINT) AS bins
+      |  FROM f GROUP BY 1),
+      |terms AS (
+      |  SELECT f.w, n_c, CAST(round(
+      |      (CAST(c_b + 1 AS DOUBLE) / CAST(n_b + bins AS DOUBLE)
+      |        - CAST(c_c + 1 AS DOUBLE) / CAST(n_c + bins AS DOUBLE))
+      |      * CAST(CAST(round(ln(
+      |          CAST((c_b + 1) * (n_c + bins) AS DOUBLE)
+      |            / CAST((n_b + bins) * (c_c + 1) AS DOUBLE)) * 100000, 0)
+      |        AS BIGINT) AS DOUBLE) * 10000, 0) AS BIGINT) AS term_nano
+      |  FROM f JOIN tt ON f.w = tt.w),
+      |traj AS (
+      |  SELECT w, max(n_c) AS n_eval, CAST(sum(term_nano) AS BIGINT) AS psi_nano
+      |  FROM terms GROUP BY 1),
+      |tot AS (SELECT CAST(sum(psi_nano) AS BIGINT) AS sum_nano,
+      |               CAST(count(*) AS BIGINT) AS n_w FROM traj),
+      |breach AS (
+      |  SELECT traj.*, (psi_nano * 4 * n_w > sum_nano * 5) AS breached
+      |  FROM traj CROSS JOIN tot),
+      |calgrid AS (SELECT w, s, CAST(count(*) AS BIGINT) AS c
+      |            FROM sc WHERE cal GROUP BY 1, 2),
+      |calcum AS (
+      |  SELECT w, s, CAST(sum(c) OVER (PARTITION BY w ORDER BY s) AS BIGINT) AS cc
+      |  FROM calgrid),
+      |kperw AS (
+      |  SELECT w, CAST(sum(c) AS BIGINT) AS n_cal,
+      |    greatest(($DriftAlphaPct * (sum(c) + 1)) // 100, 1) AS k
+      |  FROM calgrid GROUP BY 1),
+      |wtau AS (
+      |  SELECT cc2.w, k2.n_cal, min(cc2.s) AS tau_w
+      |  FROM calcum cc2 JOIN kperw k2 ON k2.w = cc2.w AND cc2.cc >= k2.k
+      |  GROUP BY 1, 2),
+      |ggrid AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM sc WHERE cal GROUP BY 1),
+      |gtau AS (
+      |  SELECT min(s) AS tau0 FROM (
+      |    SELECT s, sum(c) OVER (ORDER BY s) AS cc FROM ggrid) g,
+      |    (SELECT greatest(($DriftAlphaPct * (sum(c) + 1)) // 100, 1) AS k
+      |     FROM ggrid) kk
+      |  WHERE g.cc >= kk.k),
+      |inforce AS (
+      |  SELECT b.w, b.n_eval, b.psi_nano, b.breached,
+      |    coalesce(wt.n_cal, 0) AS n_cal,
+      |    coalesce(last_value(CASE WHEN b.breached THEN wt.tau_w END IGNORE NULLS)
+      |      OVER (ORDER BY b.w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      g.tau0) AS tau_micro
+      |  FROM breach b LEFT JOIN wtau wt ON wt.w = b.w CROSS JOIN gtau g),
+      |evalgrid AS (SELECT w, s, CAST(count(*) AS BIGINT) AS c
+      |             FROM sc WHERE NOT cal GROUP BY 1, 2),
+      |kept AS (
+      |  SELECT i.w, CAST(sum(e.c) AS BIGINT) AS n_kept
+      |  FROM inforce i JOIN evalgrid e ON e.w = i.w AND e.s >= i.tau_micro
+      |  GROUP BY 1)
+      |SELECT i.w, i.n_cal, i.n_eval, i.psi_nano,
+      |  round(CAST(i.psi_nano AS DOUBLE) / 1000000000, 9) AS psi,
+      |  i.breached, i.tau_micro,
+      |  coalesce(k.n_kept, 0) AS n_kept,
+      |  round(CAST(coalesce(k.n_kept, 0) AS DOUBLE)
+      |    / CAST(i.n_eval AS DOUBLE), 6) AS keep_rate
+      |FROM inforce i LEFT JOIN kept k ON k.w = i.w
+      |ORDER BY i.w""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // gumbel_sample — weighted sampling WITHOUT replacement, stateless
   // ------------------------------------------------------------------
 

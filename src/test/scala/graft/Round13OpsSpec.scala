@@ -127,6 +127,37 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("drift_retrain_gate: breach rule, threshold only moves after a breach, initial tau") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Sampling.driftRetrainGate(spark, sf)
+      .orderBy($"w").collect()
+    assert(out.length > 2, "need a multi-window trajectory")
+    // breach rule is recomputable from the output alone
+    val n = out.length.toLong
+    val tot = out.map(_.getLong(3)).sum
+    out.foreach { r =>
+      assert(r.getBoolean(5) === (r.getLong(3) * 4 * n > tot * 5),
+        s"window ${r.getLong(0)}: breached flag disagrees with the 1.25x-mean rule")
+    }
+    // the closed loop: the in-force threshold may CHANGE between w and
+    // w+1 only when w breached (a breach re-derives the literal; quiet
+    // windows must keep it)
+    out.sliding(2).foreach { case Array(a, b) =>
+      if (!a.getBoolean(5))
+        assert(a.getLong(6) === b.getLong(6),
+          s"threshold moved after quiet window ${a.getLong(0)}")
+    }
+    assert(out.exists(_.getBoolean(5)), "no breach — the retrain path never exercised")
+    assert(out.map(_.getLong(6)).distinct.length > 1,
+      "threshold never moved — the retrain path never exercised")
+    // window 0 admits at the whole-corpus alpha=10% calibration
+    val tau0 = graft.operators.Sampling.conformalCalibration(spark, sf)
+      .filter($"alpha_pct" === 10L)
+      .select(round($"threshold" * 1000000d, 0).cast("long")).first().getLong(0)
+    assert(out.head.getLong(6) === tau0,
+      "window 0 must run under the initial conformal calibration")
+  }
+
   test("stream_quota_gate append mode: emit-once per window, quota arithmetic intact") {
     val out = graft.streaming.StreamQueries.streamQuotaGate(spark, sf).collect()
     val k = graft.streaming.StreamQueries.QuotaPerWindow
