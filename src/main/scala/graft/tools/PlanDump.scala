@@ -126,7 +126,13 @@ object PlanDump {
     "matrix_profile_discords" ->
       "matrix profile: the all-pairs stage is keyed (type, offset) over the calendar-bounded daily grid — O(m^2) in SERIES length, invariant to corpus volume; everything upstream is the one shared partial-agg scan",
     "ann_ivf_sweep" ->
-      "nprobe sweep: ONE widest-probe scored scan serves every sweep point (probe rank carried per candidate, narrower widths are filters); the exact reference is one corpus-linear full scan; output is |sweep| rows")
+      "nprobe sweep: ONE widest-probe scored scan serves every sweep point (probe rank carried per candidate, narrower widths are filters); the exact reference is one corpus-linear full scan; output is |sweep| rows",
+    "ann_ivf_incr" ->
+      "incremental IVF maintenance: the batch assigns to FROZEN literal centroids inside one codegen'd scan (work ~ |batch|, never |corpus|); the old side contributes only its write-once model + k-row occupancy broadcast; merge receipt joins are broadcast-sized",
+    "semdedup_paragraph" ->
+      "paragraph semantic dedup: md5-routed integer term counts, 1024-row broadcast plane table, capped bloom-prepass band join — only (pid, tbl, bucket) longs in the candidate shuffles; exact cosine re-joins components BY ID on the capped pair set",
+    "drift_retrain_gate" ->
+      "drift-retrain loop: two (window, score)-keyed partial aggs collapse the corpus; PSI terms, breach rule, per-window conformal taus, and the in-force threshold window all run on |windows|x|bins| grids — raw docs never re-shuffle")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.get(4)
