@@ -324,8 +324,11 @@ object Bench {
     // only a FULL headline run may replace the committed detail — a
     // selected-queries dev run would silently shrink the same-SF
     // reference the outlier third pass (and the next round) reads
-    if (args.isEmpty) try {
-      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
+    // selected-queries dev runs write their detail to a SEPARATE file
+    // so the committed same-SF reference is never shrunk by iteration
+    try {
+      val w = new java.io.PrintWriter(
+        if (args.isEmpty) "BENCH_DETAIL.json" else "BENCH_DEV.json")
       try w.println(detail) finally w.close()
     } catch { case _: Throwable => () }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"slowest":$slowest$errField,"steal_pct":$steal%.1f,"sf":"$sfDir"}""")

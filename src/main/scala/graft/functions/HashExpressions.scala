@@ -426,9 +426,150 @@ case class SigAgree(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** array<long> (sorted ascending, values in [0, 2³¹)) → array<long> of
+  * all C(n,2) ordered pairs packed as a(i)·2³² | a(j) for i < j — the
+  * co-occurrence pair generator of the graph family's shared
+  * [[graft.operators.Graph]] coPairCounts stage. One primitive loop
+  * replaces posexplode + per-element `slice(arr, i+2, n)` (which
+  * allocates a sub-array per element), and the single packed long
+  * halves the pair exchange's key bytes (one 8-byte key vs two).
+  * Unpacking is exact: pa = pp >> 32, pb = pp & 0xFFFFFFFF. Inputs
+  * outside [0, 2³¹) throw rather than silently mis-pack (partkeys are
+  * small positives at every SF; the doc_chunks-style packing contract).
+  */
+case class PairPack(child: Expression) extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pair_pack"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pair_pack expects array<long>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PairPackImpl.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PairPackImpl.compute($c);")
+
+  override protected def withNewChildInternal(c: Expression): PairPack = copy(child = c)
+}
+
+object PairPackImpl {
+  def compute(arr: ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n * (n - 1) / 2)
+    var o = 0
+    var i = 0
+    while (i < n) {
+      val a = arr.getLong(i)
+      if (a < 0L || a > 0x7FFFFFFFL)
+        throw new IllegalArgumentException(s"pair_pack: value $a outside [0, 2^31)")
+      val hi = a << 32
+      var j = i + 1
+      while (j < n) {
+        out(o) = hi | arr.getLong(j)
+        o += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** array<long> (dense `dim`-length count vector) → array<long> of
+  * `tables` sign-LSH bucket keys: bucket(t) = Σ_b [Σ_d v(d)·sign(t,b,d)
+  * ≥ 0]·2^b — all tables×bits sign sums in ONE primitive pass per row.
+  * Replaces a broadcast plane join that fanned every (id, dim, cnt)
+  * component row out ×(tables·bits) through two aggregate exchanges.
+  * All-integer arithmetic — exact, engine-independent. `signs` is laid
+  * out [t][b][d] flattened.
+  */
+case class SignBuckets(child: Expression, signs: Array[Int],
+                       tables: Int, bits: Int, dim: Int)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sign_buckets expects array<long>, got $t")
+  }
+
+  private def compute(v: ArrayData): GenericArrayData = {
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        var s = 0L
+        val base = (t * bits + b) * dim
+        var d = 0
+        while (d < dim) {
+          s += v.getLong(d) * signs(base + d)
+          d += 1
+        }
+        if (s >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("signBucketSigns", signs, "int[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    long $s = 0L;
+         |    int $base = ($t * $bits + $b) * $dim;
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      $s += $c.getLong($d) * $sRef[$base + $d];
+         |    }
+         |    if ($s >= 0) $bucket |= (1L << $b);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): SignBuckets = copy(child = c)
+}
+
 object HashFunctions {
   /** Native minhash signature from a shingle-hash array column. */
   def minhash_sig(hs: Column): Column = toColumn(MinHashSig(toExpression(hs)))
+
+  /** Native packed co-occurrence pairs from a sorted id array. */
+  def pair_pack(arr: Column): Column = toColumn(PairPack(toExpression(arr)))
+
+  /** Native sign-LSH bucket keys from a dense count vector. */
+  def sign_buckets(v: Column, signs: Array[Int], tables: Int, bits: Int, dim: Int): Column =
+    toColumn(SignBuckets(toExpression(v), signs, tables, bits, dim))
 
   /** Native 64-bit simhash from a token-hash array column. */
   def simhash64(hs: Column): Column = toColumn(SimHash64(toExpression(hs)))

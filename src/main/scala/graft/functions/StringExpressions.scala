@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftExpressionBridge.{toColumn, toExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -242,9 +243,110 @@ case class RollingHash(child: Expression)
     copy(child = newChild)
 }
 
+/** Shared kernel for [[WinnowFps]] — the full winnowing fingerprint
+  * pipeline (MOSS, Schleimer et al. 2003) as ONE per-document pass:
+  * char k-gram md5-prefix hashes → trailing-w window minima → distinct
+  * selected hashes. Bit-identical to the relational formulation it
+  * replaces (posexplode(sequence) + md5/conv + trailing-ROWS min window
+  * + distinct), which paid one corpus-character-cardinality Exchange +
+  * Sort for the window and a second Exchange for the distinct:
+  *  - gram hash = unsigned first-4-bytes of md5(utf8(substring(text,
+  *    pos, k))), pos 1-based — substring boundaries computed on UTF-8
+  *    codepoint starts, exactly Spark's substring/length semantics;
+  *  - fp(pos) = min(h[pos-w+1..pos]) for pos ≥ w (first complete
+  *    window), matching rowsBetween(-(w-1), 0) + filter(pos ≥ w);
+  *  - output = the distinct fp set (ascending; consumers treat it as a
+  *    set — the old shape's .distinct() had no defined order either).
+  */
+object WinnowFpsImpl {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(s: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    // codepoint start offsets (UTF-8 continuation bytes have 10xxxxxx)
+    var nChars = 0
+    var i = 0
+    while (i < nb) { if ((bytes(i) & 0xC0) != 0x80) nChars += 1; i += 1 }
+    val starts = new Array[Int](nChars + 1)
+    var c = 0
+    i = 0
+    while (i < nb) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(nChars) = nb
+    val nGrams = nChars - k + 1
+    if (nGrams < w) return new GenericArrayData(Array.emptyLongArray)
+    val d = md5.get()
+    val h = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      d.reset()
+      d.update(bytes, starts(g), starts(g + k) - starts(g))
+      val dig = d.digest()
+      h(g) = ((dig(0) & 0xFFL) << 24) | ((dig(1) & 0xFFL) << 16) |
+        ((dig(2) & 0xFFL) << 8) | (dig(3) & 0xFFL)
+      g += 1
+    }
+    val set = new java.util.HashSet[java.lang.Long]()
+    var pos = w - 1 // 0-based end of the first complete window
+    while (pos < nGrams) {
+      var mn = h(pos)
+      var j = pos - w + 1
+      while (j < pos) { if (h(j) < mn) mn = h(j); j += 1 }
+      set.add(mn)
+      pos += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+}
+
+/** `winnow_fps(text, k, w)` → array<long> of the document's distinct
+  * winnowing fingerprints — a pure map fused into the scan (no
+  * per-character fan-out, no window shuffle+sort, no distinct
+  * exchange). */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_fps expects a string, got $other")
+    }
+
+  override def nullSafeEval(s: Any): Any =
+    WinnowFpsImpl.compute(s.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WinnowFpsImpl.compute($a, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
 object StringFunctions {
   def jaro_winkler(a: Column, b: Column): Column =
     toColumn(JaroWinkler(toExpression(a), toExpression(b)))
+
+  def winnow_fps(text: Column, k: Int, w: Int): Column =
+    toColumn(WinnowFps(toExpression(text), k, w))
 
   def char_entropy_stats(text: Column): Column =
     toColumn(CharEntropyStats(toExpression(text)))

@@ -1154,7 +1154,11 @@ object Dedup {
     * broadcast rows, and the bucket cap bounds any boilerplate
     * pile-up at cap²/2 pairs per bucket.
     */
-  def semdedupParagraph(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared semdedup_paragraph state, factored for phase profiling and
+    * specs: (paragraph table, hashed term-count components, ±1 plane
+    * table) — paras/comp persisted, callers release. */
+  private[graft] def sppState(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val paras = Tables.documents(spark, dir)
       .select($"doc_id", posexplode(split($"text", "\n")).as(Seq("line", "lstr")))
@@ -1178,14 +1182,40 @@ object Dedup {
           .cast("long") % SppDim).cast("int").as("dim"))
       .agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (paras, comp, sppPlanes.toDF("tbl", "bit", "dim", "p"))
+  }
+
+  /** [[sppPlanes]] flattened [t][b][d] for the sign_buckets kernel. */
+  private lazy val sppSignArray: Array[Int] = {
+    val a = new Array[Int](SppTables * SppBits * SppDim)
+    sppPlanes.foreach { case (t, b, d, p) => a((t * SppBits + b) * SppDim + d) = p }
+    a
+  }
+
+  /** r13: all tables×bits sign sums come from ONE sign_buckets kernel
+    * pass over a dense per-pid count vector (one pid-keyed exchange of
+    * 32 longs per paragraph). The broadcast plane join it replaces
+    * fanned every (pid, dim, cnt) row out ×32 through TWO aggregate
+    * exchanges (~paragraphs×1024 rows). Kernel ≡ join shape pinned in
+    * SignBucketsSpec; missing dims are zero in the dense vector, which
+    * contributes nothing to each sign sum — exactly the rows the join
+    * shape never produced. */
+  private[graft] def sppBucketsOf(comp: DataFrame): DataFrame = {
+    val spark = comp.sparkSession
+    import spark.implicits._
+    comp.groupBy($"pid")
+      .agg(array((0 until SppDim).map(d =>
+        coalesce(sum(when($"dim" === d, $"cnt")), lit(0L))): _*).as("v"))
+      .select($"pid", posexplode(graft.functions.HashFunctions
+        .sign_buckets($"v", sppSignArray, SppTables, SppBits, SppDim))
+        .as(Seq("tbl", "bucket")))
+  }
+
+  def semdedupParagraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (paras, comp, _) = sppState(spark, dir)
     val nrm = comp.groupBy($"pid").agg(sum($"cnt" * $"cnt").as("n2"))
-    val planes = sppPlanes.toDF("tbl", "bit", "dim", "p")
-    val buckets = comp.join(broadcast(planes), "dim")
-      .groupBy($"pid", $"tbl", $"bit")
-      .agg(sum($"cnt" * $"p").as("s"))
-      .groupBy($"pid", $"tbl")
-      .agg(sum(when($"s" >= 0, expr("shiftleft(cast(1 as bigint), bit)"))
-        .otherwise(0L)).as("bucket"))
+    val buckets = sppBucketsOf(comp)
     val capped = pairableBands(
       buckets.select($"pid".as("doc_id"), $"tbl".as("band"), $"bucket"), cap = 64)
     val pairs = capped.as("a")
@@ -2562,14 +2592,14 @@ object Dedup {
     * reported with containment sim = shared/min(|fp_i|,|fp_j|).
     *
     * Exactness: gram hashes are the portable md5-hex-prefix integers
-    * (conv on Spark, the instr-fold on DuckDB), window minima are a
-    * codegen'd trailing-ROWS min over gram positions, counts are exact
-    * longs, sim is one double division. The gram/window stage is
-    * deliberately RELATIONAL (posexplode + window), not an in-row
-    * array HOF: Slice/ElementAt inside an interpreted lambda box the
-    * whole hash array per call, turning the per-doc pass quadratic
-    * (measured 92 s for 500 docs vs ~2 s relational). Scale: the
-    * window shuffle carries (doc_id, pos, hash) longs only;
+    * (the native kernel's first-4-md5-bytes on Spark, the instr-fold on
+    * DuckDB), window minima and the per-doc distinct run inside the
+    * winnow_fps doGenCode kernel (one primitive-loop pass per document
+    * — NOT an interpreted array HOF, whose Slice/ElementAt boxing made
+    * the per-doc pass quadratic: measured 92 s for 500 docs in r10; the
+    * earlier relational posexplode+window shape paid a corpus-character
+    * Exchange+Sort instead, removed r13), counts are exact longs, sim
+    * is one double division. Scale:
     * fingerprints occurring in more than [[WinCap]] docs are dropped
     * before the pair join (the MOSS stop-fingerprint practice —
     * ubiquitous grams carry no match evidence), so the ids-only fp
@@ -2579,18 +2609,19 @@ object Dedup {
     */
   def winnowingFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w4 = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"pos").rowsBetween(-(WinW - 1), 0)
-    val fps = Tables.documents(spark, dir)
+    // r13 optimization (guide §2.4/§4): the gram/window stage is now the
+    // native winnow_fps kernel — ONE per-doc codegen'd pass (md5-prefix
+    // gram hashes → trailing-W minima → distinct), replacing the
+    // relational posexplode + (doc_id, pos)-window + distinct, which
+    // paid a corpus-CHARACTER-cardinality Exchange+Sort for the window
+    // min plus a second exchange for the distinct. Kernel ≡ relational
+    // shape pinned bit-identical in WinnowKernelSpec; the r10 quadratic
+    // HOF caveat doesn't apply (this is a doGenCode expression, not an
+    // interpreted lambda chain).
+    val fps = Tables.documentsScaled(spark, dir)
       .filter(length($"text") >= WinK + WinW - 1)
-      .select($"doc_id", $"text",
-        explode(sequence(lit(1), length($"text") - (WinK - 1))).as("pos"))
-      .select($"doc_id", $"pos",
-        expr(s"CAST(conv(substr(md5(substring(text, pos, $WinK)), 1, 8), 16, 10)" +
-          " AS BIGINT)").as("h"))
-      .withColumn("fp", min($"h").over(w4))
-      .filter($"pos" >= WinW) // first complete window
-      .select($"doc_id", $"fp").distinct()
+      .select($"doc_id",
+        explode(graft.functions.StringFunctions.winnow_fps($"text", WinK, WinW)).as("fp"))
     val kept = fps.join(
         fps.groupBy($"fp").agg(count(lit(1)).as("nd"))
           .filter($"nd" <= WinCap).select($"fp"),

@@ -137,6 +137,10 @@ object Filters {
     */
   def spanDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NOT documentsScaled: the disjoint stride-8 grid hashes n/8
+    // windows per doc — too light to amortize the text-payload
+    // exchange (measured +29% with it; contrast dedupSubstring's
+    // stride-1 windows at −54%)
     val spans = Tables.documents(spark, dir)
       .select($"doc_id", tokens($"text").as("toks"))
       .select($"doc_id", size($"toks").as("n"), posexplode(expr(
@@ -191,7 +195,7 @@ object Filters {
     */
   def spanExcise(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsScaled(spark, dir)
       .select($"doc_id", tokens($"text").as("t"))
       .withColumn("n", size($"t"))
     val spans = docs
@@ -337,7 +341,7 @@ object Filters {
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsScaled(spark, dir)
       .select($"doc_id", tokens($"text").as("t"))
       .select($"doc_id", size($"t").as("n"), $"t")
     val wins = docs.filter($"n" >= SubW)
@@ -401,7 +405,7 @@ object Filters {
     * n_dup_at_lmax (duplicated positions at that level).
     */
   def substringLongestMatch(spark: SparkSession, dir: String): DataFrame =
-    substringLongestMatchOf(Tables.documents(spark, dir))
+    substringLongestMatchOf(Tables.documentsScaled(spark, dir))
 
   /** Core on any (doc_id, text) frame — factored so specs can plant
     * shared spans of known length and assert the level readout. */
@@ -544,7 +548,7 @@ object Filters {
     * while it fits; the corpus never leaves its scan). */
   def substringExcise(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsScaled(spark, dir)
       .select($"doc_id", tokens($"text").as("t"))
       .withColumn("n", size($"t"))
     val wins = docs.filter($"n" >= SubW)

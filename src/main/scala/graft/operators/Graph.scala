@@ -47,12 +47,21 @@ object Graph {
     */
   private def coPairCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // r13: the pair generator is the native pair_pack kernel — one
+    // primitive loop per basket instead of posexplode + a slice()
+    // sub-array allocation per element, and the pair aggregate keys ONE
+    // packed long (pa·2³²|pb) instead of a two-long tuple, halving the
+    // pair exchange's key bytes. Unpack after the aggregate is exact
+    // (partkeys < 2³¹; the kernel throws on violation). Equivalence to
+    // the explode/slice shape is pinned in PairPackSpec; ~15 graph
+    // operators share this stage.
     val sets = Tables.lineitem(spark, dir)
       .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
       .groupBy($"ok").agg(sort_array(collect_set($"pk")).as("arr"))
-    sets.select(posexplode($"arr").as(Seq("i", "pa")), $"arr")
-      .select($"pa", explode(expr("slice(arr, i + 2, size(arr))")).as("pb"))
-      .groupBy($"pa", $"pb").agg(count(lit(1)).as("n_orders"))
+    sets.select(explode(graft.functions.HashFunctions.pair_pack($"arr")).as("pp"))
+      .groupBy($"pp").agg(count(lit(1)).as("n_orders"))
+      .select(shiftright($"pp", 32).as("pa"),
+        $"pp".bitwiseAND(lit(0xFFFFFFFFL)).as("pb"), $"n_orders")
   }
 
   /** PageRank over the undirected co-purchase graph, 5 damped
@@ -1874,9 +1883,17 @@ object Graph {
     var ranks = deg.select($"node",
       when(isSeed, lit(seedStart)).otherwise(lit(0L)).as("pr"))
     for (_ <- 1 to Iters) {
+      // zero-contribution pruning (exact): a source with pr DIV deg = 0
+      // adds nothing to any neighbor's sum, and the LEFT join against
+      // the static degree table below reconstructs every node's row
+      // with coalesce(s, 0) either way — so dropping those sources
+      // BEFORE the explode changes no pr value. In early iterations
+      // the frontier is seed-anchored (~1/97 of nodes), so this skips
+      // the adjacency probe + explode for the inactive majority.
       val contrib = adj
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(ranks.filter($"pr" =!= 0L).withColumnRenamed("node", "src"), "src")
         .select($"dsts", expr("pr DIV deg").as("c"))
+        .filter($"c" =!= 0L)
         .select(explode($"dsts").as("node"), $"c")
       val sums = contrib.groupBy($"node").agg(sum($"c").as("s"))
       ranks = deg.select($"node").join(sums, Seq("node"), "left")

@@ -20,6 +20,43 @@ object Tables {
     if (name == "events") normalizeEventTs(df) else df
   }
 
+  /** Floor below which the adaptive repartition cannot pay for itself.
+    * 48 KB keeps documents in at every oracle-checked SF, so the
+    * repartitioned plan shape is exactly what correctness verifies. */
+  private val ScaledReadMinBytes = 48L * 1024
+
+  /** Scale-adaptive scan parallelism for operators whose SCAN-FUSED
+    * per-row compute dominates (per-position md5 fingerprinting, gram
+    * pyramids — guide §2.5 "input skew"/§1.2 step 1): the driver's
+    * testdata ships ONE single-row-group parquet file per table, so
+    * every scan is a one-task stage and the fused kernel serializes
+    * onto one core. When the file's split count (bytes /
+    * maxPartitionBytes) cannot feed `defaultParallelism`, insert one
+    * round-robin repartition; at a production layout (splits >> cores)
+    * the condition is false and this is a no-op — no exchange is added
+    * at scale. Filters and column pruning still reach the parquet scan
+    * (verified: PushedFilters/ReadSchema identical with and without —
+    * the optimizer pushes both below the Repartition).
+    *
+    * Deliberately OPT-IN per operator, not applied in [[load]]: for
+    * explode→aggregate pipelines the extra exchange ships the text
+    * payload and costs more than the parallel decode buys (measured
+    * +40..90% on bm25_multi / text_tfidf / events_hourly / gopher_rules
+    * at sf0.1; −30..54% on the md5-per-position family — see
+    * OPTIMIZATION_r13.md).
+    */
+  def documentsScaled(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = documents(spark, sfDir)
+    val bytes =
+      try new java.io.File(s"$sfDir/documents.parquet").length
+      catch { case _: Throwable => Long.MaxValue }
+    val cores = spark.sparkContext.defaultParallelism
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    if (bytes >= ScaledReadMinBytes && bytes < maxPart * cores.toLong)
+      df.repartition(cores)
+    else df
+  }
+
   /** The driver has generated events.ts under several parquet encodings
     * across rounds — TIMESTAMP(NANOS) (read as a long via
     * `spark.sql.legacy.parquet.nanosAsLong`), TIMESTAMP_NTZ micros
