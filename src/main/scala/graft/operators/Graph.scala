@@ -319,10 +319,17 @@ object Graph {
     def support(e: DataFrame): DataFrame = {
       val sym = e.select($"u".as("src"), $"v".as("dst"))
         .union(e.select($"v".as("src"), $"u".as("dst")))
+      // r13: the wedge aggregate and the edge join key ONE packed long
+      // (u·2³²|v, injective for ids < 2³¹ — enforced upstream by
+      // pair_pack) instead of a two-long tuple: halves the wedge
+      // exchange's key bytes, the op's largest per-round shuffle.
+      // x.dst < y.dst matches the canonical u < v of the edge list.
       sym.as("x").join(sym.as("y"), $"x.src" === $"y.src" && $"x.dst" < $"y.dst")
-        .groupBy($"x.dst".as("u"), $"y.dst".as("v"))
+        .groupBy(shiftleft($"x.dst", 32).bitwiseOR($"y.dst").as("wkey"))
         .agg(count(lit(1)).as("sup"))
-        .join(e, Seq("u", "v")) // wedge pairs that ARE edges
+        .join(e.select(shiftleft($"u", 32).bitwiseOR($"v").as("wkey")), "wkey")
+        .select(shiftright($"wkey", 32).as("u"),
+          $"wkey".bitwiseAND(lit(0xFFFFFFFFL)).as("v"), $"sup")
     }
     var r = 0
     var done = false
@@ -572,9 +579,16 @@ object Graph {
         when($"ru" < $"rv", $"rv").otherwise($"ru").as("dst_rank"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     oe.count()
-    val tri = oe.as("e1")
+    // r13: the wedge→closing-edge join keys ONE packed long (dst1·2³²|
+    // dst2) instead of a two-long tuple — halves the wedge exchange's
+    // bytes (its row count is the ΣC(outdeg,2) wedge mass, the largest
+    // shuffle of the op). Injective for ids < 2³¹, which coPairCounts'
+    // pair_pack already enforces upstream (it throws on violation).
+    val wedges = oe.as("e1")
       .join(oe.as("e2"), $"e1.src" === $"e2.src" && $"e1.dst_rank" < $"e2.dst_rank")
-      .join(oe.as("e3"), $"e1.dst" === $"e3.src" && $"e2.dst" === $"e3.dst")
+      .select((shiftleft($"e1.dst", 32).bitwiseOR($"e2.dst")).as("wkey"))
+    val closing = oe.select((shiftleft($"src", 32).bitwiseOR($"dst")).as("wkey"))
+    val tri = wedges.join(closing, "wkey")
       .agg(count(lit(1)).as("n_triangles"))
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     Release.grid(
@@ -1478,10 +1492,16 @@ object Graph {
         when($"ru" < $"rv", $"rv").otherwise($"ru").as("dst_rank"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     oe.count()
+    // r13: packed single-long wedge key (the triangleCount change) —
+    // b/c reconstruct exactly from the key, so the wedge exchange
+    // carries (a, wkey) instead of three longs plus a two-long key
     val triCorners = oe.as("e1")
       .join(oe.as("e2"), $"e1.src" === $"e2.src" && $"e1.dst_rank" < $"e2.dst_rank")
-      .join(oe.as("e3"), $"e1.dst" === $"e3.src" && $"e2.dst" === $"e3.dst")
-      .select($"e1.src".as("a"), $"e1.dst".as("b"), $"e2.dst".as("c"))
+      .select($"e1.src".as("a"),
+        (shiftleft($"e1.dst", 32).bitwiseOR($"e2.dst")).as("wkey"))
+      .join(oe.select((shiftleft($"src", 32).bitwiseOR($"dst")).as("wkey")), "wkey")
+      .select($"a", shiftright($"wkey", 32).as("b"),
+        $"wkey".bitwiseAND(lit(0xFFFFFFFFL)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tv = triCorners.select($"a".as("node"))
       .unionAll(triCorners.select($"b".as("node")))

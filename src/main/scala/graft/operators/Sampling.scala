@@ -1179,7 +1179,12 @@ object Sampling {
   def driftRetrainGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val W = org.apache.spark.sql.expressions.Window
-    val sc = TextAnalysis.textQuality(spark, dir)
+    // r13: qualityScored directly — textQuality's global orderBy added
+    // a range exchange + sort that the doc_id join immediately
+    // destroyed. (documentsScaled on both reads was tried and measured
+    // 2× WORSE here: the two independent round-robin exchanges defeat
+    // the planner's one-sided broadcast of the quality frame.)
+    val sc = TextAnalysis.qualityScored(Tables.documents(spark, dir))
       .select($"doc_id", round($"quality_score" * 1000000d, 0).cast("long").as("s"))
       .join(Tables.documents(spark, dir).select($"doc_id",
         (substring(md5(concat(lit("conf:"), $"doc_id".cast("string"),

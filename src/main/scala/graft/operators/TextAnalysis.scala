@@ -64,7 +64,13 @@ object TextAnalysis {
         col("ts.n_tokens").cast("double").as("n_tok"),
         col("ts.n_stop").cast("double").as("n_stop"),
         col("ts.n_uniq").cast("double").as("n_uniq"),
-        length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double").as("n_punct"),
+        // punct count = len − len(translate-away): exactly the old
+        // length(regexp_replace(text, "[^.,!?;:]", "")) value (both
+        // count codepoints in the 6-char class) without running a
+        // per-character regex engine over every document (r13; the
+        // score arithmetic below is untouched and stays oracle-pinned)
+        (length(col("text")) - length(translate(col("text"), ".,!?;:", "")))
+          .cast("double").as("n_punct"),
         length(col("text")).cast("double").as("n_chars"))
     val stopRatio = col("n_stop") / greatest(col("n_tok"), lit(1.0))
     val punctRatio = col("n_punct") / greatest(col("n_chars"), lit(1.0))

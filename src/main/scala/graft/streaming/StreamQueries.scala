@@ -520,9 +520,18 @@ object StreamQueries {
     val inDir = stageTable(dir, "documents")
     val name = uniqueName("sq_decontam")
     val static = spark.read.parquet(inDir)
+    // persisted + frozen BEFORE the stream starts (the dimension-side
+    // discipline of streamSnapshotEnrich/streamDedupGate): a static
+    // side of a stream-static join is re-evaluated EVERY micro-batch,
+    // so without the persist each of the ~11 ordered batches re-ran the
+    // full-corpus gram explode + distinct just to rebuild the same
+    // broadcast (r13 measurement: this op was the streaming bench's
+    // most expensive query almost entirely from that recompute)
     val bench = graft.operators.Curation.gramTable(static)
       .filter($"doc_id" % 97 === 0)
       .select(explode($"grams").as("gram")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bench.count()
     val (ordDir, _) = stageDocsOrderedFlush(spark, dir)
     val stream = spark.readStream.schema(static.schema)
       .option("maxFilesPerTrigger", "1").parquet(ordDir)
@@ -540,6 +549,7 @@ object StreamQueries {
       .agg(max($"n_grams").as("n_grams"), count(lit(1)).as("n_hits"))
       .writeStream.outputMode("append").format("memory").queryName(name).start()
     q.processAllAvailable(); q.stop()
+    bench.unpersist() // sink rows are materialized; free the frozen gram set
     spark.table(name)
       .select($"doc_id", $"n_grams", $"n_hits",
         round($"n_hits".cast("double") / $"n_grams".cast("double"), 6)
