@@ -481,6 +481,73 @@ object PairPackImpl {
   }
 }
 
+/** array<long> (sorted ascending, values in [0, 2³¹)) → array of all
+  * C(n,3) ordered triples as struct(pp = a(i)·2³²|a(j), pc = a(k)) for
+  * i < j < k — [[PairPack]]'s 3-item sibling for the basket_rules_3
+  * triple generator. One primitive loop replaces TWO chained
+  * posexplode + per-element `slice` stages (each of which allocated a
+  * suffix sub-array per element), and the packed antecedent pair cuts
+  * the triple aggregate's key from three longs to two (16 vs 24 key
+  * bytes on the triple exchange). Unpacking after the aggregate is
+  * exact (pa = pp >> 32, pb = pp & 0xFFFFFFFF); out-of-range inputs
+  * throw rather than silently mis-pack, matching the pair_pack
+  * contract.
+  */
+case class TriplePack(child: Expression) extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pp", LongType, nullable = false),
+      StructField("pc", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "triple_pack"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"triple_pack expects array<long>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TriplePackImpl.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TriplePackImpl.compute($c);")
+
+  override protected def withNewChildInternal(c: Expression): TriplePack = copy(child = c)
+}
+
+object TriplePackImpl {
+  def compute(arr: ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    val m = if (n < 3) 0 else n * (n - 1) * (n - 2) / 6
+    val out = new Array[Any](m)
+    var o = 0
+    var i = 0
+    while (i < n) {
+      val a = arr.getLong(i)
+      if (a < 0L || a > 0x7FFFFFFFL)
+        throw new IllegalArgumentException(s"triple_pack: value $a outside [0, 2^31)")
+      val hi = a << 32
+      var j = i + 1
+      while (j < n) {
+        val pp = hi | arr.getLong(j)
+        var k = j + 1
+        while (k < n) {
+          out(o) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](pp, arr.getLong(k)))
+          o += 1
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** array<long> (dense `dim`-length count vector) → array<long> of
   * `tables` sign-LSH bucket keys: bucket(t) = Σ_b [Σ_d v(d)·sign(t,b,d)
   * ≥ 0]·2^b — all tables×bits sign sums in ONE primitive pass per row.
@@ -566,6 +633,9 @@ object HashFunctions {
 
   /** Native packed co-occurrence pairs from a sorted id array. */
   def pair_pack(arr: Column): Column = toColumn(PairPack(toExpression(arr)))
+
+  /** Native packed co-occurrence triples (struct(pp, pc)) from a sorted id array. */
+  def triple_pack(arr: Column): Column = toColumn(TriplePack(toExpression(arr)))
 
   /** Native sign-LSH bucket keys from a dense count vector. */
   def sign_buckets(v: Column, signs: Array[Int], tables: Int, bits: Int, dim: Int): Column =

@@ -1065,14 +1065,20 @@ object Graph {
       .select(explode(array($"pa", $"pb")).as("pk")).distinct()
     val sets = li.join(freqItems, Seq("pk"), "left_semi")
       .groupBy($"ok").agg(sort_array(collect_set($"pk")).as("arr"))
+    // r13: the triple generator is the native triple_pack kernel — one
+    // primitive loop per basket instead of two chained posexplode +
+    // per-element slice() stages, and the triple aggregate keys
+    // (packed-pair, consequent) = two longs instead of three, cutting
+    // the triple exchange's key bytes by a third. Unpack after the
+    // aggregate is exact (partkeys < 2³¹; the kernel throws on
+    // violation). Equivalence pinned in PairPackSpec.
     val triples = sets
-      .select(posexplode($"arr").as(Seq("i", "pa")), $"arr")
-      .select($"pa", expr("slice(arr, i + 2, size(arr))").as("rest"))
-      .select($"pa", posexplode($"rest").as(Seq("j", "pb")), $"rest")
-      .select($"pa", $"pb",
-        explode(expr("slice(rest, j + 2, size(rest))")).as("pc"))
-      .groupBy($"pa", $"pb", $"pc").agg(count(lit(1)).as("n3"))
+      .select(explode(graft.functions.HashFunctions.triple_pack($"arr")).as("t"))
+      .groupBy($"t.pp".as("pp"), $"t.pc".as("pc"))
+      .agg(count(lit(1)).as("n3"))
       .filter($"n3" >= 2)
+      .select(shiftright($"pp", 32).as("pa"),
+        $"pp".bitwiseAND(lit(0xFFFFFFFFL)).as("pb"), $"pc", $"n3")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = pc
       .select($"pa".as("a1"), $"pb".as("a2"), $"n_orders".as("cab"))

@@ -26,7 +26,15 @@ import org.apache.spark.sql.DataFrame
 private[graft] object Release {
   private val GridBound = 65536
 
+  /** r13 plan-evidence hook (dev tooling only): both release shapes
+    * rebase the returned frame onto an ExistingRDD/LocalRelation, so a
+    * post-hoc `explain` on a query's result shows a one-node plan.
+    * PlanSnap installs a callback here to capture the PRE-release
+    * computation plan; never set outside tools. */
+  @volatile private[graft] var planCapture: Option[DataFrame => Unit] = None
+
   def grid(out: DataFrame, caches: DataFrame*): DataFrame = {
+    planCapture.foreach(f => f(out))
     val spark = out.sparkSession
     val rows = out.collect().toSeq
     require(rows.length <= GridBound,
@@ -37,6 +45,7 @@ private[graft] object Release {
   }
 
   def checkpointed(out: DataFrame, caches: DataFrame*): DataFrame = {
+    planCapture.foreach(f => f(out))
     val cp = out.localCheckpoint(true)
     caches.foreach(_.unpersist())
     cp

@@ -768,17 +768,24 @@ object Training {
       least(greatest(lit(500000L) + fdiv(margin, lit(4L)), lit(0L)), lit(M))
     }
 
+    // r13: the backward pass is ONE map-side single-row aggregate (65
+    // per-dim sums over an err projection) instead of posexplode +
+    // groupBy(dim) — the explode multiplied every row ×65 through a
+    // dim-keyed exchange per iteration (guide §2.3: aggregate before
+    // you shuffle). Per-element floorDiv-then-sum order is unchanged,
+    // so every gradient long is bit-identical. The err alias is
+    // referenced 65× from the aggregate, which keeps CollapseProject
+    // from inlining the dot product into each term.
     var w = Array.fill(65)(0L)
     for (_ <- 1 to Iters) {
-      val err = ($"y" * M - sCol(w)).as("err")
-      val grads = base.select(err, posexplode($"xq").as(Seq("dim", "x")))
-        .groupBy($"dim")
-        .agg(sum(fdiv($"err" * $"x", lit(M))).as("g"), count(lit(1)).as("cnt"))
-        .collect()
-      val n = grads.head.getLong(2)
-      val gm = grads.map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val gradCols = (0 until 65).map(d =>
+        sum(fdiv($"err" * element_at($"xq", d + 1), lit(M))).as(s"g$d"))
+      val row = base.select(($"y" * M - sCol(w)).as("err"), $"xq")
+        .agg(count(lit(1)).as("cnt"), gradCols: _*)
+        .collect().head
+      val n = row.getLong(0)
       w = Array.tabulate(65) { d =>
-        w(d) + java.lang.Math.floorDiv(LR * java.lang.Math.floorDiv(gm(d), n), M)
+        w(d) + java.lang.Math.floorDiv(LR * java.lang.Math.floorDiv(row.getLong(d + 1), n), M)
       }
     }
 

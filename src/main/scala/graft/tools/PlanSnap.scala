@@ -6,6 +6,11 @@ import java.nio.file.{Files, Paths}
   * named queries to plans/r13/<query>_<tag>.txt so before/after plan
   * claims in OPTIMIZATION_r13.md are mechanically checkable.
   *
+  * Operators ending in Release.grid / Release.checkpointed rebase their
+  * result onto an ExistingRDD, which hides the computation plan from a
+  * post-hoc explain — so this tool also installs the Release.planCapture
+  * hook and appends every pre-release plan the query produced.
+  *
   * Usage: sbt 'runMain graft.tools.PlanSnap <before|after> q1 q2 ...'
   */
 object PlanSnap {
@@ -17,11 +22,22 @@ object PlanSnap {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     Files.createDirectories(Paths.get("plans/r13"))
     names.foreach { name =>
+      val captured = scala.collection.mutable.ArrayBuffer.empty[String]
+      graft.operators.Release.planCapture = Some(df =>
+        captured += df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
       val df = graft.SparkEntry.queries(name)(spark, dir)
-      val plan = df.queryExecution.explainString(
+      graft.operators.Release.planCapture = None
+      val finalPlan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
+      val body =
+        if (captured.isEmpty) finalPlan
+        else captured.zipWithIndex.map { case (p, i) =>
+          s"-- pre-release computation plan ${i + 1}/${captured.size} " +
+            "(Release rebases the returned frame; this is the real query) --\n" + p
+        }.mkString("\n") + "\n-- returned frame (post-release rebase) --\n" + finalPlan
       Files.write(Paths.get(s"plans/r13/${name}_$tag.txt"),
-        plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"[plansnap] wrote plans/r13/${name}_$tag.txt")
     }
     spark.stop()
