@@ -248,6 +248,16 @@ object Bench {
                   val n = df.count() // untimed: result-size evidence
                   lock.synchronized { if (!abandoned) rowCounts(name) = n }
                 }
+                // r14: clear the cache after EVERY pass, not once after
+                // both (the r13 judge's measurement-hygiene ask): an
+                // operator that persists an intermediate and returns
+                // without unpersisting would otherwise let pass 2 run
+                // warm, and min-of-2 would report a warm-cache number.
+                // Untimed (t is already fixed above; the row count that
+                // needs the caches has been taken).
+                lock.synchronized {
+                  if (!abandoned) spark.sharedState.cacheManager.clearCache()
+                }
                 t
               }
               var times = Seq(onePass(countRows = false), onePass(countRows = true))
@@ -261,14 +271,6 @@ object Bench {
                   prev.get(name).exists(p => p > 0 && times.min > 2 * p)) {
                 times = times :+ onePass(countRows = false)
                 extraPasses += 1
-              }
-              // operators persist intermediates (signature/index tables);
-              // left cached they accumulate across the 35+ headline
-              // queries until eviction pressure perturbs LATER timings —
-              // each query must pay its own cache cost, not its
-              // predecessors' eviction storms
-              lock.synchronized {
-                if (!abandoned) spark.sharedState.cacheManager.clearCache()
               }
               times.min
             } catch {
@@ -317,7 +319,11 @@ object Bench {
     // widens the survival margin inside the driver's ~2KB tail
     val errField = if (errors.isEmpty) "" else s""","errors":$errs"""
     val total = results.map(_._2).filter(_ >= 0).sum
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+    // r14: top-20 slowest (was 5) — the r13 driver could not compute
+    // per-query round-over-round or scaling tables from a 5-entry head.
+    // 20 entries ≈ 560 B, still comfortably inside the driver's ~2 KB
+    // stdout tail alongside the totals.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }
       .mkString("{", ",", "}")
     val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs3,"rows":$rows,"errors":$errs,"steal_by_query":$stealByQ,"steal_pct":$steal%.1f,"sf":"$sfDir"}"""

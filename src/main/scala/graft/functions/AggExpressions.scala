@@ -272,6 +272,200 @@ case class SpaceSavingAgg(
     copy(item = newChildren(0))
 }
 
+/** Exact per-group vote tally: label → Σweight, merged by summing. The
+  * label space per group is bounded by the group's input rows (for the
+  * LPA vote, a node's distinct neighbor labels ≤ its degree).
+  */
+final class VoteBuffer extends Serializable {
+  val votes = new java.util.HashMap[Long, Long]()
+  def add(lbl: Long, w: Long): Unit =
+    votes.put(lbl, votes.getOrDefault(lbl, 0L) + w)
+}
+
+/** weighted_mode(lbl, w): the label with the largest exact Σw per group,
+  * ties broken to the SMALLEST label — bit-identical to the two-level
+  * formulation `groupBy(g, lbl).agg(sum(w))` → `groupBy(g).agg(max(
+  * struct(votes, -lbl)))` that the LPA loop used, but in ONE aggregate:
+  * partial vote maps combine map-side (ObjectHashAggregate) and only
+  * per-group partials cross the wire, so each LPA round pays one
+  * exchange instead of two (guide §2.4 — two operations keyed the same
+  * way share one exchange). Exact: long sums, deterministic tie-break.
+  */
+case class WeightedMode(
+    lbl: Expression,
+    w: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VoteBuffer] with Serializable {
+
+  override def children: Seq[Expression] = Seq(lbl, w)
+  override def nullable: Boolean = true // empty group (never in practice)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "weighted_mode"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (lbl.dataType, w.dataType) match {
+      case (LongType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"weighted_mode expects (bigint, bigint), got $other")
+    }
+
+  override def createAggregationBuffer(): VoteBuffer = new VoteBuffer
+
+  override def update(buffer: VoteBuffer, input: InternalRow): VoteBuffer = {
+    val l = lbl.eval(input)
+    val v = w.eval(input)
+    if (l != null && v != null) buffer.add(l.asInstanceOf[Long], v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: VoteBuffer, other: VoteBuffer): VoteBuffer = {
+    val it = other.votes.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); buffer.add(e.getKey, e.getValue)
+    }
+    buffer
+  }
+
+  override def eval(buffer: VoteBuffer): Any = {
+    if (buffer.votes.isEmpty) return null
+    var bestLbl = 0L
+    var bestVotes = Long.MinValue
+    var first = true
+    val it = buffer.votes.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val l = e.getKey; val v = e.getValue
+      if (first || v > bestVotes || (v == bestVotes && l < bestLbl)) {
+        bestLbl = l; bestVotes = v; first = false
+      }
+    }
+    bestLbl
+  }
+
+  override def serialize(buffer: VoteBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(4 + buffer.votes.size * 16)
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.votes.size)
+    val it = buffer.votes.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); out.writeLong(e.getKey); out.writeLong(e.getValue)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): VoteBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new VoteBuffer
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { buf.votes.put(in.readLong(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): WeightedMode =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): WeightedMode =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): WeightedMode =
+    copy(lbl = newChildren(0), w = newChildren(1))
+}
+
+/** Exact element-wise Σ over long vectors, sized lazily to the first
+  * vector's dimension. */
+final class VecSumBuffer extends Serializable {
+  var s: Array[Long] = null
+  def add(arr: org.apache.spark.sql.catalyst.util.ArrayData): Unit = {
+    val n = arr.numElements()
+    if (s == null) s = new Array[Long](n)
+    require(s.length == n, s"vec_sum_l: dim mismatch (${s.length} vs $n)")
+    var i = 0
+    while (i < n) { s(i) += arr.getLong(i); i += 1 }
+  }
+}
+
+/** vec_sum_l(vq): exact element-wise sum of array<long> vectors per
+  * group — the Lloyd mean-update numerator in ONE map-side-combining
+  * aggregate. Replaces posexplode(×d) + a (cluster, dim)-keyed exchange
+  * of N·d rows with a d-long buffer per group per map task (guide §2.3:
+  * aggregate before you shuffle, don't multiply rows to aggregate
+  * them). Long adds are commutative ⇒ partitioning-independent.
+  */
+case class VecSumL(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VecSumBuffer] with Serializable {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true // empty group
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_sum_l"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_sum_l expects array<bigint>, got $other")
+    }
+
+  override def createAggregationBuffer(): VecSumBuffer = new VecSumBuffer
+
+  override def update(buffer: VecSumBuffer, input: InternalRow): VecSumBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    buffer
+  }
+
+  override def merge(buffer: VecSumBuffer, other: VecSumBuffer): VecSumBuffer = {
+    if (other.s != null) {
+      if (buffer.s == null) buffer.s = other.s.clone()
+      else {
+        require(buffer.s.length == other.s.length,
+          s"vec_sum_l: dim mismatch (${buffer.s.length} vs ${other.s.length})")
+        var i = 0
+        while (i < buffer.s.length) { buffer.s(i) += other.s(i); i += 1 }
+      }
+    }
+    buffer
+  }
+
+  override def eval(buffer: VecSumBuffer): Any =
+    if (buffer.s == null) null else new GenericArrayData(buffer.s.clone())
+
+  override def serialize(buffer: VecSumBuffer): Array[Byte] = {
+    val n = if (buffer.s == null) -1 else buffer.s.length
+    val bos = new ByteArrayOutputStream(4 + math.max(0, n) * 8)
+    val out = new DataOutputStream(bos)
+    out.writeInt(n)
+    if (n > 0) buffer.s.foreach(out.writeLong)
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecSumBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new VecSumBuffer
+    val n = in.readInt()
+    if (n >= 0) {
+      buf.s = new Array[Long](n)
+      var i = 0
+      while (i < n) { buf.s(i) = in.readLong(); i += 1 }
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSumL =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSumL =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): VecSumL =
+    copy(child = newChildren(0))
+}
+
 /** Exact second-moment accumulator over quantized vectors: n, Σq_i, and
   * the upper-triangle Σq_i·q_j — sized lazily to the first vector's
   * dimension (d longs + d(d+1)/2 longs of state).
@@ -439,6 +633,14 @@ object AggFunctions {
   /** Column API for the Misra–Gries frequent-items sketch. */
   def space_saving(item: Column, m: Int): Column =
     toColumn(SpaceSavingAgg(toExpression(item), m).toAggregateExpression())
+
+  /** Column API for the fused LPA vote (argmax label by Σweight). */
+  def weighted_mode(lbl: Column, w: Column): Column =
+    toColumn(WeightedMode(toExpression(lbl), toExpression(w)).toAggregateExpression())
+
+  /** Column API for the exact element-wise long-vector sum. */
+  def vec_sum_l(vq: Column): Column =
+    toColumn(VecSumL(toExpression(vq)).toAggregateExpression())
 
   /** Column API for the exact vector second-moment aggregate. */
   def vec_cov_sum(qvec: Column): Column =

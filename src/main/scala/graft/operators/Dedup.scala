@@ -1200,22 +1200,45 @@ object Dedup {
     * SignBucketsSpec; missing dims are zero in the dense vector, which
     * contributes nothing to each sign sum — exactly the rows the join
     * shape never produced. */
-  private[graft] def sppBucketsOf(comp: DataFrame): DataFrame = {
+  /** Dense per-pid count vector (pid, v[SppDim]) — r14: factored out of
+    * [[sppBucketsOf]] so ONE table can serve the sign buckets, both
+    * cosine dot sides, and both norms (SppDim = 32 longs per paragraph,
+    * the same bytes the sparse (pid, dim, cnt) rows carried). */
+  private[graft] def sppDenseOf(comp: DataFrame): DataFrame = {
     val spark = comp.sparkSession
     import spark.implicits._
     comp.groupBy($"pid")
       .agg(array((0 until SppDim).map(d =>
         coalesce(sum(when($"dim" === d, $"cnt")), lit(0L))): _*).as("v"))
-      .select($"pid", posexplode(graft.functions.HashFunctions
-        .sign_buckets($"v", sppSignArray, SppTables, SppBits, SppDim))
-        .as(Seq("tbl", "bucket")))
+  }
+
+  private[graft] def sppBucketsOf(comp: DataFrame): DataFrame =
+    sppBucketsOfDense(sppDenseOf(comp))
+
+  private[graft] def sppBucketsOfDense(dense: DataFrame): DataFrame = {
+    val spark = dense.sparkSession
+    import spark.implicits._
+    dense.select($"pid", posexplode(graft.functions.HashFunctions
+      .sign_buckets($"v", sppSignArray, SppTables, SppBits, SppDim))
+      .as(Seq("tbl", "bucket")))
   }
 
   def semdedupParagraph(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (paras, comp, _) = sppState(spark, dir)
-    val nrm = comp.groupBy($"pid").agg(sum($"cnt" * $"cnt").as("n2"))
-    val buckets = sppBucketsOf(comp)
+    // r14 (guide §2.3/§2.4): ONE persisted dense vector table feeds the
+    // sign buckets, both cosine dot sides, AND both norms. The former
+    // shape aggregated comp three more times (nrm + the two sparse-dot
+    // explode joins: pairs×dims rows through a (j, dim)-keyed exchange
+    // + a (i, j) dot aggregate); now each pair pays two pid-keyed hash
+    // joins of 32-long rows and a codegen'd vec_dot_l — dot over dense
+    // vectors ≡ the sparse dot (absent dims are zero), n2 = v·v ≡
+    // Σcnt², and the threshold compare is the identical double tree,
+    // so the oracle hash is unchanged.
+    val dense = sppDenseOf(comp)
+      .withColumn("n2", graft.functions.PqFunctions.vec_dot_l($"v", $"v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = sppBucketsOfDense(dense)
     val capped = pairableBands(
       buckets.select($"pid".as("doc_id"), $"tbl".as("band"), $"bucket"), cap = 64)
     val pairs = capped.as("a")
@@ -1224,14 +1247,10 @@ object Dedup {
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
       .distinct()
-    val dots = pairs
-      .join(comp.select($"pid".as("i"), $"dim", $"cnt".as("ci")), "i")
-      .join(comp.select($"pid".as("j"), $"dim", $"cnt".as("cj")), Seq("j", "dim"))
-      .groupBy($"i", $"j").agg(sum($"ci" * $"cj").as("dot"))
-    val dup = dots
-      .join(nrm.select($"pid".as("i"), $"n2".as("n2i")), "i")
-      .join(nrm.select($"pid".as("j"), $"n2".as("n2j")), "j")
-      .filter($"dot".cast("double")
+    val dup = pairs
+      .join(dense.select($"pid".as("i"), $"v".as("vi"), $"n2".as("n2i")), "i")
+      .join(dense.select($"pid".as("j"), $"v".as("vj"), $"n2".as("n2j")), "j")
+      .filter(graft.functions.PqFunctions.vec_dot_l($"vi", $"vj").cast("double")
         / (sqrt($"n2i".cast("double")) * sqrt($"n2j".cast("double")))
         >= SppThresh)
       .select($"j".as("pid")).distinct()
@@ -1247,7 +1266,7 @@ object Dedup {
         round($"tokens_semdup".cast("double") / $"n_tokens".cast("double"), 6)
           .as("semdup_mass"))
       .orderBy($"doc_id")
-    Release.checkpointed(out, paras, comp) // per-doc output
+    Release.checkpointed(out, paras, comp, dense) // per-doc output
   }
 
   val semdedupParagraphSql: String = {
@@ -2029,14 +2048,14 @@ object Dedup {
           $"a.len20".as("l2i"),
           $"b.pre1".as("p1j"), $"b.pre3".as("p3j"), $"b.suf3".as("s3j"),
           $"b.len20".as("l2j"))
-    // persisted: all 4 scheme branches aggregate this frame — without
-    // the cache each branch would re-run the dist/sim verify join
+    // r14: no persist needed any more — the fused single-aggregate
+    // `caught` below is the frame's ONLY consumer (the former 4
+    // per-scheme aggregate branches each re-scanned it)
     val cross = pairsOn("pre3").unionByName(pairsOn("suf3"))
       .filter(($"dist" >= 0 &&
           $"dist".cast("double") <= lit(0.1) * $"maxlen".cast("double")) ||
         $"sim" >= minSim)
       .dropDuplicates("i", "j")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // intra-class mass: C(c,2) per clone class, caught iff the key is
     // non-null (identical texts always share each key when defined)
     val intra = classes.filter($"c" >= 2)
@@ -2048,23 +2067,36 @@ object Dedup {
         coalesce(sum(when($"k3", $"m")), lit(0L)).as("c3"),
         coalesce(sum(when($"ks", $"m")), lit(0L)).as("cs"),
         coalesce(sum(when($"kl", $"m")), lit(0L)).as("cl"))
-    val caught = Seq(
-      ("pre1", $"p1i" === $"p1j", $"c1"), ("pre3", $"p3i" === $"p3j", $"c3"),
-      ("suf3", $"s3i" === $"s3j", $"cs"), ("len20", $"l2i" === $"l2j", $"cl"))
-      .map { case (s, eq, ic) =>
-        cross.agg(coalesce(sum($"mass"), lit(0L)).as("xt"),
-          coalesce(sum(when(eq, $"mass")), lit(0L)).as("xc"))
-          .crossJoin(broadcast(intra))
-          .select(lit(s).as("scheme"),
-            ($"xt" + $"t").as("truth_pairs"), ($"xc" + ic).as("caught_pairs"))
-      }.reduce(_.unionByName(_))
+    // r14 (guide §1.2 / §2.4): ONE aggregate computes every scheme's
+    // caught-mass sum in a single pass over the verified pair stream —
+    // the former per-scheme loop ran 4 separate aggregate jobs (plus 4
+    // intra re-computations) over a persisted copy of it. Same sums,
+    // same + intra algebra, 4 rows out of one explode.
+    val xs = cross.agg(
+      coalesce(sum($"mass"), lit(0L)).as("xt"),
+      coalesce(sum(when($"p1i" === $"p1j", $"mass")), lit(0L)).as("x1"),
+      coalesce(sum(when($"p3i" === $"p3j", $"mass")), lit(0L)).as("x3"),
+      coalesce(sum(when($"s3i" === $"s3j", $"mass")), lit(0L)).as("xs"),
+      coalesce(sum(when($"l2i" === $"l2j", $"mass")), lit(0L)).as("xl"))
+    val caught = xs.crossJoin(broadcast(intra))
+      .select(explode(array(
+        struct(lit("pre1").as("scheme"), ($"xt" + $"t").as("truth_pairs"),
+          ($"x1" + $"c1").as("caught_pairs")),
+        struct(lit("pre3").as("scheme"), ($"xt" + $"t").as("truth_pairs"),
+          ($"x3" + $"c3").as("caught_pairs")),
+        struct(lit("suf3").as("scheme"), ($"xt" + $"t").as("truth_pairs"),
+          ($"xs" + $"cs").as("caught_pairs")),
+        struct(lit("len20").as("scheme"), ($"xt" + $"t").as("truth_pairs"),
+          ($"xl" + $"cl").as("caught_pairs")))).as("r"))
+      .select($"r.scheme".as("scheme"), $"r.truth_pairs".as("truth_pairs"),
+        $"r.caught_pairs".as("caught_pairs"))
     Release.grid(
       work.join(caught, "scheme")
         .select($"scheme", $"n_blocks_paired", $"max_block", $"candidate_pairs",
           $"truth_pairs", $"caught_pairs",
           round($"caught_pairs".cast("double") / $"truth_pairs", 6).as("recall"))
         .orderBy($"scheme"),
-      docs, classes, cross) // |schemes| rows
+      docs, classes) // |schemes| rows
   }
 
   lazy val erBlockingSweepSql: String = {

@@ -1383,9 +1383,10 @@ object Graph {
       .groupBy($"lbl".as("community"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy($"community")
-    val rows = out.collect().toSeq
-    edges.unpersist()
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+    // r14: through Release.grid — the same collect + unpersist + rewrap
+    // as the former manual block, plus the grid bound and the
+    // planCapture evidence hook the manual collect bypassed
+    Release.grid(out, edges)
   }
 
   /** The bare vote loop over an ALREADY-PERSISTED dst-partitioned edge
@@ -1397,14 +1398,22 @@ object Graph {
   private[graft] def lpaPropagate(edges: DataFrame, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    var labels = edges.select($"src".as("node")).distinct()
+    // r14 (guide §2.4): the initial label set is the DST side — both
+    // callers pass symmetric edge frames (src set ≡ dst set), and the
+    // edge cache is hash-partitioned on dst, so the distinct reuses the
+    // cached partitioning instead of paying a src-keyed exchange.
+    var labels = edges.select($"dst".as("node")).distinct()
       .select($"node", $"node".as("lbl"))
     for (_ <- 1 to rounds) {
+      // r14: the per-round two-level aggregate (sum votes by (src, lbl),
+      // then argmax by src — TWO exchanges) is fused into the single
+      // weighted_mode aggregate keyed on src: partial vote maps combine
+      // map-side, one exchange per round, bit-identical result
+      // (WeightedModeSpec pins equivalence to the old formulation).
       labels = edges.join(labels.withColumnRenamed("node", "dst"), "dst")
-        .groupBy($"src", $"lbl").agg(sum($"w").as("votes"))
         .groupBy($"src")
-        .agg(max(struct($"votes", (-$"lbl").as("neg"))).as("best"))
-        .select($"src".as("node"), (-$"best.neg").as("lbl"))
+        .agg(graft.functions.AggFunctions.weighted_mode($"lbl", $"w").as("lbl"))
+        .withColumnRenamed("src", "node")
     }
     labels
   }

@@ -863,6 +863,18 @@ object Similarity {
                                     cap: Int): DataFrame = {
     val spark = reps.sparkSession
     import spark.implicits._
+    cappedLshKeeps(reps, prefix, cap)
+      .select($"tbl", $"bucket", explode($"keep").as("t"))
+      .select($"t.payload".as("vec_id"), $"tbl", $"bucket")
+  }
+
+  /** The bounded per-(tbl, bucket) keep arrays behind [[cappedLshIndex]]
+    * and [[cappedLshPairs]]: one (tbl, bucket, keep) row per occupied
+    * bucket, keep = the ≤ cap md5-smallest occupants. */
+  private def cappedLshKeeps(reps: DataFrame, prefix: String,
+                             cap: Int): DataFrame = {
+    val spark = reps.sparkSession
+    import spark.implicits._
     val entries = reps
       .select($"vec_id", explode(lshIndexEntries($"embedding")).as("k"))
       .select($"vec_id", $"k.tbl".as("tbl"), $"k.bucket".as("bucket"))
@@ -873,8 +885,29 @@ object Similarity {
       .withColumn("negu", -u)
       .groupBy($"tbl", $"bucket")
       .agg(graft.functions.AggFunctions.top_k_by($"negu", $"vec_id", cap).as("keep"))
-      .select($"tbl", $"bucket", explode($"keep").as("t"))
-      .select($"t.payload".as("vec_id"), $"tbl", $"bucket")
+  }
+
+  /** Distinct candidate pairs (i < j) from the capped LSH buckets —
+    * C(n,2) enumerated DIRECTLY from each bucket's keep array with the
+    * pair_pack kernel instead of exploding the index and self-joining it
+    * back on (tbl, bucket) (guide §2.4: the top-k aggregate's output
+    * already holds every bucket's occupants together, so the join
+    * exchange bought nothing), and distinct-ed on ONE packed long
+    * instead of a two-long pair (§2.3 fewer key bytes). Bit-identical
+    * to the self-join formulation (CappedLshPairsSpec pins it); bucket
+    * budget still ≤ cap²/2 pairs. pair_pack's [0, 2³¹) range guard
+    * throws rather than mis-packs on oversized vec_ids.
+    */
+  private[graft] def cappedLshPairs(reps: DataFrame, prefix: String,
+                                    cap: Int): DataFrame = {
+    val spark = reps.sparkSession
+    import spark.implicits._
+    cappedLshKeeps(reps, prefix, cap)
+      .select(explode(graft.functions.HashFunctions.pair_pack(
+        sort_array(transform($"keep", t => t.getField("payload"))))).as("pp"))
+      .distinct()
+      .select(shiftright($"pp", 32).as("i"),
+        $"pp".bitwiseAND(lit(0xFFFFFFFFL)).as("j"))
   }
 
   /** Label-noise detection by k-NN disagreement (the confident-learning
@@ -945,12 +978,10 @@ object Similarity {
     // all NumTables draws, and a kNN verdict needs any k collisions,
     // not all of them. The join stays NARROW (3 longs per side) and
     // the pair stream is distinct-ed before the cosine kernel.
-    val capped = cappedLshIndex(repVecs, "ln:", NoiseBucketCap)
-    val cand = capped.as("a")
-      .join(capped.as("b"),
-        $"a.tbl" === $"b.tbl" && $"a.bucket" === $"b.bucket" &&
-          $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("i"), $"b.vec_id".as("j")).distinct()
+    // r14: pairs enumerate directly from the capped keep arrays
+    // (pair_pack) — the former explode + (tbl, bucket) self-join paid
+    // an exchange to reunite rows the aggregate already held together
+    val cand = cappedLshPairs(repVecs, "ln:", NoiseBucketCap)
     val vecs = repVecs.select($"vec_id", $"embedding", Dedup.norm($"embedding").as("nrm"))
     val sim = cand
       .join(vecs.select($"vec_id".as("i"), $"embedding".as("ea"), $"nrm".as("na")), "i")

@@ -91,17 +91,26 @@ object Training {
     import spark.implicits._
     var cent: Array[Array[Long]] = quant.orderBy($"vec_id").limit(k)
       .select($"vq").collect().map(_.getSeq[Long](0).toArray)
+    val d = if (cent.isEmpty) 0 else cent(0).length
     for (_ <- 1 to iters) {
+      // r14 (guide §2.3): ONE cluster-keyed aggregate — count + the
+      // native element-wise vec_sum_l — replaces posexplode(×d) + a
+      // (cluster, dim)-keyed exchange of N·d rows. (A column-per-dim
+      // variant with d separate sum() aggregates was measured ~60%
+      // SLOWER locally — d-wide codegen recompiled per iteration — and
+      // was not kept.) Exact: the same long sums land in the same
+      // floorDiv; empty clusters (no row) keep the previous centroid.
       val sums = assign(quant, cent)
-        .select($"cluster", posexplode($"vq").as(Seq("dim", "v")))
-        .groupBy($"cluster", $"dim")
-        .agg(sum($"v").as("s"), count(lit(1)).as("n"))
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.AggFunctions.vec_sum_l($"vq").as("s"))
         .collect()
-      val upd = sums.map(r => (r.getInt(0), r.getInt(1)) ->
-        java.lang.Math.floorDiv(r.getLong(2), r.getLong(3))).toMap
-      cent = cent.zipWithIndex.map { case (cv, j) =>
-        Array.tabulate(cv.length)(d => upd.getOrElse((j, d), cv(d)))
-      }
+      val upd = sums.map { r =>
+        val n = r.getLong(1)
+        val s = r.getSeq[Long](2)
+        r.getInt(0) -> Array.tabulate(d)(i => java.lang.Math.floorDiv(s(i), n))
+      }.toMap
+      cent = cent.zipWithIndex.map { case (cv, j) => upd.getOrElse(j, cv) }
     }
     cent
   }
@@ -637,12 +646,11 @@ object Training {
       .agg(min($"vec_id").as("rep"), count(lit(1)).as("mult"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = classes.select($"rep".as("vec_id"), $"embedding")
-    val capped = communityCandidateIndex(reps)
-    val cand = capped.as("a")
-      .join(capped.as("b"),
-        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("i"), $"b.doc_id".as("j")).distinct()
+    // r14: candidate pairs enumerate directly from the capped keep
+    // arrays (pair_pack) instead of exploding the index and self-
+    // joining it back on (band, bucket) — same pairs, one exchange
+    // fewer, distinct on one packed long (Similarity.cappedLshPairs)
+    val cand = Similarity.cappedLshPairs(reps, "ec:", CommunityBucketCap)
     val vecs = reps.select($"vec_id", $"embedding", Dedup.norm($"embedding").as("nrm"))
     val edge0 = cand
       .join(vecs.select($"vec_id".as("i"), $"embedding".as("ea"), $"nrm".as("na")), "i")
@@ -650,26 +658,36 @@ object Training {
       .withColumn("cos", round(Dedup.cosinePre($"ea", $"eb", $"na", $"nb"), 6))
       .filter($"cos" >= CommunityTau)
       .select($"i", $"j", round($"cos" * 1000000d, 0).cast("long").as("w"))
-    val edges = edge0.select($"i".as("src"), $"j".as("dst"), $"w")
-      .unionByName(edge0.select($"j".as("src"), $"i".as("dst"), $"w"))
+    // r14: both edge directions from ONE pass over the candidate/cosine
+    // subtree — the former two-branch union re-ran the whole pair
+    // pipeline per direction (guide §1.2: don't compute things twice)
+    val edges = edge0
+      .select(explode(array(
+        struct($"i".as("src"), $"j".as("dst"), $"w"),
+        struct($"j".as("src"), $"i".as("dst"), $"w"))).as("e"))
+      .select($"e.src".as("src"), $"e.dst".as("dst"), $"e.w".as("w"))
       .repartition($"dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count() // materialize the iteration state once (LPA family doctrine)
     val labels = Graph.lpaPropagate(edges, 3)
-    val labeled = labels
-      .join(classes.select($"rep".as("node"), $"mult"), "node")
-      .groupBy($"lbl".as("community")).agg(sum($"mult").as("n_members"))
-    // clone families whose representative found no external neighbor:
-    // mutually-identical members are a community in their own right
-    val lonely = classes.filter($"mult" >= 2)
-      .join(labels.select($"node".as("rep")), Seq("rep"), "left_anti")
-      .select($"rep".as("community"), $"mult".as("n_members"))
-    val out = labeled.unionByName(lonely).orderBy($"community")
-    // eager-grid release: |communities|-row output at any scale
-    val rows = out.collect().toSeq
-    edges.unpersist()
-    classes.unpersist()
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+    // r14: single-pass community merge — ONE reference to the LPA
+    // subtree (the former labeled/lonely union referenced `labels`
+    // twice, duplicating all three vote rounds in the final job).
+    // A labeled class contributes mult under its lbl; an unlabeled
+    // clone family (mult ≥ 2, no external neighbor) is its own
+    // community under its rep. lbl values are nodes WITH edges and
+    // unlabeled reps have none, so the two key spaces cannot collide —
+    // the grouped union is exactly the old labeled ∪ lonely.
+    val out = classes.select($"rep", $"mult")
+      .join(labels.withColumnRenamed("node", "rep"), Seq("rep"), "left")
+      .filter($"lbl".isNotNull || $"mult" >= 2)
+      .groupBy(coalesce($"lbl", $"rep").as("community"))
+      .agg(sum($"mult").as("n_members"))
+      .orderBy($"community")
+    // eager-grid release (r14: through Release.grid — the same collect +
+    // unpersist + rewrap as before, plus the grid bound and the
+    // planCapture evidence hook the manual collect bypassed)
+    Release.grid(out, edges, classes)
   }
 
   val embeddingCommunitiesSql: String =

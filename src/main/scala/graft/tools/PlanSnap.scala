@@ -2,8 +2,8 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 
-/** Round-13 optimization evidence: dump `explain("formatted")` for the
-  * named queries to plans/r13/<query>_<tag>.txt so before/after plan
+/** Round-14 optimization evidence: dump `explain("formatted")` for the
+  * named queries to plans/r14/<query>_<tag>.txt so before/after plan
   * claims in OPTIMIZATION_r13.md are mechanically checkable.
   *
   * Operators ending in Release.grid / Release.checkpointed rebase their
@@ -20,7 +20,7 @@ object PlanSnap {
     val names = args.tail.toSeq
     val spark = graft.GraftSession.get(4)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    Files.createDirectories(Paths.get("plans/r13"))
+    Files.createDirectories(Paths.get("plans/r14"))
     names.foreach { name =>
       val captured = scala.collection.mutable.ArrayBuffer.empty[String]
       graft.operators.Release.planCapture = Some(df =>
@@ -36,9 +36,9 @@ object PlanSnap {
           s"-- pre-release computation plan ${i + 1}/${captured.size} " +
             "(Release rebases the returned frame; this is the real query) --\n" + p
         }.mkString("\n") + "\n-- returned frame (post-release rebase) --\n" + finalPlan
-      Files.write(Paths.get(s"plans/r13/${name}_$tag.txt"),
+      Files.write(Paths.get(s"plans/r14/${name}_$tag.txt"),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      println(s"[plansnap] wrote plans/r13/${name}_$tag.txt")
+      println(s"[plansnap] wrote plans/r14/${name}_$tag.txt")
     }
     spark.stop()
   }
