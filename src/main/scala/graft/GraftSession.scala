@@ -18,6 +18,18 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // r14: let AQE optimize stages that read/feed cached relations
+      // (default false). The iterative loops (pagerank/ppr/kcore/HITS/
+      // LPA) run every per-round stage against persisted frames, and
+      // with the default those stages keep the static shuffle.partitions
+      // task count however small the data — at 32 local cores that made
+      // 32-core runs SLOWER than 8-core (r13 verdict item 1). Measured
+      // at sf0.1/32c: loop family -21% (graph_ppr -31%), no regression
+      // in the full pass; not a local[32] constant — at scale AQE sizes
+      // these stages by advisory bytes exactly as it does uncached ones.
+      // (coalescePartitions.parallelismFirst=false was ALSO tried and
+      // measured WORSE (+12% on the family) — not taken.)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
       // type for; read as long and normalize in Tables.events.

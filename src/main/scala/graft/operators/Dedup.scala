@@ -255,7 +255,12 @@ object Dedup {
     * is also why this operator is the exact verifier for dedup_minhash's
     * candidates.
     */
-  def dedupJaccardFull(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+  def dedupJaccardFull(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame =
+   // r14: same cached-plan-AQE opt-out as erBlockingSweep (eager op,
+   // per-pair array_intersect verify is CPU-heavy at tiny exchange
+   // bytes; measured +0.3 s under the session default, flat scoped off)
+   Release.withConf(spark,
+       "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false") {
     import spark.implicits._
     // EXACT-DUPLICATE COLLAPSE pre-pass: Jaccard depends only on the
     // shingle SET, so docs with identical (sorted) sets are one
@@ -1926,7 +1931,10 @@ object Dedup {
   private val ErMinSim = 0.93
 
   def erClusters(spark: SparkSession, dir: String,
-                 maxDist: Int = ErMaxDist, minSim: Double = ErMinSim): DataFrame = {
+                 maxDist: Int = ErMaxDist, minSim: Double = ErMinSim): DataFrame =
+   // r14: ER verify joins opt OUT of cached-plan AQE (see erBlockingSweep)
+   Release.withConf(spark,
+       "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false") {
     import spark.implicits._
     val toks = filter(split($"text", "\\s+"), t => t =!= "")
     val docs = Tables.documents(spark, dir)
@@ -2014,7 +2022,18 @@ object Dedup {
     * verify join runs over distinct-text representatives.
     */
   def erBlockingSweep(spark: SparkSession, dir: String,
-                      maxDist: Int = ErMaxDist, minSim: Double = ErMinSim): DataFrame = {
+                      maxDist: Int = ErMaxDist, minSim: Double = ErMinSim): DataFrame =
+   // r14: opt OUT of the session-level cached-plan AQE default for this
+   // EAGER op (execution completes inside Release.grid below): its pair
+   // verify is byte-tiny but CPU-heavy — ~1 MB of distinct-text classes
+   // explodes into per-pair levenshtein/jaro work — and byte-based
+   // coalescing serialized it onto one core (measured 2.4 → 9.1 s at
+   // sf0.1/32c under the session default; back to 1.5-1.6 s scoped off).
+   // At 100 TB the same argument holds: verify cost ∝ pairs × len²,
+   // exchange bytes ∝ rows — the one stage whose parallelism must not
+   // be byte-sized.
+   Release.withConf(spark,
+       "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false") {
     import spark.implicits._
     val toks = filter(split($"text", "\\s+"), t => t =!= "")
     def keyCols(src: DataFrame): DataFrame = src

@@ -1925,6 +1925,14 @@ object Graph {
       // BEFORE the explode changes no pr value. In early iterations
       // the frontier is seed-anchored (~1/97 of nodes), so this skips
       // the adjacency probe + explode for the inactive majority.
+      // (r14 negative result, kept for the record: TWO sparse-rank
+      // variants — seeds ⟗ sums full-outer, and damped-sums ∪ teleport
+      // re-aggregate — were measured 6.1 → 6.6-6.9 s same-sitting.
+      // The per-iteration rank rebuild below is a ZERO-exchange join:
+      // deg is cached pre-partitioned on node and AQE broadcasts the
+      // frontier sums, so carrying the zero rows costs one cached
+      // map-side scan, while both sparse variants add an exchange per
+      // iteration. The dense-rank shape stays.)
       val contrib = adj
         .join(ranks.filter($"pr" =!= 0L).withColumnRenamed("node", "src"), "src")
         .select($"dsts", expr("pr DIV deg").as("c"))

@@ -33,6 +33,22 @@ private[graft] object Release {
     * computation plan; never set outside tools. */
   @volatile private[graft] var planCapture: Option[DataFrame => Unit] = None
 
+  /** Evaluate `body` with one session conf pinned, restoring the prior
+    * value after — for EAGER operators (everything inside runs before
+    * return) that need to opt out of a session-level default. r14 use:
+    * the ER pair-verify joins opt OUT of cached-plan AQE coalescing —
+    * their verify stage is byte-tiny but CPU-heavy (levenshtein/jaro
+    * per pair), and byte-based coalescing serializes it. */
+  private[graft] def withConf[T](spark: org.apache.spark.sql.SparkSession,
+                                 key: String, value: String)(body: => T): T = {
+    val prev = try spark.conf.getOption(key) catch { case _: Throwable => None }
+    spark.conf.set(key, value)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def grid(out: DataFrame, caches: DataFrame*): DataFrame = {
     planCapture.foreach(f => f(out))
     val spark = out.sparkSession
