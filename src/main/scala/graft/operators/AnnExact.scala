@@ -504,8 +504,13 @@ object AnnExact {
       .groupBy($"cluster").agg(count(lit(1)).as("n_old"))
     val batch = corpus.crossJoin(broadcast(cut)).filter($"vec_id" > $"cut")
       .select($"vec_id", $"vq")
+    // r14: persisted — basg feeds BOTH the occupancy broadcast and the
+    // output join, and it is a map-only subtree (no exchange for
+    // ReusedExchange to dedupe), so without the cache the whole
+    // batch scan + quantize + 16-centroid assignment ran twice
     val basg = Training.assign(batch, cents) // the incremental work: ∝ batch
       .select($"vec_id".as("n_id"), $"cluster", $"d2".as("d2_micro2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bocc = basg.groupBy($"cluster").agg(count(lit(1)).as("n_new"))
     val out = basg
       .join(broadcast(oldOcc), Seq("cluster"), "left")
@@ -514,7 +519,7 @@ object AnnExact {
         coalesce($"n_old", lit(0L)).as("cluster_n_old"),
         $"n_new".as("cluster_n_new"))
       .orderBy($"n_id")
-    Release.checkpointed(out, old)
+    Release.checkpointed(out, old, basg)
   }
 
   /** Oracle: the identical frozen-centroid pipeline with the Lloyd
