@@ -1184,11 +1184,18 @@ object Sampling {
     // destroyed. (documentsScaled on both reads was tried and measured
     // 2× WORSE here: the two independent round-robin exchanges defeat
     // the planner's one-sided broadcast of the quality frame.)
-    val sc = TextAnalysis.qualityScored(Tables.documents(spark, dir))
-      .select($"doc_id", round($"quality_score" * 1000000d, 0).cast("long").as("s"))
-      .join(Tables.documents(spark, dir).select($"doc_id",
-        (substring(md5(concat(lit("conf:"), $"doc_id".cast("string"),
-          lit(":"), $"text")), 1, 1) < "4").as("cal")), "doc_id")
+    // r14: the cal/eval split flag is derived on the SAME corpus scan
+    // that feeds the quality score (qualityScored keep-through) — the
+    // former shape re-scanned documents and joined the flag back by
+    // doc_id (guide §2.4: one pass where one pass suffices). Same md5
+    // expression, same score arithmetic ⇒ oracle unchanged.
+    val sc = TextAnalysis.qualityScored(
+        Tables.documents(spark, dir).select($"doc_id", $"text",
+          (substring(md5(concat(lit("conf:"), $"doc_id".cast("string"),
+            lit(":"), $"text")), 1, 1) < "4").as("cal")),
+        keep = Seq("cal"))
+      .select($"doc_id", round($"quality_score" * 1000000d, 0).cast("long").as("s"),
+        $"cal")
       .withColumn("w", expr(s"doc_id div $DriftWinW"))
       .persist()
     // 1. the PSI trajectory: pinned cal reference vs per-window eval

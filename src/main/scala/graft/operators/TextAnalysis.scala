@@ -56,11 +56,17 @@ object TextAnalysis {
     * the statistics — and therefore the score — are bit-identical to
     * the composable form (FiltersSpec pins the kernel equality).
     */
-  def qualityScored(docs: DataFrame): DataFrame = {
+  /** `keep`: extra input columns carried through unchanged (r14 — lets
+    * a caller derive per-doc flags on the SAME corpus scan instead of
+    * re-scanning and joining them back by doc_id; the score columns
+    * and arithmetic are untouched for every existing caller). */
+  def qualityScored(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val keepCols = keep.map(col)
     val base = docs
-      .select(col("doc_id"), col("text"),
+      .select(Seq(col("doc_id"), col("text"),
         graft.functions.StringFunctions.token_stats(col("text"), stopwords).as("ts"))
-      .select(col("doc_id"),
+        ++ keepCols: _*)
+      .select(Seq(col("doc_id"),
         col("ts.n_tokens").cast("double").as("n_tok"),
         col("ts.n_stop").cast("double").as("n_stop"),
         col("ts.n_uniq").cast("double").as("n_uniq"),
@@ -72,11 +78,12 @@ object TextAnalysis {
         (length(col("text")) - length(translate(col("text"), ".,!?;:", "")))
           .cast("double").as("n_punct"),
         length(col("text")).cast("double").as("n_chars"))
+        ++ keepCols: _*)
     val stopRatio = col("n_stop") / greatest(col("n_tok"), lit(1.0))
     val punctRatio = col("n_punct") / greatest(col("n_chars"), lit(1.0))
     val diversity = col("n_uniq") / greatest(col("n_tok"), lit(1.0))
     val lengthScore = least(col("n_tok") / lit(50.0), lit(1.0))
-    base.select(col("doc_id"),
+    base.select(Seq(col("doc_id"),
       col("n_tok").cast("int").as("n_tokens"),
       round(stopRatio, 6).as("stop_ratio"),
       round(punctRatio, 6).as("punct_ratio"),
@@ -84,6 +91,7 @@ object TextAnalysis {
       round(lit(0.35) * lengthScore + lit(0.25) * stopRatio
         + lit(0.25) * diversity + lit(0.15) * (lit(1.0) - punctRatio), 6)
         .as("quality_score"))
+      ++ keepCols: _*)
   }
 
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
